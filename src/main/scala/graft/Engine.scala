@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction + tuning for the graft engine.
+  *
+  * Design notes (100 TB posture): every config here is also valid on a real
+  * multi-executor cluster; local[N] is only the test harness. AQE is on so
+  * skewed shuffle partitions are split and small ones coalesced at runtime;
+  * shuffle partitions default to the local core count instead of 200 (on a
+  * cluster this would be ~2-3x total cores, or left to AQE's
+  * coalescing with a high initial value).
+  */
+object Engine {
+
+  /** Runtime confs applied to any session (settable post-construction). */
+  def tune(spark: SparkSession): SparkSession = {
+    // The driver testdata's `events.ts` is parquet INT64 TIMESTAMP(NANOS),
+    // which Spark's parquet reader rejects by default; read it as raw
+    // nanosecond longs and convert explicitly where needed (Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Reference semantics are lenient (null-on-error coercion, no overflow
+    // errors — etl_pipeline.py:193,196,213); Spark 4 defaults ANSI on.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark
+  }
+
+  /** Build a local session (tests / standalone runs). */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val spark = SparkSession
+      .builder()
+      .master(s"local[$cores]")
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    tune(spark)
+  }
+}

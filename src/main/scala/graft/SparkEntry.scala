@@ -1,13 +1,387 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.load.Warehouse
+import graft.ops.{Events, Relational}
+import graft.orchestrate.Orchestrator
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — query registry + DuckDB oracle SQL.
+  *
+  * Conventions that make the hash-compare stable across engines:
+  *  - aggregate doubles go through exact DECIMAL sums then one cast to
+  *    double (Transforms.dsum) so aggregation order cannot shift ulps;
+  *  - integer aggregates are BIGINT on both sides (DuckDB SUM(int) is
+  *    HUGEINT, so oracles CAST it);
+  *  - outputs carry a total ordering and never expose raw timestamps
+  *    (formatted strings instead);
+  *  - column names are aliased identically in both the Spark plan and the
+  *    oracle SQL.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.qJoinRegionRevenue(Tables(spark, "/root/testdata/sf0.001"))
+
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (spark, dir) => f(Tables(spark, dir))
+
+  /** Reference pipeline end-to-end: runs the six deterministic generator
+    * sources through clean/transform/coerce/load into a temp warehouse and
+    * returns the health table (deterministic columns only). No SQL oracle —
+    * generators exist only in this engine (rows-only check).
+    */
+  private def pipelineHealth(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val wh = Warehouse(spark, tmp)
+    val run = new Orchestrator(spark, wh).runPipeline("verify_run")
+    import spark.implicits._
+    run.metrics
+      .map(m => (m.sourceName, m.sourceType, m.status, m.recordsIn, m.recordsOut))
+      .toDF("source_name", "table_name", "status", "records_in", "records_out")
+      .orderBy("source_name")
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // — reference-core ETL semantics on real tables —
+    "etl_sales_pipeline" -> q(Relational.etlSalesPipeline),
+    "etl_churn_binning" -> q(Relational.etlChurnBinning),
+    "etl_finance_netflow" -> q(Relational.etlFinanceNetflow),
+    "pipeline_health" -> (pipelineHealth(_, _)),
+    // — relational surface —
+    "q1_agg" -> q(Relational.q1Agg),
+    "q_join_region_revenue" -> q(Relational.qJoinRegionRevenue),
+    "q_window_topk" -> q(Relational.qWindowTopk),
+    "q_running_total" -> q(Relational.qRunningTotal),
+    "q_sort_limit" -> q(Relational.qSortLimit),
+    "q_distinct" -> q(Relational.qDistinct),
+    "q_intersect" -> q(Relational.qIntersect),
+    "q_except" -> q(Relational.qExcept),
+    "q_anti_join" -> q(Relational.qAntiJoin),
+    "q_semi_join" -> q(Relational.qSemiJoin),
+    "q_rollup" -> q(Relational.qRollup),
+    "q_cube" -> q(Relational.qCube),
+    "q_percentiles" -> q(Relational.qPercentiles),
+    "q_count_distinct" -> q(Relational.qCountDistinct),
+    "q_conditional_agg" -> q(Relational.qConditionalAgg),
+    "q_pivot_lang" -> q(Relational.qPivotLang),
+    "q_string_funcs" -> q(Relational.qStringFuncs),
+    "q_date_funcs" -> q(Relational.qDateFuncs),
+    "q_above_customer_avg" -> q(Relational.qAboveCustomerAvg),
+    "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
+    "q_group_having" -> q(Relational.qGroupHaving),
+    // — event-log operators —
+    "q_tumbling_window" -> q(Events.qTumblingWindow),
+    "q_sessionize" -> q(Events.qSessionize),
+    "q_json_extract" -> q(Events.qJsonExtract),
+    "q_asof_join" -> q(Events.qAsOfJoin),
+    // — dedup tier —
+    "q_dedup_exact" -> q(Dedup.qDedupExact),
+    "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
+    "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
+    "q_ngram_jaccard" -> q(Dedup.qNgramJaccard),
+    // — similarity search —
+    "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
+    "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
+    "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
+    // — text analysis —
+    "q_text_stats" -> q(TextAnalysis.qTextStats),
+    "q_quality_score" -> q(TextAnalysis.qQualityScore),
+    "q_lang_id" -> q(TextAnalysis.qLangId),
+    "q_fingerprint" -> q(TextAnalysis.qFingerprint),
+    // — multimodal plumbing —
+    "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta))
+
+  /** DuckDB oracle SQL per query (omitted => rows-only check):
+    * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
+    * q_knn_ivf / q_knn_lsh (approximate by construction),
+    * pipeline_health (generator-sourced).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "etl_sales_pipeline" ->
+      """WITH t AS (
+           SELECT DISTINCT * FROM orders
+           WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+             AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL
+             AND o_orderdate IS NOT NULL AND o_orderpriority IS NOT NULL),
+         p AS (SELECT quantile_cont(o_totalprice, 0.9) AS thr FROM t)
+         SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) FILTER (WHERE o_totalprice > (SELECT thr FROM p)) AS n_high
+         FROM t GROUP BY 1 ORDER BY 1""",
+    "etl_churn_binning" ->
+      """SELECT CASE WHEN c_acctbal/10000.0 > 0 AND c_acctbal/10000.0 <= 0.3 THEN 'Low'
+                WHEN c_acctbal/10000.0 > 0.3 AND c_acctbal/10000.0 <= 0.6 THEN 'Medium'
+                WHEN c_acctbal/10000.0 > 0.6 AND c_acctbal/10000.0 <= 1.0 THEN 'High'
+                ELSE 'NA' END AS label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+         FROM customer GROUP BY 1 ORDER BY 1""",
+    "etl_finance_netflow" ->
+      """WITH s AS (SELECT user_id,
+           COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase'), 0) AS c,
+           COALESCE(SUM(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'error'), 0) AS d
+         FROM events GROUP BY user_id)
+         SELECT user_id, CAST(c AS DOUBLE) AS credit, CAST(d AS DOUBLE) AS debit,
+           CAST(c - d AS DOUBLE) AS net_flow,
+           CAST(CASE WHEN c - d < 0 THEN 1 ELSE 0 END AS BIGINT) AS is_deficit
+         FROM s ORDER BY user_id""",
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_join_region_revenue" ->
+      """SELECT r_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_date, o_orderkey""",
+    "q_sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+         FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part p
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         ORDER BY p_partkey""",
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price,
+           quantile_cont(l_extendedprice, 0.99) AS p99_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_conditional_agg" ->
+      """SELECT o_orderstatus,
+           COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+           COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_price_sum
+         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_pivot_lang" ->
+      """SELECT source,
+           COUNT(*) FILTER (WHERE lang = 'en') AS en,
+           COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+           COUNT(*) FILTER (WHERE lang = 'es') AS es,
+           COUNT(*) FILTER (WHERE lang = 'de') AS de,
+           COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_type, 1, 5) AS type5,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowels
+         FROM part ORDER BY p_partkey""",
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow1,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS BIGINT) AS days_to_2002,
+           strftime(o_orderdate, '%Y-%m') AS ym
+         FROM orders ORDER BY o_orderkey""",
+    "q_above_customer_avg" ->
+      """WITH a AS (SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           FROM orders GROUP BY 1)
+         SELECT o_orderkey, o_custkey, o_totalprice, avg_price AS cust_avg
+         FROM orders JOIN a ON o_custkey = ck
+         WHERE o_totalprice > avg_price
+         ORDER BY o_orderkey""",
+    "q_range_join_pairs" ->
+      """SELECT a.o_custkey AS o_custkey, COUNT(*) AS n_pairs
+         FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+         WHERE a.o_orderkey < b.o_orderkey
+           AND b.o_orderdate >= a.o_orderdate
+           AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1 ORDER BY 1""",
+    "q_group_having" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
+         ORDER BY yr, o_orderstatus""",
+    "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         e AS (SELECT user_id, sid, COUNT(*) AS sess_events FROM s GROUP BY 1, 2)
+         SELECT user_id, COUNT(*) AS n_sessions,
+           CAST(MAX(sess_events) AS BIGINT) AS max_sess_events,
+           CAST(SUM(sess_events) AS BIGINT) AS n_events
+         FROM e GROUP BY user_id ORDER BY user_id""",
+    "q_json_extract" ->
+      """SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, x.last_orderkey
+         FROM events e LEFT JOIN LATERAL (
+           SELECT oo.o_orderkey AS last_orderkey FROM orders oo
+           WHERE oo.o_custkey = e.user_id AND oo.o_orderdate <= e.ts
+           ORDER BY oo.o_orderdate DESC, oo.o_orderkey DESC LIMIT 1) x ON TRUE
+         WHERE e.event_id % 10 = 0
+         ORDER BY e.event_id""",
+    "q_dedup_exact" ->
+      """WITH d AS (SELECT source, md5(lower(trim(text))) AS h FROM documents)
+         SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT h) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS BIGINT) AS n_dupes
+         FROM d GROUP BY source ORDER BY source""",
+    "q_ngram_jaccard" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         sized AS (SELECT doc_id, lang, w, CAST(len(w) AS DOUBLE) AS nw FROM docs),
+         dw AS (SELECT doc_id, lang, nw, unnest(w) AS word FROM sized),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
+             COUNT(*) AS inter
+           FROM dw a JOIN dw b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2,
+           CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+         FROM j WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
+         ORDER BY id1, id2""",
+    "q_knn_brute" ->
+      """WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
+         queries AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id % 200 = 0),
+         sims AS (SELECT qid, nid,
+             list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * nvec[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(nvec) + 1), i -> nvec[i] * nvec[i])))) AS sim
+           FROM corpus CROSS JOIN queries WHERE qid <> nid),
+         ranked AS (SELECT qid, nid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+           FROM sims)
+         SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_text_stats" ->
+      """WITH d AS (SELECT lang, n_chars,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             len(list_distinct(string_split_regex(trim(text), ' +'))) AS n_distinct
+           FROM documents)
+         SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(n_tokens AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(n_distinct) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS distinct_ratio
+         FROM d GROUP BY lang ORDER BY lang""",
+    "q_quality_score" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS distinct_ratio,
+             CAST(len(trim(text)) - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS avg_word_len
+           FROM documents WHERE doc_id % 10 = 0)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           distinct_ratio,
+           least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+             + distinct_ratio * 0.4
+             + least(avg_word_len / 10.0, 1.0) * 0.2 AS quality
+         FROM d ORDER BY doc_id""",
+    "q_lang_id" -> {
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      def score(l: String) = TextAnalysis.markers(l)
+        .map(w => s"len(list_filter(string_split_regex(lt, ' +'), x -> x = '$w'))")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS score_$l")
+      val caseArms = langs
+        .map(l => s"WHEN score_$l = g AND g > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, trim(lower(text)) AS lt
+            FROM documents WHERE doc_id % 10 = 0),
+          s AS (SELECT doc_id, lang, ${langs.map(score).mkString(", ")} FROM d),
+          g AS (SELECT *, greatest(${langs.map("score_" + _).mkString(", ")}) AS g FROM s)
+          SELECT doc_id, lang, CASE $caseArms ELSE 'und' END AS predicted,
+            ${langs.map("score_" + _).mkString(", ")}
+          FROM g ORDER BY doc_id"""
+    },
+    "q_fingerprint" ->
+      """WITH f AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fp
+           FROM documents)
+         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         FROM f GROUP BY fp ORDER BY fp""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+           CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")
 }

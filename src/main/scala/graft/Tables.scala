@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Readers for the driver-provided parquet testdata (TESTDATA.md).
+  *
+  * All readers are plain parquet scans, so Catalyst pushes filters and
+  * prunes columns down to the file scan — callers should select/filter
+  * directly on these frames and let the optimizer do the rest.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  Engine.tune(spark)
+
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame = t("region")
+  def nation: DataFrame = t("nation")
+  def customer: DataFrame = t("customer")
+  def supplier: DataFrame = t("supplier")
+  def part: DataFrame = t("part")
+  def orders: DataFrame = t("orders")
+  def lineitem: DataFrame = t("lineitem")
+  def documents: DataFrame = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  /** Raw events: `ts` is INT64 epoch-nanoseconds (see Engine.tune). */
+  def eventsRaw: DataFrame = t("events")
+
+  /** Events with `ts` converted to a naive (NTZ) timestamp at microsecond
+    * precision, matching how DuckDB/pandas see the column. The raw
+    * nanosecond long is kept as `ts_ns` for exact interval arithmetic.
+    */
+  def events: DataFrame =
+    eventsRaw
+      .withColumn("ts_ns", col("ts"))
+      .withColumn(
+        "ts",
+        timestamp_micros((col("ts_ns") / 1000L).cast("long")).cast(TimestampNTZType))
+}

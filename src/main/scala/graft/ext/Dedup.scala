@@ -1,0 +1,167 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators for training-data pipelines.
+  *
+  * Tiers (cheapest first):
+  *  1. exact        — md5 over normalized text, hash groupBy (one shuffle);
+  *  2. MinHash+LSH  — shingle -> k minhashes -> band buckets -> candidate
+  *                    pairs -> exact-jaccard verify. Cost is the band-bucket
+  *                    shuffle (linear) plus per-bucket pair expansion,
+  *                    instead of the O(n^2) all-pairs join;
+  *  3. SimHash      — 64-bit fingerprint, groupable/Hamming-comparable;
+  *  4. n-gram Jaccard — exact pairwise measure, used only to verify LSH
+  *                    candidates or on small blocked subsets.
+  *
+  * Everything is built from codegen'd higher-order array functions
+  * (transform/aggregate/filter) — no UDFs, so the whole stage pipeline stays
+  * in Tungsten. All hashes are `xxhash64`, deterministic across runs and
+  * partitionings.
+  */
+object Dedup {
+
+  /** Whitespace-normalized lowercase word array. */
+  def words(text: Column): Column = split(trim(lower(text)), " +")
+
+  /** Word n-gram shingles, via index-transform over the word array. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    transform(
+      sequence(lit(0), greatest(size(w) - n, lit(0))),
+      i => array_join(slice(w, i + lit(1), lit(n)), " "))
+  }
+
+  /** MinHash signature: k independent min-hashes of the shingle set.
+    * k seeded hash functions simulated as xxhash64(shingle, seed).
+    */
+  def minhashSig(sh: Column, k: Int = 32): Column =
+    transform(
+      sequence(lit(0), lit(k - 1)),
+      j => array_min(transform(sh, s => xxhash64(s, j))))
+
+  /** Exact duplicate stats per source: groupBy on md5(normalized text).
+    * Scale: single hash-aggregate shuffle; the md5 is computed map-side.
+    */
+  def qDedupExact(t: Tables): DataFrame =
+    t.documents
+      .withColumn("h", md5(lower(trim(col("text")))))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("h")).as("n_distinct"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
+      .orderBy("source")
+
+  /** MinHash + LSH near-duplicate candidate pairs, verified by exact
+    * shingle-set jaccard. Bands: `bands` groups of `rowsPerBand` signature
+    * slots; docs sharing any band bucket are candidates.
+    *
+    * Scale path: explode is bands-per-doc (constant factor), the bucket
+    * groupBy shuffles on (band, hash) — no all-pairs comparison ever
+    * materializes. Skewed buckets (boilerplate docs) are capped.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      threshold: Double = 0.7,
+      maxBucket: Int = 50): DataFrame = {
+    val k = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingles(col("text")))
+      .filter(size(col("sh")) > 0)
+      .withColumn("shd", array_distinct(col("sh")))
+      .withColumn("sig", minhashSig(col("shd"), k))
+
+    val banded = sig
+      .select(col("id"), col("shd"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
+            .cast("string"), b)))
+        .as(Seq("band", "bucket")))
+
+    // candidate pairs from shared (band,bucket); cap pathological buckets
+    val buckets = banded
+      .groupBy("band", "bucket")
+      .agg(collect_list(struct(col("id"), col("shd"))).as("members"))
+      .filter(size(col("members")).between(2, maxBucket))
+
+    val pairs = buckets
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+             transform(slice(members, i + 2, size(members)), b ->
+               named_struct('id1', a.id, 'id2', b.id, 'sh1', a.shd, 'sh2', b.shd))))"""))
+        .as("p"))
+      .select(
+        least(col("p.id1"), col("p.id2")).as("id1"),
+        greatest(col("p.id1"), col("p.id2")).as("id2"),
+        when(col("p.id1") <= col("p.id2"), col("p.sh1")).otherwise(col("p.sh2")).as("sh1"),
+        when(col("p.id1") <= col("p.id2"), col("p.sh2")).otherwise(col("p.sh1")).as("sh2"))
+      .dropDuplicates("id1", "id2")
+
+    pairs
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("uni",
+        (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  def qDedupMinhash(t: Tables): DataFrame =
+    minhashPairs(t.documents, "doc_id", "text").orderBy("id1", "id2")
+
+  /** SimHash: 64-bit fingerprint — sign of per-bit sums of word hashes.
+    * Near-dups share most bits; exposed here as fingerprint + grouped
+    * collision count. Bit arithmetic via shiftright/bitwise-and, all
+    * codegen'd.
+    */
+  def simhash(text: Column): Column =
+    expr(
+      """aggregate(
+           sequence(0, 63),
+           0L,
+           (acc, b) -> acc + shiftleft(
+             case when aggregate(
+               transform(split(trim(lower(text)), ' +'), w ->
+                 case when (shiftright(xxhash64(w), b) & 1L) = 1L then 1 else -1 end),
+               0, (s, x) -> s + x) > 0 then 1L else 0L end, b))""")
+
+  def qDedupSimhash(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", simhash(col("text")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+      .filter(col("n") >= 1)
+      .orderBy("fp")
+
+  /** Exact word-set jaccard pairs over a deterministic sample (full pairwise
+    * is the verifier inside LSH, not a scale path — this query demonstrates
+    * the relational formulation: explode -> equi-join on word -> count).
+    */
+  def qNgramJaccard(t: Tables): DataFrame = {
+    val docs = t.documents
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), col("lang"), array_distinct(words(col("text"))).as("w"))
+      .withColumn("nw", size(col("w")).cast("double"))
+
+    val dw = docs.select(col("doc_id"), col("lang"), col("nw"), explode(col("w")).as("word"))
+    val a = dw.select(col("doc_id").as("id1"), col("lang"), col("nw").as("n1"), col("word"))
+    val b = dw.select(col("doc_id").as("id2"), col("lang"), col("nw").as("n2"), col("word"))
+    a.join(b, Seq("lang", "word"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "n1", "n2")
+      .agg(count(lit(1)).cast("double").as("inter"))
+      .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
+      .filter(col("jaccard") >= 0.3)
+      .select("id1", "id2", "jaccard")
+      .orderBy("id1", "id2")
+  }
+}

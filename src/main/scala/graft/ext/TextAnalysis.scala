@@ -1,0 +1,110 @@
+package graft.ext
+
+import graft.Tables
+import graft.transform.Transforms.davg
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting,
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  * All column-expression based (codegen'd); each has an exact SQL oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count (regex split on runs of spaces after trim). */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(size(split(trim(text), " +")).cast("long"))
+
+  /** Occurrences of `word` as a standalone token: filter the token array —
+    * the same lambda is SQL-expressible in the DuckDB oracle
+    * (list_filter over string_split_regex).
+    */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(split(trim(text), " +"), x => x === word)).cast("long")
+
+  /** Per-language corpus stats: doc counts, token stats, char stats. */
+  def qTextStats(t: Tables): DataFrame =
+    t.documents
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("n_distinct",
+        size(array_distinct(split(trim(col("text")), " +"))).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        davg(col("n_tokens")).as("avg_tokens"),
+        davg(col("n_chars")).as("avg_chars"),
+        (sum("n_distinct").cast("double") / sum("n_tokens")).as("distinct_ratio"))
+      .orderBy("lang")
+
+  /** Quality score per document (deterministic heuristic):
+    * 0.4 * min(1, tokens/100) + 0.4 * distinct_ratio + 0.2 * short-token
+    * penalty. Emitted on a deterministic sample for compare compactness.
+    */
+  def qQualityScore(t: Tables): DataFrame = {
+    val toks = split(trim(col("text")), " +")
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .withColumn("distinct_ratio",
+        size(array_distinct(toks)).cast("double") / size(toks))
+      .withColumn("avg_word_len",
+        (length(trim(col("text"))) - (size(toks) - 1)).cast("double") / size(toks))
+      .withColumn(
+        "quality",
+        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          col("distinct_ratio") * 0.4 +
+          least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2)
+      .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Language-ID by marker-word counts (n-gram-heuristic stand-in): counts
+    * occurrences of per-language marker words and predicts the argmax, ties
+    * and zero-evidence -> 'und'. The exact same arithmetic runs in the
+    * oracle, so the prediction is engine-identical even where it is wrong —
+    * accuracy itself is asserted separately in unit tests on labeled data.
+    */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "data", "query"),
+    "fr" -> Seq("le", "données", "requête"),
+    "es" -> Seq("el", "datos", "consulta"),
+    "de" -> Seq("der", "daten", "abfrage"),
+    "zh" -> Seq("的", "数据", "查询"))
+
+  def qLangId(t: Tables): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.foldLeft(
+      t.documents.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("lt", lower(trim(col("text"))))) { (d, l) =>
+      d.withColumn(
+        s"score_$l",
+        markers(l).map(w => wordOccurrences(col("lt"), w)).reduce(_ + _))
+    }
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    // foldRight gives priority to the alphabetically-first language on ties
+    scored
+      .withColumn("predicted", pred)
+      .select((Seq(col("doc_id"), col("lang"), col("predicted")) ++
+        langs.map(l => col(s"score_$l"))): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Canonical document fingerprint: md5 over the sorted distinct word set —
+    * invariant to word order and duplication, the cheap exact-near-dup key.
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(trim(lower(text)), " +"))), " "))
+
+  def qFingerprint(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("fp")
+}

@@ -1,0 +1,54 @@
+package graft.load
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, DateType, TimestampNTZType, TimestampType}
+
+import scala.util.Try
+
+/** Warehouse writer (reference: etl_pipeline.py:228-245, 271-276).
+  *
+  * The reference writes to SQLite with `if_exists="replace"` for data tables
+  * and `"append"` for health metrics; our warehouse is partition-friendly
+  * parquet under a directory root, which is what a 100 TB deployment would
+  * use (object storage + a table format). Load-time coercions mirror the
+  * reference's dtype-driven ones (:271-274) but are opt-in, since parquet
+  * keeps native date/bool types.
+  */
+final case class Warehouse(spark: SparkSession, root: String) {
+
+  def path(table: String): String = s"$root/$table"
+
+  /** Reference load-time coercions (etl_pipeline.py:271-274):
+    * datetime -> "yyyy-MM-dd HH:mm:ss" string (dates -> "yyyy-MM-dd"),
+    * bool -> int 0/1. Column selection is dtype-driven like the reference.
+    */
+  def coerceForLoad(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        case DateType => d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd"))
+        case TimestampType | TimestampNTZType =>
+          d.withColumn(f.name, date_format(col(f.name), "yyyy-MM-dd HH:mm:ss"))
+        case BooleanType => d.withColumn(f.name, col(f.name).cast("int"))
+        case _ => d
+      }
+    }
+
+  /** `if_exists="replace"` / `"append"` equivalents. Writes stay parallel —
+    * no coalesce(1); partition count is whatever the upstream plan produced
+    * (AQE-coalesced).
+    */
+  def load(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path(table))
+
+  def loadPartitioned(df: DataFrame, table: String, partitionCols: Seq[String],
+      mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path(table))
+
+  def table(name: String): DataFrame = spark.read.parquet(path(name))
+
+  /** Missing table -> 0, like the reference's bare-except readback
+    * (etl_pipeline.py:238-242).
+    */
+  def tableCount(name: String): Long = Try(table(name).count()).getOrElse(0L)
+}

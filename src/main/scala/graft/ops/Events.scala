@@ -1,0 +1,90 @@
+package graft.ops
+
+import graft.Tables
+import graft.transform.Transforms.{davg, dsum}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-log operators: tumbling windows, sessionization, JSON extraction,
+  * and the as-of join against the orders table. These are the batch
+  * equivalents of the Structured Streaming jobs in [[graft.streaming]] —
+  * same column logic, so the streaming path is tested against these.
+  */
+object Events {
+
+  /** 1-hour tumbling window aggregation, the batch twin of the streaming
+    * windowed count. Window start computed by exact nanosecond floor on the
+    * raw long (no timezone involvement), emitted as a formatted string.
+    */
+  def qTumblingWindow(t: Tables): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    t.events
+      .withColumn("win_ns", col("ts_ns") - pmod(col("ts_ns"), lit(hourNs)))
+      .groupBy("win_ns", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(
+        date_format(timestamp_micros((col("win_ns") / 1000L).cast("long")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Gap-based sessionization (30-minute inactivity): lag + cumulative-sum
+    * session ids, then per-user session stats. One shuffle on user_id; both
+    * windows share the same partitioning so Spark reuses the exchange.
+    */
+  def qSessionize(t: Tables): DataFrame = {
+    val gapNs = 30L * 60L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val sessions = t.events
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessions
+      .groupBy("user_id", "sid")
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        max("sess_events").as("max_sess_events"),
+        sum("sess_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** JSON extraction from the props column + grouped aggregate.
+    * `get_json_object` is a codegen'd native expression — no UDF.
+    */
+  def qJsonExtract(t: Tables): DataFrame =
+    t.events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("k").as("sum_k"),
+        davg(col("value")).as("avg_value"))
+      .orderBy("event_type")
+
+  /** As-of join: each event picks up the user's most recent order at or
+    * before the event time (see [[AsOfJoin]] for the scalable shape).
+    * Sampled output (every 10th event) to keep the compare compact.
+    */
+  def qAsOfJoin(t: Tables): DataFrame = {
+    val ev = t.events.select(
+      col("event_id"), col("user_id"), col("ts"))
+    val ord = t.orders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate"),
+      col("o_orderkey").as("last_orderkey"))
+    AsOfJoin
+      .asOf(ev, ord, "user_id", "ts", "o_orderdate",
+        rightVals = Seq("last_orderkey"), rightTiebreak = "last_orderkey")
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+      .orderBy("event_id")
+  }
+}

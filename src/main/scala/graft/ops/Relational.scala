@@ -1,0 +1,342 @@
+package graft.ops
+
+import graft.Tables
+import graft.transform.Transforms.{cutBin, davg, dsum}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational / analytical operator surface over the star-schema testdata.
+  *
+  * Every query here has a matching ANSI-SQL oracle in
+  * [[graft.SparkEntry.oracleSql]]; numeric aggregates use the decimal-sum
+  * trick ([[graft.transform.Transforms.dsum]]) so results are
+  * order-independent and engine-exact. All outputs carry a total ordering
+  * (explicit tiebreak keys) and avoid raw timestamps (formatted strings
+  * instead) for driver-compare stability.
+  *
+  * Scale posture is noted per query: dimension joins are broadcast, fact-
+  * fact joins shuffle on their natural key, aggregations are partial
+  * (map-side combine) by construction.
+  */
+object Relational {
+
+  /** TPC-H Q1-style scan-heavy aggregation: one pass over lineitem, fully
+    * map-side combinable, no shuffle beyond the 6-group exchange.
+    */
+  def q1Agg(t: Tables): DataFrame =
+    t.lineitem
+      .filter(col("l_shipdate") <= lit("2001-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast("double").as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Star join: region -> nation -> customer -> orders -> lineitem.
+    * Dims are broadcast (no shuffle); the orders-lineitem join shuffles on
+    * orderkey — the only large exchange. Aggregation by region is tiny.
+    */
+  def qJoinRegionRevenue(t: Tables): DataFrame = {
+    val dims = broadcast(
+      t.customer
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("r_name")))
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast("double").as("revenue"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+      .orderBy("r_name")
+  }
+
+  /** Top-3 orders per customer by price: ranking window, single shuffle on
+    * custkey. Full tiebreak (orderkey) keeps the result deterministic.
+    */
+  def qWindowTopk(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)
+    t.orders
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("rn").cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running total per customer over order dates — frame-bounded window sum
+    * in exact decimal, cast to double at the end.
+    */
+  def qRunningTotal(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn(
+        "running_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("running_total"))
+      .orderBy("o_custkey", "o_date", "o_orderkey")
+  }
+
+  /** Global top-k with full tiebreaks — TakeOrderedAndProject physical op,
+    * no global sort of the full table.
+    */
+  def qSortLimit(t: Tables): DataFrame =
+    t.lineitem
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice"))
+
+  /** Distinct projection (shuffle-dedup on two low-cardinality columns). */
+  def qDistinct(t: Tables): DataFrame =
+    t.orders
+      .select("o_orderstatus", "o_orderpriority")
+      .distinct()
+      .orderBy("o_orderstatus", "o_orderpriority")
+
+  /** Set op: customers ordering in both 1997 and 1998 (INTERSECT). */
+  def qIntersect(t: Tables): DataFrame = {
+    def keys(yr: Int) =
+      t.orders.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    keys(1997).intersect(keys(1998)).orderBy("o_custkey")
+  }
+
+  /** Set op: 1997 customers who did NOT order in 1998 (EXCEPT). */
+  def qExcept(t: Tables): DataFrame = {
+    def keys(yr: Int) =
+      t.orders.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    keys(1997).except(keys(1998)).orderBy("o_custkey")
+  }
+
+  /** Anti join: customers with no orders — broadcast-able NOT EXISTS. */
+  def qAntiJoin(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  /** Semi join: parts that appear in any lineitem (EXISTS). */
+  def qSemiJoin(t: Tables): DataFrame =
+    t.part
+      .join(t.lineitem, col("p_partkey") === col("l_partkey"), "left_semi")
+      .select("p_partkey", "p_brand")
+      .orderBy("p_partkey")
+
+  /** ROLLUP over (status, priority); null grouping keys are COALESCEd to
+    * 'ALL' so ordering is engine-independent.
+    */
+  def qRollup(t: Tables): DataFrame =
+    t.orders
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"),
+        col("sum_price"))
+      .orderBy("status", "priority")
+
+  /** CUBE over (returnflag, linestatus). */
+  def qCube(t: Tables): DataFrame =
+    t.lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("n"),
+        col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Exact grouped percentiles (linear interpolation — matches DuckDB
+    * quantile_cont; approx_percentile would not hash-match).
+    */
+  def qPercentiles(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_quantity, 0.5D)").as("median_qty"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p90_price"),
+        expr("percentile(l_extendedprice, 0.99D)").as("p99_price"))
+      .orderBy("l_returnflag")
+
+  /** Exact distinct-count per group (shuffle-expand + dedup). */
+  def qCountDistinct(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Conditional aggregation (FILTER/CASE pattern) — single scan. */
+  def qConditionalAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_orderstatus")
+      .agg(
+        count(when(col("o_orderpriority") === "1-URGENT", 1)).as("n_urgent"),
+        count(when(col("o_orderpriority") === "5-LOW", 1)).as("n_low"),
+        dsum(when(col("o_totalprice") > 200000, col("o_totalprice"))
+          .otherwise(lit(null))).as("big_price_sum"))
+      .orderBy("o_orderstatus")
+
+  /** Pivot: language counts per document source (fixed pivot values so the
+    * schema is static and the oracle can mirror with FILTER aggregates).
+    */
+  def qPivotLang(t: Tables): DataFrame =
+    t.documents
+      .groupBy("source")
+      .pivot("lang", Seq("en", "fr", "es", "de", "zh"))
+      .count()
+      .na.fill(0L)
+      .orderBy("source")
+
+  /** Scalar string functions (codegen'd, no UDFs). */
+  def qStringFuncs(t: Tables): DataFrame =
+    t.part
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_type"), 1, 5).as("type5"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowels"))
+      .orderBy("p_partkey")
+
+  /** Scalar date functions; day-of-week normalized to ISO-agnostic 1=Sunday
+    * in both engines; ints widened to long for stable compare.
+    */
+  def qDateFuncs(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow1"),
+        datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+          .cast("long").as("days_to_2002"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
+  /** Correlated/scalar-subquery style aggregate threshold: orders above
+    * their customer's average order value. Implemented as agg + broadcast
+    * join (decorrelated by hand, which is also what Catalyst would do).
+    */
+  def qAboveCustomerAvg(t: Tables): DataFrame = {
+    val avgPerCust = t.orders
+      .groupBy("o_custkey")
+      .agg(davg(col("o_totalprice")).as("avg_price"))
+    t.orders
+      .join(broadcast(avgPerCust.withColumnRenamed("o_custkey", "ck")),
+        col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        col("avg_price").as("cust_avg"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Self range-join: pairs of orders by the same customer within 30 days.
+    * The equi-key (custkey) bounds the expansion; the range predicate is
+    * applied post-join. Counted per customer.
+    */
+  def qRangeJoinPairs(t: Tables): DataFrame = {
+    val a = t.orders.select(
+      col("o_custkey").as("ck"),
+      col("o_orderkey").as("k1"),
+      col("o_orderdate").as("d1"))
+    val b = t.orders.select(
+      col("o_custkey").as("ck"),
+      col("o_orderkey").as("k2"),
+      col("o_orderdate").as("d2"))
+    a.join(b, Seq("ck"))
+      .filter(
+        col("k1") < col("k2") &&
+        col("d2") >= col("d1") &&
+        col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("ck").as("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_custkey")
+  }
+
+  /** Grouped-HAVING: regions×year revenue above a fixed floor. */
+  def qGroupHaving(t: Tables): DataFrame =
+    t.orders
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+      .filter(col("n") >= 10)
+      .orderBy("yr", "o_orderstatus")
+
+  /** ETL pipeline shape on real data: dedup -> null-drop -> derived month ->
+    * p90 high-value flag -> monthly aggregate (the reference's sales
+    * pipeline re-expressed over `orders`; reference etl_pipeline.py:181-199).
+    */
+  def etlSalesPipeline(t: Tables): DataFrame = {
+    val cleaned = t.orders
+      .dropDuplicates()
+      .na.drop("any")
+    val q = cleaned.agg(expr("percentile(o_totalprice, 0.9D)").as("__q"))
+    cleaned
+      .crossJoin(broadcast(q))
+      .withColumn("month", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("high_value", col("o_totalprice") > col("__q"))
+      .groupBy("month")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(when(col("high_value"), 1)).as("n_high"))
+      .orderBy("month")
+  }
+
+  /** The reference's pd.cut binning semantics on real data: left-open
+    * right-closed bins over customer account balance scaled to [0,1]-like
+    * bands; out-of-range -> 'NA' (reference etl_pipeline.py:204-206).
+    */
+  def etlChurnBinning(t: Tables): DataFrame =
+    t.customer
+      .withColumn("label",
+        coalesce(cutBin(col("c_acctbal") / 10000.0), lit("NA")))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy("label")
+
+  /** The reference's finance net-flow transform on events: credit=purchase
+    * value, debit=error value, is_deficit flag cast to int like the load
+    * coercion (reference etl_pipeline.py:210-215, 273-274).
+    */
+  def etlFinanceNetflow(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id")
+      .agg(
+        dsum(when(col("event_type") === "purchase", col("value"))).as("credit"),
+        dsum(when(col("event_type") === "error", col("value"))).as("debit"))
+      .na.fill(0.0, Seq("credit", "debit"))
+      .withColumn("net_flow",
+        (col("credit").cast(DecimalType(18, 2)) - col("debit").cast(DecimalType(18, 2)))
+          .cast("double"))
+      .withColumn("is_deficit", (col("net_flow") < 0).cast("long"))
+      .orderBy("user_id")
+}

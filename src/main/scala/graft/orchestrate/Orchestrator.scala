@@ -1,0 +1,119 @@
+package graft.orchestrate
+
+import graft.clean.Clean
+import graft.load.Warehouse
+import graft.model._
+import graft.sources.Generators
+import graft.transform.Transforms
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.time.format.DateTimeFormatter
+import java.time.{Instant, ZoneOffset}
+import scala.util.control.NonFatal
+
+/** Pipeline orchestrator (reference: etl_pipeline.py:249-348).
+  *
+  * Runs each registered source through extract -> clean -> transform ->
+  * coerce -> load, with per-source error containment (a failed source is
+  * recorded FAILED and the run continues, :286-292), then appends health
+  * metrics and builds a run summary.
+  *
+  * Each source's E-T-L is ONE lazy plan executed by the load action; row
+  * counts ride along via `Dataset.observe` accumulators rather than extra
+  * `count()` scans (the reference re-scans with len(), :264,:277).
+  */
+final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
+
+  private val tsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
+
+  def runSource(
+      name: String,
+      sourceFn: SparkSession => DataFrame,
+      table: String,
+      transformName: String,
+      runId: String): PipelineMetric = {
+    val start = System.currentTimeMillis()
+    try {
+      val raw = sourceFn(spark)
+      val cleaned = Clean.cleanCommon(raw, name)
+      val transformed = Transforms(transformName, cleaned.df)
+      val coerced = warehouse.coerceForLoad(transformed)
+      warehouse.load(coerced, table, SaveMode.Overwrite) // the single action
+      val (in, out) = Clean.counts(cleaned)
+      PipelineMetric(
+        sourceName = name,
+        sourceType = table,
+        recordsIn = in,
+        recordsOut = out,
+        recordsDropped = in - out,
+        startTimeMs = start,
+        endTimeMs = System.currentTimeMillis(),
+        status = PipelineStatus.Success.name)
+    } catch {
+      case NonFatal(e) =>
+        PipelineMetric(
+          sourceName = name,
+          sourceType = table,
+          startTimeMs = start,
+          endTimeMs = System.currentTimeMillis(),
+          status = PipelineStatus.Failed.name,
+          errorMessage = Option(e.getMessage))
+    }
+  }
+
+  /** Full run over the reference's fixed source registry
+    * (etl_pipeline.py:294-315). Sources run sequentially like the
+    * reference; on a cluster they could submit concurrently on one session.
+    */
+  def runPipeline(runId: String = s"run_${System.currentTimeMillis()}"): PipelineRun = {
+    val start = System.currentTimeMillis()
+    val metrics = Generators.registry.map { case (name, fn, table, tname) =>
+      runSource(name, fn, table, tname, runId)
+    }.toList
+    val run = PipelineRun(
+      runId = runId,
+      startTimeMs = start,
+      endTimeMs = System.currentTimeMillis(),
+      metrics = metrics,
+      totalRecords = metrics.map(_.recordsOut).sum,
+      status =
+        if (metrics.forall(_.status == PipelineStatus.Success.name))
+          PipelineStatus.Success.name
+        else PipelineStatus.Failed.name)
+    saveHealthMetrics(run)
+    run
+  }
+
+  /** Append health rows to `pipeline_health`
+    * (reference: etl_pipeline.py:317-333).
+    */
+  def saveHealthMetrics(run: PipelineRun): Unit = {
+    import spark.implicits._
+    val now = tsFmt.format(Instant.now())
+    val rows = run.metrics.map { m =>
+      HealthRecord(
+        run_id = run.runId,
+        source_name = m.sourceName,
+        status = m.status,
+        records_in = m.recordsIn,
+        records_out = m.recordsOut,
+        drop_rate_pct = m.dropRatePct,
+        duration_sec = m.durationSeconds,
+        run_time = now)
+    }
+    warehouse.load(rows.toDS().toDF(), "pipeline_health", SaveMode.Append)
+  }
+
+  /** Run summary (reference: etl_pipeline.py:335-348). */
+  def summary(run: PipelineRun): String = {
+    val lines = run.metrics.map { m =>
+      f"  ${m.sourceName}%-18s ${m.status}%-8s in=${m.recordsIn}%-8d out=${m.recordsOut}%-8d ${m.durationSeconds}%.2fs"
+    }
+    (Seq(
+      s"run ${run.runId}: ${run.status}",
+      f"  uptime ${run.uptimePct}%.1f%% records ${run.totalRecords}") ++ lines)
+      .mkString("\n")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Session output row (top-level: Spark encoder codegen cannot construct
+  * classes nested inside objects).
+  */
+final case class SessionUpdate(
+    user_id: Long, session_id: Long, n_events: Long, closed: Boolean)
+
+/** Mutable per-user session state for flatMapGroupsWithState. */
+final case class SessionState(sessionId: Long, nEvents: Long, lastTsMicros: Long)
+
+/** Structured Streaming surface: windowed aggregation with watermarks,
+  * late-data dedup, and custom sessionization state. The column logic
+  * matches the batch twins in [[graft.ops.Events]], which is how the
+  * streaming path is verified (stream-batch parity tests).
+  */
+object Streams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Watermark-bounded exact dedup on event_id (late duplicates dropped). */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization with explicit state: the streaming equivalent
+    * of [[graft.ops.Events.qSessionize]] built on flatMapGroupsWithState.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .selectExpr("user_id", "cast(ts as long) * 1000000 as ts_micros")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[SessionUpdate]()
+          sorted.foreach { ts =>
+            st =
+              if (st.lastTsMicros == Long.MinValue) SessionState(1L, 1L, ts)
+              else if (ts - st.lastTsMicros > gapMicros) {
+                out += SessionUpdate(user, st.sessionId, st.nEvents, closed = true)
+                SessionState(st.sessionId + 1, 1L, ts)
+              } else st.copy(nEvents = st.nEvents + 1, lastTsMicros = ts)
+          }
+          state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.streaming.Streams
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+/** Stream-batch parity: the streaming jobs produce the same results as
+  * their batch twins on the same data.
+  */
+class StreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val sample = Seq(
+    (1L, ts("2024-01-01 00:05:00"), 7L, "click", 1.0),
+    (2L, ts("2024-01-01 00:45:00"), 7L, "click", 2.0),
+    (3L, ts("2024-01-01 01:05:00"), 7L, "view", 3.0),
+    (4L, ts("2024-01-01 02:30:00"), 8L, "click", 4.0), // new session for 8
+    (5L, ts("2024-01-01 00:05:00"), 8L, "view", 5.0))
+
+  test("streaming tumbling window counts match the batch aggregation") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.tumblingCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("tumbling_out")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+
+    val batch = sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(date_format(col("w"), "yyyy-MM-dd HH:mm:ss"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionization closes sessions on 30-minute gaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val q = Streams.sessionize(spark, events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    mem.addData(sample: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // user 7: 00:05 -> 00:45 is a 40-min gap -> first session closed with 1 event
+    val closed = spark.table("sessions_out")
+      .select("user_id", "n_events", "closed")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(closed.contains((7L, 1L, true)))
+    // user 8: 00:05 -> 02:30 gap -> one closed session of 1 event
+    assert(closed.contains((8L, 1L, true)))
+  }
+
+  test("dedupWithinWatermark drops duplicate event ids") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupWithinWatermark(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    mem.addData(sample ++ Seq(sample.head): _*) // replay first event
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup_out").count() == sample.size)
+  }
+}
