@@ -25,6 +25,7 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -35,13 +35,12 @@ object Dedup {
       i => array_join(slice(w, i + lit(1), lit(n)), " "))
   }
 
-  /** MinHash signature: k independent min-hashes of the shingle set.
-    * k seeded hash functions simulated as xxhash64(shingle, seed).
+  /** MinHash signature: k min-hash slots over the shingle set, via the
+    * native [[graft.functions.MinHashSig]] expression (double hashing:
+    * one scan of the shingles regardless of k).
     */
   def minhashSig(sh: Column, k: Int = 32): Column =
-    transform(
-      sequence(lit(0), lit(k - 1)),
-      j => array_min(transform(sh, s => xxhash64(s, j))))
+    call_function("minhash_sig", sh, lit(k))
 
   /** Exact duplicate stats per source: groupBy on md5(normalized text).
     * Scale: single hash-aggregate shuffle; the md5 is computed map-side.
@@ -73,19 +72,25 @@ object Dedup {
       threshold: Double = 0.7,
       maxBucket: Int = 50): DataFrame = {
     val k = bands * rowsPerBand
+    // shingles live only as 64-bit hashes (graft.functions.ShingleHashes):
+    // no shingle strings are materialized, and the jaccard verify below
+    // intersects long arrays instead of string arrays.
     val sig = docs
       .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingles(col("text")))
-      .filter(size(col("sh")) > 0)
-      .withColumn("shd", array_distinct(col("sh")))
-      .withColumn("sig", minhashSig(col("shd"), k))
+      .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
+      .filter(size(col("shd")) > 0)
+      .withColumn("sig", call_function("minhash_sig_longs", col("shd"), lit(k)))
 
+    // band bucket = xxhash64 of the band's signature slots (statically
+    // unrolled per band -> fully codegen'd, no array slicing/casting)
+    val bandHashes = (0 until bands).map { b =>
+      val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("sig"), i + 1))
+      xxhash64((slots :+ lit(b)): _*)
+    }
     val banded = sig
-      .select(col("id"), col("shd"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)), b =>
-          xxhash64(slice(col("sig"), b * rowsPerBand + lit(1), lit(rowsPerBand))
-            .cast("string"), b)))
-        .as(Seq("band", "bucket")))
+      .select(col("id"), col("shd"),
+        posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
     // candidate pairs from shared (band,bucket); cap pathological buckets
     val buckets = banded
@@ -118,21 +123,12 @@ object Dedup {
   def qDedupMinhash(t: Tables): DataFrame =
     minhashPairs(t.documents, "doc_id", "text").orderBy("id1", "id2")
 
-  /** SimHash: 64-bit fingerprint — sign of per-bit sums of word hashes.
-    * Near-dups share most bits; exposed here as fingerprint + grouped
-    * collision count. Bit arithmetic via shiftright/bitwise-and, all
-    * codegen'd.
+  /** SimHash: 64-bit fingerprint — sign of per-bit vote counts of word
+    * hashes, via the native [[graft.functions.SimHash64]] expression
+    * (single hash pass per word instead of 64 aggregate passes).
     */
   def simhash(text: Column): Column =
-    expr(
-      """aggregate(
-           sequence(0, 63),
-           0L,
-           (acc, b) -> acc + shiftleft(
-             case when aggregate(
-               transform(split(trim(lower(text)), ' +'), w ->
-                 case when (shiftright(xxhash64(w), b) & 1L) = 1L then 1 else -1 end),
-               0, (s, x) -> s + x) > 0 then 1L else 0L end, b))""")
+    call_function("simhash64", words(text))
 
   def qDedupSimhash(t: Tables): DataFrame =
     t.documents

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the extension-tier hot paths.
+  *
+  * The built-in higher-order functions (`zip_with`/`aggregate`) are
+  * interpreted per-element; at ~25M candidate pairs x 64 dims (cosine) or
+  * ~5M shingles x 32 permutations (MinHash) the lambda-dispatch overhead
+  * dominates. These expressions run the same arithmetic as tight JVM loops,
+  * and `CosineSim` generates code inline so the kNN stage stays inside
+  * whole-stage codegen.
+  */
+
+/** Cosine similarity of two double arrays.
+  *
+  * Accumulation order is the IEEE-deterministic sequential fold
+  * `((0+x0*y0)+x1*y1)+...`, identical to both the higher-order-function
+  * formulation it replaces and the DuckDB oracle's `list_sum(list_transform)`
+  * — results are bit-exact across engines, which the oracle compare relies
+  * on. Arrays are assumed element-non-null (embeddings).
+  */
+case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<double>, got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xi = $x.getDouble($i);
+          double $yi = $y.getDouble($i);
+          $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        }
+        ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** MinHash signature over a string array (shingles), k slots.
+  *
+  * Two base hashes per element + Kirsch-Mitzenmacher double hashing
+  * (sig_j = min over elements of h1 + j*h2) instead of k independent hash
+  * passes — one scan of the shingle set regardless of k. Evaluated once per
+  * row (not per candidate pair), so CodegenFallback's per-row boxing is
+  * negligible against the hash loop itself.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h1 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      val h2 = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 77L)
+      var j = 0
+      while (j < k) {
+        val h = h1 + j * h2
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distinct hashes of the word n-gram shingles of a string array — the
+  * allocation-free MinHash front end. Each word is hashed once; a shingle
+  * hash is the XXH64-style mix of its n word hashes, so no shingle string
+  * is ever materialized (the string formulation allocates ~#words UTF8
+  * strings per doc and dominated the LSH stage's profile).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private def mix(z0: Long): Long = {
+    // xxh64-finalizer-style avalanche
+    var z = z0
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nw = arr.numElements()
+    val wh = new Array[Long](nw)
+    var i = 0
+    while (i < nw) {
+      val s = arr.getUTF8String(i)
+      wh(i) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      i += 1
+    }
+    val count = math.max(nw - n + 1, if (nw > 0) 1 else 0)
+    val seen = new java.util.HashSet[java.lang.Long](count * 2)
+    val out = new Array[Long](count)
+    var k = 0
+    i = 0
+    while (i < count) {
+      var h = 0x27d4eb2f165667c5L
+      var j = i
+      val end = math.min(i + n, nw)
+      while (j < end) {
+        h = mix(h ^ wh(j))
+        j += 1
+      }
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MinHash signature over pre-hashed shingles (array<long>): double hashing
+  * sig_j = min(h1 + j*h2) with h2 an avalanche of h1 — one scan, no string
+  * work. Pairs with [[ShingleHashes]].
+  */
+case class MinHashSigLongs(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](k)
+    java.util.Arrays.fill(out, Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val h1 = arr.getLong(i)
+      var h2 = h1
+      h2 ^= h2 >>> 33; h2 *= 0xff51afd7ed558ccdL; h2 ^= h2 >>> 33
+      var j = 0
+      while (j < k) {
+        val h = h1 + j * h2
+        if (h < out(j)) out(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash over a string array (words): one hash per word, then the
+  * sign of per-bit vote counts. Replaces the 64-aggregate-passes
+  * formulation (64 hashes per word) with a single pass.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val s = arr.getUTF8String(i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

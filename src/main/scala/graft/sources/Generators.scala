@@ -27,6 +27,18 @@ object Generators {
 
   private val Big = 1000000007L // prime modulus for the uniform fold
 
+  /** Partition count scaled to n: small synthetic sources don't fan out to
+    * the full default parallelism (32 near-empty tasks per stage), while a
+    * billion-row run still spreads across the cluster.
+    */
+  private def slices(spark: SparkSession, n: Long): Int = {
+    val byData = (n / 50000L) + 1
+    math.min(math.max(1L, byData), spark.sparkContext.defaultParallelism.toLong).toInt
+  }
+
+  private def range(spark: SparkSession, n: Long): org.apache.spark.sql.Dataset[java.lang.Long] =
+    spark.range(0, n, 1, slices(spark, n))
+
   /** Uniform [0,1) as a deterministic function of (id, salt). */
   private def u(salt: String): Column =
     pmod(xxhash64(col("id"), lit(salt)), lit(Big)).cast("double") / Big.toDouble
@@ -54,8 +66,7 @@ object Generators {
 
   /** Sales CSV source (reference: etl_pipeline.py:91-103). */
   def sales(spark: SparkSession, n: Long = 1000): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("S%05d", col("id")).as("sale_id"),
         date_format(
@@ -71,8 +82,7 @@ object Generators {
     * (reference: etl_pipeline.py:105-117).
     */
   def customers(spark: SparkSession, n: Long = 800): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("C%05d", col("id")).as("customer_id"),
         concat(lit("Customer_"), col("id")).as("name"),
@@ -86,8 +96,7 @@ object Generators {
 
   /** Finance DB source (reference: etl_pipeline.py:119-131). */
   def finance(spark: SparkSession, n: Long = 600): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("TXN%06d", col("id")).as("txn_id"),
         concat(lit("ACC"), randint(1000, 10000, "f_acc")).as("account"),
@@ -101,8 +110,7 @@ object Generators {
 
   /** Inventory Excel source (reference: etl_pipeline.py:133-145). */
   def inventory(spark: SparkSession, n: Long = 400): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("SKU-%04d", col("id")).as("sku"),
         concat(lit("Product_"), chr(pmod(col("id"), lit(26)) + 65)).as("product"),
@@ -114,8 +122,7 @@ object Generators {
 
   /** HR flat-file source (reference: etl_pipeline.py:147-160). */
   def hr(spark: SparkSession, n: Long = 300): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("EMP%04d", col("id")).as("emp_id"),
         choice(Seq("Analytics", "Engineering", "Finance", "Sales", "Operations"), "h_dept")
@@ -132,8 +139,7 @@ object Generators {
     * (reference: etl_pipeline.py:162-175).
     */
   def webLogs(spark: SparkSession, n: Long = 2000): DataFrame =
-    spark
-      .range(n)
+    range(spark, n)
       .select(
         format_string("EVT%07d", col("id")).as("event_id"),
         concat(lit("U"), randint(1000, 10000, "w_user")).as("user_id"),

@@ -58,6 +58,16 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("native cosine_sim is bit-identical to the higher-order formulation") {
+    val emb = tables.embeddings
+      .select(col("embedding").cast("array<double>").as("v"))
+      .limit(100)
+    val d = emb.select(
+      Similarity.cosine(col("v"), reverse(col("v"))).as("native"),
+      Similarity.cosineHof(col("v"), reverse(col("v"))).as("hof"))
+    assert(d.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
   test("cosine matches a hand computation") {
     val df = Seq((Seq(1.0, 0.0, 1.0), Seq(1.0, 1.0, 0.0))).toDF("a", "b")
     val sim = df.select(Similarity.cosine(col("a"), col("b")).as("s")).as[Double].head()
