@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.load.Warehouse
-import graft.ops.{Events, Relational}
+import graft.ops.{Events, Relational, Stats}
 import graft.orchestrate.Orchestrator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -74,6 +74,13 @@ object SparkEntry {
     "q_above_customer_avg" -> q(Relational.qAboveCustomerAvg),
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
     "q_group_having" -> q(Relational.qGroupHaving),
+    "q_stats" -> q(Stats.qStats),
+    "q_minmax" -> q(Stats.qMinMax),
+    "q_argmax" -> q(Stats.qArgmax),
+    "q_grouping_sets" -> q(Stats.qGroupingSets),
+    "q_union_all" -> q(Stats.qUnionAll),
+    "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
+    "q_regexp_extract" -> q(Stats.qRegexpExtract),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
     "q_sessionize" -> q(Events.qSessionize),
@@ -86,6 +93,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
+    "q_vector_norms" -> q(Similarity.qVectorNorms),
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
     // — text analysis —
@@ -263,6 +271,68 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_stats" ->
+      """WITH m AS (SELECT l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxy_,
+             CAST(COUNT(*) AS DOUBLE) AS nd
+           FROM lineitem GROUP BY l_linestatus)
+         SELECT l_linestatus, n,
+           round((sxx - sx * sx / nd) / (nd - 1), 3) AS var_price,
+           round(sqrt((sxx - sx * sx / nd) / (nd - 1)), 6) AS stddev_price,
+           round((sxy_ - sx * sy / nd) /
+             (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 9) AS corr_price_qty
+         FROM m ORDER BY l_linestatus""",
+    "q_minmax" ->
+      """SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           strftime(min(l_shipdate), '%Y-%m-%d') AS min_ship,
+           strftime(max(l_shipdate), '%Y-%m-%d') AS max_ship,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_argmax" ->
+      """WITH m AS (SELECT l_returnflag AS rf, max(l_extendedprice) AS mp
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, max(l_extendedprice) AS max_price,
+           max(l_orderkey) AS argmax_orderkey
+         FROM lineitem JOIN m ON l_returnflag = rf AND l_extendedprice = mp
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(CAST(yr AS VARCHAR), 'ALL') AS yr,
+           COUNT(*) AS n
+         FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders)
+         GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())
+         ORDER BY status, yr""",
+    "q_union_all" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_supplier_revenue" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q_regexp_extract" ->
+      """SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS BIGINT) AS prio_num,
+           COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_custs
+         FROM orders GROUP BY 1 ORDER BY 1""",
+    "q_vector_norms" ->
+      """SELECT vec_id,
+           sqrt(list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]))) AS l2,
+           CAST(len(v) AS BIGINT) AS dim
+         FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         WHERE vec_id % 50 = 0 ORDER BY vec_id""",
     "q_tumbling_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n,

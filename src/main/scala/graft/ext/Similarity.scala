@@ -109,6 +109,19 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
+    * by the same sequential fold as the oracle's list arithmetic — raw
+    * doubles, no aggregation, so the compare is bit-exact.
+    */
+  def qVectorNorms(t: Tables): DataFrame =
+    t.embeddings
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(
+        col("vec_id"),
+        norm(asDouble(col("embedding"))).as("l2"),
+        size(col("embedding")).cast("long").as("dim"))
+      .orderBy("vec_id")
+
   /** LSH-bucketed cosine search: random-hyperplane signatures (sign bits of
     * projections onto deterministic pseudo-random planes) — documents the
     * third scale path. Hyperplanes are derived from xxhash64(dim, plane) so

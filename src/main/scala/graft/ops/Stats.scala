@@ -1,0 +1,142 @@
+package graft.ops
+
+import graft.Tables
+import graft.transform.Transforms.dsum
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Statistical / aggregate operator surface beyond plain sums.
+  *
+  * Engine-exact numerics: variance/stddev/correlation are computed from
+  * DECIMAL-exact moment sums (sum x, sum x^2, sum x*y) and then a fixed
+  * sequence of double operations — the built-in `stddev`/`corr` use
+  * streaming update formulas whose result depends on aggregation order and
+  * would not hash-match DuckDB.
+  */
+object Stats {
+
+  private def s1(c: String) = sum(col(c).cast(DecimalType(18, 2))).cast("double")
+  private def s2(c: String) =
+    sum((col(c) * col(c)).cast(DecimalType(30, 4))).cast("double")
+  private def sxy(x: String, y: String) =
+    sum((col(x) * col(y)).cast(DecimalType(30, 4))).cast("double")
+
+  /** Grouped variance / stddev / correlation from exact moments. */
+  def qStats(t: Tables): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    t.lineitem
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        s1("l_extendedprice").as("sx"),
+        s2("l_extendedprice").as("sxx"),
+        s1("l_quantity").as("sy"),
+        s2("l_quantity").as("syy"),
+        sxy("l_extendedprice", "l_quantity").as("sxy_"),
+        n.as("nd"))
+      .select(
+        col("l_linestatus"),
+        col("n"),
+        // rounded well above double ulp at each magnitude: DuckDB's C++
+        // build may fuse multiply-adds (FMA), so the last 1-2 ulps of
+        // these composite expressions are not engine-portable
+        round((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1), 3)
+          .as("var_price"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) / (col("nd") - 1)), 6)
+          .as("stddev_price"),
+        round((col("sxy_") - col("sx") * col("sy") / col("nd")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("nd")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("nd"))), 9)
+          .as("corr_price_qty"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Plain min/max/sum/count per group; dates out as strings. */
+  def qMinMax(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        date_format(min("l_shipdate"), "yyyy-MM-dd").as("min_ship"),
+        date_format(max("l_shipdate"), "yyyy-MM-dd").as("max_ship"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Argmax via group-max + equi-join back (deterministic under ties:
+    * the max orderkey among max-price rows wins on both engines).
+    */
+  def qArgmax(t: Tables): DataFrame = {
+    val m = t.lineitem
+      .groupBy(col("l_returnflag").as("rf"))
+      .agg(max("l_extendedprice").as("mp"))
+    t.lineitem
+      .join(broadcast(m),
+        col("l_returnflag") === col("rf") && col("l_extendedprice") === col("mp"))
+      .groupBy("l_returnflag")
+      .agg(
+        max("l_extendedprice").as("max_price"),
+        max("l_orderkey").as("argmax_orderkey"))
+      .orderBy("l_returnflag")
+  }
+
+  /** GROUPING SETS beyond rollup/cube — two independent dimensions plus
+    * grand total, null keys coalesced for stable ordering.
+    */
+  def qGroupingSets(t: Tables): DataFrame = {
+    val view = "orders_gs_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    t.orders
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long").as("yr"))
+      .createOrReplaceTempView(view)
+    t.spark.sql(
+      s"""SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+            COALESCE(CAST(yr AS STRING), 'ALL') AS yr,
+            COUNT(*) AS n
+          FROM $view
+          GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())
+          ORDER BY status, yr""")
+  }
+
+  /** UNION ALL + re-aggregate (bag semantics, vs the set-semantics
+    * INTERSECT/EXCEPT queries).
+    */
+  def qUnionAll(t: Tables): DataFrame = {
+    def keys(yr: Int) =
+      t.orders.filter(year(col("o_orderdate")) === yr).select("o_custkey")
+    keys(1997)
+      .union(keys(1998))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+  }
+
+  /** Supplier-side star join: revenue by supplier nation (broadcast dims,
+    * single shuffle for the final small aggregate).
+    */
+  def qSupplierRevenue(t: Tables): DataFrame = {
+    val supNation = broadcast(
+      t.supplier
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+    t.lineitem
+      .join(supNation, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(24, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Regex extraction + aggregate (codegen'd regexp_extract). */
+  def qRegexpExtract(t: Tables): DataFrame =
+    t.orders
+      .withColumn("prio_num",
+        regexp_extract(col("o_orderpriority"), "^(\\d+)", 1).cast("long"))
+      .groupBy("prio_num")
+      .agg(count(lit(1)).as("n"), countDistinct("o_custkey").as("n_custs"))
+      .orderBy("prio_num")
+}
