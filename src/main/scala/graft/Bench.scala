@@ -11,6 +11,14 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
+    // warm-up: JIT/codegen/parquet-footer costs land here, not on the
+    // alphabetically-first timed query
+    try {
+      val t = Tables(spark, sfDir)
+      t.lineitem.limit(1).count(); t.orders.limit(1).count()
+      t.customer.count(); t.events.limit(1).count()
+      t.documents.limit(1).count(); t.embeddings.limit(1).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

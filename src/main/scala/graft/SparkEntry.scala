@@ -37,7 +37,7 @@ object SparkEntry {
   private def pipelineHealth(spark: SparkSession, dir: String): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_wh").toString
     val wh = Warehouse(spark, tmp)
-    val run = new Orchestrator(spark, wh).runPipeline("verify_run")
+    val run = new Orchestrator(spark, wh).runPipeline("verify_run", parallel = true)
     import spark.implicits._
     run.metrics
       .map(m => (m.sourceName, m.sourceType, m.status, m.recordsIn, m.recordsOut))
@@ -81,6 +81,7 @@ object SparkEntry {
     "q_union_all" -> q(Stats.qUnionAll),
     "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
+    "q_approx_distinct" -> q(Stats.qApproxDistinct),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
     "q_sessionize" -> q(Events.qSessionize),

@@ -131,6 +131,18 @@ object Stats {
       .orderBy("n_name")
   }
 
+  /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
+    * exact count (no oracle — sketch estimates are engine-specific; the
+    * harness records a rows-only check and the unit test bounds the error).
+    */
+  def qApproxDistinct(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   /** Regex extraction + aggregate (codegen'd regexp_extract). */
   def qRegexpExtract(t: Tables): DataFrame =
     t.orders

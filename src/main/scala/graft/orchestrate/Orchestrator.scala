@@ -64,14 +64,27 @@ final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
   }
 
   /** Full run over the reference's fixed source registry
-    * (etl_pipeline.py:294-315). Sources run sequentially like the
-    * reference; on a cluster they could submit concurrently on one session.
+    * (etl_pipeline.py:294-315). `parallel = true` submits the independent
+    * source jobs concurrently on the one session (Spark schedules them
+    * across the cluster fairly) — the reference is sequential, but nothing
+    * in the semantics requires it and the sources share no state.
     */
-  def runPipeline(runId: String = s"run_${System.currentTimeMillis()}"): PipelineRun = {
+  def runPipeline(
+      runId: String = s"run_${System.currentTimeMillis()}",
+      parallel: Boolean = false): PipelineRun = {
     val start = System.currentTimeMillis()
-    val metrics = Generators.registry.map { case (name, fn, table, tname) =>
-      runSource(name, fn, table, tname, runId)
-    }.toList
+    val run1 = { (e: (String, SparkSession => DataFrame, String, String)) =>
+      runSource(e._1, e._2, e._3, e._4, runId)
+    }
+    val metrics =
+      if (parallel) {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(
+          Future.sequence(Generators.registry.map(e => Future(run1(e))).toList),
+          Duration.Inf)
+      } else Generators.registry.map(run1).toList
     val run = PipelineRun(
       runId = runId,
       startTimeMs = start,

@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.{Skew, Stats}
+
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+/** Skew-salting correctness and source-format roundtrips. */
+class SkewSourcesSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain equi-join result") {
+    // skewed left: one hot key with 1000 rows
+    val left = spark.range(1100)
+      .select(when(col("id") < 1000, 7L).otherwise(col("id")).as("k"), col("id").as("v"))
+    val right = Seq((7L, "hot"), (1050L, "cold")).toDF("k", "name")
+    val plain = left.join(right, Seq("k")).select("k", "v", "name")
+    val salted = Skew.saltedJoin(left, right, "k", salts = 8).select("k", "v", "name")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("saltedCount matches plain groupBy count") {
+    val df = spark.range(5000)
+      .select(when(col("id") < 4000, lit("hot")).otherwise(lit("cold")).as("k"))
+    val got = Skew.saltedCount(df, "k", salts = 16)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hot" -> 4000L, "cold" -> 1000L))
+  }
+
+  test("approx_count_distinct within its error bound of the exact count") {
+    Stats.qApproxDistinct(tables).collect().foreach { r =>
+      val approx = r.getLong(1).toDouble
+      val exact = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("csv and json source formats roundtrip the customer generator") {
+    val tmp = Files.createTempDirectory("graft_fmt").toString
+    val src = sources.Generators.customers(spark, 200)
+    src.write.mode("overwrite").option("header", "true").csv(s"$tmp/csv")
+    src.write.mode("overwrite").json(s"$tmp/json")
+    val backCsv = spark.read.option("header", "true").schema(src.schema).csv(s"$tmp/csv")
+    val backJson = spark.read.schema(src.schema).json(s"$tmp/json")
+    assert(backCsv.count() == 200 && backJson.count() == 200)
+    assert(backJson.select("customer_id").exceptAll(src.select("customer_id")).isEmpty)
+    // csv writes null email as empty -> read back as null: still 200 ids
+    assert(backCsv.select("customer_id").distinct().count() == 200)
+  }
+
+  test("partitioned warehouse write prunes partitions on read") {
+    val tmp = Files.createTempDirectory("graft_part").toString
+    val wh = load.Warehouse(spark, tmp)
+    val sales = graft.transform.Transforms.sales(sources.Generators.sales(spark, 500))
+    wh.loadPartitioned(sales, "fact_sales_p", Seq("month"))
+    val one = wh.table("fact_sales_p").filter(col("month") === "2025-12")
+    assert(one.count() > 0)
+    // partition filter must reach the file index, not a post-scan filter
+    assert(one.queryExecution.optimizedPlan.toString.contains("month") )
+  }
+}
