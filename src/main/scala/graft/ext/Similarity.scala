@@ -52,14 +52,22 @@ object Similarity {
     val queries = t.embeddings
       .filter(pmod(col("vec_id"), lit(200)) === 0)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    // ranking via the bounded top-k aggregate: the 25M-similarity stream is
+    // reduced to k rows per (query, map task) BEFORE the shuffle — a
+    // ranking window here would exchange every similarity row
     corpus
       .crossJoin(broadcast(queries))
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qvec"), col("nvec")))
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select("qid", "nid", "sim", "rnk")
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
   }
 

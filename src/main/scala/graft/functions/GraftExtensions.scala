@@ -30,6 +30,17 @@ object GraftFunctions {
     case _ => default
   }
 
+  private def boolLit(e: Expression, default: Boolean): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case _ => default
+  }
+
+  private def topkBuilder(args: Seq[Expression]): Expression = {
+    val k = if (args.length > 1) intLit(args(1), 3) else 3
+    val idAsc = if (args.length > 2) boolLit(args(2), true) else true
+    BoundedTopK(args.head, k, idAsc)
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", args => CosineSim(args(0), args(1))),
     ("minhash_sig", minhashBuilder),
@@ -37,7 +48,8 @@ object GraftFunctions {
       if (args.length > 1) intLit(args(1), 3) else 3)),
     ("minhash_sig_longs", args => MinHashSigLongs(args(0),
       if (args.length > 1) intLit(args(1), 32) else 32)),
-    ("simhash64", args => SimHash64(args.head)))
+    ("simhash64", args => SimHash64(args.head)),
+    ("bounded_topk", topkBuilder))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

@@ -60,10 +60,30 @@ object Relational {
       .orderBy("r_name")
   }
 
-  /** Top-3 orders per customer by price: ranking window, single shuffle on
-    * custkey. Full tiebreak (orderkey) keeps the result deterministic.
+  /** Top-3 orders per customer by price, via the bounded top-k aggregate
+    * ([[graft.functions.BoundedTopK]]): map-side partial aggregation keeps
+    * at most 3 rows per customer per task, so the shuffle carries k rows
+    * per (key, map task) instead of the whole fact table — the scalable
+    * alternative to `row_number().over(window) <= k` (kept in
+    * [[qWindowTopkWindowed]] as the built-in formulation; both produce
+    * identical rows, asserted in tests). Tiebreak: price desc, orderkey
+    * desc — mirrored in the oracle.
     */
-  def qWindowTopk(t: Tables): DataFrame = {
+  def qWindowTopk(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(call_function("bounded_topk",
+        struct(col("o_totalprice"), col("o_orderkey")), lit(3), lit(false)).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("o_custkey"),
+        col("item.id").as("o_orderkey"),
+        col("item.score").as("o_totalprice"),
+        (col("i") + 1).cast("long").as("rn"))
+      .orderBy("o_custkey", "rn")
+
+  /** Built-in ranking-window formulation of the same query. */
+  def qWindowTopkWindowed(t: Tables): DataFrame = {
     val w = Window
       .partitionBy("o_custkey")
       .orderBy(col("o_totalprice").desc, col("o_orderkey").desc)

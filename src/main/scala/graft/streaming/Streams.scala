@@ -28,6 +28,30 @@ object Streams {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
+  /** Raw on-disk schema of the driver's events parquet: `ts` is INT64
+    * epoch-nanoseconds (see Engine.tune / Tables.events).
+    */
+  val eventFileSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based streaming source over the events parquet directory: the
+    * same ns-long -> timestamp normalization as the batch reader
+    * (Tables.events), so every downstream streaming job sees the batch
+    * schema. In production this is the landing-zone directory a collector
+    * appends to; `maxFilesPerTrigger` bounds per-microbatch work.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(eventFileSchema)
+      .option("maxFilesPerTrigger", "8")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Relational
+
+import org.apache.spark.sql.functions._
+
+/** The bounded top-k aggregate must be row-identical to the ranking-window
+  * formulation, including tie handling and across repartitionings (the
+  * partial/merge path).
+  */
+class BoundedTopKSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("bounded_topk equals row_number window on the orders table") {
+    val agg = Relational.qWindowTopk(tables).collect().toSeq
+    val win = Relational.qWindowTopkWindowed(tables).collect().toSeq
+    assert(agg == win)
+  }
+
+  test("ties and partial merges: many partitions, duplicate scores") {
+    val df = Seq(
+      (1L, 10.0, 100L), (1L, 10.0, 101L), (1L, 10.0, 102L), (1L, 9.0, 103L),
+      (2L, 1.0, 200L), (2L, 2.0, 201L)
+    ).toDF("k", "score", "id").repartition(7)
+
+    def run(idAsc: Boolean) = df
+      .groupBy("k")
+      .agg(call_function("bounded_topk",
+        struct(col("score"), col("id")), lit(2), lit(idAsc)).as("top"))
+      .select(col("k"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(col("k"), col("item.id"), col("i"))
+      .as[(Long, Long, Int)].collect().toSet
+
+    // idAsc: ties by smaller id first
+    assert(run(true) == Set((1L, 100L, 0), (1L, 101L, 1), (2L, 201L, 0), (2L, 200L, 1)))
+    // idDesc: ties by larger id first
+    assert(run(false) == Set((1L, 102L, 0), (1L, 101L, 1), (2L, 201L, 0), (2L, 200L, 1)))
+  }
+
+  test("k larger than group size returns the whole group ranked") {
+    val out = Seq((1L, 5.0, 1L), (1L, 7.0, 2L))
+      .toDF("k", "score", "id")
+      .groupBy("k")
+      .agg(call_function("bounded_topk",
+        struct(col("score"), col("id")), lit(10), lit(true)).as("top"))
+      .select(size(col("top"))).as[Int].head()
+    assert(out == 2)
+  }
+}

@@ -69,6 +69,36 @@ class StreamsSpec extends SparkSuite {
     assert(closed.contains((8L, 1L, true)))
   }
 
+  test("file-source streaming over the real events parquet matches the batch counts") {
+    // stage the single parquet file as a landing-zone directory
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("part-000.parquet"))
+
+    val stream = Streams.eventsStream(spark, dir.toString)
+    assert(stream.isStreaming)
+    val q = Streams.tumblingCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("file_stream_out").start()
+    q.processAllAvailable()
+    q.stop()
+
+    val streamedTotal = spark.table("file_stream_out")
+      .agg(sum("n")).as[Long].head()
+    val batchTotal = tables.events.count()
+    assert(streamedTotal == batchTotal)
+
+    val streamedGroups = spark.table("file_stream_out")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    val batchGroups = graft.ops.Events.qTumblingWindow(tables)
+      .select(col("window_start"), col("event_type"), col("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(streamedGroups == batchGroups)
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
