@@ -74,6 +74,7 @@ object SparkEntry {
     "q_above_customer_avg" -> q(Relational.qAboveCustomerAvg),
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
     "q_group_having" -> q(Relational.qGroupHaving),
+    "q_sql_frontend" -> q(Relational.qSqlFrontend),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -272,6 +273,20 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_sql_frontend" ->
+      """SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           o_orderpriority
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""",
     "q_stats" ->
       """WITH m AS (SELECT l_linestatus, COUNT(*) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -39,4 +39,21 @@ final case class Tables(spark: SparkSession, dir: String) {
       .withColumn(
         "ts",
         timestamp_micros((col("ts_ns") / 1000L).cast("long")).cast(TimestampNTZType))
+
+  /** Register every table as a temp view under its canonical name, making
+    * the whole corpus queryable through `spark.sql` — the engine's SQL
+    * frontend (Catalyst parse -> analyze -> optimize -> execute).
+    */
+  def createViews(): Unit = {
+    region.createOrReplaceTempView("region")
+    nation.createOrReplaceTempView("nation")
+    customer.createOrReplaceTempView("customer")
+    supplier.createOrReplaceTempView("supplier")
+    part.createOrReplaceTempView("part")
+    orders.createOrReplaceTempView("orders")
+    lineitem.createOrReplaceTempView("lineitem")
+    documents.createOrReplaceTempView("documents")
+    embeddings.createOrReplaceTempView("embeddings")
+    events.createOrReplaceTempView("events")
+  }
 }

@@ -308,6 +308,29 @@ object Relational {
       .filter(col("n") >= 10)
       .orderBy("yr", "o_orderstatus")
 
+  /** SQL-frontend entry: TPC-H Q3-style shipping-priority query executed
+    * through `spark.sql` over the registered views — demonstrates the
+    * parse/analyze/optimize path with the same numeric-parity conventions
+    * as the DataFrame queries.
+    */
+  def qSqlFrontend(t: Tables): DataFrame = {
+    t.createViews()
+    t.spark.sql(
+      """SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+           o_orderpriority
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'
+           AND l_shipdate > TIMESTAMP_NTZ '1996-01-01 00:00:00'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey
+         LIMIT 10""")
+  }
+
   /** ETL pipeline shape on real data: dedup -> null-drop -> derived month ->
     * p90 high-value flag -> monthly aggregate (the reference's sales
     * pipeline re-expressed over `orders`; reference etl_pipeline.py:181-199).
