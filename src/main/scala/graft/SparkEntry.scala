@@ -95,6 +95,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
+    "q_dedup_embed" -> q(Similarity.qDedupEmbed(_)),
     "q_vector_norms" -> q(Similarity.qVectorNorms),
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
@@ -102,7 +103,9 @@ object SparkEntry {
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
     "q_lang_id" -> q(TextAnalysis.qLangId),
+    "q_token_bpe" -> q(TextAnalysis.qTokenBpe),
     "q_fingerprint" -> q(TextAnalysis.qFingerprint),
+    "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta))
 
@@ -415,6 +418,20 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
            FROM sims)
          SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+           FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+         SELECT id1, id2, sim FROM p WHERE sim >= 0.8 ORDER BY id1, id2""",
+    "q_token_bpe" ->
+      """SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) END AS n_ws,
+           CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+')) AS BIGINT) AS n_bpe
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
     "q_text_stats" ->
       """WITH d AS (SELECT lang, n_chars,
              CASE WHEN len(trim(text)) = 0 THEN 0

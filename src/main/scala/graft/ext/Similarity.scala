@@ -117,6 +117,24 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Embedding-cosine near-duplicate pairs, blocked by the coarse cell key
+    * (label): the all-pairs comparison happens only within a cell, which is
+    * the same pruning IVF uses — at scale the blocking key comes from
+    * k-means cells or LSH buckets instead of an exhaustive cross join.
+    */
+  def qDedupEmbed(t: Tables, threshold: Double = 0.8): DataFrame = {
+    val emb = t.embeddings.select(
+      col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = emb.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = emb.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+      .orderBy("id1", "id2")
+  }
+
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
     * by the same sequential fold as the oracle's list arithmetic — raw
     * doubles, no aggregation, so the compare is bit-exact.

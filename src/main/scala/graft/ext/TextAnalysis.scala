@@ -95,6 +95,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Whitespace vs BPE-ish subword token counts: the subword tokenizer is a
+    * regex over vowel-runs / consonant-runs — a deterministic stand-in for
+    * a BPE vocabulary, exercising regexp_extract_all in both engines.
+    */
+  def qTokenBpe(t: Tables): DataFrame =
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_ws"),
+        expr("size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))")
+          .cast("long").as("n_bpe"))
+      .orderBy("doc_id")
+
+  /** Rolling-hash fingerprint collisions (native PolyHash64 expression, one
+    * pass over the UTF-8 bytes). Order-sensitive, unlike [[fingerprint]] —
+    * the pair gives exact-dup and shuffled-dup detection respectively.
+    * No SQL oracle (64-bit wraparound isn't expressible in DuckDB BIGINT);
+    * covered by unit tests and the rows-only check.
+    */
+  def qRollingFingerprint(t: Tables): DataFrame =
+    t.documents
+      .withColumn("fp", call_function("poly_hash", lower(trim(col("text")))))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
+      .orderBy("fp")
+
   /** Canonical document fingerprint: md5 over the sorted distinct word set —
     * invariant to word order and duplication, the cheap exact-near-dup key.
     */

@@ -208,6 +208,31 @@ case class MinHashSigLongs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Polynomial rolling hash over a string's UTF-8 bytes:
+  * h = fold(h * 31 + byte) from h0 = 17, wrapping in 64 bits — the classic
+  * order-sensitive document fingerprint. Single pass, no allocation.
+  */
+case class PolyHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    var h = 17L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 31L + (bytes(i) & 0xffL)
+      i += 1
+    }
+    java.lang.Long.valueOf(h)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash over a string array (words): one hash per word, then the
   * sign of per-bit vote counts. Replaces the 64-aggregate-passes
   * formulation (64 hashes per word) with a single pass.

@@ -49,6 +49,7 @@ object GraftFunctions {
     ("minhash_sig_longs", args => MinHashSigLongs(args(0),
       if (args.length > 1) intLit(args(1), 32) else 32)),
     ("simhash64", args => SimHash64(args.head)),
+    ("poly_hash", args => PolyHash64(args.head)),
     ("bounded_topk", topkBuilder))
 
   /** Imperative registration on an existing session. */

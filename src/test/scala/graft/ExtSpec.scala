@@ -108,6 +108,47 @@ class ExtSpec extends SparkSuite {
     assert(df.select(TextAnalysis.wordOccurrences(col("t"), "absent")).as[Long].head() == 0L)
   }
 
+  test("poly_hash matches the hand-computed rolling hash") {
+    // "ab": ((17*31 + 'a')*31 + 'b')
+    val expected = (17L * 31 + 'a'.toLong) * 31 + 'b'.toLong
+    val got = Seq("ab").toDF("t")
+      .select(call_function("poly_hash", col("t"))).as[Long].head()
+    assert(got == expected)
+    // order-sensitive, unlike the sorted-word fingerprint
+    val Seq(h1, h2) = Seq("a b", "b a").toDF("t")
+      .select(call_function("poly_hash", col("t"))).as[Long].collect().toSeq
+    assert(h1 != h2)
+  }
+
+  test("embedding-cosine near-dup finds crafted duplicates within a label block") {
+    val rows = Seq(
+      (1L, 0, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, 0, Seq(0.999f, 0.01f, 0.0f)), // near-dup of 1
+      (3L, 0, Seq(0.0f, 1.0f, 0.0f)), // orthogonal
+      (4L, 1, Seq(1.0f, 0.0f, 0.0f)) // identical direction, other block
+    ).toDF("vec_id", "label", "embedding")
+    val got = {
+      import graft.ext.Similarity._
+      val emb = rows.select(col("label"), col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = emb.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+      val b = emb.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+      a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+        .withColumn("sim", cosine(col("v1"), col("v2")))
+        .filter(col("sim") >= 0.95)
+        .select("id1", "id2").as[(Long, Long)].collect().toSet
+    }
+    assert(got == Set((1L, 2L))) // 4 is blocked away despite identical direction
+  }
+
+  test("bpe-ish tokenizer counts vowel/consonant runs") {
+    val got = Seq("aab bcc").toDF("text")
+      .select(expr("size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))"))
+      .as[Int].head()
+    // "aab bcc" -> "aa", "b" (stops at space), "bcc" (one greedy run)
+    assert(got == 3)
+  }
+
   test("multimodal stub extracts deterministic metadata per partition batch") {
     val payloads = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
