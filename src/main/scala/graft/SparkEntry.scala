@@ -107,7 +107,9 @@ object SparkEntry {
     "q_fingerprint" -> q(TextAnalysis.qFingerprint),
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     // — multimodal plumbing —
-    "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta))
+    "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
+    "q_multimodal_frames" -> ((spark, dir) =>
+      Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),

@@ -59,6 +59,45 @@ object Multimodal {
       }
   }
 
+  /** Frame sampling: every `everyN`-th frame index per media item,
+    * produced relationally (sequence + explode) from the decoded metadata —
+    * the downstream shape for per-frame feature extraction. The payload is
+    * NOT carried through the explode; frames re-join the payload store by
+    * doc_id only where a kernel actually needs bytes.
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame =
+    meta
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyN))).as("frame_id"))
+
+  /** Resize stage STUB: target dimensions preserving aspect ratio, computed
+    * as plain column arithmetic on the decoded metadata (a real kernel
+    * would map the payload batch; the plan shape — no shuffle, map-side
+    * only — is the production one).
+    */
+  def resizePlan(meta: Dataset[MediaMeta], maxSide: Int = 256): DataFrame =
+    meta
+      .toDF()
+      .withColumn("scale",
+        least(lit(maxSide) / col("width"), lit(maxSide) / col("height"), lit(1.0)))
+      .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
+      .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+      .select("doc_id", "width", "height", "out_w", "out_h")
+
+  /** Full multimodal pipeline as a registered (rows-only) query: payload ->
+    * batched stub decode -> frame sampling, emitting (doc, frame) grain.
+    */
+  def qMultimodalFrames(spark: org.apache.spark.sql.SparkSession, t: Tables): DataFrame = {
+    val payloads = t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    sampleFrames(extractMeta(spark, payloads))
+      .orderBy("doc_id", "frame_id")
+  }
+
   /** Oracle-checkable slice of the multimodal path: treat document text
     * bytes as the opaque payload; byte length + content hash are computed
     * with native expressions (octet_length/md5 — identical in DuckDB).

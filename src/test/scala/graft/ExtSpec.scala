@@ -149,6 +149,27 @@ class ExtSpec extends SparkSuite {
     assert(got == 3)
   }
 
+  test("frame sampling and resize plan over decoded metadata") {
+    val payloads = Seq((1L, "some media payload bytes"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val meta = Multimodal.extractMeta(spark, payloads)
+    val m = meta.collect().head
+
+    val frames = Multimodal.sampleFrames(meta, everyN = 10)
+      .select("frame_id").as[Long].collect().sorted
+    assert(frames.head == 0L)
+    assert(frames.length == (m.n_frames + 9) / 10)
+    assert(frames.forall(_ % 10 == 0))
+
+    val resized = Multimodal.resizePlan(meta, maxSide = 256).collect().head
+    val outW = resized.getAs[Int]("out_w")
+    val outH = resized.getAs[Int]("out_h")
+    assert(outW <= 256 && outH <= 256)
+    // aspect ratio preserved within rounding
+    assert(math.abs(outW.toDouble / outH - m.width.toDouble / m.height) < 0.1)
+  }
+
   test("multimodal stub extracts deterministic metadata per partition batch") {
     val payloads = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
