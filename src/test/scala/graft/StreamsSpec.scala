@@ -99,6 +99,19 @@ class StreamsSpec extends SparkSuite {
     assert(streamedGroups == batchGroups)
   }
 
+  test("built-in session_window agrees with the gap-based sessionization") {
+    val builtIn = tables.events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("sess_events").as("max_sess_events"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, m) => u -> ((n, m)) }.toMap
+    val manual = graft.ops.Events.qSessionize(tables)
+      .select("user_id", "n_sessions", "max_sess_events")
+      .as[(Long, Long, Long)].collect().map { case (u, n, m) => (u, (n, m)) }.toMap
+    assert(builtIn == manual)
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
