@@ -75,6 +75,9 @@ object SparkEntry {
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
     "q_group_having" -> q(Relational.qGroupHaving),
     "q_sql_frontend" -> q(Relational.qSqlFrontend),
+    "q_window_lag" -> q(Relational.qWindowLag),
+    "q_rank_funcs" -> q(Relational.qRankFuncs),
+    "q_date_arith" -> q(Relational.qDateArith),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -278,6 +281,30 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_rank_funcs" ->
+      """SELECT o_orderstatus, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+         FROM orders WHERE o_orderkey % 10 = 0
+         WINDOW w AS (PARTITION BY o_orderstatus
+           ORDER BY o_totalprice DESC, o_orderkey)
+         ORDER BY o_orderstatus, rnk, o_orderkey""",
+    "q_date_arith" ->
+      """SELECT o_orderkey,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m,
+           strftime(CAST(o_orderdate AS DATE) + 45, '%Y-%m-%d') AS plus45d
+         FROM orders ORDER BY o_orderkey""",
     "q_sql_frontend" ->
       """SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,

@@ -118,6 +118,54 @@ object Relational {
       .orderBy("o_custkey", "o_date", "o_orderkey")
   }
 
+  /** Offset window functions: lag/lead over each customer's order history
+    * (full tiebreak ordering keeps offsets deterministic).
+    */
+  def qWindowLag(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    t.orders
+      .select(
+        col("o_custkey"),
+        col("o_orderkey"),
+        col("o_totalprice"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Ranking window functions: rank / dense_rank / percent_rank / ntile in
+    * one pass. percent_rank is (rank-1)/(n-1) — identical arithmetic in
+    * both engines, so no rounding needed.
+    */
+  def qRankFuncs(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_orderstatus")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t.orders
+      .filter(pmod(col("o_orderkey"), lit(10)) === 0)
+      .select(
+        col("o_orderstatus"),
+        col("o_orderkey"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"),
+        percent_rank().over(w).as("prnk"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy("o_orderstatus", "rnk", "o_orderkey")
+  }
+
+  /** Calendar arithmetic: month truncation, end-of-month, month shifting
+    * (both engines clamp to month end).
+    */
+  def qDateArith(t: Tables): DataFrame =
+    t.orders
+      .select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+        date_format(date_add(col("o_orderdate").cast("date"), 45), "yyyy-MM-dd").as("plus45d"))
+      .orderBy("o_orderkey")
+
   /** Global top-k with full tiebreaks — TakeOrderedAndProject physical op,
     * no global sort of the full table.
     */

@@ -76,6 +76,22 @@ class CleanTransformSpec extends SparkSuite {
       Set((60.0, false), (-30.0, true)))
   }
 
+  test("property: cleanCommon invariants hold across generated inputs") {
+    // idempotence and in == out + dropped, over varied shapes/sizes
+    for (n <- Seq(1L, 37L, 500L); dupFactor <- Seq(1, 3)) {
+      val base = graft.sources.Generators.customers(spark, n)
+      val df = (1 to dupFactor).map(_ => base).reduce(_ union _)
+      val c1 = Clean.cleanCommon(df, s"p1_${n}_$dupFactor")
+      val out1 = c1.df.count()
+      val (in1, got1) = Clean.counts(c1)
+      assert(in1 == n * dupFactor, s"n=$n dup=$dupFactor")
+      assert(got1 == out1 && in1 >= out1)
+      // idempotence: cleaning the cleaned output drops nothing
+      val c2 = Clean.cleanCommon(c1.df, s"p2_${n}_$dupFactor")
+      assert(c2.df.count() == out1)
+    }
+  }
+
   test("customers transform fills null email with constant") {
     val df = Seq((Some("a@b.c"), 0.5, 365L), (None, 0.9, 730L))
       .toDF("email", "churn_risk", "tenure_days")
