@@ -26,6 +26,7 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     graft.functions.GraftFunctions.register(spark)
+    graft.plans.AsOfJoinPlan.install(spark)
     spark
   }
 

@@ -91,6 +91,7 @@ object SparkEntry {
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
     "q_asof_join" -> q(Events.qAsOfJoin),
+    "q_asof_join_native" -> q(Events.qAsOfJoinNative),
     // — dedup tier —
     "q_dedup_exact" -> q(Dedup.qDedupExact),
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
@@ -407,6 +408,14 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value
          FROM events GROUP BY event_type ORDER BY event_type""",
     "q_asof_join" ->
+      """SELECT e.event_id, e.user_id, x.last_orderkey
+         FROM events e LEFT JOIN LATERAL (
+           SELECT oo.o_orderkey AS last_orderkey FROM orders oo
+           WHERE oo.o_custkey = e.user_id AND oo.o_orderdate <= e.ts
+           ORDER BY oo.o_orderdate DESC, oo.o_orderkey DESC LIMIT 1) x ON TRUE
+         WHERE e.event_id % 10 = 0
+         ORDER BY e.event_id""",
+    "q_asof_join_native" ->
       """SELECT e.event_id, e.user_id, x.last_orderkey
          FROM events e LEFT JOIN LATERAL (
            SELECT oo.o_orderkey AS last_orderkey FROM orders oo

@@ -61,11 +61,13 @@ object GraftFunctions {
 
 /** `--conf spark.sql.extensions=graft.functions.GraftExtensions` */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, builder) =>
       e.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }

@@ -69,18 +69,35 @@ object Events {
         davg(col("value")).as("avg_value"))
       .orderBy("event_type")
 
+  private def asOfInputs(t: Tables): (DataFrame, DataFrame) = (
+    t.events.select(col("event_id"), col("user_id"), col("ts")),
+    t.orders.select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate"),
+      col("o_orderkey").as("last_orderkey")))
+
   /** As-of join: each event picks up the user's most recent order at or
-    * before the event time (see [[AsOfJoin]] for the scalable shape).
+    * before the event time (see [[AsOfJoin]] for the composed shape).
     * Sampled output (every 10th event) to keep the compare compact.
     */
   def qAsOfJoin(t: Tables): DataFrame = {
-    val ev = t.events.select(
-      col("event_id"), col("user_id"), col("ts"))
-    val ord = t.orders.select(
-      col("o_custkey").as("user_id"),
-      col("o_orderdate"),
-      col("o_orderkey").as("last_orderkey"))
+    val (ev, ord) = asOfInputs(t)
     AsOfJoin
+      .asOf(ev, ord, "user_id", "ts", "o_orderdate",
+        rightVals = Seq("last_orderkey"), rightTiebreak = "last_orderkey")
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("event_id"), col("user_id"), col("last_orderkey"))
+      .orderBy("event_id")
+  }
+
+  /** Same query on the custom physical operator
+    * ([[graft.plans.AsOfJoinPlan]]: logical node + strategy + sort-merge
+    * exec) — verified against the same DuckDB oracle as the composed
+    * version.
+    */
+  def qAsOfJoinNative(t: Tables): DataFrame = {
+    val (ev, ord) = asOfInputs(t)
+    graft.plans.AsOfJoinPlan
       .asOf(ev, ord, "user_id", "ts", "o_orderdate",
         rightVals = Seq("last_orderkey"), rightTiebreak = "last_orderkey")
       .filter(pmod(col("event_id"), lit(10)) === 0)

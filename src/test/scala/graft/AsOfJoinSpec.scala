@@ -32,6 +32,30 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(4L).isEmpty)
   }
 
+  test("custom physical as-of operator matches the composed version on tiny data") {
+    val left = Seq(
+      (1L, 10L, 100L), (2L, 10L, 55L), (3L, 10L, 10L), (4L, 99L, 500L)
+    ).toDF("event_id", "user_id", "t").repartition(5)
+    val right = Seq(
+      (10L, 50L, 1001L), (10L, 50L, 1002L), (10L, 100L, 1003L)
+    ).toDF("user_id", "rt", "order_id").repartition(3)
+    val out = graft.plans.AsOfJoinPlan
+      .asOf(left, right, "user_id", "t", "rt", Seq("order_id"), "order_id")
+      .select("event_id", "order_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(1003L))
+    assert(out(2L).contains(1002L))
+    assert(out(3L).isEmpty)
+    assert(out(4L).isEmpty)
+  }
+
+  test("custom physical as-of operator matches the composed version on testdata") {
+    import graft.ops.Events
+    val native = Events.qAsOfJoinNative(tables).collect().toSeq
+    val composed = Events.qAsOfJoin(tables).collect().toSeq
+    assert(native == composed)
+  }
+
   test("as-of against testdata matches a correlated-subquery reference") {
     import graft.ops.Events
     val got = Events.qAsOfJoin(tables)
