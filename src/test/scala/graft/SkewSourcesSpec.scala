@@ -50,6 +50,35 @@ class SkewSourcesSpec extends SparkSuite {
     assert(backCsv.select("customer_id").distinct().count() == 200)
   }
 
+  test("bucketed tables join without a shuffle on the bucketed key") {
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    // a prior JVM's in-memory catalog can leave orphan table dirs behind
+    val wh = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("b_orders", "b_customer").foreach { t =>
+      val d = new java.io.File(wh, t)
+      if (d.exists()) {
+        d.listFiles().foreach(_.delete()); d.delete()
+      }
+    }
+    tables.orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_orders")
+    tables.customer
+      .withColumnRenamed("c_custkey", "o_custkey")
+      .write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").saveAsTable("b_customer")
+    // force sort-merge (broadcast would be chosen for the small dim and
+    // is a different kind of exchange); bucketing must eliminate the
+    // shuffle exchanges on both sides
+    val joined = spark.table("b_orders").hint("merge")
+      .join(spark.table("b_customer").hint("merge"), "o_custkey")
+    val shuffles = joined.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(shuffles == 0, s"bucketed SMJ should have no shuffle exchange")
+    assert(joined.count() > 0)
+  }
+
   test("partitioned warehouse write prunes partitions on read") {
     val tmp = Files.createTempDirectory("graft_part").toString
     val wh = load.Warehouse(spark, tmp)
