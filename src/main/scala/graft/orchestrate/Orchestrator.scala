@@ -25,6 +25,10 @@ import scala.util.control.NonFatal
   */
 final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
 
+  // audit logging per stage, mirroring the reference's file+console logger
+  // (etl_pipeline.py:23-30, :260, :281-282, :290)
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[Orchestrator])
+
   private val tsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss").withZone(ZoneOffset.UTC)
 
@@ -35,6 +39,7 @@ final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
       transformName: String,
       runId: String): PipelineMetric = {
     val start = System.currentTimeMillis()
+    log.info("[{}] extract -> clean -> transform -> load into {}", name, table: Any)
     try {
       val raw = sourceFn(spark)
       val cleaned = Clean.cleanCommon(raw, name)
@@ -42,6 +47,7 @@ final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
       val coerced = warehouse.coerceForLoad(transformed)
       warehouse.load(coerced, table, SaveMode.Overwrite) // the single action
       val (in, out) = Clean.counts(cleaned)
+      log.info("[{}] SUCCESS in={} out={}", name, in.toString, out.toString)
       PipelineMetric(
         sourceName = name,
         sourceType = table,
@@ -53,6 +59,7 @@ final class Orchestrator(spark: SparkSession, warehouse: Warehouse) {
         status = PipelineStatus.Success.name)
     } catch {
       case NonFatal(e) =>
+        log.error(s"[$name] FAILED: ${e.getMessage}")
         PipelineMetric(
           sourceName = name,
           sourceType = table,

@@ -62,6 +62,16 @@ object Streams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding windows (1-hour window, 15-minute slide): each event lands in
+    * four overlapping windows.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
   /** Watermark-bounded exact dedup on event_id (late duplicates dropped). */
   def dedupWithinWatermark(events: DataFrame): DataFrame =
     events

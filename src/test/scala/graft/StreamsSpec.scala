@@ -99,6 +99,23 @@ class StreamsSpec extends SparkSuite {
     assert(streamedGroups == batchGroups)
   }
 
+  test("sliding windows place each event in windowSize/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.slidingCounts(events)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    mem.addData((1L, ts("2024-01-01 00:31:00"), 7L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val wins = spark.table("sliding_out")
+      .select(date_format(col("window_start"), "HH:mm").as("w"))
+      .as[String].collect().toSet
+    // 1h window, 15m slide: the 00:31 event belongs to 4 windows
+    assert(wins == Set("23:45", "00:00", "00:15", "00:30"))
+  }
+
   test("built-in session_window agrees with the gap-based sessionization") {
     val builtIn = tables.events
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
