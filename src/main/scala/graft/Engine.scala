@@ -30,6 +30,18 @@ object Engine {
     spark
   }
 
+  /** Repartition a small-file input up to full parallelism before a
+    * CPU-heavy derivation stage. A tiny compressed parquet (one row group)
+    * scans as ONE task, serializing e.g. per-document shingle hashing on a
+    * single core; the shuffle this inserts is proportional to the (small)
+    * input, not the derived work. No-op when the input already has enough
+    * partitions (the 100 TB case — many files/row groups).
+    */
+  def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** Build a local session (tests / standalone runs). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession

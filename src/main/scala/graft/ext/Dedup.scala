@@ -75,43 +75,54 @@ object Dedup {
     // shingles live only as 64-bit hashes (graft.functions.ShingleHashes):
     // no shingle strings are materialized, and the jaccard verify below
     // intersects long arrays instead of string arrays.
-    val sig = docs
-      .select(col(idCol).as("id"), col(textCol).as("text"))
+    val base = graft.Engine.spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")))
+    def withShd(d: DataFrame): DataFrame = d
       .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
       .filter(size(col("shd")) > 0)
+    val sig = withShd(base)
       .withColumn("sig", call_function("minhash_sig_longs", col("shd"), lit(k)))
+      .select(col("id"), col("sig"))
 
     // band bucket = xxhash64 of the band's signature slots (statically
-    // unrolled per band -> fully codegen'd, no array slicing/casting)
+    // unrolled per band -> fully codegen'd, no array slicing/casting).
+    // Band rows carry ONLY the doc id: shipping the shingle-hash arrays
+    // through the bands-per-doc shuffle would multiply the exchange volume
+    // by payload x bands; the arrays are joined back below for just the
+    // candidate pairs — the only shape that survives a 100 TB corpus.
     val bandHashes = (0 until bands).map { b =>
       val slots = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => element_at(col("sig"), i + 1))
       xxhash64((slots :+ lit(b)): _*)
     }
     val banded = sig
-      .select(col("id"), col("shd"),
-        posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
+      .select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
     // candidate pairs from shared (band,bucket); cap pathological buckets
-    val buckets = banded
+    val pairs = banded
       .groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("shd"))).as("members"))
+      .agg(collect_list(col("id")).as("members"))
       .filter(size(col("members")).between(2, maxBucket))
-
-    val pairs = buckets
       .select(explode(expr(
         """flatten(transform(members, (a, i) ->
              transform(slice(members, i + 2, size(members)), b ->
-               named_struct('id1', a.id, 'id2', b.id, 'sh1', a.shd, 'sh2', b.shd))))"""))
+               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
         .as("p"))
-      .select(
-        least(col("p.id1"), col("p.id2")).as("id1"),
-        greatest(col("p.id1"), col("p.id2")).as("id2"),
-        when(col("p.id1") <= col("p.id2"), col("p.sh1")).otherwise(col("p.sh2")).as("sh1"),
-        when(col("p.id1") <= col("p.id2"), col("p.sh2")).otherwise(col("p.sh1")).as("sh2"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
 
+    // verification: re-derive shingle hashes for ONLY the candidate docs
+    // (a broadcast semi-join back to the corpus; recomputing the handful
+    // of candidate docs is far cheaper than shipping every doc's shingle
+    // array through the banding shuffle or recomputing the full corpus)
+    val candIds = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id")))
+      .distinct()
+    val candShd = withShd(base.join(broadcast(candIds), "id"))
+      .select(col("id"), col("shd"))
     pairs
+      .join(candShd.toDF("id1", "sh1"), "id1")
+      .join(candShd.toDF("id2", "sh2"), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("uni",
         (size(col("sh1")) + size(col("sh2"))).cast("double") - col("inter"))

@@ -129,7 +129,7 @@ object TextAnalysis {
     md5(array_join(array_sort(array_distinct(split(trim(lower(text)), " +"))), " "))
 
   def qFingerprint(t: Tables): DataFrame =
-    t.documents
+    graft.Engine.spread(t.documents)
       .withColumn("fp", fingerprint(col("text")))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
