@@ -76,6 +76,8 @@ object SparkEntry {
     "q_group_having" -> q(Relational.qGroupHaving),
     "q_sql_frontend" -> q(Relational.qSqlFrontend),
     "q_window_lag" -> q(Relational.qWindowLag),
+    "q_first_last" -> q(Relational.qFirstLast),
+    "q_array_agg" -> q(Relational.qArrayAgg),
     "q_rank_funcs" -> q(Relational.qRankFuncs),
     "q_date_arith" -> q(Relational.qDateArith),
     "q_stats" -> q(Stats.qStats),
@@ -282,6 +284,21 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_first_last" ->
+      """SELECT DISTINCT o_custkey,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS last_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY o_custkey""",
+    "q_array_agg" ->
+      """SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderstatus)), ',') AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
+           COUNT(*) AS n
+         FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
     "q_window_lag" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
            lag(o_totalprice, 1) OVER w AS prev_price,

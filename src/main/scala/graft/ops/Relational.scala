@@ -133,6 +133,37 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Boundary window functions over the full-partition frame:
+    * first/last/nth order value per customer.
+    */
+  def qFirstLast(t: Tables): DataFrame = {
+    val w = Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t.orders
+      .select(
+        col("o_custkey"),
+        first("o_totalprice").over(w).as("first_price"),
+        last("o_totalprice").over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .distinct()
+      .orderBy("o_custkey")
+  }
+
+  /** Order-stable array aggregation: collected values emitted as a sorted
+    * joined string (DuckDB's list() aggregation order is nondeterministic,
+    * so both engines sort before joining).
+    */
+  def qArrayAgg(t: Tables): DataFrame =
+    t.orders
+      .groupBy("o_custkey")
+      .agg(
+        array_join(array_sort(collect_list("o_orderstatus")), ",").as("statuses"),
+        array_join(array_sort(collect_set("o_orderpriority")), ",").as("prios"),
+        count(lit(1)).as("n"))
+      .orderBy("o_custkey")
+
   /** Ranking window functions: rank / dense_rank / percent_rank / ntile in
     * one pass. percent_rank is (rank-1)/(n-1) — identical arithmetic in
     * both engines, so no rounding needed.
