@@ -38,8 +38,15 @@ object Engine {
     * partitions (the 100 TB case — many files/row groups).
     */
   def spread(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    // decide from optimizer size stats, not df.rdd (which forces an extra
+    // physical-plan conversion per call): a source bigger than
+    // target * maxPartitionBytes already scans with >= target tasks
+    val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val estBytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (estBytes >= BigInt(maxPartBytes) * target) df else df.repartition(target)
   }
 
   /** Build a local session (tests / standalone runs). */

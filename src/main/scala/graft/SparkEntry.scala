@@ -98,7 +98,7 @@ object SparkEntry {
     "q_dedup_exact" -> q(Dedup.qDedupExact),
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
-    "q_ngram_jaccard" -> q(Dedup.qNgramJaccard),
+    "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
     "q_dedup_embed" -> q(Similarity.qDedupEmbed(_)),
@@ -450,11 +450,20 @@ object SparkEntry {
            SELECT doc_id, lang,
              list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
            FROM documents WHERE doc_id % 20 = 0),
-         sized AS (SELECT doc_id, lang, w, CAST(len(w) AS DOUBLE) AS nw FROM docs),
-         dw AS (SELECT doc_id, lang, nw, unnest(w) AS word FROM sized),
+         dw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM docs),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+         hot AS (SELECT d.lang, d.word
+           FROM (SELECT lang, word, COUNT(*) AS df FROM dw0 GROUP BY 1, 2) d
+           JOIN nd ON d.lang = nd.lang WHERE d.df > nd.n_docs * 0.5),
+         dw AS (SELECT * FROM dw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = dw0.lang AND hot.word = dw0.word)),
+         sized AS (SELECT doc_id, lang, CAST(COUNT(*) AS DOUBLE) AS nw
+           FROM dw GROUP BY 1, 2),
+         dwn AS (SELECT dw.doc_id, dw.lang, dw.word, sized.nw
+           FROM dw JOIN sized ON dw.doc_id = sized.doc_id AND dw.lang = sized.lang),
          j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
              COUNT(*) AS inter
-           FROM dw a JOIN dw b ON a.lang = b.lang AND a.word = b.word
+           FROM dwn a JOIN dwn b ON a.lang = b.lang AND a.word = b.word
            WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)
          SELECT id1, id2,
            CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard

@@ -37,8 +37,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     eventsRaw
       .withColumn("ts_ns", col("ts"))
       .withColumn(
+        // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
+        // exact range, so float division truncates to the wrong microsecond
         "ts",
-        timestamp_micros((col("ts_ns") / 1000L).cast("long")).cast(TimestampNTZType))
+        timestamp_micros(expr("ts_ns div 1000")).cast(TimestampNTZType))
 
   /** Register every table as a temp view under its canonical name, making
     * the whole corpus queryable through `spark.sql` — the engine's SQL

@@ -75,8 +75,14 @@ object Dedup {
     // shingles live only as 64-bit hashes (graft.functions.ShingleHashes):
     // no shingle strings are materialized, and the jaccard verify below
     // intersects long arrays instead of string arrays.
+    // base is read again for candidate verification and pairs feeds three
+    // consumers (two vector joins + the candidate-id semi-join); without
+    // caching, the whole shingle->sig->band pipeline re-executes per
+    // consumer. MEMORY_AND_DISK so an executor under pressure spills
+    // instead of OOMing.
     val base = graft.Engine.spread(
       docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def withShd(d: DataFrame): DataFrame = d
       .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
       .filter(size(col("shd")) > 0)
@@ -110,6 +116,7 @@ object Dedup {
         .as("p"))
       .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
       .dropDuplicates("id1", "id2")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // verification: re-derive shingle hashes for ONLY the candidate docs
     // (a broadcast semi-join back to the corpus; recomputing the handful
@@ -149,19 +156,34 @@ object Dedup {
       .filter(col("n") >= 1)
       .orderBy("fp")
 
-  /** Exact word-set jaccard pairs over a deterministic sample (full pairwise
-    * is the verifier inside LSH, not a scale path — this query demonstrates
-    * the relational formulation: explode -> equi-join on word -> count).
+  /** Exact word-set jaccard pairs over a deterministic sample, with a
+    * document-frequency skew guard: words present in more than `maxDfFrac`
+    * of a language's sampled docs (stop-words — exactly the hot keys that
+    * skew the (lang, word) self-join) are dropped from BOTH the
+    * intersection join and the set sizes, so the measure becomes jaccard
+    * over discriminative tokens and the join's per-key fan-out stays flat
+    * as the corpus scales. The df/stop-word tables are tiny and broadcast.
+    * (Full pairwise remains the verifier inside LSH, not a scale path.)
     */
-  def qNgramJaccard(t: Tables): DataFrame = {
+  def qNgramJaccard(t: Tables, maxDfFrac: Double = 0.5): DataFrame = {
     val docs = t.documents
       .filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), col("lang"), array_distinct(words(col("text"))).as("w"))
-      .withColumn("nw", size(col("w")).cast("double"))
 
-    val dw = docs.select(col("doc_id"), col("lang"), col("nw"), explode(col("w")).as("word"))
-    val a = dw.select(col("doc_id").as("id1"), col("lang"), col("nw").as("n1"), col("word"))
-    val b = dw.select(col("doc_id").as("id2"), col("lang"), col("nw").as("n2"), col("word"))
+    val dw0 = docs.select(col("doc_id"), col("lang"), explode(col("w")).as("word"))
+    val nDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val hot = dw0.groupBy("lang", "word").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), "lang")
+      .filter(col("df") > col("n_docs") * maxDfFrac)
+      .select("lang", "word")
+    val dw = dw0.join(broadcast(hot), Seq("lang", "word"), "left_anti")
+    // set sizes are recomputed AFTER the stop-word filter so the jaccard
+    // denominator matches the filtered universe
+    val sized = dw.groupBy("doc_id", "lang").agg(count(lit(1)).cast("double").as("nw"))
+    val dwn = dw.join(broadcast(sized), Seq("doc_id", "lang"))
+
+    val a = dwn.select(col("doc_id").as("id1"), col("lang"), col("nw").as("n1"), col("word"))
+    val b = dwn.select(col("doc_id").as("id2"), col("lang"), col("nw").as("n2"), col("word"))
     a.join(b, Seq("lang", "word"))
       .filter(col("id1") < col("id2"))
       .groupBy("id1", "id2", "n1", "n2")

@@ -117,22 +117,88 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** (band, bucket) keys from a packed hyperplane signature: band b's
+    * bucket is its `bits` signature bits. Shared by the banded kNN search
+    * and the big-cell sub-blocking in embedding dedup.
+    */
+  private def bandBuckets(sig: Column, bands: Int, bits: Int): Column = {
+    val mask = (1L << bits) - 1
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(sig, b * bits).bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+  }
+
   /** Embedding-cosine near-duplicate pairs, blocked by the coarse cell key
     * (label): the all-pairs comparison happens only within a cell, which is
-    * the same pruning IVF uses — at scale the blocking key comes from
-    * k-means cells or LSH buckets instead of an exhaustive cross join.
+    * the same pruning IVF uses. Cells larger than `maxCell` never go
+    * all-pairs: they are sub-blocked by banded hyperplane-LSH buckets
+    * (candidates = co-bucketed in any band, then exact-cosine verified), so
+    * a million-vector cell costs O(n * bucketSize) instead of O(n^2). The
+    * exact path and the verify step share the same `cosine >= threshold`
+    * predicate, so for small cells output is identical to full all-pairs.
     */
-  def qDedupEmbed(t: Tables, threshold: Double = 0.8): DataFrame = {
+  def qDedupEmbed(t: Tables, threshold: Double = 0.8, maxCell: Int = 2048): DataFrame = {
     val emb = t.embeddings.select(
       col("label"), col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = emb.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
-    val b = emb.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
-    a.join(b, Seq("label"))
+    embedDupPairs(emb, threshold, maxCell).orderBy("id1", "id2")
+  }
+
+  /** Candidate pairs for over-cap cells via banded hyperplane sub-blocking
+    * (exposed for the pair-count bound test). Band rows carry ids only —
+    * the same shape as the MinHash band shuffle in [[Dedup.minhashPairs]].
+    */
+  def embedCandidatePairs(
+      big: DataFrame, subBands: Int = 8, subBits: Int = 8): DataFrame = {
+    val planes = subBands * subBits
+    val banded = big
+      .withColumn("sig", call_function("hyperplane_sig", col("v"), lit(planes)))
+      .select(col("label"), col("vec_id"),
+        explode(bandBuckets(col("sig"), subBands, subBits)).as("bb"))
+      .select(col("label"), col("vec_id"), col("bb.band"), col("bb.bucket"))
+    banded
+      .groupBy("label", "band", "bucket")
+      .agg(collect_list(col("vec_id")).as("members"))
+      .filter(size(col("members")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+             transform(slice(members, i + 2, size(members)), b ->
+               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .dropDuplicates("id1", "id2")
+  }
+
+  /** label-blocked near-dup pairs with the big-cell guard (see qDedupEmbed). */
+  def embedDupPairs(emb: DataFrame, threshold: Double, maxCell: Int): DataFrame = {
+    val sizes = emb.groupBy("label").agg(count(lit(1)).as("cell_n"))
+    val withN = emb.join(broadcast(sizes), "label")
+
+    // small cells: exact all-pairs within the cell
+    val small = withN.filter(col("cell_n") <= maxCell)
+    val a = small.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = small.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+    val smallPairs = a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
       .withColumn("sim", cosine(col("v1"), col("v2")))
       .filter(col("sim") >= threshold)
       .select("id1", "id2", "sim")
-      .orderBy("id1", "id2")
+
+    // big cells: LSH sub-block -> candidate pairs -> exact-cosine verify
+    val big = withN.filter(col("cell_n") > maxCell).select("label", "vec_id", "v")
+    val cands = embedCandidatePairs(big)
+    val candIds = cands.select(col("id1").as("vec_id"))
+      .union(cands.select(col("id2").as("vec_id")))
+      .distinct()
+    val candVecs = emb.join(broadcast(candIds), "vec_id").select("vec_id", "v")
+    val bigPairs = cands
+      .join(candVecs.toDF("id1", "v1"), "id1")
+      .join(candVecs.toDF("id2", "v2"), "id2")
+      .withColumn("sim", cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= threshold)
+      .select("id1", "id2", "sim")
+
+    smallPairs.unionAll(bigPairs)
   }
 
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
@@ -148,33 +214,64 @@ object Similarity {
         size(col("embedding")).cast("long").as("dim"))
       .orderBy("vec_id")
 
-  /** LSH-bucketed cosine search: random-hyperplane signatures (sign bits of
-    * projections onto deterministic pseudo-random planes) — documents the
-    * third scale path. Hyperplanes are derived from xxhash64(dim, plane) so
-    * the whole thing is reproducible with no driver-side state.
+  /** LSH-banded approximate kNN: the third scale path next to brute force
+    * and IVF, and the one that survives a corpus too big to scan per query
+    * batch.
+    *
+    * Shape: 64 hyperplane sign bits per vector (native
+    * [[graft.functions.HyperplaneSig]], no materialized plane matrix) are
+    * split into `bands` bands of `bitsPerBand` bits; a corpus vector is a
+    * candidate for a query iff they share any band's bucket. Band rows
+    * carry ids only — the candidate join is corpus-bands against the
+    * BROADCAST query bands, so the corpus is never shuffled; candidate
+    * vectors are then fetched by a broadcast semi-join, exact-cosine
+    * verified, and ranked with the bounded_topk partial aggregate (k rows
+    * per query per map task cross the exchange). Same output shape as
+    * [[qKnnBrute]]; recall vs brute force is asserted in tests.
+    *
+    * Banding picks the recall/candidate-volume point via
+    * P[band match] = (1 - theta/pi)^bits: clustered real embeddings
+    * (neighbor cosine >= 0.7, p >= 0.75) prune hard at 4+ bits, while the
+    * quasi-random test corpus (neighbor cosine ~ 0.3, p ~ 0.6 vs 0.5
+    * background) needs the looser 3-bit bands to clear recall 0.8 — the
+    * parameters are the tuning surface, the plan shape is fixed and never
+    * shuffles the corpus.
     */
-  def qKnnLsh(t: Tables, planes: Int = 12): DataFrame = {
+  def qKnnLsh(
+      t: Tables, k: Int = 5, bands: Int = 16, bitsPerBand: Int = 3): DataFrame = {
+    val planes = bands * bitsPerBand
+    require(planes <= 64, "bands * bitsPerBand must fit the 64-bit signature")
     val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
-    // signature bit p = sign(sum_d vec[d] * h(d, p)), h in {-1, +1}
-    // fold acc*2 + bit so the signature packs without a variable shift
+    val isQuery = pmod(col("vec_id"), lit(200)) === 0
     val sig = emb.withColumn(
-      "sig",
-      aggregate(
-        sequence(lit(0), lit(planes - 1)),
-        lit(0L),
-        (acc, p) =>
-          acc * 2 + when(
-            aggregate(
-              zip_with(
-                col("vec"),
-                sequence(lit(0), size(col("vec")) - 1),
-                (v, d) => v * (pmod(xxhash64(d, p), lit(2)).cast("double") * 2.0 - 1.0)),
-              lit(0.0),
-              (a, x) => a + x) > 0,
-            lit(1L)).otherwise(lit(0L))))
-    sig
-      .groupBy("sig")
-      .agg(count(lit(1)).as("n"), min("vec_id").as("min_id"))
-      .orderBy("sig")
+      "sig", call_function("hyperplane_sig", col("vec"), lit(planes)))
+
+    def banded(df: DataFrame, idAs: String): DataFrame = df
+      .select(col("vec_id").as(idAs),
+        explode(bandBuckets(col("sig"), bands, bitsPerBand)).as("bb"))
+      .select(col(idAs), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+    val candidates = banded(sig, "nid")
+      .join(broadcast(banded(sig.filter(isQuery), "qid")), Seq("band", "bucket"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .dropDuplicates("qid", "nid")
+
+    val queries = emb.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    emb.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      .join(broadcast(candidates), "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
   }
 }

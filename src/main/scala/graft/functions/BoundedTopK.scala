@@ -86,9 +86,14 @@ case class BoundedTopK(
   }
 
   override def eval(heap: java.util.PriorityQueue[(Double, Long)]): Any = {
+    // non-destructive: window aggregation re-evals the same buffer per row,
+    // so draining the heap here would empty it after the first output row
     val items = new Array[(Double, Long)](heap.size)
-    var i = items.length - 1
-    while (i >= 0) { items(i) = heap.poll(); i -= 1 } // worst-first poll -> best-first array
+    val it = heap.iterator()
+    var i = 0
+    while (it.hasNext) { items(i) = it.next(); i += 1 }
+    java.util.Arrays.sort(items, (a: (Double, Long), b: (Double, Long)) =>
+      if (a == b) 0 else if (better(a, b)) -1 else 1) // best-first
     new GenericArrayData(items.map { case (s, id) =>
       new GenericInternalRow(Array[Any](s, id))
     })

@@ -208,6 +208,63 @@ case class MinHashSigLongs(child: Expression, k: Int)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH signature of a dense vector: bit p =
+  * sign(sum_d vec[d] * r(d, p)) with Rademacher entries r in {-1, +1}
+  * derived by avalanche-mixing (d, p) — no hyperplane matrix is ever
+  * materialized or shipped, so the signature is reproducible on any
+  * executor with zero driver state. Tight planes x dims loop; replaces an
+  * interpreted higher-order double fold (~dims x planes lambda dispatches
+  * per row). For vectors with cosine theta, P[bit match] = 1 - theta/pi,
+  * which is what the banded search in Similarity.qKnnLsh builds on.
+  */
+case class HyperplaneSig(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(planes > 0 && planes <= 64, "hyperplane_sig supports 1..64 planes")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    case other =>
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects array<double>, got $other")
+  }
+
+  private def mix(z0: Long): Long = {
+    var z = z0
+    z ^= z >>> 33
+    z *= 0xff51afd7ed558ccdL
+    z ^= z >>> 33
+    z *= 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var d = 0
+      while (d < n) {
+        val r = if ((mix((d.toLong << 32) | p.toLong) & 1L) == 1L) 1.0 else -1.0
+        s += arr.getDouble(d) * r
+        d += 1
+      }
+      if (s > 0) sig |= (1L << p)
+      p += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Polynomial rolling hash over a string's UTF-8 bytes:
   * h = fold(h * 31 + byte) from h0 = 17, wrapping in 64 bits — the classic
   * order-sensitive document fingerprint. Single pass, no allocation.

@@ -25,19 +25,23 @@ object GraftFunctions {
     MinHashSig(args.head, k)
   }
 
-  private def intLit(e: Expression, default: Int): Int = e match {
+  // strict: a present-but-wrong argument (e.g. `5L`, a non-literal) must
+  // fail loudly, not silently run with the default
+  private def intLit(fn: String, e: Expression): Int = e match {
     case Literal(v: Int, _) => v
-    case _ => default
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal INT argument, got $other")
   }
 
-  private def boolLit(e: Expression, default: Boolean): Boolean = e match {
+  private def boolLit(fn: String, e: Expression): Boolean = e match {
     case Literal(v: Boolean, _) => v
-    case _ => default
+    case other => throw new IllegalArgumentException(
+      s"$fn: expected a literal BOOLEAN argument, got $other")
   }
 
   private def topkBuilder(args: Seq[Expression]): Expression = {
-    val k = if (args.length > 1) intLit(args(1), 3) else 3
-    val idAsc = if (args.length > 2) boolLit(args(2), true) else true
+    val k = if (args.length > 1) intLit("bounded_topk", args(1)) else 3
+    val idAsc = if (args.length > 2) boolLit("bounded_topk", args(2)) else true
     BoundedTopK(args.head, k, idAsc)
   }
 
@@ -45,10 +49,12 @@ object GraftFunctions {
     ("cosine_sim", args => CosineSim(args(0), args(1))),
     ("minhash_sig", minhashBuilder),
     ("shingle_hashes", args => ShingleHashes(args(0),
-      if (args.length > 1) intLit(args(1), 3) else 3)),
+      if (args.length > 1) intLit("shingle_hashes", args(1)) else 3)),
     ("minhash_sig_longs", args => MinHashSigLongs(args(0),
-      if (args.length > 1) intLit(args(1), 32) else 32)),
+      if (args.length > 1) intLit("minhash_sig_longs", args(1)) else 32)),
     ("simhash64", args => SimHash64(args.head)),
+    ("hyperplane_sig", args => HyperplaneSig(args(0),
+      if (args.length > 1) intLit("hyperplane_sig", args(1)) else 64)),
     ("poly_hash", args => PolyHash64(args.head)),
     ("bounded_topk", topkBuilder))
 

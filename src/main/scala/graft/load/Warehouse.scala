@@ -51,4 +51,36 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * (etl_pipeline.py:238-242).
     */
   def tableCount(name: String): Long = Try(table(name).count()).getOrElse(0L)
+
+  // --- SQL-database mode -----------------------------------------------
+  // Direct analogue of the reference's SQLite `to_sql`/`read_sql`
+  // (etl_pipeline.py:234-242) on embedded Derby, whose driver ships in the
+  // Spark distribution. Parquet stays the 100 TB path; this closes the
+  // SURVEY §2.1 JDBC mapping with a real, testable round trip. Spark's
+  // JDBC writer issues one connection per partition — embedded Derby
+  // serves concurrent same-JVM connections, and against a networked
+  // warehouse the same code fans out across executors.
+
+  private val derbyDriver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+  def jdbcUrl: String = s"jdbc:derby:$root/derby;create=true"
+
+  /** `if_exists="replace"|"append"` via JDBC: Overwrite drops/recreates the
+    * table (the reference's replace), Append inserts.
+    */
+  def loadJdbc(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    coerceForLoad(df).write.mode(mode)
+      .format("jdbc")
+      .option("url", jdbcUrl)
+      .option("dbtable", table)
+      .save()
+
+  def tableJdbc(name: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", jdbcUrl)
+      .option("dbtable", name)
+      .load()
+
+  def tableCountJdbc(name: String): Long =
+    Try(tableJdbc(name).count()).getOrElse(0L)
 }

@@ -25,7 +25,7 @@ object Events {
       .groupBy("win_ns", "event_type")
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
       .select(
-        date_format(timestamp_micros((col("win_ns") / 1000L).cast("long")),
+        date_format(timestamp_micros(expr("win_ns div 1000")),
           "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")

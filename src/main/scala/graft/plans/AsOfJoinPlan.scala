@@ -179,10 +179,24 @@ object AsOfJoinPlan {
     val spark = left.sparkSession
     install(spark)
     val lp = left.queryExecution.analyzed
-    val rp = right.queryExecution.analyzed
     def attr(p: LogicalPlan, name: String): Attribute =
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"no column $name in ${p.output.map(_.name)}"))
+    // Align right key/time physical types with the left BEFORE planting the
+    // node: the exec's interpreted orderings are built from the LEFT attr
+    // types but applied to right-side values, so a physical mismatch (e.g.
+    // DateType Int vs TimestampType Long) would compare mixed boxed types.
+    val alignedRight = {
+      val lkT = attr(lp, key).dataType
+      val ltT = attr(lp, leftTime).dataType
+      var r = right
+      if (r.schema(key).dataType != lkT)
+        r = r.withColumn(key, org.apache.spark.sql.functions.col(key).cast(lkT))
+      if (r.schema(rightTime).dataType != ltT)
+        r = r.withColumn(rightTime, org.apache.spark.sql.functions.col(rightTime).cast(ltT))
+      r
+    }
+    val rp = alignedRight.queryExecution.analyzed
     org.apache.spark.sql.GraftSqlShim.ofRows(
       spark,
       AsOfJoinNode(

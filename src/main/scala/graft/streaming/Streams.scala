@@ -50,7 +50,8 @@ object Streams {
       .schema(eventFileSchema)
       .option("maxFilesPerTrigger", "8")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer `div` (see Tables.events): double division loses us precision
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =
@@ -78,6 +79,44 @@ object Streams {
       .withWatermark("ts", "30 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Gap-based sessionization on the BUILT-IN session_window: the
+    * declarative twin of [[sessionize]] — Spark manages the session state,
+    * merges overlapping sessions, and closes them at the watermark. Emits
+    * one row per closed session (append mode requires the watermark).
+    */
+  def sessionizeBuiltIn(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  /** Stream-stream inner join: clicks enriched with the matching view of
+    * the same user within the preceding hour. Both sides are watermarked
+    * and the join carries an event-time range predicate, so state for
+    * either side is dropped once the watermark passes — bounded state, the
+    * only join shape that survives unbounded streams.
+    */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks
+      .withWatermark("ts", "1 hour")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = views
+      .withWatermark("ts", "2 hours")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user_id"),
+        col("ts").as("view_ts"))
+    c.join(
+      v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("click_ts") &&
+        col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
+  }
+
   /** Gap-based sessionization with explicit state: the streaming equivalent
     * of [[graft.ops.Events.qSessionize]] built on flatMapGroupsWithState.
     */
@@ -85,7 +124,7 @@ object Streams {
     import spark.implicits._
     val gapMicros = gapMinutes * 60L * 1000000L
     events
-      .selectExpr("user_id", "cast(ts as long) * 1000000 as ts_micros")
+      .selectExpr("user_id", "unix_micros(ts) as ts_micros")
       .as[(Long, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](

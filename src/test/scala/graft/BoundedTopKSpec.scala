@@ -37,6 +37,29 @@ class BoundedTopKSpec extends SparkSuite {
     assert(run(false) == Set((1L, 102L, 0), (1L, 101L, 1), (2L, 201L, 0), (2L, 200L, 1)))
   }
 
+  test("eval is non-destructive: window aggregation re-evals the same buffer per row") {
+    // as a window aggregate eval() runs once per input row over one shared
+    // buffer; a draining eval would return a shrinking array after row 1
+    val out = Seq((1L, 5.0, 10L), (1L, 7.0, 11L), (1L, 6.0, 12L))
+      .toDF("k", "score", "id")
+      .withColumn("top", expr(
+        "bounded_topk(struct(score, id), 2, true) over (partition by k)"))
+      .select(size(col("top"))).as[Int].collect().toSeq
+    assert(out == Seq(2, 2, 2))
+  }
+
+  test("non-literal or mistyped k/idAsc arguments fail loudly instead of defaulting") {
+    val df = Seq((1L, 5.0, 10L)).toDF("k", "score", "id")
+    val e1 = intercept[Exception] {
+      df.selectExpr("bounded_topk(struct(score, id), 5L)").collect()
+    }
+    assert(e1.getMessage.contains("literal INT"))
+    val e2 = intercept[Exception] {
+      df.selectExpr("bounded_topk(struct(score, id), 2, 1)").collect()
+    }
+    assert(e2.getMessage.contains("literal BOOLEAN"))
+  }
+
   test("k larger than group size returns the whole group ranked") {
     val out = Seq((1L, 5.0, 1L), (1L, 7.0, 2L))
       .toDF("k", "score", "id")

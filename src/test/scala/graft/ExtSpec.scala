@@ -85,6 +85,62 @@ class ExtSpec extends SparkSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("LSH knn: k rows per query, ranked desc, recall >= 0.8 vs brute force") {
+    val brute = Similarity.qKnnBrute(tables).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.qKnnLsh(tables).collect()
+    val byQ = lsh.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getLong(1) != qid))
+    }
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lshPairs).size.toDouble / brute.size
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("embed dedup big-cell sub-blocking bounds candidate pairs far below n^2") {
+    // 10k random-ish vectors in ONE label cell: the uncapped all-pairs path
+    // would materialize ~50M pairs; the banded sub-blocking must not
+    val n = 10000
+    val emb = spark.range(n).toDF("vec_id")
+      .withColumn("label", lit(0))
+      .withColumn("v", expr(
+        "transform(sequence(0, 15), d -> cast(pmod(xxhash64(vec_id, d), 1000) as double) / 500.0 - 1.0)"))
+    val candCount = Similarity.embedCandidatePairs(emb).count()
+    assert(candCount > 0)
+    assert(candCount < n.toLong * n / 20, s"candidates=$candCount") // <5% of all-pairs
+    // end-to-end big-cell path completes and self-similar vectors verify
+    val dupes = Similarity.embedDupPairs(
+      emb.union(emb.limit(1).withColumn("vec_id", lit(n.toLong))),
+      threshold = 0.999, maxCell = 1000).count()
+    assert(dupes >= 1) // vec n is a copy of vec 0
+  }
+
+  test("embed dedup small-cell path is exact (identical to all-pairs)") {
+    val emb = tables.embeddings.select(
+      col("label"), col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val a = emb.select(col("label"), col("vec_id").as("id1"), col("v").as("v1"))
+    val b = emb.select(col("label"), col("vec_id").as("id2"), col("v").as("v2"))
+    val exact = a.join(b, Seq("label")).filter(col("id1") < col("id2"))
+      .withColumn("sim", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("sim") >= 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val guarded = Similarity.embedDupPairs(emb, threshold = 0.5, maxCell = 100000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(guarded == exact)
+  }
+
+  test("ngram jaccard skew guard drops language-wide stop-words from both sides") {
+    // 'common' appears in every doc -> hot join key -> must be excluded;
+    // jaccard is then over the remaining words only
+    val t = tables // oracle parity is covered by the driver; here: semantics
+    val out = Dedup.qNgramJaccard(t).collect()
+    assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
+  }
+
   test("token counting handles empty and multi-space text") {
     val got = Seq("", "  ", "one", " a  b   c ").toDF("text")
       .select(TextAnalysis.tokenCount(col("text")).as("n"))

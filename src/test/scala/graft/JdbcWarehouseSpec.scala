@@ -1,0 +1,34 @@
+package graft
+
+import graft.load.Warehouse
+
+import org.apache.spark.sql.SaveMode
+
+/** SQL-database warehouse mode (reference etl_pipeline.py:234-242): load
+  * replace/append + readback count over embedded Derby via Spark's JDBC
+  * source — the same code path a networked warehouse would use.
+  */
+class JdbcWarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("jdbc warehouse round trip: replace, append, count, missing -> 0") {
+    val root = java.nio.file.Files.createTempDirectory("graft_jdbc").toString
+    val wh = Warehouse(spark, root)
+    val df = Seq((1L, "a", true), (2L, "b", false)).toDF("id", "name", "flag")
+
+    wh.loadJdbc(df, "t1") // if_exists="replace"
+    assert(wh.tableCountJdbc("t1") == 2L)
+    wh.loadJdbc(df, "t1", SaveMode.Append) // if_exists="append"
+    assert(wh.tableCountJdbc("t1") == 4L)
+    wh.loadJdbc(df, "t1") // replace drops the appended rows
+    assert(wh.tableCountJdbc("t1") == 2L)
+
+    // load-time coercion applies on the JDBC path too (bool -> int,
+    // reference etl_pipeline.py:273-274)
+    val flagType = wh.tableJdbc("t1").schema("flag").dataType.typeName
+    assert(flagType != "boolean", s"flag stored as $flagType")
+
+    // missing table -> 0, like the reference's bare-except readback
+    assert(wh.tableCountJdbc("no_such_table") == 0L)
+  }
+}

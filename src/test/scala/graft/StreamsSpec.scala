@@ -129,6 +129,65 @@ class StreamsSpec extends SparkSuite {
     assert(builtIn == manual)
   }
 
+  test("streaming session_window parity with the batch gap sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.sessionizeBuiltIn(events)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("builtin_sessions_out").start()
+    mem.addData(sample: _*)
+    // advance the watermark far enough to close every session
+    mem.addData((99L, ts("2024-01-02 00:00:00"), 9L, "click", 0.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("builtin_sessions_out")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), max("n_events").as("max_sess_events"))
+      .as[(Long, Long, Long)].collect().map { case (u, n, m) => u -> ((n, m)) }.toMap
+
+    // batch twin on the same rows (the qSessionize column logic)
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      sample.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("prev", lag("ts", 1).over(byUser))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            unix_micros(col("ts")) - unix_micros(col("prev")) > 30L * 60 * 1000000, 1L)
+            .otherwise(0L))
+        .withColumn("sid", sum("brk").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), max("n").as("max_sess_events"))
+        .as[(Long, Long, Long)].collect().map { case (u, n, m) => u -> ((n, m)) }.toMap
+    }
+    assert(streamed == batch)
+  }
+
+  test("stream-stream join matches views to clicks within the hour, bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val viewsMem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.clickViewJoin(
+      clicksMem.toDF().toDF(cols: _*), viewsMem.toDF().toDF(cols: _*))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("join_out").start()
+    viewsMem.addData(
+      (10L, ts("2024-01-01 00:10:00"), 7L, "view", 0.0), // within the hour
+      (11L, ts("2023-12-31 22:00:00"), 7L, "view", 0.0), // too old
+      (12L, ts("2024-01-01 00:20:00"), 8L, "view", 0.0)) // other user
+    clicksMem.addData((1L, ts("2024-01-01 00:40:00"), 7L, "click", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("join_out")
+      .select("click_id", "view_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
