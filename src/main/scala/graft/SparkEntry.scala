@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.load.Warehouse
 import graft.ops.{Events, Relational, Stats}
 import graft.orchestrate.Orchestrator
@@ -99,6 +99,11 @@ object SparkEntry {
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
+    "q_dedup_clusters" -> q(Dedup.qDedupClusters),
+    // — deterministic sampling / corpus composition —
+    "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
+    "q_mix_sources" -> q(Sampling.qMixSources(_)),
+    "q_top_terms" -> q(Sampling.qTopTerms(_)),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
     "q_dedup_embed" -> q(Similarity.qDedupEmbed(_)),
@@ -469,6 +474,68 @@ object SparkEntry {
            CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
          FROM j WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
          ORDER BY id1, id2""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         dw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM docs),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+         hot AS (SELECT d.lang, d.word
+           FROM (SELECT lang, word, COUNT(*) AS df FROM dw0 GROUP BY 1, 2) d
+           JOIN nd ON d.lang = nd.lang WHERE d.df > nd.n_docs * 0.5),
+         dw AS (SELECT * FROM dw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = dw0.lang AND hot.word = dw0.word)),
+         sized AS (SELECT doc_id, lang, CAST(COUNT(*) AS DOUBLE) AS nw
+           FROM dw GROUP BY 1, 2),
+         dwn AS (SELECT dw.doc_id, dw.lang, dw.word, sized.nw
+           FROM dw JOIN sized ON dw.doc_id = sized.doc_id AND dw.lang = sized.lang),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
+             COUNT(*) AS inter
+           FROM dwn a JOIN dwn b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT id1, id2 FROM j
+           WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         SELECT comp AS keep_id, COUNT(*) AS n_members,
+           array_to_string(list_transform(list_sort(list(id)),
+             x -> CAST(x AS VARCHAR)), ',') AS members
+         FROM comp GROUP BY comp ORDER BY keep_id""",
+    "q_sample_stratified" ->
+      """SELECT lang, source, doc_id, rn FROM (
+           SELECT lang, source, doc_id,
+             CAST(row_number() OVER (PARTITION BY lang, source
+               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn
+           FROM documents) WHERE rn <= 3 ORDER BY lang, source, rn""",
+    "q_mix_sources" ->
+      """WITH s AS (
+           SELECT source, doc_id,
+             CAST(row_number() OVER (PARTITION BY source
+               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rn,
+             CAST(CASE source WHEN 'src0' THEN 12 WHEN 'src1' THEN 8
+               WHEN 'src2' THEN 6 WHEN 'src3' THEN 4 WHEN 'src4' THEN 2
+               ELSE 0 END AS BIGINT) AS quota
+           FROM documents)
+         SELECT source, COUNT(*) AS n_sampled, MIN(quota) AS quota,
+           array_to_string(list_transform(list_sort(list(doc_id)),
+             x -> CAST(x AS VARCHAR)), ',') AS doc_ids
+         FROM s WHERE rn <= quota GROUP BY source ORDER BY source""",
+    "q_top_terms" ->
+      """WITH dw AS (SELECT lang, word, COUNT(*) AS df FROM (
+             SELECT doc_id, lang,
+               unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS word
+             FROM documents) GROUP BY 1, 2)
+         SELECT lang, word, df, rnk FROM (
+           SELECT lang, word, df,
+             CAST(row_number() OVER (PARTITION BY lang
+               ORDER BY df DESC, word) AS BIGINT) AS rnk
+           FROM dw) WHERE rnk <= 5 ORDER BY lang, rnk""",
     "q_knn_brute" ->
       """WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
          queries AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

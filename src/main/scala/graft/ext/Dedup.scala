@@ -160,6 +160,71 @@ object Dedup {
       .filter(col("n") >= 1)
       .orderBy("fp")
 
+  /** Connected components over an undirected duplicate-pair edge list by
+    * min-label propagation — the step that turns pairwise near-dup output
+    * (minhash / simhash / embedding) into dedup GROUPS with a keep-one
+    * representative (component = min doc id), mirroring the reference's
+    * keep-first drop_duplicates semantics (etl_pipeline.py:185) at
+    * set-of-near-dups granularity.
+    *
+    * Scale shape: each round is one distributed join + min-aggregate on the
+    * edge list; the driver loop only orchestrates rounds and reads a
+    * convergence COUNT (never data rows). Duplicate clusters are
+    * near-cliques, so propagation converges in 2-3 rounds regardless of
+    * corpus size; `maxIter` caps adversarial chains. Labels persist per
+    * round and the previous round unpersists once the next is materialized.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+    // localCheckpoint (not persist) per round: iterative plans otherwise
+    // grow lineage every round and each round pays fresh codegen for an
+    // ever-bigger tree. On a cluster with fault-tolerance needs this
+    // becomes a reliable checkpoint — same loop.
+    val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("id"), col("src").as("comp")).distinct()
+      .localCheckpoint()
+    // min-propagation is monotone (a label only ever decreases), so the
+    // label sum is a convergence witness — one aggregate per round, no
+    // old-vs-new join
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum("comp")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // empty edge list -> null sum
+    }
+    var lastSum = labelSum(labels)
+    var i = 0
+    var done = false
+    while (!done && i < maxIter) {
+      labels = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+        .union(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      val s = labelSum(labels)
+      done = s == lastSum
+      lastSum = s
+      i += 1
+    }
+    labels
+  }
+
+  /** Near-dup clusters over the (oracle-checked) jaccard pair graph:
+    * one row per duplicate group — keep id (min member), member count,
+    * and the sorted member list.
+    */
+  def qDedupClusters(t: Tables): DataFrame = {
+    val edges = qNgramJaccard(t).select("id1", "id2")
+    connectedComponents(edges)
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        array_join(
+          transform(array_sort(collect_list(col("id"))), x => x.cast("string")),
+          ",").as("members"))
+      .select(col("comp").as("keep_id"), col("n_members"), col("members"))
+      .orderBy("keep_id")
+  }
+
   /** Exact word-set jaccard pairs over a deterministic sample, with a
     * document-frequency skew guard: words present in more than `maxDfFrac`
     * of a language's sampled docs (stop-words — exactly the hot keys that

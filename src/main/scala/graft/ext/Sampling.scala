@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.Tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling operators for training-data pipelines.
+  *
+  * Random sampling is useless for reproducible corpus builds: the sample
+  * must be stable across runs, partitionings, and engines. These operators
+  * order by a content hash (md5 of text + id), which every engine computes
+  * identically — the sample is a pure function of the data, and any
+  * downstream system can re-derive exactly which rows were chosen.
+  */
+object Sampling {
+
+  /** Hash-order sort key: identical bytes -> identical key on any engine. */
+  private def hashKey(textCol: String, idCol: String) =
+    md5(concat(col(textCol), col(idCol).cast("string")))
+
+  /** Stratified top-k: k docs per (lang, source) stratum in content-hash
+    * order — a fixed-size per-stratum sample that balances the corpus
+    * across languages and sources.
+    *
+    * Scale shape: one shuffle on the stratum key; per-stratum state is the
+    * running window, and stratum sizes bound the skew (a stratum is never
+    * bigger than its source's rows). For very hot strata the bounded_topk
+    * aggregate form ships k rows per map task instead (see
+    * [[graft.functions.BoundedTopK]]) — same semantics, partial-agg plan.
+    */
+  def qSampleStratified(t: Tables, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("lang", "source")
+      .orderBy(col("skey"), col("doc_id"))
+    t.documents
+      .withColumn("skey", hashKey("text", "doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("source"), col("doc_id"), col("rn"))
+      .orderBy("lang", "source", "rn")
+  }
+
+  /** Weighted source mix: per-source quotas for a target corpus blend
+    * (e.g. 60% web / 30% books / 10% code), filled deterministically in
+    * content-hash order. Sources with fewer rows than their quota
+    * contribute everything they have — the realized mix is reported next
+    * to the requested quota.
+    */
+  def qMixSources(
+      t: Tables,
+      quotas: Map[String, Int] = Map(
+        "src0" -> 12, "src1" -> 8, "src2" -> 6, "src3" -> 4, "src4" -> 2))
+      : DataFrame = {
+    // quota as a literal CASE expression: config, not data — no join
+    val quotaCol = quotas.foldLeft(lit(0)) { case (acc, (s, q)) =>
+      when(col("source") === s, lit(q)).otherwise(acc)
+    }
+    val w = Window.partitionBy("source").orderBy(col("skey"), col("doc_id"))
+    t.documents
+      .withColumn("skey", hashKey("text", "doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("quota", quotaCol.cast("long"))
+      .filter(col("rn") <= col("quota"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        min("quota").as("quota"),
+        array_join(
+          transform(array_sort(collect_list(col("doc_id"))), x => x.cast("string")),
+          ",").as("doc_ids"))
+      .orderBy("source")
+  }
+
+  /** Exact corpus vocabulary head: top-k words by document frequency per
+    * language — the heavy-hitters view used for stop-word lists and the
+    * qNgramJaccard skew guard. One explode + one aggregate + bounded
+    * per-group top-k.
+    */
+  def qTopTerms(t: Tables, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("df").desc, col("word"))
+    t.documents
+      .select(col("doc_id"), col("lang"),
+        explode(array_distinct(Dedup.words(col("text")))).as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("df"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("lang", "word", "df", "rnk")
+      .orderBy("lang", "rnk")
+  }
+}

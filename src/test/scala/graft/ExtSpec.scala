@@ -141,6 +141,25 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
   }
 
+  test("connected components merges chains and keeps separate clusters apart") {
+    // path 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("stratified sample is deterministic and respects per-stratum k") {
+    val a = graft.ext.Sampling.qSampleStratified(tables).collect()
+    val b = graft.ext.Sampling.qSampleStratified(tables).collect()
+    assert(a.toSeq == b.toSeq)
+    val perStratum = a.groupBy(r => (r.getString(0), r.getString(1))).values
+    assert(perStratum.forall(_.length <= 3))
+    perStratum.foreach { rows => // rn is contiguous from 1 within each stratum
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+  }
+
   test("token counting handles empty and multi-space text") {
     val got = Seq("", "  ", "one", " a  b   c ").toDF("text")
       .select(TextAnalysis.tokenCount(col("text")).as("n"))
