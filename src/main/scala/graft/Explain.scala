@@ -21,9 +21,19 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Engine.tune(spark)
+    val sb = new StringBuilder
     names.foreach { n =>
-      println(s"\n===================== $n =====================")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      sb.append(s"\n===================== $n =====================\n")
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      sb.append(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    }
+    // plan dumps have very long lines; a file survives terminal wrapping
+    sys.env.get("SPARK_GRAFT_PLANS_OUT") match {
+      case Some(path) => java.nio.file.Files.write(
+        java.nio.file.Paths.get(path),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case None => println(sb.toString)
     }
     spark.stop()
   }
