@@ -116,6 +116,8 @@ object SparkEntry {
     "q_lang_id" -> q(TextAnalysis.qLangId),
     "q_token_bpe" -> q(TextAnalysis.qTokenBpe),
     "q_fingerprint" -> q(TextAnalysis.qFingerprint),
+    "q_repetition" -> q(TextAnalysis.qRepetition),
+    "q_redact_ids" -> q(TextAnalysis.qRedactIds),
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
@@ -613,6 +615,24 @@ object SparkEntry {
            FROM documents)
          SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
          FROM f GROUP BY fp ORDER BY fp""",
+    "q_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents WHERE doc_id % 10 = 0),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 1, 1) + 1),
+               i -> array_to_string(w[i:i+1], ' '))) AS gram
+           FROM d),
+         c AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+           CAST(MAX(c) AS BIGINT) AS max_gram,
+           CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
+    "q_redact_ids" ->
+      """SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,
+           CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS BIGINT)
+             AS n_digits_removed
+         FROM customer ORDER BY c_custkey""",
     "q_multimodal_meta" ->
       """SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

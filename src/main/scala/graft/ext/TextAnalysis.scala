@@ -109,6 +109,37 @@ object TextAnalysis {
           .cast("long").as("n_bpe"))
       .orderBy("doc_id")
 
+  /** Gopher-style repetition detection: fraction of a document's word
+    * bigrams taken by its single most frequent bigram — the standard
+    * quality filter for template/boilerplate text (high ratio = repeated
+    * phrase). Explode + two aggregates, all map-side partial first.
+    */
+  def qRepetition(t: Tables): DataFrame =
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("gram"))
+      .groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), max("c").as("max_gram"))
+      .withColumn("rep_ratio",
+        col("max_gram").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+
+  /** PII/identifier scrubbing: digits masked out of free-text identifier
+    * columns with redaction accounting (rows touched, digits removed) —
+    * the pattern a training-data pipeline applies to emails/phones/ids
+    * before release. Pure regexp_replace, codegen'd, map-only.
+    */
+  def qRedactIds(t: Tables): DataFrame =
+    t.customer
+      .select(
+        col("c_custkey"),
+        regexp_replace(col("c_name"), "[0-9]", "X").as("name_masked"),
+        length(regexp_replace(col("c_name"), "[^0-9]", "")).cast("long")
+          .as("n_digits_removed"))
+      .orderBy("c_custkey")
+
   /** Rolling-hash fingerprint collisions (native PolyHash64 expression, one
     * pass over the UTF-8 bytes). Order-sensitive, unlike [[fingerprint]] —
     * the pair gives exact-dup and shuffled-dup detection respectively.

@@ -36,16 +36,19 @@ final case class Warehouse(spark: SparkSession, root: String) {
 
   /** `if_exists="replace"` / `"append"` equivalents. Writes stay parallel —
     * no coalesce(1); partition count is whatever the upstream plan produced
-    * (AQE-coalesced).
+    * (AQE-coalesced). `format` covers the columnar formats Spark ships
+    * (parquet default, orc the drop-in alternative).
     */
-  def load(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite): Unit =
-    df.write.mode(mode).parquet(path(table))
+  def load(df: DataFrame, table: String, mode: SaveMode = SaveMode.Overwrite,
+      format: String = "parquet"): Unit =
+    df.write.mode(mode).format(format).save(path(table))
 
   def loadPartitioned(df: DataFrame, table: String, partitionCols: Seq[String],
       mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path(table))
 
-  def table(name: String): DataFrame = spark.read.parquet(path(name))
+  def table(name: String, format: String = "parquet"): DataFrame =
+    spark.read.format(format).load(path(name))
 
   /** Missing table -> 0, like the reference's bare-except readback
     * (etl_pipeline.py:238-242).

@@ -86,7 +86,22 @@ class SkewSourcesSpec extends SparkSuite {
     wh.loadPartitioned(sales, "fact_sales_p", Seq("month"))
     val one = wh.table("fact_sales_p").filter(col("month") === "2025-12")
     assert(one.count() > 0)
-    // partition filter must reach the file index, not a post-scan filter
-    assert(one.queryExecution.optimizedPlan.toString.contains("month") )
+    // pruning must happen at the file index: the month predicate has to
+    // land in the scan's partitionFilters (pre-listing), not dataFilters
+    val scan = one.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "month")),
+      s"month not in partitionFilters: ${scan.partitionFilters}")
+  }
+
+  test("orc warehouse format roundtrips with identical rows") {
+    val tmp = Files.createTempDirectory("graft_orc").toString
+    val wh = load.Warehouse(spark, tmp)
+    val src = tables.nation
+    wh.load(src, "nation_orc", format = "orc")
+    val back = wh.table("nation_orc", format = "orc")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      src.orderBy("n_nationkey").collect().toSeq)
   }
 }
