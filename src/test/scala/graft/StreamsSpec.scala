@@ -188,6 +188,29 @@ class StreamsSpec extends SparkSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("streaming parquet sink with checkpointing lands exactly the input rows") {
+    // landing-zone in -> dedup stream -> durable parquet out: the shape of
+    // a real ingestion job (checkpoint dir carries offsets + dedup state)
+    implicit val sqlCtx = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Streams.dedupWithinWatermark(events)
+      .writeStream.outputMode("append")
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckptDir)
+      .start()
+    mem.addData(sample ++ Seq(sample.head): _*) // one replayed duplicate
+    q.processAllAvailable()
+    q.stop()
+    val landed = spark.read.parquet(outDir)
+    assert(landed.count() == sample.size)
+    assert(landed.select("event_id").as[Long].collect().sorted.toSeq ==
+      sample.map(_._1).sorted)
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
