@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.transform.Transforms.{cutBin, davg, dsum}
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -356,20 +356,29 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
-  /** Self range-join: pairs of orders by the same customer within 30 days.
-    * The equi-key (custkey) bounds the expansion; the range predicate is
-    * applied post-join. Counted per customer.
+  /** Self range-join: pairs of orders by the same customer within 30 days,
+    * banded on 30-day date buckets. The join key is (custkey, bucket) with
+    * the left side probing its own and the next bucket — any qualifying
+    * pair shares exactly one bucket key (width = range span, so no
+    * dedup needed), and the exact range predicate filters post-join.
+    * Versus a bare custkey equi-join this bounds each join group to a
+    * customer-month instead of a customer-lifetime: the per-key expansion
+    * stays flat as order history grows 100x.
     */
   def qRangeJoinPairs(t: Tables): DataFrame = {
+    def b30(d: Column): Column =
+      floor(datediff(to_date(d), to_date(lit("1970-01-01"))) / 30)
     val a = t.orders.select(
       col("o_custkey").as("ck"),
       col("o_orderkey").as("k1"),
       col("o_orderdate").as("d1"))
+      .withColumn("bb", explode(array(b30(col("d1")), b30(col("d1")) + 1)))
     val b = t.orders.select(
       col("o_custkey").as("ck"),
       col("o_orderkey").as("k2"),
       col("o_orderdate").as("d2"))
-    a.join(b, Seq("ck"))
+      .withColumn("bb", b30(col("d2")))
+    a.join(b, Seq("ck", "bb"))
       .filter(
         col("k1") < col("k2") &&
         col("d2") >= col("d1") &&
