@@ -1,0 +1,99 @@
+package graft
+
+import graft.ext.{Dedup, Similarity}
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: custom operators vs straightforward reference
+  * implementations on generated inputs (fixed seeds — deterministic runs).
+  */
+class PropertySpec extends SparkSuite {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: bounded_topk equals sort-take per group, ties included") {
+    val rowGen = Gen.listOfN(
+      200,
+      for {
+        k <- Gen.choose(1L, 5L)
+        s <- Gen.choose(0, 9).map(_.toDouble) // small domain -> many ties
+        id <- Gen.choose(0L, 999L)
+      } yield (k, s, id))
+    for (seed <- 1L to 5L) {
+      val rows = sample(rowGen, seed).distinct // total order under (score desc, id asc)
+      val got = rows.toDF("k", "score", "id").repartition(7)
+        .groupBy("k")
+        .agg(call_function("bounded_topk",
+          struct(col("score"), col("id")), lit(3), lit(true)).as("top"))
+        .select(col("k"), explode(col("top")).as("item"))
+        .select(col("k"), col("item.score"), col("item.id"))
+        .as[(Long, Double, Long)].collect().toSet
+      val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+        rs.map(r => (r._2, r._3)).distinct
+          .sortBy { case (s, id) => (-s, id) }.take(3)
+          .map { case (s, id) => (k, s, id) }
+      }.toSet
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("property: connectedComponents equals union-find on random graphs") {
+    val edgeGen = Gen.listOfN(
+      40,
+      for {
+        a <- Gen.choose(0L, 28L)
+        b <- Gen.choose(1L, 29L)
+      } yield (math.min(a, b), math.max(a, b) + (if (a == b) 1 else 0)))
+    for (seed <- 1L to 3L) {
+      val edges = sample(edgeGen, seed).filter(e => e._1 != e._2).distinct
+      val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+
+      // reference union-find with path compression, min-id roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map(n => n -> find(n)).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
+  test("property: hyperplane signature is scale-invariant for positive scaling") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
+    val vecs = (1L to 20L).map(s => sample(vecGen, s))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val sigs = df.select(
+      call_function("hyperplane_sig", col("v"), lit(64)).as("s1"),
+      call_function("hyperplane_sig",
+        transform(col("v"), x => x * 2.5), lit(64)).as("s2"))
+      .as[(Long, Long)].collect()
+    assert(sigs.forall { case (a, b) => a == b })
+  }
+
+  test("property: cosine_sim is symmetric, bounded, and 1 on self") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
+    val pairs = (1L to 10L).map(s => (sample(vecGen, s), sample(vecGen, s + 100)))
+    val df = pairs.toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("ab"),
+      Similarity.cosine(col("b"), col("a")).as("ba"),
+      Similarity.cosine(col("a"), col("a")).as("aa"))
+      .as[(Double, Double, Double)].collect()
+    out.foreach { case (ab, ba, aa) =>
+      assert(ab == ba) // identical fold order both directions
+      assert(ab >= -1.0 - 1e-9 && ab <= 1.0 + 1e-9)
+      assert(math.abs(aa - 1.0) < 1e-12)
+    }
+  }
+}
