@@ -88,6 +88,7 @@ object SparkEntry {
     "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
     "q_approx_distinct" -> q(Stats.qApproxDistinct),
+    "q_integrity_checks" -> q(Stats.qIntegrityChecks),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
     "q_sessionize" -> q(Events.qSessionize),
@@ -396,6 +397,16 @@ object SparkEntry {
            JOIN supplier ON l_suppkey = s_suppkey
            JOIN nation ON s_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+    "q_integrity_checks" ->
+      """SELECT
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS orphan_parts,
+           (SELECT COUNT(*) FROM (SELECT c_custkey FROM customer
+             GROUP BY 1 HAVING COUNT(*) > 1)) AS dup_custkeys""",
     "q_regexp_extract" ->
       """SELECT CAST(regexp_extract(o_orderpriority, '^(\d+)', 1) AS BIGINT) AS prio_num,
            COUNT(*) AS n, COUNT(DISTINCT o_custkey) AS n_custs

@@ -50,6 +50,25 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def table(name: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path(name))
 
+  /** Keyed upsert ("merge"): rows in `df` replace same-key rows in the
+    * table, other existing rows are kept. On bare parquet this is
+    * read + anti-join + union + rewrite (what a table format's MERGE does
+    * under the hood, minus the transaction log); the write goes through a
+    * temp location first so the source is never read and overwritten in
+    * the same job. First write degenerates to a plain load.
+    */
+  def upsert(df: DataFrame, tableName: String, keys: Seq[String]): Unit = {
+    if (Try(table(tableName).schema).isFailure) { load(df, tableName); return }
+    val existing = table(tableName)
+    val kept = existing.join(df.select(keys.map(col): _*), keys, "left_anti")
+    val merged = kept.unionByName(df)
+    val tmp = path(tableName) + "__tmp"
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
+    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(tableName))
+    val p = new org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   /** Missing table -> 0, like the reference's bare-except readback
     * (etl_pipeline.py:238-242).
     */

@@ -143,6 +143,40 @@ object Stats {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Data-quality audit: referential-integrity orphan counts across the
+    * star schema plus key-uniqueness, as one summary row — the constraint
+    * checks a warehouse load runs before publishing (extends the
+    * reference's health-monitoring theme, etl_pipeline.py:317-348).
+    * Each check is an anti-join or grouped HAVING that Spark executes as
+    * a broadcast/shuffled hash join — no row-by-row validation.
+    */
+  def qIntegrityChecks(t: Tables): DataFrame = {
+    def scalar(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name))
+    // bind each reader once: Tables.* returns a fresh plan (new attribute
+    // ids) per call, so join conditions must reference the same instance
+    val (orders, customer, lineitem, part) =
+      (t.orders, t.customer, t.lineitem, t.part)
+    val orphanOrders = scalar(
+      orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"), "left_anti"),
+      "orphan_orders")
+    val orphanLineitems = scalar(
+      lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"), "left_anti"),
+      "orphan_lineitems")
+    val orphanParts = scalar(
+      lineitem.join(part,
+        lineitem("l_partkey") === part("p_partkey"), "left_anti"),
+      "orphan_parts")
+    val dupCustkeys = scalar(
+      customer.groupBy("c_custkey").agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1),
+      "dup_custkeys")
+    orphanOrders.crossJoin(orphanLineitems)
+      .crossJoin(orphanParts).crossJoin(dupCustkeys)
+  }
+
   /** Regex extraction + aggregate (codegen'd regexp_extract). */
   def qRegexpExtract(t: Tables): DataFrame =
     t.orders

@@ -31,4 +31,18 @@ class JdbcWarehouseSpec extends SparkSuite {
     // missing table -> 0, like the reference's bare-except readback
     assert(wh.tableCountJdbc("no_such_table") == 0L)
   }
+
+  test("keyed upsert replaces matching rows, keeps the rest, inserts new keys") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    val wh = Warehouse(spark, root)
+    wh.upsert(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), "t", Seq("id"))
+    assert(wh.tableCount("t") == 3L)
+    // update key 2, insert key 4
+    wh.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), "t", Seq("id"))
+    val got = wh.table("t").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+    // idempotent replay of the same batch
+    wh.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), "t", Seq("id"))
+    assert(wh.table("t").as[(Long, String)].collect().toMap == got)
+  }
 }
