@@ -91,6 +91,7 @@ object SparkEntry {
     "q_integrity_checks" -> q(Stats.qIntegrityChecks),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
+    "q_resample_hourly" -> q(Events.qResampleHourly),
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
     "q_asof_join" -> q(Events.qAsOfJoin),
@@ -422,6 +423,18 @@ object SparkEntry {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_resample_hourly" ->
+      """WITH b AS (SELECT date_trunc('hour', min(ts)) AS lo,
+             date_trunc('hour', max(ts)) AS hi FROM events),
+         spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+         types AS (SELECT DISTINCT event_type FROM events),
+         c AS (SELECT date_trunc('hour', ts) AS h, event_type, COUNT(*) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT strftime(s.h, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+           COALESCE(c.n, 0) AS n
+         FROM spine s CROSS JOIN types t
+           LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
+         ORDER BY hour, t.event_type""",
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL

@@ -56,6 +56,32 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Calendar densification: hourly event counts per type INCLUDING empty
+    * hours (zero-filled) across the table's span — the gap-filling
+    * resample time-series math needs before window functions are honest.
+    * The hour spine comes from sequence() over broadcast min/max bounds,
+    * cross-joined with the (tiny) type dimension; the fact side stays a
+    * single grouped aggregate — no per-row expansion anywhere.
+    */
+  def qResampleHourly(t: Tables): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val ev = t.events
+      .withColumn("hour_ns", col("ts_ns") - pmod(col("ts_ns"), lit(hourNs)))
+    val bounds = ev.agg(min("hour_ns").as("lo"), max("hour_ns").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"), lit(hourNs))).as("hour_ns"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("hour_ns", "event_type").agg(count(lit(1)).as("n0"))
+    spine.crossJoin(broadcast(types))
+      .join(counts, Seq("hour_ns", "event_type"), "left")
+      .select(
+        date_format(timestamp_micros(expr("hour_ns div 1000")),
+          "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"),
+        coalesce(col("n0"), lit(0L)).as("n"))
+      .orderBy("hour", "event_type")
+  }
+
   /** JSON extraction from the props column + grouped aggregate.
     * `get_json_object` is a codegen'd native expression — no UDF.
     */
