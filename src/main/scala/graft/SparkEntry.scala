@@ -92,6 +92,9 @@ object SparkEntry {
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
     "q_resample_hourly" -> q(Events.qResampleHourly),
+    "q_funnel" -> q(Events.qFunnel),
+    "q_retention" -> q(Events.qRetention),
+    "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
     "q_asof_join" -> q(Events.qAsOfJoin),
@@ -435,6 +438,31 @@ object SparkEntry {
          FROM spine s CROSS JOIN types t
            LEFT JOIN c ON c.h = s.h AND c.event_type = t.event_type
          ORDER BY hour, t.event_type""",
+    "q_funnel" ->
+      """WITH c AS (SELECT user_id, min(epoch_ns(ts)) AS t0 FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         conv AS (SELECT DISTINCT c.user_id FROM c JOIN events e
+           ON e.user_id = c.user_id AND e.event_type = 'purchase'
+           AND epoch_ns(e.ts) >= c.t0
+           AND epoch_ns(e.ts) <= c.t0 + 3600000000000)
+         SELECT (SELECT COUNT(*) FROM c) AS n_clickers,
+           (SELECT COUNT(*) FROM conv) AS n_converted,
+           CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS conv_rate""",
+    "q_retention" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 604800000000000 AS wk FROM events),
+         r AS (SELECT a.wk, COUNT(*) AS n_retained FROM a
+           JOIN a b ON a.user_id = b.user_id AND b.wk = a.wk + 1 GROUP BY 1),
+         n AS (SELECT wk, COUNT(*) AS n_active FROM a GROUP BY 1)
+         SELECT n.wk, n.n_active, COALESCE(r.n_retained, 0) AS n_retained,
+           CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
+             / CAST(n.n_active AS DOUBLE) AS retention_rate
+         FROM n LEFT JOIN r ON n.wk = r.wk ORDER BY n.wk""",
+    "q_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+         FROM orders GROUP BY 1 ORDER BY 1""",
     "q_sessionize" ->
       """WITH g AS (SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL

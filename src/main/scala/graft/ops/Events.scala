@@ -95,6 +95,51 @@ object Events {
         davg(col("value")).as("avg_value"))
       .orderBy("event_type")
 
+  /** Funnel conversion: of users whose first click starts the funnel, how
+    * many purchase within the hour. Two grouped aggregates + one
+    * range-predicated join on the (already-grouped, small) funnel heads;
+    * all time math on exact epoch-ns longs, so the oracle compare has no
+    * timestamp-truncation hazard.
+    */
+  def qFunnel(t: Tables): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val ev = t.events.select("user_id", "event_type", "ts_ns")
+    val heads = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_ns").as("t0"))
+    val converted = ev.filter(col("event_type") === "purchase")
+      .join(heads, "user_id")
+      .filter(col("ts_ns") >= col("t0") && col("ts_ns") <= col("t0") + hourNs)
+      .select("user_id").distinct()
+    heads.agg(count(lit(1)).as("n_clickers"))
+      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .withColumn("conv_rate",
+        col("n_converted").cast("double") / col("n_clickers").cast("double"))
+  }
+
+  /** Weekly cohort retention: per activity week, the share of that week's
+    * active users who are active again the following week. One distinct
+    * projection + a self-join on (user, week+1) — both sides pre-shrunk to
+    * the distinct activity grid before any join.
+    */
+  def qRetention(t: Tables): DataFrame = {
+    val weekNs = 7L * 86400L * 1000000000L
+    val active = t.events
+      .select(col("user_id"), expr(s"ts_ns div $weekNs").as("wk"))
+      .distinct()
+    val nextWeek = active.select(col("user_id"), (col("wk") - 1).as("wk"))
+    val retained = active.join(nextWeek, Seq("user_id", "wk"))
+      .groupBy("wk").agg(count(lit(1)).as("n_retained"))
+    active.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      .join(retained, Seq("wk"), "left")
+      .select(
+        col("wk"),
+        col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (coalesce(col("n_retained"), lit(0L)).cast("double") /
+          col("n_active").cast("double")).as("retention_rate"))
+      .orderBy("wk")
+  }
+
   private def asOfInputs(t: Tables): (DataFrame, DataFrame) = (
     t.events.select(col("event_id"), col("user_id"), col("ts")),
     t.orders.select(

@@ -143,6 +143,20 @@ object Stats {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Equi-width histogram of order values: floor-division bucketing + one
+    * grouped aggregate (the profile view a warehouse computes before
+    * choosing bin boundaries).
+    */
+  def qHistogram(t: Tables, width: Double = 50000.0): DataFrame =
+    t.orders
+      .withColumn("bucket", floor(col("o_totalprice") / width).cast("long"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n"),
+        min("o_totalprice").as("lo"),
+        max("o_totalprice").as("hi"))
+      .orderBy("bucket")
+
   /** Data-quality audit: referential-integrity orphan counts across the
     * star schema plus key-uniqueness, as one summary row — the constraint
     * checks a warehouse load runs before publishing (extends the
