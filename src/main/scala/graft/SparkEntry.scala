@@ -126,6 +126,7 @@ object SparkEntry {
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
+    "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
     "q_multimodal_frames" -> ((spark, dir) =>
       Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
 
@@ -689,5 +690,15 @@ object SparkEntry {
       """SELECT doc_id,
            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
            md5(text) AS content_md5
-         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")
+         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""",
+    "q_multimodal_chunks" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len
+           FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT doc_id, byte_len,
+             unnest(range(0, greatest(byte_len, 1), 48)) AS chunk_off
+           FROM d)
+         SELECT doc_id, chunk_off,
+           least(64, byte_len - chunk_off) AS chunk_len, byte_len
+         FROM c ORDER BY doc_id, chunk_off""")
 }

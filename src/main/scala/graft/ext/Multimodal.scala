@@ -98,6 +98,26 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Chunk planning for embedding pipelines: fixed `window`-byte chunks at
+    * `stride` hops over each payload, emitted as (doc, offset, len) rows
+    * WITHOUT moving payload bytes — the grain a vectorized embed/encode
+    * kernel consumes, re-joined to the payload store only inside the
+    * kernel's partition. Pure sequence arithmetic, so it oracle-checks
+    * exactly; the same plan drives audio-frame or image-tile windows.
+    */
+  def qMultimodalChunks(t: Tables, window: Int = 64, stride: Int = 48): DataFrame =
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("byte_len",
+        octet_length(encode(col("text"), "UTF-8")).cast("long"))
+      .withColumn("chunk_off",
+        explode(sequence(lit(0L), greatest(col("byte_len") - 1, lit(0L)),
+          lit(stride.toLong))))
+      .withColumn("chunk_len",
+        least(lit(window.toLong), col("byte_len") - col("chunk_off")))
+      .select("doc_id", "chunk_off", "chunk_len", "byte_len")
+      .orderBy("doc_id", "chunk_off")
+
   /** Oracle-checkable slice of the multimodal path: treat document text
     * bytes as the opaque payload; byte length + content hash are computed
     * with native expressions (octet_length/md5 — identical in DuckDB).

@@ -211,6 +211,30 @@ class StreamsSpec extends SparkSuite {
       sample.map(_._1).sorted)
   }
 
+  test("foreachBatch applies streaming microbatches as keyed warehouse upserts") {
+    // stream -> merge-into-warehouse: each microbatch upserts by key, so
+    // replays and late corrections converge instead of duplicating
+    implicit val sqlCtx = spark.sqlContext
+    val root = java.nio.file.Files.createTempDirectory("graft_fb_wh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fb_ckpt").toString
+    val wh = graft.load.Warehouse(spark, root)
+    val mem = MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "v")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        wh.upsert(batch, "stream_merged", Seq("id"))
+      }
+      .start()
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((2L, "B"), (3L, "c")) // correction for 2 + new key
+    q.processAllAvailable()
+    q.stop()
+    val got = wh.table("stream_merged").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
