@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-shape regression tests: the scale-critical properties PLANS.md
+  * documents, enforced. If an optimizer change or refactor reintroduces a
+  * fact-table shuffle, drops a pushdown, or de-broadcasts a dimension,
+  * these fail before any benchmark notices.
+  */
+class PlanAuditSpec extends SparkSuite {
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def shuffleCount(plan: String): Int =
+    "(?<![A-Za-z])Exchange ".r.findAllIn(
+      plan.linesIterator.filterNot(_.contains("BroadcastExchange")).mkString("\n")
+    ).length
+
+  test("q1_agg pushes the date filter into the scan and prunes columns") {
+    val p = formatted("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 6 of 11 lineitem columns read
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length <= 6, s"ReadSchema too wide: $read")
+  }
+
+  test("star join broadcasts every dimension side, no sort-merge join") {
+    val p = formatted("q_join_region_revenue")
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 4)
+  }
+
+  test("bounded top-k aggregates partially before its exchange") {
+    val p = formatted("q_window_topk")
+    assert(p.contains("partial_bounded_topk") || p.contains("partial_boundedtopk"),
+      "no map-side partial for bounded_topk")
+  }
+
+  test("LSH knn never shuffles the corpus: bounded shuffle-exchange count") {
+    // allowed exchanges: candidate dedup, final top-k agg, output sort —
+    // anything more means corpus rows started moving
+    val p = formatted("q_knn_lsh")
+    val n = shuffleCount(p)
+    assert(n <= 3, s"expected <=3 shuffle exchanges, got $n:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+  }
+
+  test("native as-of join plans the custom exec between sorted exchanges") {
+    val p = formatted("q_asof_join_native")
+    assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"))
+  }
+}
