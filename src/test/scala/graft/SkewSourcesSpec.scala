@@ -95,6 +95,36 @@ class SkewSourcesSpec extends SparkSuite {
       s"month not in partitionFilters: ${scan.partitionFilters}")
   }
 
+  test("xlsx source roundtrips the inventory generator (reference Excel export)") {
+    val dir = Files.createTempDirectory("graft_xlsx").toString
+    val inv = sources.Generators.inventory(spark, 50)
+    sources.Xlsx.write(inv, s"$dir/inventory.xlsx")
+
+    val back = sources.Xlsx.read(spark, dir)
+    assert(back.columns.toSeq == inv.columns.toSeq)
+    assert(back.count() == 50)
+    // values survive the string landing: compare after casting back
+    val origQty = inv.select(col("sku"), col("quantity").cast("string"))
+      .as[(String, String)].collect().toMap
+    val backQty = back.select(col("sku"), col("quantity"))
+      .as[(String, String)].collect().toMap
+    assert(backQty == origQty)
+    // escaping: special characters roundtrip
+    val tricky = Seq(("a<b&c\"d", 1L)).toDF("name", "v")
+    sources.Xlsx.write(tricky, s"$dir/tricky.xlsx")
+    val t2 = sources.Xlsx.read(spark, s"$dir/tricky.xlsx")
+    assert(t2.select("name").as[String].head() == "a<b&c\"d")
+  }
+
+  test("xlsx landing feeds the standard clean stage like any other source") {
+    val dir = Files.createTempDirectory("graft_xlsx_land").toString
+    val inv = sources.Generators.inventory(spark, 40)
+    sources.Xlsx.write(inv.union(inv.limit(5)), s"$dir/export.xlsx") // 5 dup rows
+    val landed = sources.Xlsx.read(spark, dir)
+    val cleaned = graft.clean.Clean.cleanCommon(landed, "inventory_excel")
+    assert(cleaned.df.count() == 40) // dedup keep-one, same as every source
+  }
+
   test("orc warehouse format roundtrips with identical rows") {
     val tmp = Files.createTempDirectory("graft_orc").toString
     val wh = load.Warehouse(spark, tmp)
