@@ -156,11 +156,32 @@ object Generators {
   /** The reference's fixed source list (etl_pipeline.py:299-306):
     * (source_name, generator, warehouse_table, transform_name).
     */
+  /** The Excel source extracts through a REAL .xlsx landing: the generator
+    * exports a workbook ([[Xlsx.write]]), and the pipeline reads it back
+    * through the distributed xlsx reader with the dtype coercion pandas'
+    * read_excel would apply (reference etl_pipeline.py:133-145). Row
+    * values and counts are identical to the direct frame — numbers
+    * roundtrip through their shortest decimal representation.
+    */
+  def inventoryViaXlsx(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_land")
+    Xlsx.write(inventory(spark), dir.resolve("inventory.xlsx").toString)
+    Xlsx.read(spark, dir.toString)
+      .select(
+        col("sku"), col("product"),
+        col("quantity").cast("long").as("quantity"),
+        col("warehouse"),
+        col("reorder_pt").cast("long").as("reorder_pt"),
+        col("unit_cost").cast("double").as("unit_cost"),
+        col("source"))
+  }
+
   def registry: Seq[(String, SparkSession => DataFrame, String, String)] = Seq(
     ("sales_csv", sales(_: SparkSession), "fact_sales", "sales"),
     ("customer_json", customers(_: SparkSession), "dim_customers", "customers"),
     ("finance_db", finance(_: SparkSession), "fact_finance", "finance"),
-    ("inventory_excel", inventory(_: SparkSession), "dim_inventory", ""),
+    ("inventory_excel", inventoryViaXlsx(_: SparkSession), "dim_inventory", ""),
     ("hr_flat_file", hr(_: SparkSession), "dim_employees", ""),
     ("web_logs", webLogs(_: SparkSession), "fact_web_events", ""))
 }

@@ -116,6 +116,12 @@ class SkewSourcesSpec extends SparkSuite {
     assert(t2.select("name").as[String].head() == "a<b&c\"d")
   }
 
+  test("inventoryViaXlsx lands row-identical values to the direct generator frame") {
+    val direct = sources.Generators.inventory(spark).orderBy("sku").collect().toSeq
+    val viaXlsx = sources.Generators.inventoryViaXlsx(spark).orderBy("sku").collect().toSeq
+    assert(viaXlsx == direct)
+  }
+
   test("xlsx landing feeds the standard clean stage like any other source") {
     val dir = Files.createTempDirectory("graft_xlsx_land").toString
     val inv = sources.Generators.inventory(spark, 40)
