@@ -74,6 +74,7 @@ object SparkEntry {
     "q_above_customer_avg" -> q(Relational.qAboveCustomerAvg),
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
     "q_group_having" -> q(Relational.qGroupHaving),
+    "q_range_frame" -> q(Relational.qRangeFrame),
     "q_sql_frontend" -> q(Relational.qSqlFrontend),
     "q_window_lag" -> q(Relational.qWindowLag),
     "q_first_last" -> q(Relational.qFirstLast),
@@ -297,6 +298,15 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY day
+             RANGE BETWEEN 15 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_15d
+         FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day
+           FROM orders)
+         ORDER BY o_custkey, day, o_orderkey""",
     "q_first_last" ->
       """SELECT DISTINCT o_custkey,
            first_value(o_totalprice) OVER w AS first_price,

@@ -388,6 +388,23 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Value-RANGE window frame: per customer, the exact rolling 15-day
+    * order-value sum — the frame is bounded by the ORDER BY VALUE
+    * (epoch-day), not row offsets, so same-day peers aggregate together.
+    * Decimal-exact sum under the frame keeps the cross-engine compare
+    * bit-stable.
+    */
+  def qRangeFrame(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("day")).rangeBetween(-15, 0)
+    t.orders
+      .withColumn("day",
+        datediff(to_date(col("o_orderdate")), to_date(lit("1970-01-01"))).cast("long"))
+      .withColumn("sum_15d",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day"), col("sum_15d"))
+      .orderBy("o_custkey", "day", "o_orderkey")
+  }
+
   /** Grouped-HAVING: regions×year revenue above a fixed floor. */
   def qGroupHaving(t: Tables): DataFrame =
     t.orders
