@@ -75,6 +75,7 @@ object SparkEntry {
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
     "q_group_having" -> q(Relational.qGroupHaving),
     "q_range_frame" -> q(Relational.qRangeFrame),
+    "q_ignore_nulls" -> q(Relational.qIgnoreNulls),
     "q_sql_frontend" -> q(Relational.qSqlFrontend),
     "q_window_lag" -> q(Relational.qWindowLag),
     "q_first_last" -> q(Relational.qFirstLast),
@@ -298,6 +299,16 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
          ORDER BY yr, o_orderstatus""",
+    "q_ignore_nulls" ->
+      """SELECT o_custkey, o_orderkey, sparse,
+           last_value(sparse IGNORE NULLS) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM (SELECT o_custkey, o_orderkey,
+             CASE WHEN o_orderpriority = '3-MEDIUM' THEN NULL
+               ELSE o_orderpriority END AS sparse
+           FROM orders)
+         ORDER BY o_custkey, o_orderkey""",
     "q_range_frame" ->
       """SELECT o_custkey, o_orderkey, day,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (

@@ -405,6 +405,22 @@ object Relational {
       .orderBy("o_custkey", "day", "o_orderkey")
   }
 
+  /** IGNORE NULLS window navigation: the last non-null value seen so far
+    * per partition — the forward-fill primitive for sparse columns
+    * (sensor/event streams where most rows carry no reading).
+    */
+  def qIgnoreNulls(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .withColumn("sparse",
+        when(col("o_orderpriority") === "3-MEDIUM", lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("filled", last(col("sparse"), ignoreNulls = true).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("sparse"), col("filled"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Grouped-HAVING: regions×year revenue above a fixed floor. */
   def qGroupHaving(t: Tables): DataFrame =
     t.orders

@@ -188,6 +188,23 @@ class StreamsSpec extends SparkSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    // the scheduled-ingestion mode: process everything currently in the
+    // landing zone, then stop — no long-running query to babysit
+    val in = java.nio.file.Files.createTempDirectory("graft_an_in")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      in.resolve("part-000.parquet"))
+    val q = Streams.tumblingCounts(Streams.eventsStream(spark, in.toString))
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("available_now_out").start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    val total = spark.table("available_now_out")
+      .agg(sum("n")).as[Long].head()
+    assert(total == tables.events.count())
+  }
+
   test("streaming parquet sink with checkpointing lands exactly the input rows") {
     // landing-zone in -> dedup stream -> durable parquet out: the shape of
     // a real ingestion job (checkpoint dir carries offsets + dedup state)
