@@ -126,6 +126,16 @@ object SparkEntry {
     "q_repetition" -> q(TextAnalysis.qRepetition),
     "q_redact_ids" -> q(TextAnalysis.qRedactIds),
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
+    // — streaming (an actual AvailableNow streaming execution: file source
+    //   -> watermarked windowed state -> sink; graded against the same
+    //   oracle as the batch twin q_tumbling_window) —
+    "q_stream_tumbling" -> ((spark, dir) =>
+      graft.streaming.Streams.drainTumblingCounts(spark, dir, "events.parquet")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start", "event_type")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
@@ -444,6 +454,13 @@ object SparkEntry {
          FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          WHERE vec_id % 50 = 0 ORDER BY vec_id""",
     "q_tumbling_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // identical to q_tumbling_window's oracle: the streaming drain must
+    // reproduce the batch aggregation exactly (same windows, exact sums)
+    "q_stream_tumbling" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

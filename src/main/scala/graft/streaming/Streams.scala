@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Session output row (top-level: Spark encoder codegen cannot construct
@@ -45,23 +45,67 @@ object Streams {
     * schema. In production this is the landing-zone directory a collector
     * appends to; `maxFilesPerTrigger` bounds per-microbatch work.
     */
-  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+  def eventsStream(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
     spark.readStream
       .schema(eventFileSchema)
       .option("maxFilesPerTrigger", "8")
+      // lets a stream share a mixed landing directory (e.g. the testdata
+      // root, where events.parquet sits next to the other tables)
+      .option("pathGlobFilter", globFilter)
       .parquet(dir)
       // integer `div` (see Tables.events): double division loses us precision
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Tumbling 1-hour windowed counts with a 2-hour watermark. */
+  /** Tumbling 1-hour windowed counts with a 2-hour watermark. The value sum
+    * goes through an exact DECIMAL accumulator (same rule as the batch
+    * twin's Transforms.dsum) so microbatch arrival order cannot shift ulps —
+    * which is what makes the drained stream hash-identical to the batch
+    * oracle.
+    */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Drain-mode execution of [[tumblingCounts]]: start the file-source
+    * stream over `dir`, process the whole backlog with
+    * `Trigger.AvailableNow`, and return the final windowed aggregate as a
+    * batch frame read from the in-memory sink — an actual streaming
+    * execution (microbatches, state store, sink commit) whose result is
+    * comparable row-for-row with the batch twin.
+    *
+    * Complete output mode, deliberately: a drain must also emit the tail
+    * windows that the watermark never passes (append mode would hold them in
+    * state forever once the source is exhausted). Sink/state size is the
+    * window-group cardinality of the drained range — bounded by time span,
+    * not input rows — so this holds at landing-zone scale; an unbounded
+    * 24/7 pipeline would run the same plan in append mode to a durable sink
+    * instead.
+    */
+  def drainTumblingCounts(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val name = s"graft_drain_tumbling_${drainSeq.incrementAndGet()}"
+    val query = tumblingCounts(eventsStream(spark, dir, globFilter))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try require(
+      query.awaitTermination(600000L), "AvailableNow drain did not terminate")
+    finally query.stop()
+    spark.table(name)
+  }
 
   /** Sliding windows (1-hour window, 15-minute slide): each event lands in
     * four overlapping windows.

@@ -205,6 +205,16 @@ class StreamsSpec extends SparkSuite {
     assert(total == tables.events.count())
   }
 
+  test("drained AvailableNow stream is row-identical to the batch tumbling window") {
+    // the graded q_stream_tumbling path: a real streaming execution whose
+    // output must match the batch twin exactly (hash-compared by the driver)
+    val streamed = SparkEntry.queries("q_stream_tumbling")(spark, sfDir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val batch = graft.ops.Events.qTumblingWindow(tables)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming parquet sink with checkpointing lands exactly the input rows") {
     // landing-zone in -> dedup stream -> durable parquet out: the shape of
     // a real ingestion job (checkpoint dir carries offsets + dedup state)
