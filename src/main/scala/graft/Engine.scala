@@ -49,6 +49,17 @@ object Engine {
     if (estBytes >= BigInt(maxPartBytes) * target) df else df.repartition(target)
   }
 
+  /** Unpersist the materialized RDD behind a `localCheckpoint()`ed frame.
+    * Iterative loops (connected components, Lloyd's iterations) checkpoint
+    * every round; without this the superseded rounds' blocks sit in
+    * executor storage until GC. No-op on non-checkpointed frames.
+    */
+  def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Build a local session (tests / standalone runs). */
   def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
     val spark = SparkSession

@@ -131,7 +131,7 @@ object Dedup {
     // so AQE converts them to broadcasts at runtime from the actual sizes;
     // forcing eager broadcast here serializes the nested broadcast builds
     // and measured ~3x slower
-    pairs
+    val verified = pairs
       .join(candShd.toDF("id1", "sh1"), "id1")
       .join(candShd.toDF("id2", "sh2"), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -140,6 +140,13 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
+    // materialize the (small, verified) result, then drop the two pipeline
+    // caches — a long-lived session would otherwise accumulate storage
+    // blocks on every invocation
+    val out = verified.localCheckpoint()
+    shingled.unpersist(false)
+    pairs.unpersist(false)
+    out
   }
 
   def qDedupMinhash(t: Tables): DataFrame =
@@ -178,10 +185,12 @@ object Dedup {
     // localCheckpoint (not persist) per round: iterative plans otherwise
     // grow lineage every round and each round pays fresh codegen for an
     // ever-bigger tree. On a cluster with fault-tolerance needs this
-    // becomes a reliable checkpoint — same loop.
+    // becomes a reliable checkpoint — same loop. The caller should pass an
+    // already-checkpointed/cached edge frame; `sym` and the initial labels
+    // stay lazy views of it (re-deriving them from cached edge blocks is
+    // cheaper than materializing two more checkpoints).
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-      .localCheckpoint()
     var labels = sym.select(col("src").as("id"), col("src").as("comp")).distinct()
       .localCheckpoint()
     // min-propagation is monotone (a label only ever decreases), so the
@@ -195,16 +204,26 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      labels = sym.join(labels, sym("dst") === labels("id"))
+      val next = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
         .localCheckpoint()
-      val s = labelSum(labels)
+      val s = labelSum(next)
       done = s == lastSum
       lastSum = s
+      // the superseded round's checkpoint blocks are dead once `next` is
+      // materialized — free them instead of waiting for GC
+      graft.Engine.freeCheckpoint(labels)
+      labels = next
       i += 1
     }
+    // a component chain with diameter > maxIter would return labels that
+    // are still merging — surface it loudly instead of silently disagreeing
+    // with an exact oracle
+    if (!done) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter; raise maxIter)")
     labels
   }
 
@@ -213,8 +232,14 @@ object Dedup {
     * and the sorted member list.
     */
   def qDedupClusters(t: Tables): DataFrame = {
-    val edges = qNgramJaccard(t).select("id1", "id2")
-    connectedComponents(edges)
+    // checkpoint the edge list once: without it, the full
+    // explode-join-jaccard pipeline sits under EVERY round of the label
+    // propagation below (and under both of connectedComponents' initial
+    // frames), re-analyzing and re-optimizing a deep plan per round. Also
+    // skips qNgramJaccard's presentation sort — edges are unordered input.
+    val edges = ngramJaccardPairs(t).select("id1", "id2").localCheckpoint()
+    val labels = connectedComponents(edges)
+    val out = labels
       .groupBy("comp")
       .agg(
         count(lit(1)).as("n_members"),
@@ -223,6 +248,10 @@ object Dedup {
           ",").as("members"))
       .select(col("comp").as("keep_id"), col("n_members"), col("members"))
       .orderBy("keep_id")
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(labels)
+    graft.Engine.freeCheckpoint(edges)
+    out
   }
 
   /** Exact word-set jaccard pairs over a deterministic sample, with a
@@ -234,7 +263,13 @@ object Dedup {
     * as the corpus scales. The df/stop-word tables are tiny and broadcast.
     * (Full pairwise remains the verifier inside LSH, not a scale path.)
     */
-  def qNgramJaccard(t: Tables, maxDfFrac: Double = 0.5): DataFrame = {
+  def qNgramJaccard(t: Tables, maxDfFrac: Double = 0.5): DataFrame =
+    ngramJaccardPairs(t, maxDfFrac).orderBy("id1", "id2")
+
+  /** [[qNgramJaccard]] without the presentation sort — the form consumers
+    * that only need the pair set (cluster building) should use.
+    */
+  def ngramJaccardPairs(t: Tables, maxDfFrac: Double = 0.5): DataFrame = {
     val docs = t.documents
       .filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), col("lang"), array_distinct(words(col("text"))).as("w"))
@@ -260,6 +295,5 @@ object Dedup {
       .withColumn("jaccard", col("inter") / (col("n1") + col("n2") - col("inter")))
       .filter(col("jaccard") >= 0.3)
       .select("id1", "id2", "jaccard")
-      .orderBy("id1", "id2")
   }
 }
