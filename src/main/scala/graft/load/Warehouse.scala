@@ -53,20 +53,38 @@ final case class Warehouse(spark: SparkSession, root: String) {
   /** Keyed upsert ("merge"): rows in `df` replace same-key rows in the
     * table, other existing rows are kept. On bare parquet this is
     * read + anti-join + union + rewrite (what a table format's MERGE does
-    * under the hood, minus the transaction log); the write goes through a
-    * temp location first so the source is never read and overwritten in
-    * the same job. First write degenerates to a plain load.
+    * under the hood, minus the transaction log). The merged output is
+    * written ONCE, next to the table, then swapped into place with
+    * filesystem renames — metadata operations, so the data never moves
+    * twice and the previous table files survive (as `__old`) until the
+    * swap has fully succeeded. First write degenerates to a plain load.
+    *
+    * Key matching is null-safe (`<=>`): a replayed batch whose keys contain
+    * nulls still dedupes against the existing rows — plain equality never
+    * matches null keys and would duplicate them on every replay, breaking
+    * idempotency.
     */
   def upsert(df: DataFrame, tableName: String, keys: Seq[String]): Unit = {
     if (Try(table(tableName).schema).isFailure) { load(df, tableName); return }
     val existing = table(tableName)
-    val kept = existing.join(df.select(keys.map(col): _*), keys, "left_anti")
+    val incoming = df.select(keys.map(col): _*).dropDuplicates(keys)
+    val cond = keys.map(k => existing(k) <=> incoming(k)).reduce(_ && _)
+    val kept = existing.join(incoming, cond, "left_anti")
     val merged = kept.unionByName(df)
-    val tmp = path(tableName) + "__tmp"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    spark.read.parquet(tmp).write.mode(SaveMode.Overwrite).parquet(path(tableName))
-    val p = new org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(tableName))
+    val tmp = new org.apache.hadoop.fs.Path(path(tableName) + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path(tableName) + "__old")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(old, true)
+    if (!fs.rename(dst, old))
+      throw new java.io.IOException(s"upsert: could not stage $dst aside")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(old, dst) // roll back: restore the previous table
+      throw new java.io.IOException(s"upsert: could not move $tmp into place")
+    }
+    fs.delete(old, true)
   }
 
   /** Missing table -> 0, like the reference's bare-except readback

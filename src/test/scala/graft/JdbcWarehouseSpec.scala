@@ -44,5 +44,18 @@ class JdbcWarehouseSpec extends SparkSuite {
     // idempotent replay of the same batch
     wh.upsert(Seq((2L, "B"), (4L, "d")).toDF("id", "v"), "t", Seq("id"))
     assert(wh.table("t").as[(Long, String)].collect().toMap == got)
+    // no leftover staging directories after the atomic swap
+    val left = new java.io.File(root).list().toSet
+    assert(!left.exists(n => n.contains("__tmp") || n.contains("__old")), left)
+  }
+
+  test("upsert with null-valued keys stays idempotent on replay") {
+    val root = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString
+    val wh = Warehouse(spark, root)
+    val batch = Seq((Some(1L), "a"), (None, "nk")).toDF("id", "v")
+    wh.upsert(batch, "t", Seq("id"))
+    wh.upsert(batch, "t", Seq("id")) // replay: null key must match null key
+    val got = wh.table("t").as[(Option[Long], String)].collect().toSeq
+    assert(got.sortBy(_._2) == Seq((Some(1L), "a"), (None, "nk")))
   }
 }
