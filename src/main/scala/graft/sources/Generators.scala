@@ -163,9 +163,21 @@ object Generators {
     * values and counts are identical to the direct frame — numbers
     * roundtrip through their shortest decimal representation.
     */
+  /** One landing directory per JVM, cleaned on exit: the registry invokes
+    * this per pipeline run, and a fresh temp dir per call would accumulate
+    * driver-local files for the life of the process. The workbook is
+    * rewritten in place each run (the generator is deterministic anyway).
+    */
+  private lazy val xlsxLandingDir: java.nio.file.Path = {
+    val d = java.nio.file.Files.createTempDirectory("graft_xlsx_land")
+    d.toFile.deleteOnExit()
+    d.resolve("inventory.xlsx").toFile.deleteOnExit()
+    d
+  }
+
   def inventoryViaXlsx(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dir = java.nio.file.Files.createTempDirectory("graft_xlsx_land")
+    val dir = xlsxLandingDir
     Xlsx.write(inventory(spark), dir.resolve("inventory.xlsx").toString)
     Xlsx.read(spark, dir.toString)
       .select(

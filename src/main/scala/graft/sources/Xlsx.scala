@@ -101,6 +101,29 @@ object Xlsx {
       writeBytes(header, rows))
   }
 
+  /** Distributed export: each partition writes its own workbook under
+    * `dir` (the natural sharding grain for the format — a single sheet
+    * holds at most ~1M rows anyway), so no row data ever moves to the
+    * driver. Task retries overwrite the same per-partition file name, so
+    * the output stays consistent. [[read]] reassembles the directory.
+    */
+  def writeSharded(df: DataFrame, dir: String): Unit = {
+    val header = df.schema.fieldNames.toSeq
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .mkdirs(root)
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val rows = it.map(_.toSeq).toSeq
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
+        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val os = fs.create(out, true)
+        try os.write(writeBytes(header, rows)) finally os.close()
+      }
+    }
+  }
+
   // --- read --------------------------------------------------------------
 
   /** Parse one workbook's first sheet into (header, rows-of-strings). */
@@ -156,8 +179,14 @@ object Xlsx {
   }
 
   /** Distributed read of a directory (or glob) of .xlsx files: each file
-    * parses independently inside its partition; the header comes from the
-    * first file. All columns land as strings.
+    * parses independently inside its partition. The reference header is the
+    * lexicographically FIRST file's (deterministic, unlike `head()` whose
+    * file choice depends on listing order); every other file's rows are
+    * aligned to it BY COLUMN NAME from that file's own header, so a
+    * directory of workbooks with differing column order lands correctly —
+    * and a file with genuinely different columns fails loudly instead of
+    * silently binding values to the wrong names. All columns land as
+    * strings.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -166,10 +195,18 @@ object Xlsx {
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-    val header = parseBytes(files.head()._2)._1
+    val refPath = files.select(min("path")).as[String].head()
+    val header = parseBytes(files.filter(col("path") === refPath).head()._2)._1
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     val rows = files.mapPartitions { it =>
-      it.flatMap { case (_, bytes) => parseBytes(bytes)._2.map(Row.fromSeq) }
+      it.flatMap { case (p, bytes) =>
+        val (h, rs) = parseBytes(bytes)
+        require(h.toSet == header.toSet,
+          s"xlsx header mismatch in $p: [${h.mkString(",")}] vs reference " +
+            s"[${header.mkString(",")}]")
+        val idx = header.map(h.indexOf)
+        rs.map(r => Row.fromSeq(idx.map(i => if (i < r.length) r(i) else "")))
+      }
     }(org.apache.spark.sql.Encoders.row(schema))
     rows.toDF()
   }

@@ -116,6 +116,39 @@ class SkewSourcesSpec extends SparkSuite {
     assert(t2.select("name").as[String].head() == "a<b&c\"d")
   }
 
+  test("sharded xlsx export writes one workbook per partition and reads back whole") {
+    val dir = Files.createTempDirectory("graft_xlsx_shard").toString
+    val inv = sources.Generators.inventory(spark, 60).repartition(4)
+    sources.Xlsx.writeSharded(inv, dir)
+    val shards = new java.io.File(dir).list().count(_.endsWith(".xlsx"))
+    assert(shards > 1, s"expected multiple workbook shards, got $shards")
+    val back = sources.Xlsx.read(spark, dir)
+    assert(back.columns.toSeq == inv.columns.toSeq)
+    val origQty = inv.select(col("sku"), col("quantity").cast("string"))
+      .as[(String, String)].collect().toMap
+    val backQty = back.select(col("sku"), col("quantity"))
+      .as[(String, String)].collect().toMap
+    assert(backQty == origQty)
+  }
+
+  test("xlsx read aligns differing column orders by name and rejects mismatches") {
+    val dir = Files.createTempDirectory("graft_xlsx_align").toString
+    // two workbooks, same columns in DIFFERENT order: values must land
+    // under the right names regardless of which file defines the header
+    sources.Xlsx.write(Seq(("s1", 10L)).toDF("sku", "qty"), s"$dir/a.xlsx")
+    sources.Xlsx.write(Seq((20L, "s2")).toDF("qty", "sku"), s"$dir/b.xlsx")
+    val got = sources.Xlsx.read(spark, dir)
+      .select("sku", "qty").as[(String, String)].collect().toSet
+    assert(got == Set(("s1", "10"), ("s2", "20")))
+    // a genuinely different header fails loudly instead of mis-binding
+    sources.Xlsx.write(Seq(1L).toDF("other"), s"$dir/c.xlsx")
+    val e = intercept[org.apache.spark.SparkException] {
+      sources.Xlsx.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("header mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("header mismatch")))
+  }
+
   test("inventoryViaXlsx lands row-identical values to the direct generator frame") {
     val direct = sources.Generators.inventory(spark).orderBy("sku").collect().toSeq
     val viaXlsx = sources.Generators.inventoryViaXlsx(spark).orderBy("sku").collect().toSeq
