@@ -71,44 +71,81 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** IVF-style pruned search: coarse cells = `label`; centroid per cell via
-    * elementwise mean (posexplode + re-collect); each query probes only its
-    * nearest cell. Output: per query, top-k within the probed cell.
-    * Approximate by construction — verified as rows-only by the harness and
-    * against recall in unit tests.
+  /** Nearest-centroid cell id for a vector, against a LITERAL centroid set:
+    * a pure projection (k cosines + argmax over an array), no join and no
+    * shuffle — the corpus-side assignment shape that survives 100 TB. Ties
+    * break to the lowest cell id (array_position returns the first max).
+    */
+  private def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column = {
+    val sims = array(cents.map(c => cosine(vec, typedLit(c))): _*)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Elementwise mean vector per cell (posexplode + re-assemble in dim
+    * order), collected to the driver: centroid sets are k x dim doubles —
+    * index metadata, not data — so reading them back per Lloyd round is the
+    * same scalar-orchestration pattern as connectedComponents' convergence
+    * counter.
+    */
+  private def cellMeans(assigned: DataFrame): Map[Int, Array[Double]] =
+    assigned
+      .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("cell", "dim")
+      .agg(avg("v").as("mv"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("packed"))
+      .select(col("cell"), transform(col("packed"), s => s.getField("mv")).as("cvec"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .toMap
+
+  /** K-means coarse centroids by Lloyd's iterations over a deterministic
+    * training sample (every `trainMod`-th vector — index builds train on a
+    * sample at scale, then assign the full corpus once). Initialization is
+    * the per-`label` means; each round is one map-only assignment pass plus
+    * one aggregate, with the tiny centroid set round-tripped through the
+    * driver — the corpus itself never shuffles.
+    */
+  def lloydCentroids(
+      emb: DataFrame, iters: Int = 3, trainMod: Int = 2): Seq[Array[Double]] = {
+    val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
+    val init = cellMeans(train.select(col("label").cast("int").as("cell"), col("vec")))
+    var cents: Seq[Array[Double]] = init.toSeq.sortBy(_._1).map(_._2)
+    for (_ <- 1 to iters) {
+      val assigned = train.select(
+        nearestCell(col("vec"), cents).as("cell"), col("vec"))
+      val means = cellMeans(assigned)
+      // a cell that lost all members keeps its previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    cents
+  }
+
+  /** IVF pruned search with LEARNED coarse centroids (Lloyd's iterations,
+    * see [[lloydCentroids]]); each query probes only its nearest cell.
+    * Corpus rows compute their cell id map-side against the literal
+    * centroid set and the (tiny) assigned query set broadcasts into the
+    * probe equi-join, so the corpus is never shuffled. Output: per query,
+    * top-k within the probed cell. Approximate by construction — verified
+    * as rows-only by the harness and against recall in unit tests.
     */
   def qKnnIvf(t: Tables, k: Int = 5): DataFrame = {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
-
-    // centroids: mean per (label, dim) then re-assembled in dim order
-    val centroids = emb
-      .select(col("label"), posexplode(col("vec")).as(Seq("dim", "v")))
-      .groupBy("label", "dim")
-      .agg(avg("v").as("mv"))
-      .groupBy("label")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("packed"))
-      .select(col("label").as("c_label"),
-        transform(col("packed"), s => s.getField("mv")).as("cvec"))
+    val cents = lloydCentroids(emb)
 
     val queries = emb
       .filter(pmod(col("vec_id"), lit(200)) === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        nearestCell(col("vec"), cents).as("cell"))
 
-    // assign each query to its nearest centroid (broadcast both small sides)
-    val wAssign = Window.partitionBy("qid").orderBy(col("csim").desc, col("c_label"))
-    val assigned = queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qvec"), col("cvec")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("qid"), col("qvec"), col("c_label"))
-
-    // probe only the assigned cell: equi-join on label prunes the corpus
+    // probe only the assigned cell: equi-join on the cell key prunes the
+    // corpus; the corpus side's cell id is a projection, not a shuffle
     val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
     emb
-      .withColumnRenamed("vec_id", "nid")
-      .join(broadcast(assigned), col("label") === assigned("c_label"))
+      .select(col("vec_id").as("nid"), col("vec"),
+        nearestCell(col("vec"), cents).as("cell"))
+      .join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qvec"), col("vec")))
       .withColumn("rnk", row_number().over(wRank).cast("long"))

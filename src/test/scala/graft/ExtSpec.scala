@@ -85,6 +85,31 @@ class ExtSpec extends SparkSuite {
     assert(recall > 0.1, s"recall=$recall")
   }
 
+  test("Lloyd's iterations sharpen mixed label-mean centroids onto the true clusters") {
+    // two exact clusters on orthogonal axes; labels only 60/40-correlated
+    // with the clusters, so the init (label means) is a blurred mix of both
+    // axes — the Lloyd rounds must converge the centroids to the pure
+    // cluster means
+    val a = Seq(1.0, 0.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0, 0.0)
+    val rows = (0 until 40).map { i =>
+      val inA = i < 20
+      val label = (inA, i % 5 < 3) match { // 12/8 vs 8/12 label mix
+        case (true, true) => 0
+        case (true, false) => 1
+        case (false, true) => 1
+        case (false, false) => 0
+      }
+      (i.toLong, label, if (inA) a else b)
+    }
+    val emb = rows.toDF("vec_id", "label", "vec")
+    val cents = Similarity.lloydCentroids(emb, iters = 3, trainMod = 1)
+    assert(cents.length == 2)
+    val byAxis = cents.map(c => c.indexOf(c.max)).toSet
+    assert(byAxis == Set(0, 1), s"centroids not on distinct axes: $byAxis")
+    cents.foreach(c => assert(c.max > 0.99, s"centroid not sharpened: ${c.toSeq}"))
+  }
+
   test("LSH knn: k rows per query, ranked desc, recall >= 0.8 vs brute force") {
     val brute = Similarity.qKnnBrute(tables).select("qid", "nid")
       .as[(Long, Long)].collect().toSet
