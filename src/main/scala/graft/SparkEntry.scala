@@ -146,6 +146,10 @@ object SparkEntry {
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
     * q_knn_ivf / q_knn_lsh (approximate by construction),
     * pipeline_health (generator-sourced).
+    *
+    * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
+    * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
+    * hex-decoded UTF-8 bytes, then re-centers to signed BIGINT.
     */
   def oracleSql: Map[String, String] = Map(
     "etl_sales_pipeline" ->
@@ -718,6 +722,27 @@ object SparkEntry {
            CAST(MAX(c) AS BIGINT) AS max_gram,
            CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
          FROM c GROUP BY doc_id ORDER BY doc_id""",
+    // same h = h*31 + byte recurrence as the native PolyHash64, emulated in
+    // HUGEINT mod 2^64 over hex-decoded UTF-8 bytes (strpos over a
+    // 0-omitting hex alphabet gives each nibble's value; 17 seeds the fold)
+    "q_rolling_fingerprint" ->
+      """WITH d AS (SELECT doc_id, lower(trim(text)) AS lt FROM documents),
+         b AS (SELECT doc_id, hex(encode(lt)) AS hx,
+             octet_length(encode(lt)) AS nb FROM d),
+         u AS (SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(17 AS HUGEINT),
+               list_transform(range(1, nb + 1),
+                 i -> CAST((strpos('123456789ABCDEF', hx[2*i-1:2*i-1])) * 16
+                        + (strpos('123456789ABCDEF', hx[2*i:2*i])) AS HUGEINT))),
+             (a, x) -> (a * 31 + x) % 18446744073709551616::HUGEINT) AS ufp
+           FROM b),
+         f AS (SELECT doc_id,
+           CAST(CASE WHEN ufp >= 9223372036854775808::HUGEINT
+             THEN ufp - 18446744073709551616::HUGEINT ELSE ufp END AS BIGINT) AS fp
+           FROM u)
+         SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+         FROM f GROUP BY fp ORDER BY fp""",
     "q_redact_ids" ->
       """SELECT c_custkey,
            regexp_replace(c_name, '[0-9]', 'X', 'g') AS name_masked,

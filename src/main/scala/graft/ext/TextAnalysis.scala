@@ -143,8 +143,8 @@ object TextAnalysis {
   /** Rolling-hash fingerprint collisions (native PolyHash64 expression, one
     * pass over the UTF-8 bytes). Order-sensitive, unlike [[fingerprint]] —
     * the pair gives exact-dup and shuffled-dup detection respectively.
-    * No SQL oracle (64-bit wraparound isn't expressible in DuckDB BIGINT);
-    * covered by unit tests and the rows-only check.
+    * Oracle-checked: DuckDB emulates the 64-bit wraparound in HUGEINT
+    * (mod 2^64, re-centered to signed BIGINT) over the same UTF-8 bytes.
     */
   def qRollingFingerprint(t: Tables): DataFrame =
     t.documents
