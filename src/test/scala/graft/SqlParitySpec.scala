@@ -1,0 +1,94 @@
+package graft
+
+/** The SQL frontend generalizes: re-run a spread of the oracled relational
+  * queries from SQL TEXT over the registered views (Catalyst parse ->
+  * analyze -> optimize) and assert row-identity with the DataFrame
+  * formulations the driver grades. One query through `spark.sql`
+  * (q_sql_frontend) proves the wiring; this proves the dialect surface —
+  * aggregates, exact decimal sums, windows, set ops, ROLLUP/CUBE, HAVING,
+  * ORDER/LIMIT — all parse and plan to the same results.
+  */
+class SqlParitySpec extends SparkSuite {
+
+  private val sqlTwins: Seq[(String, String)] = Seq(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= CAST('2001-09-02' AS TIMESTAMP_NTZ)
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_running_total" ->
+      """SELECT o_custkey, o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS o_date,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+         FROM orders ORDER BY o_custkey, o_date, o_orderkey""",
+    "q_sort_limit" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+         FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY 1, 2""",
+    "q_intersect" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q_except" ->
+      """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+         ORDER BY o_custkey""",
+    "q_rollup" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+           COALESCE(l_linestatus, 'ALL') AS ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+         ORDER BY rf, ls""",
+    "q_count_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_group_having" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+         FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
+         ORDER BY yr, o_orderstatus""")
+
+  test("SQL text reproduces the graded DataFrame formulations row-for-row") {
+    tables.createViews()
+    sqlTwins.foreach { case (name, sql) =>
+      val viaSql = spark.sql(sql)
+      val viaDf = SparkEntry.queries(name)(spark, sfDir)
+      assert(viaSql.columns.toSeq == viaDf.columns.toSeq,
+        s"$name: column names diverge")
+      val a = viaSql.collect().toSeq
+      val b = viaDf.collect().toSeq
+      assert(a.size == b.size, s"$name: row counts diverge (${a.size} vs ${b.size})")
+      a.zip(b).zipWithIndex.foreach { case ((ra, rb), i) =>
+        assert(ra == rb, s"$name: row $i diverges: $ra vs $rb")
+      }
+    }
+  }
+}
