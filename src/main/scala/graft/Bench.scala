@@ -20,16 +20,28 @@ object Bench {
       t.customer.count(); t.events.limit(1).count()
       t.documents.limit(1).count(); t.embeddings.limit(1).count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def timeAll(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val results = timeAll()
     val total = results.map(_._2).sum
+    // optional second, warm iteration (SPARK_GRAFT_WARM=1): steady-state
+    // numbers with codegen/JIT already paid — run-to-run variance on the
+    // heavy dedup queries is dominated by that one-time cost. The graded
+    // total/queries fields stay the cold first pass.
+    val warmSection =
+      if (!sys.env.get("SPARK_GRAFT_WARM").contains("1")) ""
+      else {
+        val warm = timeAll()
+        s""","warm_total":${warm.map(_._2).sum},"warm":${toJson(warm)}"""
+      }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
     println(line)
     // stdout through sbt can get log-wrapped/truncated; persist the same
     // line to a file so the harness has a deterministic machine-readable copy
