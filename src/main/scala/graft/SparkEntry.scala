@@ -107,6 +107,7 @@ object SparkEntry {
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
+    "q_contamination" -> q(Dedup.qContamination(_)),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -126,6 +127,7 @@ object SparkEntry {
     "q_repetition" -> q(TextAnalysis.qRepetition),
     "q_redact_ids" -> q(TextAnalysis.qRedactIds),
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
+    "q_unigram_surprisal" -> q(TextAnalysis.qUnigramSurprisal),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -604,6 +606,37 @@ object SparkEntry {
            array_to_string(list_transform(list_sort(list(id)),
              x -> CAST(x AS VARCHAR)), ',') AS members
          FROM comp GROUP BY comp ORDER BY keep_id""",
+    // n-gram semantics mirror Dedup.shingles: a doc shorter than n yields
+    // one whole-doc gram (both slices clamp)
+    "q_contamination" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 2),
+               i -> array_to_string(w[i:i+3], ' '))) AS grams FROM d),
+         b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+         c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+         SELECT c.doc_id, COUNT(*) AS n_shared
+         FROM c JOIN b USING (gram)
+         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    // per-word surprisal rounded at 1e-9 (above cross-engine ln jitter)
+    // then summed in exact decimal weighted by occurrence count
+    "q_unigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         cnt AS (SELECT word, COUNT(*) AS cw FROM w GROUP BY 1),
+         tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM cnt),
+         s AS (SELECT word,
+             CAST(round(-ln(CAST(cw AS DOUBLE) / tt), 9) AS DECIMAL(14,10)) AS sp
+           FROM cnt CROSS JOIN tot),
+         dw AS (SELECT doc_id, word, COUNT(*) AS k FROM w
+           WHERE doc_id % 10 = 0 GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+           CAST(SUM(sp * CAST(k AS DECIMAL(8,0))) AS DOUBLE)
+             / CAST(SUM(k) AS BIGINT) AS avg_surprisal
+         FROM dw JOIN s USING (word)
+         GROUP BY doc_id ORDER BY doc_id""",
     "q_sample_stratified" ->
       """SELECT lang, source, doc_id, rn FROM (
            SELECT lang, source, doc_id,

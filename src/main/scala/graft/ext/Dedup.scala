@@ -254,6 +254,35 @@ object Dedup {
     out
   }
 
+  /** Benchmark decontamination: corpus documents sharing any word n-gram
+    * with the benchmark/eval set (here the deterministic `doc_id % 97`
+    * sample — in production, the held-out eval suites). Emits each
+    * contaminated doc with its count of distinct shared n-grams — the
+    * standard pre-training hygiene pass that keeps eval data out of the
+    * training corpus.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to the corpus and
+    * BROADCASTS into the join, so the corpus-side gram stream never
+    * shuffles; only matched (doc, gram) rows — contamination is rare by
+    * construction — reach the per-doc aggregate. At 100 TB the gram join
+    * key would be a 64-bit hash rather than the string (same plan shape);
+    * strings are kept here so the DuckDB oracle can replay the join
+    * exactly.
+    */
+  def qContamination(t: Tables, n: Int = 4): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), array_distinct(shingles(col("text"), n)).as("g"))
+    val isBench = pmod(col("doc_id"), lit(97)) === 0
+    val benchGrams = docs.filter(isBench)
+      .select(explode(col("g")).as("gram")).distinct()
+    docs.filter(!isBench)
+      .select(col("doc_id"), explode(col("g")).as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Exact word-set jaccard pairs over a deterministic sample, with a
     * document-frequency skew guard: words present in more than `maxDfFrac`
     * of a language's sampled docs (stop-words — exactly the hot keys that

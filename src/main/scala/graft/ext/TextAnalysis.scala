@@ -153,6 +153,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("fp")
 
+  /** Unigram-LM surprisal score per document: the corpus defines a unigram
+    * distribution p(word) = count(word)/total, and each sampled document is
+    * scored by its mean token surprisal -ln p(word) — the cheap stand-in
+    * for perplexity filtering, the canonical LM-data quality signal
+    * (unusual-token-heavy docs score high, boilerplate scores low).
+    *
+    * Numeric parity: each word's surprisal is rounded at 1e-9 (far above
+    * the 1-2 ulp cross-engine ln() jitter) and cast to DECIMAL, and the
+    * per-doc sum is exact decimal arithmetic weighted by occurrence counts
+    * — so aggregation order cannot move the result and the DuckDB oracle
+    * hash-matches. Scale shape: one corpus pass for counts (hash
+    * aggregate), the word->surprisal table joins back map-side (broadcast
+    * at dictionary scale), per-doc aggregate shuffles only (doc, word)
+    * pairs of the scored sample.
+    */
+  def qUnigramSurprisal(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), " +")).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+    val total = counts.agg(sum("cw").as("tt"))
+    // narrow decimals keep the product/sum inside precision 38 on both
+    // engines, so no precision-loss rescaling can diverge the exact sums
+    val surprisal = counts.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(-log(col("cw").cast("double") / col("tt")), 9)
+          .cast("decimal(14,10)").as("sp"))
+    toks
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("k"))
+      .join(surprisal, "word")
+      .groupBy("doc_id")
+      .agg(
+        sum("k").as("n_tokens"),
+        (sum(col("sp") * col("k").cast("decimal(8,0)")).cast("double") / sum("k"))
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct word set —
     * invariant to word order and duplication, the cheap exact-near-dup key.
     */

