@@ -128,6 +128,7 @@ object SparkEntry {
     "q_redact_ids" -> q(TextAnalysis.qRedactIds),
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     "q_unigram_surprisal" -> q(TextAnalysis.qUnigramSurprisal),
+    "q_tfidf_top" -> q(TextAnalysis.qTfidfTop(_)),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -637,6 +638,29 @@ object SparkEntry {
              / CAST(SUM(k) AS BIGINT) AS avg_surprisal
          FROM dw JOIN s USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+    // idf rounded at 1e-9 then exact tf * idf decimal scoring; ties break
+    // on the word for an engine-independent ranking
+    "q_tfidf_top" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         df AS (SELECT word, COUNT(*) AS dfreq
+           FROM (SELECT DISTINCT doc_id, word FROM w) GROUP BY 1),
+         nd AS (SELECT COUNT(*) AS nd FROM documents),
+         idf AS (SELECT word,
+             CAST(round(ln(CAST(nd AS DOUBLE) / dfreq), 9) AS DECIMAL(14,10)) AS idf
+           FROM df CROSS JOIN nd),
+         tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w
+           WHERE doc_id % 10 = 0 GROUP BY 1, 2),
+         sc AS (SELECT doc_id, word,
+             CAST(tf AS DECIMAL(8,0)) * idf AS score
+           FROM tf JOIN idf USING (word)),
+         r AS (SELECT doc_id, word, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY score DESC, word) AS BIGINT) AS rnk
+           FROM sc)
+         SELECT doc_id, word, CAST(score AS DOUBLE) AS score, rnk
+         FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     "q_sample_stratified" ->
       """SELECT lang, source, doc_id, rn FROM (
            SELECT lang, source, doc_id,

@@ -192,6 +192,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF keyword extraction: top-3 terms per sampled document, scored
+    * tf * ln(N/df) against the whole corpus — the classic per-document
+    * descriptor a pipeline attaches for retrieval/clustering. IDF is
+    * rounded above ln() jitter and held in DECIMAL; tf is an integer count,
+    * so the score arithmetic is exact and the (score desc, word) ranking is
+    * engine-independent. Scale shape: document frequencies are one hash
+    * aggregate over the corpus; the df table joins back by word (broadcast
+    * at dictionary scale); ranking partitions by doc.
+    */
+  def qTfidfTop(t: Tables, k: Int = 3): DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"), explode(split(trim(lower(col("text"))), " +")).as("word"))
+    val df = toks.select(col("doc_id"), col("word")).distinct()
+      .groupBy("word").agg(count(lit(1)).as("dfreq"))
+    val nDocs = t.documents.agg(count(lit(1)).as("nd"))
+    val idf = df.crossJoin(broadcast(nDocs))
+      .select(col("word"),
+        round(log(col("nd").cast("double") / col("dfreq")), 9)
+          .cast("decimal(14,10)").as("idf"))
+    val tf = toks.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(idf, "word")
+      .withColumn("score", col("tf").cast("decimal(8,0)") * col("idf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("word"), col("score").cast("double").as("score"),
+        col("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   /** Canonical document fingerprint: md5 over the sorted distinct word set —
     * invariant to word order and duplication, the cheap exact-near-dup key.
     */
