@@ -51,4 +51,22 @@ class PlanAuditSpec extends SparkSuite {
     val p = formatted("q_asof_join_native")
     assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"))
   }
+
+  test("contamination broadcasts the benchmark gram set into the corpus join") {
+    // the corpus-side gram stream must meet the benchmark set in a
+    // BroadcastHashJoin: a sort-merge fallback would shuffle the whole
+    // corpus's grams on the string key
+    val p = formatted("q_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark set not broadcast")
+    assert(!p.contains("SortMergeJoin"), "corpus gram stream fell into SMJ")
+  }
+
+  test("IVF probe meets the corpus through a broadcast join on the cell key") {
+    // corpus rows compute their cell id as a projection; the assigned query
+    // set broadcasts — the corpus itself must never hash-shuffle for the
+    // probe (only the per-query rank/sort exchanges remain)
+    val p = formatted("q_knn_ivf")
+    assert(p.contains("BroadcastHashJoin"), "query assignments not broadcast")
+    assert(!p.contains("SortMergeJoin"), "probe join fell into SMJ")
+  }
 }
