@@ -27,13 +27,14 @@ object Dedup {
   /** Whitespace-normalized lowercase word array. */
   def words(text: Column): Column = split(trim(lower(text)), " +")
 
-  /** Word n-gram shingles, via index-transform over the word array. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val w = words(text)
-    transform(
-      sequence(lit(0), greatest(size(w) - n, lit(0))),
-      i => array_join(slice(w, i + lit(1), lit(n)), " "))
-  }
+  /** Word n-gram shingles via the native [[graft.functions.WordShingles]]
+    * expression: one pass over the word array. (The HOF formulation —
+    * transform over an index sequence with array_join(slice) — re-splits
+    * the text once per gram, because interpreted lambdas re-evaluate
+    * captured child expressions per element.)
+    */
+  def shingles(text: Column, n: Int = 3): Column =
+    call_function("word_shingles", words(text), lit(n))
 
   /** MinHash signature: k min-hash slots over the shingle set, via the
     * native [[graft.functions.MinHashSig]] expression (double hashing:
@@ -270,7 +271,9 @@ object Dedup {
     * exactly.
     */
   def qContamination(t: Tables, n: Int = 4): DataFrame = {
-    val docs = t.documents.select(
+    // spread BEFORE the shingle projection: a small compressed parquet
+    // scans as one task, which would serialize the gram construction
+    val docs = graft.Engine.spread(t.documents).select(
       col("doc_id"), array_distinct(shingles(col("text"), n)).as("g"))
     val isBench = pmod(col("doc_id"), lit(97)) === 0
     val benchGrams = docs.filter(isBench)

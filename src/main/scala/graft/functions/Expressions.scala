@@ -269,6 +269,41 @@ case class HyperplaneSig(child: Expression, planes: Int)
   * h = fold(h * 31 + byte) from h0 = 17, wrapping in 64 bits — the classic
   * order-sensitive document fingerprint. Single pass, no allocation.
   */
+/** Word n-gram shingle STRINGS in one pass over the word array — the
+  * lambda-free twin of the `transform(sequence, i -> array_join(slice))`
+  * formulation, whose captured `split()` child the interpreted
+  * higher-order lambda re-evaluates PER ELEMENT (re-splitting the text
+  * once per gram, O(words^2) work per document). Semantics match that
+  * formulation exactly: a doc shorter than n yields one whole-doc gram,
+  * an empty word array yields one empty gram, grams are not deduplicated.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val nw = arr.numElements()
+    val words = new Array[UTF8String](nw)
+    var i = 0
+    while (i < nw) { words(i) = arr.getUTF8String(i); i += 1 }
+    val count = math.max(nw - n, 0) + 1
+    val sep = UTF8String.fromString(" ")
+    val out = new Array[AnyRef](count)
+    i = 0
+    while (i < count) {
+      val end = math.min(i + n, nw)
+      out(i) = UTF8String.concatWs(sep, java.util.Arrays.copyOfRange(words, i, end).toSeq: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class PolyHash64(child: Expression)
     extends UnaryExpression with CodegenFallback {
 

@@ -56,6 +56,8 @@ object GraftFunctions {
     ("hyperplane_sig", args => HyperplaneSig(args(0),
       if (args.length > 1) intLit("hyperplane_sig", args(1)) else 64)),
     ("poly_hash", args => PolyHash64(args.head)),
+    ("word_shingles", args => WordShingles(args(0),
+      if (args.length > 1) intLit("word_shingles", args(1)) else 3)),
     ("bounded_topk", topkBuilder))
 
   /** Imperative registration on an existing session. */

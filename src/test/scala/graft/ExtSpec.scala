@@ -166,6 +166,23 @@ class ExtSpec extends SparkSuite {
     assert(out.forall(r => r.getDouble(2) > 0 && r.getDouble(2) <= 1.0))
   }
 
+  test("native word_shingles matches the HOF transform/slice formulation") {
+    // incl. short-doc clamp (one whole-doc gram) and the empty-text edge
+    val df = Seq("a b c d e", "a b", "", "x", "w1  w2   w3 w4").toDF("text")
+    val w = split(trim(lower(col("text"))), " +")
+    val hof = transform(
+      sequence(lit(0), greatest(size(w) - 3, lit(0))),
+      i => array_join(slice(w, i + lit(1), lit(3)), " "))
+    Seq(2, 3, 4).foreach { n =>
+      val hofN = transform(
+        sequence(lit(0), greatest(size(w) - n, lit(0))),
+        i => array_join(slice(w, i + lit(1), lit(n)), " "))
+      df.select(Dedup.shingles(col("text"), n).as("a"), hofN.as("b"))
+        .collect()
+        .foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n"))
+    }
+  }
+
   test("contamination flags only non-benchmark docs, with positive shared-gram counts") {
     val out = Dedup.qContamination(tables).collect()
     assert(out.nonEmpty)
