@@ -111,12 +111,21 @@ object Similarity {
     val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
     val init = cellMeans(train.select(col("label").cast("int").as("cell"), col("vec")))
     var cents: Seq[Array[Double]] = init.toSeq.sortBy(_._1).map(_._2)
-    for (_ <- 1 to iters) {
+    var moved = true
+    var i = 0
+    while (moved && i < iters) {
       val assigned = train.select(
         nearestCell(col("vec"), cents).as("cell"), col("vec"))
       val means = cellMeans(assigned)
       // a cell that lost all members keeps its previous centroid
-      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      val next = cents.indices.map(i => means.getOrElse(i, cents(i)))
+      // early stop once assignments are stable (centroids stop moving) —
+      // saves whole corpus passes when the init is already good
+      moved = cents.zip(next).exists { case (a, b) =>
+        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+      }
+      cents = next
+      i += 1
     }
     cents
   }
