@@ -107,17 +107,34 @@ object Xlsx {
     * driver. Task retries overwrite the same per-partition file name, so
     * the output stays consistent. [[read]] reassembles the directory.
     */
+  /** Hadoop Configuration is not Serializable; this carries the session's
+    * filesystem settings (credentials, endpoints) to the executor-side
+    * writers instead of silently rebuilding defaults there.
+    */
+  private class SerializableConf(@transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   def writeSharded(df: DataFrame, dir: String): Unit = {
     val header = df.schema.fieldNames.toSeq
     val root = new org.apache.hadoop.fs.Path(dir)
-    root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      .mkdirs(root)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    root.getFileSystem(conf).mkdirs(root)
+    val sconf = new SerializableConf(conf)
     df.foreachPartition { (it: Iterator[Row]) =>
       if (it.hasNext) {
         val rows = it.map(_.toSeq).toSeq
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val out = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.xlsx")
-        val fs = out.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = out.getFileSystem(sconf.value)
         val os = fs.create(out, true)
         try os.write(writeBytes(header, rows)) finally os.close()
       }
