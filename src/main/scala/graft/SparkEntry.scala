@@ -139,6 +139,13 @@ object SparkEntry {
             .as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "q_stream_sliding" -> ((spark, dir) =>
+      graft.streaming.Streams.drainSlidingCounts(spark, dir, "events.parquet")
+        .select(
+          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"))
+        .orderBy("window_start", "event_type")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
@@ -465,6 +472,16 @@ object SparkEntry {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // sliding windows (1 h every 15 min, epoch-aligned like Spark's
+    // window()): every event belongs to exactly four window starts
+    "q_stream_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) AS us, event_type FROM events),
+         w AS (SELECT event_type,
+             us - (us % 900000000) - i * 900000000 AS ws
+           FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i))
+         SELECT strftime(make_timestamp(ws), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     // identical to q_tumbling_window's oracle: the streaming drain must
     // reproduce the batch aggregation exactly (same windows, exact sums)
     "q_stream_tumbling" ->

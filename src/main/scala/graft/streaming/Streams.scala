@@ -92,9 +92,24 @@ object Streams {
     * instead.
     */
   def drainTumblingCounts(
-      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
-    val name = s"graft_drain_tumbling_${drainSeq.incrementAndGet()}"
-    val query = tumblingCounts(eventsStream(spark, dir, globFilter))
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(spark, tumblingCounts(eventsStream(spark, dir, globFilter)))
+
+  /** Sliding-window drain twin (1-hour windows every 15 minutes: each
+    * event lands in exactly four windows).
+    */
+  def drainSlidingCounts(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(spark, slidingCounts(eventsStream(spark, dir, globFilter)))
+
+  /** Run a streaming aggregation to completion over the current backlog
+    * (AvailableNow + complete mode into a memory sink) and return the
+    * final result as a batch frame. See [[drainTumblingCounts]] for why
+    * complete mode is the right drain semantics.
+    */
+  private def drain(spark: SparkSession, streamed: DataFrame): DataFrame = {
+    val name = s"graft_drain_${drainSeq.incrementAndGet()}"
+    val query = streamed
       .writeStream
       .outputMode(OutputMode.Complete())
       .trigger(Trigger.AvailableNow())

@@ -215,6 +215,24 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("drained sliding stream matches a batch four-window expansion") {
+    val streamed = SparkEntry.queries("q_stream_sliding")(spark, sfDir)
+      .as[(String, String, Long)].collect().toSeq
+    val batch = tables.events
+      .select(col("ts_ns"), col("event_type"))
+      .withColumn("i", explode(sequence(lit(0), lit(3))))
+      .withColumn("ws_us",
+        expr("ts_ns div 1000") - pmod(expr("ts_ns div 1000"), lit(900000000L))
+          - col("i") * lit(900000000L))
+      .groupBy("ws_us", "event_type").agg(count(lit(1)).as("n"))
+      .select(
+        date_format(timestamp_micros(col("ws_us")), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("event_type"), col("n"))
+      .orderBy("w", "event_type")
+      .as[(String, String, Long)].collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("streaming parquet sink with checkpointing lands exactly the input rows") {
     // landing-zone in -> dedup stream -> durable parquet out: the shape of
     // a real ingestion job (checkpoint dir carries offsets + dedup state)
