@@ -1,0 +1,35 @@
+package graft
+
+/** Partitioning-independence: the oracle hash-compare relies on results
+  * being pure functions of the DATA, not of the cluster shape. Re-running
+  * a spread of graded queries under a different shuffle-partition count
+  * exercises different aggregation orders, exchange layouts, and AQE
+  * decisions — any order-dependent float sum, nondeterministic tie-break,
+  * or partition-sensitive sample would diverge here before the driver's
+  * gate (or a real cluster) catches it.
+  */
+class DeterminismSpec extends SparkSuite {
+
+  private val names = Seq(
+    "q1_agg",             // exact decimal money sums
+    "q_stats",            // variance/corr moment arithmetic
+    "q_running_total",    // frame-window decimal sums
+    "q_sample_stratified", // content-hash deterministic sampling
+    "q_unigram_surprisal", // rounded-ln decimal sums
+    "q_tfidf_top",        // decimal scoring + tie-broken ranking
+    "q_fingerprint",      // hash grouping
+    "q_dedup_exact")
+
+  test("graded results are identical under a different shuffle partitioning") {
+    val original = spark.conf.get("spark.sql.shuffle.partitions")
+    val baseline = names.map(n =>
+      n -> SparkEntry.queries(n)(spark, sfDir).collect().toSeq).toMap
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      names.foreach { n =>
+        val again = SparkEntry.queries(n)(spark, sfDir).collect().toSeq
+        assert(again == baseline(n), s"$n diverged under repartitioning")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", original)
+  }
+}
