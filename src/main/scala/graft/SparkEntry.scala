@@ -90,6 +90,7 @@ object SparkEntry {
     "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
     "q_approx_distinct" -> q(Stats.qApproxDistinct),
+    "q_approx_quantile" -> q(Stats.qApproxQuantile),
     "q_integrity_checks" -> q(Stats.qIntegrityChecks),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
@@ -108,6 +109,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
+    "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -154,7 +156,9 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
-    * q_knn_ivf / q_knn_lsh (approximate by construction),
+    * q_knn_ivf / q_knn_lsh / q_approx_quantile (approximate by
+    * construction; sketch internals engine-specific),
+    * q_multimodal_frames (stub decode kernel),
     * pipeline_health (generator-sourced).
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
@@ -624,6 +628,29 @@ object SparkEntry {
            array_to_string(list_transform(list_sort(list(id)),
              x -> CAST(x AS VARCHAR)), ',') AS members
          FROM comp GROUP BY comp ORDER BY keep_id""",
+    // same fingerprint as q_fingerprint, same quality blend as
+    // q_quality_score (rounded at 1e-9 so float jitter can't flip the
+    // argmax); winner = highest quality, ties to lowest doc id
+    "q_dedup_keep_best" ->
+      """WITH d AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fp,
+             CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE round(
+               least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0) * 0.4
+               + (CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) * 0.4
+               + least((CAST(len(trim(text))
+                    - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0) * 0.2,
+               9) END AS q
+           FROM documents),
+         g AS (SELECT fp, COUNT(*) AS n_members FROM d
+           GROUP BY fp HAVING COUNT(*) >= 2),
+         w AS (SELECT d.fp, d.doc_id, d.q,
+             row_number() OVER (PARTITION BY d.fp ORDER BY d.q DESC, d.doc_id) AS rn
+           FROM d JOIN g USING (fp))
+         SELECT w.fp, g.n_members, w.doc_id AS keep_id, w.q AS best_quality
+         FROM w JOIN g ON w.fp = g.fp WHERE w.rn = 1 ORDER BY w.fp""",
     // n-gram semantics mirror Dedup.shingles: a doc shorter than n yields
     // one whole-doc gram (both slices clamp)
     "q_contamination" ->

@@ -255,6 +255,47 @@ object Dedup {
     out
   }
 
+  /** Keep-BEST dedup: within each exact-near-dup group (same sorted
+    * distinct-word fingerprint), keep the member with the highest quality
+    * score instead of the lowest id — what a production pipeline actually
+    * does when duplicates differ in cleanliness. Quality is the same
+    * length/diversity/word-length blend as qQualityScore, rounded at 1e-9
+    * so cross-engine float jitter cannot flip the argmax; ties break to
+    * the lowest doc id. Emits only groups with real duplicates.
+    *
+    * Scale: fingerprint + quality are map-side; one hash aggregate on the
+    * fingerprint does group sizing AND winner selection via a single
+    * max(struct) — no window, no second pass.
+    */
+  def qDedupKeepBest(t: Tables): DataFrame = {
+    val nTokens = when(length(trim(col("text"))) === 0, lit(0))
+      .otherwise(size(split(trim(col("text")), " +"))).cast("double")
+    val nDistinct = size(array_distinct(split(trim(col("text")), " +"))).cast("double")
+    val avgWordLen =
+      (length(trim(col("text"))).cast("double") - (nTokens - 1)) / nTokens
+    // empty text guards the 0/0 (NaN vs NULL differs across engines)
+    val quality = when(nTokens === 0.0, lit(0.0)).otherwise(round(
+      least(nTokens / 100.0, lit(1.0)) * 0.4
+        + (nDistinct / nTokens) * 0.4
+        + least(avgWordLen / 10.0, lit(1.0)) * 0.2, 9))
+    graft.Engine.spread(t.documents)
+      .select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        quality.as("q"))
+      .groupBy("fp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("q"), (-col("doc_id")).as("negid"))).as("best"))
+      .filter(col("n_members") >= 2)
+      .select(
+        col("fp"),
+        col("n_members"),
+        (-col("best.negid")).as("keep_id"),
+        col("best.q").as("best_quality"))
+      .orderBy("fp")
+  }
+
   /** Benchmark decontamination: corpus documents sharing any word n-gram
     * with the benchmark/eval set (here the deterministic `doc_id % 97`
     * sample — in production, the held-out eval suites). Emits each

@@ -143,6 +143,24 @@ object Stats {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Quantile sketch next to the exact answer: approx_percentile is the
+    * single-pass mergeable summary a 100 TB profile pass uses (exact
+    * percentiles need a full sort per group); the exact value rides along
+    * so the harness rows-check and the unit test can bound sketch error.
+    * No oracle — sketch internals are engine-specific.
+    */
+  def qApproxQuantile(t: Tables): DataFrame =
+    t.lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
+          .as("approx_median"),
+        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+        approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
+          .as("approx_p90"),
+        percentile(col("l_extendedprice"), lit(0.9)).as("exact_p90"))
+      .orderBy("l_returnflag")
+
   /** Equi-width histogram of order values: floor-division bucketing + one
     * grouped aggregate (the profile view a warehouse computes before
     * choosing bin boundaries).

@@ -183,6 +183,21 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("keep-best dedup picks the highest-quality member of every dup group") {
+    val groups = Dedup.qDedupKeepBest(tables).collect()
+    assert(groups.nonEmpty)
+    val fps = tables.documents
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String)].collect().groupBy(_._2)
+    groups.foreach { r =>
+      val members = fps(r.getString(0)).map(_._1)
+      assert(r.getLong(1) == members.length, "group size mismatch")
+      assert(r.getLong(1) >= 2)
+      assert(members.contains(r.getLong(2)), "winner not in its group")
+    }
+  }
+
   test("contamination flags only non-benchmark docs, with positive shared-gram counts") {
     val out = Dedup.qContamination(tables).collect()
     assert(out.nonEmpty)

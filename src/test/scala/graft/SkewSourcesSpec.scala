@@ -37,6 +37,17 @@ class SkewSourcesSpec extends SparkSuite {
     }
   }
 
+  test("approx_percentile lands within a few percent of the exact quantile") {
+    Stats.qApproxQuantile(tables).collect().foreach { r =>
+      Seq((1, 2), (3, 4)).foreach { case (ai, ei) =>
+        val approx = r.getDouble(ai)
+        val exact = r.getDouble(ei)
+        assert(math.abs(approx - exact) / exact < 0.05,
+          s"approx=$approx exact=$exact")
+      }
+    }
+  }
+
   test("csv and json source formats roundtrip the customer generator") {
     val tmp = Files.createTempDirectory("graft_fmt").toString
     val src = sources.Generators.customers(spark, 200)
