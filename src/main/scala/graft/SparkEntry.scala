@@ -131,6 +131,8 @@ object SparkEntry {
     "q_rolling_fingerprint" -> q(TextAnalysis.qRollingFingerprint),
     "q_unigram_surprisal" -> q(TextAnalysis.qUnigramSurprisal),
     "q_tfidf_top" -> q(TextAnalysis.qTfidfTop(_)),
+    "q_text_chunks" -> q(TextAnalysis.qTextChunks(_)),
+    "q_pack_sequences" -> q(TextAnalysis.qPackSequences(_)),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -682,6 +684,35 @@ object SparkEntry {
              / CAST(SUM(k) AS BIGINT) AS avg_surprisal
          FROM dw JOIN s USING (word)
          GROUP BY doc_id ORDER BY doc_id""",
+    // chunk plan: size 32, stride 24; a doc of n tokens yields
+    // floor((max(n,1)-1)/24)+1 chunks, last one truncated
+    "q_text_chunks" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+           FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT doc_id, n_tokens,
+             unnest(range(0, ((greatest(n_tokens, 1) - 1) // 24) + 1)) AS chunk_id
+           FROM d)
+         SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS chunk_start,
+           CAST(least(32, n_tokens - chunk_id * 24) AS BIGINT) AS chunk_len,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+         FROM c ORDER BY doc_id, chunk_id""",
+    // sequential packing into 256-token bins within each language;
+    // bin = floor(running-offset / budget), integer-exact
+    "q_pack_sequences" ->
+      """WITH d AS (SELECT doc_id, lang,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n
+           FROM documents),
+         c AS (SELECT doc_id, lang, n,
+             SUM(n) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d)
+         SELECT lang, CAST((cum - n) // 256 AS BIGINT) AS bin,
+           COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
+         FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     // idf rounded at 1e-9 then exact tf * idf decimal scoring; ties break
     // on the word for an engine-independent ranking
     "q_tfidf_top" ->

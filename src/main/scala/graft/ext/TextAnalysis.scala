@@ -192,6 +192,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Context-window chunk plan: fixed-size token chunks with overlap
+    * (size 32, stride 24 here) per sampled document — the text twin of the
+    * multimodal chunk planner, and the shape a training pipeline uses to
+    * split documents across context windows. Pure offset arithmetic over
+    * the token count: no token text moves, chunks are (start, len) plans
+    * the tokenizer consumes later. Map-only + explode; trivially linear.
+    */
+  def qTextChunks(t: Tables, chunk: Int = 32, overlap: Int = 8): DataFrame = {
+    val step = chunk - overlap
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(n_tokens, 1) - 1) div $step"))))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (col("chunk_id") * step).as("chunk_start"),
+        least(lit(chunk.toLong), col("n_tokens") - col("chunk_id") * step)
+          .as("chunk_len"),
+        col("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** Deterministic sequence packing: documents in id order within each
+    * language are laid end-to-end into fixed token budgets (bins), and the
+    * plan reports per-bin document and token counts — the packing pass
+    * that turns a corpus into fixed-length training sequences. The running
+    * token offset is a window sum partitioned by language, so packing
+    * parallelizes across languages (no global ordering); integer
+    * arithmetic only, so the oracle is exact.
+    */
+  def qPackSequences(t: Tables, budget: Int = 256): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    t.documents
+      .select(col("doc_id"), col("lang"), tokenCount(col("text")).as("n"))
+      .withColumn("cum", sum("n").over(w))
+      .withColumn("bin", expr(s"(cum - n) div $budget"))
+      .groupBy("lang", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("sum_tokens"))
+      .orderBy("lang", "bin")
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per sampled document, scored
     * tf * ln(N/df) against the whole corpus — the classic per-document
     * descriptor a pipeline attaches for retrieval/clustering. IDF is

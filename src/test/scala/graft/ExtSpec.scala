@@ -183,6 +183,37 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("chunk plans tile each document: stride 24, bounded length, full coverage") {
+    val rows = graft.ext.TextAnalysis.qTextChunks(tables).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, cs) =>
+      val sorted = cs.sortBy(_.getLong(1))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getLong(1) == i)             // contiguous chunk ids
+        assert(r.getLong(2) == i * 24L)       // stride
+        assert(r.getLong(3) <= 32L)           // bounded length
+      }
+      val last = sorted.last
+      val n = last.getLong(4)
+      // the final chunk reaches the end of the document
+      assert(last.getLong(2) + last.getLong(3) == n || n == 0)
+    }
+  }
+
+  test("sequence packing conserves tokens and fills bins in order") {
+    val rows = graft.ext.TextAnalysis.qPackSequences(tables).collect()
+    val totalPacked = rows.map(_.getLong(3)).sum
+    val totalTokens = tables.documents
+      .select(graft.ext.TextAnalysis.tokenCount(col("text")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(totalPacked == totalTokens, "packing lost or duplicated tokens")
+    rows.groupBy(_.getString(0)).foreach { case (_, bins) =>
+      val ids = bins.map(_.getLong(1)).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        "bins not contiguous from 0")
+    }
+  }
+
   test("keep-best dedup picks the highest-quality member of every dup group") {
     val groups = Dedup.qDedupKeepBest(tables).collect()
     assert(groups.nonEmpty)
