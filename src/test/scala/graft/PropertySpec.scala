@@ -41,6 +41,23 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: word_shingles equals a plain Scala sliding-window reference") {
+    val textGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+      .map(_.mkString(" "))
+    for (seed <- 1L to 5L; n <- Seq(1, 2, 3, 5)) {
+      val texts = sample(Gen.listOfN(30, textGen), seed)
+      val got = texts.toDF("text")
+        .select(Dedup.shingles(col("text"), n).as("g"))
+        .as[Seq[String]].collect().toSeq
+      val want = texts.map { t =>
+        val w = t.trim.toLowerCase.split(" +", -1).toSeq
+        val count = math.max(w.length - n, 0) + 1
+        (0 until count).map(i => w.slice(i, i + n).mkString(" "))
+      }
+      assert(got == want, s"seed=$seed n=$n")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val edgeGen = Gen.listOfN(
       40,
