@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as opaque
   * `binary` columns with typed metadata, processed by per-partition batch
-  * functions. The real decode/resample kernels need native media libraries
-  * (absent in this container), so the kernel is a clearly-marked
-  * deterministic STUB — but the Spark-side plumbing (schema, batching,
-  * partition mapping, metadata extraction) is real and tested, and the stub
-  * is swappable for a JNI/PIL-backed kernel without touching the plan shape.
+  * functions. The decode kernel is REAL for self-describing formats —
+  * PNG/BMP/WAV headers parse with pure JVM byte arithmetic
+  * ([[decodeMedia]]); only codec-compressed media (JPEG scans, H.264),
+  * which needs native codec libraries absent in this container, falls back
+  * to a clearly-marked deterministic STUB. The Spark-side plumbing
+  * (schema, batching, partition mapping, metadata extraction) is identical
+  * either way, so a JNI/codec-backed kernel swaps in without touching the
+  * plan shape.
   *
   * Scale notes: payloads never pass through a shuffle — metadata is derived
   * map-side, and `mapPartitions` keeps decode batched per-partition (the
@@ -23,13 +26,14 @@ object Multimodal {
       doc_id: Long,
       byte_len: Long,
       content_md5: String,
+      kind: String,
       width: Int,
       height: Int,
       n_frames: Int)
 
   /** STUB decode kernel: derives fake-but-deterministic image dimensions
-    * from the payload hash. A real implementation would decode the codec
-    * header here; everything around it (batch shape, schema) is production
+    * from the payload hash. Used only for payloads [[decodeMedia]] cannot
+    * recognize; everything around it (batch shape, schema) is production
     * plumbing.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
@@ -38,6 +42,44 @@ object Multimodal {
     val ht = 90 + math.floorMod(h >> 3, 8) * 90 // 90..720
     val frames = 1 + math.floorMod(h >> 6, 240)
     (w, ht, frames)
+  }
+
+  /** REAL header decode for self-describing formats — pure JVM byte
+    * parsing, no media libraries: PNG (IHDR width/height), BMP
+    * (BITMAPINFOHEADER), WAV (RIFF chunk walk; generic dims carry
+    * channels/sample-rate, frames = data bytes / block align). Detection
+    * by magic bytes; codec-compressed media (JPEG scans, H.264...) would
+    * need native codecs absent in this container and falls back to the
+    * deterministic stub, labeled `synthetic`.
+    */
+  def decodeMedia(p: Array[Byte]): (String, Int, Int, Int) = {
+    def be32(o: Int) = ((p(o) & 0xff) << 24) | ((p(o + 1) & 0xff) << 16) |
+      ((p(o + 2) & 0xff) << 8) | (p(o + 3) & 0xff)
+    def le32(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8) |
+      ((p(o + 2) & 0xff) << 16) | ((p(o + 3) & 0xff) << 24)
+    def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    if (p.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
+      ("png", be32(16), be32(20), 1)
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+      ("bmp", le32(18), math.abs(le32(22)), 1) // height<0 = top-down rows
+    else if (p.length >= 36 && be32(0) == 0x52494646 && be32(8) == 0x57415645) {
+      var off = 12
+      var blockAlign = 0; var rate = 0; var channels = 0; var dataLen = 0
+      while (off + 8 <= p.length) {
+        val id = be32(off); val sz = le32(off + 4)
+        if (id == 0x666d7420 && off + 22 <= p.length) { // "fmt "
+          channels = le16(off + 10); rate = le32(off + 12)
+          blockAlign = le16(off + 20)
+        }
+        if (id == 0x64617461) dataLen = sz // "data"
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      val frames = if (blockAlign > 0) dataLen / blockAlign else 0
+      ("wav", channels, rate, frames)
+    } else {
+      val (w, h, f) = decodeStub(p)
+      ("synthetic", w, h, f)
+    }
   }
 
   /** Per-partition batched "decode": the mapPartitions boundary is where a
@@ -50,11 +92,11 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, f) = decodeStub(bytes)
+          val (kind, w, h, f) = decodeMedia(bytes)
           val md5hex = java.security.MessageDigest
             .getInstance("MD5").digest(bytes)
             .map("%02x".format(_)).mkString
-          MediaMeta(id, bytes.length.toLong, md5hex, w, h, f)
+          MediaMeta(id, bytes.length.toLong, md5hex, kind, w, h, f)
         }
       }
   }

@@ -373,6 +373,32 @@ class ExtSpec extends SparkSuite {
     if (doc1.size > 1) assert(doc1.values.toSet.size > 1)
   }
 
+  test("decodeMedia parses real PNG/BMP/WAV headers; unknown payloads hit the stub") {
+    def be32(v: Int) = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte,
+      (v >>> 8).toByte, v.toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte,
+      (v >>> 16).toByte, (v >>> 24).toByte)
+    def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ "IHDR".getBytes ++ be32(640) ++ be32(480) ++
+      Array[Byte](8, 6, 0, 0, 0)
+    assert(Multimodal.decodeMedia(png) == (("png", 640, 480, 1)))
+
+    val bmp = "BM".getBytes ++ new Array[Byte](16) ++ le32(320) ++ le32(-200) ++
+      new Array[Byte](4) // negative height = top-down row order
+    assert(Multimodal.decodeMedia(bmp) == (("bmp", 320, 200, 1)))
+
+    // 2-channel 16-bit 8 kHz PCM with 32 data bytes -> 8 sample frames
+    val fmt = le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val wav = "RIFF".getBytes ++ le32(4 + 24 + 8 + 32) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ fmt ++
+      "data".getBytes ++ le32(32) ++ new Array[Byte](32)
+    assert(Multimodal.decodeMedia(wav) == (("wav", 2, 8000, 8)))
+
+    assert(Multimodal.decodeMedia("just text".getBytes)._1 == "synthetic")
+  }
+
   test("multimodal stub extracts deterministic metadata per partition batch") {
     val payloads = Seq((1L, "hello world"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
