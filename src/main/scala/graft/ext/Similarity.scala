@@ -131,22 +131,36 @@ object Similarity {
   }
 
   /** IVF pruned search with LEARNED coarse centroids (Lloyd's iterations,
-    * see [[lloydCentroids]]); each query probes only its nearest cell.
-    * Corpus rows compute their cell id map-side against the literal
-    * centroid set and the (tiny) assigned query set broadcasts into the
-    * probe equi-join, so the corpus is never shuffled. Output: per query,
-    * top-k within the probed cell. Approximate by construction — verified
-    * as rows-only by the harness and against recall in unit tests.
+    * see [[lloydCentroids]]); each query probes its `nProbe` nearest
+    * cells — the standard IVF recall lever (a query near a cell boundary
+    * finds neighbors that fell just across it). Corpus rows compute their
+    * cell id map-side against the literal centroid set and the (tiny)
+    * probed query set broadcasts into the equi-join, so the corpus is
+    * never shuffled; corpus cells are disjoint, so multi-probe never
+    * duplicates a candidate. Output: per query, top-k within the probed
+    * cells. Approximate by construction — verified as rows-only by the
+    * harness and against recall in unit tests.
     */
-  def qKnnIvf(t: Tables, k: Int = 5): DataFrame = {
+  def qKnnIvf(t: Tables, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
     val cents = lloydCentroids(emb)
 
+    // per-query top-nProbe cells by centroid similarity (query side is
+    // tiny, so the explode + ranking window cost nothing at corpus scale)
+    val probes = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("qvec"), typedLit(c)).as("csim"), lit(i).as("cell"))
+    }: _*)
+    val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
     val queries = emb
       .filter(pmod(col("vec_id"), lit(200)) === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
-        nearestCell(col("vec"), cents).as("cell"))
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .withColumn("pr", explode(probes))
+      .select(col("qid"), col("qvec"), col("pr.csim").as("csim"),
+        col("pr.cell").as("cell"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select("qid", "qvec", "cell")
 
     // probe only the assigned cell: equi-join on the cell key prunes the
     // corpus; the corpus side's cell id is a projection, not a shuffle

@@ -80,9 +80,12 @@ class ExtSpec extends SparkSuite {
     val ivf = Similarity.qKnnIvf(tables).select("qid", "nid")
       .as[(Long, Long)].collect().toSet
     assert(ivf.nonEmpty)
-    // IVF probes one cell; it should still recover a nontrivial share
+    // learned centroids + 2-cell multi-probe: ~0.47 measured on the
+    // quasi-random test corpus (clustered real embeddings prune far
+    // better); the bar guards the mechanism, not the corpus
     val recall = (brute & ivf).size.toDouble / brute.size
-    assert(recall > 0.1, s"recall=$recall")
+    info(s"IVF recall vs brute = $recall")
+    assert(recall > 0.3, s"recall=$recall")
   }
 
   test("Lloyd's iterations sharpen mixed label-mean centroids onto the true clusters") {
