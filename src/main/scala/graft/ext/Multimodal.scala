@@ -72,7 +72,8 @@ object Multimodal {
           blockAlign = le16(off + 20)
         }
         if (id == 0x64617461) dataLen = sz // "data"
-        off += 8 + sz + (sz & 1) // chunks are word-aligned
+        // a corrupt/negative chunk size must terminate the walk, not loop
+        if (sz < 0) off = p.length else off += 8 + sz + (sz & 1) // word-aligned
       }
       val frames = if (blockAlign > 0) dataLen / blockAlign else 0
       ("wav", channels, rate, frames)
