@@ -182,7 +182,12 @@ object Dedup {
     * corpus size; `maxIter` caps adversarial chains. Labels persist per
     * round and the previous round unpersists once the next is materialized.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 10): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+    // NOTE: convergence is detected by a round whose labels don't change,
+    // so the usable component-diameter budget is maxIter - 1 (the last
+    // round confirms). 15 covers diameter-14 chains — far beyond real
+    // near-dup cliques — at one cheap join+agg per unused round only when
+    // chains actually run that deep.
     // localCheckpoint (not persist) per round: iterative plans otherwise
     // grow lineage every round and each round pays fresh codegen for an
     // ever-bigger tree. On a cluster with fault-tolerance needs this
@@ -268,16 +273,7 @@ object Dedup {
     * max(struct) — no window, no second pass.
     */
   def qDedupKeepBest(t: Tables): DataFrame = {
-    val nTokens = when(length(trim(col("text"))) === 0, lit(0))
-      .otherwise(size(split(trim(col("text")), " +"))).cast("double")
-    val nDistinct = size(array_distinct(split(trim(col("text")), " +"))).cast("double")
-    val avgWordLen =
-      (length(trim(col("text"))).cast("double") - (nTokens - 1)) / nTokens
-    // empty text guards the 0/0 (NaN vs NULL differs across engines)
-    val quality = when(nTokens === 0.0, lit(0.0)).otherwise(round(
-      least(nTokens / 100.0, lit(1.0)) * 0.4
-        + (nDistinct / nTokens) * 0.4
-        + least(avgWordLen / 10.0, lit(1.0)) * 0.2, 9))
+    val quality = round(TextAnalysis.qualityExpr(col("text")), 9)
     graft.Engine.spread(t.documents)
       .select(
         col("doc_id"),

@@ -60,20 +60,28 @@ object Multimodal {
     def le16(o: Int) = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
     if (p.length >= 24 && be32(0) == 0x89504e47 && be32(4) == 0x0d0a1a0a)
       ("png", be32(16), be32(20), 1)
-    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M')
+    // 'BM' alone matches English text ("BMW..."); require a known
+    // BITMAPINFOHEADER size at offset 14 to claim the payload
+    else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
+        Set(12, 40, 52, 56, 108, 124)(le32(14)))
       ("bmp", le32(18), math.abs(le32(22)), 1) // height<0 = top-down rows
     else if (p.length >= 36 && be32(0) == 0x52494646 && be32(8) == 0x57415645) {
-      var off = 12
+      // chunk offsets in Long: a corrupt near-2^31 size field must not
+      // overflow into a negative array index
+      var off = 12L
       var blockAlign = 0; var rate = 0; var channels = 0; var dataLen = 0
       while (off + 8 <= p.length) {
-        val id = be32(off); val sz = le32(off + 4)
-        if (id == 0x666d7420 && off + 22 <= p.length) { // "fmt "
-          channels = le16(off + 10); rate = le32(off + 12)
-          blockAlign = le16(off + 20)
+        val o = off.toInt
+        val id = be32(o); val sz = le32(o + 4)
+        if (sz < 0) { off = p.length.toLong } // corrupt size: stop the walk
+        else {
+          if (id == 0x666d7420 && off + 22 <= p.length) { // "fmt "
+            channels = le16(o + 10); rate = le32(o + 12)
+            blockAlign = le16(o + 20)
+          }
+          if (id == 0x64617461) dataLen = sz // "data"
+          off += 8L + sz + (sz & 1) // chunks are word-aligned
         }
-        if (id == 0x64617461) dataLen = sz // "data"
-        // a corrupt/negative chunk size must terminate the walk, not loop
-        if (sz < 0) off = p.length else off += 8 + sz + (sz & 1) // word-aligned
       }
       val frames = if (blockAlign > 0) dataLen / blockAlign else 0
       ("wav", channels, rate, frames)
@@ -111,6 +119,9 @@ object Multimodal {
   def sampleFrames(meta: Dataset[MediaMeta], everyN: Int = 10): DataFrame =
     meta
       .toDF()
+      // frameless media (e.g. a WAV with an empty data chunk) contributes
+      // no frame rows — and must not feed sequence() a negative bound
+      .filter(col("n_frames") >= 1)
       .select(
         col("doc_id"),
         col("n_frames"),

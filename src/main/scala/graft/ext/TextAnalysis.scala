@@ -39,9 +39,26 @@ object TextAnalysis {
         (sum("n_distinct").cast("double") / sum("n_tokens")).as("distinct_ratio"))
       .orderBy("lang")
 
-  /** Quality score per document (deterministic heuristic):
+  /** Shared quality blend (the ONE definition — qQualityScore and
+    * Dedup.qDedupKeepBest both build on it, so a weight tweak cannot
+    * silently desynchronize them):
     * 0.4 * min(1, tokens/100) + 0.4 * distinct_ratio + 0.2 * short-token
-    * penalty. Emitted on a deterministic sample for compare compactness.
+    * penalty; empty text scores 0 (guards the 0/0, whose NaN/NULL
+    * semantics differ across engines).
+    */
+  def qualityExpr(text: Column): Column = {
+    val toks = split(trim(text), " +")
+    val n = tokenCount(text).cast("double")
+    val nd = size(array_distinct(toks)).cast("double")
+    val awl = (length(trim(text)) - (size(toks) - 1)).cast("double") / size(toks)
+    when(n === 0.0, lit(0.0)).otherwise(
+      least(n / 100.0, lit(1.0)) * 0.4
+        + (nd / n) * 0.4
+        + least(awl / 10.0, lit(1.0)) * 0.2)
+  }
+
+  /** Quality score per document, emitted on a deterministic sample for
+    * compare compactness.
     */
   def qQualityScore(t: Tables): DataFrame = {
     val toks = split(trim(col("text")), " +")
@@ -50,13 +67,7 @@ object TextAnalysis {
       .withColumn("n_tokens", tokenCount(col("text")))
       .withColumn("distinct_ratio",
         size(array_distinct(toks)).cast("double") / size(toks))
-      .withColumn("avg_word_len",
-        (length(trim(col("text"))) - (size(toks) - 1)).cast("double") / size(toks))
-      .withColumn(
-        "quality",
-        least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
-          col("distinct_ratio") * 0.4 +
-          least(col("avg_word_len") / 10.0, lit(1.0)) * 0.2)
+      .withColumn("quality", qualityExpr(col("text")))
       .select(col("doc_id"), col("n_tokens"), col("distinct_ratio"), col("quality"))
       .orderBy("doc_id")
   }

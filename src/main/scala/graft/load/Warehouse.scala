@@ -65,17 +65,22 @@ final case class Warehouse(spark: SparkSession, root: String) {
     * idempotency.
     */
   def upsert(df: DataFrame, tableName: String, keys: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(tableName))
+    val tmp = new org.apache.hadoop.fs.Path(path(tableName) + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path(tableName) + "__old")
+    // crash recovery: a previous upsert that died between its two renames
+    // left the table staged at __old; restore it BEFORE the missing-table
+    // check, or the fallback below would silently reload only the new
+    // batch and orphan every pre-existing row
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
     if (Try(table(tableName).schema).isFailure) { load(df, tableName); return }
     val existing = table(tableName)
     val incoming = df.select(keys.map(col): _*).dropDuplicates(keys)
     val cond = keys.map(k => existing(k) <=> incoming(k)).reduce(_ && _)
     val kept = existing.join(incoming, cond, "left_anti")
     val merged = kept.unionByName(df)
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path(tableName))
-    val tmp = new org.apache.hadoop.fs.Path(path(tableName) + "__tmp")
-    val old = new org.apache.hadoop.fs.Path(path(tableName) + "__old")
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     fs.delete(old, true)
     if (!fs.rename(dst, old))

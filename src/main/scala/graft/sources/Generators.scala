@@ -163,21 +163,26 @@ object Generators {
     * values and counts are identical to the direct frame — numbers
     * roundtrip through their shortest decimal representation.
     */
-  /** One landing directory per JVM, cleaned on exit: the registry invokes
-    * this per pipeline run, and a fresh temp dir per call would accumulate
-    * driver-local files for the life of the process. The workbook is
-    * rewritten in place each run (the generator is deterministic anyway).
+  /** One PARENT landing directory per JVM (cleaned on exit), one unique
+    * subdirectory per call: rewriting a shared workbook in place would
+    * race a concurrent run's lazy read (binaryFile re-lists/re-reads on
+    * recompute); per-call isolation keeps that impossible while exit
+    * cleanup still bounds the driver-local footprint (one ~tiny workbook
+    * per pipeline run in the JVM's lifetime).
     */
-  private lazy val xlsxLandingDir: java.nio.file.Path = {
+  private lazy val xlsxLandingRoot: java.nio.file.Path = {
     val d = java.nio.file.Files.createTempDirectory("graft_xlsx_land")
     d.toFile.deleteOnExit()
-    d.resolve("inventory.xlsx").toFile.deleteOnExit()
     d
   }
+  private val xlsxLandingSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   def inventoryViaXlsx(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val dir = xlsxLandingDir
+    val dir = java.nio.file.Files.createDirectory(
+      xlsxLandingRoot.resolve(s"run_${xlsxLandingSeq.incrementAndGet()}"))
+    dir.toFile.deleteOnExit()
+    dir.resolve("inventory.xlsx").toFile.deleteOnExit()
     Xlsx.write(inventory(spark), dir.resolve("inventory.xlsx").toString)
     Xlsx.read(spark, dir.toString)
       .select(

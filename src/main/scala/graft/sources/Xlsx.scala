@@ -218,7 +218,9 @@ object Xlsx {
     val rows = files.mapPartitions { it =>
       it.flatMap { case (p, bytes) =>
         val (h, rs) = parseBytes(bytes)
-        require(h.toSet == header.toSet,
+        // sorted-seq (not set) equality: duplicate column names must fail
+        // here too, or indexOf would silently bind them all to the first
+        require(h.sorted == header.sorted,
           s"xlsx header mismatch in $p: [${h.mkString(",")}] vs reference " +
             s"[${header.mkString(",")}]")
         val idx = header.map(h.indexOf)

@@ -119,7 +119,21 @@ object Streams {
     try require(
       query.awaitTermination(600000L), "AvailableNow drain did not terminate")
     finally query.stop()
-    spark.table(name)
+    // copy the (window-cardinality-sized) sink rows out and drop the temp
+    // view: repeated drains in a long-lived session must not accumulate
+    // catalog entries each pinning a result set. An empty backlog never
+    // registers the sink table -> empty frame with the right schema.
+    val out =
+      if (spark.catalog.tableExists(name)) {
+        val rows = spark.table(name).collect().toIndexedSeq
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+          streamed.schema)
+      } else spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Sliding windows (1-hour window, 15-minute slide): each event lands in

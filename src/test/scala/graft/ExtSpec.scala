@@ -388,9 +388,12 @@ class ExtSpec extends SparkSuite {
       Array[Byte](8, 6, 0, 0, 0)
     assert(Multimodal.decodeMedia(png) == (("png", 640, 480, 1)))
 
-    val bmp = "BM".getBytes ++ new Array[Byte](16) ++ le32(320) ++ le32(-200) ++
-      new Array[Byte](4) // negative height = top-down row order
+    val bmp = "BM".getBytes ++ new Array[Byte](12) ++ le32(40) ++ // DIB size
+      le32(320) ++ le32(-200) ++ new Array[Byte](4) // neg height = top-down
     assert(Multimodal.decodeMedia(bmp) == (("bmp", 320, 200, 1)))
+    // 'BM'-prefixed TEXT is not a bitmap (DIB size field won't match)
+    assert(Multimodal.decodeMedia(
+      "BMW recall data for the region, quarter two".getBytes)._1 == "synthetic")
 
     // 2-channel 16-bit 8 kHz PCM with 32 data bytes -> 8 sample frames
     val fmt = le16(1) ++ le16(2) ++ le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
@@ -398,6 +401,15 @@ class ExtSpec extends SparkSuite {
       "fmt ".getBytes ++ le32(16) ++ fmt ++
       "data".getBytes ++ le32(32) ++ new Array[Byte](32)
     assert(Multimodal.decodeMedia(wav) == (("wav", 2, 8000, 8)))
+
+    // corrupt WAV chunk sizes terminate the walk instead of crashing:
+    // negative size, and a near-2^31 size that would overflow int offsets
+    Seq(0xffffffff, 0x7ffffff0).foreach { bad =>
+      val corrupt = "RIFF".getBytes ++ le32(100) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(bad) ++ new Array[Byte](16)
+      val (kind, _, _, frames) = Multimodal.decodeMedia(corrupt)
+      assert(kind == "wav" && frames == 0)
+    }
 
     assert(Multimodal.decodeMedia("just text".getBytes)._1 == "synthetic")
   }
