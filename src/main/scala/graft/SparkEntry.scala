@@ -133,6 +133,7 @@ object SparkEntry {
     "q_tfidf_top" -> q(TextAnalysis.qTfidfTop(_)),
     "q_text_chunks" -> q(TextAnalysis.qTextChunks(_)),
     "q_pack_sequences" -> q(TextAnalysis.qPackSequences(_)),
+    "q_source_kl" -> q(TextAnalysis.qSourceKl),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -713,6 +714,27 @@ object SparkEntry {
          SELECT lang, CAST((cum - n) // 256 AS BIGINT) AS bin,
            COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens
          FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
+    // KL(source || corpus): both log terms rounded at 1e-9 into DECIMAL,
+    // weighted by exact counts — aggregation-order independent
+    "q_source_kl" ->
+      """WITH w AS (SELECT source,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         g AS (SELECT word, COUNT(*) AS cg FROM w GROUP BY 1),
+         ng AS (SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g),
+         gl AS (SELECT word,
+             CAST(round(ln(CAST(cg AS DOUBLE) / ng), 9) AS DECIMAL(14,10)) AS lg
+           FROM g CROSS JOIN ng),
+         s AS (SELECT source, word, COUNT(*) AS cs FROM w GROUP BY 1, 2),
+         ns AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS ns FROM s GROUP BY 1),
+         sl AS (SELECT s.source, s.word, s.cs,
+             CAST(round(ln(CAST(s.cs AS DOUBLE) / ns.ns), 9) AS DECIMAL(14,10)) AS ls
+           FROM s JOIN ns ON s.source = ns.source)
+         SELECT sl.source, CAST(SUM(sl.cs) AS BIGINT) AS n_tokens,
+           CAST(SUM((sl.ls - gl.lg) * CAST(sl.cs AS DECIMAL(10,0))) AS DOUBLE)
+             / CAST(SUM(sl.cs) AS BIGINT) AS kl
+         FROM sl JOIN gl ON sl.word = gl.word
+         GROUP BY sl.source ORDER BY sl.source""",
     // idf rounded at 1e-9 then exact tf * idf decimal scoring; ties break
     // on the word for an engine-independent ranking
     "q_tfidf_top" ->

@@ -250,6 +250,41 @@ object TextAnalysis {
       .orderBy("lang", "bin")
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over the unigram
+    * word distributions — the mixing diagnostic that tells a pipeline
+    * which source's language deviates from the blend (and how much
+    * reweighting will shift it). Same numeric-parity recipe as
+    * [[qUnigramSurprisal]]: both log terms round at 1e-9 into DECIMAL and
+    * the per-source sum weights them by exact integer counts, so the
+    * result is aggregation-order independent. KL is computed over the
+    * source's own support (c_s(w) > 0), where both ratios are positive by
+    * construction. Scale: two word-count aggregates + one join keyed by
+    * word (broadcast at dictionary scale).
+    */
+  def qSourceKl(t: Tables): DataFrame = {
+    val toks = t.documents
+      .select(col("source"), explode(split(trim(lower(col("text"))), " +")).as("word"))
+    val global = toks.groupBy("word").agg(count(lit(1)).as("cg"))
+    val totalG = global.agg(sum("cg").as("ng"))
+    val gl = global.crossJoin(broadcast(totalG))
+      .select(col("word"),
+        round(log(col("cg").cast("double") / col("ng")), 9)
+          .cast("decimal(14,10)").as("lg"))
+    val perSrc = toks.groupBy("source", "word").agg(count(lit(1)).as("cs"))
+    val totS = perSrc.groupBy("source").agg(sum("cs").as("ns"))
+    perSrc.join(broadcast(totS), "source")
+      .withColumn("ls",
+        round(log(col("cs").cast("double") / col("ns")), 9)
+          .cast("decimal(14,10)"))
+      .join(gl, "word")
+      .withColumn("term", (col("ls") - col("lg")) * col("cs").cast("decimal(10,0)"))
+      .groupBy("source")
+      .agg(sum("term").as("tsum"), sum("cs").as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        (col("tsum").cast("double") / col("n_tokens")).as("kl"))
+      .orderBy("source")
+  }
+
   /** TF-IDF keyword extraction: top-3 terms per sampled document, scored
     * tf * ln(N/df) against the whole corpus — the classic per-document
     * descriptor a pipeline attaches for retrieval/clustering. IDF is

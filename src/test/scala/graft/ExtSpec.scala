@@ -217,6 +217,16 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("source KL divergence is non-negative and detects real drift") {
+    val rows = graft.ext.TextAnalysis.qSourceKl(tables).collect()
+    assert(rows.nonEmpty)
+    // KL >= 0 up to the 1e-9 log rounding; some source must differ from
+    // the blend (identical distributions across all sources would be a
+    // generator bug, not a property of real corpora)
+    rows.foreach(r => assert(r.getDouble(2) >= -1e-6, s"negative KL: $r"))
+    assert(rows.exists(_.getDouble(2) > 1e-4), "no source drift detected")
+  }
+
   test("keep-best dedup picks the highest-quality member of every dup group") {
     val groups = Dedup.qDedupKeepBest(tables).collect()
     assert(groups.nonEmpty)
