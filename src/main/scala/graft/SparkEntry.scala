@@ -96,6 +96,7 @@ object SparkEntry {
     "q_tumbling_window" -> q(Events.qTumblingWindow),
     "q_resample_hourly" -> q(Events.qResampleHourly),
     "q_funnel" -> q(Events.qFunnel),
+    "q_funnel_steps" -> q(Events.qFunnelSteps),
     "q_retention" -> q(Events.qRetention),
     "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
@@ -519,6 +520,24 @@ object SparkEntry {
            (SELECT COUNT(*) FROM conv) AS n_converted,
            CAST((SELECT COUNT(*) FROM conv) AS DOUBLE)
              / CAST((SELECT COUNT(*) FROM c) AS DOUBLE) AS conv_rate""",
+    // ordered 3-step funnel: each step's earliest qualifying event must be
+    // at or after the previous step's time
+    "q_funnel_steps" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_ns(ts)) AS t1 FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'view' AND epoch_ns(e.ts) >= s1.t1 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) >= s2.t2 GROUP BY 1)
+         SELECT (SELECT COUNT(*) FROM s1) AS n_step1,
+           (SELECT COUNT(*) FROM s2) AS n_step2,
+           (SELECT COUNT(*) FROM s3) AS n_step3,
+           CAST((SELECT COUNT(*) FROM s2) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM s1), 0) AS rate_12,
+           CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+             / NULLIF((SELECT COUNT(*) FROM s2), 0) AS rate_23""",
     "q_retention" ->
       """WITH a AS (SELECT DISTINCT user_id,
              epoch_ns(ts) // 604800000000000 AS wk FROM events),

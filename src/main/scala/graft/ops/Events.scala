@@ -116,6 +116,36 @@ object Events {
         col("n_converted").cast("double") / col("n_clickers").cast("double"))
   }
 
+  /** Ordered three-step funnel (click -> view -> purchase): each step's
+    * cohort is the users whose earliest qualifying event occurs AT OR
+    * AFTER their previous step's time — sequential pattern matching, not
+    * just co-occurrence. Every stage pre-shrinks to per-user minima before
+    * joining (the grids are |users|-sized, never |events|-sized), and the
+    * final row is a cross join of three single-row aggregates.
+    */
+  def qFunnelSteps(t: Tables): DataFrame = {
+    val ev = t.events.select("user_id", "event_type", "ts_ns")
+    val s1 = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts_ns").as("t1"))
+    val s2 = ev.filter(col("event_type") === "view")
+      .join(s1, "user_id")
+      .filter(col("ts_ns") >= col("t1"))
+      .groupBy("user_id").agg(min("ts_ns").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts_ns") >= col("t2"))
+      .groupBy("user_id").agg(min("ts_ns").as("t3"))
+    s1.agg(count(lit(1)).as("n_step1"))
+      .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
+      .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
+      .withColumn("rate_12",
+        when(col("n_step1") === 0, lit(null).cast("double"))
+          .otherwise(col("n_step2").cast("double") / col("n_step1")))
+      .withColumn("rate_23",
+        when(col("n_step2") === 0, lit(null).cast("double"))
+          .otherwise(col("n_step3").cast("double") / col("n_step2")))
+  }
+
   /** Weekly cohort retention: per activity week, the share of that week's
     * active users who are active again the following week. One distinct
     * projection + a self-join on (user, week+1) — both sides pre-shrunk to
