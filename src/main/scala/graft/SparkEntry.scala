@@ -91,6 +91,7 @@ object SparkEntry {
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
     "q_approx_distinct" -> q(Stats.qApproxDistinct),
     "q_approx_quantile" -> q(Stats.qApproxQuantile),
+    "q_mad" -> q(Stats.qMad),
     "q_integrity_checks" -> q(Stats.qIntegrityChecks),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
@@ -279,6 +280,17 @@ object SparkEntry {
     "q_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    // robust dispersion: median of absolute deviations from the group
+    // median; exact percentiles sort, so doubles are engine-identical
+    "q_mad" ->
+      """WITH m AS (SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.5) AS med_price
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, MIN(m.med_price) AS med_price,
+           quantile_cont(abs(l.l_extendedprice - m.med_price), 0.5) AS mad,
+           COUNT(*) AS n
+         FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+         GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
     "q_conditional_agg" ->
       """SELECT o_orderstatus,
            COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,

@@ -143,6 +143,29 @@ object Stats {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Robust dispersion: median absolute deviation per group — the
+    * outlier-resistant spread measure a profiling pass pairs with
+    * variance (which a single bad row can dominate). Two exact-percentile
+    * passes: group medians broadcast back onto the rows, then the median
+    * of absolute deviations. Exact percentiles sort within the group, so
+    * both engines produce identical doubles.
+    */
+  def qMad(t: Tables): DataFrame = {
+    val med = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
+    t.lineitem
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .join(broadcast(med), "l_returnflag")
+      .withColumn("adev", abs(col("l_extendedprice") - col("med_price")))
+      .groupBy("l_returnflag")
+      .agg(
+        first(col("med_price")).as("med_price"),
+        expr("percentile(adev, 0.5D)").as("mad"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
   /** Quantile sketch next to the exact answer: approx_percentile is the
     * single-pass mergeable summary a 100 TB profile pass uses (exact
     * percentiles need a full sort per group); the exact value rides along
