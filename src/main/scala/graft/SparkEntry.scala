@@ -669,14 +669,16 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(
                string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fp,
-             CASE WHEN len(trim(text)) = 0 THEN 0.0 ELSE round(
-               least(len(string_split_regex(trim(text), ' +')) / 100.0, 1.0) * 0.4
+             round(
+               least((CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), ' +')) END) / 100.0,
+                 1.0) * 0.4
                + (CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
                   / len(string_split_regex(trim(text), ' +'))) * 0.4
                + least((CAST(len(trim(text))
                     - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
                   / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0) * 0.2,
-               9) END AS q
+               9) AS q
            FROM documents),
          g AS (SELECT fp, COUNT(*) AS n_members FROM d
            GROUP BY fp HAVING COUNT(*) >= 2),

@@ -63,8 +63,11 @@ object Multimodal {
     // 'BM' alone matches English text ("BMW..."); require a known
     // BITMAPINFOHEADER size at offset 14 to claim the payload
     else if (p.length >= 26 && p(0) == 'B' && p(1) == 'M' &&
-        Set(12, 40, 52, 56, 108, 124)(le32(14)))
-      ("bmp", le32(18), math.abs(le32(22)), 1) // height<0 = top-down rows
+        Set(12, 40, 52, 56, 108, 124)(le32(14)) &&
+        le32(18) > 0 && le32(22) != 0 && le32(22) != Int.MinValue)
+      // height<0 = top-down row order; nonsense dims fall through to the
+      // stub instead of emitting negative width/height
+      ("bmp", le32(18), math.abs(le32(22)), 1)
     else if (p.length >= 36 && be32(0) == 0x52494646 && be32(8) == 0x57415645) {
       // chunk offsets in Long: a corrupt near-2^31 size field must not
       // overflow into a negative array index
@@ -79,7 +82,10 @@ object Multimodal {
             channels = le16(o + 10); rate = le32(o + 12)
             blockAlign = le16(o + 20)
           }
-          if (id == 0x64617461) dataLen = sz // "data"
+          // clamp to bytes actually present: a corrupt size near 2^31
+          // would otherwise declare ~2 billion frames and blow up the
+          // frame-sampling sequence()
+          if (id == 0x64617461) dataLen = math.min(sz, p.length) // "data"
           off += 8L + sz + (sz & 1) // chunks are word-aligned
         }
       }

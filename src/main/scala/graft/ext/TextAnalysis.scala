@@ -48,13 +48,16 @@ object TextAnalysis {
     */
   def qualityExpr(text: Column): Column = {
     val toks = split(trim(text), " +")
+    // only the token-count TERM guards empty text (tokenCount -> 0);
+    // ratio denominators use size(toks), which is >= 1 even for "" (split
+    // yields [""]), so there is no 0/0 — and empty text scores 0.4 (the
+    // distinct-ratio term), matching both queries' oracles exactly
     val n = tokenCount(text).cast("double")
     val nd = size(array_distinct(toks)).cast("double")
     val awl = (length(trim(text)) - (size(toks) - 1)).cast("double") / size(toks)
-    when(n === 0.0, lit(0.0)).otherwise(
-      least(n / 100.0, lit(1.0)) * 0.4
-        + (nd / n) * 0.4
-        + least(awl / 10.0, lit(1.0)) * 0.2)
+    least(n / 100.0, lit(1.0)) * 0.4 +
+      (nd / size(toks)) * 0.4 +
+      least(awl / 10.0, lit(1.0)) * 0.2
   }
 
   /** Quality score per document, emitted on a deterministic sample for

@@ -74,7 +74,10 @@ final case class Warehouse(spark: SparkSession, root: String) {
     // left the table staged at __old; restore it BEFORE the missing-table
     // check, or the fallback below would silently reload only the new
     // batch and orphan every pre-existing row
-    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    if (!fs.exists(dst) && fs.exists(old) && !fs.rename(old, dst))
+      // an ignored failure here would fall into the missing-table branch
+      // below and silently reload only the new batch
+      throw new java.io.IOException(s"upsert: could not recover $old to $dst")
     if (Try(table(tableName).schema).isFailure) { load(df, tableName); return }
     val existing = table(tableName)
     val incoming = df.select(keys.map(col): _*).dropDuplicates(keys)

@@ -124,26 +124,36 @@ object Events {
     * final row is a cross join of three single-row aggregates.
     */
   def qFunnelSteps(t: Tables): DataFrame = {
+    val spark = t.spark
     val ev = t.events.select("user_id", "event_type", "ts_ns")
+    // each stage materializes ONCE (the later stages and the counts would
+    // otherwise re-evaluate the nested plans — six event-table scans for
+    // three stages); counts are driver-side scalars, the same
+    // orchestration pattern as connectedComponents' convergence counter
     val s1 = ev.filter(col("event_type") === "click")
       .groupBy("user_id").agg(min("ts_ns").as("t1"))
+      .localCheckpoint()
     val s2 = ev.filter(col("event_type") === "view")
       .join(s1, "user_id")
       .filter(col("ts_ns") >= col("t1"))
       .groupBy("user_id").agg(min("ts_ns").as("t2"))
-    val s3 = ev.filter(col("event_type") === "purchase")
+      .localCheckpoint()
+    val n3 = ev.filter(col("event_type") === "purchase")
       .join(s2, "user_id")
       .filter(col("ts_ns") >= col("t2"))
-      .groupBy("user_id").agg(min("ts_ns").as("t3"))
-    s1.agg(count(lit(1)).as("n_step1"))
-      .crossJoin(s2.agg(count(lit(1)).as("n_step2")))
-      .crossJoin(s3.agg(count(lit(1)).as("n_step3")))
-      .withColumn("rate_12",
-        when(col("n_step1") === 0, lit(null).cast("double"))
-          .otherwise(col("n_step2").cast("double") / col("n_step1")))
-      .withColumn("rate_23",
-        when(col("n_step2") === 0, lit(null).cast("double"))
-          .otherwise(col("n_step3").cast("double") / col("n_step2")))
+      .select("user_id").distinct()
+      .count()
+    val n1 = s1.count()
+    val n2 = s2.count()
+    graft.Engine.freeCheckpoint(s1)
+    graft.Engine.freeCheckpoint(s2)
+    val rate12: java.lang.Double = if (n1 == 0) null else n2.toDouble / n1
+    val rate23: java.lang.Double = if (n2 == 0) null else n3.toDouble / n2
+    import spark.implicits._
+    Seq((n1, n2, n3))
+      .toDF("n_step1", "n_step2", "n_step3")
+      .withColumn("rate_12", lit(rate12).cast("double"))
+      .withColumn("rate_23", lit(rate23).cast("double"))
   }
 
   /** Weekly cohort retention: per activity week, the share of that week's

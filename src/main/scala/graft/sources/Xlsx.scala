@@ -214,6 +214,12 @@ object Xlsx {
       .as[(String, Array[Byte])]
     val refPath = files.select(min("path")).as[String].head()
     val header = parseBytes(files.filter(col("path") === refPath).head()._2)._1
+    // duplicate names in the REFERENCE header would make the by-name
+    // alignment below ambiguous (indexOf binds every duplicate to the
+    // first column) while still passing the sorted-equality check on
+    // self-consistent shards — reject up front
+    require(header.distinct.size == header.size,
+      s"xlsx reference header has duplicate column names: ${header.mkString(",")}")
     val schema = StructType(header.map(StructField(_, StringType, nullable = true)))
     val rows = files.mapPartitions { it =>
       it.flatMap { case (p, bytes) =>

@@ -116,24 +116,22 @@ object Streams {
       .format("memory")
       .queryName(name)
       .start()
-    try require(
-      query.awaitTermination(600000L), "AvailableNow drain did not terminate")
-    finally query.stop()
     // copy the (window-cardinality-sized) sink rows out and drop the temp
-    // view: repeated drains in a long-lived session must not accumulate
-    // catalog entries each pinning a result set. An empty backlog never
-    // registers the sink table -> empty frame with the right schema.
-    val out =
-      if (spark.catalog.tableExists(name)) {
-        val rows = spark.table(name).collect().toIndexedSeq
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](
-            scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
-          streamed.schema)
-      } else spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), streamed.schema)
-    spark.catalog.dropTempView(name)
-    out
+    // view IN ALL PATHS — repeated drains, including failing ones, must
+    // not accumulate catalog entries each pinning a result set. An empty
+    // backlog never registers the sink table -> empty frame, right schema.
+    import scala.jdk.CollectionConverters.SeqHasAsJava
+    try {
+      require(
+        query.awaitTermination(600000L), "AvailableNow drain did not terminate")
+      val rows =
+        if (spark.catalog.tableExists(name)) spark.table(name).collect().toSeq
+        else Seq.empty[org.apache.spark.sql.Row]
+      spark.createDataFrame(rows.asJava, streamed.schema)
+    } finally {
+      query.stop()
+      scala.util.Try(spark.catalog.dropTempView(name))
+    }
   }
 
   /** Sliding windows (1-hour window, 15-minute slide): each event lands in
