@@ -18,7 +18,9 @@ class DeterminismSpec extends SparkSuite {
     "q_unigram_surprisal", // rounded-ln decimal sums
     "q_tfidf_top",        // decimal scoring + tie-broken ranking
     "q_fingerprint",      // hash grouping
-    "q_dedup_exact")
+    "q_dedup_exact",
+    "q_source_kl",        // rounded-log KL decimal sums
+    "q_mad")              // exact two-pass percentiles
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -69,6 +69,44 @@ class SqlParitySpec extends SparkSuite {
     "q_count_distinct" ->
       """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
          FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "q_minmax" ->
+      """SELECT l_returnflag,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           date_format(min(l_shipdate), 'yyyy-MM-dd') AS min_ship,
+           date_format(max(l_shipdate), 'yyyy-MM-dd') AS max_ship,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_union_all" ->
+      """SELECT o_custkey, COUNT(*) AS n FROM (
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+           UNION ALL
+           SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998)
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "q_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(CAST(yr AS STRING), 'ALL') AS yr,
+           COUNT(*) AS n
+         FROM (SELECT o_orderstatus, CAST(year(o_orderdate) AS BIGINT) AS yr FROM orders)
+         GROUP BY GROUPING SETS ((o_orderstatus), (yr), ())
+         ORDER BY status, yr""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         ORDER BY c_custkey""",
+    "q_semi_join" ->
+      """SELECT p_partkey, p_brand FROM part p
+         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+         ORDER BY p_partkey""",
+    "q_above_customer_avg" ->
+      """WITH a AS (SELECT o_custkey AS ck,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+           FROM orders GROUP BY o_custkey)
+         SELECT o_orderkey, o_custkey, o_totalprice, avg_price AS cust_avg
+         FROM orders JOIN a ON o_custkey = ck
+         WHERE o_totalprice > avg_price
+         ORDER BY o_orderkey""",
     "q_group_having" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, o_orderstatus,
            COUNT(*) AS n,
