@@ -81,53 +81,61 @@ object Similarity {
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
 
-  /** Elementwise mean vector per cell (posexplode + re-assemble in dim
-    * order), collected to the driver: centroid sets are k x dim doubles —
-    * index metadata, not data — so reading them back per Lloyd round is the
-    * same scalar-orchestration pattern as connectedComponents' convergence
+  /** Elementwise mean vector per cell via the native [[graft.functions
+    * .VectorSum]] partial aggregate, collected to the driver: ONE hash
+    * aggregate with map-side combine, so exactly k (cell, sum, count) rows
+    * cross the exchange — no posexplode row multiplication, no second
+    * shuffle. Centroid sets are k x dim doubles — index metadata, not
+    * data — so reading them back per Lloyd round is the same
+    * scalar-orchestration pattern as connectedComponents' convergence
     * counter.
     */
   private def cellMeans(assigned: DataFrame): Map[Int, Array[Double]] =
     assigned
-      .select(col("cell"), posexplode(col("vec")).as(Seq("dim", "v")))
-      .groupBy("cell", "dim")
-      .agg(avg("v").as("mv"))
       .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("packed"))
-      .select(col("cell"), transform(col("packed"), s => s.getField("mv")).as("cvec"))
+      .agg(call_function("vector_sum", col("vec")).as("s"), count(lit(1)).as("n"))
       .collect()
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .map { r =>
+        val n = r.getLong(2).toDouble
+        r.getInt(0) -> r.getSeq[Double](1).map(_ / n).toArray
+      }
       .toMap
 
   /** K-means coarse centroids by Lloyd's iterations over a deterministic
     * training sample (every `trainMod`-th vector — index builds train on a
     * sample at scale, then assign the full corpus once). Initialization is
-    * the per-`label` means; each round is one map-only assignment pass plus
-    * one aggregate, with the tiny centroid set round-tripped through the
-    * driver — the corpus itself never shuffles.
+    * the per-`label` means; each round is one map-only assignment pass into
+    * a single vector_sum aggregate, with the tiny centroid set
+    * round-tripped through the driver — the corpus itself never shuffles.
+    * The sample is localCheckpoint'ed once so each round re-reads
+    * materialized rows instead of re-running the scan + cast lineage.
     */
   def lloydCentroids(
       emb: DataFrame, iters: Int = 3, trainMod: Int = 2): Seq[Array[Double]] = {
     val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
-    val init = cellMeans(train.select(col("label").cast("int").as("cell"), col("vec")))
-    var cents: Seq[Array[Double]] = init.toSeq.sortBy(_._1).map(_._2)
-    var moved = true
-    var i = 0
-    while (moved && i < iters) {
-      val assigned = train.select(
-        nearestCell(col("vec"), cents).as("cell"), col("vec"))
-      val means = cellMeans(assigned)
-      // a cell that lost all members keeps its previous centroid
-      val next = cents.indices.map(i => means.getOrElse(i, cents(i)))
-      // early stop once assignments are stable (centroids stop moving) —
-      // saves whole corpus passes when the init is already good
-      moved = cents.zip(next).exists { case (a, b) =>
-        a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+      .select(col("label").cast("int").as("init_cell"), col("vec"))
+      .localCheckpoint()
+    try {
+      val init = cellMeans(train.select(col("init_cell").as("cell"), col("vec")))
+      var cents: Seq[Array[Double]] = init.toSeq.sortBy(_._1).map(_._2)
+      var moved = true
+      var i = 0
+      while (moved && i < iters) {
+        val assigned = train.select(
+          nearestCell(col("vec"), cents).as("cell"), col("vec"))
+        val means = cellMeans(assigned)
+        // a cell that lost all members keeps its previous centroid
+        val next = cents.indices.map(i => means.getOrElse(i, cents(i)))
+        // early stop once assignments are stable (centroids stop moving) —
+        // saves whole corpus passes when the init is already good
+        moved = cents.zip(next).exists { case (a, b) =>
+          a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+        }
+        cents = next
+        i += 1
       }
-      cents = next
-      i += 1
-    }
-    cents
+      cents
+    } finally graft.Engine.freeCheckpoint(train)
   }
 
   /** IVF pruned search with LEARNED coarse centroids (Lloyd's iterations,
@@ -163,17 +171,24 @@ object Similarity {
       .select("qid", "qvec", "cell")
 
     // probe only the assigned cell: equi-join on the cell key prunes the
-    // corpus; the corpus side's cell id is a projection, not a shuffle
-    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("nid"))
+    // corpus; the corpus side's cell id is a projection, not a shuffle.
+    // Ranking via bounded_topk (same as brute/LSH): k rows per (query, map
+    // task) cross the exchange instead of every candidate similarity
     emb
       .select(col("vec_id").as("nid"), col("vec"),
         nearestCell(col("vec"), cents).as("cell"))
       .join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qvec"), col("vec")))
-      .withColumn("rnk", row_number().over(wRank).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
   }
 

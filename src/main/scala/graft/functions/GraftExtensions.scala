@@ -58,7 +58,8 @@ object GraftFunctions {
     ("poly_hash", args => PolyHash64(args.head)),
     ("word_shingles", args => WordShingles(args(0),
       if (args.length > 1) intLit("word_shingles", args(1)) else 3)),
-    ("bounded_topk", topkBuilder))
+    ("bounded_topk", topkBuilder),
+    ("vector_sum", args => VectorSum(args.head)))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
