@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.load.Warehouse
-import graft.ops.{Events, Relational, Stats}
+import graft.ops.{Analytics, Events, Relational, Skew, Stats}
 import graft.orchestrate.Orchestrator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -82,6 +82,15 @@ object SparkEntry {
     "q_array_agg" -> q(Relational.qArrayAgg),
     "q_rank_funcs" -> q(Relational.qRankFuncs),
     "q_date_arith" -> q(Relational.qDateArith),
+    "q_unpivot_measures" -> q(Analytics.qUnpivotMeasures),
+    "q_yoy_growth" -> q(Analytics.qYoyGrowth),
+    "q_window_shares" -> q(Analytics.qWindowShares),
+    "q_profile_columns" -> q(Analytics.qProfileColumns),
+    "q_gap_fill" -> q(Analytics.qGapFill),
+    "q_bloom_prefilter" -> ((spark, dir) =>
+      Analytics.qBloomPrefilter(spark, Tables(spark, dir))),
+    "q_sql_q5" -> ((spark, dir) => Analytics.qSqlQ5(spark, Tables(spark, dir))),
+    "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -112,16 +121,19 @@ object SparkEntry {
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
     "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
+    "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
+    "q_train_shards" -> q(Sampling.qTrainShards(_)),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
     "q_dedup_embed" -> q(Similarity.qDedupEmbed(_)),
     "q_vector_norms" -> q(Similarity.qVectorNorms),
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
+    "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
@@ -153,6 +165,12 @@ object SparkEntry {
             .as("window_start"),
           col("event_type"), col("n"))
         .orderBy("window_start", "event_type")),
+    "q_stream_dedup" -> ((spark, dir) =>
+      graft.streaming.Streams.drainDistinctUsers(spark, dir, "events.parquet")
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_users"))
+        .orderBy("hour")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
@@ -415,6 +433,170 @@ object SparkEntry {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+    "q_unpivot_measures" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           measure, val
+         FROM (
+           SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+             l_quantity AS val FROM lineitem WHERE l_orderkey % 500 = 0
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+             l_extendedprice FROM lineitem WHERE l_orderkey % 500 = 0
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount',
+             l_discount FROM lineitem WHERE l_orderkey % 500 = 0
+           UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax',
+             l_tax FROM lineitem WHERE l_orderkey % 500 = 0)
+         ORDER BY l_orderkey, l_linenumber, measure""",
+    "q_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2)
+         SELECT yr, n_name, rev,
+           lag(rev, 1) OVER w AS prev_rev,
+           (rev - lag(rev, 1) OVER w) / lag(rev, 1) OVER w AS growth
+         FROM y WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+         ORDER BY n_name, yr""",
+    "q_window_shares" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, cust_total, share, cd
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+             o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS DOUBLE) AS share,
+             cume_dist() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS cd
+           FROM orders)
+         WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
+    "q_profile_columns" ->
+      """WITH p AS (
+           SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(o_orderkey) AS n_nulls,
+             COUNT(DISTINCT o_orderkey) AS n_distinct,
+             CAST(MIN(o_orderkey) AS DOUBLE) AS min_num,
+             CAST(MAX(o_orderkey) AS DOUBLE) AS max_num FROM orders
+           UNION ALL SELECT 'o_custkey', COUNT(*),
+             COUNT(*) - COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+             CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+           FROM orders
+           UNION ALL SELECT 'o_totalprice', COUNT(*),
+             COUNT(*) - COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+             MIN(o_totalprice), MAX(o_totalprice) FROM orders
+           UNION ALL SELECT 'o_orderstatus', COUNT(*),
+             COUNT(*) - COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+             NULL, NULL FROM orders
+           UNION ALL SELECT 'o_orderpriority', COUNT(*),
+             COUNT(*) - COUNT(o_orderpriority),
+             COUNT(DISTINCT o_orderpriority), NULL, NULL FROM orders)
+         SELECT col_name, n_rows, n_nulls, n_distinct, min_num, max_num
+         FROM p ORDER BY col_name""",
+    // linear interpolation over the 1-in-7 event subsample; the avg and
+    // the interpolation arithmetic use the same IEEE op order both sides
+    "q_gap_fill" ->
+      """WITH ev AS (SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS hl, value
+           FROM events WHERE event_id % 7 = 0),
+         hourly AS (SELECT event_type, hl, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+           FROM ev GROUP BY 1, 2),
+         b AS (SELECT MIN(hl) AS lo, MAX(hl) AS hi FROM ev),
+         spine AS (SELECT unnest(range(lo, hi + 1)) AS hl FROM b),
+         types AS (SELECT DISTINCT event_type FROM ev),
+         grid AS (SELECT s.hl, t.event_type, COALESCE(h.n, 0) AS n,
+             CASE WHEN h.n > 0 THEN h.sv / h.n END AS v
+           FROM spine s CROSS JOIN types t
+             LEFT JOIN hourly h ON h.hl = s.hl AND h.event_type = t.event_type),
+         w AS (SELECT *,
+             last_value(CASE WHEN n > 0 THEN hl END IGNORE NULLS)
+               OVER wb AS ph,
+             last_value(CASE WHEN n > 0 THEN v END IGNORE NULLS)
+               OVER wb AS pv,
+             first_value(CASE WHEN n > 0 THEN hl END IGNORE NULLS)
+               OVER wf AS nh,
+             first_value(CASE WHEN n > 0 THEN v END IGNORE NULLS)
+               OVER wf AS nv
+           FROM grid
+           WINDOW wb AS (PARTITION BY event_type ORDER BY hl
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+           wf AS (PARTITION BY event_type ORDER BY hl
+             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+         SELECT strftime(make_timestamp(hl * 3600000000),
+             '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type, n,
+           CASE WHEN n > 0 THEN v
+             WHEN ph IS NOT NULL AND nh IS NOT NULL
+             THEN pv + (nv - pv) *
+               (CAST(hl - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE)) END AS value,
+           CAST(CASE WHEN n = 0 AND ph IS NOT NULL AND nh IS NOT NULL
+             THEN 1 ELSE 0 END AS BIGINT) AS filled
+         FROM w ORDER BY hour, event_type""",
+    // the bloom prefilter's false positives are removed by the exact semi
+    // join, so the graded output is the plain EXISTS
+    "q_bloom_prefilter" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+           WHERE o.o_custkey = c.c_custkey AND year(o.o_orderdate) = 1998)
+         ORDER BY c_custkey""",
+    "q_sql_q5" ->
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY n_name""",
+    // the salted two-phase plan must be exact: the oracle is the direct
+    // single-phase GROUP BY
+    "q_skew_salted_agg" ->
+      """SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q_train_shards" ->
+      """WITH d AS (SELECT doc_id,
+             CAST((doc_id * 2654435761) % 16 AS BIGINT) AS shard,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+           FROM documents)
+         SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+         FROM d GROUP BY shard ORDER BY shard""",
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 50 = 0),
+         m AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+         q AS (SELECT vec_id, v, mx,
+             list_transform(v, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+           FROM m WHERE mx > 0)
+         SELECT vec_id, mx, CAST(list_sum(q) AS BIGINT) AS sum_q,
+           CAST(len(list_filter(q, x -> abs(x) = 127)) AS BIGINT) AS n_sat,
+           list_max(list_transform(range(1, len(v) + 1),
+             i -> abs(v[i] - CAST(q[i] AS DOUBLE) * mx / 127.0))) AS max_err
+         FROM q ORDER BY vec_id""",
+    "q_fuzzy_names" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+             string_split(p_name, ' ')[1] AS w1 FROM part)
+         SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+           AND a.p_partkey < b.p_partkey
+         WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY id1, id2""",
+    // exact streaming distinct (dropDuplicates -> hourly agg) must match
+    // the batch COUNT(DISTINCT)
+    "q_stream_dedup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           COUNT(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     "q_stats" ->
       """WITH m AS (SELECT l_linestatus, COUNT(*) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,

@@ -365,4 +365,28 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .select("id1", "id2", "jaccard")
   }
+
+  /** Fuzzy record dedup by edit distance under blocking: candidate pairs
+    * share a cheap block key (brand + first name token), then
+    * levenshtein <= maxDist confirms. Blocking is what makes fuzzy matching
+    * scale — the quadratic comparison runs only inside blocks (max block
+    * here: a few dozen rows), never across the whole table; the block key
+    * is the shuffle key, so skew maps directly to block-size skew, which a
+    * good key keeps bounded.
+    */
+  def qFuzzyNames(t: Tables, maxDist: Int = 3): DataFrame = {
+    val p = t.part.select(
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("w1"))
+    val a = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("id1"), col("p_name").as("name1"))
+    val b = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("id2"), col("p_name").as("name2"))
+    a.join(b, Seq("p_brand", "w1"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id1", "id2", "dist")
+      .orderBy("id1", "id2")
+  }
 }

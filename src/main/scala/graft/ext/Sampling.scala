@@ -72,6 +72,27 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Deterministic training-shard assignment: shard = (doc_id * Knuth
+    * multiplicative constant) mod nShards — a stateless pure projection, so
+    * any engine (and any re-run) routes a document to the same shard
+    * without coordination. The per-shard stats verify balance; at 100 TB
+    * the assignment column IS the write partitioning
+    * (`df.write.partitionBy("shard")`), no shuffle beyond the final
+    * aggregate here.
+    */
+  def qTrainShards(t: Tables, nShards: Int = 16): DataFrame =
+    t.documents
+      .select(col("doc_id"),
+        pmod(col("doc_id") * lit(2654435761L), lit(nShards.toLong)).as("shard"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"),
+        min("doc_id").as("min_doc"),
+        max("doc_id").as("max_doc"))
+      .orderBy("shard")
+
   /** Exact corpus vocabulary head: top-k words by document frequency per
     * language — the heavy-hitters view used for stop-word lists and the
     * qNgramJaccard skew guard. One explode + one aggregate + bounded

@@ -289,6 +289,32 @@ object Similarity {
         size(col("embedding")).cast("long").as("dim"))
       .orderBy("vec_id")
 
+  /** Symmetric int8 quantization of embeddings (the storage/serving format
+    * for large ANN corpora): per-vector scale = max|v|/127, quantized code
+    * q_i = floor(v_i * 127 / max + 0.5). Map-only projection — codegen'd
+    * higher-order functions, no UDFs — with per-vector diagnostics:
+    * saturation count and max reconstruction error. floor(x + 0.5) instead
+    * of round() keeps the result engine-exact (same IEEE ops in the same
+    * order on both sides of the oracle compare).
+    */
+  def qEmbedQuantize(t: Tables): DataFrame =
+    t.embeddings
+      .filter(pmod(col("vec_id"), lit(50)) === 0)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("q", transform(col("v"),
+        x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("long")))
+      .select(
+        col("vec_id"),
+        col("mx"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("sum_q"),
+        size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"),
+        array_max(zip_with(col("v"), col("q"),
+          (x, qi) => abs(x - qi.cast("double") * col("mx") / lit(127.0))))
+          .as("max_err"))
+      .orderBy("vec_id")
+
   /** LSH-banded approximate kNN: the third scale path next to brute force
     * and IVF, and the one that survives a corpus too big to scan per query
     * batch.

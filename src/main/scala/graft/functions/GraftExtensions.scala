@@ -59,7 +59,21 @@ object GraftFunctions {
     ("word_shingles", args => WordShingles(args(0),
       if (args.length > 1) intLit("word_shingles", args(1)) else 3)),
     ("bounded_topk", topkBuilder),
-    ("vector_sum", args => VectorSum(args.head)))
+    ("vector_sum", args => VectorSum(args.head)),
+    // Spark's built-in runtime-filtering expressions, surfaced as SQL
+    // functions: bloom_filter_agg(xxhash64(key)[, estItems[, numBits]])
+    // builds the filter as a binary aggregate; might_contain(bloom, hash)
+    // probes it. Used by the bloom-prefiltered join operator.
+    ("bloom_filter_agg", args => args.length match {
+      case 1 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0))
+      case 2 => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1))
+      case _ => new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(args(0), args(1), args(2))
+    }),
+    ("might_contain", args => org.apache.spark.sql.catalyst.expressions
+      .BloomFilterMightContain(args(0), args(1))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

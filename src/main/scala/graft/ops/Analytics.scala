@@ -1,0 +1,215 @@
+package graft.ops
+
+import graft.Tables
+import graft.transform.Transforms.dsum
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Analytics operators added in round 4: reshaping (unpivot), time-series
+  * gap filling, ratio-to-report windows, year-over-year growth, column
+  * profiling, and a bloom-prefiltered join. Same conventions as
+  * [[Relational]]: every query has a DuckDB oracle, decimal-exact sums,
+  * total output ordering.
+  */
+object Analytics {
+
+  /** Wide-to-long reshape (melt): the four lineitem measures become
+    * (measure, val) rows. Map-only — Spark's Expand node emits 4 rows per
+    * input row with no shuffle; at 100 TB this is a streaming projection.
+    */
+  def qUnpivotMeasures(t: Tables): DataFrame =
+    t.lineitem
+      .filter(pmod(col("l_orderkey"), lit(500)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax")),
+        "measure", "val")
+      .orderBy("l_orderkey", "l_linenumber", "measure")
+
+  /** Year-over-year revenue growth per customer nation: yearly decimal-exact
+    * revenue, then lag + ratio. Dimensions broadcast; one shuffle on the
+    * (year, nation) group key; the window partitions by nation (25 rows per
+    * partition — trivial at any scale because the grouped frame is tiny).
+    */
+  def qYoyGrowth(t: Tables): DataFrame = {
+    val w = Window.partitionBy("n_name").orderBy("yr")
+    t.orders
+      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("n_name"))
+      .agg(dsum(col("o_totalprice")).as("rev"))
+      .withColumn("prev_rev", lag("rev", 1).over(w))
+      .withColumn("growth", (col("rev") - col("prev_rev")) / col("prev_rev"))
+      .orderBy("n_name", "yr")
+  }
+
+  /** Ratio-to-report + cumulative distribution windows: each order's share
+    * of its customer's total spend, and its cume_dist within the customer
+    * by price. Windows run over the full partition; the output is then
+    * decimated so the graded frame stays small. One shuffle on o_custkey.
+    */
+  def qWindowShares(t: Tables): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+    val ordered = byCust.orderBy(col("o_totalprice"), col("o_orderkey"))
+    t.orders
+      .withColumn("cust_total",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(byCust)
+          .cast("double"))
+      .withColumn("share", col("o_totalprice") / col("cust_total"))
+      .withColumn("cd", cume_dist().over(ordered))
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "cust_total",
+        "share", "cd")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Column-level data profiling of the orders table: null count, distinct
+    * count, numeric min/max per column, long-form. ONE scan — all per-column
+    * aggregates run in a single aggregation (count-distincts expand the
+    * input k ways map-side, the standard Spark multi-distinct plan), then
+    * the single result row is exploded into one row per column.
+    */
+  def qProfileColumns(t: Tables): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_totalprice",
+      "o_orderstatus", "o_orderpriority")
+    val numeric = Set("o_orderkey", "o_custkey", "o_totalprice")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"nd_$c")) ++
+        (if (numeric(c))
+          Seq(min(col(c)).cast("double").as(s"mn_$c"),
+            max(col(c)).cast("double").as(s"mx_$c"))
+        else Nil)
+    }
+    val one = t.orders.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (numeric(c)) col(s"mn_$c") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric(c)) col(s"mx_$c") else lit(null).cast("double"))
+          .as("max_num"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+      .orderBy("col_name")
+  }
+
+  /** Time-series gap filling with linear interpolation: hourly mean value
+    * per event type over a deterministic event subsample (1-in-7, so gaps
+    * exist at every SF); missing hours get prev + (next-prev) * w from the
+    * nearest present neighbors. The spine is generated from the global
+    * min/max hour (one tiny aggregate), the grid joins against the hourly
+    * aggregate, and the fill windows partition by type ordered by hour —
+    * one shuffle of the GRID (bounded by timespan x types, not input rows),
+    * which is what makes this shape safe at 100 TB.
+    */
+  def qGapFill(t: Tables): DataFrame = {
+    val ev = t.events
+      .filter(pmod(col("event_id"), lit(7)) === 0)
+      .select(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hl"), col("value"))
+    val hourly = ev.groupBy("event_type", "hl")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+    val bounds = ev.agg(min("hl").as("lo"), max("hl").as("hi"))
+    val types = ev.select("event_type").distinct()
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("hl"))
+      .crossJoin(broadcast(types))
+    val byType = Window.partitionBy("event_type").orderBy("hl")
+    val back = byType.rowsBetween(Window.unboundedPreceding, -1)
+    val fwd = byType.rowsBetween(1, Window.unboundedFollowing)
+    val grid = spine
+      .join(hourly, Seq("event_type", "hl"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("v", when(col("n") > 0, col("sv").cast("double") / col("n")))
+      .withColumn("ph", last(when(col("n") > 0, col("hl")), ignoreNulls = true).over(back))
+      .withColumn("pv", last(when(col("n") > 0, col("v")), ignoreNulls = true).over(back))
+      .withColumn("nh", first(when(col("n") > 0, col("hl")), ignoreNulls = true).over(fwd))
+      .withColumn("nv", first(when(col("n") > 0, col("v")), ignoreNulls = true).over(fwd))
+    grid
+      .withColumn("value",
+        when(col("n") > 0, col("v"))
+          .when(col("ph").isNotNull && col("nh").isNotNull,
+            col("pv") + (col("nv") - col("pv")) *
+              ((col("hl") - col("ph")).cast("double") /
+                (col("nh") - col("ph")).cast("double"))))
+      .withColumn("filled",
+        (col("n") === 0 && col("ph").isNotNull && col("nh").isNotNull)
+          .cast("long"))
+      .select(
+        date_format(timestamp_seconds(col("hl") * 3600), "yyyy-MM-dd HH:mm:ss")
+          .as("hour"),
+        col("event_type"), col("n"), col("value"), col("filled"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Bloom-prefiltered semi join: customers that placed a 1998 order. The
+    * bloom filter built over the (filtered) orders side reaches the
+    * customer scan as a scalar subquery — a single binary value computed
+    * once and broadcast into the predicate (might_contain REQUIRES the
+    * scalar-subquery form); the prefilter drops the bulk of non-matching
+    * rows BEFORE the exact semi join removes the bloom's false positives,
+    * so the output is exact. At 100 TB this is the manual form of runtime
+    * row-level filtering: the big probe side is pre-pruned by a few KB of
+    * bloom bits instead of shuffling everything into the join.
+    */
+  private val bloomPreSql =
+    """SELECT c_custkey, c_name FROM customer
+       WHERE might_contain(
+         (SELECT bloom_filter_agg(xxhash64(o_custkey)) FROM orders
+          WHERE year(o_orderdate) = 1998),
+         xxhash64(c_custkey))"""
+
+  def qBloomPrefilter(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      s"""WITH pre AS ($bloomPreSql)
+          SELECT pre.c_custkey, pre.c_name FROM pre
+          WHERE EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = pre.c_custkey
+              AND year(o.o_orderdate) = 1998)
+          ORDER BY c_custkey""")
+  }
+
+  /** The bloom prefilter stage alone (false positives included) — exposed
+    * so tests can assert the filter actually prunes.
+    */
+  def bloomPrefilterOnly(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(bloomPreSql)
+  }
+
+  /** TPC-H Q5 (local supplier volume) through the SQL frontend: six-table
+    * join where the customer and supplier must share a nation, executed
+    * from SQL text over the registered views — exercises parse/analyze/
+    * optimize on a plan with both broadcast dims and a fact-fact shuffle.
+    */
+  def qSqlQ5(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         WHERE r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY n_name
+         ORDER BY n_name""")
+  }
+}

@@ -54,4 +54,29 @@ object Skew {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))
       .agg(sum("__partial").as("n"))
+
+  /** Count + decimal-exact sum via the two-phase salted plan. The partial
+    * sums are DECIMAL, so re-aggregating them is exact — the salted result
+    * is bit-identical to the direct groupBy, which is what the graded query
+    * asserts against a plain GROUP BY oracle.
+    */
+  def saltedAgg(df: DataFrame, key: String, value: String, salts: Int): DataFrame =
+    df.withColumn("__salt", salt(monotonically_increasing_id(), salts))
+      .groupBy(col(key), col("__salt"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(value).cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .as("__s"))
+      .groupBy(col(key))
+      .agg(sum("__n").as("n"), sum("__s").cast("double").as("sum_val"))
+
+  /** Graded two-phase aggregation: per-supplier lineitem count + quantity
+    * sum through the salted plan — exact under any salting, so the oracle
+    * is the direct GROUP BY. The shape survives a pathological hot key
+    * because no reducer ever sees more than 1/salts of it.
+    */
+  def qSkewSaltedAgg(t: graft.Tables): DataFrame =
+    saltedAgg(t.lineitem.select("l_suppkey", "l_quantity"),
+      "l_suppkey", "l_quantity", salts = 8)
+      .orderBy("l_suppkey")
 }

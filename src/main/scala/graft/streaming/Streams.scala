@@ -134,6 +134,27 @@ object Streams {
     }
   }
 
+  /** Streaming exact distinct: unique users per hour via stateful
+    * dropDuplicates feeding the hourly aggregate — the streaming form of
+    * COUNT(DISTINCT user_id) GROUP BY hour. Dedup state is the distinct
+    * (user, hour) key set: for a drain it is bounded by that cardinality;
+    * a 24/7 pipeline would bound it with dropDuplicatesWithinWatermark
+    * at the cost of admitting very-late duplicates.
+    */
+  def distinctUsersHourly(events: DataFrame): DataFrame =
+    events
+      .withColumn("hour", date_trunc("hour", col("ts")))
+      .dropDuplicates("user_id", "hour")
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n_users"))
+
+  /** Drain-mode execution of [[distinctUsersHourly]] (see
+    * [[drainTumblingCounts]] for the drain semantics).
+    */
+  def drainDistinctUsers(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(spark, distinctUsersHourly(eventsStream(spark, dir, globFilter)))
+
   /** Sliding windows (1-hour window, 15-minute slide): each event lands in
     * four overlapping windows.
     */

@@ -1,0 +1,153 @@
+package graft
+
+import graft.ext.{Dedup, Sampling, Similarity}
+import graft.ops.{Analytics, Skew}
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 analytics operators: reshaping, gap filling, bloom prefilter,
+  * salted aggregation, profiling, sharding, quantization, fuzzy dedup.
+  */
+class AnalyticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("unpivot emits one row per (input row, measure) and keeps values") {
+    val in = tables.lineitem.filter(pmod(col("l_orderkey"), lit(500)) === 0)
+    val out = Analytics.qUnpivotMeasures(tables)
+    assert(out.count() == 4 * in.count())
+    // spot-check: the l_quantity rows carry the source values
+    val qty = out.filter(col("measure") === "l_quantity")
+      .select("l_orderkey", "l_linenumber", "val")
+      .as[(Long, Long, Double)].collect().toSet
+    val src = in.select(col("l_orderkey"), col("l_linenumber").cast("long"),
+      col("l_quantity")).as[(Long, Long, Double)].collect().toSet
+    assert(qty == src)
+  }
+
+  test("gap fill: present hours keep their mean; gaps interpolate between neighbors") {
+    val out = Analytics.qGapFill(tables).collect()
+    val filled = out.filter(_.getLong(4) == 1)
+    assert(filled.nonEmpty, "test corpus produced no gaps")
+    filled.foreach { r =>
+      assert(r.getLong(2) == 0)          // n = 0 on filled rows
+      assert(!r.isNullAt(3))             // interpolated value present
+    }
+    // interior interpolation lies within the neighbor value envelope:
+    // group rows per type in hour order and check each filled value
+    out.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_.getString(0))
+      seq.indices.foreach { i =>
+        if (seq(i).getLong(4) == 1) {
+          val prev = seq.take(i).reverse.find(_.getLong(2) > 0)
+          val next = seq.drop(i + 1).find(_.getLong(2) > 0)
+          (prev, next) match {
+            case (Some(p), Some(n)) =>
+              val lo = math.min(p.getDouble(3), n.getDouble(3))
+              val hi = math.max(p.getDouble(3), n.getDouble(3))
+              val v = seq(i).getDouble(3)
+              assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+                s"interpolated $v outside [$lo, $hi]")
+            case _ => fail("filled row without both neighbors")
+          }
+        }
+      }
+    }
+  }
+
+  test("bloom prefilter prunes non-matching customers and the final output is exact") {
+    val pre = Analytics.bloomPrefilterOnly(spark, tables).count()
+    val exact = Analytics.qBloomPrefilter(spark, tables).count()
+    val total = tables.customer.count()
+    val expected = tables.customer.join(
+      tables.orders.filter(year(col("o_orderdate")) === 1998)
+        .select("o_custkey"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(exact == expected, "bloom path result differs from plain semi join")
+    assert(pre >= exact, "bloom must never drop a true match")
+    assert(pre < total, "bloom prefilter did not prune anything")
+  }
+
+  test("salted two-phase aggregation is bit-identical to the direct groupBy") {
+    val salted = Skew.qSkewSaltedAgg(tables)
+      .as[(Long, Long, Double)].collect().toSeq
+    val direct = tables.lineitem
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_val"))
+      .orderBy("l_suppkey")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(salted == direct)
+  }
+
+  test("profile: key column is unique and non-null, string columns have no numeric range") {
+    val p = Analytics.qProfileColumns(tables).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = tables.orders.count()
+    assert(p("o_orderkey").getLong(1) == n)
+    assert(p("o_orderkey").getLong(2) == 0)
+    assert(p("o_orderkey").getLong(3) == n) // primary key: all distinct
+    assert(p("o_orderstatus").isNullAt(4) && p("o_orderstatus").isNullAt(5))
+    assert(!p("o_totalprice").isNullAt(4) && !p("o_totalprice").isNullAt(5))
+  }
+
+  test("yoy growth: first year per nation has null prev/growth, later years don't") {
+    val rows = Analytics.qYoyGrowth(tables).collect()
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val byYr = rs.sortBy(_.getLong(0))
+      assert(byYr.head.isNullAt(3) && byYr.head.isNullAt(4))
+      byYr.tail.foreach(r => assert(!r.isNullAt(3) && !r.isNullAt(4)))
+    }
+  }
+
+  test("window shares: share in (0,1], cume_dist in (0,1]") {
+    Analytics.qWindowShares(tables).collect().foreach { r =>
+      val share = r.getDouble(4)
+      val cd = r.getDouble(5)
+      assert(share > 0 && share <= 1 + 1e-12, s"share=$share")
+      assert(cd > 0 && cd <= 1.0, s"cd=$cd")
+    }
+  }
+
+  test("train shards cover all docs with shards in range") {
+    val out = Sampling.qTrainShards(tables).collect()
+    assert(out.map(_.getLong(1)).sum == tables.documents.count())
+    assert(out.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 16))
+  }
+
+  test("quantization codes are within int8 range and reconstruction error is bounded") {
+    val rows = Similarity.qEmbedQuantize(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mx = r.getDouble(1)
+      val maxErr = r.getDouble(4)
+      // rounding to the nearest code can miss by at most half a step
+      assert(maxErr <= mx / 127.0 / 2.0 + 1e-12,
+        s"max_err=$maxErr exceeds half a quantization step (mx=$mx)")
+    }
+  }
+
+  test("fuzzy name pairs are blocked, ordered, and within the distance bound") {
+    val rows = Dedup.qFuzzyNames(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+    }
+  }
+
+  test("streaming distinct users per hour matches the batch COUNT(DISTINCT)") {
+    val streamed = graft.streaming.Streams
+      .drainDistinctUsers(spark, sfDir, "events.parquet")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_users"))
+      .as[(String, Long)].collect().toSet
+    val batch = tables.events
+      .select(date_format(date_trunc("hour", col("ts")),
+        "yyyy-MM-dd HH:mm:ss").as("hour"), col("user_id"))
+      .groupBy("hour")
+      .agg(countDistinct("user_id").as("n_users"))
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch)
+  }
+}
