@@ -101,6 +101,7 @@ object SparkEntry {
     "q_approx_distinct" -> q(Stats.qApproxDistinct),
     "q_approx_quantile" -> q(Stats.qApproxQuantile),
     "q_mad" -> q(Stats.qMad),
+    "q_corr_matrix" -> q(Stats.qCorrMatrix),
     "q_integrity_checks" -> q(Stats.qIntegrityChecks),
     // — event-log operators —
     "q_tumbling_window" -> q(Events.qTumblingWindow),
@@ -122,6 +123,7 @@ object SparkEntry {
     "q_contamination" -> q(Dedup.qContamination(_)),
     "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
     "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
+    "q_cross_source_overlap" -> q(Dedup.qCrossSourceOverlap),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -134,6 +136,7 @@ object SparkEntry {
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
+    "q_label_centroids" -> q(Similarity.qLabelCentroids),
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
@@ -148,6 +151,8 @@ object SparkEntry {
     "q_text_chunks" -> q(TextAnalysis.qTextChunks(_)),
     "q_pack_sequences" -> q(TextAnalysis.qPackSequences(_)),
     "q_source_kl" -> q(TextAnalysis.qSourceKl),
+    "q_quality_funnel" -> q(TextAnalysis.qQualityFunnel(_)),
+    "q_bigram_surprisal" -> q(TextAnalysis.qBigramSurprisal),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -612,6 +617,105 @@ object SparkEntry {
            round((sxy_ - sx * sy / nd) /
              (sqrt(sxx - sx * sx / nd) * sqrt(syy - sy * sy / nd)), 9) AS corr_price_qty
          FROM m ORDER BY l_linestatus""",
+    // same exact-moment recipe as q_stats, generalized to all measure
+    // pairs; round(_, 9) masks cross-engine FMA contraction
+    "q_corr_matrix" ->
+      """WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS ss_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s_p,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS ss_p,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS ss_d,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sp_qp,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sp_qd,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sp_pd
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, pair, n, corr FROM (
+           SELECT l_returnflag, n, 'qty_price' AS pair,
+             round((sp_qp - s_q * s_p / nd) /
+               (sqrt(ss_q - s_q * s_q / nd) * sqrt(ss_p - s_p * s_p / nd)), 9) AS corr
+           FROM m
+           UNION ALL SELECT l_returnflag, n, 'qty_disc',
+             round((sp_qd - s_q * s_d / nd) /
+               (sqrt(ss_q - s_q * s_q / nd) * sqrt(ss_d - s_d * s_d / nd)), 9)
+           FROM m
+           UNION ALL SELECT l_returnflag, n, 'price_disc',
+             round((sp_pd - s_p * s_d / nd) /
+               (sqrt(ss_p - s_p * s_p / nd) * sqrt(ss_d - s_d * s_d / nd)), 9)
+           FROM m)
+         ORDER BY l_returnflag, pair""",
+    // fixed-point milli-unit quantization makes the distributed vector
+    // sums exact integers, so aggregation order cannot shift them
+    "q_label_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e),
+         y AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS m FROM x)
+         SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_milli,
+           COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_milli
+         FROM y GROUP BY label, dim ORDER BY label, dim""",
+    // shares qualityExpr's formula (see q_quality_score / q_dedup_keep_best)
+    "q_quality_funnel" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             least((CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END) / 100.0,
+                 1.0) * 0.4
+               + (CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) * 0.4
+               + least((CAST(len(trim(text))
+                    - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0) * 0.2 AS q,
+             CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_frac
+           FROM documents),
+         f AS (SELECT source,
+             CAST(n_tokens < 5 AS BIGINT) AS short,
+             CAST(q < 0.35 AS BIGINT) AS lowq,
+             CAST(digit_frac > 0.2 AS BIGINT) AS digity
+           FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(short) AS BIGINT) AS n_short,
+           CAST(SUM(lowq) AS BIGINT) AS n_low_quality,
+           CAST(SUM(digity) AS BIGINT) AS n_digit_heavy,
+           CAST(SUM(CASE WHEN short = 0 AND lowq = 0 AND digity = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM f GROUP BY source ORDER BY source""",
+    // conditional bigram LM; gram construction mirrors q_contamination's
+    // clamp (a doc shorter than n yields one whole-doc gram), surprisal
+    // rounded at 1e-9 into DECIMAL then weighted by exact counts
+    "q_bigram_surprisal" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 2),
+               i -> array_to_string(w[i:i+1], ' '))) AS g FROM d),
+         cb AS (SELECT g, COUNT(*) AS cb FROM g GROUP BY 1),
+         cf AS (SELECT split_part(g, ' ', 1) AS w1,
+             CAST(SUM(cb) AS BIGINT) AS cf FROM cb GROUP BY 1),
+         s AS (SELECT cb.g,
+             CAST(round(-ln(CAST(cb.cb AS DOUBLE) / cf.cf), 9)
+               AS DECIMAL(14,10)) AS sp
+           FROM cb JOIN cf ON split_part(cb.g, ' ', 1) = cf.w1),
+         dg AS (SELECT doc_id, g, COUNT(*) AS k FROM g
+           WHERE doc_id % 10 = 0 GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_bigrams,
+           CAST(SUM(sp * CAST(k AS DECIMAL(8,0))) AS DOUBLE)
+             / CAST(SUM(k) AS BIGINT) AS avg_surprisal
+         FROM dg JOIN s USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "q_cross_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT source,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS h
+           FROM documents)
+         SELECT a.source AS source_a, b.source AS source_b,
+           COUNT(*) AS n_shared
+         FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_minmax" ->
       """SELECT l_returnflag,
            min(l_extendedprice) AS min_price,

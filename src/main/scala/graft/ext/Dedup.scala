@@ -366,6 +366,26 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Cross-source contamination: pairs of sources sharing documents with
+    * the same word-set fingerprint (TextAnalysis.fingerprint — sorted
+    * distinct words, so trivial re-orderings still collide), with the
+    * shared-fingerprint count. The self-join runs on the hash AFTER
+    * per-(source, hash) distinct, so a hash's fan-out is bounded by the
+    * source count (not its duplicate count) — boilerplate duplicated a
+    * million times still contributes one row per source to the join.
+    */
+  def qCrossSourceOverlap(t: Tables): DataFrame = {
+    val d = t.documents
+      .select(col("source"), TextAnalysis.fingerprint(col("text")).as("h"))
+      .distinct()
+    d.select(col("source").as("source_a"), col("h"))
+      .join(d.select(col("source").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Fuzzy record dedup by edit distance under blocking: candidate pairs
     * share a cheap block key (brand + first name token), then
     * levenshtein <= maxDist confirms. Blocking is what makes fuzzy matching

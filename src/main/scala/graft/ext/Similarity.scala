@@ -289,6 +289,33 @@ object Similarity {
         size(col("embedding")).cast("long").as("dim"))
       .orderBy("vec_id")
 
+  /** Per-label mean embedding (the cluster-centroid primitive), GRADED:
+    * vectors are first quantized to fixed-point milli-units
+    * (floor(x*1000 + 0.5)), so the [[graft.functions.VectorSum]] partial
+    * sums are exact integers in doubles — aggregation order cannot shift
+    * them, which is what lets a distributed vector aggregate hash-match a
+    * single-threaded SQL oracle. One hash aggregate; one row per label
+    * crosses the exchange; the long-form explode happens on the k x dim
+    * result, not the input.
+    */
+  def qLabelCentroids(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("label").cast("long").as("label"),
+        transform(asDouble(col("embedding")),
+          // floor() yields BIGINT; vector_sum takes array<double>
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("double")).as("m"))
+      .groupBy("label")
+      .agg(call_function("vector_sum", col("m")).as("s"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("s")).as(Seq("dim", "sm")))
+      .select(
+        col("label"),
+        col("dim").cast("long").as("dim"),
+        col("sm").cast("long").as("sum_milli"),
+        col("n"),
+        (col("sm") / col("n")).as("mean_milli"))
+      .orderBy("label", "dim")
+
   /** Symmetric int8 quantization of embeddings (the storage/serving format
     * for large ANN corpora): per-vector scale = max|v|/127, quantized code
     * q_i = floor(v_i * 127 / max + 0.5). Map-only projection — codegen'd

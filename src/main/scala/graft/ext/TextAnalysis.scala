@@ -206,6 +206,72 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Data-curation funnel: per source, how many documents each quality
+    * gate rejects (too short, low quality blend, digit-heavy) and how many
+    * survive all gates. Map-only rule evaluation + one aggregate — the
+    * shape of a real corpus-filter pass, where the verdict counts are the
+    * monitoring surface. Rules share [[qualityExpr]] / [[tokenCount]], so a
+    * threshold tweak cannot desynchronize the funnel from the scorers.
+    */
+  def qQualityFunnel(
+      t: Tables,
+      minTokens: Int = 5,
+      minQuality: Double = 0.35,
+      maxDigitFrac: Double = 0.2): DataFrame = {
+    val nToks = tokenCount(col("text"))
+    val digitFrac =
+      length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        greatest(col("n_chars"), lit(1L)).cast("double")
+    t.documents
+      .withColumn("short", (nToks < minTokens).cast("long"))
+      .withColumn("lowq", (qualityExpr(col("text")) < minQuality).cast("long"))
+      .withColumn("digity", (digitFrac > maxDigitFrac).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("short").as("n_short"),
+        sum("lowq").as("n_low_quality"),
+        sum("digity").as("n_digit_heavy"),
+        sum(
+          (col("short") === 0 && col("lowq") === 0 && col("digity") === 0)
+            .cast("long")).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Mean bigram surprisal per sampled document under the corpus bigram
+    * LM: surprisal(w1 w2) = -ln(c(w1 w2) / c(w1 ·)) — the conditional
+    * next-word probability, one step up from [[qUnigramSurprisal]]'s
+    * unigram LM. Same engine-exactness recipe: per-bigram surprisal
+    * rounded at 1e-9 (above ln() jitter) into a narrow DECIMAL, weighted
+    * by exact occurrence counts. Bigrams come from the native
+    * word_shingles expression; the first-token marginal reuses the same
+    * gram strings, so both sides of the conditional live in one table.
+    */
+  def qBigramSurprisal(t: Tables): DataFrame = {
+    val grams = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("cb"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+    val firsts = counts.groupBy("w1").agg(sum("cb").as("cf"))
+    // vocab-sized x vocab-sized equi-join on the first token: no broadcast
+    // (at corpus scale both sides are vocabulary tables), one shuffle each
+    val surprisal = counts.join(firsts, "w1")
+      .select(col("g"),
+        round(-log(col("cb").cast("double") / col("cf")), 9)
+          .cast("decimal(14,10)").as("sp"))
+    grams
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .groupBy("doc_id", "g")
+      .agg(count(lit(1)).as("k"))
+      .join(surprisal, "g")
+      .groupBy("doc_id")
+      .agg(
+        sum("k").as("n_bigrams"),
+        (sum(col("sp") * col("k").cast("decimal(8,0)")).cast("double") / sum("k"))
+          .as("avg_surprisal"))
+      .orderBy("doc_id")
+  }
+
   /** Context-window chunk plan: fixed-size token chunks with overlap
     * (size 32, stride 24 here) per sampled document — the text twin of the
     * multimodal chunk planner, and the shape a training pipeline uses to

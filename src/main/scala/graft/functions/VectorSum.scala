@@ -34,6 +34,18 @@ case class VectorSum(
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def nullable: Boolean = true
 
+  // fail loudly on a non-double array: getDouble over e.g. array<bigint>
+  // storage would silently reinterpret the raw bits
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vector_sum requires array<double>, got ${other.catalogString}")
+    }
+
   /** Zero-length array = "nothing seen yet" sentinel (a real zero-dim
     * vector cannot occur: update would keep it empty and eval yields null,
     * which is the sane answer for dimensionless input anyway).

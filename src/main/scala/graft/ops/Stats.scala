@@ -53,6 +53,40 @@ object Stats {
       .orderBy("l_linestatus")
   }
 
+  /** Pairwise correlation matrix (long-form) across the three lineitem
+    * measures per return flag — the same exact-moment recipe as [[qStats]]
+    * generalized to all pairs: ONE scan computes every moment sum in a
+    * single aggregation, the 3x3 (pairs x groups) matrix falls out of a
+    * projection. round(_, 9) masks cross-engine FMA contraction on the
+    * composite arithmetic.
+    */
+  def qCorrMatrix(t: Tables): DataFrame = {
+    val ms = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val pairs = Seq(
+      ("qty_price", "l_quantity", "l_extendedprice"),
+      ("qty_disc", "l_quantity", "l_discount"),
+      ("price_disc", "l_extendedprice", "l_discount"))
+    val aggs =
+      ms.flatMap(m => Seq(s1(m).as(s"s_$m"), s2(m).as(s"ss_$m"))) ++
+        pairs.map { case (nm, x, y) => sxy(x, y).as(s"sp_$nm") }
+    val grouped = t.lineitem
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), aggs: _*)
+      .withColumn("nd", col("n").cast("double"))
+    def corrOf(nm: String, x: String, y: String) =
+      round((col(s"sp_$nm") - col(s"s_$x") * col(s"s_$y") / col("nd")) /
+        (sqrt(col(s"ss_$x") - col(s"s_$x") * col(s"s_$x") / col("nd")) *
+         sqrt(col(s"ss_$y") - col(s"s_$y") * col(s"s_$y") / col("nd"))), 9)
+    grouped
+      .select(col("l_returnflag"), col("n"), explode(array(pairs.map {
+        case (nm, x, y) =>
+          struct(lit(nm).as("pair"), corrOf(nm, x, y).as("corr"))
+      }: _*)).as("p"))
+      .select(col("l_returnflag"), col("p.pair").as("pair"), col("n"),
+        col("p.corr").as("corr"))
+      .orderBy("l_returnflag", "pair")
+  }
+
   /** Plain min/max/sum/count per group; dates out as strings. */
   def qMinMax(t: Tables): DataFrame =
     t.lineitem

@@ -1,7 +1,7 @@
 package graft
 
-import graft.ext.{Dedup, Sampling, Similarity}
-import graft.ops.{Analytics, Skew}
+import graft.ext.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Analytics, Skew, Stats}
 
 import org.apache.spark.sql.functions._
 
@@ -133,6 +133,67 @@ class AnalyticsSpec extends SparkSuite {
     rows.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
+    }
+  }
+
+  test("label centroids: vector_sum means equal the posexplode reference") {
+    val fast = Similarity.qLabelCentroids(tables)
+      .select("label", "dim", "sum_milli")
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = tables.embeddings
+      .select(col("label").cast("long").as("label"),
+        posexplode(transform(col("embedding").cast("array<double>"),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "m")))
+      .groupBy("label", "dim")
+      .agg(sum("m").as("s"))
+      .select(col("label"), col("dim").cast("long"), col("s"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fast == ref)
+  }
+
+  test("vector_sum rejects non-double arrays instead of reinterpreting bits") {
+    val df = Seq((1, Seq(1L, 2L))).toDF("k", "v")
+    val e = intercept[Exception] {
+      df.groupBy("k").agg(call_function("vector_sum", col("v"))).collect()
+    }
+    assert(e.getMessage.contains("array<double>")
+      || e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("correlation matrix values are valid correlations") {
+    val rows = Stats.qCorrMatrix(tables).collect()
+    assert(rows.length == 9) // 3 return flags x 3 pairs
+    rows.foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr=$c")
+    }
+  }
+
+  test("quality funnel counts are consistent") {
+    val rows = TextAnalysis.qQualityFunnel(tables).collect()
+    assert(rows.map(_.getLong(1)).sum == tables.documents.count())
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      Seq(2, 3, 4, 5).foreach(i =>
+        assert(r.getLong(i) >= 0 && r.getLong(i) <= n))
+      // kept = passed every gate, so kept + max(any gate) <= n
+      assert(r.getLong(5) + Seq(2, 3, 4).map(r.getLong).max <= n)
+    }
+  }
+
+  test("bigram surprisal is non-negative and covers the sampled docs with bigrams") {
+    val rows = TextAnalysis.qBigramSurprisal(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0))
+  }
+
+  test("cross-source overlap pairs are ordered and non-trivial on the test corpus") {
+    val rows = Dedup.qCrossSourceOverlap(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      assert(r.getLong(2) > 0)
     }
   }
 
