@@ -248,8 +248,12 @@ object TextAnalysis {
     * gram strings, so both sides of the conditional live in one table.
     */
   def qBigramSurprisal(t: Tables): DataFrame = {
+    // the gram stream feeds both the corpus LM counts and the per-doc
+    // scoring pass — persist it once (same lifecycle as minhashPairs:
+    // materialize the small result, then drop the cache)
     val grams = graft.Engine.spread(t.documents)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = grams.groupBy("g").agg(count(lit(1)).as("cb"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
     val firsts = counts.groupBy("w1").agg(sum("cb").as("cf"))
@@ -259,7 +263,7 @@ object TextAnalysis {
       .select(col("g"),
         round(-log(col("cb").cast("double") / col("cf")), 9)
           .cast("decimal(14,10)").as("sp"))
-    grams
+    val scored = grams
       .filter(pmod(col("doc_id"), lit(10)) === 0)
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("k"))
@@ -270,6 +274,9 @@ object TextAnalysis {
         (sum(col("sp") * col("k").cast("decimal(8,0)")).cast("double") / sum("k"))
           .as("avg_surprisal"))
       .orderBy("doc_id")
+    val out = scored.localCheckpoint()
+    grams.unpersist(false)
+    out
   }
 
   /** Context-window chunk plan: fixed-size token chunks with overlap

@@ -69,4 +69,21 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "query assignments not broadcast")
     assert(!p.contains("SortMergeJoin"), "probe join fell into SMJ")
   }
+
+  test("label centroids aggregate vectors partially before the exchange") {
+    // the whole point of vector_sum: one partially-aggregated row per label
+    // crosses the shuffle, never the exploded (row x dim) stream
+    val p = formatted("q_label_centroids")
+    assert(p.contains("partial_vectorsum") || p.contains("partial_vector_sum"),
+      "no map-side partial for vector_sum")
+    assert(!p.contains("Generate posexplode"),
+      "centroid input exploded before aggregation")
+  }
+
+  test("bloom prefilter probes a scalar-subquery bloom before the semi join") {
+    val p = formatted("q_bloom_prefilter")
+    assert(p.contains("might_contain"), "bloom probe missing from the plan")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "bloom not built as a scalar subquery")
+  }
 }
