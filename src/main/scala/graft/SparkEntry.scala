@@ -91,6 +91,9 @@ object SparkEntry {
       Analytics.qBloomPrefilter(spark, Tables(spark, dir))),
     "q_sql_q5" -> ((spark, dir) => Analytics.qSqlQ5(spark, Tables(spark, dir))),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
+    "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
+    "q_key_skew" -> q(Analytics.qKeySkew),
+    "q_moving_avg" -> q(Analytics.qMovingAvg),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -558,6 +561,45 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
          GROUP BY n_name
          ORDER BY n_name""",
+    "q_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(next_date, '%Y-%m-%d') AS valid_to,
+           CAST(CASE WHEN next_date IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_date
+           FROM orders)
+         WHERE o_custkey % 50 = 0
+         ORDER BY o_custkey, valid_from, o_orderkey""",
+    // exact interpolated percentiles over the per-key frequency table;
+    // the hottest key's share is the salting/AQE-skew decision input
+    "q_key_skew" ->
+      """WITH pk AS (SELECT l_partkey AS k, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+         sk AS (SELECT l_suppkey AS k, COUNT(*) AS freq FROM lineitem GROUP BY 1),
+         p AS (SELECT 'l_partkey' AS key_col, COUNT(*) AS n_keys,
+             CAST(SUM(freq) AS BIGINT) AS n_rows, MAX(freq) AS max_freq,
+             quantile_cont(freq, 0.5) AS p50_freq,
+             quantile_cont(freq, 0.99) AS p99_freq
+           FROM pk
+           UNION ALL SELECT 'l_suppkey', COUNT(*),
+             CAST(SUM(freq) AS BIGINT), MAX(freq),
+             quantile_cont(freq, 0.5), quantile_cont(freq, 0.99)
+           FROM sk)
+         SELECT key_col, n_keys, n_rows, max_freq, p50_freq, p99_freq,
+           CAST(max_freq AS DOUBLE) / n_rows AS top_share
+         FROM p ORDER BY key_col""",
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, ma5 FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS ma5
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
     // the salted two-phase plan must be exact: the oracle is the direct
     // single-phase GROUP BY
     "q_skew_salted_agg" ->

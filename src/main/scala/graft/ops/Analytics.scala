@@ -189,6 +189,71 @@ object Analytics {
     spark.sql(bloomPreSql)
   }
 
+  /** SCD type-2 interval construction: an event stream (orders per
+    * customer) becomes non-overlapping validity intervals — valid_from =
+    * the event time, valid_to = the next event's time, the latest row
+    * open-ended and flagged current. The lead window partitions by the
+    * entity key, so interval building parallelizes per entity; this is the
+    * standard change-capture -> dimension-history shape. Output decimated
+    * to sampled customers AFTER the windows (they need full history).
+    */
+  def qScd2Intervals(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders
+      .withColumn("next_date", lead(col("o_orderdate"), 1).over(w))
+      .filter(pmod(col("o_custkey"), lit(50)) === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+        date_format(col("next_date"), "yyyy-MM-dd").as("valid_to"),
+        col("next_date").isNull.cast("long").as("is_current"))
+      .orderBy("o_custkey", "valid_from", "o_orderkey")
+  }
+
+  /** Join-key skew diagnostics: per candidate key, the frequency profile a
+    * planner (or an engineer sizing a 100 TB join) needs — key count,
+    * max/percentile frequencies, and the hottest key's share of all rows.
+    * One aggregate per key builds the frequency table; the stats reduce to
+    * a single row per key column. This is the measurement side of the
+    * `ops.Skew` mitigation: keys whose top_share explodes are the ones
+    * that need salting or AQE skew-splitting.
+    */
+  def qKeySkew(t: Tables): DataFrame = {
+    def profile(keyCol: String): DataFrame =
+      t.lineitem.groupBy(keyCol).agg(count(lit(1)).as("freq"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum("freq").as("n_rows"),
+          max("freq").as("max_freq"),
+          expr("percentile(freq, 0.5)").as("p50_freq"),
+          expr("percentile(freq, 0.99)").as("p99_freq"))
+        .select(
+          lit(keyCol).as("key_col"), col("n_keys"), col("n_rows"),
+          col("max_freq"), col("p50_freq"), col("p99_freq"),
+          (col("max_freq").cast("double") / col("n_rows")).as("top_share"))
+    profile("l_partkey").unionAll(profile("l_suppkey"))
+      .orderBy("key_col")
+  }
+
+  /** Sliding-frame moving average (last 5 orders per customer): the ROWS
+    * frame pairs a decimal-exact frame sum with the frame count, so the
+    * average is engine-exact. One shuffle on the customer key; output
+    * decimated after the window.
+    */
+  def qMovingAvg(t: Tables): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-4, Window.currentRow)
+    t.orders
+      .withColumn("ma5",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double") / count(lit(1)).over(w))
+      .filter(pmod(col("o_orderkey"), lit(100)) === 0)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "ma5")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** TPC-H Q5 (local supplier volume) through the SQL frontend: six-table
     * join where the customer and supplier must share a nation, executed
     * from SQL text over the registered views — exercises parse/analyze/

@@ -197,6 +197,47 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("SCD2 intervals are contiguous with exactly one open row per entity") {
+    val rows = Analytics.qScd2Intervals(tables).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (ck, rs) =>
+      val sorted = rs.sortBy(r => (r.getString(2), r.getLong(1)))
+      assert(sorted.count(_.getLong(4) == 1) == 1,
+        s"customer $ck: not exactly one current row")
+      assert(sorted.last.getLong(4) == 1 && sorted.last.isNullAt(3))
+      sorted.dropRight(1).zip(sorted.tail).foreach { case (a, b) =>
+        assert(a.getString(3) == b.getString(2),
+          s"customer $ck: interval gap ${a.getString(3)} -> ${b.getString(2)}")
+      }
+    }
+  }
+
+  test("key skew profile: consistent counts and ordered percentiles") {
+    val rows = Analytics.qKeySkew(tables).collect()
+    assert(rows.length == 2)
+    val total = tables.lineitem.count()
+    rows.foreach { r =>
+      assert(r.getLong(2) == total)
+      assert(r.getDouble(4) <= r.getDouble(5) + 1e-9)        // p50 <= p99
+      assert(r.getDouble(5) <= r.getLong(3).toDouble + 1e-9) // p99 <= max
+      val share = r.getDouble(6)
+      assert(share > 0 && share <= 1.0)
+    }
+  }
+
+  test("moving average stays within the customer's price envelope") {
+    val bounds = tables.orders
+      .groupBy("o_custkey")
+      .agg(min("o_totalprice").as("lo"), max("o_totalprice").as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    Analytics.qMovingAvg(tables).collect().foreach { r =>
+      val (lo, hi) = bounds(r.getLong(0))
+      val ma = r.getDouble(3)
+      assert(ma >= lo - 1e-9 && ma <= hi + 1e-9, s"ma5=$ma outside [$lo,$hi]")
+    }
+  }
+
   test("streaming distinct users per hour matches the batch COUNT(DISTINCT)") {
     val streamed = graft.streaming.Streams
       .drainDistinctUsers(spark, sfDir, "events.parquet")

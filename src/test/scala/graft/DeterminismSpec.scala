@@ -20,7 +20,12 @@ class DeterminismSpec extends SparkSuite {
     "q_fingerprint",      // hash grouping
     "q_dedup_exact",
     "q_source_kl",        // rounded-log KL decimal sums
-    "q_mad")              // exact two-pass percentiles
+    "q_mad",              // exact two-pass percentiles
+    "q_label_centroids",  // vector_sum partial merges (exact int sums)
+    "q_skew_salted_agg",  // two-phase salted decimal aggregation
+    "q_gap_fill",         // spine windows + interpolation arithmetic
+    "q_corr_matrix",      // multi-pair moment sums
+    "q_bigram_surprisal") // vocab joins + rounded-log decimal scoring
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -112,7 +112,52 @@ class SqlParitySpec extends SparkSuite {
            COUNT(*) AS n,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
          FROM orders GROUP BY 1, 2 HAVING COUNT(*) >= 10
-         ORDER BY yr, o_orderstatus""")
+         ORDER BY yr, o_orderstatus""",
+    "q_moving_avg" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, ma5 FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / COUNT(*) OVER w AS ma5
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
+    "q_window_shares" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, cust_total, share, cd
+         FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+             o_totalprice / CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey) AS DOUBLE) AS share,
+             cume_dist() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice, o_orderkey) AS cd
+           FROM orders)
+         WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
+    "q_yoy_growth" ->
+      """WITH y AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, n_name,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2)
+         SELECT yr, n_name, rev,
+           lag(rev, 1) OVER w AS prev_rev,
+           (rev - lag(rev, 1) OVER w) / lag(rev, 1) OVER w AS growth
+         FROM y WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+         ORDER BY n_name, yr""",
+    "q_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS valid_from,
+           date_format(next_date, 'yyyy-MM-dd') AS valid_to,
+           CAST(CASE WHEN next_date IS NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS is_current
+         FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             lead(o_orderdate, 1) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS next_date
+           FROM orders)
+         WHERE o_custkey % 50 = 0
+         ORDER BY o_custkey, valid_from, o_orderkey""")
 
   test("SQL text reproduces the graded DataFrame formulations row-for-row") {
     tables.createViews()
