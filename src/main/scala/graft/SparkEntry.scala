@@ -608,7 +608,7 @@ object SparkEntry {
          FROM lineitem GROUP BY 1 ORDER BY 1""",
     "q_train_shards" ->
       """WITH d AS (SELECT doc_id,
-             CAST((doc_id * 2654435761) % 16 AS BIGINT) AS shard,
+             CAST(((doc_id % 2147483648) * 2654435761) % 16 AS BIGINT) AS shard,
              CASE WHEN len(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
            FROM documents)
@@ -692,7 +692,8 @@ object SparkEntry {
     // sums exact integers, so aggregation order cannot shift them
     "q_label_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
-             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
          x AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e),
          y AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
              CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS m FROM x)

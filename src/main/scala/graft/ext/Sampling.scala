@@ -72,8 +72,9 @@ object Sampling {
       .orderBy("source")
   }
 
-  /** Deterministic training-shard assignment: shard = (doc_id * Knuth
-    * multiplicative constant) mod nShards — a stateless pure projection, so
+  /** Deterministic training-shard assignment: shard = ((doc_id mod 2^31) *
+    * Knuth multiplicative constant) mod nShards — a stateless pure
+    * projection, so
     * any engine (and any re-run) routes a document to the same shard
     * without coordination. The per-shard stats verify balance; at 100 TB
     * the assignment column IS the write partitioning
@@ -83,7 +84,12 @@ object Sampling {
   def qTrainShards(t: Tables, nShards: Int = 16): DataFrame =
     t.documents
       .select(col("doc_id"),
-        pmod(col("doc_id") * lit(2654435761L), lit(nShards.toLong)).as("shard"),
+        // fold to 31 bits BEFORE the Knuth multiply: (2^31-1) * 2654435761
+        // stays under 2^63, so no engine overflows (Spark would wrap
+        // silently; DuckDB would raise) and every engine computes the same
+        // shard for the same doc_id at any corpus size
+        pmod((col("doc_id") % lit(2147483648L)) * lit(2654435761L),
+          lit(nShards.toLong)).as("shard"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       .groupBy("shard")
       .agg(

@@ -93,8 +93,15 @@ object Similarity {
   private def cellMeans(assigned: DataFrame): Map[Int, Array[Double]] =
     assigned
       .groupBy("cell")
-      .agg(call_function("vector_sum", col("vec")).as("s"), count(lit(1)).as("n"))
+      .agg(
+        call_function("vector_sum", col("vec")).as("s"),
+        // count only rows vector_sum actually folds in (non-null, non-empty),
+        // so the divisor matches the numerator's population
+        count(when(col("vec").isNotNull && size(col("vec")) > 0, lit(1)))
+          .as("n"))
       .collect()
+      .iterator
+      .filter(r => !r.isNullAt(1) && r.getLong(2) > 0L) // all-null cell: omit
       .map { r =>
         val n = r.getLong(2).toDouble
         r.getInt(0) -> r.getSeq[Double](1).map(_ / n).toArray
@@ -300,6 +307,9 @@ object Similarity {
     */
   def qLabelCentroids(t: Tables): DataFrame =
     t.embeddings
+      // vector_sum skips null/empty vectors, so exclude them from `n` too —
+      // the divisor must count exactly the rows the numerator folded in
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(col("label").cast("long").as("label"),
         transform(asDouble(col("embedding")),
           // floor() yields BIGINT; vector_sum takes array<double>

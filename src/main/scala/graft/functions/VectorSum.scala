@@ -21,8 +21,12 @@ import java.nio.ByteBuffer
   * at 100 TB a mean-embedding-per-cluster job moves k * dim doubles through
   * the shuffle instead of rows * dim.
   *
-  * Null/empty semantics: null inputs are skipped; an all-null group yields
-  * null. Vectors in a group must share their length (mismatch throws).
+  * Null/empty semantics: null AND zero-length inputs are skipped (a
+  * zero-length array carries no elements to sum, and skipping it keeps the
+  * result independent of row order — it must not be conflated with the
+  * internal "nothing seen" sentinel, which is also the empty array); a
+  * group with no non-empty vectors yields null. Non-empty vectors in a
+  * group must share their length (mismatch throws).
   */
 case class VectorSum(
     child: Expression,
@@ -54,7 +58,8 @@ case class VectorSum(
 
   private def add(buf: Array[Double], v: ArrayData): Array[Double] = {
     val n = v.numElements()
-    if (buf.isEmpty) {
+    if (n == 0) buf // skip empties like nulls, regardless of arrival order
+    else if (buf.isEmpty) {
       val out = new Array[Double](n)
       var i = 0
       while (i < n) { out(i) = v.getDouble(i); i += 1 }

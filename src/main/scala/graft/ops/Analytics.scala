@@ -33,14 +33,17 @@ object Analytics {
       .orderBy("l_orderkey", "l_linenumber", "measure")
 
   /** Year-over-year revenue growth per customer nation: yearly decimal-exact
-    * revenue, then lag + ratio. Dimensions broadcast; one shuffle on the
-    * (year, nation) group key; the window partitions by nation (25 rows per
-    * partition — trivial at any scale because the grouped frame is tiny).
+    * revenue, then lag + ratio. Nation (25 rows) broadcasts; customer SCALES
+    * WITH THE DATA, so it is NOT hinted — orders⋈customer shuffles on the
+    * custkey (or AQE broadcasts it while it still fits); then one shuffle on
+    * the (year, nation) group key; the window partitions by nation (25 rows
+    * per partition — trivial at any scale because the grouped frame is
+    * tiny).
     */
   def qYoyGrowth(t: Tables): DataFrame = {
     val w = Window.partitionBy("n_name").orderBy("yr")
     t.orders
-      .join(broadcast(t.customer.select("c_custkey", "c_nationkey")),
+      .join(t.customer.select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .groupBy(year(col("o_orderdate")).cast("long").as("yr"), col("n_name"))

@@ -76,8 +76,16 @@ class PlanAuditSpec extends SparkSuite {
     val p = formatted("q_label_centroids")
     assert(p.contains("partial_vectorsum") || p.contains("partial_vector_sum"),
       "no map-side partial for vector_sum")
-    assert(!p.contains("Generate posexplode"),
-      "centroid input exploded before aggregation")
+    // one legitimate posexplode exists — over the AGGREGATE OUTPUT `s`
+    // (k x dim rows). Any other posexplode means the input stream was
+    // exploded before aggregation, the exact shape vector_sum replaces.
+    // (formatted mode prints the generator on an Arguments detail line,
+    // never adjacent to the word "Generate" — match the argument itself.)
+    val explodes = "posexplode\\(".r.findAllIn(p).size
+    val overAggOutput = "posexplode\\(s#".r.findAllIn(p).size
+    assert(explodes == overAggOutput && explodes >= 1,
+      s"centroid input exploded before aggregation " +
+        s"($explodes posexplode(s), $overAggOutput over the aggregate output)")
   }
 
   test("bloom prefilter probes a scalar-subquery bloom before the semi join") {

@@ -45,6 +45,25 @@ class VectorSumSpec extends SparkSuite {
     assert(out(2) == None)
   }
 
+  test("empty vectors are skipped like nulls, in any arrival order") {
+    // empty-first and empty-last must both yield the sum of the non-empty
+    // rows (an empty input must not be conflated with the "nothing seen"
+    // buffer sentinel, which would make the result partition-order
+    // dependent: silently dropped one way, a length-mismatch crash the other)
+    for (rows <- Seq(
+        Seq((1, Seq.empty[Double]), (1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0))),
+        Seq((1, Seq(1.0, 2.0)), (1, Seq(3.0, 4.0)), (1, Seq.empty[Double])))) {
+      val out = rows.toDF("k", "v").coalesce(1).groupBy("k")
+        .agg(call_function("vector_sum", col("v")).as("s"))
+        .collect()
+      assert(out.head.getSeq[Double](1) == Seq(4.0, 6.0))
+    }
+    // a group of only empties has nothing to sum -> null, like all-null
+    val onlyEmpty = Seq((9, Seq.empty[Double])).toDF("k", "v").groupBy("k")
+      .agg(call_function("vector_sum", col("v")).as("s")).collect()
+    assert(onlyEmpty.head.isNullAt(1))
+  }
+
   test("mismatched vector lengths fail loudly") {
     val df = Seq((1, Seq(1.0)), (1, Seq(1.0, 2.0))).toDF("k", "v").coalesce(1)
     val e = intercept[Exception] {
