@@ -179,6 +179,9 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n_users"))
         .orderBy("hour")),
+    "q_stream_sessionize" -> ((spark, dir) =>
+      graft.streaming.Streams.drainSessionize(spark, dir, "events.parquet")
+        .orderBy("user_id", "session_id")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
@@ -644,6 +647,26 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
            COUNT(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+    // custom-state streaming sessionization (flatMapGroupsWithState, append
+    // mode) emits a session only once the NEXT event proves it closed, so
+    // the drain yields exactly every user's non-final session — same gap
+    // CTE as q_sessionize, minus each user's last session
+    "q_stream_sessionize" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS brk
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         e AS (SELECT user_id, sid, COUNT(*) AS n FROM s GROUP BY 1, 2)
+         SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+           CAST(n AS BIGINT) AS n_events
+         FROM e
+         WHERE sid < (SELECT MAX(e2.sid) FROM e e2 WHERE e2.user_id = e.user_id)
+         ORDER BY user_id, session_id""",
     "q_stats" ->
       """WITH m AS (SELECT l_linestatus, COUNT(*) AS n,
              CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,

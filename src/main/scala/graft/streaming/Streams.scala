@@ -107,11 +107,14 @@ object Streams {
     * final result as a batch frame. See [[drainTumblingCounts]] for why
     * complete mode is the right drain semantics.
     */
-  private def drain(spark: SparkSession, streamed: DataFrame): DataFrame = {
+  private def drain(
+      spark: SparkSession,
+      streamed: DataFrame,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_drain_${drainSeq.incrementAndGet()}"
     val query = streamed
       .writeStream
-      .outputMode(OutputMode.Complete())
+      .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .format("memory")
       .queryName(name)
@@ -208,6 +211,27 @@ object Streams {
         col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
       .select("click_id", "user_id", "click_ts", "view_id", "view_ts")
   }
+
+  /** Drain-mode execution of [[sessionize]] — the custom-state path run as
+    * an ACTUAL streaming query (flatMapGroupsWithState state store,
+    * microbatches, append-mode sink, AvailableNow).
+    *
+    * Append mode emits a session only when the next event PROVES it closed
+    * (gap exceeded), so the drained result is exactly every user's
+    * non-final session — each user's last session is still open when the
+    * backlog ends and NoTimeout never flushes it. That closed-sessions-only
+    * frame is still fully oracle-expressible (all sessions except each
+    * user's max session_id), which is what makes a custom-state streaming
+    * job gradeable against SQL. A 24/7 pipeline would add an event-time
+    * timeout to flush idle sessions instead.
+    */
+  def drainSessionize(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(
+      spark,
+      sessionize(spark, eventsStream(spark, dir, globFilter)),
+      OutputMode.Append())
+      .select(col("user_id"), col("session_id"), col("n_events"))
 
   /** Gap-based sessionization with explicit state: the streaming equivalent
     * of [[graft.ops.Events.qSessionize]] built on flatMapGroupsWithState.

@@ -215,6 +215,34 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("drained custom-state sessionize equals batch sessions minus each user's open tail") {
+    // the graded q_stream_sessionize path: append-mode flatMapGroupsWithState
+    // emits a session only when the next event proves it closed, so the
+    // drain must equal the batch gap-sessionization with each user's last
+    // (still-open) session removed
+    val streamed = SparkEntry.queries("q_stream_sessionize")(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val gapNs = 30L * 60L * 1000000000L
+    val batch = tables.events
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum("brk").over(byUser.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid").agg(count(lit(1)).as("n_events"))
+      .withColumn("max_sid",
+        max("sid").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")))
+      .filter(col("sid") < col("max_sid"))
+      .select(col("user_id"), col("sid").as("session_id"), col("n_events"))
+      .orderBy("user_id", "session_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("drained sliding stream matches a batch four-window expansion") {
     val streamed = SparkEntry.queries("q_stream_sliding")(spark, sfDir)
       .as[(String, String, Long)].collect().toSeq
