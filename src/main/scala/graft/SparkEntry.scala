@@ -94,6 +94,8 @@ object SparkEntry {
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
     "q_moving_avg" -> q(Analytics.qMovingAvg),
+    "q_rfm_segments" -> q(Analytics.qRfmSegments),
+    "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -112,6 +114,7 @@ object SparkEntry {
     "q_funnel" -> q(Events.qFunnel),
     "q_funnel_steps" -> q(Events.qFunnelSteps),
     "q_retention" -> q(Events.qRetention),
+    "q_cohort_matrix" -> q(Events.qCohortMatrix),
     "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
@@ -156,6 +159,9 @@ object SparkEntry {
     "q_source_kl" -> q(TextAnalysis.qSourceKl),
     "q_quality_funnel" -> q(TextAnalysis.qQualityFunnel(_)),
     "q_bigram_surprisal" -> q(TextAnalysis.qBigramSurprisal),
+    "q_vocab_coverage" -> q(TextAnalysis.qVocabCoverage(_)),
+    "q_doc_entropy" -> q(TextAnalysis.qDocEntropy),
+    "q_length_histogram" -> q(TextAnalysis.qLengthHistogram),
     // — streaming (an actual AvailableNow streaming execution: file source
     //   -> watermarked windowed state -> sink; graded against the same
     //   oracle as the batch twin q_tumbling_window) —
@@ -603,6 +609,56 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
          WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
+    // quartile scores = 1 + number of exact interpolated percentile cuts
+    // the value exceeds (no ntile: see qRfmSegments scaladoc)
+    "q_rfm_segments" ->
+      """WITH mx AS (SELECT MAX(o_orderdate) AS mxd FROM orders),
+         c AS (SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+               CAST((SELECT mxd FROM mx) AS DATE)) AS recency,
+             COUNT(*) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS monetary
+           FROM orders GROUP BY 1),
+         q AS (SELECT
+             quantile_cont(CAST(recency AS DOUBLE), [0.25, 0.5, 0.75]) AS rc,
+             quantile_cont(CAST(freq AS DOUBLE), [0.25, 0.5, 0.75]) AS fc,
+             quantile_cont(monetary, [0.25, 0.5, 0.75]) AS mc FROM c),
+         s AS (SELECT
+             CAST(1 + CAST(recency > rc[1] AS INT) + CAST(recency > rc[2] AS INT)
+               + CAST(recency > rc[3] AS INT) AS BIGINT) AS r_score,
+             CAST(1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+               + CAST(freq > fc[3] AS INT) AS BIGINT) AS f_score,
+             CAST(1 + CAST(monetary > mc[1] AS INT) + CAST(monetary > mc[2] AS INT)
+               + CAST(monetary > mc[3] AS INT) AS BIGINT) AS m_score,
+             monetary
+           FROM c CROSS JOIN q)
+         SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS seg_monetary
+         FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_order_gaps" ->
+      """WITH g AS (SELECT o_custkey, o_orderdate,
+             lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS prev
+           FROM orders),
+         d AS (SELECT date_diff('day', CAST(prev AS DATE),
+             CAST(o_orderdate AS DATE)) AS gap
+           FROM g WHERE prev IS NOT NULL)
+         SELECT CAST(gap // 30 AS BIGINT) AS bucket, COUNT(*) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_days,
+           CAST(MAX(gap) AS BIGINT) AS max_days,
+           CAST(SUM(gap) AS BIGINT) AS sum_days,
+           CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_days
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "q_cohort_matrix" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         c AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY 1)
+         SELECT strftime(make_timestamp(cohort_day * 86400000000), '%Y-%m-%d')
+             AS cohort,
+           CAST(day - cohort_day AS BIGINT) AS offset_days,
+           COUNT(*) AS n_users
+         FROM ud JOIN c USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // the salted two-phase plan must be exact: the oracle is the direct
     // single-phase GROUP BY
     "q_skew_salted_agg" ->
@@ -1054,6 +1110,52 @@ object SparkEntry {
          GROUP BY c.doc_id ORDER BY c.doc_id""",
     // per-word surprisal rounded at 1e-9 (above cross-engine ln jitter)
     // then summed in exact decimal weighted by occurrence count
+    // vocabulary = global top-100 words by occurrence (count desc, word asc
+    // tiebreak); coverage = exact-integer ratio
+    "q_vocab_coverage" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         v AS (SELECT word FROM (SELECT word, COUNT(*) AS cw FROM w
+           GROUP BY 1 ORDER BY cw DESC, word LIMIT 100)),
+         cov AS (SELECT doc_id, COUNT(*) AS n_covered FROM w
+           WHERE doc_id % 20 = 0 AND word IN (SELECT word FROM v)
+           GROUP BY 1),
+         d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens
+           FROM documents WHERE doc_id % 20 = 0)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COALESCE(n_covered, 0) AS BIGINT) AS n_covered,
+           CAST(COALESCE(n_covered, 0) AS DOUBLE) / n_tokens AS coverage
+         FROM d LEFT JOIN cov USING (doc_id)
+         WHERE n_tokens > 0 ORDER BY doc_id""",
+    // same decimal-weighted rounded-log recipe as q_unigram_surprisal:
+    // H = log2(n) - (sum c*log2 c)/n with exact integer weights
+    "q_doc_entropy" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents WHERE doc_id % 10 = 0),
+         c AS (SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2),
+         a AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             SUM(CAST(round(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,10))
+               * CAST(c AS DECIMAL(8,0))) AS sdec
+           FROM c GROUP BY 1)
+         SELECT doc_id, n_tokens,
+           round(log2(CAST(n_tokens AS DOUBLE))
+             - CAST(sdec AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS entropy
+         FROM a ORDER BY doc_id""",
+    "q_length_histogram" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n
+           FROM documents)
+         SELECT source,
+           CAST(floor(log2(CAST(n + 1 AS DOUBLE))) AS BIGINT) AS bucket,
+           COUNT(*) AS n_docs, CAST(MIN(n) AS BIGINT) AS min_tokens,
+           CAST(MAX(n) AS BIGINT) AS max_tokens,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens
+         FROM d GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_unigram_surprisal" ->
       """WITH w AS (SELECT doc_id,
              unnest(string_split_regex(trim(lower(text)), ' +')) AS word

@@ -405,4 +405,81 @@ object TextAnalysis {
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keep_id"))
       .orderBy("fp")
+
+  /** Per-document vocabulary coverage against the corpus's top-`vocabK`
+    * words (the OOV-rate proxy tokenizer work starts from). The vocabulary
+    * is a global top-k by occurrence — sort+limit, which Spark plans as
+    * TakeOrderedAndProject (per-partition partial top-k, k rows to the
+    * driver, NO total sort) — then broadcast to a semi join against the
+    * per-doc token stream. Coverage is a ratio of exact integer counts, so
+    * the double division is engine-exact.
+    */
+  def qVocabCoverage(t: Tables, vocabK: Int = 100): DataFrame = {
+    val toks = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(graft.ext.Dedup.words(col("text"))).as("word"))
+    val vocab = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("word"))
+      .limit(vocabK)
+      .select("word")
+    val covered = toks
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .join(broadcast(vocab), Seq("word"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_covered"))
+    t.documents
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .join(covered, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        (coalesce(col("n_covered"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double")).as("coverage"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-document Shannon entropy of the unigram distribution (repetitive,
+    * low-entropy documents are a curation filter target). Uses the
+    * established float-parity recipe: H = log2(n) - (Σ c·log2 c)/n, with
+    * each log2(c) rounded at 1e-9 (far above cross-engine ulp jitter) into
+    * a narrow DECIMAL and weighted by the exact integer count — the
+    * distributed sum is exact, so aggregation order cannot move the result.
+    * The final composite is rounded at 1e-9 for the same reason.
+    */
+  def qDocEntropy(t: Tables): DataFrame =
+    graft.Engine.spread(t.documents)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id"), explode(graft.ext.Dedup.words(col("text"))).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(
+        sum("c").as("n_tokens"),
+        sum(round(log2(col("c").cast("double")), 9).cast("decimal(14,10)")
+          * col("c").cast("decimal(8,0)")).as("sdec"))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(
+          log2(col("n_tokens").cast("double"))
+            - col("sdec").cast("double") / col("n_tokens").cast("double"),
+          9).as("entropy"))
+      .orderBy("doc_id")
+
+  /** Log2-bucketed document-length histogram per source: the curation
+    * dashboard view of a corpus's length distribution. floor(log2(n+1)) is
+    * cross-engine exact — log2 is exact at powers of two, and elsewhere the
+    * true value is far enough from an integer that a 1-ulp libm difference
+    * cannot move the floor. All aggregates are exact integers.
+    */
+  def qLengthHistogram(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"), tokenCount(col("text")).as("n_tokens"))
+      .groupBy(
+        col("source"),
+        floor(log2((col("n_tokens") + 1).cast("double"))).as("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min("n_tokens").as("min_tokens"),
+        max("n_tokens").as("max_tokens"),
+        sum("n_tokens").as("sum_tokens"))
+      .orderBy("source", "bucket")
 }

@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.transform.Transforms.dsum
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -255,6 +255,66 @@ object Analytics {
       .filter(pmod(col("o_orderkey"), lit(100)) === 0)
       .select("o_custkey", "o_orderkey", "o_totalprice", "ma5")
       .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation, the
+    * classic marketing cut. Per-customer metrics are one aggregate of
+    * orders; quartile boundaries come from exact interpolated percentiles
+    * over the customer frame (ONE tiny 3x3 cut matrix through the driver),
+    * and scores are then a pure map (1 + how many cuts the value exceeds) —
+    * no global ntile window, whose single-partition total sort would be the
+    * scale-killer at 15B customers. Scores ascend with the raw value
+    * (r_score 1 = most recent, f/m_score 4 = most frequent / biggest
+    * spender). Output is the 4x4x4 segment census.
+    */
+  def qRfmSegments(t: Tables): DataFrame = {
+    val cust = t.orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("freq"),
+        dsum(col("o_totalprice")).as("monetary"))
+      .crossJoin(broadcast(t.orders.agg(max(col("o_orderdate")).as("mxd"))))
+      .withColumn("recency", datediff(col("mxd"), col("last_order")).cast("long"))
+    val cuts = cust.agg(
+      expr("percentile(recency, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(monetary, array(0.25, 0.5, 0.75))").as("mc"))
+    def score(v: Column, c: Column): Column =
+      (lit(1) + (v > c.getItem(0)).cast("int") + (v > c.getItem(1)).cast("int")
+        + (v > c.getItem(2)).cast("int")).cast("long")
+    cust.crossJoin(broadcast(cuts))
+      .select(
+        score(col("recency").cast("double"), col("rc")).as("r_score"),
+        score(col("freq").cast("double"), col("fc")).as("f_score"),
+        score(col("monetary"), col("mc")).as("m_score"),
+        col("monetary"))
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"), dsum(col("monetary")).as("seg_monetary"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  /** Inter-purchase interval distribution: consecutive-order gaps per
+    * customer (lag window partitioned by custkey — co-partitioned with the
+    * data, no global sort), bucketed into 30-day bins. The average is an
+    * exact-integer-sum / count ratio, so the double division is
+    * engine-exact.
+    */
+  def qOrderGaps(t: Tables): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t.orders
+      .withColumn("prev", lag("o_orderdate", 1).over(byCust))
+      .filter(col("prev").isNotNull)
+      .withColumn("gap", datediff(col("o_orderdate"), col("prev")).cast("long"))
+      .groupBy(expr("gap div 30").as("bucket"))
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        min("gap").as("min_days"),
+        max("gap").as("max_days"),
+        sum("gap").as("sum_days"))
+      .withColumn("avg_days", col("sum_days").cast("double") / col("n_gaps"))
+      .orderBy("bucket")
   }
 
   /** TPC-H Q5 (local supplier volume) through the SQL frontend: six-table

@@ -180,6 +180,32 @@ object Events {
       .orderBy("wk")
   }
 
+  /** Cohort retention matrix: users grouped by first-activity day, counted
+    * on each subsequent active day as an offset from their cohort day — the
+    * classic triangular retention table. The (user, day) grid is distinct-
+    * projected first, the cohort day is a co-partitioned min-aggregate +
+    * join on user_id, and the matrix is bounded by timespan², not by input
+    * rows — the shape that holds when the event log is the 100 TB side.
+    */
+  def qCohortMatrix(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ud = t.events
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+    val cohort = ud.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ud.join(cohort, "user_id")
+      .groupBy(
+        col("cohort_day"),
+        (col("day") - col("cohort_day")).as("offset_days"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(
+        date_format(
+          timestamp_micros(col("cohort_day") * lit(86400000000L)),
+          "yyyy-MM-dd").as("cohort"),
+        col("offset_days"), col("n_users"))
+      .orderBy("cohort", "offset_days")
+  }
+
   private def asOfInputs(t: Tables): (DataFrame, DataFrame) = (
     t.events.select(col("event_id"), col("user_id"), col("ts")),
     t.orders.select(

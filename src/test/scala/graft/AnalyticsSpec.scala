@@ -238,6 +238,77 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("RFM census covers every customer once with quartile scores in 1..4") {
+    val seg = Analytics.qRfmSegments(tables).collect()
+    val nCustomers = tables.orders.select("o_custkey").distinct().count()
+    assert(seg.map(_.getLong(3)).sum == nCustomers)
+    seg.foreach { r =>
+      (0 to 2).foreach(i => assert(r.getLong(i) >= 1 && r.getLong(i) <= 4))
+    }
+    // quartile cuts split customers into rough fourths per dimension
+    val byR = seg.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(3)).sum)
+    assert(byR.size == 4)
+    byR.values.foreach(n =>
+      assert(n > nCustomers / 8 && n < nCustomers * 3 / 8, s"lopsided: $byR"))
+  }
+
+  test("order gaps: every customer with k orders contributes k-1 gaps") {
+    val gaps = Analytics.qOrderGaps(tables).collect()
+    val nOrders = tables.orders.count()
+    val nCust = tables.orders.select("o_custkey").distinct().count()
+    assert(gaps.map(_.getLong(1)).sum == nOrders - nCust)
+    gaps.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(0) * 30)      // min inside bucket
+      assert(r.getLong(3) < (r.getLong(0) + 1) * 30) // max inside bucket
+    }
+  }
+
+  test("cohort matrix: offset 0 counts each cohort's full population") {
+    val m = graft.ops.Events.qCohortMatrix(tables).collect()
+    val byCohort = m.groupBy(_.getString(0))
+    byCohort.foreach { case (_, rows) =>
+      val zero = rows.filter(_.getLong(1) == 0L)
+      assert(zero.length == 1, "every cohort must have an offset-0 row")
+      // day-0 activity includes every member (first activity IS day 0)
+      rows.foreach(r => assert(r.getLong(2) <= zero.head.getLong(2)))
+    }
+  }
+
+  test("vocab coverage is a [0,1] ratio and the corpus head covers most tokens") {
+    val rows = TextAnalysis.qVocabCoverage(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val cov = r.getDouble(3)
+      assert(cov >= 0.0 && cov <= 1.0)
+    }
+    // the synthetic corpus has a tiny vocabulary, so the top-100 head
+    // should cover nearly everything — a weak floor guards regressions
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    assert(mean > 0.5, s"mean coverage $mean suspiciously low")
+  }
+
+  test("doc entropy is bounded by [0, log2(n_tokens)]") {
+    val rows = TextAnalysis.qDocEntropy(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getDouble(2)
+      val max = math.log(r.getLong(1).toDouble) / math.log(2.0)
+      assert(h >= -1e-9 && h <= max + 1e-9, s"entropy $h outside [0, $max]")
+    }
+  }
+
+  test("length histogram buckets partition the corpus and bound their members") {
+    val rows = TextAnalysis.qLengthHistogram(tables).collect()
+    assert(rows.map(_.getLong(2)).sum == tables.documents.count())
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(1), r.getLong(3), r.getLong(4))
+      // bucket = floor(log2(n+1))  <=>  2^b <= n+1 < 2^(b+1), integer-exact
+      assert(mn + 1 >= (1L << b) && mx + 1 < (1L << (b + 1)),
+        s"bucket $b bounds violated by [$mn, $mx]")
+    }
+  }
+
   test("streaming distinct users per hour matches the batch COUNT(DISTINCT)") {
     val streamed = graft.streaming.Streams
       .drainDistinctUsers(spark, sfDir, "events.parquet")

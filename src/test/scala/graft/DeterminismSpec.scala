@@ -25,7 +25,10 @@ class DeterminismSpec extends SparkSuite {
     "q_skew_salted_agg",  // two-phase salted decimal aggregation
     "q_gap_fill",         // spine windows + interpolation arithmetic
     "q_corr_matrix",      // multi-pair moment sums
-    "q_bigram_surprisal") // vocab joins + rounded-log decimal scoring
+    "q_bigram_surprisal", // vocab joins + rounded-log decimal scoring
+    "q_doc_entropy",      // rounded-log2 decimal entropy sums
+    "q_rfm_segments",     // percentile cuts + decimal segment sums
+    "q_vocab_coverage")   // global top-k vocabulary tie-breaks
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
