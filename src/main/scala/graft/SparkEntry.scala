@@ -96,6 +96,7 @@ object SparkEntry {
     "q_moving_avg" -> q(Analytics.qMovingAvg),
     "q_rfm_segments" -> q(Analytics.qRfmSegments),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
+    "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -115,6 +116,7 @@ object SparkEntry {
     "q_funnel_steps" -> q(Events.qFunnelSteps),
     "q_retention" -> q(Events.qRetention),
     "q_cohort_matrix" -> q(Events.qCohortMatrix),
+    "q_event_transitions" -> q(Events.qEventTransitions),
     "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
@@ -649,6 +651,26 @@ object SparkEntry {
            CAST(SUM(gap) AS BIGINT) AS sum_days,
            CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_days
          FROM d GROUP BY 1 ORDER BY 1""",
+    // deterministic top-k at the tie boundary: total order (n DESC, p1, p2)
+    "q_basket_pairs" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+           FROM lineitem)
+         SELECT a.pk AS p1, b.pk AS p2, COUNT(*) AS n_orders
+         FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk
+         GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
+    // transition probability = exact-count ratio within the from-row
+    "q_event_transitions" ->
+      """WITH g AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         p AS (SELECT prev_type AS from_type, event_type AS to_type,
+             COUNT(*) AS n
+           FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+             AS DOUBLE) AS p
+         FROM p ORDER BY from_type, to_type""",
     "q_cohort_matrix" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),

@@ -317,6 +317,27 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** Market-basket pair co-occurrence: parts ordered together, ranked by
+    * the number of shared orders. The self-join is on the order key — a
+    * co-partitioned equi-join whose per-order pair fan-out is bounded by
+    * the basket size squared (TPC-H baskets are ≤7 lines → ≤21 pairs), so
+    * the expansion is a constant factor of the input, not quadratic in the
+    * corpus. Top-k by sort+limit = TakeOrderedAndProject (partial top-k per
+    * partition, k rows to the driver; no global sort).
+    */
+  def qBasketPairs(t: Tables, k: Int = 20): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
   /** TPC-H Q5 (local supplier volume) through the SQL frontend: six-table
     * join where the customer and supplier must share a nation, executed
     * from SQL text over the registered views — exercises parse/analyze/

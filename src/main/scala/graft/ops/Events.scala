@@ -206,6 +206,25 @@ object Events {
       .orderBy("cohort", "offset_days")
   }
 
+  /** Event-type transition matrix: counts of consecutive (from -> to)
+    * event pairs per user — the Markov-chain view behind funnel and
+    * next-action analyses. One lag window co-partitioned on user_id; the
+    * matrix is |event_type|² rows regardless of input size.
+    */
+  def qEventTransitions(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val pairs = t.events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type").as("from_type"), col("event_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = Window.partitionBy("from_type")
+    pairs
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(fromTotals).cast("double"))
+      .orderBy("from_type", "to_type")
+  }
+
   private def asOfInputs(t: Tables): (DataFrame, DataFrame) = (
     t.events.select(col("event_id"), col("user_id"), col("ts")),
     t.orders.select(

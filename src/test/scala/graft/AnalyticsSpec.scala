@@ -309,6 +309,23 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("basket pairs are canonical (p1<p2), ranked, and bounded by basket math") {
+    val rows = Analytics.qBasketPairs(tables).collect()
+    assert(rows.length == 20)
+    rows.foreach(r => assert(r.getLong(0) < r.getLong(1)))
+    val counts = rows.map(_.getLong(2))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("event transition probabilities sum to 1 within each from-type") {
+    val rows = graft.ops.Events.qEventTransitions(tables).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (from, grp) =>
+      val total = grp.map(_.getDouble(3)).sum
+      assert(math.abs(total - 1.0) < 1e-9, s"$from rows sum to $total")
+    }
+  }
+
   test("streaming distinct users per hour matches the batch COUNT(DISTINCT)") {
     val streamed = graft.streaming.Streams
       .drainDistinctUsers(spark, sfDir, "events.parquet")
