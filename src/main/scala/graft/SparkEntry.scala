@@ -97,6 +97,7 @@ object SparkEntry {
     "q_rfm_segments" -> q(Analytics.qRfmSegments),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
+    "q_topk_suppliers" -> q(Analytics.qTopkSuppliers(_)),
     "q_stats" -> q(Stats.qStats),
     "q_minmax" -> q(Stats.qMinMax),
     "q_argmax" -> q(Stats.qArgmax),
@@ -190,6 +191,16 @@ object SparkEntry {
     "q_stream_sessionize" -> ((spark, dir) =>
       graft.streaming.Streams.drainSessionize(spark, dir, "events.parquet")
         .orderBy("user_id", "session_id")),
+    "q_stream_join" -> ((spark, dir) =>
+      graft.streaming.Streams.drainClickViewJoin(spark, dir, "events.parquet")
+        .select(
+          col("click_id"), col("user_id"),
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("click_ts"),
+          col("view_id"),
+          date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("view_ts"))
+        .orderBy("click_id", "view_id")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
@@ -651,6 +662,35 @@ object SparkEntry {
            CAST(SUM(gap) AS BIGINT) AS sum_days,
            CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_days
          FROM d GROUP BY 1 ORDER BY 1""",
+    // bounded_topk ranks (revenue DESC, suppkey ASC) — mirror with
+    // row_number over the same total order
+    "q_topk_suppliers" ->
+      """WITH rev AS (SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT n_name, l_suppkey AS suppkey, revenue,
+             CAST(row_number() OVER (PARTITION BY n_name
+               ORDER BY revenue DESC, l_suppkey) AS BIGINT) AS rnk
+           FROM rev
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey)
+         SELECT n_name, suppkey, revenue, rnk FROM r
+         WHERE rnk <= 3 ORDER BY n_name, rnk""",
+    // INNER stream-stream join emission is eager (watermarks only bound
+    // state), so the drained stream equals this batch range join
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id AS click_id, user_id, ts AS click_ts
+           FROM events WHERE event_type = 'click'),
+         v AS (SELECT event_id AS view_id, user_id AS v_user_id,
+             ts AS view_ts FROM events WHERE event_type = 'view')
+         SELECT click_id, user_id,
+           strftime(click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           view_id, strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts
+         FROM c JOIN v ON user_id = v_user_id
+           AND view_ts <= click_ts
+           AND view_ts >= click_ts - INTERVAL 1 HOUR
+         ORDER BY click_id, view_id""",
     // deterministic top-k at the tie boundary: total order (n DESC, p1, p2)
     "q_basket_pairs" ->
       """WITH i AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk

@@ -338,6 +338,37 @@ object Analytics {
       .limit(k)
   }
 
+  /** Top-3 suppliers per nation by exact revenue, ranked with the native
+    * [[graft.functions.BoundedTopK]] partial aggregate: k rows per map task
+    * cross the per-nation exchange instead of every supplier row through a
+    * ranking window — the same plan shape the ANN rankings use, applied to
+    * a relational top-k. Revenue is decimal-exact before the double cast;
+    * ties break to the lower suppkey on both engines.
+    */
+  def qTopkSuppliers(t: Tables, k: Int = 3): DataFrame = {
+    val rev = t.lineitem
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(24, 6))).cast("double").as("revenue"))
+    // supplier scales with the data — no broadcast hint; both sides of the
+    // suppkey join are supplier-cardinality, so a co-partitioned shuffle
+    // join (or AQE broadcast while it fits) is the scale-correct shape
+    rev
+      .join(t.supplier.select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(call_function("bounded_topk",
+        struct(col("revenue"), col("l_suppkey")), lit(k), lit(true)).as("top"))
+      .select(col("n_name"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("n_name"),
+        col("item.id").as("suppkey"),
+        col("item.score").as("revenue"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("n_name", "rnk")
+  }
+
   /** TPC-H Q5 (local supplier volume) through the SQL frontend: six-table
     * join where the customer and supplier must share a nation, executed
     * from SQL text over the registered views — exercises parse/analyze/

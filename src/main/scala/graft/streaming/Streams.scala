@@ -233,6 +233,23 @@ object Streams {
       OutputMode.Append())
       .select(col("user_id"), col("session_id"), col("n_events"))
 
+  /** Drain-mode execution of [[clickViewJoin]]: both sides of the
+    * stream-stream join read from the same events landing path (filtered to
+    * clicks / views), joined with watermarks + an event-time range bound.
+    * INNER stream-stream joins emit a pair as soon as both rows have
+    * arrived — the watermark only governs state EVICTION, not emission — so
+    * an AvailableNow drain yields exactly the batch join result, which is
+    * what makes a stream-stream join gradeable against a SQL oracle.
+    */
+  def drainClickViewJoin(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val clicks = eventsStream(spark, dir, globFilter)
+      .filter(col("event_type") === "click")
+    val views = eventsStream(spark, dir, globFilter)
+      .filter(col("event_type") === "view")
+    drain(spark, clickViewJoin(clicks, views), OutputMode.Append())
+  }
+
   /** Gap-based sessionization with explicit state: the streaming equivalent
     * of [[graft.ops.Events.qSessionize]] built on flatMapGroupsWithState.
     */

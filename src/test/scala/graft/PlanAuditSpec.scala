@@ -88,6 +88,16 @@ class PlanAuditSpec extends SparkSuite {
         s"($explodes posexplode(s), $overAggOutput over the aggregate output)")
   }
 
+  test("supplier top-k aggregates partially before the per-nation exchange") {
+    // k rows per map task cross the shuffle, not every supplier through a
+    // ranking window
+    val p = formatted("q_topk_suppliers")
+    assert(p.contains("partial_boundedtopk") || p.contains("partial_bounded_topk"),
+      "no map-side partial for bounded_topk")
+    assert(!p.contains("RunningWindowFunction") && !p.contains("row_number"),
+      "top-k fell back to a ranking window")
+  }
+
   test("bloom prefilter probes a scalar-subquery bloom before the semi join") {
     val p = formatted("q_bloom_prefilter")
     assert(p.contains("might_contain"), "bloom probe missing from the plan")

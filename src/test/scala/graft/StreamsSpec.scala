@@ -243,6 +243,31 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("drained stream-stream join equals the batch range join") {
+    // inner stream-stream joins emit eagerly (watermarks only evict state),
+    // so the AvailableNow drain must reproduce the batch join exactly
+    val streamed = SparkEntry.queries("q_stream_join")(spark, sfDir)
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    val ev = tables.events
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vu"),
+        col("ts").as("view_ts"))
+    val batch = c.join(v,
+        col("user_id") === col("vu") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("cts"),
+        col("view_id"),
+        date_format(col("view_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("vts"))
+      .orderBy("click_id", "view_id")
+      .as[(Long, Long, String, Long, String)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("drained sliding stream matches a batch four-window expansion") {
     val streamed = SparkEntry.queries("q_stream_sliding")(spark, sfDir)
       .as[(String, String, Long)].collect().toSeq
