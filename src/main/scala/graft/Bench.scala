@@ -20,12 +20,18 @@ object Bench {
       t.customer.count(); t.events.limit(1).count()
       t.documents.limit(1).count(); t.embeddings.limit(1).count()
     } catch { case _: Throwable => () }
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on a
+    // hotspot; unset (the driver's mode) times every registered query
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     def timeAll(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          name -> (System.nanoTime() - t0) / 1e9
+        }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val results = timeAll()

@@ -72,14 +72,16 @@ object Similarity {
   }
 
   /** Nearest-centroid cell id for a vector, against a LITERAL centroid set:
-    * a pure projection (k cosines + argmax over an array), no join and no
-    * shuffle — the corpus-side assignment shape that survives 100 TB. Ties
-    * break to the lowest cell id (array_position returns the first max).
+    * a pure projection (argmax of k cosines via the native
+    * [[graft.functions.NearestCentroid]]), no join and no shuffle — the
+    * corpus-side assignment shape that survives 100 TB. Ties break to the
+    * lowest cell id (first max wins), bit-identical to the
+    * k-separate-cosines formulation it replaces but with ONE boxed centroid
+    * literal instead of k inlined 64-element literals — the Lloyd's loop no
+    * longer pays a fresh large Janino compile per round.
     */
-  private def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column = {
-    val sims = array(cents.map(c => cosine(vec, typedLit(c))): _*)
-    (array_position(sims, array_max(sims)) - 1).cast("int")
-  }
+  private def nearestCell(vec: Column, cents: Seq[Array[Double]]): Column =
+    call_function("nearest_centroid", vec, typedLit(cents.map(_.toSeq)))
 
   /** Elementwise mean vector per cell via the native [[graft.functions
     * .VectorSum]] partial aggregate, collected to the driver: ONE hash

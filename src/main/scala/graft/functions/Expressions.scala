@@ -325,6 +325,81 @@ case class PolyHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Index of the nearest centroid by cosine similarity: argmax over a
+  * FOLDABLE centroid matrix (array<array<double>>), first-max-wins.
+  *
+  * Replaces the `array_position(array(cosine_sim(v, lit(c0)), ...),
+  * array_max(...))` formulation, which (a) recomputes norm(v) once per
+  * centroid and (b) inlines k separate 64-element literals into the
+  * generated code — a fresh large Janino compile on EVERY Lloyd's round
+  * because the literals change per round. Here the matrix is one boxed
+  * literal (tiny codegen), centroid norms are computed once per expression
+  * instance, and norm(v) once per row. Per-centroid dot products accumulate
+  * in the same sequential IEEE order as [[CosineSim]], so the argmax
+  * decision is bit-identical to the formulation it replaces; ties and NaN
+  * follow Spark's `array_max`/`array_position` (NaN greatest, first index
+  * wins).
+  */
+case class NearestCentroid(vec: Expression, cents: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, cents.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+          if cents.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_centroid expects (array<double>, foldable " +
+            s"array<array<double>>), got $other")
+    }
+
+  @transient private lazy val centroids: Array[Array[Double]] = {
+    val ad = cents.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toDoubleArray())
+  }
+  @transient private lazy val centNorms: Array[Double] = centroids.map { c =>
+    var s = 0.0
+    var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  override def nullSafeEval(v: Any, ignored: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    var nv = 0.0
+    var i = 0
+    while (i < nx) { val xi = x.getDouble(i); nv += xi * xi; i += 1 }
+    val normV = math.sqrt(nv)
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(nx, cent.length)
+      var dot = 0.0
+      i = 0
+      while (i < n) { dot += x.getDouble(i) * cent(i); i += 1 }
+      val sim = dot / (normV * centNorms(c))
+      // Double.compare puts NaN above +Inf — same total order as array_max;
+      // strict > keeps the FIRST index on ties, matching array_position
+      if (java.lang.Double.compare(sim, best) > 0) { best = sim; bestIdx = c }
+      c += 1
+    }
+    java.lang.Integer.valueOf(bestIdx)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, cents = newRight)
+}
+
 /** 64-bit SimHash over a string array (words): one hash per word, then the
   * sign of per-bit vote counts. Replaces the 64-aggregate-passes
   * formulation (64 hashes per word) with a single pass.

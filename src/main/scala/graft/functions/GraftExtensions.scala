@@ -60,6 +60,7 @@ object GraftFunctions {
       if (args.length > 1) intLit("word_shingles", args(1)) else 3)),
     ("bounded_topk", topkBuilder),
     ("vector_sum", args => VectorSum(args.head)),
+    ("nearest_centroid", args => NearestCentroid(args(0), args(1))),
     // Spark's built-in runtime-filtering expressions, surfaced as SQL
     // functions: bloom_filter_agg(xxhash64(key)[, estItems[, numBits]])
     // builds the filter as a binary aggregate; might_contain(bloom, hash)

@@ -98,6 +98,24 @@ class PropertySpec extends SparkSuite {
     assert(sigs.forall { case (a, b) => a == b })
   }
 
+  test("property: nearest_centroid equals the per-centroid cosine argmax") {
+    val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
+    val cents = (1L to 7L).map(s => sample(vecGen, s).toArray)
+    // include an exact copy of a centroid (sim == 1.0 tie with itself) and
+    // random vectors
+    val vecs = cents(3).toSeq +: (100L to 130L).map(s => sample(vecGen, s))
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val simsArr = array(cents.map(c =>
+      Similarity.cosine(col("v"), typedLit(c.toSeq))): _*)
+    val out = df.select(
+      call_function("nearest_centroid", col("v"), centsLit).as("fast"),
+      (array_position(simsArr, array_max(simsArr)) - 1).cast("int").as("ref"))
+      .as[(Int, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (fast, ref) => assert(fast == ref) }
+  }
+
   test("property: cosine_sim is symmetric, bounded, and 1 on self") {
     val vecGen = Gen.listOfN(16, Gen.choose(-1000, 1000).map(_ / 250.0))
     val pairs = (1L to 10L).map(s => (sample(vecGen, s), sample(vecGen, s + 100)))
