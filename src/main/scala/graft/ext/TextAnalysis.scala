@@ -4,6 +4,7 @@ import graft.Tables
 import graft.transform.Transforms.davg
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting,
@@ -248,35 +249,34 @@ object TextAnalysis {
     * gram strings, so both sides of the conditional live in one table.
     */
   def qBigramSurprisal(t: Tables): DataFrame = {
-    // the gram stream feeds both the corpus LM counts and the per-doc
-    // scoring pass — persist it once (same lifecycle as minhashPairs:
-    // materialize the small result, then drop the cache)
-    val grams = graft.Engine.spread(t.documents)
+    // One linear pipeline, no persist, no self-join: collapse the gram
+    // stream to per-(doc, gram) counts (map-side partial agg absorbs
+    // repeats before the shuffle), then attach the corpus LM terms as
+    // window sums — c(w1 w2) partitioned by the gram, c(w1 ·) partitioned
+    // by its first token — instead of aggregating to vocabulary tables and
+    // joining them back (which shuffles the same rows by the same keys,
+    // plus two extra aggregate stages and a cache to keep the stream from
+    // recomputing). The sampled scoring pass then filters and aggregates.
+    // At corpus scale each window is one hash-partition pass over the
+    // compacted (doc, gram) stream; nothing is driver-sized.
+    val docGrams = graft.Engine.spread(t.documents)
       .select(col("doc_id"), explode(Dedup.shingles(col("text"), 2)).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = grams.groupBy("g").agg(count(lit(1)).as("cb"))
-      .withColumn("w1", substring_index(col("g"), " ", 1))
-    val firsts = counts.groupBy("w1").agg(sum("cb").as("cf"))
-    // vocab-sized x vocab-sized equi-join on the first token: no broadcast
-    // (at corpus scale both sides are vocabulary tables), one shuffle each
-    val surprisal = counts.join(firsts, "w1")
-      .select(col("g"),
-        round(-log(col("cb").cast("double") / col("cf")), 9)
-          .cast("decimal(14,10)").as("sp"))
-    val scored = grams
-      .filter(pmod(col("doc_id"), lit(10)) === 0)
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("k"))
-      .join(surprisal, "g")
+    val w1 = substring_index(col("g"), " ", 1)
+    docGrams
+      .withColumn("cb", sum("k").over(Window.partitionBy(col("g"))))
+      .withColumn("cf", sum("k").over(Window.partitionBy(w1)))
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("sp",
+        round(-log(col("cb").cast("double") / col("cf")), 9)
+          .cast("decimal(14,10)"))
       .groupBy("doc_id")
       .agg(
         sum("k").as("n_bigrams"),
         (sum(col("sp") * col("k").cast("decimal(8,0)")).cast("double") / sum("k"))
           .as("avg_surprisal"))
       .orderBy("doc_id")
-    val out = scored.localCheckpoint()
-    grams.unpersist(false)
-    out
   }
 
   /** Context-window chunk plan: fixed-size token chunks with overlap

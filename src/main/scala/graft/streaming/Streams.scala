@@ -112,13 +112,31 @@ object Streams {
       streamed: DataFrame,
       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val name = s"graft_drain_${drainSeq.incrementAndGet()}"
-    val query = streamed
-      .writeStream
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .format("memory")
-      .queryName(name)
-      .start()
+    // State partitions are fixed per checkpoint at first batch from
+    // spark.sql.shuffle.partitions — size them to STATE volume (watermarked
+    // window/key cardinality), not the session's batch-shuffle width: every
+    // state store pays a per-partition commit (delta file + snapshot
+    // maintenance) per microbatch, and a stream-stream join keeps four
+    // stores per partition, so overwide state partitioning multiplies pure
+    // overhead. The streaming query clones the session conf at start; the
+    // session value is restored once the drain finishes, so batch plans
+    // never see it.
+    val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try {
+        streamed
+          .writeStream
+          .outputMode(mode)
+          .trigger(Trigger.AvailableNow())
+          .format("memory")
+          .queryName(name)
+          .start()
+      } catch {
+        case e: Throwable =>
+          spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+          throw e
+      }
     // copy the (window-cardinality-sized) sink rows out and drop the temp
     // view IN ALL PATHS — repeated drains, including failing ones, must
     // not accumulate catalog entries each pinning a result set. An empty
@@ -133,6 +151,7 @@ object Streams {
       spark.createDataFrame(rows.asJava, streamed.schema)
     } finally {
       query.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
       scala.util.Try(spark.catalog.dropTempView(name))
     }
   }
