@@ -63,6 +63,7 @@ object SparkEntry {
     "q_except" -> q(Relational.qExcept),
     "q_anti_join" -> q(Relational.qAntiJoin),
     "q_semi_join" -> q(Relational.qSemiJoin),
+    "q_full_outer" -> q(Relational.qFullOuter),
     "q_rollup" -> q(Relational.qRollup),
     "q_cube" -> q(Relational.qCube),
     "q_percentiles" -> q(Relational.qPercentiles),
@@ -94,6 +95,11 @@ object SparkEntry {
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
     "q_moving_avg" -> q(Analytics.qMovingAvg),
+    "q_ntile_bins" -> q(Analytics.qNtileBins),
+    "q_ewma" -> q(Analytics.qEwma(_)),
+    "q_heavy_hitters" -> ((spark, dir) =>
+      Stats.qHeavyHitters(spark, Tables(spark, dir))),
+    "q_psi_drift" -> q(TextAnalysis.qPsiDrift(_)),
     "q_rfm_segments" -> q(Analytics.qRfmSegments),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
@@ -622,6 +628,67 @@ object SparkEntry {
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
          WHERE o_orderkey % 100 = 0 ORDER BY o_custkey, o_orderkey""",
+    "q_full_outer" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS hour, user_id % 50 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_clicks
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (SELECT date_trunc('hour', ts) AS hour, user_id % 50 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_purchases
+           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+         SELECT strftime(COALESCE(c.hour, p.hour), '%Y-%m-%d %H:%M:%S') AS hour,
+           COALESCE(c.bucket, p.bucket) AS bucket, n_clicks, n_purchases
+         FROM c FULL OUTER JOIN p ON c.hour = p.hour AND c.bucket = p.bucket
+         ORDER BY hour, bucket""",
+    "q_ntile_bins" ->
+      """WITH s AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+           FROM orders GROUP BY 1),
+         tl AS (SELECT spend,
+             CAST(ntile(4) OVER (ORDER BY spend, o_custkey) AS BIGINT) AS tile
+           FROM s)
+         SELECT tile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(spend) AS spend_min, MAX(spend) AS spend_max
+         FROM tl GROUP BY tile ORDER BY tile""",
+    // identical IEEE arithmetic both sides: bases written as 1/(1-0.2) and
+    // (1-0.2) so both engines fold the same doubles; ewma rounded at 1e-6,
+    // far above pow/sum-association jitter (see qEwma scaladoc)
+    "q_ewma" ->
+      """WITH daily AS (SELECT o_orderdate AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS x
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             AND o_orderdate <= TIMESTAMP '1995-03-31 00:00:00'
+           GROUP BY 1),
+         idx AS (SELECT d, x,
+             CAST(row_number() OVER (ORDER BY d) - 1 AS DOUBLE) AS i FROM daily),
+         c AS (SELECT d, x, i,
+             SUM(x * power(1.0/(1.0-0.2), i)) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             first_value(x) OVER
+               (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS x0
+           FROM idx)
+         SELECT strftime(d, '%Y-%m-%d') AS d, x,
+           round(power(1.0-0.2, i) * (x0 + 0.2 * (cum - x0)), 6) AS ewma
+         FROM c ORDER BY d""",
+    // exact answer behind the CMS prefilter: the sketch only overcounts,
+    // so the verified output equals the plain GROUP BY / HAVING
+    "q_heavy_hitters" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events FROM events
+         GROUP BY user_id HAVING COUNT(*) > 80 ORDER BY user_id""",
+    "q_psi_drift" ->
+      """WITH c AS (SELECT source, CAST(floor(n_chars / 25.0) AS BIGINT) AS bin,
+             COUNT(*) AS k
+           FROM documents GROUP BY 1, 2),
+         t AS (SELECT source, bin, k,
+             SUM(k) OVER (PARTITION BY source) AS src_n,
+             SUM(k) OVER (PARTITION BY bin) AS bin_n,
+             SUM(k) OVER () AS all_n FROM c)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           round(SUM((CAST(k AS DOUBLE) / CAST(src_n AS DOUBLE)
+               - CAST(bin_n AS DOUBLE) / CAST(all_n AS DOUBLE))
+             * ln((CAST(k AS DOUBLE) / CAST(src_n AS DOUBLE))
+               / (CAST(bin_n AS DOUBLE) / CAST(all_n AS DOUBLE)))), 9) AS psi
+         FROM t GROUP BY source ORDER BY source""",
     // quartile scores = 1 + number of exact interpolated percentile cuts
     // the value exceeds (no ntile: see qRfmSegments scaladoc)
     "q_rfm_segments" ->

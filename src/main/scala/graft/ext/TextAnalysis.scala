@@ -482,4 +482,37 @@ object TextAnalysis {
         max("n_tokens").as("max_tokens"),
         sum("n_tokens").as("sum_tokens"))
       .orderBy("source", "bucket")
+
+  /** Population Stability Index of the document-length distribution, per
+    * source against the whole corpus — the standard drift gate between an
+    * incoming batch and the reference corpus (PSI < 0.1 stable, > 0.25
+    * action). Lengths bucket into fixed-width bins; per (source, bin)
+    * counts are ONE aggregate, and the marginals (source totals, corpus
+    * bin totals) attach as window sums over that compacted frame rather
+    * than re-scanning documents. PSI is summed over the bins the source
+    * occupies (p > 0 by construction, q > 0 because the corpus contains
+    * the source). Rounded at 1e-9, above cross-engine ln()/sum jitter.
+    * Scale: the aggregate is corpus-sized; everything after runs on the
+    * (sources x bins) frame, which is configuration-sized.
+    */
+  def qPsiDrift(t: Tables, binWidth: Int = 25): DataFrame = {
+    val counts = t.documents
+      .select(col("source"),
+        floor(col("n_chars").cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("k"))
+    val tot = counts.agg(sum("k").as("all_n"))
+    counts
+      .withColumn("src_n", sum("k").over(Window.partitionBy("source")))
+      .withColumn("bin_n", sum("k").over(Window.partitionBy("bin")))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("k").cast("double") / col("src_n").cast("double"))
+      .withColumn("q", col("bin_n").cast("double") / col("all_n").cast("double"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 9)
+          .as("psi"))
+      .orderBy("source")
+  }
 }

@@ -435,3 +435,44 @@ case class SimHash64(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Point-frequency estimate from a serialized `CountMinSketch`
+  * (`count_min_sketch` aggregate output): `cms_estimate(sketch, key)` ->
+  * the sketch's overestimate-only count for `key`.
+  *
+  * The sketch argument must be query-constant (a literal or a scalar
+  * subquery result, the same contract as Spark's own
+  * `BloomFilterMightContain`): the bytes are deserialized once per
+  * expression instance and reused for every probed row, so probing a
+  * dimension of keys against one corpus sketch is a map-only pass over
+  * the dimension — the corpus itself is never reshuffled.
+  */
+case class CmsEstimate(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, LongType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"cms_estimate expects (binary, bigint), got $other")
+    }
+
+  @transient private var sketch: org.apache.spark.util.sketch.CountMinSketch = _
+
+  override def nullSafeEval(sketchBytes: Any, key: Any): Any = {
+    if (sketch == null) {
+      sketch = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(sketchBytes.asInstanceOf[Array[Byte]]))
+    }
+    java.lang.Long.valueOf(sketch.estimateCount(key.asInstanceOf[java.lang.Long]))
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

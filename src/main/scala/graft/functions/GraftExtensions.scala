@@ -74,7 +74,10 @@ object GraftFunctions {
         .BloomFilterAggregate(args(0), args(1), args(2))
     }),
     ("might_contain", args => org.apache.spark.sql.catalyst.expressions
-      .BloomFilterMightContain(args(0), args(1))))
+      .BloomFilterMightContain(args(0), args(1))),
+    // count-min-sketch point probe (the read side of Spark's built-in
+    // count_min_sketch aggregate); sketch arg must be query-constant
+    ("cms_estimate", args => CmsEstimate(args(0), args(1))))
 
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>

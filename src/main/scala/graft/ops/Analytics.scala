@@ -392,4 +392,60 @@ object Analytics {
          GROUP BY n_name
          ORDER BY n_name""")
   }
+
+  /** ntile(4) feature binning: customers bucketed into spend quartiles,
+    * one summary row per quartile. The tile assignment needs a GLOBAL sort
+    * (every quantile cut does) — fine here because it runs over the
+    * per-customer AGGREGATE, one row per customer, not raw orders; at the
+    * scale where even that frame is too big for a single sort, the cut
+    * points come from approx_percentile instead (see qApproxQuantile).
+    * Total ordering (spend, custkey) makes tile membership deterministic
+    * under ties.
+    */
+  def qNtileBins(t: Tables): DataFrame = {
+    val w = Window.orderBy(col("spend"), col("o_custkey"))
+    t.orders
+      .groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("spend"))
+      .withColumn("tile", ntile(4).over(w).cast("long"))
+      .groupBy("tile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        min("spend").as("spend_min"),
+        max("spend").as("spend_max"))
+      .orderBy("tile")
+  }
+
+  /** Exponential moving average (pandas ewm(alpha, adjust=false)
+    * semantics: y_0 = x_0, y_i = (1-a) y_{i-1} + a x_i) of the daily mean
+    * order price over 1995 Q1 — expressed CLOSED-FORM over window prefix
+    * sums instead of a sequential recurrence: with u_j = x_j (1-a)^{-j},
+    * y_i = (1-a)^i (x_0 + a (cumsum(u)_i - u_0)). One sort-window pass, no
+    * iterative loop, no driver round-trips. The (1-a)^{-j} terms grow
+    * geometrically, which bounds the usable window length in doubles
+    * (90 points at a=0.2 peaks at 1.25^89 ~ 4e8 — comfortably exact);
+    * longer horizons chunk the series and chain chunk boundaries.
+    * Rounded at 1e-6 — far above the ulp-order jitter of cross-engine
+    * float-sum association, far below any data-meaningful digit.
+    */
+  def qEwma(t: Tables, alpha: Double = 0.2): DataFrame = {
+    val w = Window.orderBy("d")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.orders
+      .filter(col("o_orderdate").between("1995-01-01", "1995-03-31"))
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(graft.transform.Transforms.davg(col("o_totalprice")).as("x"))
+      .withColumn("i", (row_number().over(w) - 1).cast("double"))
+      .withColumn("u", col("x") * pow(lit(1.0 / (1.0 - alpha)), col("i")))
+      .withColumn("cum", sum("u").over(cum))
+      .withColumn("x0", first("x").over(cum))
+      .withColumn("ewma",
+        round(
+          pow(lit(1.0 - alpha), col("i")) *
+            (col("x0") + lit(alpha) * (col("cum") - col("x0"))),
+          6))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"), col("ewma"))
+      .orderBy("d")
+  }
 }

@@ -242,6 +242,32 @@ object Relational {
       .select("p_partkey", "p_brand")
       .orderBy("p_partkey")
 
+  /** Full outer join: hourly click counts vs purchase counts per user
+    * bucket — cells where only one side has activity keep the other side
+    * null, the reconciliation shape (left-only = clicks that never
+    * purchased, right-only = purchases with no click traffic). USING-style
+    * key columns so the join keys are coalesced across sides. Full outer
+    * cannot broadcast by semantics; both pre-aggregated sides co-partition
+    * on the (hour, bucket) key — one shuffle each, then a merge join, and
+    * both inputs here are aggregates bounded by time-span x bucket
+    * cardinality, not raw event volume.
+    */
+  def qFullOuter(t: Tables): DataFrame = {
+    def side(tp: String, name: String) =
+      t.events
+        .filter(col("event_type") === tp)
+        .groupBy(
+          date_trunc("hour", col("ts")).as("hour"),
+          pmod(col("user_id"), lit(50)).as("bucket"))
+        .agg(count(lit(1)).as(name))
+    side("click", "n_clicks")
+      .join(side("purchase", "n_purchases"), Seq("hour", "bucket"), "full_outer")
+      .select(
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("bucket"), col("n_clicks"), col("n_purchases"))
+      .orderBy("hour", "bucket")
+  }
+
   /** ROLLUP over (status, priority); null grouping keys are COALESCEd to
     * 'ALL' so ordering is engine-independent.
     */

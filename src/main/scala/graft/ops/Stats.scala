@@ -274,4 +274,54 @@ object Stats {
       .groupBy("prio_num")
       .agg(count(lit(1)).as("n"), countDistinct("o_custkey").as("n_custs"))
       .orderBy("prio_num")
+
+  /** Heavy-hitter detection with a count-min-sketch prefilter: users with
+    * more than `threshold` events. The CMS (Spark's built-in
+    * `count_min_sketch` aggregate) is built in ONE partial-aggregated pass
+    * over events — no shuffle of event rows, just sketch merges — then the
+    * key dimension (customer, which covers the event keyspace) is probed
+    * map-only via the native [[graft.functions.CmsEstimate]]. CMS only
+    * OVERcounts, so the candidate set can contain false positives but never
+    * misses a true heavy hitter; the exact verify join then touches only
+    * candidate keys' events. Output is exact, so the oracle is a plain
+    * GROUP BY / HAVING — the sketch machinery changes the plan shape, not
+    * the answer (same grading pattern as the bloom-prefiltered join).
+    * At 100 TB: the full-shuffle GROUP BY over every key disappears;
+    * what's left is one sketch aggregate + a broadcast-sized candidate join.
+    */
+  def qHeavyHitters(
+      spark: org.apache.spark.sql.SparkSession,
+      t: Tables,
+      threshold: Long = 80L): DataFrame = {
+    t.createViews()
+    spark.sql(
+      s"""WITH cand AS (
+            SELECT c_custkey AS user_id FROM customer
+            WHERE cms_estimate(
+              (SELECT count_min_sketch(user_id, 0.001d, 0.99d, 42)
+                 FROM events),
+              c_custkey) > ${threshold}L)
+          SELECT e.user_id, count(*) AS n_events
+          FROM events e JOIN cand ON e.user_id = cand.user_id
+          GROUP BY e.user_id
+          HAVING count(*) > ${threshold}L
+          ORDER BY user_id""")
+  }
+
+  /** The CMS candidate stage alone (false positives included) — exposed so
+    * tests can assert the prefilter prunes the dimension yet stays a
+    * superset of the true heavy hitters.
+    */
+  def cmsCandidatesOnly(
+      spark: org.apache.spark.sql.SparkSession,
+      t: Tables,
+      threshold: Long = 80L): DataFrame = {
+    t.createViews()
+    spark.sql(
+      s"""SELECT c_custkey AS user_id FROM customer
+          WHERE cms_estimate(
+            (SELECT count_min_sketch(user_id, 0.001d, 0.99d, 42) FROM events),
+            c_custkey) > ${threshold}L
+          ORDER BY user_id""")
+  }
 }

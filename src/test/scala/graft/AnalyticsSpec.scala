@@ -340,4 +340,69 @@ class AnalyticsSpec extends SparkSuite {
       .as[(String, Long)].collect().toSet
     assert(streamed == batch)
   }
+
+  test("cms prefilter: candidate superset prunes the dimension, output exact") {
+    val threshold = 80L
+    val exact = tables.events.groupBy("user_id")
+      .agg(count(lit(1)).as("n")).filter(col("n") > threshold)
+      .select("user_id").as[Long].collect().toSet
+    val cands = Stats.cmsCandidatesOnly(spark, tables, threshold)
+      .as[Long].collect().toSet
+    assert(exact.subsetOf(cands), "CMS must never miss a true heavy hitter")
+    assert(cands.size < tables.customer.count(),
+      "CMS prefilter should prune the key dimension")
+    val out = Stats.qHeavyHitters(spark, tables, threshold)
+      .as[(Long, Long)].collect().toMap
+    assert(out.keySet == exact, "verified output must equal the exact answer")
+    out.foreach { case (_, n) => assert(n > threshold) }
+  }
+
+  test("full outer join keeps left-only and right-only cells with nulls") {
+    val rows = graft.ops.Relational.qFullOuter(tables).collect()
+    assert(rows.nonEmpty)
+    val leftOnly = rows.count(_.isNullAt(3))
+    val rightOnly = rows.count(_.isNullAt(2))
+    val both = rows.count(r => !r.isNullAt(2) && !r.isNullAt(3))
+    assert(leftOnly > 0, "expected click-only cells")
+    assert(rightOnly > 0, "expected purchase-only cells")
+    assert(both > 0, "expected overlapping cells")
+    // reconciliation: per-side totals survive the join
+    val clicks = tables.events.filter(col("event_type") === "click").count()
+    assert(rows.filterNot(_.isNullAt(2)).map(_.getLong(2)).sum == clicks)
+  }
+
+  test("ntile quartiles: near-equal sizes, ordered non-overlapping ranges") {
+    val bins = Analytics.qNtileBins(tables).collect()
+    assert(bins.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    val sizes = bins.map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, "ntile sizes may differ by at most 1")
+    assert(sizes.sum == tables.orders.select("o_custkey").distinct.count())
+    bins.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-9,
+        "tile ranges must not overlap")
+    }
+  }
+
+  test("ewma closed form matches the sequential recurrence") {
+    val a = 0.2
+    val rows = Analytics.qEwma(tables, a).collect()
+    assert(rows.nonEmpty)
+    var y = rows.head.getDouble(1) // y_0 = x_0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      if (i > 0) y = (1 - a) * y + a * r.getDouble(1)
+      assert(math.abs(r.getDouble(2) - y) < 1e-5,
+        s"row $i: closed form ${r.getDouble(2)} vs recurrence $y")
+    }
+  }
+
+  test("psi drift: non-negative, bounded bin count, all sources present") {
+    val rows = TextAnalysis.qPsiDrift(tables).collect()
+    val nSources = tables.documents.select("source").distinct.count()
+    assert(rows.length == nSources)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      assert(r.getDouble(2) >= 0.0, "every PSI term (p-q)ln(p/q) is >= 0")
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+  }
 }
