@@ -104,4 +104,36 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Subquery") || p.contains("scalar-subquery"),
       "bloom not built as a scalar subquery")
   }
+
+  test("heavy hitters: CMS scalar subquery probe, candidates broadcast into events") {
+    val p = formatted("q_heavy_hitters")
+    // explain prints the expression class name: cmsestimate. Catalyst even
+    // infers the probe predicate onto the EVENTS scan via the join key
+    // (both sides CMS-prefiltered map-side) — assert it survives on both.
+    assert("cmsestimate".r.findAllIn(p).length >= 2,
+      "CMS probe missing from the plan (expected on both join sides)")
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      "sketch not built as a scalar subquery")
+    // the candidate set joins events as the broadcast side — the exact
+    // verify never shuffles raw events by key before candidate filtering
+    assert(p.contains("BroadcastHashJoin"), "candidate join must broadcast")
+    assert(!p.contains("SortMergeJoin"), "candidate join fell back to SMJ")
+  }
+
+  test("full outer join co-partitions both aggregated sides (no broadcast attempt)") {
+    val p = formatted("q_full_outer")
+    assert(p.contains("FullOuter"), "join type lost")
+    // both sides are pre-aggregated before the join: the merge sees
+    // (hour,bucket) aggregates, not raw events
+    assert("partial_count".r.findAllIn(p).length >= 2,
+      "sides must aggregate map-side before the join exchange")
+  }
+
+  test("bigram surprisal is one linear pipeline: bounded exchanges, no cache scan") {
+    val p = formatted("q_bigram_surprisal")
+    assert(!p.contains("InMemoryTableScan"), "rewrite should not persist")
+    // spread repartition + gram compaction + two LM windows + final doc
+    // agg + presentation sort
+    assert(shuffleCount(p) <= 6, s"too many exchanges:\n$p")
+  }
 }
