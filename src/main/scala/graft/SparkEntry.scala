@@ -101,6 +101,13 @@ object SparkEntry {
       Stats.qHeavyHitters(spark, Tables(spark, dir))),
     "q_psi_drift" -> q(TextAnalysis.qPsiDrift(_)),
     "q_rfm_segments" -> q(Analytics.qRfmSegments),
+    "q_regression_trend" -> q(Analytics.qRegressionTrend),
+    "q_benford" -> q(Analytics.qBenford),
+    "q_sql_q10" -> ((spark, dir) => Analytics.qSqlQ10(spark, Tables(spark, dir))),
+    "q_zscore_outliers" -> q(Stats.qZscoreOutliers),
+    "q_interval_union" -> q(Events.qIntervalUnion),
+    "q_session_paths" -> q(Events.qSessionPaths(_)),
+    "q_attribution" -> q(Events.qAttribution),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
     "q_topk_suppliers" -> q(Analytics.qTopkSuppliers(_)),
@@ -715,6 +722,123 @@ object SparkEntry {
          SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
            CAST(SUM(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE) AS seg_monetary
          FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q_regression_trend" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS segment,
+             CAST((year(o_orderdate)-1992)*12 + month(o_orderdate)-1 AS BIGINT) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         s AS (
+           SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x*x) AS BIGINT) AS sxx,
+             CAST(SUM(rev) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(18,2)) * rev) AS DOUBLE) AS sxy
+           FROM m GROUP BY 1),
+         f AS (
+           SELECT segment, n_months,
+             CAST(n_months AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+             sxy, sy, CAST(sxx AS DOUBLE) AS sxxd
+           FROM s)
+         SELECT segment, n_months,
+           (nd*sxy - sxd*sy) / (nd*sxxd - sxd*sxd) AS slope,
+           (sy - ((nd*sxy - sxd*sy) / (nd*sxxd - sxd*sxd)) * sxd) / nd AS intercept
+         FROM f ORDER BY segment""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 1, 1) AS digit
+           FROM orders),
+         g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS freq,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+         FROM g ORDER BY digit""",
+    "q_sql_q10" ->
+      """SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+             AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""",
+    "q_zscore_outliers" ->
+      """WITH seg AS (
+           SELECT c_mktsegment AS segment, o_orderkey, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         m AS (
+           SELECT segment, CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx
+           FROM seg GROUP BY 1),
+         mm AS (
+           SELECT segment, sx / nd AS mean,
+             sqrt((sxx - sx * sx / nd) / (nd - 1)) AS sd
+           FROM m),
+         z AS (
+           SELECT seg.segment, o_orderkey,
+             (o_totalprice - mean) / sd AS z
+           FROM seg JOIN mm ON seg.segment = mm.segment),
+         r AS (
+           SELECT segment, o_orderkey, z,
+             row_number() OVER (PARTITION BY segment
+               ORDER BY abs(z) DESC, o_orderkey) AS rk
+           FROM z)
+         SELECT segment, o_orderkey, round(z, 6) AS z
+         FROM r WHERE rk <= 5 ORDER BY segment, o_orderkey""",
+    "q_interval_union" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             epoch_us(ts) + 300000000 AS end_us
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, ts_us, end_us,
+             CASE WHEN max(end_us) OVER w IS NULL
+                    OR ts_us > max(end_us) OVER w
+               THEN 1 ELSE 0 END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         i AS (
+           SELECT user_id, ts_us, end_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM g),
+         isl AS (
+           SELECT user_id, island, MIN(ts_us) AS s, MAX(end_us) AS e
+           FROM i GROUP BY 1, 2)
+         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(e - s) AS BIGINT) AS covered_us
+         FROM isl GROUP BY 1 ORDER BY user_id""",
+    "q_session_paths" ->
+      """WITH s AS (
+           SELECT event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         p AS (
+           SELECT event_type || '>' || t2 || '>' || t3 AS path
+           FROM s WHERE t3 IS NOT NULL)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n
+         FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 15""",
+    "q_attribution" ->
+      """WITH a AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view')
+                 THEN event_type END IGNORE NULLS) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events)
+         SELECT COALESCE(touch, 'none') AS touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM a WHERE event_type = 'purchase'
+         GROUP BY 1 ORDER BY touch""",
     "q_order_gaps" ->
       """WITH g AS (SELECT o_custkey, o_orderdate,
              lag(o_orderdate) OVER (PARTITION BY o_custkey

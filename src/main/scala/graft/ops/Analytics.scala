@@ -448,4 +448,88 @@ object Analytics {
         date_format(col("d"), "yyyy-MM-dd").as("d"), col("x"), col("ewma"))
       .orderBy("d")
   }
+
+  /** Per-segment OLS trend of monthly revenue vs month index — the
+    * closed-form regression recipe over EXACT moments: the inner aggregate
+    * produces decimal-exact (x, rev) points, the outer one decimal/bigint
+    * sums (n, Σx, Σx², Σy, Σxy), and only the final slope/intercept
+    * arithmetic runs in doubles, in a fixed expression order both engines
+    * share. Two shuffles total (custkey join + month group), then a
+    * 5-segment frame — nothing here grows with data volume except the two
+    * aggregations, both map-side-combined.
+    */
+  def qRegressionTrend(t: Tables): DataFrame = {
+    val monthly = t.orders
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+    monthly
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_months"),
+        sum("x").as("sx"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("rev")).cast("double").as("sy"),
+        sum(col("x").cast(DecimalType(18, 2)) * col("rev")).cast("double")
+          .as("sxy"))
+      .withColumn("nd", col("n_months").cast("double"))
+      .withColumn("sxd", col("sx").cast("double"))
+      .withColumn("slope",
+        (col("nd") * col("sxy") - col("sxd") * col("sy")) /
+          (col("nd") * col("sxx").cast("double") - col("sxd") * col("sxd")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sxd")) / col("nd"))
+      .select(col("segment"), col("n_months"), col("slope"), col("intercept"))
+      .orderBy("segment")
+  }
+
+  /** Benford first-digit audit of order prices: observed leading-digit
+    * frequency vs the Benford expectation log10(1+1/d). The leading digit
+    * comes from the DECIMAL string rendering, not floor(log10(x)) — float
+    * log at exact powers of ten is engine-dependent, string heads are not.
+    * Map-side: one 9-row aggregate; the window total is over 9 rows.
+    */
+  def qBenford(t: Tables): DataFrame = {
+    val w = Window.partitionBy()
+    t.orders
+      .select(
+        substring(col("o_totalprice").cast(DecimalType(18, 2)).cast("string"),
+          1, 1).as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("freq",
+        col("n").cast("double") / sum("n").over(w).cast("double"))
+      .withColumn("expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .select(col("digit"), col("n"), col("freq"), col("expected"))
+      .orderBy("digit")
+  }
+
+  /** TPC-H Q10 (returned-item reporting) through the SQL frontend: top-20
+    * customers by revenue lost to returns in a quarter. Catalyst broadcasts
+    * nation, shuffles the two fact joins on their keys, and the top-20
+    * lands in a TakeOrderedAndProject (k rows per partition cross the
+    * exchange, never the full aggregate).
+    */
+  def qSqlQ10(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+             AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+         WHERE o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_returnflag = 'R'
+         GROUP BY c_custkey, c_name, c_acctbal, n_name
+         ORDER BY revenue DESC, c_custkey
+         LIMIT 20""")
+  }
 }

@@ -260,4 +260,73 @@ object Events {
       .select(col("event_id"), col("user_id"), col("last_orderkey"))
       .orderBy("event_id")
   }
+
+  /** Interval union (gaps-and-islands): each event opens a 5-minute
+    * activity interval; overlapping intervals per user merge into islands,
+    * reporting island count and total covered time. Pure window math over
+    * exact microsecond longs — the running max of prior interval ends marks
+    * island breaks, a prefix sum numbers them. One shuffle on user_id,
+    * everything after is within-partition; covered_us is integer-exact.
+    */
+  def qIntervalUnion(t: Tables): DataFrame = {
+    val winUs = 5L * 60L * 1000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val prevRows = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.events
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("end_us", col("ts_us") + winUs)
+      .withColumn("max_prev_end", max("end_us").over(prevRows))
+      .withColumn("brk",
+        when(col("max_prev_end").isNull ||
+          col("ts_us") > col("max_prev_end"), 1L).otherwise(0L))
+      .withColumn("island", sum("brk").over(cum))
+      .groupBy("user_id", "island")
+      .agg(min("ts_us").as("s"), max("end_us").as("e"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_islands"),
+        sum(col("e") - col("s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** Top event-type trigrams: the most frequent 3-step paths across all
+    * user timelines (sequence mining's cheapest useful form). Two leads in
+    * one window pass per user, then a global count over at most
+    * |types|^3 = 125 keys — the final top-k sorts a tiny frame. Tie-safe:
+    * ordered by (n DESC, path) so the k-boundary is deterministic.
+    */
+  def qSessionPaths(t: Tables, k: Int = 15): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    t.events
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(byUser))
+      .withColumn("t3", lead("event_type", 2).over(byUser))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
+  /** Last-touch attribution: each purchase credits the most recent prior
+    * click/view in the same user's timeline (an as-of lookup expressed as
+    * one IGNORE-NULLS window — no self-join, no second shuffle). Purchases
+    * with no prior touch land in the 'none' bucket.
+    */
+  def qAttribution(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val prevRows = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    t.events
+      .withColumn("touch",
+        last(when(col("event_type").isin("click", "view"), col("event_type")),
+          ignoreNulls = true).over(prevRows))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("sum_value"))
+      .orderBy("touch")
+  }
 }

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.transform.Transforms.dsum
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -306,6 +307,43 @@ object Stats {
           GROUP BY e.user_id
           HAVING count(*) > ${threshold}L
           ORDER BY user_id""")
+  }
+
+  /** Z-score outlier detection: top-5 orders by |z| within each market
+    * segment, z computed against the segment's mean/stddev from the same
+    * exact-moment recipe as [[qStats]]. The 5-row moment frame broadcasts
+    * back onto the fact side (no second fact shuffle); the per-segment
+    * top-5 is a bounded window. Ranking safety: adjacent |z| values are
+    * ≥ 0.01/sd ≈ 1e-7 apart (prices are cents), far above the ~1e-16
+    * cross-engine FMA jitter, so the rank-5 cutoff cannot flip; the output
+    * z is rounded at 1e-6 like every composite double here.
+    */
+  def qZscoreOutliers(t: Tables): DataFrame = {
+    val seg = t.orders
+      .join(t.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice"))
+    val m = seg
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).cast("double").as("nd"),
+        s1("o_totalprice").as("sx"),
+        s2("o_totalprice").as("sxx"))
+      .withColumn("mean", col("sx") / col("nd"))
+      .withColumn("sd",
+        sqrt((col("sxx") - col("sx") * col("sx") / col("nd")) /
+          (col("nd") - 1)))
+      .select("segment", "mean", "sd")
+    val w = Window.partitionBy("segment")
+      .orderBy(abs(col("z")).desc, col("o_orderkey"))
+    seg
+      .join(broadcast(m), "segment")
+      .withColumn("z", (col("o_totalprice") - col("mean")) / col("sd"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("segment"), col("o_orderkey"), round(col("z"), 6).as("z"))
+      .orderBy("segment", "o_orderkey")
   }
 
   /** The CMS candidate stage alone (false positives included) — exposed so

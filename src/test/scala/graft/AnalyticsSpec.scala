@@ -405,4 +405,113 @@ class AnalyticsSpec extends SparkSuite {
       assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
     }
   }
+
+  test("regression trend matches a driver-side least-squares fit per segment") {
+    val pts = tables.orders
+      .join(tables.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long").as("x"))
+      .agg(sum("o_totalprice").as("y"))
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2.toDouble, p._3))).toMap
+    Analytics.qRegressionTrend(tables).collect().foreach { r =>
+      val xs = pts(r.getString(0))
+      val n = xs.length.toDouble
+      val (sx, sy) = (xs.map(_._1).sum, xs.map(_._2).sum)
+      val sxx = xs.map(p => p._1 * p._1).sum
+      val sxy = xs.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(r.getLong(1) == xs.length)
+      assert(math.abs(r.getDouble(2) - slope) < math.abs(slope) * 1e-9 + 1e-6)
+      val icept = (sy - slope * sx) / n
+      assert(math.abs(r.getDouble(3) - icept) < math.abs(icept) * 1e-9 + 1e-3)
+    }
+  }
+
+  test("benford digits: 9 rows, frequencies sum to 1, counts cover all orders") {
+    val rows = Analytics.qBenford(tables).collect()
+    assert(rows.map(_.getString(0)).toSeq == (1 to 9).map(_.toString))
+    assert(rows.map(_.getLong(1)).sum == tables.orders.count())
+    assert(math.abs(rows.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // expected follows Benford: monotone decreasing, log10(2) for digit 1
+    assert(math.abs(rows.head.getDouble(3) - math.log10(2.0)) < 1e-6)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) > b.getDouble(3))
+    }
+  }
+
+  test("z-score outliers: five per segment, and they are the extreme values") {
+    val out = Stats.qZscoreOutliers(tables).collect()
+    val bySeg = out.groupBy(_.getString(0))
+    val segs = tables.customer.select("c_mktsegment").distinct.count()
+    assert(bySeg.size == segs && bySeg.values.forall(_.length == 5))
+    // each selected |z| must be >= the 6th largest |z| recomputed naively
+    val naive = tables.orders
+      .join(tables.customer.select("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_totalprice"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    bySeg.foreach { case (seg, rows) =>
+      val xs = naive(seg).map(_._2)
+      val n = xs.length.toDouble
+      val mean = xs.sum / n
+      val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (n - 1))
+      val top6 = xs.map(x => math.abs((x - mean) / sd)).sorted.reverse.take(6)
+      rows.foreach(r =>
+        assert(math.abs(r.getDouble(2)) >= top6.last - 1e-6,
+          s"$seg: selected z ${r.getDouble(2)} below the naive top-5 cut"))
+    }
+  }
+
+  test("interval union: covered time bounded by island count and span") {
+    val winUs = 300000000L
+    graft.ops.Events.qIntervalUnion(tables).collect().foreach { r =>
+      val (nIslands, covered) = (r.getLong(1), r.getLong(2))
+      assert(nIslands >= 1)
+      assert(covered >= nIslands * winUs,
+        "each island covers at least one full window")
+    }
+    // total covered equals the per-user union computed naively on one user
+    val uid = tables.events.select("user_id").as[Long].head()
+    val ts = tables.events.filter(col("user_id") === uid)
+      .select(expr("ts_ns div 1000")).as[Long].collect().sorted
+    var (cov, s, e) = (0L, ts.head, ts.head + winUs)
+    ts.tail.foreach { t =>
+      if (t > e) { cov += e - s; s = t }
+      e = math.max(e, t + winUs)
+    }
+    cov += e - s
+    val got = graft.ops.Events.qIntervalUnion(tables)
+      .filter(col("user_id") === uid).select("covered_us").as[Long].head()
+    assert(got == cov)
+  }
+
+  test("session paths: trigram counts total n-2 per user and sort descending") {
+    val rows = graft.ops.Events.qSessionPaths(tables, k = 1000).collect()
+    val perUser = tables.events.groupBy("user_id").count()
+      .as[(Long, Long)].collect()
+    val expected = perUser.map { case (_, n) => math.max(0L, n - 2) }.sum
+    assert(rows.map(_.getLong(1)).sum == expected)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(1) > b.getLong(1) ||
+        (a.getLong(1) == b.getLong(1) && a.getString(0) < b.getString(0)))
+    }
+  }
+
+  test("attribution buckets partition all purchases") {
+    val rows = graft.ops.Events.qAttribution(tables).collect()
+    val purchases = tables.events.filter(col("event_type") === "purchase").count()
+    assert(rows.map(_.getLong(1)).sum == purchases)
+    assert(rows.map(_.getString(0)).forall(Set("click", "view", "none")))
+  }
+
+  test("tpch q10 via sql frontend: 20 rows, revenue strictly ordered") {
+    val rows = Analytics.qSqlQ10(spark, tables).collect()
+    assert(rows.length == 20)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(2) >= b.getDouble(2))
+    }
+  }
 }
