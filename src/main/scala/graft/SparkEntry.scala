@@ -145,6 +145,7 @@ object SparkEntry {
     "q_contamination" -> q(Dedup.qContamination(_)),
     "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
     "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
+    "q_jaro_names" -> q(Dedup.qJaroNames(_)),
     "q_cross_source_overlap" -> q(Dedup.qCrossSourceOverlap),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
@@ -949,6 +950,15 @@ object SparkEntry {
          FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
            AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 3
+         ORDER BY id1, id2""",
+    "q_jaro_names" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+             string_split(p_name, ' ')[1] AS w1 FROM part),
+         j AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+             AND a.p_partkey < b.p_partkey)
+         SELECT id1, id2, sim FROM j WHERE sim >= 0.93
          ORDER BY id1, id2""",
     // exact streaming distinct (dropDuplicates -> hourly agg) must match
     // the batch COUNT(DISTINCT)

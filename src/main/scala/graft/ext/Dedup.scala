@@ -409,4 +409,29 @@ object Dedup {
       .select("id1", "id2", "dist")
       .orderBy("id1", "id2")
   }
+
+  /** Jaro-Winkler fuzzy matching over the same (brand, first-word) blocks
+    * as [[qFuzzyNames]], through the native `jaro_winkler` expression
+    * (codegen'd, DuckDB-bit-exact — see
+    * [[graft.functions.JaroWinklerImpl]]). Similarity is rounded at 1e-6
+    * BEFORE thresholding so the cut is taken on a value both engines agree
+    * on exactly. Same scale posture as the levenshtein variant: candidate
+    * count is bounded by block size, the pair filter runs inside
+    * whole-stage codegen.
+    */
+  def qJaroNames(t: Tables, minSim: Double = 0.93): DataFrame = {
+    val p = t.part.select(
+      col("p_partkey"), col("p_brand"), col("p_name"),
+      split(col("p_name"), " ").getItem(0).as("w1"))
+    val a = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("id1"), col("p_name").as("name1"))
+    val b = p.select(col("p_brand"), col("w1"),
+      col("p_partkey").as("id2"), col("p_name").as("name2"))
+    a.join(b, Seq("p_brand", "w1"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("sim", round(expr("jaro_winkler(name1, name2)"), 6))
+      .filter(col("sim") >= minSim)
+      .select("id1", "id2", "sim")
+      .orderBy("id1", "id2")
+  }
 }

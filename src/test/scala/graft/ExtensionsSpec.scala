@@ -37,4 +37,37 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("jaro_winkler matches literature values and DuckDB edge semantics") {
+    def jw(a: String, b: String): Double =
+      spark.sql(s"SELECT jaro_winkler('$a', '$b') AS v").head().getDouble(0)
+    assert(math.abs(jw("martha", "marhta") - 0.9611111111111111) < 1e-15)
+    assert(math.abs(jw("DIXON", "DICKSONX") - 0.8133333333333332) < 1e-15)
+    assert(jw("", "") == 0.0, "DuckDB semantics: empty input scores 0")
+    assert(jw("abc", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    assert(jw("abcd", "dcba") < 0.7, "no winkler bonus below the boost bar")
+    // symmetric on real part names, interpreted == codegen'd path
+    val pairs = tables.part.select("p_name").limit(20).collect().map(_.getString(0))
+    pairs.sliding(2).foreach { case Array(a, b) =>
+      val f = graft.functions.JaroWinklerImpl.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      val g = graft.functions.JaroWinklerImpl.jw(
+        org.apache.spark.unsafe.types.UTF8String.fromString(b),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a))
+      assert(f == g, s"asymmetric jw for '$a' / '$b'")
+      assert(f >= 0.0 && f <= 1.0)
+    }
+  }
+
+  test("jaro fuzzy names: every levenshtein<=1 block pair is also a jaro match") {
+    import org.apache.spark.sql.functions._
+    val lev = graft.ext.Dedup.qFuzzyNames(tables, maxDist = 1)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jw = graft.ext.Dedup.qJaroNames(tables, minSim = 0.90)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lev.subsetOf(jw),
+      "one-edit pairs on ~30-char names must score >= 0.90 jaro-winkler")
+  }
 }
