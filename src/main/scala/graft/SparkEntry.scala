@@ -108,6 +108,11 @@ object SparkEntry {
     "q_interval_union" -> q(Events.qIntervalUnion),
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
+    "q_decile_lift" -> q(Analytics.qDecileLift),
+    "q_weighted_median" -> q(Analytics.qWeightedMedian),
+    "q_time_weighted_avg" -> q(Analytics.qTimeWeightedAvg),
+    "q_cusum" -> q(Analytics.qCusum),
+    "q_sql_q6" -> ((spark, dir) => Analytics.qSqlQ6(spark, Tables(spark, dir))),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
     "q_topk_suppliers" -> q(Analytics.qTopkSuppliers(_)),
@@ -840,6 +845,93 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM a WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY touch""",
+    "q_decile_lift" ->
+      """WITH c AS (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY 1),
+         d AS (
+           SELECT spend,
+             CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+           FROM c),
+         g AS (
+           SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(spend) AS decile_rev
+           FROM d GROUP BY 1)
+         SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_rev,
+           CAST(decile_rev AS DOUBLE) / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS share,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS cum_share
+         FROM g ORDER BY decile""",
+    "q_weighted_median" ->
+      """WITH p AS (
+           SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS wt
+           FROM lineitem GROUP BY 1, 2),
+         w AS (
+           SELECT l_returnflag, price,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tot
+           FROM p)
+         SELECT l_returnflag,
+           CAST(MIN(price) AS DOUBLE) AS weighted_median_price
+         FROM w WHERE cumw * 2 >= tot
+         GROUP BY 1 ORDER BY l_returnflag""",
+    "q_time_weighted_avg" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+             lead(epoch_us(ts), 1) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS next_us
+           FROM events),
+         h AS (
+           SELECT user_id, value, next_us - ts_us AS gap_us
+           FROM e WHERE next_us IS NOT NULL),
+         g AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_holds,
+             CAST(SUM(gap_us) AS BIGINT) AS span_us,
+             CAST(SUM(CAST(value AS DECIMAL(20,6)) *
+               CAST(gap_us AS DECIMAL(14,0))) AS DOUBLE) AS wsum
+           FROM h GROUP BY 1)
+         SELECT user_id, n_holds, span_us,
+           round(wsum / CAST(span_us AS DOUBLE), 6) AS twap
+         FROM g ORDER BY user_id""",
+    "q_cusum" ->
+      """WITH hc AS (
+           SELECT event_type, epoch_ns(ts) // 3600000000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hr, c,
+             CAST(row_number() OVER tw AS BIGINT) AS k,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_hours,
+             SUM(c) OVER (PARTITION BY event_type) AS total
+           FROM hc WINDOW tw AS (PARTITION BY event_type ORDER BY hr)),
+         cs AS (
+           SELECT event_type, hr, c,
+             CAST(s AS DOUBLE) - CAST(k AS DOUBLE) *
+               (CAST(total AS DOUBLE) / CAST(n_hours AS DOUBLE)) AS cusum
+           FROM w),
+         r AS (
+           SELECT event_type, hr, c, cusum,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, hr) AS rk
+           FROM cs)
+         SELECT event_type, hr, c, round(cusum, 6) AS cusum
+         FROM r WHERE rk = 1 ORDER BY event_type""",
+    "q_sql_q6" ->
+      """SELECT
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""",
     "q_order_gaps" ->
       """WITH g AS (SELECT o_custkey, o_orderdate,
              lag(o_orderdate) OVER (PARTITION BY o_custkey

@@ -508,6 +508,151 @@ object Analytics {
       .orderBy("digit")
   }
 
+  /** Decile lift / Lorenz table: customers ranked into spend deciles (top
+    * spenders = decile 1), each decile's revenue share and the cumulative
+    * share — the concentration curve behind "top 10% of customers drive X%
+    * of revenue". The tile cut runs over the per-customer AGGREGATE (one
+    * row per customer, same posture as [[qNtileBins]]); shares divide
+    * exact decimal sums, so both engines agree bit-for-bit.
+    */
+  def qDecileLift(t: Tables): DataFrame = {
+    val bydesc = Window.orderBy(col("spend").desc, col("o_custkey"))
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    t.orders
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      .withColumn("decile", ntile(10).over(bydesc).cast("long"))
+      .groupBy("decile")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum("spend").as("decile_rev"))
+      .withColumn("share",
+        col("decile_rev").cast("double") /
+          sum("decile_rev").over(tot).cast("double"))
+      .withColumn("cum_share",
+        sum("decile_rev").over(cum).cast("double") /
+          sum("decile_rev").over(tot).cast("double"))
+      .select(col("decile"), col("n_customers"),
+        col("decile_rev").cast("double").as("decile_rev"),
+        col("share"), col("cum_share"))
+      .orderBy("decile")
+  }
+
+  /** Weighted median unit price per return flag, weighted by quantity.
+    * Prices are pre-aggregated per (flag, price) FIRST, so the cumulative
+    * weight walk runs over distinct prices in a total order — the
+    * selection is order-deterministic even under price ties, and the
+    * half-total comparison is `2*cumw >= total` in exact decimals (no
+    * division). The per-group distinct-price frame is what the window
+    * sorts — far smaller than the fact table.
+    */
+  def qWeightedMedian(t: Tables): DataFrame = {
+    val byPrice = Window.partitionBy("l_returnflag").orderBy("price")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val grp = Window.partitionBy("l_returnflag")
+    t.lineitem
+      .groupBy(col("l_returnflag"),
+        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("wt"))
+      .withColumn("cumw", sum("wt").over(byPrice))
+      .withColumn("tot", sum("wt").over(grp))
+      .filter(col("cumw") * 2 >= col("tot"))
+      .groupBy("l_returnflag")
+      .agg(min("price").cast("double").as("weighted_median_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Time-weighted average event value per user (TWAP): each value is held
+    * until the user's next event; the average weights values by their
+    * exact microsecond holding time. The weighted sum is DECIMAL x BIGINT
+    * (exact); only the final normalization divides in doubles. One window
+    * pass per user — the same single-shuffle posture as every
+    * per-user-timeline operator here.
+    */
+  def qTimeWeightedAvg(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t.events
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("next_us", lead("ts_us", 1).over(byUser))
+      .filter(col("next_us").isNotNull)
+      .withColumn("gap_us", col("next_us") - col("ts_us"))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_holds"),
+        sum(col("gap_us")).as("span_us"),
+        // both factors get EXPLICIT decimal types chosen so the product is
+        // exact in BOTH engines: DECIMAL(20,6) x DECIMAL(14,0) is
+        // DECIMAL(35,6) in Spark (under the 38 cap — a bare LONG factor
+        // would widen to DECIMAL(20,0) and trigger scale-shaving at 39)
+        // and int128 math in DuckDB (an operand must exceed precision 18,
+        // or its int64 product path overflows on large gaps)
+        sum(col("value").cast(DecimalType(20, 6)) *
+          col("gap_us").cast(DecimalType(14, 0)))
+          .cast("double").as("wsum"))
+      // rounded at 1e-6: the scaled weighted sum exceeds 2^53, where
+      // DuckDB's two-step decimal->double cast (int128 to double, then
+      // divide by 10^scale) can land one ulp off Spark's single correctly
+      // rounded conversion
+      .withColumn("twap",
+        round(col("wsum") / col("span_us").cast("double"), 6))
+      .select(col("user_id"), col("n_holds"), col("span_us"), col("twap"))
+      .orderBy("user_id")
+  }
+
+  /** CUSUM changepoint scan: hourly event counts per type, cumulative
+    * deviation from the type's mean rate, reporting each type's maximal
+    * |CUSUM| hour (where the arrival-rate regime shifts). Exactness trick:
+    * cusum_k = S_k - k*mean with S_k the exact integer prefix count —
+    * ONE double expression over exact integers instead of a sequential
+    * float fold, so engines agree without rounding games. The hourly
+    * aggregate is the only full shuffle; per-type series are tiny.
+    */
+  def qCusum(t: Tables): DataFrame = {
+    val byType = Window.partitionBy("event_type").orderBy("hr")
+    val cum = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pick = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("hr"))
+    t.events
+      .groupBy(col("event_type"),
+        expr("ts_ns div 3600000000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("k", row_number().over(byType).cast("long"))
+      .withColumn("s", sum("c").over(cum))
+      .withColumn("n_hours", count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("total", sum("c").over(Window.partitionBy("event_type")))
+      .withColumn("mean",
+        col("total").cast("double") / col("n_hours").cast("double"))
+      .withColumn("cusum",
+        col("s").cast("double") - col("k").cast("double") * col("mean"))
+      .withColumn("rk", row_number().over(pick))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("hr"), col("c"),
+        round(col("cusum"), 6).as("cusum"))
+      .orderBy("event_type")
+  }
+
+  /** TPC-H Q6 (forecast revenue change) through the SQL frontend — the
+    * canonical scan-side filter query: every predicate lands in
+    * PushedFilters on the parquet scan, the aggregate is one exact decimal
+    * sum, no joins, no shuffle beyond the final single-row combine.
+    */
+  def qSqlQ6(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+             AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+           AND l_discount BETWEEN 0.05 AND 0.07
+           AND l_quantity < 24""")
+  }
+
   /** TPC-H Q10 (returned-item reporting) through the SQL frontend: top-20
     * customers by revenue lost to returns in a quarter. Catalyst broadcasts
     * nation, shuffles the two fact joins on their keys, and the top-20

@@ -507,6 +507,69 @@ class AnalyticsSpec extends SparkSuite {
     assert(rows.map(_.getString(0)).forall(Set("click", "view", "none")))
   }
 
+  test("decile lift: shares sum to 1, cumulative share is monotone, top decile leads") {
+    val rows = Analytics.qDecileLift(tables).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    assert(math.abs(rows.last.getDouble(4) - 1.0) < 1e-12, "cum share ends at 1")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) < b.getDouble(4), "cumulative share must increase")
+      assert(a.getDouble(3) >= b.getDouble(3) - 1e-9,
+        "deciles ranked by spend: shares weakly decrease")
+    }
+  }
+
+  test("weighted median: at least half the weight on each side") {
+    val rows = Analytics.qWeightedMedian(tables).collect()
+    rows.foreach { r =>
+      val (flag, med) = (r.getString(0), r.getDouble(1))
+      val wts = tables.lineitem.filter(col("l_returnflag") === flag)
+        .select("l_extendedprice", "l_quantity")
+        .as[(Double, Double)].collect()
+      val tot = wts.map(_._2).sum
+      val below = wts.filter(_._1 <= med).map(_._2).sum
+      val above = wts.filter(_._1 >= med).map(_._2).sum
+      assert(below * 2 >= tot - 1e-6, s"$flag: weight below median too small")
+      assert(above * 2 >= tot - tot * 1e-9 - 1,
+        s"$flag: weight at/above median too small")
+    }
+  }
+
+  test("time-weighted average lies within the user's value envelope") {
+    val rows = Analytics.qTimeWeightedAvg(tables).collect()
+    assert(rows.nonEmpty)
+    val uid = rows.head.getLong(0)
+    val vals = tables.events.filter(col("user_id") === uid)
+      .select("value").as[Double].collect()
+    val r = rows.head
+    assert(r.getDouble(3) >= vals.min - 1e-9 && r.getDouble(3) <= vals.max + 1e-9)
+    assert(r.getLong(1) == vals.length - 1, "n_holds = events - 1")
+  }
+
+  test("cusum: one row per event type, cusum of the full series is ~0 at the end") {
+    val rows = Analytics.qCusum(tables).collect()
+    val types = tables.events.select("event_type").distinct.count()
+    assert(rows.length == types)
+    // the reported extremum must dominate a recomputed per-type series
+    val hourly = tables.events
+      .groupBy(col("event_type"), expr("ts_ns div 3600000000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val series = hourly(r.getString(0)).sortBy(_._2).map(_._3.toDouble)
+      val mean = series.sum / series.length
+      val cusums = series.scanLeft(0.0)(_ + _ - mean).tail
+      assert(math.abs(math.abs(r.getDouble(3)) - cusums.map(math.abs).max) < 1e-3,
+        s"${r.getString(0)}: reported extremum off")
+    }
+  }
+
+  test("tpch q6 via sql frontend: one row, positive revenue and count") {
+    val r = Analytics.qSqlQ6(spark, tables).head()
+    assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
+  }
+
   test("tpch q10 via sql frontend: 20 rows, revenue strictly ordered") {
     val rows = Analytics.qSqlQ10(spark, tables).collect()
     assert(rows.length == 20)
