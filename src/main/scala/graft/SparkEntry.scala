@@ -182,6 +182,7 @@ object SparkEntry {
     "q_quality_funnel" -> q(TextAnalysis.qQualityFunnel(_)),
     "q_bigram_surprisal" -> q(TextAnalysis.qBigramSurprisal),
     "q_vocab_coverage" -> q(TextAnalysis.qVocabCoverage(_)),
+    "q_ngram_novelty" -> q(TextAnalysis.qNgramNovelty),
     "q_doc_entropy" -> q(TextAnalysis.qDocEntropy),
     "q_length_histogram" -> q(TextAnalysis.qLengthHistogram),
     // — streaming (an actual AvailableNow streaming execution: file source
@@ -1184,6 +1185,20 @@ object SparkEntry {
            CAST(SUM(sp * CAST(k AS DECIMAL(8,0))) AS DOUBLE)
              / CAST(SUM(k) AS BIGINT) AS avg_surprisal
          FROM dg JOIN s USING (g) GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_novelty" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g0 AS (SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS g FROM d),
+         dg AS (SELECT doc_id, g FROM g0 GROUP BY 1, 2),
+         f AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY 1)
+         SELECT dg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = dg.doc_id) AS BIGINT)
+             AS n_novel,
+           CAST(COUNT(*) FILTER (WHERE f.first_doc = dg.doc_id) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+         FROM dg JOIN f USING (g) GROUP BY 1 ORDER BY doc_id""",
     "q_cross_source_overlap" ->
       """WITH d AS (SELECT DISTINCT source,
              md5(array_to_string(list_sort(list_distinct(

@@ -281,6 +281,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** N-gram novelty scoring: the fraction of each document's distinct
+    * trigrams whose FIRST occurrence (by doc_id order) is in that document
+    * — a contribution/curriculum signal: near-zero novelty marks documents
+    * whose content is already covered by earlier corpus. Same vocab-join
+    * posture as [[qBigramSurprisal]]: the gram stream collapses to
+    * per-(doc, gram) distinct rows via hash aggregate, first-occurrence is
+    * a vocab-sized MIN aggregate, and the ratio divides exact integers.
+    */
+  def qNgramNovelty(t: Tables): DataFrame = {
+    val grams = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"), 3)).as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    grams.join(first, "g")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_grams").cast("double"))
+      .orderBy("doc_id")
+  }
+
   /** Context-window chunk plan: fixed-size token chunks with overlap
     * (size 32, stride 24 here) per sampled document — the text twin of the
     * multimodal chunk planner, and the shape a training pipeline uses to

@@ -565,6 +565,18 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("ngram novelty: first doc scores 1, total novel grams = corpus vocab") {
+    val rows = TextAnalysis.qNgramNovelty(tables).collect()
+    assert(rows.head.getDouble(3) == 1.0,
+      "the lowest doc_id introduces every one of its grams")
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val vocab = tables.documents
+      .select(explode(graft.ext.Dedup.shingles(col("text"), 3)).as("g"))
+      .distinct().count()
+    assert(rows.map(_.getLong(2)).sum == vocab,
+      "every distinct gram is novel in exactly one document")
+  }
+
   test("tpch q6 via sql frontend: one row, positive revenue and count") {
     val r = Analytics.qSqlQ6(spark, tables).head()
     assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
