@@ -129,11 +129,19 @@ class PlanAuditSpec extends SparkSuite {
       "sides must aggregate map-side before the join exchange")
   }
 
-  test("bigram surprisal is one linear pipeline: bounded exchanges, no cache scan") {
+  test("bigram surprisal aggregates to vocab frames: no sorts, no cache scan") {
     val p = formatted("q_bigram_surprisal")
     assert(!p.contains("InMemoryTableScan"), "rewrite should not persist")
-    // spread repartition + gram compaction + two LM windows + final doc
-    // agg + presentation sort
-    assert(shuffleCount(p) <= 6, s"too many exchanges:\n$p")
+    // the vocab-join shape replaced the windowed one: the corpus LM must
+    // come from hash aggregates (windows would show Sort + Window nodes
+    // over the full gram stream — the 9.9s plan this replaced)
+    assert(!p.contains("Window"), s"LM must not be computed by windows:\n$p")
+    // exchanges: 2x spread + gram->vocab agg + vocab->firsts agg + sampled
+    // doc-gram agg + LM join key exchanges + final doc agg + output sort;
+    // all but the gram->vocab partial-agg exchange move vocab- or
+    // sample-sized frames
+    assert(shuffleCount(p) <= 10, s"too many exchanges:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      "gram stream must combine map-side before its exchange")
   }
 }
