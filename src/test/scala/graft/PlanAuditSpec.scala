@@ -129,6 +129,48 @@ class PlanAuditSpec extends SparkSuite {
       "sides must aggregate map-side before the join exchange")
   }
 
+  test("z-score outliers broadcast the moment frame, one fact-side shuffle tier") {
+    val p = formatted("q_zscore_outliers")
+    // the 5-row moment frame joins back by broadcast — the fact side must
+    // not re-shuffle on segment for that join (its only exchanges are the
+    // custkey join tier, the moment aggregate, the window, and the sort)
+    assert(p.contains("BroadcastHashJoin"), "moments not broadcast")
+    assert(shuffleCount(p) <= 5, s"fact side re-shuffled:\n$p")
+  }
+
+  test("decile lift sorts only the per-customer aggregate") {
+    val p = formatted("q_decile_lift")
+    // ntile needs a single-partition sort; it must run over the
+    // per-customer AGGREGATE (sort key = spend), never raw orders (whose
+    // sort key would be o_totalprice)
+    assert(p.contains("Arguments: SinglePartition"),
+      s"expected the ntile single-partition exchange:\n$p")
+    val sortArgs = "\\(\\d+\\) Sort[^\n]*\nInput[^\n]*\nArguments: \\[([^\n]*)"
+      .r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(sortArgs.exists(_.contains("spend")),
+      s"global sort must run on the aggregated spend column:\n$p")
+    assert(!sortArgs.exists(_.contains("o_totalprice")),
+      s"raw orders must never be globally sorted:\n$p")
+  }
+
+  test("jaro names: blocked equi-join, no cartesian, codegen'd similarity") {
+    val p = formatted("q_jaro_names")
+    assert(!p.contains("CartesianProduct"), "pair generation went cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "pair generation went NL")
+    assert(p.contains("jaro_winkler") || p.contains("jarowinkler"),
+      "similarity expression missing from the plan")
+  }
+
+  test("tpch q6 pushes every predicate into the parquet scan") {
+    val p = formatted("q_sql_q6")
+    assert(p.contains("PushedFilters:"))
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(("PushedFilters:[^\n]*" + c).r.findFirstIn(p).isDefined,
+        s"$c not pushed to the scan:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length <= 4, s"ReadSchema too wide: $read")
+  }
+
   test("bigram surprisal aggregates to vocab frames: no sorts, no cache scan") {
     val p = formatted("q_bigram_surprisal")
     assert(!p.contains("InMemoryTableScan"), "rewrite should not persist")
