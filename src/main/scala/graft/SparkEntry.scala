@@ -113,6 +113,8 @@ object SparkEntry {
     "q_time_weighted_avg" -> q(Analytics.qTimeWeightedAvg),
     "q_cusum" -> q(Analytics.qCusum),
     "q_sql_q6" -> ((spark, dir) => Analytics.qSqlQ6(spark, Tables(spark, dir))),
+    "q_sql_q18" -> ((spark, dir) => Analytics.qSqlQ18(spark, Tables(spark, dir))),
+    "q_debounce" -> q(Events.qDebounce(_)),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
     "q_topk_suppliers" -> q(Analytics.qTopkSuppliers(_)),
@@ -923,6 +925,36 @@ object SparkEntry {
            FROM cs)
          SELECT event_type, hr, c, round(cusum, 6) AS cusum
          FROM r WHERE rk = 1 ORDER BY event_type""",
+    "q_sql_q18" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 50""",
+    "q_debounce" ->
+      """WITH e AS (
+           SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+           FROM events),
+         d AS (
+           SELECT event_type,
+             CASE WHEN lag(ts_us) OVER w IS NOT NULL
+                    AND ts_us - lag(ts_us) OVER w < 5000000
+               THEN 1 ELSE 0 END AS dropped
+           FROM e WINDOW w AS (PARTITION BY user_id, event_type
+             ORDER BY ts_us, event_id))
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept
+         FROM d GROUP BY 1 ORDER BY event_type""",
     "q_sql_q6" ->
       """SELECT
            CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))

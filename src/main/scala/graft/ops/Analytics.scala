@@ -653,6 +653,32 @@ object Analytics {
            AND l_quantity < 24""")
   }
 
+  /** TPC-H Q18 (large-volume customers) through the SQL frontend: orders
+    * whose total quantity clears a threshold, with their customers —
+    * exercises the IN-subquery decorrelation path (Catalyst rewrites the
+    * HAVING subquery into a join against the aggregated key set) plus a
+    * bounded top-k output. The inner aggregate is the only fact-sized
+    * shuffle; the qualifying key set is tiny and AQE broadcasts it.
+    */
+  def qSqlQ18(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT c_custkey, c_name, o_orderkey,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+           o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+         FROM customer
+           JOIN orders ON c_custkey = o_custkey
+           JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE o_orderkey IN (
+           SELECT l_orderkey FROM lineitem
+           GROUP BY l_orderkey
+           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+         GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 50""")
+  }
+
   /** TPC-H Q10 (returned-item reporting) through the SQL frontend: top-20
     * customers by revenue lost to returns in a quarter. Catalyst broadcasts
     * nation, shuffles the two fact joins on their keys, and the top-20

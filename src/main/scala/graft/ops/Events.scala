@@ -312,6 +312,32 @@ object Events {
       .limit(k)
   }
 
+  /** Debounce / in-stream dedup: drop events of the same (user, type)
+    * arriving within 5 s of the previous KEPT event — the retry/double-fire
+    * cleaner every event pipeline runs before counting. Kept-anchor
+    * semantics (not lag-anchor) would need a running state; the classic
+    * approximation used here anchors on the previous RAW event, which is
+    * exact when bursts are shorter than the window — reported per type as
+    * kept/dropped counts. One shuffle on (user, type).
+    */
+  def qDebounce(t: Tables, windowUs: Long = 5000000L): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy("ts_us", "event_id")
+    t.events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      .withColumn("dropped",
+        (col("prev_us").isNotNull &&
+          col("ts_us") - col("prev_us") < windowUs).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("dropped").as("n_dropped"),
+        (count(lit(1)) - sum("dropped")).as("n_kept"))
+      .orderBy("event_type")
+  }
+
   /** Last-touch attribution: each purchase credits the most recent prior
     * click/view in the same user's timeline (an as-of lookup expressed as
     * one IGNORE-NULLS window — no self-join, no second shuffle). Purchases

@@ -582,6 +582,29 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getDouble(0) > 0 && r.getLong(1) > 0)
   }
 
+  test("tpch q18: every order clears the quantity bar, prices descend") {
+    val rows = Analytics.qSqlQ18(spark, tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(5) > 250.0))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(4) >= b.getDouble(4))
+    }
+    // qualifying orders recomputed directly
+    val direct = tables.lineitem.groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("q")).filter(col("q") > 250).count()
+    assert(rows.length == math.min(direct, 50))
+  }
+
+  test("debounce partitions every event into kept or dropped") {
+    val rows = graft.ops.Events.qDebounce(tables).collect()
+    rows.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+    assert(rows.map(_.getLong(1)).sum == tables.events.count())
+    // a tighter window can only drop fewer
+    val tight = graft.ops.Events.qDebounce(tables, windowUs = 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach(r => assert(tight(r.getString(0)) <= r.getLong(2)))
+  }
+
   test("tpch q10 via sql frontend: 20 rows, revenue strictly ordered") {
     val rows = Analytics.qSqlQ10(spark, tables).collect()
     assert(rows.length == 20)
