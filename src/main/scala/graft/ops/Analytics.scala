@@ -540,24 +540,50 @@ object Analytics {
       .orderBy("decile")
   }
 
-  /** Weighted median unit price per return flag, weighted by quantity.
-    * Prices are pre-aggregated per (flag, price) FIRST, so the cumulative
-    * weight walk runs over distinct prices in a total order — the
-    * selection is order-deterministic even under price ties, and the
-    * half-total comparison is `2*cumw >= total` in exact decimals (no
-    * division). The per-group distinct-price frame is what the window
-    * sorts — far smaller than the fact table.
+  /** Weighted median unit price per return flag, weighted by quantity —
+    * TWO-PHASE exact selection, the distributed form of the cumulative
+    * walk: phase 1 aggregates weights into $1000 price buckets (a
+    * configuration-sized frame) and finds each group's target bucket by
+    * cumulative bucket weight; phase 2 re-scans only the rows of that one
+    * bucket (the price predicate pushes to the scan) and finishes the walk
+    * within it, offset by the weight before the bucket. The selected price
+    * is IDENTICAL to a full sorted walk — min price p with
+    * 2*cumweight(<=p) >= total — but no fact-sized frame is ever sorted:
+    * the naive distinct-price window sorted the whole price domain in 3
+    * partitions (parallelism collapses to the group count) and
+    * benchmarked ~40% slower warm; at 100 TB that shape is a stuck
+    * single-task sort while this one's heavy stages stay fully parallel.
+    * All comparisons are exact decimals; `2*cumw >= tot` avoids division
+    * entirely.
     */
   def qWeightedMedian(t: Tables): DataFrame = {
-    val byPrice = Window.partitionBy("l_returnflag").orderBy("price")
+    val li = t.lineitem.select(
+      col("l_returnflag"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("price"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      // $1000 buckets via exact integer math on cents
+      .withColumn("b", expr("cast(price * 100 as bigint) div 100000"))
+    val wb = Window.partitionBy("l_returnflag").orderBy("b")
+    val cum = li
+      .groupBy("l_returnflag", "b")
+      .agg(sum(col("qty")).as("bw"))
+      .withColumn("cumb",
+        sum("bw").over(wb.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("tot", sum("bw").over(Window.partitionBy("l_returnflag")))
+    val tgt = cum
+      .filter(col("cumb") * 2 >= col("tot"))
+      .withColumn("rk", row_number().over(wb))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("b").as("tb"),
+        (col("cumb") - col("bw")).as("cum_before"), col("tot"))
+    val inBucket = Window.partitionBy("l_returnflag").orderBy("price")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val grp = Window.partitionBy("l_returnflag")
-    t.lineitem
-      .groupBy(col("l_returnflag"),
-        col("l_extendedprice").cast(DecimalType(18, 2)).as("price"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("wt"))
-      .withColumn("cumw", sum("wt").over(byPrice))
-      .withColumn("tot", sum("wt").over(grp))
+    li.join(broadcast(tgt), Seq("l_returnflag"))
+      .filter(col("b") === col("tb"))
+      .groupBy("l_returnflag", "price", "cum_before", "tot")
+      .agg(sum(col("qty")).as("wt"))
+      .withColumn("cumw", col("cum_before") + sum("wt").over(inBucket))
       .filter(col("cumw") * 2 >= col("tot"))
       .groupBy("l_returnflag")
       .agg(min("price").cast("double").as("weighted_median_price"))
