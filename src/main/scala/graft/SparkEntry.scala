@@ -105,6 +105,7 @@ object SparkEntry {
     "q_benford" -> q(Analytics.qBenford),
     "q_sql_q10" -> ((spark, dir) => Analytics.qSqlQ10(spark, Tables(spark, dir))),
     "q_zscore_outliers" -> q(Stats.qZscoreOutliers),
+    "q_chi2" -> q(Stats.qChi2),
     "q_interval_union" -> q(Events.qIntervalUnion),
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
@@ -848,6 +849,29 @@ object SparkEntry {
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM a WHERE event_type = 'purchase'
          GROUP BY 1 ORDER BY touch""",
+    "q_chi2" ->
+      """WITH obs AS (
+           SELECT c_mktsegment AS seg, n_name AS nat, COUNT(*) AS o
+           FROM customer JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY 1, 2),
+         st AS (SELECT seg, SUM(o) AS rt FROM obs GROUP BY 1),
+         nt AS (SELECT nat, SUM(o) AS ct FROM obs GROUP BY 1),
+         tot AS (SELECT SUM(o) AS n FROM obs),
+         grid AS (
+           SELECT st.seg, nt.nat, rt, ct, n,
+             COALESCE(obs.o, 0) AS o
+           FROM st CROSS JOIN nt CROSS JOIN tot
+             LEFT JOIN obs ON obs.seg = st.seg AND obs.nat = nt.nat),
+         terms AS (
+           SELECT seg, nat, o,
+             CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE) AS e
+           FROM grid)
+         SELECT
+           CAST(SUM(CAST(round((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 9)
+             AS DECIMAL(20,10))) AS DOUBLE) AS chi2,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT nat) - 1) AS BIGINT) AS dof
+         FROM terms""",
     "q_decile_lift" ->
       """WITH c AS (
            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

@@ -346,6 +346,40 @@ object Stats {
       .orderBy("segment", "o_orderkey")
   }
 
+  /** Chi-square independence test of market segment vs customer nation:
+    * the full R x C contingency grid (zero cells densified via the
+    * cross-joined marginals — a missing cell still contributes its
+    * expectation), expected counts from exact integer marginals, each
+    * (o-e)^2/e term rounded at 1e-9 into DECIMAL so the grid sum is
+    * aggregation-order exact. Marginals are two tiny aggregates of the
+    * contingency frame; nothing beyond the first groupBy touches fact
+    * rows. Squares are spelled (o-e)*(o-e) — `pow` is not guaranteed
+    * bit-identical across engines' libm.
+    */
+  def qChi2(t: Tables): DataFrame = {
+    val obs = t.customer
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_mktsegment").as("seg"), col("n_name").as("nat"))
+      .agg(count(lit(1)).as("o"))
+    val segTot = obs.groupBy("seg").agg(sum("o").as("rt"))
+    val natTot = obs.groupBy("nat").agg(sum("o").as("ct"))
+    val n = obs.agg(sum("o").as("n"))
+    segTot.crossJoin(natTot).crossJoin(broadcast(n))
+      .join(obs, Seq("seg", "nat"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("d", col("o").cast("double") - col("e"))
+      .withColumn("term",
+        round(col("d") * col("d") / col("e"), 9).cast("decimal(20,10)"))
+      .agg(
+        sum("term").cast("double").as("chi2"),
+        count(lit(1)).as("n_cells"),
+        ((countDistinct("seg") - 1) * (countDistinct("nat") - 1))
+          .as("dof"))
+  }
+
   /** The CMS candidate stage alone (false positives included) — exposed so
     * tests can assert the prefilter prunes the dimension yet stays a
     * superset of the true heavy hitters.

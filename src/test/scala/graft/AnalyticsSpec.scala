@@ -577,6 +577,17 @@ class AnalyticsSpec extends SparkSuite {
       "every distinct gram is novel in exactly one document")
   }
 
+  test("chi2 grid covers all segment x nation cells, dof matches") {
+    val r = Stats.qChi2(tables).head()
+    val segs = tables.customer.select("c_mktsegment").distinct.count()
+    val nats = tables.customer.join(tables.nation,
+      col("c_nationkey") === col("n_nationkey"))
+      .select("n_name").distinct.count()
+    assert(r.getLong(1) == segs * nats, "grid must densify every cell")
+    assert(r.getLong(2) == (segs - 1) * (nats - 1))
+    assert(r.getDouble(0) >= 0.0)
+  }
+
   test("tpch q6 via sql frontend: one row, positive revenue and count") {
     val r = Analytics.qSqlQ6(spark, tables).head()
     assert(r.getDouble(0) > 0 && r.getLong(1) > 0)

@@ -28,7 +28,15 @@ class DeterminismSpec extends SparkSuite {
     "q_bigram_surprisal", // vocab joins + rounded-log decimal scoring
     "q_doc_entropy",      // rounded-log2 decimal entropy sums
     "q_rfm_segments",     // percentile cuts + decimal segment sums
-    "q_vocab_coverage")   // global top-k vocabulary tie-breaks
+    "q_vocab_coverage",   // global top-k vocabulary tie-breaks
+    "q_regression_trend", // closed-form OLS over decimal moments
+    "q_zscore_outliers",  // broadcast moments + |z| ranking cutoffs
+    "q_weighted_median",  // two-phase bucket walk, exact decimal compares
+    "q_decile_lift",      // global ntile + cumulative decimal shares
+    "q_time_weighted_avg", // decimal x microsecond products, rounded ratio
+    "q_cusum",            // S_k - k*mean extremum selection
+    "q_jaro_names",       // codegen'd float similarity + rounded threshold
+    "q_ngram_novelty")    // first-occurrence MIN + exact ratios
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
