@@ -110,6 +110,8 @@ object SparkEntry {
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
     "q_decile_lift" -> q(Analytics.qDecileLift),
+    "q_gini" -> q(Analytics.qGini),
+    "q_autocorr" -> q(Analytics.qAutocorr),
     "q_weighted_median" -> q(Analytics.qWeightedMedian),
     "q_time_weighted_avg" -> q(Analytics.qTimeWeightedAvg),
     "q_cusum" -> q(Analytics.qCusum),
@@ -891,6 +893,51 @@ object SparkEntry {
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
              / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS cum_share
          FROM g ORDER BY decile""",
+    "q_gini" ->
+      """WITH c AS (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY 1),
+         r AS (
+           SELECT spend,
+             CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i
+           FROM c),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+             SUM(spend) AS sx,
+             SUM(CAST(spend AS DECIMAL(14,2)) * CAST(i AS DECIMAL(10,0))) AS six
+           FROM r)
+         SELECT n_customers, CAST(sx AS DOUBLE) AS total_spend,
+           round(2.0 * CAST(six AS DOUBLE) /
+               (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) -
+             (CAST(n_customers AS DOUBLE) + 1.0) / CAST(n_customers AS DOUBLE),
+             9) AS gini
+         FROM s""",
+    "q_autocorr" ->
+      """WITH daily AS (
+           SELECT CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM orders GROUP BY 1),
+         p AS (
+           SELECT d, c,
+             lead(d, 1) OVER (ORDER BY d) AS nd,
+             lead(c, 1) OVER (ORDER BY d) AS nc
+           FROM daily),
+         q AS (SELECT c, nc FROM p WHERE nd = d + 1),
+         s AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(nc) AS BIGINT) AS sy,
+             CAST(SUM(c*c) AS BIGINT) AS sxx, CAST(SUM(nc*nc) AS BIGINT) AS syy,
+             CAST(SUM(c*nc) AS BIGINT) AS sxy
+           FROM q)
+         SELECT n_pairs,
+           round(
+             (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE) -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             (sqrt(CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+              sqrt(CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE) -
+                CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9) AS autocorr_lag1
+         FROM s""",
     "q_weighted_median" ->
       """WITH p AS (
            SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS price,

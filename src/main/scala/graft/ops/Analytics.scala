@@ -679,6 +679,71 @@ object Analytics {
            AND l_quantity < 24""")
   }
 
+  /** Gini coefficient of customer spend — the single-number form of
+    * [[qDecileLift]]'s concentration curve, from the rank identity
+    * G = 2*Σ(i*x_i) / (n*Σx) - (n+1)/n over spends ranked ascending.
+    * Σ(i*x_i) is DECIMAL x rank (exact, inside precision 38); the rank
+    * runs over the per-customer aggregate like every global-order op
+    * here. Ties rank deterministically (spend, custkey).
+    */
+  def qGini(t: Tables): DataFrame = {
+    val bySpend = Window.orderBy(col("spend"), col("o_custkey"))
+    t.orders
+      .groupBy("o_custkey")
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
+      .withColumn("i", row_number().over(bySpend).cast("long"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        sum(col("spend")).as("sx"),
+        // narrow both factors (lifetime spend < 1e12, rank < 1e10) so the
+        // product stays inside precision 38 in Spark AND DuckDB's int128
+        sum(col("spend").cast(DecimalType(14, 2)) *
+          col("i").cast(DecimalType(10, 0))).as("six"))
+      .select(
+        col("n_customers"),
+        col("sx").cast("double").as("total_spend"),
+        round(
+          lit(2.0) * col("six").cast("double") /
+            (col("n_customers").cast("double") * col("sx").cast("double")) -
+            (col("n_customers").cast("double") + 1.0) /
+              col("n_customers").cast("double"), 9).as("gini"))
+  }
+
+  /** Lag-1 autocorrelation of the daily order count series — "does a busy
+    * day predict a busy tomorrow" — over CONSECUTIVE calendar days only
+    * (lead on a day index; gaps contribute no pair). All moments are
+    * exact integer sums over the day-sized frame; the Pearson formula runs
+    * once in doubles, rounded above FMA jitter. The daily aggregate is the
+    * only fact-sized stage.
+    */
+  def qAutocorr(t: Tables): DataFrame = {
+    val byDay = Window.orderBy("d")
+    val daily = t.orders
+      .groupBy(expr("datediff(o_orderdate, DATE '1992-01-01')").cast("long")
+        .as("d"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nd", lead("d", 1).over(byDay))
+      .withColumn("nc", lead("c", 1).over(byDay))
+      .filter(col("nd") === col("d") + 1)
+    daily
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("c").as("sx"), sum("nc").as("sy"),
+        sum(col("c") * col("c")).as("sxx"),
+        sum(col("nc") * col("nc")).as("syy"),
+        sum(col("c") * col("nc")).as("sxy"))
+      .select(
+        col("n_pairs"),
+        round(
+          (col("n_pairs").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            (sqrt(col("n_pairs").cast("double") * col("sxx").cast("double") -
+              col("sx").cast("double") * col("sx").cast("double")) *
+             sqrt(col("n_pairs").cast("double") * col("syy").cast("double") -
+              col("sy").cast("double") * col("sy").cast("double"))), 9)
+          .as("autocorr_lag1"))
+  }
+
   /** TPC-H Q18 (large-volume customers) through the SQL frontend: orders
     * whose total quantity clears a threshold, with their customers —
     * exercises the IN-subquery decorrelation path (Catalyst rewrites the

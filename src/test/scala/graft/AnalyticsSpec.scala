@@ -577,6 +577,29 @@ class AnalyticsSpec extends SparkSuite {
       "every distinct gram is novel in exactly one document")
   }
 
+  test("gini matches a driver-side computation and lies in [0,1)") {
+    val r = Analytics.qGini(tables).head()
+    val spends = tables.orders.groupBy("o_custkey")
+      .agg(sum("o_totalprice").as("s")).select("s").as[Double]
+      .collect().sorted
+    val n = spends.length.toDouble
+    val six = spends.zipWithIndex.map { case (x, i) => x * (i + 1) }.sum
+    val gini = 2.0 * six / (n * spends.sum) - (n + 1.0) / n
+    assert(r.getLong(0) == spends.length)
+    assert(math.abs(r.getDouble(2) - gini) < 1e-6)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("autocorr is a valid correlation over consecutive-day pairs") {
+    val r = Analytics.qAutocorr(tables).head()
+    assert(r.getDouble(1) >= -1.0 && r.getDouble(1) <= 1.0)
+    val days = tables.orders
+      .groupBy(expr("datediff(o_orderdate, DATE '1992-01-01')").as("d"))
+      .count().select("d").as[Long].collect().toSet
+    val pairs = days.count(d => days.contains(d + 1))
+    assert(r.getLong(0) == pairs, "pair count must equal consecutive days")
+  }
+
   test("chi2 grid covers all segment x nation cells, dof matches") {
     val r = Stats.qChi2(tables).head()
     val segs = tables.customer.select("c_mktsegment").distinct.count()
