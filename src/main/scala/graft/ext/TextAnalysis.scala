@@ -264,7 +264,13 @@ object TextAnalysis {
     val counts = grams.groupBy("g").agg(count(lit(1)).as("cb"))
       .withColumn("w1", substring_index(col("g"), " ", 1))
     val firsts = counts.groupBy("w1").agg(sum("cb").as("cf"))
-    val lm = counts.join(firsts, "w1")
+    // shuffle_hash hints: both LM joins sit right at the broadcast
+    // threshold at bench scale, so AQE flips them between broadcast and
+    // sort-merge run to run (sort-merge pays two full sorts — measured
+    // 3x slower when it loses). A hash join on the shuffled key is the
+    // stable shape AND the correct one at corpus scale, where both sides
+    // are vocab-sized and neither may broadcast.
+    val lm = counts.join(firsts.hint("shuffle_hash"), "w1")
       .select(col("g"),
         round(-log(col("cb").cast("double") / col("cf")), 9)
           .cast("decimal(14,10)").as("sp"))
@@ -272,7 +278,7 @@ object TextAnalysis {
       .filter(pmod(col("doc_id"), lit(10)) === 0)
       .groupBy("doc_id", "g")
       .agg(count(lit(1)).as("k"))
-      .join(lm, "g")
+      .join(lm.hint("shuffle_hash"), "g")
       .groupBy("doc_id")
       .agg(
         sum("k").as("n_bigrams"),

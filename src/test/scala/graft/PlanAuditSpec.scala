@@ -179,10 +179,13 @@ class PlanAuditSpec extends SparkSuite {
     // over the full gram stream — the 9.9s plan this replaced)
     assert(!p.contains("Window"), s"LM must not be computed by windows:\n$p")
     // exchanges: 2x spread + gram->vocab agg + vocab->firsts agg + sampled
-    // doc-gram agg + LM join key exchanges + final doc agg + output sort;
-    // all but the gram->vocab partial-agg exchange move vocab- or
-    // sample-sized frames
-    assert(shuffleCount(p) <= 10, s"too many exchanges:\n$p")
+    // doc-gram agg + the shuffle_hash LM join keys (both sides of both
+    // joins — pinned to hash joins so AQE can't flip them to sort-merge)
+    // + final doc agg + output sort; all but the gram->vocab partial-agg
+    // exchange move vocab- or sample-sized frames
+    assert(shuffleCount(p) <= 12, s"too many exchanges:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      "LM joins must be pinned hash joins, not sort-merge")
     assert("partial_count".r.findAllIn(p).nonEmpty,
       "gram stream must combine map-side before its exchange")
   }
