@@ -157,7 +157,86 @@ class SqlParitySpec extends SparkSuite {
                ORDER BY o_orderdate, o_orderkey) AS next_date
            FROM orders)
          WHERE o_custkey % 50 = 0
-         ORDER BY o_custkey, valid_from, o_orderkey""")
+         ORDER BY o_custkey, valid_from, o_orderkey""",
+    "q_benford" ->
+      """WITH d AS (
+           SELECT substring(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING), 1, 1) AS digit
+           FROM orders),
+         g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS freq,
+           round(log10(1.0D + 1.0D / CAST(digit AS DOUBLE)), 6) AS expected
+         FROM g ORDER BY digit""",
+    "q_decile_lift" ->
+      """WITH c AS (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY o_custkey),
+         d AS (
+           SELECT spend,
+             CAST(ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS BIGINT) AS decile
+           FROM c),
+         g AS (
+           SELECT decile, COUNT(*) AS n_customers, SUM(spend) AS decile_rev
+           FROM d GROUP BY decile)
+         SELECT decile, n_customers,
+           CAST(decile_rev AS DOUBLE) AS decile_rev,
+           CAST(decile_rev AS DOUBLE) / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS share,
+           CAST(SUM(decile_rev) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(SUM(decile_rev) OVER () AS DOUBLE) AS cum_share
+         FROM g ORDER BY decile""",
+    "q_attribution" ->
+      """WITH a AS (
+           SELECT event_type, value,
+             last_value(CASE WHEN event_type IN ('click','view')
+                 THEN event_type END) IGNORE NULLS OVER
+               (PARTITION BY user_id ORDER BY ts_ns, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+           FROM events)
+         SELECT COALESCE(touch, 'none') AS touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM a WHERE event_type = 'purchase'
+         GROUP BY COALESCE(touch, 'none') ORDER BY touch""",
+    "q_interval_union" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts_ns div 1000 AS ts_us,
+             ts_ns div 1000 + 300000000L AS end_us
+           FROM events),
+         g AS (
+           SELECT user_id, event_id, ts_us, end_us,
+             CASE WHEN max(end_us) OVER w IS NULL OR ts_us > max(end_us) OVER w
+               THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS brk
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         i AS (
+           SELECT user_id, ts_us, end_us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+           FROM g),
+         isl AS (
+           SELECT user_id, island, MIN(ts_us) AS s, MAX(end_us) AS e
+           FROM i GROUP BY user_id, island)
+         SELECT user_id, COUNT(*) AS n_islands, SUM(e - s) AS covered_us
+         FROM isl GROUP BY user_id ORDER BY user_id""",
+    "q_gini" ->
+      """WITH c AS (
+           SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+           FROM orders GROUP BY o_custkey),
+         r AS (
+           SELECT spend,
+             CAST(row_number() OVER (ORDER BY spend, o_custkey) AS BIGINT) AS i
+           FROM c),
+         s AS (
+           SELECT COUNT(*) AS n_customers, SUM(spend) AS sx,
+             SUM(CAST(spend AS DECIMAL(14,2)) * CAST(i AS DECIMAL(10,0))) AS six
+           FROM r)
+         SELECT n_customers, CAST(sx AS DOUBLE) AS total_spend,
+           round(2.0D * CAST(six AS DOUBLE) /
+               (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) -
+             (CAST(n_customers AS DOUBLE) + 1.0D) / CAST(n_customers AS DOUBLE),
+             9) AS gini
+         FROM s""")
 
   test("SQL text reproduces the graded DataFrame formulations row-for-row") {
     tables.createViews()
