@@ -213,6 +213,9 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n_users"))
         .orderBy("hour")),
+    "q_stream_upsert" -> ((spark, dir) =>
+      graft.streaming.Streams.drainTumblingToWarehouse(spark, dir, "events.parquet")
+        .orderBy("window_start", "event_type")),
     "q_stream_sessionize" -> ((spark, dir) =>
       graft.streaming.Streams.drainSessionize(spark, dir, "events.parquet")
         .orderBy("user_id", "session_id")),
@@ -1386,6 +1389,13 @@ object SparkEntry {
     // identical to q_tumbling_window's oracle: the streaming drain must
     // reproduce the batch aggregation exactly (same windows, exact sums)
     "q_stream_tumbling" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // same oracle again: the warehouse-merged drain must converge to the
+    // identical hourly table after foreachBatch upserts + parquet roundtrip
+    "q_stream_upsert" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

