@@ -109,6 +109,8 @@ object SparkEntry {
     "q_interval_union" -> q(Events.qIntervalUnion),
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
+    "q_hourly_profile" -> q(Events.qHourlyProfile),
+    "q_vocab_containment" -> q(TextAnalysis.qVocabContainment),
     "q_decile_lift" -> q(Analytics.qDecileLift),
     "q_gini" -> q(Analytics.qGini),
     "q_autocorr" -> q(Analytics.qAutocorr),
@@ -877,6 +879,33 @@ object SparkEntry {
            CAST(COUNT(*) AS BIGINT) AS n_cells,
            CAST((COUNT(DISTINCT seg) - 1) * (COUNT(DISTINCT nat) - 1) AS BIGINT) AS dof
          FROM terms""",
+    "q_hourly_profile" ->
+      """WITH h AS (
+           SELECT event_type,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+         SELECT event_type, hod, n,
+           CAST(n AS DOUBLE) /
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS share
+         FROM h ORDER BY event_type, hod""",
+    "q_vocab_containment" ->
+      """WITH sw AS (
+           SELECT DISTINCT source,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         j AS (
+           SELECT a.source AS s1, b.source AS s2, COUNT(*) AS inter
+           FROM sw a JOIN sw b ON a.word = b.word AND a.source < b.source
+           GROUP BY 1, 2),
+         sizes AS (SELECT source, COUNT(*) AS nv FROM sw GROUP BY 1)
+         SELECT s1, s2, CAST(inter AS BIGINT) AS inter,
+           CAST(n1.nv AS BIGINT) AS n1, CAST(n2.nv AS BIGINT) AS n2,
+           CAST(inter AS DOUBLE) / CAST(least(n1.nv, n2.nv) AS DOUBLE)
+             AS containment
+         FROM j JOIN sizes n1 ON j.s1 = n1.source
+           JOIN sizes n2 ON j.s2 = n2.source
+         ORDER BY s1, s2""",
     "q_decile_lift" ->
       """WITH c AS (
            SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend

@@ -311,6 +311,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Pairwise vocabulary containment between sources: |A∩B| / min(|A|,|B|)
+    * over distinct word sets — the directionless "is one corpus's
+    * vocabulary inside another's" complement to [[qSourceKl]]'s
+    * distributional distance. Distinct (source, word) first, so the word
+    * self-join fans out at most (#sources)² per word; vocab sizes are a
+    * |sources|-row broadcast.
+    */
+  def qVocabContainment(t: Tables): DataFrame = {
+    val sw = t.documents
+      .select(col("source"), explode(Dedup.words(col("text"))).as("word"))
+      .distinct()
+    val sizes = sw.groupBy("source").agg(count(lit(1)).as("nv"))
+    val a = sw.select(col("source").as("s1"), col("word"))
+    val b = sw.select(col("source").as("s2"), col("word"))
+    a.join(b, "word")
+      .filter(col("s1") < col("s2"))
+      .groupBy("s1", "s2")
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("source").as("s1"), col("nv").as("n1"))), "s1")
+      .join(broadcast(sizes.select(col("source").as("s2"), col("nv").as("n2"))), "s2")
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .select(col("s1"), col("s2"), col("inter"), col("n1"), col("n2"),
+        col("containment"))
+      .orderBy("s1", "s2")
+  }
+
   /** Context-window chunk plan: fixed-size token chunks with overlap
     * (size 32, stride 24 here) per sampled document — the text twin of the
     * multimodal chunk planner, and the shape a training pipeline uses to

@@ -338,6 +338,23 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Hour-of-day seasonality profile: each event type's traffic share per
+    * clock hour (epoch-hour mod 24 — no timezone machinery, same integer
+    * both engines) — the baseline a seasonal anomaly detector normalizes
+    * against. One hash aggregate to the 24 x |types| frame; shares divide
+    * exact counts.
+    */
+  def qHourlyProfile(t: Tables): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    t.events
+      .groupBy(col("event_type"),
+        expr("(ts_ns div 3600000000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        col("n").cast("double") / sum("n").over(byType).cast("double"))
+      .orderBy("event_type", "hod")
+  }
+
   /** Last-touch attribution: each purchase credits the most recent prior
     * click/view in the same user's timeline (an as-of lookup expressed as
     * one IGNORE-NULLS window — no self-join, no second shuffle). Purchases

@@ -600,6 +600,27 @@ class AnalyticsSpec extends SparkSuite {
     assert(r.getLong(0) == pairs, "pair count must equal consecutive days")
   }
 
+  test("hourly profile shares sum to 1 per type across 24 hours") {
+    val rows = graft.ops.Events.qHourlyProfile(tables).collect()
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      assert(rs.length <= 24)
+      assert(math.abs(rs.map(_.getDouble(3)).sum - 1.0) < 1e-9, tpe)
+      rs.foreach(r => assert(r.getLong(1) >= 0 && r.getLong(1) <= 23))
+    }
+    assert(rows.map(_.getLong(2)).sum == tables.events.count())
+  }
+
+  test("vocab containment covers every source pair, bounded by 1") {
+    val rows = TextAnalysis.qVocabContainment(tables).collect()
+    val sources = tables.documents.select("source").distinct.count()
+    assert(rows.length == sources * (sources - 1) / 2,
+      "one row per unordered source pair")
+    rows.foreach { r =>
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+    }
+  }
+
   test("chi2 grid covers all segment x nation cells, dof matches") {
     val r = Stats.qChi2(tables).head()
     val segs = tables.customer.select("c_mktsegment").distinct.count()
