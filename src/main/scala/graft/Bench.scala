@@ -13,12 +13,29 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
     // warm-up: JIT/codegen/parquet-footer costs land here, not on the
-    // alphabetically-first timed query
+    // alphabetically-first timed query. The text path matters most: the
+    // regex-split -> shingle -> explode -> string hash-aggregate machinery
+    // costs ~7 s of one-time C2 compilation that otherwise lands entirely
+    // on the first shingle-heavy query (measured: q_bigram_surprisal 9.3 s
+    // cold vs 1.7 s steady-state in the same JVM, independent of Spark
+    // codegen and AQE). A bounded document sample pushes those loops hot.
     try {
+      import org.apache.spark.sql.functions._
       val t = Tables(spark, sfDir)
       t.lineitem.limit(1).count(); t.orders.limit(1).count()
       t.customer.count(); t.events.limit(1).count()
-      t.documents.limit(1).count(); t.embeddings.limit(1).count()
+      t.embeddings.limit(1).count()
+      val docs = t.documents.limit(2000)
+        .select(col("doc_id"), col("text"))
+      docs.select(col("doc_id"),
+          explode(ext.Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .agg(sum(col("c").cast("decimal(14,4)"))).count()
+      docs.select(explode(ext.Dedup.words(col("text"))).as("w"))
+        .groupBy("w").count().count()
+      // minhash/banding path (native shingle_hashes + minhash_sig_longs +
+      // band bucketing) has its own first-run cost — warm on a sample
+      ext.Dedup.minhashPairs(docs, "doc_id", "text").count()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on a
     // hotspot; unset (the driver's mode) times every registered query
