@@ -119,6 +119,18 @@ object SparkEntry {
     "q_cusum" -> q(Analytics.qCusum),
     "q_sql_q6" -> ((spark, dir) => Analytics.qSqlQ6(spark, Tables(spark, dir))),
     "q_sql_q18" -> ((spark, dir) => Analytics.qSqlQ18(spark, Tables(spark, dir))),
+    "q_sql_q14" -> ((spark, dir) => Analytics.qSqlQ14(spark, Tables(spark, dir))),
+    "q_sql_q19" -> ((spark, dir) => Analytics.qSqlQ19(spark, Tables(spark, dir))),
+    "q_sql_q22" -> ((spark, dir) => Analytics.qSqlQ22(spark, Tables(spark, dir))),
+    "q_anomaly_iqr" -> q(Stats.qAnomalyIqr),
+    "q_winsorize" -> q(Stats.qWinsorize),
+    "q_spearman" -> q(Stats.qSpearman),
+    "q_mode_category" -> q(Stats.qModeCategory),
+    "q_ship_streaks" -> q(Analytics.qShipStreaks),
+    "q_hhi_concentration" -> q(Analytics.qHhiConcentration),
+    "q_snapshot_diff" -> q(Analytics.qSnapshotDiff),
+    "q_session_concurrency" -> q(Events.qSessionConcurrency(_)),
+    "q_rate_limit" -> q(Events.qRateLimit(_)),
     "q_debounce" -> q(Events.qDebounce(_)),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
@@ -1068,6 +1080,232 @@ object SparkEntry {
            AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
            AND l_discount BETWEEN 0.05 AND 0.07
            AND l_quantity < 24""",
+    "q_sql_q14" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                 ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(24,6))) AS DOUBLE) AS promo_share,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY 1
+         ORDER BY ship_month""",
+    "q_sql_q19" ->
+      """SELECT
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25
+                AND l_quantity BETWEEN 15 AND 35)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 40
+                AND l_quantity BETWEEN 30 AND 50)""",
+    "q_sql_q22" ->
+      """WITH pool AS (
+           SELECT c_custkey, c_acctbal, c_nationkey % 5 AS ngroup
+           FROM customer WHERE c_nationkey % 5 IN (0, 2, 4))
+         SELECT ngroup,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM pool
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)
+             FROM pool WHERE c_acctbal > 0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY ngroup
+         ORDER BY ngroup""",
+    "q_anomaly_iqr" ->
+      """WITH enr AS (
+           SELECT r_name, o_totalprice
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey),
+         f AS (
+           SELECT r_name,
+             CAST(quantile_cont(o_totalprice, 0.25) AS DECIMAL(18,4)) AS q1d,
+             CAST(quantile_cont(o_totalprice, 0.75) AS DECIMAL(18,4)) AS q3d
+           FROM enr GROUP BY r_name),
+         f2 AS (
+           SELECT r_name, q1d, q3d,
+             q1d - CAST(1.5 AS DECIMAL(2,1)) * (q3d - q1d) AS lo,
+             q3d + CAST(1.5 AS DECIMAL(2,1)) * (q3d - q1d) AS hi
+           FROM f)
+         SELECT enr.r_name,
+           CAST(q1d AS DOUBLE) AS q1,
+           CAST(q3d AS DOUBLE) AS q3,
+           CAST(lo AS DOUBLE) AS lo_fence,
+           CAST(hi AS DOUBLE) AS hi_fence,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,4)) < lo
+                 OR CAST(o_totalprice AS DECIMAL(18,4)) > hi
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN CAST(o_totalprice AS DECIMAL(18,4)) < lo
+                 OR CAST(o_totalprice AS DECIMAL(18,4)) > hi
+               THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS outlier_frac
+         FROM enr JOIN f2 USING (r_name)
+         GROUP BY enr.r_name, q1d, q3d, lo, hi
+         ORDER BY r_name""",
+    "q_winsorize" ->
+      """WITH seg AS (
+           SELECT c_mktsegment AS segment, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         b AS (
+           SELECT segment,
+             CAST(quantile_cont(o_totalprice, 0.05) AS DECIMAL(18,4)) AS p05d,
+             CAST(quantile_cont(o_totalprice, 0.95) AS DECIMAL(18,4)) AS p95d
+           FROM seg GROUP BY segment)
+         SELECT segment,
+           CAST(p05d AS DOUBLE) AS p05,
+           CAST(p95d AS DOUBLE) AS p95,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+           CAST(SUM(CASE
+               WHEN CAST(o_totalprice AS DECIMAL(18,4)) < p05d THEN p05d
+               WHEN CAST(o_totalprice AS DECIMAL(18,4)) > p95d THEN p95d
+               ELSE CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+         FROM seg JOIN b USING (segment)
+         GROUP BY segment, p05d, p95d
+         ORDER BY segment""",
+    "q_spearman" ->
+      """WITH daily AS (
+           SELECT l_returnflag AS rf, CAST(l_shipdate AS DATE) AS day,
+             SUM(CAST(l_quantity AS DECIMAL(18,2))) AS x,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS y
+           FROM lineitem GROUP BY 1, 2),
+         r AS (
+           SELECT rf,
+             2 * rank() OVER (PARTITION BY rf ORDER BY x)
+               + COUNT(*) OVER (PARTITION BY rf, x) - 1 AS rx,
+             2 * rank() OVER (PARTITION BY rf ORDER BY y)
+               + COUNT(*) OVER (PARTITION BY rf, y) - 1 AS ry
+           FROM daily),
+         m AS (
+           SELECT rf, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx,
+             CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy
+           FROM r GROUP BY rf)
+         SELECT rf AS l_returnflag, n AS n_days,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                 * CAST(n * syy - sy * sy AS DOUBLE)), 9) AS spearman_rho
+         FROM m ORDER BY l_returnflag""",
+    "q_mode_category" ->
+      """WITH c AS (
+           SELECT o_orderstatus AS status,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS priority,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM orders GROUP BY 1, 2, 3),
+         w AS (
+           SELECT *,
+             row_number() OVER (PARTITION BY status, yr
+               ORDER BY n DESC, priority) AS rk,
+             SUM(n) OVER (PARTITION BY status, yr) AS total
+           FROM c)
+         SELECT status, yr, priority AS mode_priority, n AS n_mode,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS mode_share
+         FROM w WHERE rk = 1 ORDER BY status, yr""",
+    "q_ship_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT l_suppkey, CAST(l_shipdate AS DATE) AS day
+           FROM lineitem),
+         runs AS (
+           SELECT l_suppkey,
+             (day - DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS grp
+           FROM days),
+         lens AS (
+           SELECT l_suppkey, grp, CAST(COUNT(*) AS BIGINT) AS run_len
+           FROM runs GROUP BY 1, 2)
+         SELECT l_suppkey,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(SUM(run_len) AS BIGINT) AS n_ship_days
+         FROM lens GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_hhi_concentration" ->
+      """WITH rev AS (
+           SELECT r_name, s_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(24,6))) AS DECIMAL(18,6)) AS rev
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, s_suppkey)
+         SELECT r_name,
+           COUNT(*) AS n_suppliers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           round(10000.0 * CAST(SUM(CAST(rev AS DECIMAL(19,6)) * rev) AS DOUBLE)
+             / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 9) AS hhi
+         FROM rev GROUP BY r_name ORDER BY r_name""",
+    "q_snapshot_diff" ->
+      """WITH old AS (
+           SELECT o_orderkey AS k,
+             CAST(o_totalprice AS DECIMAL(20,4)) AS v_old
+           FROM orders WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'),
+         nw AS (
+           SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0
+               THEN CAST(CAST(o_totalprice AS DECIMAL(20,4))
+                 * CAST(1.1 AS DECIMAL(2,1)) AS DECIMAL(20,4))
+               ELSE CAST(o_totalprice AS DECIMAL(20,4)) END AS v_new
+           FROM orders WHERE o_orderkey % 101 <> 0),
+         d AS (
+           SELECT CASE WHEN v_old IS NULL THEN 'added'
+               WHEN v_new IS NULL THEN 'removed'
+               WHEN v_old <> v_new THEN 'changed'
+               ELSE 'unchanged' END AS change_type,
+             COALESCE(v_new, CAST(0 AS DECIMAL(20,4)))
+               - COALESCE(v_old, CAST(0 AS DECIMAL(20,4))) AS delta
+           FROM old FULL OUTER JOIN nw USING (k))
+         SELECT change_type,
+           COUNT(*) AS n_keys,
+           CAST(SUM(delta) AS DOUBLE) AS net_price_delta
+         FROM d GROUP BY change_type ORDER BY change_type""",
+    "q_session_concurrency" ->
+      """WITH pts AS (
+           SELECT epoch_ns(ts) AS pt, 1 AS delta, event_id FROM events
+           UNION ALL
+           SELECT epoch_ns(ts) + 300000000000 AS pt, -1 AS delta, event_id
+           FROM events),
+         sweep AS (
+           SELECT pt,
+             SUM(delta) OVER (ORDER BY pt, delta, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+           FROM pts)
+         SELECT (pt // 3600000000000) % 24 AS hod,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrent,
+           CAST(COUNT(*) AS BIGINT) AS n_boundaries
+         FROM sweep GROUP BY 1 ORDER BY hod""",
+    "q_rate_limit" ->
+      """WITH r AS (
+           SELECT event_type,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, epoch_ns(ts) // 60000000000
+                 ORDER BY epoch_ns(ts), event_id) <= 2
+               THEN 1 ELSE 0 END AS kept
+           FROM events)
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "q_order_gaps" ->
       """WITH g AS (SELECT o_custkey, o_orderdate,
              lag(o_orderdate) OVER (PARTITION BY o_custkey

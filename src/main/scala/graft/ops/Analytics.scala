@@ -794,4 +794,186 @@ object Analytics {
          ORDER BY revenue DESC, c_custkey
          LIMIT 20""")
   }
+
+  /** TPC-H Q14 (promotion effect), adapted to the testdata's part types:
+    * monthly share of revenue from PROMO parts across 1995. Exercises the
+    * CASE-inside-aggregate ratio through the SQL frontend; both the
+    * conditional and total sums are exact decimals, the share is one
+    * double division. Plan: the shipdate range pushes into the lineitem
+    * scan, part broadcasts.
+    */
+  def qSqlQ14(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6))
+                 ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(24,6))) AS DOUBLE) AS promo_share,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+         GROUP BY date_format(l_shipdate, 'yyyy-MM')
+         ORDER BY ship_month""")
+  }
+
+  /** TPC-H Q19 (discounted revenue), adapted: a three-way DISJUNCTIVE
+    * join predicate over (brand, size, quantity) bands — the shape that
+    * stresses predicate normalization. Catalyst extracts the common
+    * `p_partkey = l_partkey` conjunct so the join stays an equi-join
+    * (broadcast hash here) with the OR-of-ANDs evaluated as a post-join
+    * filter, and pushes the disjunction's per-table prefilters
+    * (brand IN ..., quantity range) into both scans.
+    */
+  def qSqlQ19(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """SELECT
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+         FROM lineitem JOIN part ON p_partkey = l_partkey
+         WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 20)
+            OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25
+                AND l_quantity BETWEEN 15 AND 35)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 10 AND 40
+                AND l_quantity BETWEEN 30 AND 50)""")
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted to the schema (nation
+    * groups stand in for phone country codes; every synthetic customer has
+    * SOME order, so the anti-join keys on recent orders instead): lapsed
+    * customers in selected nation groups with above-average positive
+    * account balance and no order since 2000. Exercises a scalar subquery
+    * (decorrelated to one tiny aggregate) plus NOT EXISTS (anti-join)
+    * through the SQL frontend. The average is an exact decimal sum /
+    * count, so the threshold both engines compare against is identical.
+    */
+  def qSqlQ22(spark: SparkSession, t: Tables): DataFrame = {
+    t.createViews()
+    spark.sql(
+      """WITH pool AS (
+           SELECT c_custkey, c_acctbal, c_nationkey % 5 AS ngroup
+           FROM customer WHERE c_nationkey % 5 IN (0, 2, 4))
+         SELECT ngroup,
+           COUNT(*) AS n_custs,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+         FROM pool
+         WHERE c_acctbal > (
+             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(*)
+             FROM pool WHERE c_acctbal > 0)
+           AND NOT EXISTS (
+             SELECT 1 FROM orders WHERE o_custkey = c_custkey
+               AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+         GROUP BY ngroup
+         ORDER BY ngroup""")
+  }
+
+  /** Gaps-and-islands: longest run of CONSECUTIVE calendar ship-days per
+    * supplier. The classic grouping trick — day-number minus dense row
+    * number is constant within a consecutive run — needs only two
+    * supplier-keyed window passes over the DISTINCT (supplier, day) frame,
+    * which one hash aggregate collapses from the fact table first (the
+    * 100 TB posture: windows run on supplier×day cardinality, never on
+    * line items).
+    */
+  def qShipStreaks(t: Tables): DataFrame = {
+    val days = t.lineitem
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).as("day"))
+      .distinct()
+      .withColumn("dayno", datediff(col("day"), lit("1970-01-01")))
+    val bySupp = Window.partitionBy("l_suppkey").orderBy("day")
+    val runs = days
+      .withColumn("grp", col("dayno") - row_number().over(bySupp))
+      .groupBy("l_suppkey", "grp")
+      .agg(count(lit(1)).as("run_len"))
+    runs
+      .groupBy("l_suppkey")
+      .agg(
+        max("run_len").as("longest_streak_days"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("run_len")).cast("long").as("n_ship_days"))
+      .orderBy("l_suppkey")
+  }
+
+  /** Herfindahl–Hirschman concentration of supplier revenue within each
+    * region: HHI = 10000 * sum(share^2). Complements [[qGini]] (customer
+    * spend inequality) with the antitrust-style market-power measure.
+    * Shares are never materialized: sum(rev^2) and total are both exact
+    * decimal aggregates over the per-(region, supplier) revenue frame,
+    * and HHI is a fixed double op sequence on the two exact sums —
+    * aggregation order cannot move the result.
+    */
+  def qHhiConcentration(t: Tables): DataFrame = {
+    val rev = t.lineitem
+      .join(t.supplier.select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("s_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(24, 6))).cast(DecimalType(18, 6)).as("rev"))
+    rev
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(col("rev")).as("tot"),
+        sum(col("rev") * col("rev")).as("sq"))
+      .select(
+        col("r_name"),
+        col("n_suppliers"),
+        col("tot").cast("double").as("total_revenue"),
+        // rounded at 1e-9: sq's unscaled decimal exceeds 2^53, so the
+        // decimal->double conversion itself differs by 1 ulp across
+        // engines (correctly-rounded BigDecimal vs int128-then-scale)
+        round(lit(10000.0) * col("sq").cast("double") /
+          (col("tot").cast("double") * col("tot").cast("double")), 9)
+          .as("hhi"))
+      .orderBy("r_name")
+  }
+
+  /** CDC-style snapshot diff: given two keyed snapshots of the orders
+    * table (OLD = pre-2000 orders; NEW = the same set with deterministic
+    * simulated churn — every 101st key deleted, every 7th price uplifted
+    * 10%, post-2000 orders appearing as inserts), classify every key as
+    * added / removed / changed / unchanged and aggregate counts and the
+    * exact net price delta per class. One full outer join on the key —
+    * the canonical table-compare a warehouse reconciliation runs; at
+    * scale both sides are bucketed/partitioned on the key so the join
+    * co-locates.
+    */
+  def qSnapshotDiff(t: Tables): DataFrame = {
+    // scale 4 everywhere: the 10% uplift lands on exactly 3 decimals, so
+    // widening to 4 keeps every value EXACT — a cast back to scale 2 would
+    // round ties (x.xx5), where Spark's HALF_UP and DuckDB's HALF_EVEN
+    // decimal casts disagree
+    val price4 = col("o_totalprice").cast(DecimalType(20, 4))
+    val old = t.orders
+      .filter(col("o_orderdate") < lit("2000-01-01"))
+      .select(col("o_orderkey").as("k"), price4.as("v_old"))
+    val nw = t.orders
+      .filter(pmod(col("o_orderkey"), lit(101)) =!= 0)
+      .select(col("o_orderkey").as("k"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          (price4 * lit(1.1).cast(DecimalType(2, 1))).cast(DecimalType(20, 4)))
+          .otherwise(price4).as("v_new"))
+    old.join(nw, Seq("k"), "full_outer")
+      .withColumn("change_type",
+        when(col("v_old").isNull, lit("added"))
+          .when(col("v_new").isNull, lit("removed"))
+          .when(col("v_old") =!= col("v_new"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy("change_type")
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(coalesce(col("v_new"), lit(0).cast(DecimalType(20, 4))) -
+          coalesce(col("v_old"), lit(0).cast(DecimalType(20, 4))))
+          .cast("double").as("net_price_delta"))
+      .orderBy("change_type")
+  }
 }

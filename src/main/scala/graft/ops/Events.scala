@@ -372,4 +372,54 @@ object Events {
       .agg(count(lit(1)).as("n_purchases"), dsum(col("value")).as("sum_value"))
       .orderBy("touch")
   }
+
+  /** Peak concurrency per hour-of-day by interval sweep: each event opens
+    * a 5-minute activity window [ts, ts+300s), the +1/-1 endpoint deltas
+    * are sorted once, and a running sum gives the live-interval count at
+    * every boundary — the O(n log n) sweep-line that replaces the
+    * quadratic self-join formulation of "how many windows overlap".
+    * End points sort BEFORE start points at the same instant (delta
+    * ascending), which is exactly half-open interval semantics, and the
+    * event id is the final tiebreak so the running sum is a total order —
+    * engine-exact. Scale: the only cost is one global sort of 2n tiny
+    * rows; per-key (e.g. per-tenant) sweeps would partition the window.
+    */
+  def qSessionConcurrency(t: Tables, activeNs: Long = 300L * 1000000000L): DataFrame = {
+    val pts = t.events
+      .select(col("ts_ns").as("pt"), lit(1).as("delta"), col("event_id"))
+      .unionAll(t.events.select(
+        (col("ts_ns") + lit(activeNs)).as("pt"), lit(-1).as("delta"),
+        col("event_id")))
+    val sweep = Window.orderBy(col("pt"), col("delta"), col("event_id"))
+    pts
+      .withColumn("live", sum("delta").over(
+        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(expr("(pt div 3600000000000) % 24").as("hod"))
+      .agg(max("live").cast("long").as("peak_concurrent"),
+        count(lit(1)).as("n_boundaries"))
+      .orderBy("hod")
+  }
+
+  /** Rate limiting / throttling: keep at most `maxPerMin` events per
+    * (user, minute), earliest-first with the event id as tiebreak — the
+    * ingestion guard a pipeline applies before an expensive enrichment
+    * stage. Emits per-type admission stats. One window over the
+    * (user, minute) key; at scale that key is the shuffle key and hot
+    * users bound each partition's sort at 60s of their events.
+    */
+  def qRateLimit(t: Tables, maxPerMin: Int = 2): DataFrame = {
+    val minuteNs = 60L * 1000000000L
+    val byUserMin = Window
+      .partitionBy(col("user_id"), expr(s"ts_ns div ${minuteNs}L"))
+      .orderBy("ts_ns", "event_id")
+    t.events
+      .withColumn("rn", row_number().over(byUserMin))
+      .withColumn("kept", (col("rn") <= maxPerMin).cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("kept").cast("long").as("n_kept"),
+        (count(lit(1)) - sum("kept")).cast("long").as("n_dropped"))
+      .orderBy("event_type")
+  }
 }

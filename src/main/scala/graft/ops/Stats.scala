@@ -3,7 +3,7 @@ package graft.ops
 import graft.Tables
 import graft.transform.Transforms.dsum
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -395,5 +395,176 @@ object Stats {
             (SELECT count_min_sketch(user_id, 0.001d, 0.99d, 42) FROM events),
             c_custkey) > ${threshold}L
           ORDER BY user_id""")
+  }
+
+  /** Tukey-fence (IQR) anomaly detection per region: order totals outside
+    * [q1 - 1.5*IQR, q3 + 1.5*IQR] are outliers — the robust screen that,
+    * unlike z-scores ([[qZscoreOutliers]]), is immune to the outliers
+    * inflating the threshold itself. Fences are computed from exact
+    * `percentile` quartiles NARROWED TO DECIMAL(18,4) before the fence
+    * arithmetic, so the 1.5*IQR multiply-subtract chain runs in exact
+    * decimal — a 1-ulp engine divergence in a double fence could flip a
+    * comparison for a price sitting on it.
+    *
+    * Scale: pass 1 is a per-region percentile aggregate (region
+    * cardinality output); fences broadcast back into a map-side
+    * comparison + one counting aggregate. The fact table never sorts
+    * globally and crosses exactly two region-keyed exchanges.
+    */
+  def qAnomalyIqr(t: Tables): DataFrame = {
+    val enriched = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_totalprice"))
+    val fences = enriched
+      .groupBy("r_name")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.25)).cast(DecimalType(18, 4)).as("q1"),
+        percentile(col("o_totalprice"), lit(0.75)).cast(DecimalType(18, 4)).as("q3"))
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(1.5).cast(DecimalType(2, 1)) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(1.5).cast(DecimalType(2, 1)) * col("iqr"))
+    enriched
+      .join(broadcast(fences), Seq("r_name"))
+      .groupBy(col("r_name"), col("q1"), col("q3"), col("lo"), col("hi"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum((col("o_totalprice").cast(DecimalType(18, 4)) < col("lo") ||
+          col("o_totalprice").cast(DecimalType(18, 4)) > col("hi")).cast("long"))
+          .as("n_outliers"))
+      .select(
+        col("r_name"),
+        col("q1").cast("double").as("q1"),
+        col("q3").cast("double").as("q3"),
+        col("lo").cast("double").as("lo_fence"),
+        col("hi").cast("double").as("hi_fence"),
+        col("n_orders"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_orders").cast("double"))
+          .as("outlier_frac"))
+      .orderBy("r_name")
+  }
+
+  /** Winsorized mean per market segment: order totals clamped to the
+    * [p05, p95] band before averaging — the standard robust-mean treatment
+    * for heavy-tailed metrics. Same exactness recipe as [[qAnomalyIqr]]:
+    * percentiles narrowed to DECIMAL before clamping, so the clamped sum
+    * is an exact decimal aggregate and the raw-vs-winsorized comparison
+    * cannot drift with aggregation order.
+    */
+  def qWinsorize(t: Tables): DataFrame = {
+    val seg = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_totalprice"))
+    val bands = seg
+      .groupBy("segment")
+      .agg(
+        percentile(col("o_totalprice"), lit(0.05)).cast(DecimalType(18, 4)).as("p05"),
+        percentile(col("o_totalprice"), lit(0.95)).cast(DecimalType(18, 4)).as("p95"))
+    seg
+      .join(broadcast(bands), Seq("segment"))
+      .withColumn("clamped",
+        least(greatest(col("o_totalprice").cast(DecimalType(18, 4)), col("p05")),
+          col("p95")))
+      .groupBy(col("segment"), col("p05"), col("p95"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sraw"),
+        sum(col("clamped")).as("swin"))
+      .select(
+        col("segment"),
+        col("p05").cast("double").as("p05"),
+        col("p95").cast("double").as("p95"),
+        col("n_orders"),
+        (col("sraw").cast("double") / col("n_orders").cast("double"))
+          .as("mean_raw"),
+        (col("swin").cast("double") / col("n_orders").cast("double"))
+          .as("mean_winsorized"))
+      .orderBy("segment")
+  }
+
+  /** Spearman rank correlation between daily shipped quantity and daily
+    * revenue, per return flag. The series is pre-aggregated to days (exact
+    * decimal sums), then each day's value is replaced by its AVERAGE rank
+    * (the tie-correct Spearman convention) and rho is the Pearson
+    * correlation of the ranks — computed from exact integer moment sums,
+    * not the streaming `corr` whose result depends on aggregation order.
+    * Doubled average ranks (2*rank + ties - 1) keep every moment an exact
+    * integer; doubling both variables cancels in rho.
+    *
+    * Scale: the fact stream collapses to (flag, day) rows in one hash
+    * aggregate — ranks, windows, and moments all run on the tiny daily
+    * frame. The variance product is computed in double (its exact decimal
+    * form would exceed precision 38); both factors are exact decimals
+    * first, so the result is a fixed op sequence on identical inputs.
+    */
+  def qSpearman(t: Tables): DataFrame = {
+    val daily = t.lineitem
+      .groupBy(col("l_returnflag").as("rf"),
+        to_date(col("l_shipdate")).as("day"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("x"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("y"))
+    def ranked2(v: String): Column = {
+      val byVal = Window.partitionBy("rf").orderBy(col(v))
+      val ties = Window.partitionBy("rf", v)
+      (lit(2) * rank().over(byVal) + count(lit(1)).over(ties) - lit(1))
+        .cast("long")
+    }
+    daily
+      .withColumn("rx", ranked2("x"))
+      .withColumn("ry", ranked2("y"))
+      .groupBy("rf")
+      .agg(
+        count(lit(1)).cast(DecimalType(10, 0)).as("n"),
+        sum(col("rx").cast(DecimalType(16, 0))).cast(DecimalType(16, 0)).as("sx"),
+        sum(col("ry").cast(DecimalType(16, 0))).cast(DecimalType(16, 0)).as("sy"),
+        sum((col("rx") * col("ry")).cast(DecimalType(22, 0)))
+          .cast(DecimalType(22, 0)).as("sxy"),
+        sum((col("rx") * col("rx")).cast(DecimalType(22, 0)))
+          .cast(DecimalType(22, 0)).as("sxx"),
+        sum((col("ry") * col("ry")).cast(DecimalType(22, 0)))
+          .cast(DecimalType(22, 0)).as("syy"))
+      .select(
+        col("rf").as("l_returnflag"),
+        col("n").cast("long").as("n_days"),
+        round(
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n") * col("syy") - col("sy") * col("sy")).cast("double")),
+          9).as("spearman_rho"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Modal order priority per (status, year) with a deterministic
+    * lexicographic tiebreak — the categorical "most frequent value"
+    * aggregate (the built-in `mode` leaves ties undefined, so it could
+    * never hash-match an oracle). One hash aggregate to (status, year,
+    * priority) counts, then a tiny window picks the winner.
+    */
+  def qModeCategory(t: Tables): DataFrame = {
+    val counts = t.orders
+      .groupBy(
+        col("o_orderstatus").as("status"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("status", "yr")
+    counts
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("n").desc, col("priority"))))
+      .withColumn("total", sum("n").over(w))
+      .filter(col("rk") === 1)
+      .select(
+        col("status"), col("yr"),
+        col("priority").as("mode_priority"),
+        col("n").as("n_mode"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("mode_share"))
+      .orderBy("status", "yr")
   }
 }

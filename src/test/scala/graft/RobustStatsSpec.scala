@@ -1,0 +1,201 @@
+package graft
+
+import graft.ops.{Analytics, Events, Stats}
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 additions: robust statistics (IQR fences, winsorized mean,
+  * Spearman, categorical mode), gaps-and-islands streaks, HHI
+  * concentration, CDC snapshot diff, sweep-line concurrency, and rate
+  * limiting. Each test recomputes the operator's semantics independently
+  * (driver-side brute force over the small sf0.001 fixture) and compares
+  * exactly — the DuckDB oracle covers engine-vs-engine, these cover
+  * the-math-is-what-we-claim.
+  */
+class RobustStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** pandas/Spark/DuckDB-convention linear-interpolation percentile. */
+  private def pctl(sorted: Vector[Double], f: Double): Double = {
+    val idx = f * (sorted.size - 1)
+    val lo = idx.toInt
+    val frac = idx - lo
+    if (lo + 1 >= sorted.size) sorted(lo)
+    else sorted(lo) + frac * (sorted(lo + 1) - sorted(lo))
+  }
+
+  test("anomaly IQR: fences and outlier counts match a brute-force recompute") {
+    val out = Stats.qAnomalyIqr(tables).collect()
+    assert(out.length == 5)
+    val byRegion = tables.orders
+      .join(tables.customer, col("o_custkey") === col("c_custkey"))
+      .join(tables.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(tables.region, col("n_regionkey") === col("r_regionkey"))
+      .select(col("r_name"), col("o_totalprice"))
+      .as[(String, Double)].collect().groupBy(_._1)
+    out.foreach { r =>
+      val vals = byRegion(r.getString(0)).map(_._2).sorted.toVector
+      val q1 = BigDecimal(pctl(vals, 0.25)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val q3 = BigDecimal(pctl(vals, 0.75)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      val lo = q1 - BigDecimal("1.5") * (q3 - q1)
+      val hi = q3 + BigDecimal("1.5") * (q3 - q1)
+      val nOut = vals.count(v => BigDecimal(v).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP) < lo ||
+        BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) > hi)
+      assert(r.getDouble(1) == q1.toDouble && r.getDouble(2) == q3.toDouble)
+      assert(r.getDouble(3) == lo.toDouble && r.getDouble(4) == hi.toDouble)
+      assert(r.getLong(5) == vals.size && r.getLong(6) == nOut)
+    }
+  }
+
+  test("winsorized mean lies within [p05, p95] and differs from raw on tails") {
+    Stats.qWinsorize(tables).collect().foreach { r =>
+      val (p05, p95) = (r.getDouble(1), r.getDouble(2))
+      val mw = r.getDouble(5)
+      assert(mw >= p05 && mw <= p95)
+      // clamping can only pull the mean toward the band
+      assert(math.abs(mw - r.getDouble(4)) < (p95 - p05))
+    }
+  }
+
+  test("spearman: matches a driver-side recompute with average ranks") {
+    val out = Stats.qSpearman(tables).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val daily = tables.lineitem
+      .groupBy(col("l_returnflag"), to_date(col("l_shipdate")))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("x"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).as("y"))
+      .select(col("l_returnflag"),
+        col("x").cast("double"), col("y").cast("double"))
+      .as[(String, Double, Double)].collect().groupBy(_._1)
+    def avgRanks(v: Seq[Double]): Map[Double, Double] = {
+      val sorted = v.sorted.zipWithIndex.map { case (x, i) => (x, i + 1.0) }
+      sorted.groupBy(_._1).map { case (x, g) =>
+        x -> g.map(_._2).sum / g.size
+      }
+    }
+    daily.foreach { case (rf, rows) =>
+      val xs = rows.map(_._2).toSeq
+      val ys = rows.map(_._3).toSeq
+      val rx = avgRanks(xs); val ry = avgRanks(ys)
+      val px = xs.map(rx); val py = ys.map(ry)
+      val n = px.size.toDouble
+      val (sx, sy) = (px.sum, py.sum)
+      val sxy = px.zip(py).map { case (a, b) => a * b }.sum
+      val sxx = px.map(a => a * a).sum
+      val syy = py.map(a => a * a).sum
+      val rho = (n * sxy - sx * sy) /
+        math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(out(rf) - rho) < 1e-6, s"$rf: ${out(rf)} vs $rho")
+      assert(out(rf) >= -1.0 && out(rf) <= 1.0)
+    }
+  }
+
+  test("mode: winner is the max-count category with lexicographic tiebreak") {
+    val out = Stats.qModeCategory(tables).collect()
+    val counts = tables.orders
+      .select(col("o_orderstatus"), year(col("o_orderdate")).cast("long"),
+        col("o_orderpriority"))
+      .as[(String, Long, String)].collect()
+      .groupBy(t => (t._1, t._2))
+    out.foreach { r =>
+      val grp = counts((r.getString(0), r.getLong(1)))
+      val byPrio = grp.groupBy(_._3).view.mapValues(_.size).toMap
+      val best = byPrio.toSeq.sortBy { case (p, n) => (-n, p) }.head
+      assert(r.getString(2) == best._1 && r.getLong(3) == best._2)
+      assert(r.getDouble(4) == best._2.toDouble / grp.size)
+    }
+  }
+
+  test("ship streaks: gaps-and-islands matches per-supplier brute force") {
+    val out = Analytics.qShipStreaks(tables).collect()
+    val days = tables.lineitem
+      .select(col("l_suppkey"), to_date(col("l_shipdate")).cast("string"))
+      .distinct()
+      .as[(Long, String)].collect().groupBy(_._1)
+    out.foreach { r =>
+      val ds = days(r.getLong(0)).map(d =>
+        java.time.LocalDate.parse(d._2).toEpochDay).sorted
+      // linear scan for consecutive-day run lengths
+      var lens = List.empty[Int]; var cur = 0; var prev = Long.MinValue
+      ds.foreach { d =>
+        if (d == prev + 1) cur += 1 else { if (cur > 0) lens ::= cur; cur = 1 }
+        prev = d
+      }
+      if (cur > 0) lens ::= cur
+      assert(r.getLong(1) == lens.max.toLong, s"supplier ${r.getLong(0)}")
+      assert(r.getLong(2) == lens.size.toLong)
+      assert(r.getLong(3) == ds.size.toLong)
+    }
+  }
+
+  test("HHI: bounded by [10000/n, 10000] and equals the share-squared sum") {
+    Analytics.qHhiConcentration(tables).collect().foreach { r =>
+      val n = r.getLong(1).toDouble
+      val hhi = r.getDouble(3)
+      assert(hhi >= 10000.0 / n - 1e-6 && hhi <= 10000.0 + 1e-6)
+    }
+  }
+
+  test("snapshot diff: class counts match the simulated churn rules") {
+    val out = Analytics.qSnapshotDiff(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val orders = tables.orders
+      .select(col("o_orderkey"), col("o_totalprice"),
+        (col("o_orderdate") < lit("2000-01-01")).as("isOld"))
+      .as[(Long, Double, Boolean)].collect()
+    def inNew(k: Long) = k % 101 != 0
+    val added = orders.count(o => !o._3 && inNew(o._1))
+    val removed = orders.count(o => o._3 && !inNew(o._1))
+    val changed = orders.count(o => o._3 && inNew(o._1) && o._1 % 7 == 0)
+    val unchanged = orders.count(o => o._3 && inNew(o._1) && o._1 % 7 != 0)
+    assert(out("added")._1 == added)
+    assert(out("removed")._1 == removed)
+    assert(out("changed")._1 == changed)
+    assert(out("unchanged")._1 == unchanged)
+    assert(out("unchanged")._2 == 0.0)       // identical rows net to zero
+    assert(out("removed")._2 < 0.0)          // deletions subtract value
+    // changed rows are +10% uplifts: delta == 0.1 * sum(old price), exactly
+    val expectChanged = orders.filter(o => o._3 && inNew(o._1) && o._1 % 7 == 0)
+      .map(o => BigDecimal(o._2).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal("0.1"))
+      .foldLeft(BigDecimal(0))(_ + _)
+    assert(math.abs(out("changed")._2 - expectChanged.toDouble) < 1e-6)
+  }
+
+  test("session concurrency: sweep matches a brute-force interval count") {
+    val out = Events.qSessionConcurrency(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val evs = tables.events.select(col("ts_ns"), col("event_id"))
+      .as[(Long, Long)].collect()
+    val active = 300L * 1000000000L
+    // boundaries in sweep order: (t, delta, event_id), ends before starts
+    val pts = (evs.map(e => (e._1, 1, e._2)) ++
+      evs.map(e => (e._1 + active, -1, e._2)))
+      .sortBy(p => (p._1, p._2, p._3))
+    var live = 0L
+    val peaks = scala.collection.mutable.Map.empty[Long, Long]
+    pts.foreach { case (t, d, _) =>
+      live += d
+      val hod = (t / 3600000000000L) % 24
+      peaks(hod) = math.max(peaks.getOrElse(hod, Long.MinValue), live)
+    }
+    assert(live == 0L)                        // every interval closed
+    peaks.foreach { case (hod, p) => assert(out(hod) == p, s"hod $hod") }
+  }
+
+  test("rate limit: at most 2 kept per (user, minute); totals reconcile") {
+    val out = Events.qRateLimit(tables).collect()
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
+    }
+    val evs = tables.events
+      .select(col("user_id"), expr("ts_ns div 60000000000"))
+      .as[(Long, Long)].collect()
+    val expectKept = evs.groupBy(identity).map { case (_, g) =>
+      math.min(g.size, 2)
+    }.sum
+    assert(out.map(_.getLong(2)).sum == expectKept)
+    assert(out.map(_.getLong(1)).sum == evs.length)
+  }
+}
