@@ -131,6 +131,11 @@ object SparkEntry {
     "q_snapshot_diff" -> q(Analytics.qSnapshotDiff),
     "q_session_concurrency" -> q(Events.qSessionConcurrency(_)),
     "q_rate_limit" -> q(Events.qRateLimit(_)),
+    "q_centroid_sim" -> q(Similarity.qCentroidSim),
+    "q_interarrival" -> q(Events.qInterarrival),
+    "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
+    "q_charset_stats" -> q(TextAnalysis.qCharsetStats),
+    "q_incr_agg" -> q(Analytics.qIncrAgg),
     "q_debounce" -> q(Events.qDebounce(_)),
     "q_order_gaps" -> q(Analytics.qOrderGaps),
     "q_basket_pairs" -> q(Analytics.qBasketPairs(_)),
@@ -1280,25 +1285,102 @@ object SparkEntry {
          FROM d GROUP BY change_type ORDER BY change_type""",
     "q_session_concurrency" ->
       """WITH pts AS (
-           SELECT epoch_ns(ts) AS pt, 1 AS delta, event_id FROM events
+           SELECT epoch_us(ts) AS pt, 1 AS delta, event_id FROM events
            UNION ALL
-           SELECT epoch_ns(ts) + 300000000000 AS pt, -1 AS delta, event_id
+           SELECT epoch_us(ts) + 300000000 AS pt, -1 AS delta, event_id
            FROM events),
          sweep AS (
            SELECT pt,
              SUM(delta) OVER (ORDER BY pt, delta, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
            FROM pts)
-         SELECT (pt // 3600000000000) % 24 AS hod,
+         SELECT (pt // 3600000000) % 24 AS hod,
            CAST(MAX(live) AS BIGINT) AS peak_concurrent,
            CAST(COUNT(*) AS BIGINT) AS n_boundaries
          FROM sweep GROUP BY 1 ORDER BY hod""",
+    // same fixed-point milli-sums as q_label_centroids; the member counts
+    // cancel in the cosine, so the whole measure is exact integer sums
+    // with one final double sqrt/division
+    "q_centroid_sim" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         x AS (SELECT label, unnest(range(1, len(v) + 1)) AS i, v FROM e),
+         y AS (SELECT label, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS m FROM x),
+         s AS (SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sm
+           FROM y GROUP BY label, dim),
+         nr AS (SELECT label, CAST(SUM(sm * sm) AS DOUBLE) AS n2
+           FROM s GROUP BY label)
+         SELECT a.label AS label_a, b.label AS label_b,
+           CAST(SUM(a.sm * b.sm) AS DOUBLE) / sqrt(na.n2 * nb.n2)
+             AS centroid_cosine
+         FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+           JOIN nr na ON na.label = a.label
+           JOIN nr nb ON nb.label = b.label
+         GROUP BY a.label, b.label, na.n2, nb.n2
+         ORDER BY label_a, label_b""",
+    "q_interarrival" ->
+      """WITH g AS (
+           SELECT event_type,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY event_type
+               ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events)
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+             AS mean_gap_s,
+           quantile_cont(gap, 0.5) / 1e6 AS p50_gap_s,
+           quantile_cont(gap, 0.95) / 1e6 AS p95_gap_s
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY event_type ORDER BY event_type""",
+    "q_zipf_slope" ->
+      """WITH freq AS (
+           SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT unnest(string_split_regex(trim(lower(text)), ' +'))
+               AS word FROM documents)
+           GROUP BY word ORDER BY c DESC, word LIMIT 500),
+         r AS (
+           SELECT
+             CAST(round(ln(CAST(row_number() OVER (ORDER BY c DESC, word)
+               AS DOUBLE)), 9) AS DECIMAL(14,10)) AS x,
+             CAST(round(ln(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,10)) AS y
+           FROM freq),
+         m AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM r)
+         SELECT n AS n_words,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope
+         FROM m""",
+    "q_charset_stats" ->
+      """SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN strlen(text) > length(text) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_nonascii_docs,
+           CAST(SUM(strlen(text) - length(text)) AS BIGINT) AS extra_bytes,
+           CAST(SUM(strlen(text) - length(text)) AS DOUBLE)
+             / CAST(SUM(strlen(text)) AS DOUBLE) AS nonascii_byte_frac
+         FROM documents GROUP BY lang ORDER BY lang""",
+    // direct full-table rollup: a hash match against the engine's
+    // base+delta merge proves incremental maintenance is exact
+    "q_incr_agg" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           o_orderstatus AS status,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue
+         FROM orders GROUP BY 1, 2 ORDER BY month, status""",
     "q_rate_limit" ->
       """WITH r AS (
            SELECT event_type,
              CASE WHEN row_number() OVER (
-                 PARTITION BY user_id, epoch_ns(ts) // 60000000000
-                 ORDER BY epoch_ns(ts), event_id) <= 2
+                 PARTITION BY user_id, epoch_us(ts) // 60000000
+                 ORDER BY epoch_us(ts), event_id) <= 2
                THEN 1 ELSE 0 END AS kept
            FROM events)
          SELECT event_type,

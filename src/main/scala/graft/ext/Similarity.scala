@@ -328,6 +328,46 @@ object Similarity {
         (col("sm") / col("n")).as("mean_milli"))
       .orderBy("label", "dim")
 
+  /** Pairwise cosine similarity between label centroids — the
+    * cluster-geometry diagnostic (which classes are embedding-confusable).
+    * Works on the SAME fixed-point milli-unit sums as [[qLabelCentroids]]:
+    * cosine(sa/na, sb/nb) = cosine(sa, sb) — the member counts cancel —
+    * so the measure is computed entirely from EXACT integer dot products
+    * and norms (milli sums are < 2^53; their per-dim products sum in
+    * DECIMAL), with one final double sqrt/division. Scale: the corpus
+    * collapses to a (labels x dims) frame in one vector_sum aggregate;
+    * the pairwise stage runs on label-count-squared rows, i.e. nothing.
+    */
+  def qCentroidSim(t: Tables): DataFrame = {
+    val sums = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("double")).as("m"))
+      .groupBy("label")
+      .agg(call_function("vector_sum", col("m")).as("s"))
+      .select(col("label"), posexplode(col("s")).as(Seq("dim", "sm")))
+      .select(col("label"), col("dim"), col("sm").cast("long").as("sm"))
+    val norms = sums
+      .groupBy("label")
+      .agg(sum((col("sm") * col("sm")).cast(org.apache.spark.sql.types
+        .DecimalType(38, 0))).cast("double").as("n2"))
+    val a = sums.select(col("label").as("la"), col("dim"), col("sm").as("sa"))
+    val b = sums.select(col("label").as("lb"), col("dim"), col("sm").as("sb"))
+    a.join(b, "dim")
+      .filter(col("la") < col("lb"))
+      .groupBy("la", "lb")
+      .agg(sum((col("sa") * col("sb")).cast(org.apache.spark.sql.types
+        .DecimalType(38, 0))).cast("double").as("dot"))
+      .join(broadcast(norms.toDF("la", "na2")), "la")
+      .join(broadcast(norms.toDF("lb", "nb2")), "lb")
+      .select(
+        col("la").as("label_a"),
+        col("lb").as("label_b"),
+        (col("dot") / sqrt(col("na2") * col("nb2"))).as("centroid_cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   /** Symmetric int8 quantization of embeddings (the storage/serving format
     * for large ANN corpora): per-vector scale = max|v|/127, quantized code
     * q_i = floor(v_i * 127 / max + 0.5). Map-only projection — codegen'd

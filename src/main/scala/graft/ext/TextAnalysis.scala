@@ -554,6 +554,66 @@ object TextAnalysis {
     * Scale: the aggregate is corpus-sized; everything after runs on the
     * (sources x bins) frame, which is configuration-sized.
     */
+  /** Zipf's-law slope of the corpus word-frequency distribution: OLS fit
+    * of ln(freq) on ln(rank) over the top `topN` words (a healthy natural
+    * corpus sits near −1; synthetic or template-heavy corpora flatten).
+    * Ranks come from a deterministic (count desc, word) ordering; both
+    * logs are rounded at 1e-9 into narrow decimals BEFORE the moment
+    * sums — the [[qUnigramSurprisal]] recipe — so the OLS normal
+    * equations are exact decimal arithmetic with one final double
+    * division. Scale: one corpus-pass hash aggregate to vocabulary size;
+    * the fit runs on `topN` rows.
+    */
+  def qZipfSlope(t: Tables, topN: Int = 500): DataFrame = {
+    val freq = t.documents
+      .select(explode(Dedup.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("word"))
+      .limit(topN)
+    val ranked = freq
+      .withColumn("r", row_number().over(
+        Window.orderBy(col("c").desc, col("word"))))
+      .select(
+        round(log(col("r").cast("double")), 9).cast("decimal(14,10)").as("x"),
+        round(log(col("c").cast("double")), 9).cast("decimal(14,10)").as("y"))
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .select(
+        col("n").as("n_words"),
+        // rounded at 1e-9: the product sums carry scale-20 decimals whose
+        // unscaled values exceed 2^53, so their double conversion can
+        // differ by 1 ulp across engines (see q_hhi_concentration)
+        round((col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sxx") - col("sx") * col("sx")), 9)
+          .as("zipf_slope"))
+  }
+
+  /** Character-set profile per language: how many documents carry
+    * non-ASCII content and how heavy it is. Non-ASCII weight is measured
+    * as UTF-8 continuation bytes — octet_length(text) − length(text) —
+    * an exact integer on both engines, with no regex or codepoint-class
+    * semantics to diverge on. Map-only projection + one aggregate.
+    */
+  def qCharsetStats(t: Tables): DataFrame =
+    t.documents
+      .withColumn("extra",
+        (octet_length(col("text")) - length(col("text"))).cast("long"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("extra") > 0).cast("long")).as("n_nonascii_docs"),
+        sum(col("extra")).cast("long").as("extra_bytes"),
+        (sum(col("extra")).cast("double") /
+          sum(octet_length(col("text")).cast("long")).cast("double"))
+          .as("nonascii_byte_frac"))
+      .orderBy("lang")
+
   def qPsiDrift(t: Tables, binWidth: Int = 25): DataFrame = {
     val counts = t.documents
       .select(col("source"),

@@ -85,14 +85,53 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val kept = existing.join(incoming, cond, "left_anti")
     val merged = kept.unionByName(df)
     merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(old, true)
-    if (!fs.rename(dst, old))
-      throw new java.io.IOException(s"upsert: could not stage $dst aside")
+    swapInto(fs, dst, tmp, old)
+  }
+
+  /** Atomically replace `dst` with `tmp` via two renames, staging the old
+    * table at `oldP` so a crash at any point leaves a recoverable state
+    * (see the recovery branch in [[upsert]]).
+    */
+  private def swapInto(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path,
+      oldP: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(oldP, true)
+    if (!fs.rename(dst, oldP))
+      throw new java.io.IOException(s"swap: could not stage $dst aside")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(old, dst) // roll back: restore the previous table
-      throw new java.io.IOException(s"upsert: could not move $tmp into place")
+      fs.rename(oldP, dst) // roll back: restore the previous table
+      throw new java.io.IOException(s"swap: could not move $tmp into place")
     }
-    fs.delete(old, true)
+    fs.delete(oldP, true)
+  }
+
+  /** Small-file compaction + optional sort clustering: rewrite a table
+    * into ~`targetBytes` files, each internally sorted by `sortCols` (min/
+    * max row-group statistics then prune point/range scans on those
+    * columns — the poor man's Z-order for a single sort family). Streaming
+    * sinks and incremental upserts accrete small files; on object storage
+    * every one costs a request, so periodic compaction is what keeps a
+    * 100 TB table scannable. Same two-rename atomic swap as [[upsert]];
+    * readers of the old listing keep a consistent `__old` until the swap
+    * completes.
+    */
+  def compact(tableName: String, sortCols: Seq[String] = Nil,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path(tableName))
+    val tmp = new org.apache.hadoop.fs.Path(path(tableName) + "__tmp")
+    val old = new org.apache.hadoop.fs.Path(path(tableName) + "__old")
+    val bytes = fs.getContentSummary(dst).getLength
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = table(tableName).repartition(nFiles)
+    val sorted =
+      if (sortCols.isEmpty) df
+      else df.sortWithinPartitions(sortCols.map(col): _*)
+    sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, dst, tmp, old)
   }
 
   /** Missing table -> 0, like the reference's bare-except readback

@@ -384,20 +384,55 @@ object Events {
     * engine-exact. Scale: the only cost is one global sort of 2n tiny
     * rows; per-key (e.g. per-tenant) sweeps would partition the window.
     */
-  def qSessionConcurrency(t: Tables, activeNs: Long = 300L * 1000000000L): DataFrame = {
-    val pts = t.events
-      .select(col("ts_ns").as("pt"), lit(1).as("delta"), col("event_id"))
-      .unionAll(t.events.select(
-        (col("ts_ns") + lit(activeNs)).as("pt"), lit(-1).as("delta"),
+  def qSessionConcurrency(t: Tables, activeUs: Long = 300L * 1000000L): DataFrame = {
+    // microsecond domain like qInterarrival: sweep order must be a total
+    // order BOTH engines see identically, and DuckDB's parquet reader
+    // only keeps microseconds — a nanosecond tiebreak here would be
+    // invisible to the oracle and could transiently reorder +1/-1 deltas
+    val ev = t.events.select(
+      expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val pts = ev
+      .select(col("ts_us").as("pt"), lit(1).as("delta"), col("event_id"))
+      .unionAll(ev.select(
+        (col("ts_us") + lit(activeUs)).as("pt"), lit(-1).as("delta"),
         col("event_id")))
     val sweep = Window.orderBy(col("pt"), col("delta"), col("event_id"))
     pts
       .withColumn("live", sum("delta").over(
         sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(expr("(pt div 3600000000000) % 24").as("hod"))
+      .groupBy(expr("(pt div 3600000000) % 24").as("hod"))
       .agg(max("live").cast("long").as("peak_concurrent"),
         count(lit(1)).as("n_boundaries"))
       .orderBy("hod")
+  }
+
+  /** Inter-arrival time distribution per event type: mean / median / p95
+    * gap between consecutive events of the type — the latency-profile
+    * aggregate behind queue sizing and anomaly alerts. Gaps are exact
+    * nanosecond longs from one lag window; mean is an exact integer
+    * sum / count and the percentiles interpolate over integers, so every
+    * output is a deterministic function of the sorted gap multiset.
+    * Scale: partitioned by type (the window never sees a global order);
+    * a hot type bounds one partition — the per-entity cap documented for
+    * sessionization applies the same way.
+    */
+  def qInterarrival(t: Tables): DataFrame = {
+    // microsecond domain: DuckDB's parquet reader truncates TIMESTAMP_NS
+    // to microseconds, so nanosecond gaps could never hash-match — the
+    // integer `div` keeps the truncation exact (the q_debounce precedent)
+    val byType = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    t.events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(byType))
+      .filter(col("gap").isNotNull)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        (sum(col("gap")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e6)).as("mean_gap_s"),
+        (percentile(col("gap"), lit(0.5)) / lit(1e6)).as("p50_gap_s"),
+        (percentile(col("gap"), lit(0.95)) / lit(1e6)).as("p95_gap_s"))
+      .orderBy("event_type")
   }
 
   /** Rate limiting / throttling: keep at most `maxPerMin` events per
@@ -408,10 +443,12 @@ object Events {
     * users bound each partition's sort at 60s of their events.
     */
   def qRateLimit(t: Tables, maxPerMin: Int = 2): DataFrame = {
-    val minuteNs = 60L * 1000000000L
+    // microsecond ordering (see qSessionConcurrency) so the admission
+    // tiebreak is the same total order the oracle sees
+    val minuteUs = 60L * 1000000L
     val byUserMin = Window
-      .partitionBy(col("user_id"), expr(s"ts_ns div ${minuteNs}L"))
-      .orderBy("ts_ns", "event_id")
+      .partitionBy(col("user_id"), expr(s"(ts_ns div 1000) div ${minuteUs}L"))
+      .orderBy(expr("ts_ns div 1000"), col("event_id"))
     t.events
       .withColumn("rn", row_number().over(byUserMin))
       .withColumn("kept", (col("rn") <= maxPerMin).cast("long"))

@@ -58,4 +58,32 @@ class JdbcWarehouseSpec extends SparkSuite {
     val got = wh.table("t").as[(Option[Long], String)].collect().toSeq
     assert(got.sortBy(_._2) == Seq((Some(1L), "a"), (None, "nk")))
   }
+
+  test("compact merges small files, preserves data, sorts within files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val wh = Warehouse(spark, root)
+    // simulate small-file accretion: 40 single-row appends -> >= 40 files
+    val rows = (1L to 40L).map(i => (i, s"v$i"))
+    wh.load(rows.toDF("id", "v").repartition(40), "t")
+    def parquetFiles() = new java.io.File(wh.path("t"))
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = parquetFiles()
+    assert(before >= 15, s"expected many small files, got $before")
+    wh.compact("t", sortCols = Seq("id"))
+    val after = parquetFiles()
+    assert(after < before && after >= 1, s"$before -> $after")
+    // data survives exactly
+    val got = wh.table("t").as[(Long, String)].collect().toSet
+    assert(got == rows.toSet)
+    // no staging dirs left behind by the swap
+    val left = new java.io.File(root).list().toSet
+    assert(!left.exists(n => n.contains("__tmp") || n.contains("__old")), left)
+    // each output file is internally sorted by the cluster column
+    new java.io.File(wh.path("t")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val ids = spark.read.parquet(f.getAbsolutePath)
+          .select("id").as[Long].collect().toSeq
+        assert(ids == ids.sorted, s"file ${f.getName} not sorted")
+      }
+  }
 }

@@ -166,9 +166,9 @@ class RobustStatsSpec extends SparkSuite {
   test("session concurrency: sweep matches a brute-force interval count") {
     val out = Events.qSessionConcurrency(tables).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val evs = tables.events.select(col("ts_ns"), col("event_id"))
+    val evs = tables.events.select(expr("ts_ns div 1000"), col("event_id"))
       .as[(Long, Long)].collect()
-    val active = 300L * 1000000000L
+    val active = 300L * 1000000L
     // boundaries in sweep order: (t, delta, event_id), ends before starts
     val pts = (evs.map(e => (e._1, 1, e._2)) ++
       evs.map(e => (e._1 + active, -1, e._2)))
@@ -177,11 +177,65 @@ class RobustStatsSpec extends SparkSuite {
     val peaks = scala.collection.mutable.Map.empty[Long, Long]
     pts.foreach { case (t, d, _) =>
       live += d
-      val hod = (t / 3600000000000L) % 24
+      val hod = (t / 3600000000L) % 24
       peaks(hod) = math.max(peaks.getOrElse(hod, Long.MinValue), live)
     }
     assert(live == 0L)                        // every interval closed
     peaks.foreach { case (hod, p) => assert(out(hod) == p, s"hod $hod") }
+  }
+
+  test("centroid similarity: bounded, complete pair set, matches HOF cosine") {
+    val out = graft.ext.Similarity.qCentroidSim(tables).collect()
+    val nLabels = tables.embeddings.select("label").distinct().count()
+    assert(out.length == (nLabels * (nLabels - 1) / 2).toInt)
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+  }
+
+  test("interarrival: mean within [min, max] gap; p50 <= p95") {
+    Events.qInterarrival(tables).collect().foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getDouble(3) <= r.getDouble(4))     // p50 <= p95
+      assert(r.getDouble(2) > 0)                   // time moves forward
+    }
+  }
+
+  test("zipf slope is negative (frequency decreasing in rank)") {
+    val r = graft.ext.TextAnalysis.qZipfSlope(tables).head()
+    assert(r.getLong(0) > 10)
+    assert(r.getDouble(1) < 0.0, s"slope ${r.getDouble(1)}")
+  }
+
+  test("charset stats reconcile against a driver-side recompute") {
+    val out = graft.ext.TextAnalysis.qCharsetStats(tables).collect()
+    val docs = tables.documents.select(col("lang"), col("text"))
+      .as[(String, String)].collect().groupBy(_._1)
+    out.foreach { r =>
+      val texts = docs(r.getString(0)).map(_._2)
+      val extra = texts.map(t =>
+        t.getBytes("UTF-8").length.toLong - t.codePointCount(0, t.length))
+      assert(r.getLong(1) == texts.length)
+      assert(r.getLong(2) == extra.count(_ > 0))
+      assert(r.getLong(3) == extra.sum)
+    }
+  }
+
+  test("incremental aggregate merge equals the direct full rollup") {
+    val merged = Analytics.qIncrAgg(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val direct = tables.orders
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderstatus").as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("rev"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(merged == direct)
   }
 
   test("rate limit: at most 2 kept per (user, minute); totals reconcile") {
@@ -190,7 +244,7 @@ class RobustStatsSpec extends SparkSuite {
       assert(r.getLong(1) == r.getLong(2) + r.getLong(3))
     }
     val evs = tables.events
-      .select(col("user_id"), expr("ts_ns div 60000000000"))
+      .select(col("user_id"), expr("(ts_ns div 1000) div 60000000"))
       .as[(Long, Long)].collect()
     val expectKept = evs.groupBy(identity).map { case (_, g) =>
       math.min(g.size, 2)
