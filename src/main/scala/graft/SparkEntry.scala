@@ -238,6 +238,8 @@ object SparkEntry {
     "q_stream_sessionize" -> ((spark, dir) =>
       graft.streaming.Streams.drainSessionize(spark, dir, "events.parquet")
         .orderBy("user_id", "session_id")),
+    "q_stream_ratelimit" -> ((spark, dir) =>
+      graft.streaming.Streams.drainRateLimit(spark, dir, "events.parquet")),
     "q_stream_join" -> ((spark, dir) =>
       graft.streaming.Streams.drainClickViewJoin(spark, dir, "events.parquet")
         .select(
@@ -1375,6 +1377,22 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS revenue
          FROM orders GROUP BY 1, 2 ORDER BY month, status""",
+    // the streaming drain shares the batch twin's oracle: an actual
+    // flatMapGroupsWithState execution whose admitted set must equal the
+    // earliest-first batch choice
+    "q_stream_ratelimit" ->
+      """WITH r AS (
+           SELECT event_type,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, epoch_us(ts) // 60000000
+                 ORDER BY epoch_us(ts), event_id) <= 2
+               THEN 1 ELSE 0 END AS kept
+           FROM events)
+         SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+         FROM r GROUP BY event_type ORDER BY event_type""",
     "q_rate_limit" ->
       """WITH r AS (
            SELECT event_type,

@@ -14,6 +14,12 @@ final case class SessionUpdate(
 /** Mutable per-user session state for flatMapGroupsWithState. */
 final case class SessionState(sessionId: Long, nEvents: Long, lastTsMicros: Long)
 
+/** Admission verdict row for the streaming rate limiter. */
+final case class AdmitUpdate(event_type: String, kept: Long)
+
+/** Per-(user, minute) admission counter state. */
+final case class AdmitState(admitted: Long)
+
 /** Structured Streaming surface: windowed aggregation with watermarks,
   * late-data dedup, and custom sessionization state. The column logic
   * matches the batch twins in [[graft.ops.Events]], which is how the
@@ -315,6 +321,65 @@ object Streams {
       .filter(col("event_type") === "view")
     drain(spark, clickViewJoin(clicks, views), OutputMode.Append())
   }
+
+  /** Streaming rate limiter: admit at most `maxPerMin` events per
+    * (user, minute), the stateful-streaming twin of
+    * [[graft.ops.Events.qRateLimit]]. State is one admission counter per
+    * (user, minute) key; each microbatch's rows for a key are processed in
+    * (ts, event_id) order, so with an event-time-ordered landing zone (the
+    * collector's natural append order) the admitted set is exactly the
+    * batch twin's earliest-first choice. A 24/7 deployment would add a
+    * state timeout one watermark past the minute to retire dead counters;
+    * for a drain the state is bounded by the (user, minute) cardinality of
+    * the backlog.
+    */
+  def rateLimit(
+      spark: SparkSession, events: DataFrame, maxPerMin: Int = 2): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr(
+        "user_id",
+        "unix_micros(ts) div 60000000 as minute",
+        "unix_micros(ts) as ts_us",
+        "event_id",
+        "event_type")
+      .as[(Long, Long, Long, Long, String)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[AdmitState, AdmitUpdate](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Long, Long), rows: Iterator[(Long, Long, Long, Long, String)],
+         state: GroupState[AdmitState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+          var admitted = state.getOption.map(_.admitted).getOrElse(0L)
+          val out = sorted.map { r =>
+            val keep = admitted < maxPerMin
+            if (keep) admitted += 1
+            AdmitUpdate(r._5, if (keep) 1L else 0L)
+          }
+          state.update(AdmitState(admitted))
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Drain-mode execution of [[rateLimit]]: per-event admission verdicts
+    * stream out of the stateful operator; the per-type admission stats are
+    * a batch aggregate over the drained verdicts (the sink is event-sized
+    * for a drain; a production pipeline would aggregate per microbatch
+    * into the warehouse instead).
+    */
+  def drainRateLimit(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(
+      spark,
+      rateLimit(spark, eventsStream(spark, dir, globFilter)),
+      OutputMode.Append())
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum("kept").cast("long").as("n_kept"),
+        (count(lit(1)) - sum("kept")).cast("long").as("n_dropped"))
+      .orderBy("event_type")
 
   /** Gap-based sessionization with explicit state: the streaming equivalent
     * of [[graft.ops.Events.qSessionize]] built on flatMapGroupsWithState.

@@ -342,6 +342,14 @@ class StreamsSpec extends SparkSuite {
     fromWh.zip(batch).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("drained streaming rate limiter equals the batch admission stats") {
+    val streamed = Streams.drainRateLimit(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = graft.ops.Events.qRateLimit(Tables(spark, sfDir))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
