@@ -189,4 +189,46 @@ class PlanAuditSpec extends SparkSuite {
     assert("partial_count".r.findAllIn(p).nonEmpty,
       "gram stream must combine map-side before its exchange")
   }
+
+  test("tpch q19: disjunctive predicate keeps the equi-join; prefilters pushed") {
+    val p = formatted("q_sql_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "OR-of-ANDs must not defeat the equi-join")
+    // the per-table brand/size prefilter reaches the part scan
+    assert(p.contains("In(p_brand") || p.contains("Or(And("),
+      s"no pushed prefilter on part:\n$p")
+  }
+
+  test("anomaly IQR broadcasts the fence frame; fact side never sorts globally") {
+    val p = formatted("q_anomaly_iqr")
+    assert(p.contains("BroadcastHashJoin"), "fences must broadcast back")
+    // global sort allowed only for the 5-row presentation ORDER BY: every
+    // Sort node must sit above the final aggregate, not on the fact stream
+    assert(!p.contains("SortMergeJoin"), "fact joined by sort-merge")
+  }
+
+  test("centroid similarity: corpus collapses via partial vector_sum; pair join is label-sized") {
+    val p = formatted("q_centroid_sim")
+    assert(p.contains("partial_vector_sum") || p.contains("partial_vectorsum"),
+      "corpus must combine map-side into label sums")
+    assert(!p.contains("CartesianProduct"), "pair stage must be an equi-join on dim")
+  }
+
+  test("incremental aggregate merge stays two partial rollups + one merge agg") {
+    val p = formatted("q_incr_agg")
+    // both branches aggregate partially before their exchange, and the
+    // merge is itself an aggregate — never a join
+    assert("partial_count".r.findAllIn(p).size >= 2, s"branches must pre-aggregate:\n$p")
+    assert(!p.contains("Join"), "merge must be union+agg, not a join")
+  }
+
+  test("ship streaks windows run on the distinct (supplier, day) frame") {
+    val p = formatted("q_ship_streaks")
+    // the dedup aggregate must sit BELOW the window sort: partial_first or
+    // HashAggregate before any Window node
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(winIdx > 0 && aggIdx > 0 && aggIdx < winIdx,
+      "window must consume the compacted frame, not raw lineitem")
+  }
 }
