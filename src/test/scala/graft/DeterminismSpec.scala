@@ -36,7 +36,15 @@ class DeterminismSpec extends SparkSuite {
     "q_time_weighted_avg", // decimal x microsecond products, rounded ratio
     "q_cusum",            // S_k - k*mean extremum selection
     "q_jaro_names",       // codegen'd float similarity + rounded threshold
-    "q_ngram_novelty")    // first-occurrence MIN + exact ratios
+    "q_ngram_novelty",    // first-occurrence MIN + exact ratios
+    "q_spearman",         // tie-corrected ranks + integer moment sums
+    "q_anomaly_iqr",      // decimal fences from exact percentiles
+    "q_winsorize",        // decimal clamp sums
+    "q_hhi_concentration", // share-squared decimal sums, rounded ratio
+    "q_centroid_sim",     // fixed-point dot products, double sqrt/divide
+    "q_zipf_slope",       // rounded-ln OLS moments
+    "q_session_concurrency", // global sweep total order
+    "q_snapshot_diff")    // scale-4 exact deltas over a full outer join
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
