@@ -236,7 +236,79 @@ class SqlParitySpec extends SparkSuite {
                (CAST(n_customers AS DOUBLE) * CAST(sx AS DOUBLE)) -
              (CAST(n_customers AS DOUBLE) + 1.0D) / CAST(n_customers AS DOUBLE),
              9) AS gini
-         FROM s""")
+         FROM s""",
+    "q_mode_category" ->
+      """WITH c AS (
+           SELECT o_orderstatus AS status,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             o_orderpriority AS priority, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2, 3),
+         w AS (
+           SELECT *, row_number() OVER (PARTITION BY status, yr
+               ORDER BY n DESC, priority) AS rk,
+             SUM(n) OVER (PARTITION BY status, yr) AS total
+           FROM c)
+         SELECT status, yr, priority AS mode_priority, n AS n_mode,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS mode_share
+         FROM w WHERE rk = 1 ORDER BY status, yr""",
+    "q_ship_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT l_suppkey, to_date(l_shipdate) AS day FROM lineitem),
+         runs AS (
+           SELECT l_suppkey,
+             datediff(day, DATE '1970-01-01')
+               - row_number() OVER (PARTITION BY l_suppkey ORDER BY day) AS grp
+           FROM days),
+         lens AS (
+           SELECT l_suppkey, grp, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+         SELECT l_suppkey, MAX(run_len) AS longest_streak_days,
+           COUNT(*) AS n_streaks, CAST(SUM(run_len) AS BIGINT) AS n_ship_days
+         FROM lens GROUP BY l_suppkey ORDER BY l_suppkey""",
+    "q_rate_limit" ->
+      """WITH r AS (
+           SELECT event_type,
+             CASE WHEN row_number() OVER (
+                 PARTITION BY user_id, (ts_ns div 1000) div 60000000
+                 ORDER BY ts_ns div 1000, event_id) <= 2
+               THEN 1 ELSE 0 END AS kept
+           FROM events)
+         SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) - SUM(kept) AS BIGINT) AS n_dropped
+         FROM r GROUP BY event_type ORDER BY event_type""",
+    "q_hhi_concentration" ->
+      """WITH rev AS (
+           SELECT r_name, s_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+               AS DECIMAL(24,6))) AS DECIMAL(18,6)) AS rev
+           FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, s_suppkey)
+         SELECT r_name, COUNT(*) AS n_suppliers,
+           CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+           round(10000.0D * CAST(SUM(rev * rev) AS DOUBLE)
+             / (CAST(SUM(rev) AS DOUBLE) * CAST(SUM(rev) AS DOUBLE)), 9) AS hhi
+         FROM rev GROUP BY r_name ORDER BY r_name""",
+    "q_winsorize" ->
+      """WITH seg AS (
+           SELECT c_mktsegment AS segment, o_totalprice
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         b AS (
+           SELECT segment,
+             CAST(percentile(o_totalprice, 0.05D) AS DECIMAL(18,4)) AS p05d,
+             CAST(percentile(o_totalprice, 0.95D) AS DECIMAL(18,4)) AS p95d
+           FROM seg GROUP BY segment)
+         SELECT segment, CAST(p05d AS DOUBLE) AS p05,
+           CAST(p95d AS DOUBLE) AS p95, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_raw,
+           CAST(SUM(LEAST(GREATEST(CAST(o_totalprice AS DECIMAL(18,4)), p05d),
+               p95d)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS mean_winsorized
+         FROM seg JOIN b USING (segment)
+         GROUP BY segment, p05d, p95d ORDER BY segment""")
 
   test("SQL text reproduces the graded DataFrame formulations row-for-row") {
     tables.createViews()
