@@ -36,6 +36,14 @@ object Bench {
       // minhash/banding path (native shingle_hashes + minhash_sig_longs +
       // band bucketing) has its own first-run cost — warm on a sample
       ext.Dedup.minhashPairs(docs, "doc_id", "text").count()
+      // sort-merge-join machinery: the first big-big equi-join in the JVM
+      // (alphabetically q_basket_pairs) otherwise absorbs its C2 cost
+      val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))
+        .limit(60000)
+      li.as("a").hint("merge")
+        .join(li.as("b"), "l_orderkey").count()
+      // bloom aggregate/probe expressions (q_bloom_prefilter's first run)
+      ops.Analytics.bloomPrefilterOnly(spark, t).count()
     } catch { case _: Throwable => () }
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on a
     // hotspot; unset (the driver's mode) times every registered query

@@ -50,6 +50,17 @@ final case class Warehouse(spark: SparkSession, root: String) {
   def table(name: String, format: String = "parquet"): DataFrame =
     spark.read.format(format).load(path(name))
 
+  /** Read a table whose appended batches carry EVOLVED schemas (columns
+    * added over time): parquet schema merging unions every file footer's
+    * fields, and rows from pre-evolution files surface the new columns as
+    * null. This is how a landing table absorbs upstream schema drift
+    * without a rewrite; the cost (a footer read per file) is why it is
+    * opt-in here and why production tables graduate to a table format
+    * with schema-in-metadata once file counts grow.
+    */
+  def tableEvolved(name: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(name))
+
   /** Keyed upsert ("merge"): rows in `df` replace same-key rows in the
     * table, other existing rows are kept. On bare parquet this is
     * read + anti-join + union + rewrite (what a table format's MERGE does

@@ -59,6 +59,21 @@ class JdbcWarehouseSpec extends SparkSuite {
     assert(got.sortBy(_._2) == Seq((Some(1L), "a"), (None, "nk")))
   }
 
+  test("schema evolution: appended batches with new columns merge; old rows null-fill") {
+    val root = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    val wh = Warehouse(spark, root)
+    wh.load(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "t")
+    // upstream adds a column; the append lands with the wider schema
+    wh.load(Seq((3L, "c", 0.5)).toDF("id", "v", "score"), "t", SaveMode.Append)
+    val merged = wh.tableEvolved("t")
+    assert(merged.columns.toSet == Set("id", "v", "score"))
+    val got = merged.select("id", "v", "score")
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(got == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))))
+    // the plain reader still works (first-footer schema, no merge cost)
+    assert(wh.table("t").count() == 3L)
+  }
+
   test("compact merges small files, preserves data, sorts within files") {
     val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val wh = Warehouse(spark, root)
