@@ -133,6 +133,8 @@ object SparkEntry {
     "q_rate_limit" -> q(Events.qRateLimit(_)),
     "q_centroid_sim" -> q(Similarity.qCentroidSim),
     "q_interarrival" -> q(Events.qInterarrival),
+    "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
+    "q_forecast_backtest" -> q(Events.qForecastBacktest),
     "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
     "q_charset_stats" -> q(TextAnalysis.qCharsetStats),
     "q_incr_agg" -> q(Analytics.qIncrAgg),
@@ -1322,6 +1324,42 @@ object SparkEntry {
            JOIN nr nb ON nb.label = b.label
          GROUP BY a.label, b.label, na.n2, nb.n2
          ORDER BY label_a, label_b""",
+    "q_assoc_rules" ->
+      """WITH items AS (
+           SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),
+         itemn AS (
+           SELECT pk, CAST(COUNT(*) AS BIGINT) AS n FROM items GROUP BY pk),
+         total AS (
+           SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS nb FROM items),
+         pairs AS (
+           SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+           FROM items a JOIN items b
+             ON a.okey = b.okey AND a.pk < b.pk
+           GROUP BY a.pk, b.pk)
+         SELECT p1, p2, n_both, i1.n AS n1, i2.n AS n2,
+           CAST(n_both AS DOUBLE) / CAST(i1.n AS DOUBLE) AS confidence,
+           CAST(nb * n_both AS DOUBLE) / CAST(i1.n * i2.n AS DOUBLE) AS lift
+         FROM pairs
+           JOIN itemn i1 ON i1.pk = p1
+           JOIN itemn i2 ON i2.pk = p2
+           CROSS JOIN total
+         ORDER BY lift DESC, p1, p2 LIMIT 20""",
+    "q_forecast_backtest" ->
+      """WITH hourly AS (
+           SELECT event_type, epoch_us(ts) // 3600000000 AS hr,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         j AS (
+           SELECT h.event_type, h.n AS actual, p.n AS pred,
+             abs(h.n - p.n) AS abs_err,
+             CAST(round(CAST(abs(h.n - p.n) AS DOUBLE)
+               / CAST(p.n AS DOUBLE), 9) AS DECIMAL(14,10)) AS pct_err
+           FROM hourly h JOIN hourly p
+             ON h.event_type = p.event_type AND h.hr = p.hr + 24)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(abs_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mae,
+           CAST(SUM(pct_err) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mape
+         FROM j GROUP BY event_type ORDER BY event_type""",
     "q_interarrival" ->
       """WITH g AS (
            SELECT event_type,

@@ -937,6 +937,40 @@ object Analytics {
       .orderBy("r_name")
   }
 
+  /** Association rules over order baskets: confidence and lift for the
+    * top co-occurring part pairs — the step after [[qBasketPairs]]'s raw
+    * co-occurrence counts that turns them into a recommendation signal.
+    * Every measure is a fixed ratio of exact integer counts (pair count,
+    * item counts, basket total), so nothing depends on aggregation order.
+    * Scale: the pair join is the bounded basket self-join (baskets are
+    * small); item counts and the basket total are broadcast back into the
+    * pair frame.
+    */
+  def qAssocRules(t: Tables, k: Int = 20): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val itemN = items.groupBy("pk").agg(count(lit(1)).as("nItem"))
+    val total = items.select(countDistinct(col("okey")).as("nBaskets"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(itemN.toDF("p1", "n1")), "p1")
+      .join(broadcast(itemN.toDF("p2", "n2")), "p2")
+      .crossJoin(broadcast(total))
+      .select(
+        col("p1"), col("p2"), col("n_both"), col("n1"), col("n2"),
+        (col("n_both").cast("double") / col("n1").cast("double"))
+          .as("confidence"),
+        ((col("nBaskets") * col("n_both")).cast("double") /
+          (col("n1") * col("n2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("p1"), col("p2"))
+      .limit(k)
+  }
+
   /** Incremental aggregate maintenance: a materialized monthly revenue
     * rollup is kept current by aggregating ONLY the delta batch and
     * merging it into the base aggregate (sum-of-sums / sum-of-counts) —

@@ -6,6 +6,7 @@ import graft.transform.Transforms.{davg, dsum}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Event-log operators: tumbling windows, sessionization, JSON extraction,
   * and the as-of join against the orders table. These are the batch
@@ -404,6 +405,40 @@ object Events {
       .agg(max("live").cast("long").as("peak_concurrent"),
         count(lit(1)).as("n_boundaries"))
       .orderBy("hod")
+  }
+
+  /** Seasonal-naive forecast backtest: predict each hour's event count
+    * from the same hour 24h earlier and score MAE / MAPE per type — the
+    * baseline every real forecaster must beat, and the backtesting shape
+    * (self-join on the lagged calendar key, error aggregate) is the same
+    * regardless of model. MAE is a ratio of exact integers; each row's
+    * percentage error is rounded at 1e-9 into a narrow decimal BEFORE the
+    * mean so the sum is aggregation-order-free.
+    */
+  def qForecastBacktest(t: Tables): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = t.events
+      .groupBy(col("event_type"),
+        expr(s"(ts_ns div 1000) div ${hourUs}L").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    hourly.as("h")
+      .join(hourly.as("p"),
+        col("h.event_type") === col("p.event_type") &&
+          col("h.hr") === col("p.hr") + 24)
+      .select(col("h.event_type").as("event_type"),
+        col("h.n").as("actual"), col("p.n").as("pred"))
+      .withColumn("abs_err", abs(col("actual") - col("pred")))
+      .withColumn("pct_err",
+        round(col("abs_err").cast("double") / col("pred").cast("double"), 9)
+          .cast(DecimalType(14, 10)))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_hours"),
+        (sum(col("abs_err")).cast("double") / count(lit(1)).cast("double"))
+          .as("mae"),
+        (sum(col("pct_err")).cast("double") / count(lit(1)).cast("double"))
+          .as("mape"))
+      .orderBy("event_type")
   }
 
   /** Inter-arrival time distribution per event type: mean / median / p95

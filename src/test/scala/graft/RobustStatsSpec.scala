@@ -238,6 +238,50 @@ class RobustStatsSpec extends SparkSuite {
     assert(merged == direct)
   }
 
+  test("association rules: measures reconcile against brute-force basket counts") {
+    val out = Analytics.qAssocRules(tables).collect()
+    assert(out.nonEmpty)
+    val items = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val nBaskets = items.map(_._1).distinct.length
+    val itemN = items.groupBy(_._2).view.mapValues(_.length).toMap
+    val pairN = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    out.foreach { r =>
+      val (p1, p2) = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == pairN((p1, p2)).toLong)
+      assert(r.getLong(3) == itemN(p1).toLong && r.getLong(4) == itemN(p2).toLong)
+      assert(r.getDouble(5) ==
+        pairN((p1, p2)).toDouble / itemN(p1).toDouble)
+      assert(r.getDouble(6) ==
+        (nBaskets.toLong * pairN((p1, p2))).toDouble /
+          (itemN(p1).toLong * itemN(p2)).toDouble)
+    }
+  }
+
+  test("forecast backtest: seasonal-naive errors reconcile per type") {
+    val out = Events.qForecastBacktest(tables).collect()
+    val hourly = tables.events
+      .select(col("event_type"), expr("(ts_ns div 1000) div 3600000000"))
+      .as[(String, Long)].collect()
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    out.foreach { r =>
+      val et = r.getString(0)
+      // .toSeq FIRST: collect on a Map would rebuild a Map keyed by the
+      // first tuple element, silently deduplicating equal actuals
+      val pairs = hourly.toSeq.collect {
+        case ((t, hr), n) if t == et && hourly.contains((et, hr - 24)) =>
+          (n, hourly((et, hr - 24)))
+      }
+      assert(r.getLong(1) == pairs.size.toLong)
+      val mae = pairs.map { case (a, p) => math.abs(a - p) }.sum.toDouble / pairs.size
+      assert(r.getDouble(2) == mae)
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
   test("rate limit: at most 2 kept per (user, minute); totals reconcile") {
     val out = Events.qRateLimit(tables).collect()
     out.foreach { r =>
