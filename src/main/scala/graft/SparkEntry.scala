@@ -190,6 +190,7 @@ object SparkEntry {
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
+    "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
@@ -1302,6 +1303,24 @@ object SparkEntry {
            CAST(MAX(live) AS BIGINT) AS peak_concurrent,
            CAST(COUNT(*) AS BIGINT) AS n_boundaries
          FROM sweep GROUP BY 1 ORDER BY hod""",
+    "q_embed_outliers" ->
+      """WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
+         queries AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id % 100 = 0),
+         sims AS (SELECT qid, nid,
+             CAST(round(
+               list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * nvec[i])) /
+                 (sqrt(list_sum(list_transform(range(1, len(qvec) + 1), i -> qvec[i] * qvec[i]))) *
+                  sqrt(list_sum(list_transform(range(1, len(nvec) + 1), i -> nvec[i] * nvec[i])))),
+               9) AS DECIMAL(12,10)) AS s9
+           FROM corpus CROSS JOIN queries WHERE qid <> nid),
+         ranked AS (SELECT qid, s9,
+             row_number() OVER (PARTITION BY qid ORDER BY s9 DESC, nid) AS rnk
+           FROM sims)
+         SELECT qid, CAST(MAX(s9) AS DOUBLE) AS max_sim,
+           CAST(SUM(s9) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_topk
+         FROM ranked WHERE rnk <= 5
+         GROUP BY qid ORDER BY max_sim ASC, qid LIMIT 20""",
     // same fixed-point milli-sums as q_label_centroids; the member counts
     // cancel in the cosine, so the whole measure is exact integer sums
     // with one final double sqrt/division

@@ -368,6 +368,46 @@ object Similarity {
       .orderBy("label_a", "label_b")
   }
 
+  /** Embedding-space outlier scoring: the sampled vectors MOST ISOLATED
+    * from the corpus — lowest max-cosine and lowest mean-top-k cosine —
+    * the diagnostic a curation pipeline uses to surface mislabeled or
+    * out-of-distribution records. Same broadcast-queries/bounded-topk
+    * shape as [[qKnnBrute]]; similarities are rounded at 1e-9 into
+    * decimals BEFORE the top-k mean so the 5-term sum is
+    * aggregation-order-free (max needs no such care — it commutes).
+    */
+  def qEmbedOutliers(t: Tables, k: Int = 5, qMod: Int = 100): DataFrame = {
+    val corpus = t.embeddings
+      .select(col("vec_id").as("nid"), asDouble(col("embedding")).as("nvec"))
+    val queries = t.embeddings
+      .filter(pmod(col("vec_id"), lit(qMod)) === 0)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qvec"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"),
+        round(cosine(col("qvec"), col("nvec")), 9)
+          .cast(org.apache.spark.sql.types.DecimalType(12, 10)).as("s9"),
+        col("nid"))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("s9").cast("double").as("score"), col("nid")),
+        lit(k), lit(true)).as("top"))
+      .select(
+        col("qid"),
+        element_at(col("top"), 1).getField("score").as("max_sim"),
+        (aggregate(
+          transform(col("top"), x => x.getField("score")
+            .cast(org.apache.spark.sql.types.DecimalType(12, 10))),
+          lit(0).cast(org.apache.spark.sql.types.DecimalType(16, 10)),
+          (acc, v) => (acc + v)
+            .cast(org.apache.spark.sql.types.DecimalType(16, 10)))
+          .cast("double") /
+          size(col("top")).cast("double")).as("mean_topk"))
+      .orderBy(col("max_sim").asc, col("qid"))
+      .limit(20)
+  }
+
   /** Symmetric int8 quantization of embeddings (the storage/serving format
     * for large ANN corpora): per-vector scale = max|v|/127, quantized code
     * q_i = floor(v_i * 127 / max + 0.5). Map-only projection — codegen'd

@@ -238,6 +238,17 @@ class RobustStatsSpec extends SparkSuite {
     assert(merged == direct)
   }
 
+  test("embedding outliers: max >= mean of top-k; ascending isolation order") {
+    val out = graft.ext.Similarity.qEmbedOutliers(tables).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(1) >= r.getDouble(2) - 1e-9) // max >= mean(top-k)
+      assert(r.getDouble(1) <= 1.0 + 1e-9)
+    }
+    val maxes = out.map(_.getDouble(1)).toSeq
+    assert(maxes == maxes.sorted, "rows must order by ascending isolation")
+  }
+
   test("association rules: measures reconcile against brute-force basket counts") {
     val out = Analytics.qAssocRules(tables).collect()
     assert(out.nonEmpty)
