@@ -135,6 +135,7 @@ object SparkEntry {
     "q_interarrival" -> q(Events.qInterarrival),
     "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
+    "q_rolling_median" -> q(Analytics.qRollingMedian),
     "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
     "q_charset_stats" -> q(TextAnalysis.qCharsetStats),
     "q_incr_agg" -> q(Analytics.qIncrAgg),
@@ -1343,6 +1344,24 @@ object SparkEntry {
            JOIN nr nb ON nb.label = b.label
          GROUP BY a.label, b.label, na.n2, nb.n2
          ORDER BY label_a, label_b""",
+    "q_rolling_median" ->
+      """WITH daily AS (
+           SELECT r_name, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+           FROM orders
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation ON c_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, CAST(o_orderdate AS DATE)),
+         w AS (
+           SELECT r_name, day, rev,
+             COUNT(*) OVER fr AS n_days,
+             quantile_cont(rev, 0.5) OVER fr AS med7
+           FROM daily
+           WINDOW fr AS (PARTITION BY r_name ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+         SELECT r_name, strftime(day, '%Y-%m-%d') AS day, rev, med7
+         FROM w WHERE n_days = 7 ORDER BY r_name, day""",
     "q_assoc_rules" ->
       """WITH items AS (
            SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk FROM lineitem),

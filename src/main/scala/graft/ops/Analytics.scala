@@ -937,6 +937,35 @@ object Analytics {
       .orderBy("r_name")
   }
 
+  /** Rolling 7-day median of daily revenue per region — the robust
+    * smoother for noisy series (a rolling MEAN follows spikes; the median
+    * ignores them). Exact `percentile` runs as a WINDOW aggregate over a
+    * 7-row frame of the daily series; the daily series itself is an exact
+    * decimal rollup of the fact table, so the window input — and the
+    * interpolated median both engines compute from it — is identical.
+    * Scale: the window runs on (region x day) cardinality, pre-aggregated
+    * from the fact table in one hash aggregate.
+    */
+  def qRollingMedian(t: Tables): DataFrame = {
+    val daily = t.orders
+      .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2)))
+        .cast("double").as("rev"))
+    val w = Window.partitionBy("r_name").orderBy("day").rowsBetween(-6, 0)
+    daily
+      .withColumn("n_days", count(lit(1)).over(w))
+      .withColumn("med7", percentile(col("rev"), lit(0.5)).over(w))
+      .filter(col("n_days") === 7)
+      .select(col("r_name"),
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev"), col("med7"))
+      .orderBy("r_name", "day")
+  }
+
   /** Association rules over order baskets: confidence and lift for the
     * top co-occurring part pairs — the step after [[qBasketPairs]]'s raw
     * co-occurrence counts that turns them into a recommendation signal.

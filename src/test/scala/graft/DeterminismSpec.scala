@@ -44,7 +44,11 @@ class DeterminismSpec extends SparkSuite {
     "q_centroid_sim",     // fixed-point dot products, double sqrt/divide
     "q_zipf_slope",       // rounded-ln OLS moments
     "q_session_concurrency", // global sweep total order
-    "q_snapshot_diff")    // scale-4 exact deltas over a full outer join
+    "q_snapshot_diff",    // scale-4 exact deltas over a full outer join
+    "q_assoc_rules",      // integer-ratio measures + tie-broken top-k
+    "q_forecast_backtest", // rounded-decimal MAPE means
+    "q_embed_outliers",   // rounded-decimal top-k means, isolation order
+    "q_rolling_median")   // windowed exact percentile over decimal series
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
