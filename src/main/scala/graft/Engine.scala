@@ -27,6 +27,10 @@ object Engine {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     graft.functions.GraftFunctions.register(spark)
     graft.plans.AsOfJoinPlan.install(spark)
+    // banded range-join rewrite (plans.BandRangeJoin): idempotent append
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.BandRangeJoin))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.BandRangeJoin
     spark
   }
 

@@ -74,6 +74,7 @@ object SparkEntry {
     "q_date_funcs" -> q(Relational.qDateFuncs),
     "q_above_customer_avg" -> q(Relational.qAboveCustomerAvg),
     "q_range_join_pairs" -> q(Relational.qRangeJoinPairs),
+    "q_range_join_auto" -> q(Relational.qRangeJoinAuto),
     "q_group_having" -> q(Relational.qGroupHaving),
     "q_range_frame" -> q(Relational.qRangeFrame),
     "q_ignore_nulls" -> q(Relational.qIgnoreNulls),
@@ -432,6 +433,15 @@ object SparkEntry {
          WHERE o_totalprice > avg_price
          ORDER BY o_orderkey""",
     "q_range_join_pairs" ->
+      """SELECT a.o_custkey AS o_custkey, COUNT(*) AS n_pairs
+         FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
+         WHERE a.o_orderkey < b.o_orderkey
+           AND b.o_orderdate >= a.o_orderdate
+           AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+         GROUP BY 1 ORDER BY 1""",
+    // naive formulation auto-banded by the BandRangeJoin optimizer rule;
+    // the oracle replays the naive predicate directly
+    "q_range_join_auto" ->
       """SELECT a.o_custkey AS o_custkey, COUNT(*) AS n_pairs
          FROM orders a JOIN orders b ON a.o_custkey = b.o_custkey
          WHERE a.o_orderkey < b.o_orderkey

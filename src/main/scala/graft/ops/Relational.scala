@@ -391,6 +391,33 @@ object Relational {
     * customer-month instead of a customer-lifetime: the per-key expansion
     * stays flat as order history grows 100x.
     */
+  /** The NAIVE formulation of [[qRangeJoinPairs]] — equi-key plus a raw
+    * 30-day window inequality, no manual banding. The
+    * [[graft.plans.BandRangeJoin]] optimizer rule rewrites it to the
+    * banded equi-join automatically (plan-audited: a Generate node and a
+    * band-bucket equality appear in the optimized plan), so a user can
+    * write the natural predicate and still get the bounded-expansion
+    * access path. Same oracle semantics as the hand-banded query.
+    */
+  def qRangeJoinAuto(t: Tables): DataFrame = {
+    val a = t.orders.select(
+      col("o_custkey").as("ck"),
+      col("o_orderkey").as("k1"),
+      col("o_orderdate").as("d1"))
+    val b = t.orders.select(
+      col("o_custkey").as("ck2"),
+      col("o_orderkey").as("k2"),
+      col("o_orderdate").as("d2"))
+    a.join(b,
+        col("ck") === col("ck2") &&
+        col("k1") < col("k2") &&
+        col("d2") >= col("d1") &&
+        col("d2") <= col("d1") + expr("INTERVAL 30 DAYS"))
+      .groupBy(col("ck").as("o_custkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("o_custkey")
+  }
+
   def qRangeJoinPairs(t: Tables): DataFrame = {
     def b30(d: Column): Column =
       floor(datediff(to_date(d), to_date(lit("1970-01-01"))) / 30)

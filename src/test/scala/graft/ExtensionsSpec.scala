@@ -32,6 +32,9 @@ class ExtensionsSpec extends SparkSuite {
       assert(s2.sessionState.planner.strategies
         .exists(_.isInstanceOf[graft.plans.AsOfJoinStrategy.type]),
         "as-of strategy not injected")
+      assert(s2.sessionState.optimizer.batches.flatMap(_.rules)
+        .contains(graft.plans.BandRangeJoin),
+        "band-range-join rule not injected")
     } finally {
       SparkSession.setActiveSession(base)
       SparkSession.setDefaultSession(base)
