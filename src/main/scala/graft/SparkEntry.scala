@@ -245,6 +245,9 @@ object SparkEntry {
         .orderBy("user_id", "session_id")),
     "q_stream_ratelimit" -> ((spark, dir) =>
       graft.streaming.Streams.drainRateLimit(spark, dir, "events.parquet")),
+    "q_stream_enrich" -> ((spark, dir) =>
+      graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
+        .orderBy("segment")),
     "q_stream_join" -> ((spark, dir) =>
       graft.streaming.Streams.drainClickViewJoin(spark, dir, "events.parquet")
         .select(
@@ -1463,6 +1466,14 @@ object SparkEntry {
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              AS revenue
          FROM orders GROUP BY 1, 2 ORDER BY month, status""",
+    // stream-static enrichment drain: stateless per-microbatch probe of
+    // the static dimension, so the drain equals the batch join exactly
+    "q_stream_enrich" ->
+      """SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM events JOIN customer ON user_id = c_custkey
+         GROUP BY 1 ORDER BY segment""",
     // the streaming drain shares the batch twin's oracle: an actual
     // flatMapGroupsWithState execution whose admitted set must equal the
     // earliest-first batch choice

@@ -322,6 +322,35 @@ object Streams {
     drain(spark, clickViewJoin(clicks, views), OutputMode.Append())
   }
 
+  /** Stream-static enrichment: the event stream joins a STATIC dimension
+    * (the customer table) and aggregates revenue-weighted activity per
+    * market segment — the canonical streaming enrichment pattern.
+    * Stream-static inner joins are stateless (each microbatch probes the
+    * static side, which Spark broadcasts or re-plans per batch), so no
+    * watermark is needed and the drained result equals the batch join
+    * exactly. The value sum goes through the exact DECIMAL accumulator so
+    * microbatch arrival order cannot shift ulps.
+    */
+  def enrichedSegmentCounts(events: DataFrame, customer: DataFrame): DataFrame =
+    events
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+
+  /** Drain-mode execution of [[enrichedSegmentCounts]] over the events
+    * landing path with the batch customer table as the static side.
+    */
+  def drainEnrich(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val customer = spark.read.parquet(s"$dir/customer.parquet")
+    drain(spark,
+      enrichedSegmentCounts(eventsStream(spark, dir, globFilter), customer))
+  }
+
   /** Streaming rate limiter: admit at most `maxPerMin` events per
     * (user, minute), the stateful-streaming twin of
     * [[graft.ops.Events.qRateLimit]]. State is one admission counter per

@@ -350,6 +350,21 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("drained stream-static enrichment equals the batch join") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.drainEnrich(spark, sfDir, "events.parquet")
+      .orderBy("segment").collect().toSeq
+    val t = Tables(spark, sfDir)
+    val batch = t.events
+      .join(t.customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .orderBy("segment").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("dedupWithinWatermark drops duplicate event ids") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
