@@ -92,12 +92,18 @@ object BandRangeJoin extends Rule[LogicalPlan] {
     * days-since-epoch / K) — floor, not truncation, so pre-1970 values
     * still band correctly.
     */
-  private def bucket(e: Expression, days: Long): Expression =
+  private def bucket(e: Expression, days: Long): Expression = {
+    // timezone-aware source types (TimestampType) need an explicit zone on
+    // the date cast or the expression is unresolved post-analysis
+    val asDate =
+      if (e.dataType == DateType) e
+      else Cast(e, DateType, Some(conf.sessionLocalTimeZone))
     Cast(
       Floor(Divide(
-        Cast(DateDiff(Cast(e, DateType), Literal(0, DateType)), DoubleType),
+        Cast(DateDiff(asDate, Literal(0, DateType)), DoubleType),
         Literal(days.toDouble))),
       LongType)
+  }
 
   /** Find `rd >= ld` and `rd <= ld + INTERVAL k DAYS` conjuncts (either
     * argument order) where `ld`/`rd` are single-side expressions; returns

@@ -131,4 +131,44 @@ class PropertySpec extends SparkSuite {
       assert(math.abs(aa - 1.0) < 1e-12)
     }
   }
+
+  test("property: BandRangeJoin rewrite is result-identical on random windowed joins") {
+    // random (key, date) rows and a random whole-day window; the rule must
+    // fire AND return exactly the naive join's pairs — including boundary
+    // dates landing on bucket edges, clustered keys, and empty matches
+    val rowGen = Gen.listOfN(
+      120,
+      for {
+        k <- Gen.choose(1L, 6L)
+        day <- Gen.choose(0, 200)
+        id <- Gen.choose(0L, 99999L)
+      } yield (k, java.sql.Timestamp.valueOf(
+        java.time.LocalDate.of(1995, 1, 1).plusDays(day).atStartOfDay()), id))
+    for (seed <- 1L to 4L) {
+      val rows = sample(rowGen, seed).distinct
+      val windowDays = 1 + (seed % 45).toInt
+      val df = rows.toDF("k", "d", "id").repartition(5)
+      def joined() = {
+        val a = df.select(col("k"), col("d").as("d1"), col("id").as("i1"))
+        val b = df.select(col("k").as("k2"), col("d").as("d2"),
+          col("id").as("i2"))
+        a.join(b,
+          col("k") === col("k2") && col("i1") < col("i2") &&
+            col("d2") >= col("d1") &&
+            col("d2") <= col("d1") + expr(s"INTERVAL $windowDays DAYS"))
+          .select("i1", "i2")
+      }
+      val plan = joined().queryExecution.optimizedPlan.toString
+      assert(plan.contains("graft_band_bucket"), s"seed=$seed: rule did not fire")
+      val got = joined().as[(Long, Long)].collect().toSet
+      val want = (for {
+        (k1, d1, i1) <- rows
+        (k2, d2, i2) <- rows
+        if k1 == k2 && i1 < i2 && !d2.before(d1) &&
+          !d2.after(java.sql.Timestamp.valueOf(
+            d1.toLocalDateTime.plusDays(windowDays)))
+      } yield (i1, i2)).toSet
+      assert(got == want, s"seed=$seed window=$windowDays")
+    }
+  }
 }
