@@ -137,6 +137,8 @@ object SparkEntry {
     "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
+    "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
+    "q_fulfillment_latency" -> q(Analytics.qFulfillmentLatency),
     "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
     "q_charset_stats" -> q(TextAnalysis.qCharsetStats),
     "q_incr_agg" -> q(Analytics.qIncrAgg),
@@ -1357,6 +1359,54 @@ object SparkEntry {
            JOIN nr nb ON nb.label = b.label
          GROUP BY a.label, b.label, na.n2, nb.n2
          ORDER BY label_a, label_b""",
+    // identical pair derivation to q_ngram_jaccard's oracle, then the
+    // threshold lattice joins against the pair list
+    "q_dedup_threshold_curve" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         dw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM docs),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+         hot AS (SELECT d.lang, d.word
+           FROM (SELECT lang, word, COUNT(*) AS df FROM dw0 GROUP BY 1, 2) d
+           JOIN nd ON d.lang = nd.lang WHERE d.df > nd.n_docs * 0.5),
+         dw AS (SELECT * FROM dw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = dw0.lang AND hot.word = dw0.word)),
+         sized AS (SELECT doc_id, lang, CAST(COUNT(*) AS DOUBLE) AS nw
+           FROM dw GROUP BY 1, 2),
+         dwn AS (SELECT dw.doc_id, dw.lang, dw.word, sized.nw
+           FROM dw JOIN sized ON dw.doc_id = sized.doc_id AND dw.lang = sized.lang),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
+             COUNT(*) AS inter
+           FROM dwn a JOIN dwn b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         jac AS (SELECT id1, id2,
+             CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+           FROM j WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+         th AS (SELECT unnest([0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS threshold)
+         SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT id2) AS BIGINT) AS n_docs_removed
+         FROM jac JOIN th ON jaccard >= threshold
+         GROUP BY threshold ORDER BY threshold""",
+    "q_fulfillment_latency" ->
+      """WITH per_order AS (
+           SELECT l_orderkey,
+             MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+             MAX(CAST(l_shipdate AS DATE)) AS last_ship
+           FROM lineitem GROUP BY l_orderkey)
+         SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           quantile_cont(first_ship - CAST(o_orderdate AS DATE), 0.5)
+             AS p50_first_ship_days,
+           quantile_cont(first_ship - CAST(o_orderdate AS DATE), 0.95)
+             AS p95_first_ship_days,
+           quantile_cont(last_ship - CAST(o_orderdate AS DATE), 0.95)
+             AS p95_last_ship_days,
+           CAST(MAX(last_ship - CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS max_days
+         FROM orders JOIN per_order ON o_orderkey = l_orderkey
+         GROUP BY o_orderpriority ORDER BY priority""",
     "q_rolling_median" ->
       """WITH daily AS (
            SELECT r_name, CAST(o_orderdate AS DATE) AS day,

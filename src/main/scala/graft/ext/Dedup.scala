@@ -366,6 +366,27 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Dedup threshold tuning curve: how many candidate pairs (and how many
+    * distinct documents) a jaccard cutoff would remove, per threshold step
+    * — the dial a pipeline operator actually turns. One pass over the
+    * exact-jaccard pair list (already linear via the df-guarded join);
+    * each threshold row is a conditional aggregate, so the whole curve is
+    * a single grouped scan of the pair frame, not one job per threshold.
+    */
+  def qDedupThresholdCurve(t: Tables): DataFrame = {
+    val pairs = ngramJaccardPairs(t, maxDfFrac = 0.5)
+    val steps = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    pairs
+      .select(col("jaccard"), col("id2"),
+        explode(array(steps.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("id2")).as("n_docs_removed"))
+      .orderBy("threshold")
+  }
+
   /** Cross-source contamination: pairs of sources sharing documents with
     * the same word-set fingerprint (TextAnalysis.fingerprint — sorted
     * distinct words, so trivial re-orderings still collide), with the

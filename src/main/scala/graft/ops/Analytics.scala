@@ -937,6 +937,37 @@ object Analytics {
       .orderBy("r_name")
   }
 
+  /** Order-fulfillment latency: days from order placement to FIRST and
+    * LAST line-item shipment, distributed as exact percentiles per order
+    * priority — the accumulating-snapshot metric a fulfillment dashboard
+    * tracks. The fact table collapses to one row per order (min/max
+    * shipdate) in a single hash aggregate before the percentile pass;
+    * latencies are exact integer day counts.
+    */
+  def qFulfillmentLatency(t: Tables): DataFrame = {
+    val perOrder = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        min(to_date(col("l_shipdate"))).as("first_ship"),
+        max(to_date(col("l_shipdate"))).as("last_ship"))
+    t.orders
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+      .select(
+        col("o_orderpriority").as("priority"),
+        datediff(col("first_ship"), to_date(col("o_orderdate")))
+          .cast("long").as("d_first"),
+        datediff(col("last_ship"), to_date(col("o_orderdate")))
+          .cast("long").as("d_last"))
+      .groupBy("priority")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        percentile(col("d_first"), lit(0.5)).as("p50_first_ship_days"),
+        percentile(col("d_first"), lit(0.95)).as("p95_first_ship_days"),
+        percentile(col("d_last"), lit(0.95)).as("p95_last_ship_days"),
+        max(col("d_last")).as("max_days"))
+      .orderBy("priority")
+  }
+
   /** Rolling 7-day median of daily revenue per region — the robust
     * smoother for noisy series (a rolling MEAN follows spikes; the median
     * ignores them). Exact `percentile` runs as a WINDOW aggregate over a
