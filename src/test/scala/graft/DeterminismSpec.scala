@@ -48,7 +48,10 @@ class DeterminismSpec extends SparkSuite {
     "q_assoc_rules",      // integer-ratio measures + tie-broken top-k
     "q_forecast_backtest", // rounded-decimal MAPE means
     "q_embed_outliers",   // rounded-decimal top-k means, isolation order
-    "q_rolling_median")   // windowed exact percentile over decimal series
+    "q_rolling_median",   // windowed exact percentile over decimal series
+    "q_dedup_threshold_curve", // threshold lattice over the exact pair list
+    "q_fulfillment_latency",   // exact integer-day percentiles
+    "q_range_join_auto")  // optimizer-banded join, order-free counts
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
