@@ -51,8 +51,16 @@ object BandRangeJoin extends Rule[LogicalPlan] {
             !alreadyBanded(left) =>
         matchWindow(cond, left, right) match {
           case Some((ld, rd, days)) =>
-            val bandL = bucket(ld, days)
-            val bandR = bucket(rd, days)
+            // band width K+1, not K: under a DST-observing session zone a
+            // K-day interval on TIMESTAMP (LTZ) can span K calendar days
+            // PLUS the shifted hour, and the two-bucket invariant
+            // (bucket(rd) ∈ {bucket(ld), bucket(ld)+1}) only holds while
+            // the window never exceeds the band width. One extra day of
+            // width costs a sliver of join selectivity and is immune to
+            // any sub-day slack. (This engine pins UTC, but the rule must
+            // hold for library users under any session zone.)
+            val bandL = bucket(ld, days + 1)
+            val bandR = bucket(rd, days + 1)
             val bbAttr = AttributeReference(
               s"${BandName}_l", LongType, nullable = true)()
             val leftG = Generate(
