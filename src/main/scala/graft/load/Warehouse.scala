@@ -137,10 +137,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
     val old = new org.apache.hadoop.fs.Path(path(tableName) + "__old")
     val bytes = fs.getContentSummary(dst).getLength
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val df = table(tableName).repartition(nFiles)
+    val df = table(tableName)
+    // with a sort family, range-partition FIRST: each output file then
+    // holds a disjoint key range (global clustering), so min/max row-group
+    // stats prune whole FILES, not just row groups inside them — a
+    // round-robin repartition would scatter every key range across every
+    // file and leave the per-file stats useless
     val sorted =
-      if (sortCols.isEmpty) df
-      else df.sortWithinPartitions(sortCols.map(col): _*)
+      if (sortCols.isEmpty) df.repartition(nFiles)
+      else df.repartitionByRange(nFiles, sortCols.map(col): _*)
+        .sortWithinPartitions(sortCols.map(col): _*)
     sorted.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     swapInto(fs, dst, tmp, old)
   }

@@ -1007,9 +1007,14 @@ object Analytics {
     * pair frame.
     */
   def qAssocRules(t: Tables, k: Int = 20): DataFrame = {
+    // the distinct basket-item frame feeds FOUR consumers (item counts,
+    // basket total, both self-join sides); checkpoint it once or the
+    // scan + distinct shuffle re-executes per consumer (same lifecycle as
+    // Dedup.minhashPairs: materialize the small output, free the input)
     val items = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
+      .localCheckpoint()
     val itemN = items.groupBy("pk").agg(count(lit(1)).as("nItem"))
     val total = items.select(countDistinct(col("okey")).as("nBaskets"))
     val pairs = items.as("a")
@@ -1017,7 +1022,7 @@ object Analytics {
         col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
       .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
       .agg(count(lit(1)).as("n_both"))
-    pairs
+    val out = pairs
       .join(broadcast(itemN.toDF("p1", "n1")), "p1")
       .join(broadcast(itemN.toDF("p2", "n2")), "p2")
       .crossJoin(broadcast(total))
@@ -1029,6 +1034,9 @@ object Analytics {
           (col("n1") * col("n2")).cast("double")).as("lift"))
       .orderBy(col("lift").desc, col("p1"), col("p2"))
       .limit(k)
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(items)
+    out
   }
 
   /** Incremental aggregate maintenance: a materialized monthly revenue

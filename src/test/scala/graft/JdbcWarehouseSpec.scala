@@ -93,12 +93,19 @@ class JdbcWarehouseSpec extends SparkSuite {
     // no staging dirs left behind by the swap
     val left = new java.io.File(root).list().toSet
     assert(!left.exists(n => n.contains("__tmp") || n.contains("__old")), left)
-    // each output file is internally sorted by the cluster column
-    new java.io.File(wh.path("t")).listFiles()
-      .filter(_.getName.endsWith(".parquet")).foreach { f =>
+    // each output file is internally sorted by the cluster column AND the
+    // files hold disjoint key ranges (repartitionByRange -> file-level
+    // min/max pruning)
+    val ranges = new java.io.File(wh.path("t")).listFiles()
+      .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { f =>
         val ids = spark.read.parquet(f.getAbsolutePath)
           .select("id").as[Long].collect().toSeq
         assert(ids == ids.sorted, s"file ${f.getName} not sorted")
+        if (ids.isEmpty) None else Some((ids.head, ids.last))
       }
+    ranges.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, "file key ranges overlap")
+      case _ => ()
+    }
   }
 }
