@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.load.Warehouse
-import graft.ops.{Analytics, Events, Relational, Skew, Stats}
+import graft.ops.{Analytics, Events, Relational, Skew, Stats, TpchSql}
 import graft.orchestrate.Orchestrator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -92,6 +92,15 @@ object SparkEntry {
     "q_bloom_prefilter" -> ((spark, dir) =>
       Analytics.qBloomPrefilter(spark, Tables(spark, dir))),
     "q_sql_q5" -> ((spark, dir) => Analytics.qSqlQ5(spark, Tables(spark, dir))),
+    "q_sql_q1" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q1)),
+    "q_sql_q4" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q4)),
+    "q_sql_q7" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q7)),
+    "q_sql_q8" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q8)),
+    "q_sql_q12" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q12)),
+    "q_sql_q13" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q13)),
+    "q_sql_q15" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q15)),
+    "q_sql_q17" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q17)),
+    "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2401,5 +2410,8 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, chunk_off,
            least(64, byte_len - chunk_off) AS chunk_len, byte_len
-         FROM c ORDER BY doc_id, chunk_off""")
+         FROM c ORDER BY doc_id, chunk_off""") ++
+    // The TPC-H sweep texts are dual-dialect (same string runs in Spark SQL
+    // and DuckDB), so the oracle IS the registered query — no drift possible.
+    TpchSql.all
 }

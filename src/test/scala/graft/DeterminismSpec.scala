@@ -51,7 +51,10 @@ class DeterminismSpec extends SparkSuite {
     "q_rolling_median",   // windowed exact percentile over decimal series
     "q_dedup_threshold_curve", // threshold lattice over the exact pair list
     "q_fulfillment_latency",   // exact integer-day percentiles
-    "q_range_join_auto")  // optimizer-banded join, order-free counts
+    "q_range_join_auto",  // optimizer-banded join, order-free counts
+    "q_sql_q1",           // exact decimal factor products, double surfacing
+    "q_sql_q8",           // conditional decimal share over a 7-join tree
+    "q_sql_q17")          // correlated scalar subquery, decimal avg ratio
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
