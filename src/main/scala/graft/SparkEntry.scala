@@ -2,7 +2,7 @@ package graft
 
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.load.Warehouse
-import graft.ops.{Analytics, Events, Relational, Skew, Stats, TpchSql}
+import graft.ops.{Analytics, Events, Graph, Relational, Skew, Stats, TpchSql}
 import graft.orchestrate.Orchestrator
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -101,6 +101,12 @@ object SparkEntry {
     "q_sql_q15" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q15)),
     "q_sql_q17" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q17)),
     "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
+    "q_pareto_front" -> q(Analytics.qParetoFront),
+    "q_window_distinct" -> q(Analytics.qWindowDistinct),
+    "q_welch_ttest" -> q(Stats.qWelchTtest),
+    "q_jackknife_ci" -> q(Stats.qJackknifeCi),
+    "q_pagerank" -> q(Graph.qPagerank(_)),
+    "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2410,7 +2416,134 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, chunk_off,
            least(64, byte_len - chunk_off) AS chunk_len, byte_len
-         FROM c ORDER BY doc_id, chunk_off""") ++
+         FROM c ORDER BY doc_id, chunk_off""",
+    // skyline stated as the quadratic NOT-EXISTS definition — a different
+    // algorithm than the engine's two-window pass, same exact answer
+    "q_pareto_front" ->
+      """WITH p AS (SELECT l_partkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS tot_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS unit_price
+           FROM lineitem GROUP BY 1)
+         SELECT p.l_partkey, p.unit_price, p.tot_qty FROM p
+         WHERE NOT EXISTS (SELECT 1 FROM p q
+           WHERE q.unit_price <= p.unit_price AND q.tot_qty >= p.tot_qty
+             AND (q.unit_price < p.unit_price OR q.tot_qty > p.tot_qty))
+         ORDER BY p.l_partkey""",
+    // direct range self-join; the engine's explode-to-covering-days rewrite
+    // must agree exactly
+    "q_window_distinct" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS d, o_custkey
+             FROM orders),
+         days AS (SELECT DISTINCT d FROM o)
+         SELECT strftime(days.d, '%Y-%m-%d') AS window_end,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_customers
+         FROM days JOIN o ON o.d BETWEEN days.d - 6 AND days.d
+         GROUP BY days.d ORDER BY 1""",
+    "q_welch_ttest" ->
+      """WITH m AS (SELECT
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+           CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sx_o,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sx_f,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4)))
+             FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS sxx_o,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(30,4)))
+             FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS sxx_f
+           FROM orders),
+         v AS (SELECT n_o, n_f,
+           sx_o / n_o AS mean_o, sx_f / n_f AS mean_f,
+           (sxx_o - sx_o * sx_o / n_o) / (n_o - 1) AS v_o,
+           (sxx_f - sx_f * sx_f / n_f) / (n_f - 1) AS v_f FROM m)
+         SELECT n_o, n_f, mean_o, mean_f,
+           round((mean_o - mean_f) / sqrt(v_o / n_o + v_f / n_f), 6) AS t_stat,
+           round(pow(v_o / n_o + v_f / n_f, 2) /
+             (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
+             4) AS df_welch
+         FROM v""",
+    // list(... ORDER BY bucket) + list_sum = the same sequential fold as
+    // the engine's sorted-array aggregate — double sum order pinned on
+    // both sides
+    "q_jackknife_ci" ->
+      """WITH b AS (SELECT o_orderkey % 10 AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sb FROM orders
+           GROUP BY 1),
+         tot AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, SUM(sb) AS s FROM b),
+         th AS (SELECT b.bucket,
+             CAST(tot.s - b.sb AS DOUBLE) / CAST(tot.n - b.nb AS DOUBLE)
+               AS theta FROM b, tot),
+         f AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb2,
+             list_sum(list(theta ORDER BY bucket)) AS sum_t,
+             list_sum(list(theta * theta ORDER BY bucket)) AS sum_t2
+           FROM th),
+         g AS (SELECT
+             (SELECT CAST(s AS DOUBLE) / n FROM tot) AS mean_price,
+             round(sqrt(((nb2 - 1) / CAST(nb2 AS DOUBLE)) *
+               (sum_t2 - sum_t * sum_t / nb2)), 6) AS se_jack FROM f)
+         SELECT mean_price, se_jack,
+           round(mean_price - 1.96 * se_jack, 4) AS ci_lo,
+           round(mean_price + 1.96 * se_jack, 4) AS ci_hi FROM g""",
+    // three PageRank rounds unrolled as chained CTEs; integer micro-unit
+    // arithmetic makes the iterative engine loop and this closed form
+    // value-identical
+    "q_pagerank" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+         r0 AS (SELECT src AS node, 1000000000 // n AS r FROM deg, nn),
+         s1 AS (SELECT e.dst AS node,
+             150000000 // nn.n + SUM((r.r * 85) // (100 * d.d)) AS r
+           FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+           GROUP BY e.dst, nn.n),
+         s2 AS (SELECT e.dst AS node,
+             150000000 // nn.n + SUM((r.r * 85) // (100 * d.d)) AS r
+           FROM e JOIN s1 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+           GROUP BY e.dst, nn.n),
+         s3 AS (SELECT e.dst AS node,
+             150000000 // nn.n + SUM((r.r * 85) // (100 * d.d)) AS r
+           FROM e JOIN s2 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
+           GROUP BY e.dst, nn.n)
+         SELECT node AS part, CAST(r AS BIGINT) AS rank FROM s3
+         ORDER BY part""",
+    // repeated 8-gram spans: same tokenization/gram construction as the
+    // n-gram oracles; islands via the identical running-max window
+    "q_dup_spans" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id, i - 1 AS s,
+             array_to_string(w[i:i+7], ' ') AS gram
+           FROM d, unnest(range(1, greatest(len(w) - 8, -1) + 2)) AS u(i)),
+         shared AS (SELECT gram FROM g GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) > 1),
+         ds AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g
+           JOIN shared USING (gram)),
+         brk AS (SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -9223372036854775808) + 1 THEN 1 ELSE 0 END AS b
+           FROM ds),
+         isl AS (SELECT doc_id, s, e,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY s) AS island
+           FROM brk),
+         sp AS (SELECT doc_id, island, MAX(e) - MIN(s) + 1 AS span_len
+           FROM isl GROUP BY doc_id, island),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens FROM sp
+           GROUP BY doc_id)
+         SELECT d.doc_id,
+           COALESCE(agg.n_spans, 0) AS n_spans,
+           COALESCE(agg.dup_tokens, 0) AS dup_tokens,
+           CAST(len(d.w) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(agg.dup_tokens, 0) AS DOUBLE) / len(d.w)
+             AS dup_ratio
+         FROM d LEFT JOIN agg USING (doc_id)
+         ORDER BY d.doc_id""") ++
     // The TPC-H sweep texts are dual-dialect (same string runs in Spark SQL
     // and DuckDB), so the oracle IS the registered query — no drift possible.
     TpchSql.all

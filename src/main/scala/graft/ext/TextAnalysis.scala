@@ -634,4 +634,55 @@ object TextAnalysis {
           .as("psi"))
       .orderBy("source")
   }
+
+  /** Exact repeated-span detection (the exact-substring dedup shape used by
+    * RefinedWeb/CCNet-style pipelines): a word `n`-gram that occurs in more
+    * than one document marks its `n` covering token positions as
+    * duplicated; overlapping/adjacent marked ranges merge into spans
+    * (gaps-and-islands via ONE window per doc — island starts where the
+    * gram start passes the running max covered end). Output per document:
+    * span count, duplicated-token total, and the duplicated-token ratio —
+    * the quantity a span-removal rewrite step would be driven by.
+    *
+    * Scale shape: gram strings shuffle once for the cross-doc frequency
+    * count and once (id, start) for the join-back; at 100 TB the gram key
+    * would be `shingle_hashes`' int64 (same plan, 8-byte keys) — kept as
+    * strings here so the DuckDB oracle can reproduce the key exactly.
+    */
+  def qDupSpans(t: Tables, n: Int = 8): DataFrame = {
+    val docs = graft.Engine.spread(t.documents)
+    val grams = docs.select(col("doc_id"),
+      posexplode(Dedup.shingles(col("text"), n)).as(Seq("start", "g")))
+    // grams seen in >1 distinct doc; the aggregate is the only place gram
+    // strings cross an exchange keyed by text
+    val shared = grams.groupBy("g")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1)
+      .select("g")
+    val w = Window.partitionBy("doc_id").orderBy("start")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("doc_id").orderBy("start")
+    val spans = grams.join(shared, "g")
+      .select(col("doc_id"), col("start"),
+        (col("start") + lit(n - 1)).as("end"))
+      .withColumn("island",
+        sum(when(col("start") >
+            coalesce(max("end").over(w), lit(Long.MinValue)) + 1, 1L)
+          .otherwise(0L)).over(wRun))
+      .groupBy("doc_id", "island")
+      .agg((max("end") - min("start") + 1).as("span_len"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum("span_len").as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(Dedup.words(col("text"))).cast("long").as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
 }

@@ -1108,4 +1108,55 @@ object Analytics {
           .cast("double").as("net_price_delta"))
       .orderBy("change_type")
   }
+
+  /** Pareto frontier (2-D skyline) over parts: maximize total quantity
+    * sold, minimize realized unit price. Instead of the quadratic
+    * NOT-EXISTS self-join, the skyline falls out of TWO window passes over
+    * the aggregated (one row per part) frame: a part is dominated iff a
+    * strictly cheaper part sold at least as much (running max over the
+    * price-ordered frame, prior price groups only) or an equally-priced
+    * part sold strictly more (per-price-group max). The oracle states the
+    * quadratic NOT-EXISTS definition directly — two different algorithms,
+    * hash-identical answers. The unpartitioned window sorts one row per
+    * part (dimension-sized, not fact-sized).
+    */
+  def qParetoFront(t: Tables): DataFrame = {
+    val per = t.lineitem.groupBy(col("l_partkey"))
+      .agg(dsum(col("l_quantity")).as("tot_qty"),
+        (dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
+          .as("unit_price"))
+    val byPrice = per.groupBy("unit_price")
+      .agg(max("tot_qty").as("gq"))
+      .withColumn("m_lt", max("gq").over(
+        Window.orderBy("unit_price")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    per.join(byPrice, "unit_price")
+      .filter(col("tot_qty") > coalesce(col("m_lt"),
+          lit(Double.NegativeInfinity)) &&
+        !(col("gq") > col("tot_qty")))
+      .select(col("l_partkey"), col("unit_price"), col("tot_qty"))
+      .orderBy("l_partkey")
+  }
+
+  /** Rolling 7-day distinct-customer count per active order date. COUNT
+    * DISTINCT over a sliding window has no window-function form; the scale
+    * shape is the explode-to-covering-days rewrite — each order row lands
+    * in the <=7 window-end days it can influence (bounded 7x fan-out,
+    * map-only), then ONE exact distinct aggregation per (day, custkey)
+    * pair. The oracle states it as the direct range self-join. Only days
+    * that actually have orders are reported.
+    */
+  def qWindowDistinct(t: Tables): DataFrame = {
+    val o = t.orders.select(
+      to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+    val active = o.select(col("d").as("window_end")).distinct()
+    o.withColumn("window_end",
+        explode(sequence(col("d"), date_add(col("d"), 6))))
+      .join(active, "window_end")
+      .groupBy("window_end")
+      .agg(countDistinct("o_custkey").as("n_customers"))
+      .select(date_format(col("window_end"), "yyyy-MM-dd").as("window_end"),
+        col("n_customers"))
+      .orderBy("window_end")
+  }
 }

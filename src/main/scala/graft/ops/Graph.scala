@@ -1,0 +1,83 @@
+package graft.ops
+
+import graft.Tables
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relationship structures derived from the relational
+  * tables (here: the part co-purchase graph — parts are connected when they
+  * appear in the same order).
+  *
+  * Iterative algorithms follow the same driver-orchestrated loop shape as
+  * [[graft.ext.Dedup.connectedComponents]]: the edge set is materialized
+  * once (`localCheckpoint` — at cluster scale a real checkpoint), each
+  * round is ONE join + ONE aggregation, and only scalar convergence
+  * metadata ever reaches the driver. Rank state is a (node, rank) frame —
+  * linear in nodes, never in edges.
+  *
+  * Numerics: ranks are kept in integer MICRO-UNITS (1e9 = total mass 1.0)
+  * and every per-edge contribution is an integer floor division
+  * (`(r * 85) div (100 * deg)`). Integer sums are order-free, so the
+  * result is bit-identical across partitionings AND across engines — a
+  * float PageRank could not be hash-matched against an external oracle
+  * because contribution-sum order differs.
+  */
+object Graph {
+
+  /** Directed co-purchase edges (src part -> dst part, both directions),
+    * deduplicated; fan-out per order is bounded by lines-per-order squared
+    * (~16 at TPC-H shape), so the self-join never explodes.
+    */
+  private def coPurchaseEdges(t: Tables): DataFrame = {
+    val li = t.lineitem.select(
+      col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    li.as("a").join(li.as("b"), "ok")
+      .filter(col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+  }
+
+  /** PageRank (damping 0.85, fixed `iters` rounds) over the co-purchase
+    * graph, in exact integer micro-units. Nodes are parts with at least one
+    * co-purchase edge (the graph is symmetric, so every node has in- and
+    * out-degree >= 1 and the per-round join loses nobody). The oracle
+    * unrolls the same three rounds as chained CTEs — integer arithmetic
+    * makes the two formulations value-identical, not just approximately
+    * close.
+    */
+  def qPagerank(t: Tables, iters: Int = 3): DataFrame = {
+    val edges = coPurchaseEdges(t)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) is the loop-invariant side: materialize once, reuse
+    // every round — the co-purchase self-join must not re-run per iteration
+    val edgesD = edges.join(deg, "src").localCheckpoint()
+    try {
+      val nNodes = deg.count() // driver scalar: node count only
+      val base = 150000000L / nNodes // (1 - d) * 1e9 / N, floored once
+      // the initial rank frame is checkpointed too: the free-previous walk
+      // unpersists every LogicalRDD in the freed frame's plan, so frames
+      // entering the prev-chain must be self-contained — a lazy frame here
+      // would drag edgesD's checkpoint down with it on round 2
+      var ranks = edgesD.select(col("src").as("node")).distinct()
+        .withColumn("r", lit(1000000000L / nNodes))
+        .localCheckpoint()
+      var prev: DataFrame = null
+      for (_ <- 1 to iters) {
+        val next = edgesD
+          .join(ranks, col("src") === col("node"))
+          .select(col("dst"),
+            expr("(r * 85) div (100 * deg)").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg((sum("c") + lit(base)).as("r"))
+          .localCheckpoint()
+        if (prev != null) graft.Engine.freeCheckpoint(prev)
+        prev = ranks
+        ranks = next
+      }
+      if (prev != null) graft.Engine.freeCheckpoint(prev)
+      ranks.select(col("node").as("part"), col("r").as("rank"))
+        .orderBy("part")
+    } finally graft.Engine.freeCheckpoint(edgesD)
+  }
+}

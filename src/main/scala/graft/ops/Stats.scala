@@ -567,4 +567,81 @@ object Stats {
           .as("mode_share"))
       .orderBy("status", "yr")
   }
+
+  /** Welch's two-sample t-test (unequal variances) between open ('O') and
+    * fulfilled ('F') order totals: one conditional-aggregation pass
+    * collects both groups' exact decimal moments (n, sum, sum-of-squares),
+    * then the t statistic and Welch–Satterthwaite df are a fixed sequence
+    * of double ops over those exact inputs. Means surface unrounded (exact
+    * division); t/df are composite multiply-subtract chains, rounded at
+    * 1e-6 — far above the cross-engine ulp drift, far below any scale the
+    * values could terminate at.
+    */
+  def qWelchTtest(t: Tables): DataFrame = {
+    def side(status: String, tag: String) = Seq(
+      count(when(col("o_orderstatus") === status, 1)).as(s"n_$tag"),
+      sum(when(col("o_orderstatus") === status,
+        col("o_totalprice").cast(DecimalType(18, 2)))).cast("double")
+        .as(s"sx_$tag"),
+      sum(when(col("o_orderstatus") === status,
+        (col("o_totalprice") * col("o_totalprice")).cast(DecimalType(30, 4))))
+        .cast("double").as(s"sxx_$tag"))
+    val aggs = side("O", "o") ++ side("F", "f")
+    val m = t.orders.agg(aggs.head, aggs.tail: _*)
+    def mean(tag: String) =
+      col(s"sx_$tag") / col(s"n_$tag").cast("double")
+    def varc(tag: String) =
+      (col(s"sxx_$tag") - col(s"sx_$tag") * col(s"sx_$tag") /
+        col(s"n_$tag").cast("double")) / (col(s"n_$tag") - 1).cast("double")
+    m.select(col("n_o"), col("n_f"),
+        mean("o").as("mean_o"), mean("f").as("mean_f"),
+        varc("o").as("v_o"), varc("f").as("v_f"))
+      .select(col("n_o"), col("n_f"), col("mean_o"), col("mean_f"),
+        round((col("mean_o") - col("mean_f")) /
+          sqrt(col("v_o") / col("n_o") + col("v_f") / col("n_f")), 6)
+          .as("t_stat"),
+        round(
+          pow(col("v_o") / col("n_o") + col("v_f") / col("n_f"), 2) /
+            (pow(col("v_o") / col("n_o"), 2) / (col("n_o") - 1) +
+             pow(col("v_f") / col("n_f"), 2) / (col("n_f") - 1)), 4)
+          .as("df_welch"))
+  }
+
+  /** Delete-a-group jackknife standard error of the mean order total:
+    * 10 deterministic buckets (`o_orderkey mod 10`), leave-one-bucket-out
+    * means from exact decimal sums, and a SEQUENTIAL fold (sorted array +
+    * `aggregate`, mirroring DuckDB's order-preserving `list_sum`) for the
+    * sums of theta and theta² — a plain double SUM would be aggregation-
+    * order-dependent and could not hash-match. SE and the CI bounds are
+    * composite chains, rounded at 1e-6/1e-4.
+    */
+  def qJackknifeCi(t: Tables): DataFrame = {
+    val b = t.orders
+      .groupBy(pmod(col("o_orderkey"), lit(10)).as("bucket"))
+      .agg(count(lit(1)).as("nb"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).as("sb"))
+    val tot = b.agg(sum("nb").as("n"), sum("sb").as("s"))
+    val thetas = b.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("s"),
+        ((col("s") - col("sb")).cast("double") /
+          (col("n") - col("nb")).cast("double")).as("theta"))
+      .groupBy("n", "s")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("theta"))))
+        .as("ts"))
+      .select(col("n"), col("s"),
+        size(col("ts")).as("nb2"),
+        aggregate(col("ts"), lit(0.0), (acc, x) => acc + x("theta"))
+          .as("sum_t"),
+        aggregate(col("ts"), lit(0.0),
+          (acc, x) => acc + x("theta") * x("theta")).as("sum_t2"))
+    thetas.select(
+        (col("s").cast("double") / col("n").cast("double")).as("mean_price"),
+        round(sqrt(
+          ((col("nb2") - 1).cast("double") / col("nb2").cast("double")) *
+            (col("sum_t2") - col("sum_t") * col("sum_t") /
+              col("nb2").cast("double"))), 6).as("se_jack"))
+      .select(col("mean_price"), col("se_jack"),
+        round(col("mean_price") - lit(1.96) * col("se_jack"), 4).as("ci_lo"),
+        round(col("mean_price") + lit(1.96) * col("se_jack"), 4).as("ci_hi"))
+  }
 }

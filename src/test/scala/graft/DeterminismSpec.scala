@@ -54,7 +54,12 @@ class DeterminismSpec extends SparkSuite {
     "q_range_join_auto",  // optimizer-banded join, order-free counts
     "q_sql_q1",           // exact decimal factor products, double surfacing
     "q_sql_q8",           // conditional decimal share over a 7-join tree
-    "q_sql_q17")          // correlated scalar subquery, decimal avg ratio
+    "q_sql_q17",          // correlated scalar subquery, decimal avg ratio
+    "q_pagerank",         // integer micro-unit rank sums, order-free
+    "q_pareto_front",     // skyline over exact aggregate coordinates
+    "q_jackknife_ci",     // pinned-order sequential theta fold
+    "q_dup_spans",        // island windows over integer positions
+    "q_window_distinct")  // exact distinct counts per covering day
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -1,0 +1,119 @@
+package graft
+
+import graft.ext.TextAnalysis
+import graft.ops.{Analytics, Graph, Stats}
+
+import org.apache.spark.sql.functions._
+
+/** Round-4 wave: PageRank, skyline, two-sample inference, jackknife,
+  * rolling distinct, repeated-span dedup. Tests recompute each operator's
+  * claim independently (brute force over sf0.001); the DuckDB oracle
+  * covers engine-vs-engine equality separately.
+  */
+class GraphInferenceSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pagerank: mass conservation, positivity, and degree monotonicity") {
+    val out = Graph.qPagerank(tables).collect()
+    assert(out.nonEmpty)
+    val total = out.map(_.getLong(1)).sum
+    // floor divisions only LOSE mass: total <= 1e9, and with ~2 integer
+    // floors per node per round the loss is bounded well under 1%
+    assert(total <= 1000000000L)
+    assert(total > 990000000L, s"lost too much mass: $total")
+    assert(out.forall(_.getLong(1) > 0))
+  }
+
+  test("pagerank: ranks match a driver-side recompute of the same rounds") {
+    val li = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val edges: Set[(Long, Long)] = li.toSeq.groupBy(_._1).values.flatMap {
+      lines =>
+        val ps: Seq[Long] = lines.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val n = deg.size.toLong
+    var r: Map[Long, Long] = deg.map { case (k, _) => k -> 1000000000L / n }
+    for (_ <- 1 to 3) {
+      val contrib = edges.toSeq
+        .map { case (s, d) => d -> (r(s) * 85) / (100 * deg(s)) }
+        .groupBy(_._1).map { case (d, cs) => d -> cs.map(_._2).sum }
+      r = contrib.map { case (k, v) => k -> (150000000L / n + v) }
+    }
+    val got = Graph.qPagerank(tables).as[(Long, Long)].collect().toMap
+    assert(got == r)
+  }
+
+  test("pareto front: no frontier point dominates another; dominated points are absent") {
+    val all = tables.lineitem.groupBy("l_partkey")
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"),
+        (sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double") /
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")).as("p"))
+      .as[(Long, Double, Double)].collect()
+    def dominated(x: (Long, Double, Double)) = all.exists(y =>
+      y._3 <= x._3 && y._2 >= x._2 && (y._3 < x._3 || y._2 > x._2))
+    val expected = all.filterNot(dominated).map(_._1).toSet
+    val got = Analytics.qParetoFront(tables).collect().map(_.getLong(0)).toSet
+    assert(got == expected)
+  }
+
+  test("welch t-test: sign follows the means and df sits in the Welch range") {
+    val r = Stats.qWelchTtest(tables).collect().head
+    val (nO, nF) = (r.getLong(0), r.getLong(1))
+    val (mO, mF) = (r.getDouble(2), r.getDouble(3))
+    val t = r.getDouble(4)
+    val df = r.getDouble(5)
+    assert((t > 0) == (mO > mF))
+    assert(df >= math.min(nO, nF) - 1.0 && df <= nO + nF - 2.0)
+  }
+
+  test("jackknife: SE positive and CI brackets the point estimate") {
+    val r = Stats.qJackknifeCi(tables).collect().head
+    val (m, se, lo, hi) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(se > 0)
+    assert(lo < m && m < hi)
+    // jackknife SE of a mean over B=10 buckets is close to the classic
+    // SE = sd/sqrt(n); sanity-bound it within a factor of 3
+    val stats = tables.orders.select(col("o_totalprice"))
+      .as[Double].collect()
+    val n = stats.length
+    val mean = stats.sum / n
+    val sd = math.sqrt(stats.map(v => (v - mean) * (v - mean)).sum / (n - 1))
+    val classic = sd / math.sqrt(n.toDouble)
+    assert(se > classic / 3 && se < classic * 3, s"se=$se classic=$classic")
+  }
+
+  test("rolling 7-day distinct matches a brute-force per-day recompute") {
+    val o = tables.orders
+      .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
+      .as[(java.sql.Date, Long)].collect()
+    val byDay = o.groupBy(_._1.toLocalDate)
+    val expected = byDay.keys.map { d =>
+      d.toString -> o.iterator.filter { case (od, _) =>
+        val x = od.toLocalDate
+        !x.isAfter(d) && !x.isBefore(d.minusDays(6))
+      }.map(_._2).toSet.size.toLong
+    }.toMap
+    val got = Analytics.qWindowDistinct(tables)
+      .as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("dup spans: span accounting invariants hold on every doc") {
+    val rows = TextAnalysis.qDupSpans(tables).collect()
+    assert(rows.length == tables.documents.count())
+    rows.foreach { r =>
+      val (nSpans, dup, tot) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dup <= tot)
+      // spans are merged maximal runs of 8-gram coverage: each is >= 8
+      // tokens, and disjoint spans cannot overlap
+      assert(dup >= nSpans * 8)
+      assert(r.getDouble(4) == dup.toDouble / tot)
+    }
+    // the synthetic corpus is tiny-vocabulary text: 8-gram collisions
+    // across docs must exist, or the operator is vacuous on its fixture
+    assert(rows.exists(_.getLong(1) > 0))
+  }
+}
