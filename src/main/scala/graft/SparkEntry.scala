@@ -101,6 +101,8 @@ object SparkEntry {
     "q_sql_q15" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q15)),
     "q_sql_q17" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q17)),
     "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
+    "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
+    "q_kaplan_meier" -> q(Stats.qKaplanMeier),
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
@@ -2417,6 +2419,55 @@ object SparkEntry {
          SELECT doc_id, chunk_off,
            least(64, byte_len - chunk_off) AS chunk_len, byte_len
          FROM c ORDER BY doc_id, chunk_off""",
+    "q_dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+             range(1, greatest(len(w) - 3, 0) + 2),
+             i -> array_to_string(w[i:i+2], ' '))) AS g
+           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +')
+             AS w FROM documents)),
+         b AS (SELECT doc_id AS id_new, len(g) AS n_new, unnest(g) AS gram
+           FROM d WHERE doc_id % 10 = 0),
+         e AS (SELECT doc_id AS id_old, len(g) AS n_old, unnest(g) AS gram
+           FROM d WHERE doc_id % 10 <> 0),
+         j AS (SELECT id_new, id_old, n_new, n_old,
+             CAST(COUNT(*) AS BIGINT) AS inter
+           FROM e JOIN b USING (gram) GROUP BY 1, 2, 3, 4)
+         SELECT id_new, id_old, inter,
+           CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
+         FROM j
+         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
+         ORDER BY id_new, id_old""",
+    "q_kaplan_meier" ->
+      """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
+             FROM orders),
+         t0 AS (SELECT ck, MIN(d) AS t0 FROM o GROUP BY ck),
+         t1 AS (SELECT o.ck, MIN(o.d) AS t1 FROM o
+           JOIN t0 ON o.ck = t0.ck AND o.d > t0.t0 GROUP BY o.ck),
+         h AS (SELECT MAX(d) AS dmax FROM o),
+         subj AS (SELECT
+             CASE WHEN t1.t1 IS NOT NULL THEN date_diff('day', t0.t0, t1.t1)
+                  ELSE date_diff('day', t0.t0, h.dmax) END AS dur,
+             CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS event
+           FROM t0 LEFT JOIN t1 ON t0.ck = t1.ck, h),
+         byt AS (SELECT dur, CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(event) AS BIGINT) AS n_events FROM subj GROUP BY dur),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM subj),
+         r AS (SELECT dur, n_events, CAST(n_total - COALESCE(SUM(m)
+               OVER (ORDER BY dur
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS n_risk
+           FROM byt, tot),
+         ev AS (SELECT dur, n_risk, n_events,
+             CASE WHEN n_events < n_risk THEN
+               CAST(round(ln(1 - CAST(n_events AS DOUBLE) / n_risk), 12)
+                 AS DECIMAL(18,12)) END AS lnf
+           FROM r WHERE n_events > 0)
+         SELECT dur, n_risk, n_events,
+           CASE WHEN n_events = n_risk THEN 0.0
+                ELSE round(exp(CAST(SUM(lnf) OVER (ORDER BY dur
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)), 6) END AS surv
+         FROM ev ORDER BY dur""",
     // skyline stated as the quadratic NOT-EXISTS definition — a different
     // algorithm than the engine's two-window pass, same exact answer
     "q_pareto_front" ->

@@ -455,4 +455,34 @@ object Dedup {
       .select("id1", "id2", "sim")
       .orderBy("id1", "id2")
   }
+
+  /** Incremental-ingest dedup: an arriving batch (here every 10th doc)
+    * checked against the existing corpus by exact 3-gram-set Jaccard. The
+    * batch side — by construction a small fraction of the corpus — is the
+    * BROADCAST side of the gram join, so the existing corpus computes its
+    * grams map-side and never shuffles; the only exchange is the candidate
+    * (new, old) pair aggregation. This is the nightly-ingest shape: at
+    * 100 TB corpus + 100 GB batch, cost is one corpus scan, not a corpus
+    * self-join (contrast [[qNgramJaccard]], the full pairwise variant).
+    */
+  def qDedupIncremental(
+      t: Tables, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val d = t.documents.select(col("doc_id"),
+      array_distinct(shingles(col("text"), n)).as("g"))
+    val batch = d.filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("id_new"), size(col("g")).as("n_new"),
+        explode(col("g")).as("gram"))
+    val corpus = d.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id").as("id_old"), size(col("g")).as("n_old"),
+        explode(col("g")).as("gram"))
+    corpus.join(broadcast(batch), "gram")
+      .groupBy("id_new", "id_old", "n_new", "n_old")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new").cast("long") + col("n_old") - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("inter"), col("jaccard"))
+      .orderBy("id_new", "id_old")
+  }
 }

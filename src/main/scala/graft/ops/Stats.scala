@@ -644,4 +644,51 @@ object Stats {
         round(col("mean_price") - lit(1.96) * col("se_jack"), 4).as("ci_lo"),
         round(col("mean_price") + lit(1.96) * col("se_jack"), 4).as("ci_hi"))
   }
+
+  /** Kaplan–Meier survival of time-to-repeat-purchase: per customer, the
+    * duration (days) from first order to the first LATER order date, right-
+    * censored at the corpus horizon for one-time customers. First/next are
+    * defined by MIN over dates (not row_number), so same-day order pairs
+    * cannot introduce an engine-dependent tie-break. Risk sets are exact
+    * integer window arithmetic; the survival curve's running product is
+    * exp of an EXACT running decimal sum of per-step ln factors (each
+    * rounded once at 1e-12, far above ulp drift) — a raw double cumulative
+    * sum would depend on the window aggregator's summation tree and could
+    * not hash-match across engines. If the final event exhausts the risk
+    * set, survival is pinned to exactly 0 (ln would diverge).
+    */
+  def qKaplanMeier(t: Tables): DataFrame = {
+    val o = t.orders.select(col("o_custkey").as("ck"),
+      to_date(col("o_orderdate")).as("d"))
+    val t0 = o.groupBy("ck").agg(min("d").as("t0"))
+    val t1 = o.join(t0, "ck").filter(col("d") > col("t0"))
+      .groupBy("ck").agg(min("d").as("t1"))
+    val horizon = o.agg(max("d").as("dmax"))
+    val subj = t0.join(t1, Seq("ck"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        when(col("t1").isNotNull, datediff(col("t1"), col("t0")))
+          .otherwise(datediff(col("dmax"), col("t0"))).cast("long").as("dur"),
+        when(col("t1").isNotNull, 1L).otherwise(0L).as("event"))
+    val byT = subj.groupBy("dur")
+      .agg(count(lit(1)).as("m"), sum("event").as("n_events"))
+    val total = subj.agg(count(lit(1)).as("n_total"))
+    val wPrior = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.orderBy("dur")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum("m").over(wPrior), lit(0L)))
+      .filter(col("n_events") > 0)
+      .withColumn("lnf",
+        when(col("n_events") < col("n_risk"),
+          round(log(lit(1.0) - col("n_events").cast("double") /
+            col("n_risk").cast("double")), 12).cast(DecimalType(18, 12)))
+          .otherwise(lit(null).cast(DecimalType(18, 12))))
+      .withColumn("surv",
+        when(col("n_events") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum("lnf").over(wRun).cast("double")), 6)))
+      .select(col("dur"), col("n_risk"), col("n_events"), col("surv"))
+      .orderBy("dur")
+  }
 }

@@ -59,7 +59,9 @@ class DeterminismSpec extends SparkSuite {
     "q_pareto_front",     // skyline over exact aggregate coordinates
     "q_jackknife_ci",     // pinned-order sequential theta fold
     "q_dup_spans",        // island windows over integer positions
-    "q_window_distinct")  // exact distinct counts per covering day
+    "q_window_distinct",  // exact distinct counts per covering day
+    "q_kaplan_meier",     // decimal running ln-sum survival curve
+    "q_dedup_incremental") // exact gram-set jaccard vs broadcast batch
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

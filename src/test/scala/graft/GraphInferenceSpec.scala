@@ -101,6 +101,74 @@ class GraphInferenceSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("kaplan-meier: survival is a non-increasing curve matching brute force") {
+    val rows = Stats.qKaplanMeier(tables).collect()
+    assert(rows.nonEmpty)
+    val survs = rows.map(_.getDouble(3))
+    assert(survs.zip(survs.tail).forall { case (a, b) => b <= a },
+      "survival must be non-increasing")
+    assert(survs.head < 1.0 && survs.head > 0.0)
+    // brute-force: recompute risk sets and the product over event times
+    val o = tables.orders
+      .select(to_date(col("o_orderdate")), col("o_custkey"))
+      .as[(java.sql.Date, Long)].collect()
+    val horizon = o.map(_._1.toLocalDate).max
+    val durs = o.groupBy(_._2).values.map { os =>
+      val ds = os.map(_._1.toLocalDate).distinct.sortBy(_.toEpochDay)
+      val t0 = ds.head
+      ds.drop(1).headOption match {
+        case Some(t1) => (t1.toEpochDay - t0.toEpochDay, true)
+        case None => (horizon.toEpochDay - t0.toEpochDay, false)
+      }
+    }.toSeq
+    var atRisk = durs.size.toLong
+    var surv = BigDecimal(1)
+    val expected = durs.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (dur, ss) =>
+        val d = ss.count(_._2).toLong
+        val row = if (d > 0) {
+          val s =
+            if (d == atRisk) 0.0
+            else {
+              surv *= BigDecimal(1) - BigDecimal(d) / BigDecimal(atRisk)
+              surv.toDouble
+            }
+          Some((dur, atRisk, d, s))
+        } else None
+        atRisk -= ss.size
+        row
+    }
+    rows.zip(expected).foreach { case (r, (dur, risk, d, s)) =>
+      assert(r.getLong(0) == dur && r.getLong(1) == risk && r.getLong(2) == d)
+      // engine surv goes through round(ln)/exp at 1e-12/1e-6; brute force
+      // is exact rational — agree to 1e-5
+      assert(math.abs(r.getDouble(3) - s) < 1e-5,
+        s"dur=$dur got=${r.getDouble(3)} want=$s")
+    }
+    assert(rows.length == expected.length)
+  }
+
+  test("incremental dedup finds exactly the planted batch-vs-corpus duplicates") {
+    val got = ext.Dedup.qDedupIncremental(tables)
+      .select("id_new", "id_old").as[(Long, Long)].collect().toSet
+    // brute force over the same gram sets
+    val grams = tables.documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      .map { case (id, text) =>
+        val w = text.trim.toLowerCase.split(" +").toSeq
+        id -> w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+      }.toMap
+    val expected = (for {
+      (nId, nG) <- grams.iterator if nId % 10 == 0
+      (oId, oG) <- grams.iterator if oId % 10 != 0
+      inter = (nG & oG).size
+      if inter > 0 &&
+        inter.toDouble / (nG.size + oG.size - inter) >= 0.5
+    } yield (nId, oId)).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture must contain planted duplicates")
+  }
+
   test("dup spans: span accounting invariants hold on every doc") {
     val rows = TextAnalysis.qDupSpans(tables).collect()
     assert(rows.length == tables.documents.count())

@@ -106,6 +106,30 @@ class SkewSourcesSpec extends SparkSuite {
       s"month not in partitionFilters: ${scan.partitionFilters}")
   }
 
+  test("dynamic partition pruning: a filtered dim prunes the partitioned fact at runtime") {
+    val tmp = Files.createTempDirectory("graft_dpp").toString
+    val wh = load.Warehouse(spark, tmp)
+    val sales = graft.transform.Transforms.sales(sources.Generators.sales(spark, 500))
+    wh.loadPartitioned(sales, "fact_sales_dpp", Seq("month"))
+    // dim lands as its own parquet table: the month filter is only
+    // discoverable at runtime (no static predicate exists on the fact).
+    // The dim predicate must be a real comparison on a NON-join column —
+    // a bare boolean attribute fails Spark's isLikelySelective gate and
+    // a filter on the join column itself would propagate statically
+    // through the equi-join constraint instead of becoming DPP.
+    wh.load(sales.select(col("month")).distinct()
+      .withColumn("flag", when(col("month") === "2025-12", 1).otherwise(0)),
+      "dim_months")
+    val joined = wh.table("fact_sales_dpp")
+      .join(wh.table("dim_months").filter(col("flag") === 1), "month")
+    // the scan sits under AdaptiveSparkPlanExec, which SparkPlan.collect
+    // does not descend into — assert on the rendered plan instead
+    val planStr = joined.queryExecution.executedPlan.toString.toLowerCase
+    assert(planStr.contains("dynamicpruningexpression"),
+      s"no dynamic pruning on the fact scan:\n$planStr")
+    assert(joined.count() > 0)
+  }
+
   test("xlsx source roundtrips the inventory generator (reference Excel export)") {
     val dir = Files.createTempDirectory("graft_xlsx").toString
     val inv = sources.Generators.inventory(spark, 50)
