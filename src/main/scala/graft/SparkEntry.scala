@@ -103,6 +103,8 @@ object SparkEntry {
     "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),
+    "q_item_cf" -> q(Analytics.qItemCf(_)),
+    "q_multi_regression" -> q(Stats.qMultiRegression),
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
@@ -2419,6 +2421,60 @@ object SparkEntry {
          SELECT doc_id, chunk_off,
            least(64, byte_len - chunk_off) AS chunk_len, byte_len
          FROM c ORDER BY doc_id, chunk_off""",
+    // row_number vs bounded_topk: both order by (sim DESC, p2) — ties in
+    // sim are exact-double equal on both engines, so the tie-break is total
+    "q_item_cf" ->
+      """WITH it AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+             FROM lineitem),
+         f AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS ci FROM it GROUP BY pk),
+         pr AS (SELECT a.pk AS p1, b.pk AS p2, CAST(COUNT(*) AS BIGINT) AS cij
+           FROM it a JOIN it b ON a.okey = b.okey AND a.pk <> b.pk
+           GROUP BY 1, 2),
+         s AS (SELECT p1, p2,
+             CAST(cij AS DOUBLE) / sqrt(CAST(f1.ci * f2.ci AS DOUBLE)) AS sim
+           FROM pr JOIN f f1 ON pr.p1 = f1.pk JOIN f f2 ON pr.p2 = f2.pk),
+         rk AS (SELECT p1, p2, sim, row_number()
+             OVER (PARTITION BY p1 ORDER BY sim DESC, p2) AS rnk FROM s)
+         SELECT p1, p2, sim, CAST(rnk AS BIGINT) AS rnk FROM rk
+         WHERE rnk <= 5 ORDER BY p1, rnk""",
+    // Cramer's rule written with the IDENTICAL operation tree as the
+    // engine's Column expressions — the determinants must match bit-for-bit
+    // before the 1e-8 rounding
+    "q_multi_regression" ->
+      """WITH per AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS x1,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS BIGINT) AS x2
+           FROM lineitem GROUP BY 1),
+         j AS (SELECT o.o_totalprice AS y, per.x1, per.x2 FROM orders o
+           JOIN per ON o.o_orderkey = per.l_orderkey),
+         m AS (SELECT
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS a, CAST(SUM(x2) AS DOUBLE) AS b,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS c,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS d,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS e,
+             CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS p,
+             CAST(SUM(CAST(x1 * y AS DECIMAL(28,2))) AS DOUBLE) AS q,
+             CAST(SUM(CAST(x2 * y AS DECIMAL(28,2))) AS DOUBLE) AS r,
+             CAST(SUM(CAST(y * y AS DECIMAL(30,4))) AS DOUBLE) AS yy
+           FROM j),
+         dets AS (SELECT CAST(n AS BIGINT) AS n_orders, p, q, r, yy,
+             n * (c * e - d * d) - a * (a * e - d * b)
+               + b * (a * d - c * b) AS det,
+             p * (c * e - d * d) - a * (q * e - d * r)
+               + b * (q * d - c * r) AS det0,
+             n * (q * e - d * r) - p * (a * e - d * b)
+               + b * (a * r - q * b) AS det1,
+             n * (c * r - q * d) - a * (a * r - q * b)
+               + p * (a * d - c * b) AS det2
+           FROM m),
+         sol AS (SELECT n_orders, p, q, r, yy,
+             det0 / det AS b0, det1 / det AS b1, det2 / det AS b2 FROM dets)
+         SELECT n_orders,
+           round(b0, 8) AS beta0, round(b1, 8) AS beta1,
+           round(b2, 8) AS beta2,
+           round(1.0 - (yy - b0 * p - b1 * q - b2 * r)
+             / (yy - p * p / n_orders), 8) AS r2
+         FROM sol""",
     "q_dedup_incremental" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(w) - 3, 0) + 2),

@@ -338,6 +338,40 @@ object Analytics {
       .limit(k)
   }
 
+  /** Item-item collaborative filtering: top-5 most-similar parts per part
+    * by co-purchase cosine, cos(i,j) = c_ij / sqrt(c_i * c_j) over order
+    * co-occurrence counts. Counts are exact integers, the similarity is a
+    * single correctly-rounded sqrt + divide — bit-identical across engines
+    * with no rounding step. Ranking via the native bounded_topk partial
+    * aggregate: 5 rows per (item, map task) cross the exchange, not every
+    * candidate pair — the recommender-precompute shape that survives a
+    * catalog 1000x this size (pair cardinality is bounded by co-occurrence,
+    * not |items|²).
+    */
+  def qItemCf(t: Tables, k: Int = 5): DataFrame = {
+    val items = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val freq = items.groupBy("pk").agg(count(lit(1)).as("ci"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
+      .agg(count(lit(1)).as("cij"))
+    pairs
+      .join(freq.select(col("pk").as("p1"), col("ci").as("c1")), "p1")
+      .join(freq.select(col("pk").as("p2"), col("ci").as("c2")), "p2")
+      .withColumn("sim", col("cij").cast("double") /
+        sqrt((col("c1") * col("c2")).cast("double")))
+      .groupBy("p1")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("p2")), lit(k), lit(true)).as("top"))
+      .select(col("p1"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(col("p1"), col("item.id").as("p2"),
+        col("item.score").as("sim"), (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("p1", "rnk")
+  }
+
   /** Top-3 suppliers per nation by exact revenue, ranked with the native
     * [[graft.functions.BoundedTopK]] partial aggregate: k rows per map task
     * cross the per-nation exchange instead of every supplier row through a

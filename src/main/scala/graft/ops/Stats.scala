@@ -645,6 +645,64 @@ object Stats {
         round(col("mean_price") + lit(1.96) * col("se_jack"), 4).as("ci_hi"))
   }
 
+  /** Multivariate OLS by normal equations: o_totalprice regressed on two
+    * per-order lineitem features (line count, total quantity), solved in
+    * closed form with Cramer's rule over the 3x3 moment matrix. EVERY
+    * moment is an exact decimal sum, so the only float work is the fixed
+    * determinant arithmetic at the end — one expression tree evaluated once
+    * on a single row, written identically in both dialects and rounded at
+    * 1e-8. This is the scale shape for linear models over tabular facts:
+    * one co-partitioned fact-fact join, one global aggregate of 10 moments,
+    * and a driver-free closed-form solve (contrast gradient descent, which
+    * would be 100 corpus passes).
+    */
+  def qMultiRegression(t: Tables): DataFrame = {
+    val per = t.lineitem.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("x2d"))
+      .select(col("l_orderkey"), col("x1"), col("x2d").cast("long").as("x2"))
+    val joined = t.orders
+      .select(col("o_orderkey"), col("o_totalprice").as("y"))
+      .join(per, col("o_orderkey") === col("l_orderkey"))
+    val m = joined.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x1")).cast("double").as("a"),
+      sum(col("x2")).cast("double").as("b"),
+      sum(col("x1") * col("x1")).cast("double").as("c"),
+      sum(col("x1") * col("x2")).cast("double").as("d"),
+      sum(col("x2") * col("x2")).cast("double").as("e"),
+      sum(col("y").cast(DecimalType(18, 2))).cast("double").as("p"),
+      sum((col("x1") * col("y")).cast(DecimalType(28, 2))).cast("double")
+        .as("q"),
+      sum((col("x2") * col("y")).cast(DecimalType(28, 2))).cast("double")
+        .as("r"),
+      sum((col("y") * col("y")).cast(DecimalType(30, 4))).cast("double")
+        .as("yy"))
+    val det = col("n") * (col("c") * col("e") - col("d") * col("d")) -
+      col("a") * (col("a") * col("e") - col("d") * col("b")) +
+      col("b") * (col("a") * col("d") - col("c") * col("b"))
+    val det0 = col("p") * (col("c") * col("e") - col("d") * col("d")) -
+      col("a") * (col("q") * col("e") - col("d") * col("r")) +
+      col("b") * (col("q") * col("d") - col("c") * col("r"))
+    val det1 = col("n") * (col("q") * col("e") - col("d") * col("r")) -
+      col("p") * (col("a") * col("e") - col("d") * col("b")) +
+      col("b") * (col("a") * col("r") - col("q") * col("b"))
+    val det2 = col("n") * (col("c") * col("r") - col("q") * col("d")) -
+      col("a") * (col("a") * col("r") - col("q") * col("b")) +
+      col("p") * (col("a") * col("d") - col("c") * col("b"))
+    m.select(col("n").cast("long").as("n_orders"),
+        (det0 / det).as("b0"), (det1 / det).as("b1"), (det2 / det).as("b2"),
+        col("p"), col("q"), col("r"), col("yy"), col("a"), col("b"))
+      .select(col("n_orders"),
+        round(col("b0"), 8).as("beta0"),
+        round(col("b1"), 8).as("beta1"),
+        round(col("b2"), 8).as("beta2"),
+        round(lit(1.0) -
+          (col("yy") - col("b0") * col("p") - col("b1") * col("q") -
+            col("b2") * col("r")) /
+          (col("yy") - col("p") * col("p") / col("n_orders")), 8).as("r2"))
+  }
+
   /** Kaplan–Meier survival of time-to-repeat-purchase: per customer, the
     * duration (days) from first order to the first LATER order date, right-
     * censored at the corpus horizon for one-time customers. First/next are

@@ -61,7 +61,9 @@ class DeterminismSpec extends SparkSuite {
     "q_dup_spans",        // island windows over integer positions
     "q_window_distinct",  // exact distinct counts per covering day
     "q_kaplan_meier",     // decimal running ln-sum survival curve
-    "q_dedup_incremental") // exact gram-set jaccard vs broadcast batch
+    "q_dedup_incremental", // exact gram-set jaccard vs broadcast batch
+    "q_item_cf",          // exact-count cosine, bounded_topk tie-breaks
+    "q_multi_regression") // Cramer solve over exact decimal moments
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

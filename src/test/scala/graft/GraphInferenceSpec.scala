@@ -169,6 +169,68 @@ class GraphInferenceSpec extends SparkSuite {
     assert(got.nonEmpty, "fixture must contain planted duplicates")
   }
 
+  test("multi regression: Cramer solution matches gaussian elimination on the normal equations") {
+    val r = Stats.qMultiRegression(tables).collect().head
+    val data = tables.lineitem
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("x1"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("x2"))
+      .join(tables.orders.select(col("o_orderkey"),
+        col("o_totalprice").as("y")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("x1").cast("double"), col("x2"), col("y"))
+      .as[(Double, Double, Double)].collect()
+    val n = data.length.toDouble
+    def s(f: ((Double, Double, Double)) => Double) = data.map(f).sum
+    // normal equations A beta = rhs, solved by gaussian elimination
+    val a = Array(
+      Array(n, s(_._1), s(_._2)),
+      Array(s(_._1), s(t => t._1 * t._1), s(t => t._1 * t._2)),
+      Array(s(_._2), s(t => t._1 * t._2), s(t => t._2 * t._2)))
+    val rhs = Array(s(_._3), s(t => t._1 * t._3), s(t => t._2 * t._3))
+    for (i <- 0 until 3) {
+      val piv = (i until 3).maxBy(k => math.abs(a(k)(i)))
+      val (ta, tb) = (a(i), rhs(i)); a(i) = a(piv); rhs(i) = rhs(piv)
+      a(piv) = ta; rhs(piv) = tb
+      for (k <- i + 1 until 3) {
+        val f = a(k)(i) / a(i)(i)
+        for (j <- i until 3) a(k)(j) -= f * a(i)(j)
+        rhs(k) -= f * rhs(i)
+      }
+    }
+    val beta = new Array[Double](3)
+    for (i <- 2 to 0 by -1) {
+      beta(i) = (rhs(i) - (i + 1 until 3).map(j => a(i)(j) * beta(j)).sum) /
+        a(i)(i)
+    }
+    assert(math.abs(r.getDouble(1) - beta(0)) < 1e-4, s"b0 ${r.getDouble(1)} vs ${beta(0)}")
+    assert(math.abs(r.getDouble(2) - beta(1)) < 1e-4, s"b1 ${r.getDouble(2)} vs ${beta(1)}")
+    assert(math.abs(r.getDouble(3) - beta(2)) < 1e-4, s"b2 ${r.getDouble(3)} vs ${beta(2)}")
+    val r2 = r.getDouble(4)
+    assert(r2 > 0.0 && r2 <= 1.0)
+  }
+
+  test("item cf: per-item ranking matches a brute-force cosine recompute") {
+    val got = Analytics.qItemCf(tables).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getLong(3))
+        .map(r => (r.getLong(1), r.getDouble(2))).toSeq).toMap
+    val baskets = tables.lineitem
+      .select(col("l_orderkey"), col("l_partkey"))
+      .as[(Long, Long)].collect().distinct
+    val freq = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pairCounts = baskets.groupBy(_._1).values.flatMap { os =>
+      val ps = os.map(_._2).distinct.toSeq
+      for (x <- ps; y <- ps if x != y) yield (x, y)
+    }.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // spot-check every 50th item fully (rank order and values)
+    got.keys.filter(_ % 50 == 0).foreach { p1 =>
+      val expected = pairCounts.collect { case ((`p1`, p2), cij) =>
+        (p2, cij / math.sqrt((freq(p1) * freq(p2)).toDouble))
+      }.toSeq.sortBy { case (p2, s) => (-s, p2) }.take(5)
+      assert(got(p1) == expected, s"item $p1: ${got(p1)} vs $expected")
+    }
+  }
+
   test("dup spans: span accounting invariants hold on every doc") {
     val rows = TextAnalysis.qDupSpans(tables).collect()
     assert(rows.length == tables.documents.count())
