@@ -47,14 +47,30 @@ object Graph {
     * close.
     */
   def qPagerank(t: Tables, iters: Int = 3): DataFrame = {
-    val edges = coPurchaseEdges(t)
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) is the loop-invariant side: materialize once, reuse
-    // every round — the co-purchase self-join must not re-run per iteration
-    val edgesD = edges.join(deg, "src").localCheckpoint()
+    // the co-purchase self-join is by far the heaviest stage: materialize
+    // it ONCE, then derive degrees / node count / the loop-invariant
+    // (src, dst, deg) frame from the checkpointed rows (each a cheap
+    // re-read, not a re-build)
+    val edges0 = coPurchaseEdges(t).localCheckpoint()
+    // degrees are node-sized: checkpointing them costs one tiny write and
+    // saves a full edge re-aggregation in every round's deg probe
+    val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    val nNodes = deg.count() // driver scalar: node count only
     try {
-      val nNodes = deg.count() // driver scalar: node count only
       val base = 150000000L / nNodes // (1 - d) * 1e9 / N, floored once
+      // degree and rank state are node-sized (a dimension, not the edge
+      // fact): while they fit the broadcast tier they join map-side and the
+      // edge frame never shuffles per round; past ~1e6 nodes fall back to a
+      // shuffled join keyed by src (the same co-partitioned shape
+      // connectedComponents uses at any scale)
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nNodes <= 1000000L) broadcast(df) else df
+      // loop-invariant (src, dst, deg): left LAZY on purpose — each round
+      // re-reads the checkpointed edge rows and re-applies the broadcast
+      // deg join (a map-side hash probe), which is cheaper than writing a
+      // second edge-sized checkpoint just to avoid it
+      val edgesD = edges0.join(maybeBroadcast(deg), "src")
       // the initial rank frame is checkpointed too: the free-previous walk
       // unpersists every LogicalRDD in the freed frame's plan, so frames
       // entering the prev-chain must be self-contained — a lazy frame here
@@ -65,7 +81,7 @@ object Graph {
       var prev: DataFrame = null
       for (_ <- 1 to iters) {
         val next = edgesD
-          .join(ranks, col("src") === col("node"))
+          .join(maybeBroadcast(ranks), col("src") === col("node"))
           .select(col("dst"),
             expr("(r * 85) div (100 * deg)").as("c"))
           .groupBy(col("dst").as("node"))
@@ -78,6 +94,9 @@ object Graph {
       if (prev != null) graft.Engine.freeCheckpoint(prev)
       ranks.select(col("node").as("part"), col("r").as("rank"))
         .orderBy("part")
-    } finally graft.Engine.freeCheckpoint(edgesD)
+    } finally {
+      graft.Engine.freeCheckpoint(edges0)
+      graft.Engine.freeCheckpoint(deg)
+    }
   }
 }
