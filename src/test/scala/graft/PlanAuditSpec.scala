@@ -231,4 +231,29 @@ class PlanAuditSpec extends SparkSuite {
     assert(winIdx > 0 && aggIdx > 0 && aggIdx < winIdx,
       "window must consume the compacted frame, not raw lineitem")
   }
+
+  test("item cf ships k rows per map task through partial bounded_topk") {
+    val p = formatted("q_item_cf")
+    assert(p.contains("partial_bounded_topk") || p.contains("partial_boundedtopk"),
+      "per-item ranking must pre-aggregate before its exchange")
+    assert(!p.contains("Window"), "ranking must not window the full pair set")
+  }
+
+  test("incremental dedup broadcasts the arriving batch into the corpus stream") {
+    val p = formatted("q_dedup_incremental")
+    assert(p.contains("BroadcastExchange"), "batch side must broadcast")
+    // corpus side work: map-side explode into the broadcast join, then ONE
+    // pair aggregation exchange + the presentation sort — nothing else
+    assert(shuffleCount(p) <= 2, s"corpus must not shuffle before the pair agg:\n$p")
+  }
+
+  test("dup spans shuffles gram text once; island windows are per-doc") {
+    val p = formatted("q_dup_spans")
+    // exchanges: Engine.spread's repartition (small-file fan-out), gram
+    // frequency agg, join-back of shared grams, per-doc windows/aggs, the
+    // totals join, final sort — the gram-text exchange count stays bounded
+    assert(shuffleCount(p) <= 7, s"unexpected exchange growth:\n$p")
+    assert(p.contains("wordshingles") || p.contains("word_shingles"),
+      "grams must come from the native expression")
+  }
 }
