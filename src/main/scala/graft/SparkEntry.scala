@@ -110,6 +110,7 @@ object SparkEntry {
     "q_welch_ttest" -> q(Stats.qWelchTtest),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
     "q_pagerank" -> q(Graph.qPagerank(_)),
+    "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
@@ -2617,6 +2618,31 @@ object SparkEntry {
            FROM e JOIN s2 r ON e.src = r.node JOIN deg d ON e.src = d.src, nn
            GROUP BY e.dst, nn.n)
          SELECT node AS part, CAST(r AS BIGINT) AS rank FROM s3
+         ORDER BY part""",
+    // three BFS frontiers unrolled as NOT-IN chained CTEs; the engine's
+    // anti-join frontier loop must produce the same min-hop assignment
+    "q_bfs_hops" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         s AS (SELECT MIN(src) AS seed FROM e),
+         h0 AS (SELECT seed AS node FROM s),
+         h1 AS (SELECT DISTINCT e.dst AS node FROM e
+           JOIN h0 ON e.src = h0.node
+           WHERE e.dst NOT IN (SELECT node FROM h0)),
+         h2 AS (SELECT DISTINCT e.dst AS node FROM e
+           JOIN h1 ON e.src = h1.node
+           WHERE e.dst NOT IN (SELECT node FROM h0
+             UNION ALL SELECT node FROM h1)),
+         h3 AS (SELECT DISTINCT e.dst AS node FROM e
+           JOIN h2 ON e.src = h2.node
+           WHERE e.dst NOT IN (SELECT node FROM h0
+             UNION ALL SELECT node FROM h1 UNION ALL SELECT node FROM h2))
+         SELECT node AS part, CAST(0 AS BIGINT) AS hop FROM h0
+         UNION ALL SELECT node, CAST(1 AS BIGINT) FROM h1
+         UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
+         UNION ALL SELECT node, CAST(3 AS BIGINT) FROM h3
          ORDER BY part""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window

@@ -156,6 +156,100 @@ final case class Warehouse(spark: SparkSession, root: String) {
     */
   def tableCount(name: String): Long = Try(table(name).count()).getOrElse(0L)
 
+  // --- Versioned tables (time travel) -----------------------------------
+  // Minimal lakehouse-style snapshot layout:
+  //   <root>/<table>__versions/v=<N>/   immutable parquet snapshot N
+  //   <root>/<table>__versions/_LATEST  pointer file holding N
+  // A write lands its FULL snapshot directory first and repoints _LATEST
+  // last, so a crash mid-write leaves readers on the previous version and
+  // a partial v-dir that the next write simply overwrites. Rollback is a
+  // pointer update — O(1) metadata, no data movement. Version numbers are
+  // monotonic (max existing + 1) and never reused, even after a rollback,
+  // so audit history stays unambiguous.
+
+  private def versionRoot(name: String) =
+    new org.apache.hadoop.fs.Path(path(name) + "__versions")
+  private def latestPtr(name: String) =
+    new org.apache.hadoop.fs.Path(versionRoot(name), "_LATEST")
+  private def vfs = new org.apache.hadoop.fs.Path(root)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readPtr(name: String): Option[Long] = {
+    val fs = vfs
+    if (!fs.exists(latestPtr(name))) None
+    else {
+      val in = fs.open(latestPtr(name))
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writePtr(name: String, v: Long): Unit = {
+    // single create-with-overwrite: readers see either the old or the new
+    // pointer, never a missing one
+    val out = vfs.create(latestPtr(name), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** All snapshot numbers present on disk (regardless of the pointer). */
+  def versions(name: String): Seq[Long] = {
+    val fs = vfs
+    if (!fs.exists(versionRoot(name))) Seq.empty
+    else fs.listStatus(versionRoot(name)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v=") => s.drop(2).toLong }
+      .sorted
+  }
+
+  /** Current version number, if the table has any committed snapshot. */
+  def currentVersion(name: String): Option[Long] = readPtr(name)
+
+  /** Write a new immutable snapshot; returns its version number. */
+  def loadVersioned(df: DataFrame, name: String): Long = {
+    val next = versions(name).lastOption.getOrElse(0L) + 1
+    coerceForLoad(df).write.mode(SaveMode.Overwrite)
+      .parquet(new org.apache.hadoop.fs.Path(versionRoot(name), s"v=$next")
+        .toString)
+    writePtr(name, next) // commit point: snapshot becomes visible here
+    next
+  }
+
+  /** Read the current snapshot (version = -1) or a specific one. */
+  def tableAt(name: String, version: Long = -1L): DataFrame = {
+    val v =
+      if (version >= 0) version
+      else readPtr(name).getOrElse(
+        throw new java.util.NoSuchElementException(s"no versions: $name"))
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(versionRoot(name), s"v=$v").toString)
+  }
+
+  /** Repoint the table at an existing older snapshot — pure metadata. */
+  def rollback(name: String, version: Long): Unit = {
+    if (!vfs.exists(new org.apache.hadoop.fs.Path(versionRoot(name),
+        s"v=$version")))
+      throw new java.util.NoSuchElementException(s"$name has no v=$version")
+    writePtr(name, version)
+  }
+
+  /** Delete snapshots older than the newest `keepLast`, never the one the
+    * pointer references. Object-storage hygiene: every retained snapshot
+    * is a full copy, so retention is the cost lever.
+    */
+  def vacuum(name: String, keepLast: Int = 2): Seq[Long] = {
+    val fs = vfs
+    val current = readPtr(name)
+    val all = versions(name)
+    val doomed = all.dropRight(keepLast).filterNot(current.contains)
+    doomed.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(versionRoot(name), s"v=$v"), true)
+    }
+    doomed
+  }
+
   // --- SQL-database mode -----------------------------------------------
   // Direct analogue of the reference's SQLite `to_sql`/`read_sql`
   // (etl_pipeline.py:234-242) on embedded Derby, whose driver ships in the

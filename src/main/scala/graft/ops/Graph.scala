@@ -99,4 +99,55 @@ object Graph {
       graft.Engine.freeCheckpoint(deg)
     }
   }
+
+  /** BFS hop distance from a deterministic seed (the minimum part key in
+    * the graph), bounded at `maxHops`. Frontier expansion: each round joins
+    * the (node-sized, broadcast-guarded) frontier into the checkpointed
+    * edge fact and anti-joins the visited set — min-DISTANCE semantics,
+    * complementing [[qPagerank]]'s fixed-round mass flow and
+    * [[graft.ext.Dedup.connectedComponents]]'s min-label lattice. All
+    * arithmetic is integer; the oracle unrolls the same three frontiers as
+    * NOT-IN chained CTEs.
+    */
+  def qBfsHops(t: Tables, maxHops: Int = 3): DataFrame = {
+    val edges0 = coPurchaseEdges(t).localCheckpoint()
+    val ckpts = scala.collection.mutable.Buffer[DataFrame]()
+    var result: DataFrame = null
+    try {
+      val nNodes = edges0.select("src").distinct().count()
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nNodes <= 1000000L) broadcast(df) else df
+      val seed = edges0.agg(min("src")).head().getLong(0)
+      var visited = edges0.sparkSession.range(1)
+        .select(lit(seed).as("node"), lit(0L).as("hop"))
+        .localCheckpoint()
+      ckpts += visited
+      var frontier = visited.select("node")
+      var h = 1
+      var growing = true
+      while (growing && h <= maxHops) {
+        val next = edges0
+          .join(maybeBroadcast(frontier.select(col("node").as("src"))), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(maybeBroadcast(visited.select("node")), Seq("node"),
+            "left_anti")
+          .withColumn("hop", lit(h.toLong))
+          .localCheckpoint()
+        ckpts += next
+        growing = !next.isEmpty
+        if (growing) {
+          visited = visited.unionByName(next).localCheckpoint()
+          ckpts += visited
+          frontier = next.select("node")
+        }
+        h += 1
+      }
+      result = visited
+      visited.select(col("node").as("part"), col("hop")).orderBy("part")
+    } finally {
+      graft.Engine.freeCheckpoint(edges0)
+      // free every superseded round; the final visited frame stays live
+      ckpts.filter(_ ne result).foreach(graft.Engine.freeCheckpoint)
+    }
+  }
 }

@@ -63,7 +63,8 @@ class DeterminismSpec extends SparkSuite {
     "q_kaplan_meier",     // decimal running ln-sum survival curve
     "q_dedup_incremental", // exact gram-set jaccard vs broadcast batch
     "q_item_cf",          // exact-count cosine, bounded_topk tie-breaks
-    "q_multi_regression") // Cramer solve over exact decimal moments
+    "q_multi_regression", // Cramer solve over exact decimal moments
+    "q_bfs_hops")         // frontier anti-joins over integer hops
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -45,6 +45,26 @@ class GraphInferenceSpec extends SparkSuite {
     assert(got == r)
   }
 
+  test("bfs hops match a driver-side breadth-first traversal") {
+    val li = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val adj: Map[Long, Set[Long]] = li.toSeq.groupBy(_._1).values.flatMap {
+      lines =>
+        val ps: Seq[Long] = lines.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet[(Long, Long)].groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seed = adj.keys.min
+    var expected = Map(seed -> 0L)
+    var frontier = Set(seed)
+    for (h <- 1 to 3) {
+      frontier = frontier.flatMap(adj(_)) -- expected.keySet
+      expected ++= frontier.map(_ -> h.toLong)
+    }
+    val got = ops.Graph.qBfsHops(tables).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got.values.exists(_ > 0), "graph must extend past the seed")
+  }
+
   test("pareto front: no frontier point dominates another; dominated points are absent") {
     val all = tables.lineitem.groupBy("l_partkey")
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"),
