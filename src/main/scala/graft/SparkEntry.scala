@@ -102,6 +102,7 @@ object SparkEntry {
     "q_sql_q17" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q17)),
     "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
+    "q_entity_resolution" -> q(Dedup.qEntityResolution(_)),
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),
     "q_item_cf" -> q(Analytics.qItemCf(_)),
     "q_multi_regression" -> q(Stats.qMultiRegression),
@@ -2476,6 +2477,38 @@ object SparkEntry {
            round(1.0 - (yy - b0 * p - b1 * q - b2 * r)
              / (yy - p * p / n_orders), 8) AS r2
          FROM sol""",
+    // three independently re-derived stages (DuckDB jaro, recursive-CTE
+    // closure, ranked survivor) against the engine's blocked-join +
+    // min-label + max-of-struct pipeline
+    "q_entity_resolution" ->
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_brand, p_name,
+             string_split(p_name, ' ')[1] AS w1 FROM part),
+         j AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+             round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
+           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+             AND a.p_partkey < b.p_partkey),
+         pairs AS (SELECT id1, id2 FROM j WHERE sim >= 0.93),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         m AS (SELECT comp.comp, comp.id, part.p_name FROM comp
+           JOIN part ON comp.id = part.p_partkey),
+         best AS (SELECT comp, id, p_name, row_number() OVER (
+             PARTITION BY comp ORDER BY len(p_name) DESC, id) AS rk FROM m),
+         agg AS (SELECT comp AS cluster_id, CAST(COUNT(*) AS BIGINT)
+             AS n_members,
+             array_to_string(list_transform(list_sort(list(id)),
+               x -> CAST(x AS VARCHAR)), ',') AS members
+           FROM m GROUP BY comp)
+         SELECT agg.cluster_id, agg.n_members,
+           CAST(best.id AS BIGINT) AS canonical_id,
+           best.p_name AS canonical_name, agg.members
+         FROM agg JOIN best ON agg.cluster_id = best.comp AND best.rk = 1
+         ORDER BY agg.cluster_id""",
     "q_dedup_incremental" ->
       """WITH d AS (SELECT doc_id, list_distinct(list_transform(
              range(1, greatest(len(w) - 3, 0) + 2),

@@ -456,6 +456,41 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** End-to-end entity resolution over part names, composing the graded
+    * building blocks into one pipeline: blocked Jaro-Winkler candidate
+    * pairs ([[qJaroNames]]'s blocks — quadratic work confined to
+    * (brand, first-token) buckets) → min-label connected components
+    * ([[connectedComponents]]) → canonical-record survivorship per cluster
+    * (longest name, ties to the lowest key — the same max-of-struct
+    * single-aggregate shape as [[qDedupKeepBest]], no ranking window).
+    * The oracle re-derives all three stages independently: DuckDB's own
+    * jaro_winkler_similarity, a recursive-CTE closure, and a ranked
+    * survivor — three different algorithms, one hash.
+    */
+  def qEntityResolution(t: Tables, minSim: Double = 0.93): DataFrame = {
+    val edges = qJaroNames(t, minSim).select("id1", "id2").localCheckpoint()
+    val labels = connectedComponents(edges)
+    val named = labels.join(
+      t.part.select(col("p_partkey").as("id"), col("p_name")), "id")
+    val out = named
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(length(col("p_name")).cast("long").as("l"),
+          (-col("id")).as("negid"), col("p_name").as("nm"))).as("best"),
+        array_join(
+          transform(array_sort(collect_list(col("id"))), _.cast("string")),
+          ",").as("members"))
+      .select(col("comp").as("cluster_id"), col("n_members"),
+        (-col("best.negid")).as("canonical_id"),
+        col("best.nm").as("canonical_name"), col("members"))
+      .orderBy("cluster_id")
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(labels)
+    graft.Engine.freeCheckpoint(edges)
+    out
+  }
+
   /** Incremental-ingest dedup: an arriving batch (here every 10th doc)
     * checked against the existing corpus by exact 3-gram-set Jaccard. The
     * batch side — by construction a small fraction of the corpus — is the

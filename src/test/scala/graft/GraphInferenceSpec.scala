@@ -251,6 +251,28 @@ class GraphInferenceSpec extends SparkSuite {
     }
   }
 
+  test("entity resolution equals union-find over the jaro pairs with longest-name survivors") {
+    val pairs = ext.Dedup.qJaroNames(tables)
+      .select("id1", "id2").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture must produce fuzzy-duplicate pairs")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val names = tables.part.select(col("p_partkey"), col("p_name"))
+      .as[(Long, String)].collect().toMap
+    val clusters = parent.keys.toSeq.groupBy(find).values.map(_.sorted).toSeq
+    val expected = clusters.map { ms =>
+      val canon = ms.maxBy(id => (names(id).length, -id))
+      (ms.min, ms.size.toLong, canon, names(canon), ms.mkString(","))
+    }.sortBy(_._1)
+    val got = ext.Dedup.qEntityResolution(tables)
+      .as[(Long, Long, Long, String, String)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("dup spans: span accounting invariants hold on every doc") {
     val rows = TextAnalysis.qDupSpans(tables).collect()
     assert(rows.length == tables.documents.count())

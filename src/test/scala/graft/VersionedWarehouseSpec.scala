@@ -51,6 +51,29 @@ class VersionedWarehouseSpec extends SparkSuite {
     assert(w.tableAt("t").as[(Int, String)].collect().head == ((1, "r1")))
   }
 
+  test("streaming sink: every micro-batch commits a time-travelable snapshot") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = wh()
+    val mem = MemoryStream[Int]
+    val q = mem.toDF().writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!df.isEmpty) w.loadVersioned(df, "stream_t"): Unit
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ver_ck").toString)
+      .start()
+    try {
+      mem.addData(1, 2, 3)
+      q.processAllAvailable()
+      mem.addData(4)
+      q.processAllAvailable()
+      assert(w.versions("stream_t") == Seq(1L, 2L))
+      assert(w.tableAt("stream_t", 1).count() == 3)
+      assert(w.tableAt("stream_t").count() == 1) // latest = second batch
+    } finally q.stop()
+  }
+
   test("a partial snapshot directory without a pointer update is invisible") {
     val w = wh()
     w.loadVersioned(Seq((1, "committed")).toDF("k", "v"), "t")
