@@ -46,7 +46,13 @@ object TpchSql {
     * arithmetic, so no per-row double→decimal rounding of a computed
     * product exists anywhere — that rounding is where Spark and DuckDB
     * disagree (different tie resolution near double's precision edge).
-    * Averages are double divisions of those sums. At 100 TB this
+    * Averages are double divisions of those sums. The wide-scale sums
+    * (scale 6/10) additionally round to 2 decimals BEFORE the double cast:
+    * an exact high-scale decimal surfaced as double is a two-rounding path
+    * in DuckDB (scaled int128 → double, then / 10^s) vs one correctly-
+    * rounded conversion in Spark — a deterministic 1-ulp split seen at
+    * sf0.001; at scale 2 the scaled integer stays under 2^53 and both
+    * engines convert exactly. At 100 TB this
     * is the canonical map-side-combine query: 6 groups total, so partial
     * aggregation collapses each task to 6 rows before the single exchange.
     */
@@ -54,8 +60,8 @@ object TpchSql {
     """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_disc_price,
+         CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 2) AS DOUBLE) AS sum_charge,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
          CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
