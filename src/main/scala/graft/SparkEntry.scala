@@ -268,6 +268,10 @@ object SparkEntry {
         .orderBy("user_id", "session_id")),
     "q_stream_ratelimit" -> ((spark, dir) =>
       graft.streaming.Streams.drainRateLimit(spark, dir, "events.parquet")),
+    "q_stream_incdedup" -> ((spark, dir) =>
+      graft.streaming.Streams
+        .drainIncrementalDedup(spark, dir, "documents.parquet")
+        .orderBy("id_new", "id_old")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -298,6 +302,28 @@ object SparkEntry {
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
     * hex-decoded UTF-8 bytes, then re-centers to signed BIGINT.
     */
+  /** Batch/stream-shared oracle for the incremental-ingest dedup pair
+    * (`q_dedup_incremental`, `q_stream_incdedup`).
+    */
+  private val incDedupOracle: String =
+    """WITH d AS (SELECT doc_id, list_distinct(list_transform(
+           range(1, greatest(len(w) - 3, 0) + 2),
+           i -> array_to_string(w[i:i+2], ' '))) AS g
+         FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +')
+           AS w FROM documents)),
+       b AS (SELECT doc_id AS id_new, len(g) AS n_new, unnest(g) AS gram
+         FROM d WHERE doc_id % 10 = 0),
+       e AS (SELECT doc_id AS id_old, len(g) AS n_old, unnest(g) AS gram
+         FROM d WHERE doc_id % 10 <> 0),
+       j AS (SELECT id_new, id_old, n_new, n_old,
+           CAST(COUNT(*) AS BIGINT) AS inter
+         FROM e JOIN b USING (gram) GROUP BY 1, 2, 3, 4)
+       SELECT id_new, id_old, inter,
+         CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
+       FROM j
+       WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
+       ORDER BY id_new, id_old"""
+
   def oracleSql: Map[String, String] = Map(
     "etl_sales_pipeline" ->
       """WITH t AS (
@@ -2509,24 +2535,10 @@ object SparkEntry {
            best.p_name AS canonical_name, agg.members
          FROM agg JOIN best ON agg.cluster_id = best.comp AND best.rk = 1
          ORDER BY agg.cluster_id""",
-    "q_dedup_incremental" ->
-      """WITH d AS (SELECT doc_id, list_distinct(list_transform(
-             range(1, greatest(len(w) - 3, 0) + 2),
-             i -> array_to_string(w[i:i+2], ' '))) AS g
-           FROM (SELECT doc_id, string_split_regex(trim(lower(text)), ' +')
-             AS w FROM documents)),
-         b AS (SELECT doc_id AS id_new, len(g) AS n_new, unnest(g) AS gram
-           FROM d WHERE doc_id % 10 = 0),
-         e AS (SELECT doc_id AS id_old, len(g) AS n_old, unnest(g) AS gram
-           FROM d WHERE doc_id % 10 <> 0),
-         j AS (SELECT id_new, id_old, n_new, n_old,
-             CAST(COUNT(*) AS BIGINT) AS inter
-           FROM e JOIN b USING (gram) GROUP BY 1, 2, 3, 4)
-         SELECT id_new, id_old, inter,
-           CAST(inter AS DOUBLE) / (n_new + n_old - inter) AS jaccard
-         FROM j
-         WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
-         ORDER BY id_new, id_old""",
+    "q_dedup_incremental" -> incDedupOracle,
+    // the streaming drain executes the same semantics through a real
+    // stream-static join + complete-mode aggregation — same oracle
+    "q_stream_incdedup" -> incDedupOracle,
     "q_kaplan_meier" ->
       """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
              FROM orders),

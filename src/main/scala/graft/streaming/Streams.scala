@@ -439,4 +439,66 @@ object Streams {
       }
       .toDF()
   }
+
+  /** Raw on-disk schema of the driver's documents parquet. */
+  val docFileSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-based streaming source over the documents parquet — the
+    * landing zone an ingest collector appends new document files to.
+    */
+  def docsStream(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    spark.readStream
+      .schema(docFileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+
+  /** Streaming incremental-ingest dedup — the stateful-streaming twin of
+    * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
+    * arriving docs are the STREAM; the existing corpus grams are the
+    * STATIC side of a stateless per-microbatch stream-static join (the
+    * same never-shuffle-the-corpus posture as the batch twin, transposed:
+    * here each microbatch probes the corpus, so at production scale the
+    * static side would be the broadcast-tier gram index). Candidate-pair
+    * intersections accumulate in a complete-mode aggregation whose state
+    * is the candidate-pair cardinality — bounded by real cross-batch
+    * similarity, not by stream length.
+    */
+  def incrementalDedup(arrivals: DataFrame, corpus: DataFrame,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      array_distinct(graft.ext.Dedup.shingles(col("text"), n)).as("g"))
+    val batch = grams(arrivals)
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(col("doc_id").as("id_new"), size(col("g")).as("n_new"),
+        explode(col("g")).as("gram"))
+    val corp = grams(corpus)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      .select(col("doc_id").as("id_old"), size(col("g")).as("n_old"),
+        explode(col("g")).as("gram"))
+    batch.join(corp, "gram")
+      .groupBy("id_new", "id_old", "n_new", "n_old")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("n_new").cast("long") + col("n_old") - col("inter"))
+          .cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_old"), col("inter"), col("jaccard"))
+  }
+
+  /** Drain-mode execution of [[incrementalDedup]] over the documents
+    * landing zone (AvailableNow, memory sink, complete mode).
+    */
+  def drainIncrementalDedup(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+    drain(spark,
+      incrementalDedup(docsStream(spark, dir, globFilter), corpus))
+  }
 }

@@ -377,4 +377,13 @@ class StreamsSpec extends SparkSuite {
     q.stop()
     assert(spark.table("dedup_out").count() == sample.size)
   }
+
+  test("streaming incremental dedup drain equals the batch twin row-for-row") {
+    val streamed = Streams
+      .drainIncrementalDedup(spark, sfDir, "documents.parquet")
+      .orderBy("id_new", "id_old").collect().toSeq
+    val batch = ext.Dedup.qDedupIncremental(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
