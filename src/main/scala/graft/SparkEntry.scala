@@ -106,6 +106,7 @@ object SparkEntry {
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),
     "q_item_cf" -> q(Analytics.qItemCf(_)),
     "q_multi_regression" -> q(Stats.qMultiRegression),
+    "q_rolling_corr" -> q(Stats.qRollingCorr(_)),
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
@@ -2465,6 +2466,33 @@ object SparkEntry {
              OVER (PARTITION BY p1 ORDER BY sim DESC, p2) AS rnk FROM s)
          SELECT p1, p2, sim, CAST(rnk AS BIGINT) AS rnk FROM rk
          WHERE rnk <= 5 ORDER BY p1, rnk""",
+    // windowed exact moments over the day-keyed RANGE frame; only the
+    // final corr composite is float, rounded at 1e-9
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+           FROM orders GROUP BY 1),
+         dn AS (SELECT d, date_diff('day', DATE '1970-01-01', d) AS dn, x, y
+           FROM daily),
+         m AS (SELECT d,
+             CAST(COUNT(*) OVER win AS BIGINT) AS n,
+             CAST(SUM(x) OVER win AS DOUBLE) AS sx,
+             CAST(SUM(y) OVER win AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,4))) OVER win AS DOUBLE)
+               AS sxx,
+             CAST(SUM(y * y) OVER win AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,2))) OVER win AS DOUBLE)
+               AS sxy
+           FROM dn WINDOW win AS (ORDER BY dn
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+         SELECT strftime(d, '%Y-%m-%d') AS day, n,
+           round(CASE WHEN (n * sxx - sx * sx) = 0
+               OR (n * syy - sy * sy) = 0 THEN NULL
+             ELSE (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END, 9)
+             AS corr30
+         FROM m ORDER BY day""",
     // Cramer's rule written with the IDENTICAL operation tree as the
     // engine's Column expressions — the determinants must match bit-for-bit
     // before the 1e-8 rounding

@@ -703,6 +703,46 @@ object Stats {
           (col("yy") - col("p") * col("p") / col("n_orders")), 8).as("r2"))
   }
 
+  /** Trailing 30-day rolling correlation between the daily revenue total
+    * and the daily order count. Two-stage shape: collapse the fact to one
+    * row per day first (the window then runs over a dimension-sized
+    * series, never the fact), and compute Pearson from EXACT windowed
+    * moment sums — decimal revenue sums and integer counts over a
+    * day-keyed RANGE frame are order-free, so only the final fixed
+    * composite (the corr formula) touches floats, rounded at 1e-9.
+    * Degenerate windows (zero variance on either side) yield null in both
+    * engines via the same guard.
+    */
+  def qRollingCorr(t: Tables, days: Int = 30): DataFrame = {
+    val daily = t.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("x"),
+        count(lit(1)).as("y"))
+      .withColumn("dn", datediff(col("d"), lit("1970-01-01").cast("date")))
+    val w = Window.orderBy("dn").rangeBetween(-(days - 1).toLong, 0L)
+    val m = daily.select(col("d"), col("dn"),
+      count(lit(1)).over(w).as("n"),
+      sum(col("x")).over(w).cast("double").as("sx"),
+      sum(col("y")).over(w).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 4))).over(w)
+        .cast("double").as("sxx"),
+      sum(col("y") * col("y")).over(w).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 2))).over(w)
+        .cast("double").as("sxy"))
+    m.select(date_format(col("d"), "yyyy-MM-dd").as("day"), col("n"),
+        round(
+          when(
+            (col("n") * col("sxx") - col("sx") * col("sx")) === 0.0 ||
+            (col("n") * col("syy") - col("sy") * col("sy")) === 0.0,
+            lit(null))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+               sqrt(col("n") * col("syy") - col("sy") * col("sy")))), 9)
+          .as("corr30"))
+      .orderBy("day")
+  }
+
   /** Kaplan–Meier survival of time-to-repeat-purchase: per customer, the
     * duration (days) from first order to the first LATER order date, right-
     * censored at the corpus horizon for one-time customers. First/next are

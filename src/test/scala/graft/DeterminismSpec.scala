@@ -65,7 +65,8 @@ class DeterminismSpec extends SparkSuite {
     "q_item_cf",          // exact-count cosine, bounded_topk tie-breaks
     "q_multi_regression", // Cramer solve over exact decimal moments
     "q_bfs_hops",         // frontier anti-joins over integer hops
-    "q_entity_resolution") // blocked jaro + min-label + struct survivor
+    "q_entity_resolution", // blocked jaro + min-label + struct survivor
+    "q_rolling_corr")     // windowed exact moments, rounded composite
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -105,6 +105,36 @@ class GraphInferenceSpec extends SparkSuite {
     assert(se > classic / 3 && se < classic * 3, s"se=$se classic=$classic")
   }
 
+  test("rolling correlation: bounds hold and a spot window matches brute force") {
+    val rows = Stats.qRollingCorr(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"corr out of range: $c")
+      }
+      assert(r.getLong(1) >= 1 && r.getLong(1) <= 30)
+    }
+    // brute-force the LAST day's trailing window
+    val daily = tables.orders
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("x"), count(lit(1)).cast("double").as("y"))
+      .as[(java.sql.Date, Double, Double)].collect()
+      .sortBy(_._1.toLocalDate.toEpochDay)
+    val last = daily.last._1.toLocalDate.toEpochDay
+    val wnd = daily.filter(t => last - t._1.toLocalDate.toEpochDay < 30)
+    val n = wnd.length.toDouble
+    val (sx, sy) = (wnd.map(_._2).sum, wnd.map(_._3).sum)
+    val sxx = wnd.map(t => t._2 * t._2).sum
+    val syy = wnd.map(t => t._3 * t._3).sum
+    val sxy = wnd.map(t => t._2 * t._3).sum
+    val expect = (n * sxy - sx * sy) /
+      (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    val got = rows.last.getDouble(2)
+    assert(math.abs(got - expect) < 1e-6, s"$got vs $expect")
+  }
+
   test("rolling 7-day distinct matches a brute-force per-day recompute") {
     val o = tables.orders
       .select(to_date(col("o_orderdate")).as("d"), col("o_custkey"))
