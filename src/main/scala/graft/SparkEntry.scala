@@ -193,6 +193,7 @@ object SparkEntry {
     "q_json_extract" -> q(Events.qJsonExtract),
     "q_asof_join" -> q(Events.qAsOfJoin),
     "q_asof_join_native" -> q(Events.qAsOfJoinNative),
+    "q_asof_forward" -> q(Events.qAsOfForward),
     // — dedup tier —
     "q_dedup_exact" -> q(Dedup.qDedupExact),
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
@@ -2051,6 +2052,14 @@ object SparkEntry {
            SELECT oo.o_orderkey AS last_orderkey FROM orders oo
            WHERE oo.o_custkey = e.user_id AND oo.o_orderdate <= e.ts
            ORDER BY oo.o_orderdate DESC, oo.o_orderkey DESC LIMIT 1) x ON TRUE
+         WHERE e.event_id % 10 = 0
+         ORDER BY e.event_id""",
+    "q_asof_forward" ->
+      """SELECT e.event_id, e.user_id, x.next_orderkey
+         FROM events e LEFT JOIN LATERAL (
+           SELECT oo.o_orderkey AS next_orderkey FROM orders oo
+           WHERE oo.o_custkey = e.user_id AND oo.o_orderdate >= e.ts
+           ORDER BY oo.o_orderdate ASC, oo.o_orderkey ASC LIMIT 1) x ON TRUE
          WHERE e.event_id % 10 = 0
          ORDER BY e.event_id""",
     "q_dedup_exact" ->

@@ -66,4 +66,53 @@ object AsOfJoin {
 
     filled.filter(col(side) === 1).drop(t, side, tb)
   }
+
+  /** FORWARD as-of: for each left row, the EARLIEST right row with the
+    * same key whose time is >= the left time (the "next state change"
+    * lookup — scheduling, next-shipment, SLA queries). Mirror of [[asOf]]:
+    * same single-shuffle union-and-sort shape, but left rows sort BEFORE
+    * right rows at equal times (inclusive >=) and each left row picks the
+    * first right value in the FORWARD window frame; ties on rightTime
+    * resolve to the LOWEST `rightTiebreak`.
+    */
+  def asOfForward(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      rightTiebreak: String): DataFrame = {
+    val t = "__asof_t"
+    val side = "__asof_side" // left=0 sorts before right=1 at equal times
+    val tb = "__asof_tb"
+
+    val l = left
+      .withColumn(t, col(leftTime))
+      .withColumn(side, lit(0))
+      .withColumn(tb, lit(null).cast("long"))
+    val lPadded = rightVals.foldLeft(l)((d, c) =>
+      d.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+
+    val rBase = right
+      .withColumn(t, col(rightTime))
+      .withColumn(side, lit(1))
+      .withColumn(tb, col(rightTiebreak).cast("long"))
+    val rPadded = left.columns.foldLeft(rBase)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+
+    val cols = (left.columns ++ rightVals ++ Seq(t, side, tb)).distinct.map(col)
+    val unioned = lPadded.select(cols: _*).unionByName(rPadded.select(cols: _*))
+
+    val w = Window
+      .partitionBy(key)
+      .orderBy(col(t), col(side), col(tb))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val filled = rightVals.foldLeft(unioned)((d, c) =>
+      d.withColumn(c, first(col(c), ignoreNulls = true).over(w)))
+
+    filled.filter(col(side) === 0).drop(t, side, tb)
+  }
 }

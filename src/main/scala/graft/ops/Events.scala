@@ -247,6 +247,22 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Forward as-of: each event picks up the user's NEXT order at or after
+    * the event time — the next-state-change lookup (see
+    * [[AsOfJoin.asOfForward]]).
+    */
+  def qAsOfForward(t: Tables): DataFrame = {
+    val (ev, ord) = asOfInputs(t)
+    AsOfJoin
+      .asOfForward(ev,
+        ord.withColumnRenamed("last_orderkey", "next_orderkey"),
+        "user_id", "ts", "o_orderdate",
+        rightVals = Seq("next_orderkey"), rightTiebreak = "next_orderkey")
+      .filter(pmod(col("event_id"), lit(10)) === 0)
+      .select(col("event_id"), col("user_id"), col("next_orderkey"))
+      .orderBy("event_id")
+  }
+
   /** Same query on the custom physical operator
     * ([[graft.plans.AsOfJoinPlan]]: logical node + strategy + sort-merge
     * exec) — verified against the same DuckDB oracle as the composed

@@ -32,6 +32,34 @@ class AsOfJoinSpec extends SparkSuite {
     assert(out(4L).isEmpty)
   }
 
+  test("forward as-of picks earliest right row at-or-after left time, ties -> smaller key") {
+    val left = Seq(
+      (1L, 10L, 100L), // exactly at an order time: inclusive
+      (2L, 10L, 55L), // between orders -> next at t=100
+      (3L, 10L, 10L), // before any order -> earliest (tie -> smaller key)
+      (4L, 10L, 101L), // after the last order -> null
+      (5L, 99L, 500L) // user with no orders -> null
+    ).toDF("event_id", "user_id", "t")
+    val right = Seq(
+      (10L, 50L, 1002L),
+      (10L, 50L, 1001L), // same time: SMALLER key wins going forward
+      (10L, 100L, 1003L)
+    ).toDF("user_id", "rt", "order_id")
+
+    val out = AsOfJoin
+      .asOfForward(left, right, "user_id", "t", "rt", Seq("order_id"),
+        "order_id")
+      .select("event_id", "order_id")
+      .as[(Long, Option[Long])]
+      .collect()
+      .toMap
+    assert(out(1L).contains(1003L)) // inclusive at equal time
+    assert(out(2L).contains(1003L))
+    assert(out(3L).contains(1001L)) // tie at rt=50 -> smaller order_id
+    assert(out(4L).isEmpty)
+    assert(out(5L).isEmpty)
+  }
+
   test("custom physical as-of operator matches the composed version on tiny data") {
     val left = Seq(
       (1L, 10L, 100L), (2L, 10L, 55L), (3L, 10L, 10L), (4L, 99L, 500L)

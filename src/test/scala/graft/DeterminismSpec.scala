@@ -66,7 +66,8 @@ class DeterminismSpec extends SparkSuite {
     "q_multi_regression", // Cramer solve over exact decimal moments
     "q_bfs_hops",         // frontier anti-joins over integer hops
     "q_entity_resolution", // blocked jaro + min-label + struct survivor
-    "q_rolling_corr")     // windowed exact moments, rounded composite
+    "q_rolling_corr",     // windowed exact moments, rounded composite
+    "q_asof_forward")     // union-sort forward pick, integer tiebreaks
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
