@@ -114,6 +114,7 @@ object SparkEntry {
     "q_pagerank" -> q(Graph.qPagerank(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
+    "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2726,6 +2727,36 @@ object SparkEntry {
          UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
          UNION ALL SELECT node, CAST(3 AS BIGINT) FROM h3
          ORDER BY part""",
+    // sparse doc×topic multiply: dictionaries re-derived (same df guard,
+    // same top-k tie-break on word), exact decimal tf×weight sums
+    "q_topic_scores" ->
+      """WITH d AS (SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         dw AS (SELECT doc_id, source, unnest(w) AS word FROM d),
+         docw AS (SELECT DISTINCT doc_id, word FROM dw),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM d),
+         hot AS (SELECT word FROM
+           (SELECT word, COUNT(*) AS cdf FROM docw GROUP BY 1) c, tot
+           WHERE c.cdf > tot.n_total * 0.5),
+         sdf AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS df
+           FROM (SELECT DISTINCT source, doc_id, word FROM dw) x
+           WHERE word NOT IN (SELECT word FROM hot)
+           GROUP BY 1, 2),
+         topics AS (SELECT source AS topic, word,
+             CAST(round(ln(1 + df), 9) AS DECIMAL(18,9)) AS weight,
+             row_number() OVER (PARTITION BY source
+               ORDER BY df DESC, word) AS rk
+           FROM sdf),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM dw GROUP BY 1, 2),
+         sc AS (SELECT tf.doc_id, topics.topic,
+             SUM(tf.tf * topics.weight) AS score
+           FROM tf JOIN topics ON tf.word = topics.word AND topics.rk <= 10
+           GROUP BY 1, 2),
+         best AS (SELECT doc_id, topic, score, row_number() OVER (
+             PARTITION BY doc_id ORDER BY score DESC, topic) AS rk FROM sc)
+         SELECT doc_id, topic, CAST(score AS DOUBLE) AS score FROM best
+         WHERE rk = 1 ORDER BY doc_id""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window
     "q_dup_spans" ->

@@ -635,6 +635,55 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Sparse doc×topic scoring — the sparse-matrix-multiply shape: topic
+    * dictionaries are the top-`k` per-source words by in-source document
+    * frequency (corpus-hot words excluded via the same df guard as
+    * [[graft.ext.Dedup.qNgramJaccard]]), weighted ln(1+df); each document
+    * scores against every topic through ONE equi-join on word + one
+    * (doc, topic) aggregation — never a dense doc×topic product. The
+    * dictionary is dimension-sized (sources × k words) and broadcasts; at
+    * 100 TB the corpus contributes one tf pass and one join, both keyed by
+    * word. Scores are exact decimal sums of tf × decimal-rounded weights,
+    * so the argmax (ties to the lexicographically first topic) is
+    * engine-independent.
+    */
+  def qTopicScores(
+      t: Tables, k: Int = 10, maxDfFrac: Double = 0.5): DataFrame = {
+    val docs = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), col("source"), Dedup.words(col("text")).as("w"))
+    val dw = docs.select(col("doc_id"), col("source"),
+      explode(col("w")).as("word"))
+    val docWords = dw.select("doc_id", "word").distinct()
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val hot = docWords.groupBy("word").agg(count(lit(1)).as("cdf"))
+      .crossJoin(broadcast(total))
+      .filter(col("cdf") > col("n_total") * maxDfFrac)
+      .select("word")
+    val sdf = dw.select("source", "doc_id", "word").distinct()
+      .groupBy("source", "word").agg(count(lit(1)).as("df"))
+      .join(broadcast(hot), Seq("word"), "left_anti")
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("df").desc, col("word"))
+    val topics = sdf.withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("source").as("topic"), col("word"),
+        round(log(lit(1.0) + col("df")), 9).cast("decimal(18,9)")
+          .as("weight"))
+    val tf = dw.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // tf as decimal(10,0): a long operand would promote the product past
+    // precision 38 and Spark would silently trim the scale to 8
+    val scores = tf.join(broadcast(topics), "word")
+      .groupBy("doc_id", "topic")
+      .agg(sum(col("tf").cast("decimal(10,0)") * col("weight")).as("score"))
+    val wBest = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("topic"))
+    scores.withColumn("rk", row_number().over(wBest))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("topic"),
+        col("score").cast("double").as("score"))
+      .orderBy("doc_id")
+  }
+
   /** Exact repeated-span detection (the exact-substring dedup shape used by
     * RefinedWeb/CCNet-style pipelines): a word `n`-gram that occurs in more
     * than one document marks its `n` covering token positions as
