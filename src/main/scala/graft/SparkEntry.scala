@@ -115,6 +115,7 @@ object SparkEntry {
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
+    "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2757,6 +2758,43 @@ object SparkEntry {
              PARTITION BY doc_id ORDER BY score DESC, topic) AS rk FROM sc)
          SELECT doc_id, topic, CAST(score AS DOUBLE) AS score FROM best
          WHERE rk = 1 ORDER BY doc_id""",
+    // RAKE: same stopword delimiters, phrase cap, degree/freq word scores
+    // rounded to decimal(28,9), phrase score an exact decimal sum
+    "q_rake_keywords" ->
+      """WITH d AS (SELECT doc_id, source,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         tok AS (SELECT doc_id, source, i - 1 AS pos, w[i] AS word,
+             CASE WHEN w[i] IN ('the', 'a') THEN 1 ELSE 0 END AS sw
+           FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+         ph AS (SELECT doc_id, source, pos, word, sw,
+             SUM(sw) OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+           FROM tok),
+         inst AS (SELECT doc_id, source, phrase_id, pos, word
+           FROM ph WHERE sw = 0),
+         plen AS (SELECT doc_id, source, phrase_id,
+             CAST(COUNT(*) AS BIGINT) AS len,
+             string_agg(word, ' ' ORDER BY pos) AS phrase
+           FROM inst GROUP BY 1, 2, 3 HAVING COUNT(*) <= 4),
+         wi AS (SELECT i.doc_id, i.source, i.phrase_id, i.word,
+             p.len, p.phrase
+           FROM inst i JOIN plen p USING (doc_id, source, phrase_id)),
+         st AS (SELECT source, word,
+             CAST(round(CAST(SUM(len) AS DOUBLE) / COUNT(*), 9)
+               AS DECIMAL(28,9)) AS wscore
+           FROM wi GROUP BY 1, 2),
+         ps AS (SELECT wi.doc_id, wi.source, wi.phrase_id, wi.phrase,
+             SUM(st.wscore) AS iscore
+           FROM wi JOIN st ON wi.source = st.source AND wi.word = st.word
+           GROUP BY 1, 2, 3, 4),
+         agg AS (SELECT source, phrase,
+             CAST(COUNT(*) AS BIGINT) AS n_occ, MAX(iscore) AS score
+           FROM ps GROUP BY 1, 2),
+         ranked AS (SELECT source, phrase, n_occ, score,
+             row_number() OVER (PARTITION BY source
+               ORDER BY score DESC, phrase) AS rk FROM agg)
+         SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ,
+             CAST(score AS DOUBLE) AS score
+         FROM ranked WHERE rk <= 3 ORDER BY source, rk""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window
     "q_dup_spans" ->

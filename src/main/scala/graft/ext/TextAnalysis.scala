@@ -734,4 +734,64 @@ object TextAnalysis {
           col("total_tokens").cast("double")).as("dup_ratio"))
       .orderBy("doc_id")
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010): candidate phrases are the
+    * maximal stopword-free token runs (delimiters here: the corpus's two
+    * function words), capped at `maxLen` tokens — the standard practical
+    * guard against RAKE's long-phrase bias. Per source slice, word
+    * `score = degree / freq` where `degree` sums the lengths of the
+    * phrases each occurrence sits in; a phrase scores the sum of its
+    * member-word scores, and the top `k` phrases per source surface.
+    *
+    * Scale shape: one posexplode pass; phrase assembly shuffles by
+    * (doc, phrase_id) — keys that never skew because phrase_id is
+    * per-document; word stats are vocabulary-sized and BROADCAST back to
+    * the instance stream. Word scores are decimal-rounded small-int
+    * ratios and phrase scores exact decimal sums (≤ maxLen terms, scaled
+    * int far below 2^53), so ranking and the final double surface are
+    * engine-independent.
+    */
+  def qRakeKeywords(t: Tables, maxLen: Int = 4, k: Int = 3): DataFrame = {
+    val stop = Seq("the", "a")
+    val toks = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), col("source"),
+        posexplode(Dedup.words(col("text"))).as(Seq("pos", "word")))
+      .withColumn("sw", col("word").isin(stop: _*))
+    // phrase_id = running stopword count: constant within a stopword-free
+    // run, bumps at each delimiter — gaps-and-islands without a self-join
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val inst = toks
+      .withColumn("phrase_id",
+        sum(when(col("sw"), 1L).otherwise(0L)).over(wDoc))
+      .filter(!col("sw"))
+      .select("doc_id", "source", "phrase_id", "pos", "word")
+    val phrases = inst
+      .groupBy("doc_id", "source", "phrase_id")
+      .agg(
+        count(lit(1)).as("len"),
+        concat_ws(" ",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            s => s.getField("word"))).as("phrase"))
+      .filter(col("len") <= maxLen)
+    val wi = inst.join(phrases, Seq("doc_id", "source", "phrase_id"))
+    val stats = wi.groupBy("source", "word")
+      .agg(count(lit(1)).as("freq"), sum("len").as("degree"))
+      .withColumn("wscore",
+        round(col("degree").cast("double") / col("freq"), 9)
+          .cast("decimal(28,9)"))
+      .select("source", "word", "wscore")
+    val instScore = wi.join(broadcast(stats), Seq("source", "word"))
+      .groupBy("doc_id", "source", "phrase_id", "phrase")
+      .agg(sum("wscore").as("iscore"))
+    val wRank = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("phrase"))
+    instScore.groupBy("source", "phrase")
+      .agg(count(lit(1)).as("n_occ"), max("iscore").as("score"))
+      .withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"), col("phrase"),
+        col("n_occ"), col("score").cast("double").as("score"))
+      .orderBy("source", "rk")
+  }
 }
