@@ -113,6 +113,7 @@ object SparkEntry {
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
     "q_pagerank" -> q(Graph.qPagerank(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
+    "q_triangle_count" -> q(Graph.qTriangleCount),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
@@ -2728,6 +2729,40 @@ object SparkEntry {
          UNION ALL SELECT node, CAST(2 AS BIGINT) FROM h2
          UNION ALL SELECT node, CAST(3 AS BIGINT) FROM h3
          ORDER BY part""",
+    // triangle census: same degree-(d, id) orientation, wedge at the
+    // lowest-ranked apex, chord semi-join; exact ints + one rounded ratio
+    "q_triangle_count" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         und AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+             (SELECT s AS n FROM und UNION ALL SELECT t FROM und)
+           GROUP BY 1),
+         ori AS (SELECT
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN und.s ELSE und.t END AS u,
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN und.t ELSE und.s END AS v,
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN dt.d ELSE ds.d END AS dv
+           FROM und JOIN deg ds ON und.s = ds.n
+                    JOIN deg dt ON und.t = dt.n),
+         wedges AS (SELECT a.v AS u, b.v AS v FROM ori a JOIN ori b
+           ON a.u = b.u AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+         tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+           FROM wedges w WHERE EXISTS (SELECT 1 FROM ori
+             WHERE ori.u = w.u AND ori.v = w.v)),
+         sums AS (SELECT
+             CAST(COUNT(DISTINCT n) AS BIGINT) AS n_nodes,
+             CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS open FROM deg),
+         cnts AS (SELECT
+             CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+             CAST((SELECT COUNT(*) FROM wedges) AS BIGINT) AS n_wedges)
+         SELECT sums.n_nodes, cnts.n_edges, cnts.n_wedges,
+             tri.n_triangles,
+             round(tri.n_triangles * 3.0 / sums.open, 9) AS clustering
+         FROM sums, cnts, tri""",
     // sparse doc×topic multiply: dictionaries re-derived (same df guard,
     // same top-k tie-break on word), exact decimal tf×weight sums
     "q_topic_scores" ->

@@ -150,4 +150,62 @@ object Graph {
       ckpts.filter(_ ne result).foreach(graft.Engine.freeCheckpoint)
     }
   }
+
+  /** Triangle census of the undirected co-purchase graph, via the
+    * degree-ordered node-iterator (Schank–Wagner): every edge is oriented
+    * from its lower-(degree, id) endpoint, wedges are generated only at
+    * each edge pair's LOWEST-ranked apex, and a wedge closes into a
+    * triangle iff its (v, w) chord exists in the oriented edge set. The
+    * orientation is the whole scale story: per-apex fan-out is bounded by
+    * oriented out-degree — O(sqrt(m)) worst case — so the wedge stream
+    * stays near-linear even when raw degrees are power-law skewed; a naive
+    * apex-at-every-endpoint join would square the hottest hub. One row
+    * out: node/edge/wedge/triangle counts and the global clustering
+    * coefficient (3·triangles / open wedges), all exact integers plus one
+    * rounded ratio — engine-independent.
+    */
+  def qTriangleCount(t: Tables): DataFrame = {
+    val und = coPurchaseEdges(t).filter(col("src") < col("dst"))
+      .select(col("src").as("s"), col("dst").as("t"))
+      .localCheckpoint() // probed three times: degrees, orientation, chords
+    try {
+      val deg = und.select(col("s").as("n"))
+        .unionByName(und.select(col("t").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+      val nNodes = deg.count() // driver scalar, also gates the broadcasts
+      def maybeBroadcast(df: DataFrame): DataFrame =
+        if (nNodes <= 1000000L) broadcast(df) else df
+      val lower = col("ds") < col("dt") ||
+        (col("ds") === col("dt") && col("s") < col("t"))
+      val ori = und
+        .join(maybeBroadcast(deg.select(col("n").as("s"), col("d").as("ds"))), "s")
+        .join(maybeBroadcast(deg.select(col("n").as("t"), col("d").as("dt"))), "t")
+        .select(
+          when(lower, col("s")).otherwise(col("t")).as("u"),
+          when(lower, col("t")).otherwise(col("s")).as("v"),
+          when(lower, col("dt")).otherwise(col("ds")).as("dv"))
+      // wedge (v, w) at apex u, ordered by the SAME rank as the
+      // orientation so the closing chord is exactly the oriented edge
+      val wedges = ori.as("a").join(ori.as("b"), "u")
+        .filter(col("a.dv") < col("b.dv") ||
+          (col("a.dv") === col("b.dv") && col("a.v") < col("b.v")))
+        .select(col("a.v").as("u"), col("b.v").as("v"))
+      val nWedgesOriented = wedges.count()
+      val nTriangles = wedges
+        .join(ori.select("u", "v"), Seq("u", "v"), "left_semi").count()
+      val nEdges = und.count()
+      val open = deg
+        .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("open"))
+        .head().getLong(0)
+      // every statistic is already a driver scalar, so the result frame is
+      // literal-only — safe to free the edge checkpoint before collection
+      und.sparkSession.range(1).select(
+        lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+        lit(nWedgesOriented).as("n_wedges"),
+        lit(nTriangles).as("n_triangles"),
+        round(lit(nTriangles * 3.0) / lit(open), 9).as("clustering"))
+    } finally {
+      graft.Engine.freeCheckpoint(und)
+    }
+  }
 }
