@@ -117,6 +117,7 @@ object SparkEntry {
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
+    "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2830,6 +2831,32 @@ object SparkEntry {
          SELECT source, CAST(rk AS BIGINT) AS rk, phrase, n_occ,
              CAST(score AS DOUBLE) AS score
          FROM ranked WHERE rk <= 3 ORDER BY source, rk""",
+    // PMI: same df-capped vocabulary, exact counts, ln rounded at 1e-9
+    "q_pmi_pairs" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         dw AS (SELECT DISTINCT doc_id, word FROM
+           (SELECT doc_id, unnest(w) AS word FROM d) x),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+         dfx AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dw GROUP BY 1),
+         vocab AS (SELECT word, df FROM dfx
+           ORDER BY df DESC, word LIMIT 100),
+         dwv AS (SELECT dw.doc_id, dw.word
+           FROM dw JOIN vocab ON dw.word = vocab.word),
+         p AS (SELECT a.word AS w1, b.word AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c_xy
+           FROM dwv a JOIN dwv b
+             ON a.doc_id = b.doc_id AND a.word < b.word
+           GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+         SELECT p.w1, p.w2, p.c_xy,
+             round(ln(CAST(p.c_xy AS DOUBLE) * tot.n
+               / (d1.df * d2.df)), 9) AS pmi
+         FROM p CROSS JOIN tot
+           JOIN vocab d1 ON p.w1 = d1.word
+           JOIN vocab d2 ON p.w2 = d2.word
+         ORDER BY pmi DESC, w1, w2 LIMIT 25""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window
     "q_dup_spans" ->

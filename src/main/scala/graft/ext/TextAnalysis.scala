@@ -794,4 +794,45 @@ object TextAnalysis {
         col("n_occ"), col("score").cast("double").as("score"))
       .orderBy("source", "rk")
   }
+
+  /** Pointwise mutual information over word co-occurrence (words sharing a
+    * document): `pmi(x, y) = ln(c_xy · n / (c_x · c_y))` from exact
+    * document-frequency counts, surfacing the top `k` strongest
+    * associations above `minSupport`. The per-document pair fan-out is the
+    * quadratic hazard at 100 TB, so pairing is restricted to a top-`vocabK`
+    * vocabulary (df-ranked, broadcast semi-join) — fan-out is then bounded
+    * by min(doc distinct words, vocabK)² regardless of corpus size, and
+    * the pair key space by vocabK². Counts are exact longs; the single
+    * `ln` is rounded at 1e-9 (far above cross-engine libm ulps), so
+    * ranking and ties are engine-independent.
+    */
+  def qPmiPairs(
+      t: Tables, vocabK: Int = 100, minSupport: Int = 5,
+      k: Int = 25): DataFrame = {
+    val docs = graft.Engine.spread(t.documents)
+    val dw = docs
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
+      .distinct()
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val dfx = dw.groupBy("word").agg(count(lit(1)).as("df"))
+    val vocab = dfx.orderBy(col("df").desc, col("word")).limit(vocabK)
+    val dwv = dw.join(broadcast(vocab.select("word")), Seq("word"),
+      "left_semi")
+    val pairs = dwv.as("a").join(dwv.as("b"), "doc_id")
+      .filter(col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minSupport)
+    pairs
+      .join(broadcast(vocab.select(col("word").as("w1"),
+        col("df").as("df1"))), "w1")
+      .join(broadcast(vocab.select(col("word").as("w2"),
+        col("df").as("df2"))), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_xy"),
+        round(log(col("c_xy").cast("double") * col("n") /
+          (col("df1") * col("df2"))), 9).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }
