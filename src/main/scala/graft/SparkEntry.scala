@@ -118,6 +118,7 @@ object SparkEntry {
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
     "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
+    "q_inverted_index" -> q(TextAnalysis.qInvertedIndex(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2857,6 +2858,22 @@ object SparkEntry {
            JOIN vocab d1 ON p.w1 = d1.word
            JOIN vocab d2 ON p.w2 = d2.word
          ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    // inverted index: per-word stats + first-8-docs posting prefix
+    "q_inverted_index" ->
+      """WITH tf AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(
+               string_split_regex(trim(lower(text)), ' +')) AS word
+             FROM documents) x
+           GROUP BY 1, 2),
+         st AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(SUM(tf) AS BIGINT) AS tf_total FROM tf GROUP BY 1),
+         rk AS (SELECT word, doc_id, row_number() OVER (
+             PARTITION BY word ORDER BY doc_id) AS rn FROM tf),
+         post AS (SELECT word, array_to_string(
+             list_sort(list(doc_id)), ',') AS postings
+           FROM rk WHERE rn <= 8 GROUP BY 1)
+         SELECT st.word, st.df, st.tf_total, post.postings
+         FROM st JOIN post ON st.word = post.word ORDER BY st.word""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window
     "q_dup_spans" ->

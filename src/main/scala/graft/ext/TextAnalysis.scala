@@ -835,4 +835,32 @@ object TextAnalysis {
       .orderBy(col("pmi").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** Inverted-index construction: one posting row per vocabulary word with
+    * document frequency, total term frequency, and the first `cap` doc ids
+    * (the stored posting-list prefix). The cap is applied by a per-word
+    * rank BEFORE any list is collected — at 100 TB a hot word's full
+    * posting list is unbounded, so rows that won't be stored must be
+    * dropped in the shuffle, not after collection; `collect_list` then
+    * only ever sees ≤ cap elements per key. Doc ids sort numerically
+    * before string surfacing so the oracle compare is order-stable.
+    */
+  def qInvertedIndex(t: Tables, cap: Int = 8): DataFrame = {
+    val tf = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
+      .groupBy("word", "doc_id").agg(count(lit(1)).as("tf"))
+    val stats = tf.groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"))
+    val wRank = Window.partitionBy("word").orderBy("doc_id")
+    val postings = tf
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= cap)
+      .groupBy("word")
+      .agg(array_join(
+        transform(sort_array(collect_list(col("doc_id"))),
+          x => x.cast("string")), ",").as("postings"))
+    stats.join(postings, "word")
+      .select(col("word"), col("df"), col("tf_total"), col("postings"))
+      .orderBy("word")
+  }
 }
