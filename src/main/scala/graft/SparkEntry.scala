@@ -275,6 +275,8 @@ object SparkEntry {
         .orderBy("user_id", "session_id")),
     "q_stream_ratelimit" -> ((spark, dir) =>
       graft.streaming.Streams.drainRateLimit(spark, dir, "events.parquet")),
+    "q_stream_transitions" -> ((spark, dir) =>
+      graft.streaming.Streams.drainTransitions(spark, dir, "events.parquet")),
     "q_stream_incdedup" -> ((spark, dir) =>
       graft.streaming.Streams
         .drainIncrementalDedup(spark, dir, "documents.parquet")
@@ -312,6 +314,22 @@ object SparkEntry {
   /** Batch/stream-shared oracle for the incremental-ingest dedup pair
     * (`q_dedup_incremental`, `q_stream_incdedup`).
     */
+  /** Shared by the batch Markov counter and its streaming drain twin
+    * (`q_event_transitions`, `q_stream_transitions`).
+    */
+  private val eventTransitionsOracle: String =
+    """WITH g AS (SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+             ORDER BY ts, event_id) AS prev_type
+         FROM events),
+       p AS (SELECT prev_type AS from_type, event_type AS to_type,
+           COUNT(*) AS n
+         FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+       SELECT from_type, to_type, n,
+         CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
+           AS DOUBLE) AS p
+       FROM p ORDER BY from_type, to_type"""
+
   private val incDedupOracle: String =
     """WITH d AS (SELECT doc_id, list_distinct(list_transform(
            range(1, greatest(len(w) - 3, 0) + 2),
@@ -1658,18 +1676,8 @@ object SparkEntry {
          FROM i a JOIN i b ON a.okey = b.okey AND a.pk < b.pk
          GROUP BY 1, 2 ORDER BY n_orders DESC, p1, p2 LIMIT 20""",
     // transition probability = exact-count ratio within the from-row
-    "q_event_transitions" ->
-      """WITH g AS (SELECT user_id, event_type,
-             lag(event_type) OVER (PARTITION BY user_id
-               ORDER BY ts, event_id) AS prev_type
-           FROM events),
-         p AS (SELECT prev_type AS from_type, event_type AS to_type,
-             COUNT(*) AS n
-           FROM g WHERE prev_type IS NOT NULL GROUP BY 1, 2)
-         SELECT from_type, to_type, n,
-           CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type)
-             AS DOUBLE) AS p
-         FROM p ORDER BY from_type, to_type""",
+    "q_event_transitions" -> eventTransitionsOracle,
+    "q_stream_transitions" -> eventTransitionsOracle,
     "q_cohort_matrix" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),

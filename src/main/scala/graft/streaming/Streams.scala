@@ -20,6 +20,12 @@ final case class AdmitUpdate(event_type: String, kept: Long)
 /** Per-(user, minute) admission counter state. */
 final case class AdmitState(admitted: Long)
 
+/** One observed event-type transition for the streaming Markov counter. */
+final case class TransPair(from_type: String, to_type: String)
+
+/** Per-user last-event memory for the streaming transition counter. */
+final case class TransState(lastTsNs: Long, lastEventId: Long, lastType: String)
+
 /** Structured Streaming surface: windowed aggregation with watermarks,
   * late-data dedup, and custom sessionization state. The column logic
   * matches the batch twins in [[graft.ops.Events]], which is how the
@@ -438,6 +444,61 @@ object Streams {
           out.iterator
       }
       .toDF()
+  }
+
+  /** Per-user event-type transition stream: flatMapGroupsWithState keyed
+    * by user carries the last event seen (one tiny state row per user) and
+    * emits a (from, to) pair per arriving event — the streaming half of
+    * the Markov-chain counter [[graft.ops.Events.qEventTransitions]].
+    * Rows sort by the RAW nanosecond timestamp inside each group so the
+    * pair sequence is exactly the batch `lag()` order (microsecond
+    * truncation could tie where nanos differ).
+    */
+  def transitions(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts_ns", "event_id", "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TransState, TransPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[TransState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[TransPair]()
+          sorted.foreach { r =>
+            if (st != null) out += TransPair(st.lastType, r._4)
+            st = TransState(r._2, r._3, r._4)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Drain-mode execution of [[transitions]]: the raw-ns event stream
+    * (conversion to microsecond timestamps would erase the batch twin's
+    * tie-break domain) flows through the stateful pair emitter; the
+    * transition matrix with per-from probabilities is a batch aggregate
+    * over the drained pairs, sharing `q_event_transitions`' oracle.
+    */
+  def drainTransitions(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val src = spark.readStream
+      .schema(eventFileSchema)
+      .option("maxFilesPerTrigger", "8")
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+    val fromTotals = org.apache.spark.sql.expressions.Window
+      .partitionBy("from_type")
+    drain(spark, transitions(spark, src), OutputMode.Append())
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        col("n").cast("double") / sum("n").over(fromTotals).cast("double"))
+      .orderBy("from_type", "to_type")
   }
 
   /** Raw on-disk schema of the driver's documents parquet. */
