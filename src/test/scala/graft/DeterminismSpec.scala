@@ -67,7 +67,12 @@ class DeterminismSpec extends SparkSuite {
     "q_bfs_hops",         // frontier anti-joins over integer hops
     "q_entity_resolution", // blocked jaro + min-label + struct survivor
     "q_rolling_corr",     // windowed exact moments, rounded composite
-    "q_asof_forward")     // union-sort forward pick, integer tiebreaks
+    "q_asof_forward",     // union-sort forward pick, integer tiebreaks
+    "q_topic_scores",     // decimal tf×weight sums, tie-broken argmax
+    "q_rake_keywords",    // decimal word-score sums, tie-broken top-k
+    "q_pmi_pairs",        // exact counts, rounded-ln ranking
+    "q_triangle_count",   // exact integer census + one rounded ratio
+    "q_inverted_index")   // rank-capped posting prefixes
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -350,6 +350,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("drained streaming transition counter equals the batch Markov matrix") {
+    val streamed = Streams.drainTransitions(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = graft.ops.Events.qEventTransitions(Tables(spark, sfDir))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("drained stream-static enrichment equals the batch join") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainEnrich(spark, sfDir, "events.parquet")
