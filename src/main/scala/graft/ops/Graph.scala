@@ -26,16 +26,40 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Directed co-purchase edges (src part -> dst part, both directions),
-    * deduplicated; fan-out per order is bounded by lines-per-order squared
-    * (~16 at TPC-H shape), so the self-join never explodes.
+    * deduplicated. Baskets gather once per order (partial-aggregated
+    * collect_set) and pairs explode MAP-SIDE — one shuffle to group plus
+    * one to dedup, where a basket self-join would add a third; fan-out
+    * per order is bounded by lines-per-order squared (~16 at TPC-H
+    * shape), so the expansion never explodes.
     */
-  private def coPurchaseEdges(t: Tables): DataFrame = {
-    val li = t.lineitem.select(
-      col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
-    li.as("a").join(li.as("b"), "ok")
-      .filter(col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+  private def coPurchaseEdges(t: Tables): DataFrame =
+    t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
       .distinct()
+
+  /** The co-purchase edge fact is an INDEX every graph query probes —
+    * PageRank, BFS, and the triangle census all start from the same
+    * self-join. Build and checkpoint it once per table directory and
+    * reuse the materialized rows across queries in the session (the same
+    * build-once economics as [[graft.ext.Dedup]]'s persisted pair
+    * frames); switching directories frees the superseded checkpoint, so
+    * at most one edge index is ever held. Callers must NOT free the
+    * returned frame — the cache owns it.
+    */
+  private var cachedEdgeDir: String = null
+  private var cachedEdgeFrame: DataFrame = null
+  private def coPurchaseEdgesCached(t: Tables): DataFrame = synchronized {
+    if (cachedEdgeDir != t.dir || cachedEdgeFrame == null ||
+        cachedEdgeFrame.sparkSession != t.spark) {
+      if (cachedEdgeFrame != null) graft.Engine.freeCheckpoint(cachedEdgeFrame)
+      cachedEdgeFrame = coPurchaseEdges(t).localCheckpoint()
+      cachedEdgeDir = t.dir
+    }
+    cachedEdgeFrame
   }
 
   /** PageRank (damping 0.85, fixed `iters` rounds) over the co-purchase
@@ -51,7 +75,7 @@ object Graph {
     // it ONCE, then derive degrees / node count / the loop-invariant
     // (src, dst, deg) frame from the checkpointed rows (each a cheap
     // re-read, not a re-build)
-    val edges0 = coPurchaseEdges(t).localCheckpoint()
+    val edges0 = coPurchaseEdgesCached(t)
     // degrees are node-sized: checkpointing them costs one tiny write and
     // saves a full edge re-aggregation in every round's deg probe
     val deg = edges0.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -95,8 +119,7 @@ object Graph {
       ranks.select(col("node").as("part"), col("r").as("rank"))
         .orderBy("part")
     } finally {
-      graft.Engine.freeCheckpoint(edges0)
-      graft.Engine.freeCheckpoint(deg)
+      graft.Engine.freeCheckpoint(deg) // edges0 stays: the cache owns it
     }
   }
 
@@ -110,7 +133,7 @@ object Graph {
     * NOT-IN chained CTEs.
     */
   def qBfsHops(t: Tables, maxHops: Int = 3): DataFrame = {
-    val edges0 = coPurchaseEdges(t).localCheckpoint()
+    val edges0 = coPurchaseEdgesCached(t)
     val ckpts = scala.collection.mutable.Buffer[DataFrame]()
     var result: DataFrame = null
     try {
@@ -145,8 +168,8 @@ object Graph {
       result = visited
       visited.select(col("node").as("part"), col("hop")).orderBy("part")
     } finally {
-      graft.Engine.freeCheckpoint(edges0)
-      // free every superseded round; the final visited frame stays live
+      // edges0 stays checkpointed: the cache owns it. Free every
+      // superseded round; the final visited frame stays live
       ckpts.filter(_ ne result).foreach(graft.Engine.freeCheckpoint)
     }
   }
@@ -165,14 +188,25 @@ object Graph {
     * rounded ratio — engine-independent.
     */
   def qTriangleCount(t: Tables): DataFrame = {
-    val und = coPurchaseEdges(t).filter(col("src") < col("dst"))
+    // one undirected row per edge, derived from the session's shared edge
+    // index (a cheap filter over checkpointed rows, probed three times:
+    // degrees, orientation, chords)
+    val und = coPurchaseEdgesCached(t).filter(col("src") < col("dst"))
       .select(col("src").as("s"), col("dst").as("t"))
-      .localCheckpoint() // probed three times: degrees, orientation, chords
+    // degrees, node count, edge count, and the open-wedge total in ONE
+    // aggregation pass + one node-sized reduce
+    val deg = und.select(col("s").as("n"))
+      .unionByName(und.select(col("t").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .localCheckpoint()
     try {
-      val deg = und.select(col("s").as("n"))
-        .unionByName(und.select(col("t").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("d"))
-      val nNodes = deg.count() // driver scalar, also gates the broadcasts
+      val degStats = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        sum("d").as("deg_total"),
+        sum(expr("(d * (d - 1)) div 2")).cast("long").as("open")).head()
+      val nNodes = degStats.getLong(0)
+      val nEdges = degStats.getLong(1) / 2 // every edge counted at both ends
+      val open = degStats.getLong(2)
       def maybeBroadcast(df: DataFrame): DataFrame =
         if (nNodes <= 1000000L) broadcast(df) else df
       val lower = col("ds") < col("dt") ||
@@ -185,27 +219,40 @@ object Graph {
           when(lower, col("t")).otherwise(col("s")).as("v"),
           when(lower, col("dt")).otherwise(col("ds")).as("dv"))
       // wedge (v, w) at apex u, ordered by the SAME rank as the
-      // orientation so the closing chord is exactly the oriented edge
-      val wedges = ori.as("a").join(ori.as("b"), "u")
-        .filter(col("a.dv") < col("b.dv") ||
-          (col("a.dv") === col("b.dv") && col("a.v") < col("b.v")))
-        .select(col("a.v").as("u"), col("b.v").as("v"))
-      val nWedgesOriented = wedges.count()
-      val nTriangles = wedges
-        .join(ori.select("u", "v"), Seq("u", "v"), "left_semi").count()
-      val nEdges = und.count()
-      val open = deg
-        .agg(sum(expr("(d * (d - 1)) div 2")).cast("long").as("open"))
-        .head().getLong(0)
+      // orientation so the closing chord is exactly the oriented edge.
+      // The wedge stream is the expensive object at scale, so it is never
+      // shuffled OR materialized twice: neighbors gather once per apex
+      // (list length = oriented out-degree, O(sqrt m)-bounded by the
+      // orientation), pairs explode map-side in rank order, each wedge
+      // probes the chord set — broadcast while the edge list fits, the
+      // one-shuffle hash join beyond — and a single reduce sums wedge and
+      // triangle counts together.
+      val nbrs = ori.groupBy("u")
+        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+      val wedges = nbrs
+        .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
+        .select(col("x.v").as("u"),
+          explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
+        .select(col("u"), col("y.v").as("v"))
+      def maybeBroadcastEdges(df: DataFrame): DataFrame =
+        if (nEdges <= 2000000L) broadcast(df) else df
+      val counts = wedges
+        .join(maybeBroadcastEdges(
+          ori.select(col("u"), col("v"), lit(1L).as("hit"))),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n_wedges"),
+          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_triangles"))
+        .head()
+      val (nWedges, nTriangles) = (counts.getLong(0), counts.getLong(1))
       // every statistic is already a driver scalar, so the result frame is
-      // literal-only — safe to free the edge checkpoint before collection
+      // literal-only — collection cannot resurrect freed checkpoints
       und.sparkSession.range(1).select(
         lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        lit(nWedgesOriented).as("n_wedges"),
+        lit(nWedges).as("n_wedges"),
         lit(nTriangles).as("n_triangles"),
         round(lit(nTriangles * 3.0) / lit(open), 9).as("clustering"))
     } finally {
-      graft.Engine.freeCheckpoint(und)
+      graft.Engine.freeCheckpoint(deg) // the shared edge index stays
     }
   }
 }
