@@ -101,6 +101,11 @@ object SparkEntry {
     "q_sql_q15" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q15)),
     "q_sql_q17" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q17)),
     "q_sql_q21" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q21)),
+    "q_sql_q2" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q2)),
+    "q_sql_q9" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q9)),
+    "q_sql_q11" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q11)),
+    "q_sql_q16" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q16)),
+    "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
     "q_entity_resolution" -> q(Dedup.qEntityResolution(_)),
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),

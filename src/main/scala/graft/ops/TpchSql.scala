@@ -6,10 +6,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The rest of the TPC-H sweep through the SQL frontend (Q3/5/6/10/14/18/
   * 19/22 live in [[Analytics]]; this object completes the set with Q1, Q4,
-  * Q7, Q8, Q12, Q13, Q15, Q17 and Q21, adapted to the testdata's slimmer
-  * schema — no partsupp table, no commit/receipt dates, no ship modes, so
-  * Q2/Q9/Q11/Q16/Q20 have no analogue and the lateness predicates derive
-  * from `l_shipdate - o_orderdate` instead).
+  * Q7, Q8, Q12, Q13, Q15, Q17 and Q21, plus schema-adapted analogues of
+  * the five partsupp-dependent queries Q2/Q9/Q11/Q16/Q20 — the testdata
+  * has no partsupp table, no commit/receipt dates and no ship modes, so
+  * supply cost/stock terms re-derive from lineitem (unit price, shipped
+  * quantity, retail-price cost proxy), lateness predicates from
+  * `l_shipdate - o_orderdate`, and each analogue keeps its original's
+  * STRUCTURAL challenge: Q2's correlated MIN over a twice-referenced CTE,
+  * Q9's profit expression over a five-table join, Q11's HAVING against
+  * scalar-subquery thresholds, Q16's COUNT DISTINCT with a NOT IN guard,
+  * Q20's IN over a grouped HAVING with a correlated scalar subquery.
   *
   * Every text here is deliberately DUAL-DIALECT: the same string parses and
   * evaluates identically in Spark SQL and in DuckDB, so the registered
@@ -237,9 +243,132 @@ object TpchSql {
        ORDER BY numwait DESC, s_name
        LIMIT 100"""
 
+  /** Q2 analogue (minimum-cost supplier): supply cost re-derives as the
+    * minimum observed unit price (`l_extendedprice / l_quantity`, a raw
+    * double division — bit-identical across engines) per (part, supplier)
+    * within the EUROPE region. Structure preserved from Q2: a CTE
+    * referenced twice — once as a fact, once inside a correlated scalar
+    * MIN keyed by the outer part — plus the four-dimension join and the
+    * acctbal-ranked LIMIT. Catalyst decorrelates the MIN into an
+    * aggregate-join; the CTE is part×supplier-sized, never fact-sized.
+    */
+  val q2: String =
+    """WITH cost AS (
+         SELECT l.l_partkey AS partkey, s.s_suppkey AS suppkey,
+                MIN(l.l_extendedprice / l.l_quantity) AS unitcost
+         FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+         WHERE r.r_name = 'EUROPE'
+         GROUP BY 1, 2)
+       SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+              c.unitcost
+       FROM part p
+         JOIN cost c ON c.partkey = p.p_partkey
+         JOIN supplier s ON c.suppkey = s.s_suppkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE p.p_size BETWEEN 10 AND 20
+         AND c.unitcost = (SELECT MIN(c2.unitcost) FROM cost c2
+                           WHERE c2.partkey = p.p_partkey)
+       ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+       LIMIT 25"""
+
+  /** Q9 analogue (product-type profit): the ps_supplycost term re-derives
+    * as a 60% retail-price cost proxy. All profit arithmetic stays in
+    * exact decimal (each factor cast to its exact stored domain, products
+    * and the subtraction in decimal, one round-to-2 before the double
+    * surface), so the five-join aggregation is order-free. EXTRACT year
+    * is CAST to BIGINT because the two engines disagree on its native
+    * width.
+    */
+  val q9: String =
+    """SELECT n.n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(SUM(
+           CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * CAST(1 - l.l_discount AS DECIMAL(8,4))
+           - CAST(p.p_retailprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2))
+             * CAST(0.6 AS DECIMAL(2,1))
+         ), 2) AS DOUBLE) AS sum_profit
+       FROM lineitem l
+         JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         JOIN part p ON l.l_partkey = p.p_partkey
+         JOIN orders o ON l.l_orderkey = o.o_orderkey
+         JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE p.p_name LIKE '%widget%'
+       GROUP BY 1, 2
+       ORDER BY nation, o_year DESC"""
+
+  /** Q11 analogue (important stock): per-part "inventory value" re-derives
+    * as revenue shipped by one nation's suppliers. Q11's structural point
+    * survives intact — a GROUP BY whose HAVING compares against scalar
+    * subqueries over the SAME grouped CTE — but the original's fixed
+    * fraction is replaced by a scale-free 2×-average threshold (two
+    * scalar subqueries instead of one), so the selectivity is stable
+    * across scale factors. All comparisons are exact decimal×integer.
+    */
+  val q11: String =
+    """WITH val AS (
+         SELECT l.l_partkey AS partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS value
+         FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+         WHERE n.n_name = 'NATION_3'
+         GROUP BY 1)
+       SELECT partkey, CAST(value AS DOUBLE) AS value
+       FROM val
+       WHERE value * (SELECT CAST(COUNT(*) AS BIGINT) FROM val) >
+             2 * (SELECT SUM(value) FROM val)
+       ORDER BY value DESC, partkey"""
+
+  /** Q16 analogue (supplier counts by part attributes): the part-supplier
+    * relationship re-derives from observed lineitem pairs; the
+    * "complaints" exclusion becomes a low-balance supplier NOT IN guard.
+    * Structure preserved: COUNT(DISTINCT) per attribute triple, inequality
+    * + IN-list part filters, a non-correlated NOT IN subquery, and the
+    * count-ranked total order.
+    */
+  val q16: String =
+    """SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+         CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+         AND p.p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+         AND l.l_suppkey NOT IN (
+           SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+       GROUP BY 1, 2, 3
+       ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
+
+  /** Q20 analogue (excess-stock suppliers): "availqty > half the shipped
+    * quantity" re-derives as suppliers who shipped more than 10% of a
+    * part's all-time quantity within a two-year window. The gauntlet Q20
+    * exercises survives whole: an IN subquery whose GROUP BY carries a
+    * HAVING that itself holds a correlated scalar subquery (per-part
+    * total), under a nation filter. Quantities compare as exact decimals
+    * via an integer multiplier (×10 > total ⇔ share > 10%) — no ratio
+    * rounding anywhere.
+    */
+  val q20: String =
+    """SELECT s.s_name
+       FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+       WHERE n.n_name = 'NATION_3' AND s.s_suppkey IN (
+         SELECT l.l_suppkey FROM lineitem l
+         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+         GROUP BY l.l_suppkey, l.l_partkey
+         HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) * 10 >
+           (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,2)))
+            FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
+       ORDER BY s_name"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
-    "q_sql_q1" -> q1, "q_sql_q4" -> q4, "q_sql_q7" -> q7, "q_sql_q8" -> q8,
+    "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q4" -> q4, "q_sql_q7" -> q7,
+    "q_sql_q8" -> q8, "q_sql_q9" -> q9, "q_sql_q11" -> q11,
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
-    "q_sql_q17" -> q17, "q_sql_q21" -> q21)
+    "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
+    "q_sql_q21" -> q21)
 }
