@@ -119,6 +119,7 @@ object SparkEntry {
     "q_pagerank" -> q(Graph.qPagerank(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
+    "q_zorder_layout" -> q(Analytics.qZorderLayout(_)),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
@@ -2778,6 +2779,29 @@ object SparkEntry {
              tri.n_triangles,
              round(tri.n_triangles * 3.0 / sums.open, 9) AS clustering
          FROM sums, cnts, tri""",
+    // z-order layout: the same 5-step magic-number Morton spread (31-bit
+    // inputs, even/odd interleave) and equal-width z-bucket arithmetic
+    "q_zorder_layout" ->
+      """WITH k AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         s0 AS (SELECT pk, sk, pk & 2147483647 AS x,
+             sk & 2147483647 AS y FROM k),
+         s1 AS (SELECT pk, sk, (x | (x << 16)) & 281470681808895 AS x,
+             (y | (y << 16)) & 281470681808895 AS y FROM s0),
+         s2 AS (SELECT pk, sk, (x | (x << 8)) & 71777214294589695 AS x,
+             (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+         s3 AS (SELECT pk, sk, (x | (x << 4)) & 1085102592571150095 AS x,
+             (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+         s4 AS (SELECT pk, sk, (x | (x << 2)) & 3689348814741910323 AS x,
+             (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+         s5 AS (SELECT pk, sk, (x | (x << 1)) & 6148914691236517205 AS x,
+             (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+         m AS (SELECT pk, sk, x | (y << 1) AS z FROM s5),
+         mx AS (SELECT MAX(z) AS zmax FROM m),
+         b AS (SELECT pk, sk, z // ((zmax // 32) + 1) AS bucket FROM m, mx)
+         SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+             MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         FROM b GROUP BY 1 ORDER BY 1""",
     // sparse doc×topic multiply: dictionaries re-derived (same df guard,
     // same top-k tie-break on word), exact decimal tf×weight sums
     "q_topic_scores" ->

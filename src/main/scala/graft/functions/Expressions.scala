@@ -570,3 +570,54 @@ object JaroWinklerImpl {
     } else jaro
   }
 }
+
+/** 64-bit Morton (Z-order) interleave of two keys' low 31 bits: bit `i`
+  * of the first key lands at position `2i`, of the second at `2i + 1`.
+  * Rows sorted (or range-partitioned) by the result interleave BOTH key
+  * dimensions, so per-file min/max ranges stay tight in each dimension
+  * simultaneously — the property multi-column data skipping needs, which
+  * a lexicographic sort only provides for its leading column. Inputs are
+  * masked to 31 bits so the interleave tops out at bit 62 and the result
+  * is always a non-negative long in every engine. Bit-spreading uses the
+  * 5-step magic-number ladder; fully code-generated so clustering-key
+  * computation stays inside whole-stage codegen.
+  */
+case class MortonCode(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType == LongType)
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"morton_code expects (bigint, bigint), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    java.lang.Long.valueOf(
+      MortonCode.interleave(a.asInstanceOf[Long], b.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MortonCode.interleave($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MortonCode {
+  /** Spread the low 31 bits of `v` to even bit positions (0, 2, ..., 60). */
+  def spread(v: Long): Long = {
+    var x = v & 0x7FFFFFFFL
+    x = (x | (x << 16)) & 0x0000FFFF0000FFFFL
+    x = (x | (x << 8)) & 0x00FF00FF00FF00FFL
+    x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0FL
+    x = (x | (x << 2)) & 0x3333333333333333L
+    x = (x | (x << 1)) & 0x5555555555555555L
+    x
+  }
+
+  def interleave(a: Long, b: Long): Long = spread(a) | (spread(b) << 1)
+}

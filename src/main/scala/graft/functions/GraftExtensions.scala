@@ -60,6 +60,7 @@ object GraftFunctions {
       if (args.length > 1) intLit("word_shingles", args(1)) else 3)),
     ("bounded_topk", topkBuilder),
     ("jaro_winkler", args => JaroWinkler(args(0), args(1))),
+    ("morton_code", args => MortonCode(args(0), args(1))),
     ("vector_sum", args => VectorSum(args.head)),
     ("nearest_centroid", args => NearestCentroid(args(0), args(1))),
     // Spark's built-in runtime-filtering expressions, surfaced as SQL

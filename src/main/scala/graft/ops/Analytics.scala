@@ -1193,4 +1193,31 @@ object Analytics {
         col("n_customers"))
       .orderBy("window_end")
   }
+
+  /** Z-order clustering layout audit: every lineitem keys by the Morton
+    * interleave of (partkey, suppkey) (native codegen'd
+    * [[graft.functions.MortonCode]]), rows land in 32 equal-width z-range
+    * buckets — the file grid a z-ordering writer would emit — and each
+    * bucket reports its min/max extent in BOTH key dimensions. Tight
+    * per-bucket ranges in both columns at once is exactly the property
+    * multi-dimensional data skipping buys over a lexicographic sort
+    * (which bounds only its leading column). Bucket assignment is pure
+    * map-side arithmetic against one broadcast scalar (max z); a real
+    * writer would `repartitionByRange` on the same key — no global-sort
+    * window anywhere.
+    */
+  def qZorderLayout(t: Tables, buckets: Int = 32): DataFrame = {
+    val keyed = t.lineitem
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+      .withColumn("z", expr("morton_code(pk, sk)"))
+    val zmax = keyed.agg(max("z").as("zmax"))
+    keyed.crossJoin(broadcast(zmax))
+      .withColumn("bucket",
+        expr(s"z div ((zmax div $buckets) + 1)").cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("pk").as("min_pk"), max("pk").as("max_pk"),
+        min("sk").as("min_sk"), max("sk").as("max_sk"))
+      .orderBy("bucket")
+  }
 }

@@ -72,7 +72,8 @@ class DeterminismSpec extends SparkSuite {
     "q_rake_keywords",    // decimal word-score sums, tie-broken top-k
     "q_pmi_pairs",        // exact counts, rounded-ln ranking
     "q_triangle_count",   // exact integer census + one rounded ratio
-    "q_inverted_index")   // rank-capped posting prefixes
+    "q_inverted_index",   // rank-capped posting prefixes
+    "q_zorder_layout")    // bitwise morton keys, equal-width buckets
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

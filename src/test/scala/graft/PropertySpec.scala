@@ -41,6 +41,35 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: morton_code equals a bit-by-bit interleave reference") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 31) {
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val pairGen = Gen.listOfN(500, for {
+      a <- Gen.choose(0L, Int.MaxValue.toLong)
+      b <- Gen.choose(0L, Int.MaxValue.toLong)
+    } yield (a, b))
+    for (seed <- 1L to 3L) {
+      val pairs = sample(pairGen, seed)
+      val got = pairs.toDF("a", "b").repartition(5)
+        .select(col("a"), col("b"), expr("morton_code(a, b)").as("z"))
+        .as[(Long, Long, Long)].collect()
+      got.foreach { case (a, b, z) =>
+        assert(z == ref(a, b), s"morton($a, $b)")
+        assert(z >= 0L)
+        // locality: flipping only the lowest bit of each key perturbs
+        // only the lowest interleaved bit pair — the shared prefix that
+        // makes z-sorted neighbors close in BOTH dimensions
+        assert(ref(a ^ 1L, b ^ 1L) >> 2 == z >> 2)
+      }
+    }
+  }
+
   test("property: word_shingles equals a plain Scala sliding-window reference") {
     val textGen = Gen.listOf(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
       .map(_.mkString(" "))
