@@ -230,6 +230,7 @@ object SparkEntry {
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
+    "q_power_iteration" -> q(Similarity.qPowerIteration),
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
@@ -1823,6 +1824,29 @@ object SparkEntry {
          SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_milli,
            COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_milli
          FROM y GROUP BY label, dim ORDER BY label, dim""",
+    // power iteration: same milli-unit quantization, integer matvec
+    // rounds with a div-1e6 rescale, exact-decimal norm at the end
+    "q_power_iteration" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         tall AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS mv
+           FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+         d1 AS (SELECT vec_id, CAST(SUM(mv) AS BIGINT) AS dot
+           FROM tall GROUP BY 1),
+         c1 AS (SELECT t.dim, CAST(SUM(d1.dot * t.mv) AS BIGINT) AS comp
+           FROM tall t JOIN d1 ON t.vec_id = d1.vec_id GROUP BY 1),
+         v1 AS (SELECT dim, comp // 1000000 AS w FROM c1),
+         d2 AS (SELECT t.vec_id, CAST(SUM(v1.w * t.mv) AS BIGINT) AS dot
+           FROM tall t JOIN v1 ON t.dim = v1.dim GROUP BY 1),
+         c2 AS (SELECT t.dim, CAST(SUM(d2.dot * t.mv) AS BIGINT) AS comp
+           FROM tall t JOIN d2 ON t.vec_id = d2.vec_id GROUP BY 1),
+         ss AS (SELECT SUM(CAST(comp AS DECIMAL(38,0)) * comp) AS ss
+           FROM c2)
+         SELECT c2.dim, c2.comp,
+           CAST(c2.comp AS DOUBLE) / sqrt(CAST(ss.ss AS DOUBLE)) AS loading
+         FROM c2, ss ORDER BY c2.dim""",
     // shares qualityExpr's formula (see q_quality_score / q_dedup_keep_best)
     "q_quality_funnel" ->
       """WITH d AS (SELECT source,

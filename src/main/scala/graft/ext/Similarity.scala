@@ -494,4 +494,49 @@ object Similarity {
         (col("i") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
   }
+
+  /** Top principal direction of the (uncentered) embedding Gram matrix by
+    * two distributed power-iteration rounds — the spectral matvec shape:
+    * each round is `v ← Xᵀ(Xv)`, i.e. one per-row dot product (a window
+    * sum over the tall (row, dim, value) frame — no join) followed by one
+    * dim-keyed aggregation to a DIMENSION-sized frame that broadcasts
+    * into the next round. The corpus streams through each round once and
+    * never holds more than (rows × dims) tall rows; at 100 TB the only
+    * growing cost is the per-round scan.
+    *
+    * Numerics: embeddings quantize to integer milli-units (the
+    * [[qLabelCentroids]] fixed-point rule), the iterate rescales by an
+    * integer div-1e6 between rounds (truncating toward zero — Spark
+    * `div` and DuckDB `//` agree on negatives), and every sum is an exact
+    * integer with headroom proven against 2^63 (dot ≤ ~4e9, component
+    * ≤ ~2e16 at bench scale) — so two engines produce bit-identical
+    * iterates, and the final loadings are one exact-decimal norm, one
+    * sqrt, one division — each correctly rounded, hence deterministic.
+    */
+  def qPowerIteration(t: Tables): DataFrame = {
+    val tall = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        posexplode(transform(asDouble(col("embedding")),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")))
+          .as(Seq("dim", "mv")))
+      .select(col("vec_id"), col("dim").cast("long").as("dim"), col("mv"))
+    val byRow = Window.partitionBy("vec_id")
+    // round 1: v0 = all-ones, so Xv0 is a plain row sum
+    val c1 = tall
+      .withColumn("dot", sum("mv").over(byRow))
+      .groupBy("dim").agg(sum(expr("dot * mv")).as("comp"))
+    val v1 = c1.select(col("dim"), expr("comp div 1000000").as("w"))
+    // round 2: the rescaled iterate broadcasts back into the tall frame
+    val c2 = tall.join(broadcast(v1), "dim")
+      .withColumn("dot", sum(expr("w * mv")).over(byRow))
+      .groupBy("dim").agg(sum(expr("dot * mv")).as("comp"))
+    val ss = c2.agg(
+      sum(col("comp").cast("decimal(38,0)") * col("comp")).as("ss"))
+    c2.crossJoin(broadcast(ss))
+      .select(col("dim"), col("comp"),
+        (col("comp").cast("double") / sqrt(col("ss").cast("double")))
+          .as("loading"))
+      .orderBy("dim")
+  }
 }

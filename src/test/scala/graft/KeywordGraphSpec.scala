@@ -165,4 +165,32 @@ class KeywordGraphSpec extends SparkSuite {
       .as[(Long, String, Double)].collect().toSeq
     assert(got == expected)
   }
+
+  test("power iteration matches a driver-side integer matvec recompute") {
+    val vecs = tables.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("embedding").cast("array<double>"))
+      .as[Seq[Double]].collect()
+      .map(_.map(x => math.floor(x * 1000.0 + 0.5).toLong).toArray)
+    val dims = vecs.head.length
+    val dot1 = vecs.map(_.sum)
+    val c1 = Array.tabulate(dims)(d =>
+      vecs.indices.map(r => dot1(r) * vecs(r)(d)).sum)
+    // Spark `div` and DuckDB `//` both truncate toward zero — so must we
+    val w = c1.map(_ / 1000000L)
+    val dot2 = vecs.map(v => v.indices.map(d => w(d) * v(d)).sum)
+    val c2 = Array.tabulate(dims)(d =>
+      vecs.indices.map(r => dot2(r) * vecs(r)(d)).sum)
+    val ss = c2.map(c => BigDecimal(c) * BigDecimal(c)).sum
+    val got = graft.ext.Similarity.qPowerIteration(tables)
+      .as[(Long, Long, Double)].collect()
+    assert(got.map(_._1).toSeq == (0L until dims.toLong))
+    got.foreach { case (d, comp, loading) =>
+      assert(comp == c2(d.toInt))
+      assert(loading == c2(d.toInt).toDouble / math.sqrt(ss.toDouble))
+    }
+    // the loading vector is unit-norm up to float error
+    val norm = got.map(g => g._3 * g._3).sum
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
 }
