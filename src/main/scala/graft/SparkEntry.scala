@@ -219,6 +219,7 @@ object SparkEntry {
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
+    "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
     // — similarity search —
@@ -1824,6 +1825,24 @@ object SparkEntry {
          SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_milli,
            COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_milli
          FROM y GROUP BY label, dim ORDER BY label, dim""",
+    // temperature mixing: same token-count CASE, sqrt weight rounded to
+    // decimal, integer product-div allocation over scaled units
+    "q_mix_temperature" ->
+      """WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END)
+               AS BIGINT) AS total_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs, total_tokens,
+             CAST(round(sqrt(CAST(total_tokens AS DOUBLE)), 9)
+               AS DECIMAL(28,9)) AS weight FROM s),
+         tot AS (SELECT SUM(weight) AS wsum FROM w)
+         SELECT source, n_docs, total_tokens,
+           CAST(weight AS DOUBLE) AS weight,
+           CAST(weight AS DOUBLE) / CAST(wsum AS DOUBLE) AS share,
+           (100000 * CAST(weight * 1000000000 AS BIGINT))
+             // CAST(wsum * 1000000000 AS BIGINT) AS alloc_docs
+         FROM w, tot ORDER BY source""",
     // power iteration: same milli-unit quantization, integer matvec
     // rounds with a div-1e6 rescale, exact-decimal norm at the end
     "q_power_iteration" ->

@@ -117,4 +117,34 @@ object Sampling {
       .select("lang", "word", "df", "rnk")
       .orderBy("lang", "rnk")
   }
+
+  /** Temperature-based corpus mixing (the multilingual-LM sampling rule:
+    * weight each source by count^α, α = 0.5, so small sources are
+    * up-sampled relative to their share): per source, token mass, the
+    * α-tempered weight, its share of the mix, and the exact document
+    * allocation out of a `budget`-sized epoch. One aggregation to a
+    * source-dimension frame; everything downstream is arithmetic on that
+    * tiny frame. Weights are sqrt-doubles rounded at 1e-9 into decimal,
+    * the allocation is a pure integer product-div over the decimal's
+    * scaled units (no floor-of-double anywhere near an integer boundary),
+    * so the split is engine-exact and reproducible.
+    */
+  def qMixTemperature(t: Tables, budget: Long = 100000L): DataFrame = {
+    val perSource = t.documents
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .withColumn("weight",
+        round(sqrt(col("total_tokens").cast("double")), 9)
+          .cast("decimal(28,9)"))
+    val tot = perSource.agg(sum("weight").as("wsum"))
+    perSource.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("weight").cast("double").as("weight"),
+        (col("weight").cast("double") / col("wsum").cast("double"))
+          .as("share"),
+        expr(s"($budget * cast(weight * 1000000000 as bigint))" +
+          " div cast(wsum * 1000000000 as bigint)").as("alloc_docs"))
+      .orderBy("source")
+  }
 }

@@ -73,7 +73,9 @@ class DeterminismSpec extends SparkSuite {
     "q_pmi_pairs",        // exact counts, rounded-ln ranking
     "q_triangle_count",   // exact integer census + one rounded ratio
     "q_inverted_index",   // rank-capped posting prefixes
-    "q_zorder_layout")    // bitwise morton keys, equal-width buckets
+    "q_zorder_layout",    // bitwise morton keys, equal-width buckets
+    "q_power_iteration",  // integer matvec rounds, exact-decimal norm
+    "q_mix_temperature")  // decimal weights, integer product-div alloc
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
