@@ -285,6 +285,8 @@ object SparkEntry {
       graft.streaming.Streams.drainRateLimit(spark, dir, "events.parquet")),
     "q_stream_transitions" -> ((spark, dir) =>
       graft.streaming.Streams.drainTransitions(spark, dir, "events.parquet")),
+    "q_stream_topterms" -> ((spark, dir) =>
+      graft.streaming.Streams.drainTopTerms(spark, dir, "documents.parquet")),
     "q_stream_incdedup" -> ((spark, dir) =>
       graft.streaming.Streams
         .drainIncrementalDedup(spark, dir, "documents.parquet")
@@ -322,6 +324,20 @@ object SparkEntry {
   /** Batch/stream-shared oracle for the incremental-ingest dedup pair
     * (`q_dedup_incremental`, `q_stream_incdedup`).
     */
+  /** Shared by the batch per-language vocabulary ranking and its
+    * streaming drain twin (`q_top_terms`, `q_stream_topterms`).
+    */
+  private val topTermsOracle: String =
+    """WITH dw AS (SELECT lang, word, COUNT(*) AS df FROM (
+           SELECT doc_id, lang,
+             unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS word
+           FROM documents) GROUP BY 1, 2)
+       SELECT lang, word, df, rnk FROM (
+         SELECT lang, word, df,
+           CAST(row_number() OVER (PARTITION BY lang
+             ORDER BY df DESC, word) AS BIGINT) AS rnk
+         FROM dw) WHERE rnk <= 5 ORDER BY lang, rnk"""
+
   /** Shared by the batch Markov counter and its streaming drain twin
     * (`q_event_transitions`, `q_stream_transitions`).
     */
@@ -2380,16 +2396,8 @@ object SparkEntry {
            array_to_string(list_transform(list_sort(list(doc_id)),
              x -> CAST(x AS VARCHAR)), ',') AS doc_ids
          FROM s WHERE rn <= quota GROUP BY source ORDER BY source""",
-    "q_top_terms" ->
-      """WITH dw AS (SELECT lang, word, COUNT(*) AS df FROM (
-             SELECT doc_id, lang,
-               unnest(list_distinct(string_split_regex(trim(lower(text)), ' +'))) AS word
-             FROM documents) GROUP BY 1, 2)
-         SELECT lang, word, df, rnk FROM (
-           SELECT lang, word, df,
-             CAST(row_number() OVER (PARTITION BY lang
-               ORDER BY df DESC, word) AS BIGINT) AS rnk
-           FROM dw) WHERE rnk <= 5 ORDER BY lang, rnk""",
+    "q_top_terms" -> topTermsOracle,
+    "q_stream_topterms" -> topTermsOracle,
     "q_knn_brute" ->
       """WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
          queries AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

@@ -501,6 +501,34 @@ object Streams {
       .orderBy("from_type", "to_type")
   }
 
+  /** Per-(lang, word) document-frequency counts as a streaming aggregate:
+    * the running vocabulary tracker an ingest pipeline keeps over the
+    * document landing zone. State is vocabulary-sized per language —
+    * bounded by the token domain, not the stream — so a Complete-mode
+    * drain is cheap at any backlog size.
+    */
+  def vocabCounts(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+      explode(array_distinct(graft.ext.Dedup.words(col("text"))))
+        .as("word"))
+      .groupBy("lang", "word")
+      .agg(count(lit(1)).as("df"))
+
+  /** Drain-mode execution of [[vocabCounts]]: the streamed df counts are
+    * ranked per language in a batch epilogue, sharing `q_top_terms`'
+    * oracle — the batch twin is [[graft.ext.Sampling.qTopTerms]].
+    */
+  def drainTopTerms(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("df").desc, col("word"))
+    drain(spark, vocabCounts(docsStream(spark, dir, globFilter)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select("lang", "word", "df", "rnk")
+      .orderBy("lang", "rnk")
+  }
+
   /** Raw on-disk schema of the driver's documents parquet. */
   val docFileSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),

@@ -350,6 +350,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed == batch)
   }
 
+  test("drained streaming vocabulary tracker equals the batch top terms") {
+    val streamed = Streams.drainTopTerms(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = graft.ext.Sampling.qTopTerms(Tables(spark, sfDir))
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("drained streaming transition counter equals the batch Markov matrix") {
     val streamed = Streams.drainTransitions(spark, sfDir, "events.parquet")
       .collect().toSeq
