@@ -169,6 +169,7 @@ object SparkEntry {
     "q_interarrival" -> q(Events.qInterarrival),
     "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
+    "q_holt_smoothing" -> q(Events.qHoltSmoothing),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
     "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
     "q_fulfillment_latency" -> q(Analytics.qFulfillmentLatency),
@@ -1841,6 +1842,26 @@ object SparkEntry {
          SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_milli,
            COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_milli
          FROM y GROUP BY label, dim ORDER BY label, dim""",
+    // Holt smoothing: identical sequential list fold (the jackknife
+    // pinned-order rule) over day-sorted daily counts
+    "q_holt_smoothing" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+         ser AS (SELECT event_type, list(y ORDER BY day) AS ys
+           FROM daily GROUP BY 1),
+         f AS (SELECT event_type, CAST(len(ys) AS BIGINT) AS n_days,
+             list_reduce(
+               list_prepend([ys[1], CAST(0.0 AS DOUBLE)],
+                 list_transform(ys[2:],
+                   y -> [CAST(y AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+               (acc, x) -> [0.3 * x[1] + 0.7 * (acc[1] + acc[2]),
+                 0.1 * (0.3 * x[1] + 0.7 * (acc[1] + acc[2]) - acc[1])
+                   + 0.9 * acc[2]]) AS st
+           FROM ser)
+         SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+           st[1] + 7 * st[2] AS forecast_7
+         FROM f ORDER BY event_type""",
     // temperature mixing: same token-count CASE, sqrt weight rounded to
     // decimal, integer product-div allocation over scaled units
     "q_mix_temperature" ->

@@ -510,4 +510,38 @@ object Events {
         (count(lit(1)) - sum("kept")).cast("long").as("n_dropped"))
       .orderBy("event_type")
   }
+
+  /** Holt double-exponential smoothing (level + trend, α=0.3 β=0.1) over
+    * each event type's daily count series, seeded at the first
+    * observation — the classic recursive forecaster that plain SQL
+    * aggregation cannot express. The recurrence runs as ONE sequential
+    * fold (`aggregate` HOF) over the day-sorted series; a sequential fold
+    * of IEEE doubles is a pinned evaluation order, so the result is
+    * bit-identical across partitionings AND engines (DuckDB `list_reduce`
+    * replays the same ops — the jackknife rule). Scale: series collect
+    * per TYPE and are bounded by the time domain (days), not event
+    * volume; the heavy work is the daily-count aggregation, which is an
+    * ordinary two-key hash aggregate.
+    */
+  def qHoltSmoothing(t: Tables): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+    daily.groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        expr("""aggregate(
+            slice(transform(s, p -> p.y), 2, size(s) - 1),
+            array(s[0].y, cast(0.0 as double)),
+            (acc, y) -> array(
+              0.3 * y + 0.7 * (acc[0] + acc[1]),
+              0.1 * (0.3 * y + 0.7 * (acc[0] + acc[1]) - acc[0])
+                + 0.9 * acc[1]))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        expr("st[0]").as("level"), expr("st[1]").as("trend"),
+        expr("st[0] + 7 * st[1]").as("forecast_7"))
+      .orderBy("event_type")
+  }
 }

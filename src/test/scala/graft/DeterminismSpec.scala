@@ -75,7 +75,8 @@ class DeterminismSpec extends SparkSuite {
     "q_inverted_index",   // rank-capped posting prefixes
     "q_zorder_layout",    // bitwise morton keys, equal-width buckets
     "q_power_iteration",  // integer matvec rounds, exact-decimal norm
-    "q_mix_temperature")  // decimal weights, integer product-div alloc
+    "q_mix_temperature",  // decimal weights, integer product-div alloc
+    "q_holt_smoothing")   // pinned-order sequential double fold
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

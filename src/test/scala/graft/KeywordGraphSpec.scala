@@ -193,4 +193,25 @@ class KeywordGraphSpec extends SparkSuite {
     val norm = got.map(g => g._3 * g._3).sum
     assert(math.abs(norm - 1.0) < 1e-9)
   }
+
+  test("holt smoothing matches a driver-side sequential recurrence") {
+    val daily = tables.events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).cast("double").as("y"))
+      .as[(String, Long, Double)].collect()
+    val expected = daily.groupBy(_._1).toSeq.map { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3)
+      var l = ys.head
+      var b = 0.0
+      ys.tail.foreach { y =>
+        val nl = 0.3 * y + 0.7 * (l + b)
+        val nb = 0.1 * (0.3 * y + 0.7 * (l + b) - l) + 0.9 * b
+        l = nl; b = nb
+      }
+      (et, ys.size.toLong, l, b, l + 7 * b)
+    }.sortBy(_._1)
+    val got = graft.ops.Events.qHoltSmoothing(tables)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expected)
+  }
 }
