@@ -125,6 +125,7 @@ object SparkEntry {
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
     "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
     "q_inverted_index" -> q(TextAnalysis.qInvertedIndex(_)),
+    "q_bm25_search" -> q(TextAnalysis.qBm25Search(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -2967,6 +2968,36 @@ object SparkEntry {
            JOIN vocab d1 ON p.w1 = d1.word
            JOIN vocab d2 ON p.w2 = d2.word
          ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    // BM25: same stats, idf and per-term score rounded at 1e-9, decimal
+    // per-doc sum
+    "q_bm25_search" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS total_tokens FROM d),
+         tfq AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MIN(len) AS BIGINT) AS len FROM (
+               SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+                 unnest(w) AS word FROM d) x
+           WHERE word IN ('join', 'filter', 'window') GROUP BY 1, 2),
+         dw AS (SELECT DISTINCT doc_id, word FROM
+           (SELECT doc_id, unnest(w) AS word FROM d) x),
+         dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM dw
+           WHERE word IN ('join', 'filter', 'window') GROUP BY 1),
+         sc AS (SELECT tfq.doc_id,
+             CAST(round(
+               round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+                 / (dfq.df + 0.5)), 9)
+               * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 +
+                 0.75 * CAST(tfq.len AS DOUBLE) /
+                   (CAST(st.total_tokens AS DOUBLE)
+                     / CAST(st.n_docs AS DOUBLE)))), 9)
+               AS DECIMAL(28,9)) AS term_score
+           FROM tfq JOIN dfq ON tfq.word = dfq.word CROSS JOIN st)
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(term_score) AS DOUBLE) AS score
+         FROM sc GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 15""",
     // inverted index: per-word stats + first-8-docs posting prefix
     "q_inverted_index" ->
       """WITH tf AS (SELECT word, doc_id, CAST(COUNT(*) AS BIGINT) AS tf

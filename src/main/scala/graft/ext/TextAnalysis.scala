@@ -836,6 +836,57 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed query-term
+    * set: the standard keyword-search scorer over the corpus statistics
+    * an inverted index stores. Per (doc, term): `idf(t) · tf·(k1+1) /
+    * (tf + k1·(1 − b + b·len/avgdl))` with `idf = ln(1 + (N − df + 0.5)
+    * /(df + 0.5))`. Query-term df/idf is a QUERY-sized broadcast; the
+    * corpus contributes one tf pass filtered to the query terms (at index
+    * time this is a posting-list probe, not a scan) and one doc-length
+    * pass. Each per-term score rounds to decimal(28,9) before the per-doc
+    * sum, pinning the only order-sensitive float reduction; everything
+    * upstream is single correctly-rounded double ops, so ranking is
+    * engine-exact.
+    */
+  def qBm25Search(
+      t: Tables, terms: Seq[String] = Seq("join", "filter", "window"),
+      k: Int = 15): DataFrame = {
+    val docs = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(col("w"))).as("total_tokens"))
+    val tf = docs
+      .select(col("doc_id"), size(col("w")).cast("long").as("len"),
+        explode(col("w")).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("tf"), first("len").as("len"))
+    val df = docs
+      .select(col("doc_id"), explode(array_distinct(col("w"))).as("word"))
+      .filter(col("word").isin(terms: _*))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl",
+        col("total_tokens").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        round(log(lit(1.0) + (col("n_docs").cast("double") -
+          col("df") + 0.5) / (col("df") + 0.5)), 9))
+      .withColumn("term_score",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) +
+            lit(0.75) * col("len").cast("double") / col("avgdl"))), 9)
+          .cast("decimal(28,9)"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("term_score").as("score"))
+      .select(col("doc_id"), col("n_terms"),
+        col("score").cast("double").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Inverted-index construction: one posting row per vocabulary word with
     * document frequency, total term frequency, and the first `cap` doc ids
     * (the stored posting-list prefix). The cap is applied by a per-word
