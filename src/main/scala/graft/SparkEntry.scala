@@ -120,6 +120,7 @@ object SparkEntry {
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
     "q_zorder_layout" -> q(Analytics.qZorderLayout(_)),
+    "q_graph_profile" -> q(Graph.qGraphProfile),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
@@ -2852,6 +2853,30 @@ object SparkEntry {
              tri.n_triangles,
              round(tri.n_triangles * 3.0 / sums.open, 9) AS clustering
          FROM sums, cnts, tri""",
+    // graph profile: same symmetric edge set; exact decimal moments, one
+    // double division (no sqrt: the two degree marginals coincide)
+    "q_graph_profile" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+           FROM e GROUP BY 1),
+         j AS (SELECT ds.d AS x, dt.d AS y FROM e
+           JOIN deg ds ON e.src = ds.src
+           JOIN deg dt ON e.dst = dt.src),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+             CAST(MAX(x) AS BIGINT) AS max_degree,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(x AS DECIMAL(38,0)) * x) AS sxx,
+             SUM(CAST(x AS DECIMAL(38,0)) * y) AS sxy FROM j),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg)
+         SELECT nn.n_nodes, m.n_edges, m.max_degree,
+           CAST(m.n_edges AS DOUBLE) / nn.n_nodes AS avg_degree,
+           CAST(m.n_edges * m.sxy - m.sx * m.sx AS DOUBLE)
+             / CAST(m.n_edges * m.sxx - m.sx * m.sx AS DOUBLE)
+             AS assortativity
+         FROM m, nn""",
     // z-order layout: the same 5-step magic-number Morton spread (31-bit
     // inputs, even/odd interleave) and equal-width z-bucket arithmetic
     "q_zorder_layout" ->

@@ -174,6 +174,46 @@ object Graph {
     }
   }
 
+  /** Graph profile of the co-purchase graph: size, degree extremes, and
+    * degree assortativity — the Pearson correlation of endpoint degrees
+    * over the (symmetric) directed edge set, the standard one-number
+    * summary of hub-to-hub vs hub-to-leaf wiring. Because the edge set is
+    * symmetric the two endpoint-degree marginals coincide, so
+    * `r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²)` — every moment an exact
+    * integer (decimal-widened against 2^63), ONE double division at the
+    * end, no square root: bit-identical across engines and partitionings.
+    * Shape: degrees probe the session's shared edge index; the moment
+    * pass is one broadcast-join + aggregation over edges.
+    */
+  def qGraphProfile(t: Tables): DataFrame = {
+    val edges = coPurchaseEdgesCached(t)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val nNodes = deg.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= 1000000L) broadcast(df) else df
+    val m = edges
+      .join(maybeBroadcast(deg.select(col("src"), col("d").as("ds"))), "src")
+      .join(maybeBroadcast(
+        deg.select(col("src").as("dst"), col("d").as("dt"))), "dst")
+      .agg(
+        count(lit(1)).as("n_edges"),
+        max("ds").as("max_degree"),
+        sum(col("ds").cast("decimal(38,0)")).as("sx"),
+        sum((col("ds") * col("ds")).cast("decimal(38,0)")).as("sxx"),
+        sum((col("ds") * col("dt")).cast("decimal(38,0)")).as("sxy"))
+      .head()
+    val (nE, sx, sxx, sxy) = (m.getLong(0),
+      BigDecimal(m.getDecimal(2)), BigDecimal(m.getDecimal(3)),
+      BigDecimal(m.getDecimal(4)))
+    val num = BigDecimal(nE) * sxy - sx * sx
+    val den = BigDecimal(nE) * sxx - sx * sx
+    edges.sparkSession.range(1).select(
+      lit(nNodes).as("n_nodes"), lit(nE).as("n_edges"),
+      lit(m.getLong(1)).as("max_degree"),
+      (lit(nE).cast("double") / lit(nNodes)).as("avg_degree"),
+      (lit(num.toDouble) / lit(den.toDouble)).as("assortativity"))
+  }
+
   /** Triangle census of the undirected co-purchase graph, via the
     * degree-ordered node-iterator (Schank–Wagner): every edge is oriented
     * from its lower-(degree, id) endpoint, wedges are generated only at
