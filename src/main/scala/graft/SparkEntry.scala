@@ -172,6 +172,7 @@ object SparkEntry {
     "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
     "q_holt_smoothing" -> q(Events.qHoltSmoothing),
+    "q_stl_anomalies" -> q(Events.qStlAnomalies(_)),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
     "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
     "q_fulfillment_latency" -> q(Analytics.qFulfillmentLatency),
@@ -1844,6 +1845,35 @@ object SparkEntry {
          SELECT label, dim, CAST(SUM(m) AS BIGINT) AS sum_milli,
            COUNT(*) AS n, CAST(SUM(m) AS DOUBLE) / COUNT(*) AS mean_milli
          FROM y GROUP BY label, dim ORDER BY label, dim""",
+    // STL anomalies: identical integer micro-unit trend/seasonal math
+    // (both engines' integer div truncates toward zero)
+    "q_stl_anomalies" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+         tr AS (SELECT event_type, day, y,
+             CAST(SUM(y * 1000000) OVER w AS BIGINT)
+               // CAST(COUNT(y) OVER w AS BIGINT) AS trend_u,
+             day % 7 AS dow
+           FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         de AS (SELECT *, y * 1000000 - trend_u AS detr_u FROM tr),
+         se AS (SELECT *,
+             CAST(SUM(detr_u) OVER d AS BIGINT)
+               // CAST(COUNT(detr_u) OVER d AS BIGINT) AS seas_u
+           FROM de WINDOW d AS (PARTITION BY event_type, dow)),
+         re AS (SELECT *, detr_u - seas_u AS resid_u,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY abs(detr_u - seas_u) DESC, day) AS rk
+           FROM se)
+         SELECT event_type,
+           strftime(to_timestamp(day * 86400), '%Y-%m-%d') AS date,
+           y,
+           CAST(trend_u AS DOUBLE) / 1e6 AS trend,
+           CAST(seas_u AS DOUBLE) / 1e6 AS seasonal,
+           CAST(resid_u AS DOUBLE) / 1e6 AS residual,
+           CAST(rk AS BIGINT) AS rk
+         FROM re WHERE rk <= 2 ORDER BY event_type, rk""",
     // Holt smoothing: identical sequential list fold (the jackknife
     // pinned-order rule) over day-sorted daily counts
     "q_holt_smoothing" ->

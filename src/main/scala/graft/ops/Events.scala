@@ -511,6 +511,47 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** STL-style anomaly detection over each event type's daily counts,
+    * entirely in integer MICRO-UNITS (the PageRank rule — floor-division
+    * fixed-point instead of floats, so every step is order-free and
+    * engine-exact): trend = centered 7-day moving average, seasonal =
+    * day-of-week mean of the detrended series, anomaly = the days with
+    * the largest |residual| per type. The windows are per-type day
+    * series — partitioned, never global; day-of-week means are a
+    * (type × 7)-sized aggregate.
+    */
+  def qStlAnomalies(t: Tables, topK: Int = 2): DataFrame = {
+    val daily = t.events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+    val detr = daily
+      .withColumn("trend_u",
+        expr("(sum(y * 1000000) over (partition by event_type order by day " +
+          "rows between 3 preceding and 3 following)) div " +
+          "(count(y) over (partition by event_type order by day " +
+          "rows between 3 preceding and 3 following))"))
+      .withColumn("detr_u", col("y") * 1000000L - col("trend_u"))
+      .withColumn("dow", pmod(col("day"), lit(7)))
+    val resid = detr
+      .withColumn("seas_u",
+        expr("sum(detr_u) over (partition by event_type, dow) div " +
+          "count(detr_u) over (partition by event_type, dow)"))
+      .withColumn("resid_u", col("detr_u") - col("seas_u"))
+    val wRank = Window.partitionBy("event_type")
+      .orderBy(abs(col("resid_u")).desc, col("day"))
+    resid.withColumn("rk", row_number().over(wRank))
+      .filter(col("rk") <= topK)
+      .select(col("event_type"),
+        date_format(timestamp_micros(col("day") * lit(86400000000L)),
+          "yyyy-MM-dd").as("date"),
+        col("y"),
+        (col("trend_u").cast("double") / 1e6).as("trend"),
+        (col("seas_u").cast("double") / 1e6).as("seasonal"),
+        (col("resid_u").cast("double") / 1e6).as("residual"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("event_type", "rk")
+  }
+
   /** Holt double-exponential smoothing (level + trend, α=0.3 β=0.1) over
     * each event type's daily count series, seeded at the first
     * observation — the classic recursive forecaster that plain SQL
