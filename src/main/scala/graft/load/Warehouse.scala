@@ -99,6 +99,37 @@ final case class Warehouse(spark: SparkSession, root: String) {
     swapInto(fs, dst, tmp, old)
   }
 
+  /** Apply a CDC batch — rows tagged with an `op` column (`I`/`U`/`D`)
+    * and a monotone `seq` ordinal — as one MERGE: per key, only the
+    * LATEST change in the batch wins (max `seq`, the Debezium compaction
+    * rule), deletes drop the key, inserts/updates land the row. One
+    * anti-join + one union + the same atomic double-rename commit as
+    * [[upsert]]; replaying the same batch is a no-op (idempotent), which
+    * is what makes at-least-once delivery from a log consumer safe.
+    * `df` must carry `op`, `seq`, and the table's columns.
+    */
+  def applyCdc(df: DataFrame, tableName: String, keys: Seq[String]): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("seq").desc)
+    val latest = df
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val upserts = latest.filter(col("op") =!= "D").drop("op", "seq")
+    val touched = latest.select(keys.map(col): _*).dropDuplicates(keys)
+    if (Try(table(tableName).schema).isFailure) { load(upserts, tableName); return }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val existing = table(tableName)
+    val cond = keys.map(k => existing(k) <=> touched(k)).reduce(_ && _)
+    val kept = existing.join(touched, cond, "left_anti")
+    val merged = kept.unionByName(upserts)
+    val tmp = new org.apache.hadoop.fs.Path(path(tableName) + "__tmp")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    swapInto(fs, new org.apache.hadoop.fs.Path(path(tableName)), tmp,
+      new org.apache.hadoop.fs.Path(path(tableName) + "__old"))
+  }
+
   /** Atomically replace `dst` with `tmp` via two renames, staging the old
     * table at `oldP` so a crash at any point leaves a recoverable state
     * (see the recovery branch in [[upsert]]).

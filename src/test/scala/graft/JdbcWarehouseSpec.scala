@@ -49,6 +49,31 @@ class JdbcWarehouseSpec extends SparkSuite {
     assert(!left.exists(n => n.contains("__tmp") || n.contains("__old")), left)
   }
 
+  test("cdc apply: latest-per-key wins, deletes drop, replay is a no-op") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdc").toString
+    val wh = Warehouse(spark, root)
+    // seed
+    wh.applyCdc(
+      Seq(("I", 1L, 1L, "a"), ("I", 2L, 2L, "b"), ("I", 3L, 3L, "c"))
+        .toDF("op", "seq", "id", "v"),
+      "t", Seq("id"))
+    assert(wh.tableCount("t") == 3L)
+    // one batch holding an update superseded by a delete (key 2), an
+    // update (key 3), and an insert (key 4) — compaction keeps max seq
+    val batch = Seq(
+      ("U", 10L, 2L, "B"), ("D", 11L, 2L, "x"),
+      ("U", 12L, 3L, "C"), ("I", 13L, 4L, "d"))
+      .toDF("op", "seq", "id", "v")
+    wh.applyCdc(batch, "t", Seq("id"))
+    val got = wh.table("t").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 3L -> "C", 4L -> "d"))
+    // at-least-once delivery: replaying the same batch changes nothing
+    wh.applyCdc(batch, "t", Seq("id"))
+    assert(wh.table("t").as[(Long, String)].collect().toMap == got)
+    val left = new java.io.File(root).list().toSet
+    assert(!left.exists(n => n.contains("__tmp") || n.contains("__old")), left)
+  }
+
   test("upsert with null-valued keys stays idempotent on replay") {
     val root = java.nio.file.Files.createTempDirectory("graft_upsert_null").toString
     val wh = Warehouse(spark, root)
