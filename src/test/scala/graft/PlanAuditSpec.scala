@@ -256,4 +256,41 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("wordshingles") || p.contains("word_shingles"),
       "grams must come from the native expression")
   }
+
+  test("topic scores meet the dictionary through broadcast joins only") {
+    // the corpus tf stream must never shuffle on the word key to reach
+    // the (dimension-sized) topic dictionary — a sort-merge fallback
+    // would reshuffle every (doc, word) pair
+    val p = formatted("q_topic_scores")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "dictionary/hot-word guards not broadcast")
+    assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet a dim:\n$p")
+  }
+
+  test("bm25 broadcasts query-term stats; corpus contributes scan passes only") {
+    // the term filter runs post-explode (a posting probe at index time),
+    // so the scale claims are: df/stats meet tf through broadcasts and
+    // nothing falls back to a corpus-wide sort-merge join
+    val p = formatted("q_bm25_search")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      "df dimension not broadcast")
+    assert(!p.contains("SortMergeJoin"), s"query-term join fell back to SMJ:\n$p")
+  }
+
+  test("morton clustering key plans as the native expression, zmax broadcasts") {
+    val p = formatted("q_zorder_layout")
+    // the native (codegen'd) expression must appear in the Project — a
+    // lambda/UDF fallback would name differently — and the bucket
+    // arithmetic is map-side against one broadcast scalar
+    assert(p.toLowerCase.contains("morton"), s"native morton missing:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "zmax scalar should broadcast, not shuffle")
+  }
+
+  test("power iteration rounds re-read the tall frame; iterate joins broadcast") {
+    val p = formatted("q_power_iteration")
+    assert(p.contains("BroadcastHashJoin"),
+      "the dimension-sized iterate must broadcast into round 2")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian in matvec")
+  }
 }
