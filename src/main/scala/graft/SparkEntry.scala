@@ -127,6 +127,7 @@ object SparkEntry {
     "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
     "q_inverted_index" -> q(TextAnalysis.qInvertedIndex(_)),
     "q_bm25_search" -> q(TextAnalysis.qBm25Search(_)),
+    "q_bpe_merges" -> q(TextAnalysis.qBpeMerges(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -3023,6 +3024,46 @@ object SparkEntry {
            JOIN vocab d1 ON p.w1 = d1.word
            JOIN vocab d2 ON p.w2 = d2.word
          ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    // BPE merges: three unrolled count-argmax-replace rounds over the
+    // same space-padded sequences
+    "q_bpe_merges" ->
+      """WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+             FROM documents) x GROUP BY 1),
+         s0 AS (SELECT array_to_string(string_split(word, ''), ' ') AS seq,
+             freq FROM wf),
+         p1 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s0) y1,
+             unnest(range(1, len(sym))) AS u1(i)
+           GROUP BY 1),
+         t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+         s1 AS (SELECT trim(replace(' ' || seq || ' ', ' ' || t1.pair || ' ',
+             ' ' || replace(t1.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s0, t1),
+         p2 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s1) y2,
+             unnest(range(1, len(sym))) AS u2(i)
+           GROUP BY 1),
+         t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+         s2 AS (SELECT trim(replace(' ' || seq || ' ', ' ' || t2.pair || ' ',
+             ' ' || replace(t2.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s1, t2),
+         p3 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s2) y3,
+             unnest(range(1, len(sym))) AS u3(i)
+           GROUP BY 1),
+         t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+         s3 AS (SELECT trim(replace(' ' || seq || ' ', ' ' || t3.pair || ' ',
+             ' ' || replace(t3.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s2, t3),
+         r AS (SELECT CAST(1 AS BIGINT) AS round, pair,
+             replace(pair, ' ', '') AS merged, cnt FROM t1
+           UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM t2
+           UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM t3)
+         SELECT round, pair, merged, cnt FROM r ORDER BY round""",
     // BM25: same stats, idf and per-term score rounded at 1e-9, decimal
     // per-doc sum
     "q_bm25_search" ->

@@ -836,6 +836,50 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** BPE vocabulary learning: `rounds` iterations of the byte-pair-merge
+    * loop every subword tokenizer trains with — count adjacent symbol
+    * pairs over the (word, frequency) table, merge the most frequent
+    * pair corpus-wide, repeat. The distributed part is the weighted pair
+    * count (explode + one aggregation per round over the vocabulary
+    * table, which at web scale is millions of rows); the argmax is one
+    * dimension-sized sort-limit, and the driver sees ONE (pair, count)
+    * scalar per round — the connectedComponents orchestration rule.
+    * Merges apply space-padded (` a b ` → ` ab `), so a pair never
+    * matches across token boundaries, and both engines' `replace` scans
+    * left-to-right non-overlapping — greedy BPE semantics. Counts are
+    * exact longs, ties break lexicographically: the learned merge table
+    * is engine-identical.
+    */
+  def qBpeMerges(t: Tables, rounds: Int = 3): DataFrame = {
+    val spark = t.documents.sparkSession
+    val wordFreq = graft.Engine.spread(t.documents)
+      .select(explode(Dedup.words(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seqs = wordFreq.select(
+      concat_ws(" ", split(col("word"), "")).as("seq"), col("freq"))
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    for (r <- 1 to rounds) {
+      val top = seqs
+        .withColumn("syms", split(col("seq"), " "))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(0, size(syms) - 2)," +
+            " i -> concat(syms[i], ' ', syms[i + 1]))")).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).head()
+      val pair = top.getString(0)
+      val merged = pair.replace(" ", "")
+      out += ((r.toLong, pair, merged, top.getLong(1)))
+      // symbols are lowercase letters only, so inlining the pair into the
+      // expression text is injection-safe
+      seqs = seqs.withColumn("seq",
+        expr(s"trim(replace(' ' || seq || ' ', ' $pair ', ' $merged '))"))
+    }
+    import spark.implicits._
+    out.toSeq.toDF("round", "pair", "merged", "cnt")
+  }
+
   /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed query-term
     * set: the standard keyword-search scorer over the corpus statistics
     * an inverted index stores. Per (doc, term): `idf(t) · tf·(k1+1) /

@@ -194,6 +194,33 @@ class KeywordGraphSpec extends SparkSuite {
     assert(math.abs(norm - 1.0) < 1e-9)
   }
 
+  test("bpe merges match a driver-side pair-count recompute") {
+    val freq = docTokens.flatMap(_._3)
+      .groupBy(identity).map { case (w, xs) => w -> xs.size.toLong }
+    var seqs: Map[String, Long] =
+      freq.map { case (w, f) => w.toSeq.mkString(" ") -> f }
+        .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val expected = (1 to 3).map { r =>
+      val counts = scala.collection.mutable.Map[String, Long]()
+      seqs.foreach { case (seq, f) =>
+        val syms = seq.split(" ")
+        syms.indices.dropRight(1).foreach { i =>
+          val p = s"${syms(i)} ${syms(i + 1)}"
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val (pair, cnt) = counts.toSeq.minBy { case (p, c) => (-c, p) }
+      val merged = pair.replace(" ", "")
+      seqs = seqs.toSeq.map { case (seq, f) =>
+        (s" $seq ".replace(s" $pair ", s" $merged ").trim, f)
+      }.groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+      (r.toLong, pair, merged, cnt)
+    }
+    val got = TextAnalysis.qBpeMerges(tables)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("holt smoothing matches a driver-side sequential recurrence") {
     val daily = tables.events
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
