@@ -128,6 +128,7 @@ object SparkEntry {
     "q_inverted_index" -> q(TextAnalysis.qInvertedIndex(_)),
     "q_bm25_search" -> q(TextAnalysis.qBm25Search(_)),
     "q_bpe_merges" -> q(TextAnalysis.qBpeMerges(_)),
+    "q_bpe_tokenize" -> q(TextAnalysis.qBpeTokenize(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
     "q_scd2_intervals" -> q(Analytics.qScd2Intervals),
     "q_key_skew" -> q(Analytics.qKeySkew),
@@ -3024,6 +3025,59 @@ object SparkEntry {
            JOIN vocab d1 ON p.w1 = d1.word
            JOIN vocab d2 ON p.w2 = d2.word
          ORDER BY pmi DESC, w1, w2 LIMIT 25""",
+    // BPE tokenize: the same three learned merges applied on the
+    // vocabulary dimension, weighted by per-source occurrence counts
+    "q_bpe_tokenize" ->
+      """WITH wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+             FROM documents) x GROUP BY 1),
+         s0 AS (SELECT word,
+             array_to_string(string_split(word, ''), ' ') AS seq,
+             freq FROM wf),
+         p1 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s0) y1,
+             unnest(range(1, len(sym))) AS u1(i)
+           GROUP BY 1),
+         t1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+         s1 AS (SELECT word, trim(replace(' ' || seq || ' ',
+             ' ' || t1.pair || ' ',
+             ' ' || replace(t1.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s0, t1),
+         p2 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s1) y2,
+             unnest(range(1, len(sym))) AS u2(i)
+           GROUP BY 1),
+         t2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+         s2 AS (SELECT word, trim(replace(' ' || seq || ' ',
+             ' ' || t2.pair || ' ',
+             ' ' || replace(t2.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s1, t2),
+         p3 AS (SELECT sym[i] || ' ' || sym[i + 1] AS pair,
+             CAST(SUM(freq) AS BIGINT) AS cnt
+           FROM (SELECT string_split(seq, ' ') AS sym, freq FROM s2) y3,
+             unnest(range(1, len(sym))) AS u3(i)
+           GROUP BY 1),
+         t3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+         s3 AS (SELECT word, trim(replace(' ' || seq || ' ',
+             ' ' || t3.pair || ' ',
+             ' ' || replace(t3.pair, ' ', '') || ' ')) AS seq, freq
+           FROM s2, t3),
+         seg AS (SELECT word,
+             CAST(len(string_split(seq, ' ')) AS BIGINT) AS ntok FROM s3),
+         sw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+             SELECT source,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+             FROM documents) x GROUP BY 1, 2)
+         SELECT sw.source,
+           CAST(SUM(sw.n) AS BIGINT) AS total_words,
+           CAST(SUM(sw.n * len(sw.word)) AS BIGINT) AS total_chars,
+           CAST(SUM(sw.n * seg.ntok) AS BIGINT) AS total_tokens,
+           CAST(SUM(sw.n * len(sw.word)) AS DOUBLE)
+             / CAST(SUM(sw.n * seg.ntok) AS DOUBLE) AS compression
+         FROM sw JOIN seg ON sw.word = seg.word
+         GROUP BY 1 ORDER BY 1""",
     // BPE merges: three unrolled count-argmax-replace rounds over the
     // same space-padded sequences
     "q_bpe_merges" ->

@@ -850,12 +850,16 @@ object TextAnalysis {
     * exact longs, ties break lexicographically: the learned merge table
     * is engine-identical.
     */
-  def qBpeMerges(t: Tables, rounds: Int = 3): DataFrame = {
-    val spark = t.documents.sparkSession
+  /** The BPE learn loop shared by [[qBpeMerges]] and [[qBpeTokenize]]:
+    * returns the merge table and the post-merge vocabulary segmentation
+    * (word, seq, freq).
+    */
+  private def bpeLearn(t: Tables, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
     val wordFreq = graft.Engine.spread(t.documents)
       .select(explode(Dedup.words(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-    var seqs = wordFreq.select(
+    var seqs = wordFreq.select(col("word"),
       concat_ws(" ", split(col("word"), "")).as("seq"), col("freq"))
     val out = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
     for (r <- 1 to rounds) {
@@ -876,8 +880,38 @@ object TextAnalysis {
       seqs = seqs.withColumn("seq",
         expr(s"trim(replace(' ' || seq || ' ', ' $pair ', ' $merged '))"))
     }
+    (out.toSeq, seqs)
+  }
+
+  def qBpeMerges(t: Tables, rounds: Int = 3): DataFrame = {
+    val spark = t.documents.sparkSession
     import spark.implicits._
-    out.toSeq.toDF("round", "pair", "merged", "cnt")
+    bpeLearn(t, rounds)._1.toDF("round", "pair", "merged", "cnt")
+  }
+
+  /** Tokenizer APPLICATION: segment the corpus with the merges
+    * [[bpeLearn]] produced and measure per-source compression (chars per
+    * subword token). The trick that makes application free at corpus
+    * scale: segmentation is computed once on the VOCABULARY dimension
+    * (the learn loop's final frame) and joined back to the per-source
+    * occurrence counts — the corpus text is never re-tokenized row by
+    * row. Exact integer totals; one double ratio.
+    */
+  def qBpeTokenize(t: Tables, rounds: Int = 3): DataFrame = {
+    val vocabSeg = bpeLearn(t, rounds)._2
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("ntok"))
+    val perSource = graft.Engine.spread(t.documents)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("n"))
+    perSource.join(broadcast(vocabSeg), "word")
+      .groupBy("source")
+      .agg(
+        sum("n").as("total_words"),
+        sum(col("n") * length(col("word"))).as("total_chars"),
+        sum(col("n") * col("ntok")).as("total_tokens"))
+      .withColumn("compression",
+        col("total_chars").cast("double") / col("total_tokens").cast("double"))
+      .orderBy("source")
   }
 
   /** BM25 ranked retrieval (k1 = 1.2, b = 0.75) for a fixed query-term
