@@ -76,7 +76,12 @@ class DeterminismSpec extends SparkSuite {
     "q_zorder_layout",    // bitwise morton keys, equal-width buckets
     "q_power_iteration",  // integer matvec rounds, exact-decimal norm
     "q_mix_temperature",  // decimal weights, integer product-div alloc
-    "q_holt_smoothing")   // pinned-order sequential double fold
+    "q_holt_smoothing",   // pinned-order sequential double fold
+    "q_stl_anomalies",    // integer micro-unit trend/seasonal math
+    "q_bm25_search",      // rounded idf, decimal per-doc score sums
+    "q_graph_profile",    // exact decimal moments, one double division
+    "q_bpe_merges",       // exact pair counts, lexicographic argmax
+    "q_bpe_tokenize")     // vocab-dimension segmentation counts
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
