@@ -238,6 +238,7 @@ object SparkEntry {
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
+    "q_coreset_kcenter" -> q(Similarity.qCoresetKcenter(_)),
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
@@ -1914,6 +1915,46 @@ object SparkEntry {
            (100000 * CAST(weight * 1000000000 AS BIGINT))
              // CAST(wsum * 1000000000 AS BIGINT) AS alloc_docs
          FROM w, tot ORDER BY source""",
+    // k-center coreset: same milli-unit quantization, exact squared-L2,
+    // farthest-point rounds unrolled with LEAST running minima
+    "q_coreset_kcenter" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         tall AS (SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS mv
+           FROM e, unnest(range(1, len(v) + 1)) AS u(i)),
+         c1 AS (SELECT MIN(vec_id) AS id FROM tall),
+         d1 AS (SELECT t.vec_id,
+             CAST(SUM((t.mv - c.mv) * (t.mv - c.mv)) AS BIGINT) AS d
+           FROM tall t JOIN tall c ON t.dim = c.dim
+             AND c.vec_id = (SELECT id FROM c1)
+           GROUP BY 1),
+         p2 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+         e2 AS (SELECT t.vec_id,
+             CAST(SUM((t.mv - c.mv) * (t.mv - c.mv)) AS BIGINT) AS d
+           FROM tall t JOIN tall c ON t.dim = c.dim
+             AND c.vec_id = (SELECT vec_id FROM p2)
+           GROUP BY 1),
+         d2 AS (SELECT d1.vec_id, LEAST(d1.d, e2.d) AS d
+           FROM d1 JOIN e2 ON d1.vec_id = e2.vec_id),
+         p3 AS (SELECT vec_id, d FROM d2
+           ORDER BY d DESC, vec_id LIMIT 1),
+         e3 AS (SELECT t.vec_id,
+             CAST(SUM((t.mv - c.mv) * (t.mv - c.mv)) AS BIGINT) AS d
+           FROM tall t JOIN tall c ON t.dim = c.dim
+             AND c.vec_id = (SELECT vec_id FROM p3)
+           GROUP BY 1),
+         d3 AS (SELECT d2.vec_id, LEAST(d2.d, e3.d) AS d
+           FROM d2 JOIN e3 ON d2.vec_id = e3.vec_id),
+         p4 AS (SELECT vec_id, d FROM d3
+           ORDER BY d DESC, vec_id LIMIT 1),
+         r AS (SELECT CAST(1 AS BIGINT) AS rk,
+             (SELECT id FROM c1) AS vec_id, CAST(0 AS BIGINT) AS radius
+           UNION ALL SELECT 2, vec_id, d FROM p2
+           UNION ALL SELECT 3, vec_id, d FROM p3
+           UNION ALL SELECT 4, vec_id, d FROM p4)
+         SELECT rk, vec_id, radius FROM r ORDER BY rk""",
     // power iteration: same milli-unit quantization, integer matvec
     // rounds with a div-1e6 rescale, exact-decimal norm at the end
     "q_power_iteration" ->

@@ -495,6 +495,54 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Greedy k-center coreset selection (farthest-point traversal) — the
+    * diversity-sampling rule for picking a small representative subset of
+    * an embedding corpus: seed at the lowest id, then repeatedly add the
+    * point FARTHEST from the selected set. Each output row carries the
+    * min-distance at selection time — the classic 2-approximation's
+    * coverage-radius sequence. Per round the corpus does ONE map-side
+    * pass (squared-L2 to the newly selected vector, a 64-literal
+    * zip-fold, no join) plus a `least` against the running min-distance
+    * column; only the argmax scalar reaches the driver. Distances are
+    * exact integer milli-unit sums (Δ ≤ ~4e3 per dim, ×64 dims ≪ 2^63),
+    * ties break on vec_id — deterministic everywhere.
+    */
+  def qCoresetKcenter(t: Tables, k: Int = 4): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val m = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("m"))
+      .localCheckpoint() // probed k times — materialize the quantization
+    try {
+      def distTo(vec: Seq[Long]) =
+        expr(s"aggregate(zip_with(m, ${vec.mkString("array(", "L,", "L)")}," +
+          " (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)")
+      var selId = m.agg(min("vec_id")).head().getLong(0)
+      var selVec = m.filter(col("vec_id") === selId)
+        .head().getSeq[Long](1)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+      out += ((1L, selId, 0L))
+      var mind = m.select(col("vec_id"), col("m"),
+        distTo(selVec).as("d"))
+      for (r <- 2 to k) {
+        val top = mind.orderBy(col("d").desc, col("vec_id"))
+          .select("vec_id", "d").limit(1).head()
+        selId = top.getLong(0)
+        out += ((r.toLong, selId, top.getLong(1)))
+        selVec = m.filter(col("vec_id") === selId).head().getSeq[Long](1)
+        if (r < k)
+          mind = mind.select(col("vec_id"), col("m"),
+            least(col("d"), distTo(selVec)).as("d"))
+      }
+      out.toSeq.toDF("rk", "vec_id", "radius")
+    } finally {
+      graft.Engine.freeCheckpoint(m)
+    }
+  }
+
   /** Top principal direction of the (uncentered) embedding Gram matrix by
     * two distributed power-iteration rounds — the spectral matvec shape:
     * each round is `v ← Xᵀ(Xv)`, i.e. one per-row dot product (a window
