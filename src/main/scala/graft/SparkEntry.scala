@@ -120,6 +120,7 @@ object SparkEntry {
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
     "q_zorder_layout" -> q(Analytics.qZorderLayout(_)),
+    "q_skipping_audit" -> q(Analytics.qSkippingAudit(_)),
     "q_graph_profile" -> q(Graph.qGraphProfile),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
@@ -2926,6 +2927,65 @@ object SparkEntry {
              tri.n_triangles,
              round(tri.n_triangles * 3.0 / sums.open, 9) AS clustering
          FROM sums, cnts, tri""",
+    // skipping audit: same morton grid + pk-sorted grid, same hash
+    // probe sample, exact bound checks
+    "q_skipping_audit" ->
+      """WITH k AS (SELECT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         s0 AS (SELECT pk, sk, pk & 2147483647 AS x,
+             sk & 2147483647 AS y FROM k),
+         s1 AS (SELECT pk, sk, (x | (x << 16)) & 281470681808895 AS x,
+             (y | (y << 16)) & 281470681808895 AS y FROM s0),
+         s2 AS (SELECT pk, sk, (x | (x << 8)) & 71777214294589695 AS x,
+             (y | (y << 8)) & 71777214294589695 AS y FROM s1),
+         s3 AS (SELECT pk, sk, (x | (x << 4)) & 1085102592571150095 AS x,
+             (y | (y << 4)) & 1085102592571150095 AS y FROM s2),
+         s4 AS (SELECT pk, sk, (x | (x << 2)) & 3689348814741910323 AS x,
+             (y | (y << 2)) & 3689348814741910323 AS y FROM s3),
+         s5 AS (SELECT pk, sk, (x | (x << 1)) & 6148914691236517205 AS x,
+             (y | (y << 1)) & 6148914691236517205 AS y FROM s4),
+         m AS (SELECT pk, sk, x | (y << 1) AS z FROM s5),
+         mx AS (SELECT MAX(z) AS zmax FROM m),
+         zb AS (SELECT z // ((zmax // 32) + 1) AS bucket,
+             MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+             MIN(sk) AS min_sk, MAX(sk) AS max_sk
+           FROM m, mx GROUP BY 1),
+         px AS (SELECT MAX(pk) AS pmax FROM k),
+         pb AS (SELECT pk // ((pmax // 32) + 1) AS bucket,
+             MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+             MIN(sk) AS min_sk, MAX(sk) AS max_sk
+           FROM k, px GROUP BY 1),
+         probes AS (SELECT DISTINCT pk, sk FROM k
+           WHERE (pk * 31 + sk) % 211 = 0),
+         sprobes AS (SELECT DISTINCT sk FROM k WHERE sk % 7 = 0),
+         za AS (SELECT 'zorder' AS layout, 'point' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_checks,
+             CAST(SUM(CASE WHEN p.pk BETWEEN b.min_pk AND b.max_pk
+               AND p.sk BETWEEN b.min_sk AND b.max_sk
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+           FROM probes p, zb b),
+         zr AS (SELECT 'zorder' AS layout, 'sk_range' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_checks,
+             CAST(SUM(CASE WHEN b.max_sk >= p.sk - 2
+               AND b.min_sk <= p.sk + 2
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+           FROM sprobes p, zb b),
+         pa AS (SELECT 'pk_sort' AS layout, 'point' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_checks,
+             CAST(SUM(CASE WHEN p.pk BETWEEN b.min_pk AND b.max_pk
+               AND p.sk BETWEEN b.min_sk AND b.max_sk
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+           FROM probes p, pb b),
+         pr AS (SELECT 'pk_sort' AS layout, 'sk_range' AS probe,
+             CAST(COUNT(*) AS BIGINT) AS n_checks,
+             CAST(SUM(CASE WHEN b.max_sk >= p.sk - 2
+               AND b.min_sk <= p.sk + 2
+               THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped
+           FROM sprobes p, pb b)
+         SELECT layout, probe, n_checks, n_skipped,
+           CAST(n_skipped AS DOUBLE) / CAST(n_checks AS DOUBLE) AS skip_frac
+         FROM (SELECT * FROM za UNION ALL SELECT * FROM zr
+           UNION ALL SELECT * FROM pa UNION ALL SELECT * FROM pr) u
+         ORDER BY layout, probe""",
     // graph profile: same symmetric edge set; exact decimal moments, one
     // double division (no sqrt: the two degree marginals coincide)
     "q_graph_profile" ->

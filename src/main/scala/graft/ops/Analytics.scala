@@ -1206,10 +1206,18 @@ object Analytics {
     * writer would `repartitionByRange` on the same key — no global-sort
     * window anywhere.
     */
-  def qZorderLayout(t: Tables, buckets: Int = 32): DataFrame = {
+  def qZorderLayout(t: Tables, buckets: Int = 32): DataFrame =
+    bucketStats(t, "morton_code(pk, sk)", buckets).orderBy("bucket")
+
+  /** Equal-width buckets of `keyExpr` over (partkey, suppkey) rows with
+    * per-bucket min/max extents in both dimensions — the per-file
+    * statistics a clustering writer's footer would carry.
+    */
+  private def bucketStats(
+      t: Tables, keyExpr: String, buckets: Int): DataFrame = {
     val keyed = t.lineitem
       .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-      .withColumn("z", expr("morton_code(pk, sk)"))
+      .withColumn("z", expr(keyExpr))
     val zmax = keyed.agg(max("z").as("zmax"))
     keyed.crossJoin(broadcast(zmax))
       .withColumn("bucket",
@@ -1218,6 +1226,56 @@ object Analytics {
       .agg(count(lit(1)).as("n"),
         min("pk").as("min_pk"), max("pk").as("max_pk"),
         min("sk").as("min_sk"), max("sk").as("max_sk"))
-      .orderBy("bucket")
+  }
+
+  /** Data-skipping effectiveness: probe the SAME deterministic sample of
+    * (partkey, suppkey) point predicates against two file layouts — the
+    * Morton z-order grid vs a partkey-sorted layout — and report what
+    * fraction of buckets ("files") each layout's min/max footer stats
+    * exclude. This is the measurable claim behind [[qZorderLayout]]: a
+    * lexicographic sort bounds only its leading column, so conjunctive
+    * point predicates skip far fewer files than under z-ordering. All
+    * skip decisions are exact integer bound checks over
+    * bucket-count-sized frames; the probe set is hash-sampled
+    * (engine-independent arithmetic), and the two fractions surface as
+    * ratios of exact counts.
+    */
+  def qSkippingAudit(t: Tables, buckets: Int = 32): DataFrame = {
+    val keys = t.lineitem
+      .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+    val pointProbes = keys.distinct()
+      .filter(expr("pmod(pk * 31 + sk, 211) = 0"))
+    // the probe class z-ordering exists for: a range on the NON-leading
+    // dimension — a pk-sorted layout carries the full sk range in every
+    // file and can skip nothing
+    val skProbes = keys.select("sk").distinct()
+      .filter(expr("pmod(sk, 7) = 0"))
+    val layouts = Seq(
+      ("zorder", "morton_code(pk, sk)"),
+      ("pk_sort", "pk"))
+    layouts.map { case (name, key) =>
+      val b = broadcast(bucketStats(t, key, buckets)
+        .select(col("min_pk"), col("max_pk"),
+          col("min_sk"), col("max_sk")))
+      val point = pointProbes.crossJoin(b)
+        .select(when(
+          col("pk").between(col("min_pk"), col("max_pk")) &&
+            col("sk").between(col("min_sk"), col("max_sk")),
+          0L).otherwise(1L).as("skip"))
+        .agg(count(lit(1)).as("n_checks"), sum("skip").as("n_skipped"))
+        .select(lit(name).as("layout"), lit("point").as("probe"),
+          col("n_checks"), col("n_skipped"))
+      val range = skProbes.crossJoin(b)
+        .select(when(
+          col("max_sk") >= col("sk") - 2 && col("min_sk") <= col("sk") + 2,
+          0L).otherwise(1L).as("skip"))
+        .agg(count(lit(1)).as("n_checks"), sum("skip").as("n_skipped"))
+        .select(lit(name).as("layout"), lit("sk_range").as("probe"),
+          col("n_checks"), col("n_skipped"))
+      point.unionByName(range)
+    }.reduce(_ unionByName _)
+      .withColumn("skip_frac",
+        col("n_skipped").cast("double") / col("n_checks").cast("double"))
+      .orderBy("layout", "probe")
   }
 }
