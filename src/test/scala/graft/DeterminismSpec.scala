@@ -81,7 +81,9 @@ class DeterminismSpec extends SparkSuite {
     "q_bm25_search",      // rounded idf, decimal per-doc score sums
     "q_graph_profile",    // exact decimal moments, one double division
     "q_bpe_merges",       // exact pair counts, lexicographic argmax
-    "q_bpe_tokenize")     // vocab-dimension segmentation counts
+    "q_bpe_tokenize",     // vocab-dimension segmentation counts
+    "q_coreset_kcenter",  // exact fixed-point farthest-point rounds
+    "q_skipping_audit")   // integer bound checks over bucket stats
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
