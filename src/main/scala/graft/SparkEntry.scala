@@ -128,6 +128,7 @@ object SparkEntry {
     "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
     "q_inverted_index" -> q(TextAnalysis.qInvertedIndex(_)),
     "q_bm25_search" -> q(TextAnalysis.qBm25Search(_)),
+    "q_rank_fusion" -> q(TextAnalysis.qRankFusion(_)),
     "q_bpe_merges" -> q(TextAnalysis.qBpeMerges(_)),
     "q_bpe_tokenize" -> q(TextAnalysis.qBpeTokenize(_)),
     "q_skew_salted_agg" -> q(Skew.qSkewSaltedAgg),
@@ -3179,6 +3180,54 @@ object SparkEntry {
              / CAST(SUM(sw.n * seg.ntok) AS DOUBLE) AS compression
          FROM sw JOIN seg ON sw.word = seg.word
          GROUP BY 1 ORDER BY 1""",
+    // rank fusion: the bm25 chain + a tf-idf run, both ranked, fused
+    // with fixed-arity 1/(rank+60) doubles
+    "q_rank_fusion" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(w)) AS BIGINT) AS total_tokens FROM d),
+         tfq AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf,
+             CAST(MIN(len) AS BIGINT) AS len FROM (
+               SELECT doc_id, CAST(len(w) AS BIGINT) AS len,
+                 unnest(w) AS word FROM d) x
+           WHERE word IN ('join', 'filter', 'window') GROUP BY 1, 2),
+         dw AS (SELECT DISTINCT doc_id, word FROM
+           (SELECT doc_id, unnest(w) AS word FROM d) x),
+         dfq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM dw
+           WHERE word IN ('join', 'filter', 'window') GROUP BY 1),
+         sc AS (SELECT tfq.doc_id,
+             CAST(round(
+               round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - dfq.df + 0.5)
+                 / (dfq.df + 0.5)), 9)
+               * (tfq.tf * 2.2) / (tfq.tf + 1.2 * (0.25 +
+                 0.75 * CAST(tfq.len AS DOUBLE) /
+                   (CAST(st.total_tokens AS DOUBLE)
+                     / CAST(st.n_docs AS DOUBLE)))), 9)
+               AS DECIMAL(28,9)) AS term_score
+           FROM tfq JOIN dfq ON tfq.word = dfq.word CROSS JOIN st),
+         b AS (SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS score
+           FROM sc GROUP BY 1),
+         br AS (SELECT doc_id, CAST(row_number() OVER (
+             ORDER BY score DESC, doc_id) AS BIGINT) AS r1 FROM b),
+         ti AS (SELECT tfq2.doc_id, SUM(tfq2.tf * w.wgt) AS score
+           FROM (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+               FROM (SELECT doc_id, unnest(w) AS word FROM d) x
+               WHERE word IN ('join', 'filter', 'window')
+               GROUP BY 1, 2) tfq2
+             JOIN (SELECT dfq.word,
+                 CAST(round(ln(CAST(st.n_docs AS DOUBLE) / dfq.df), 9)
+                   AS DECIMAL(28,9)) AS wgt
+               FROM dfq CROSS JOIN st) w ON tfq2.word = w.word
+           GROUP BY 1),
+         tr AS (SELECT doc_id, CAST(row_number() OVER (
+             ORDER BY score DESC, doc_id) AS BIGINT) AS r2 FROM ti)
+         SELECT doc_id, r1, r2,
+           COALESCE(CAST(1 AS DOUBLE) / (r1 + 60), 0.0)
+             + COALESCE(CAST(1 AS DOUBLE) / (r2 + 60), 0.0) AS rrf
+         FROM br FULL OUTER JOIN tr USING (doc_id)
+         ORDER BY rrf DESC, doc_id LIMIT 10""",
     // BPE merges: three unrolled count-argmax-replace rounds over the
     // same space-padded sequences
     "q_bpe_merges" ->

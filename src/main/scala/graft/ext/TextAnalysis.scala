@@ -928,7 +928,15 @@ object TextAnalysis {
     */
   def qBm25Search(
       t: Tables, terms: Seq[String] = Seq("join", "filter", "window"),
-      k: Int = 15): DataFrame = {
+      k: Int = 15): DataFrame =
+    bm25Scores(t, terms)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+
+  /** Per-document BM25 scores (doc_id, n_terms, score) for `terms` —
+    * shared by [[qBm25Search]] and the fusion ranker [[qRankFusion]].
+    */
+  private def bm25Scores(t: Tables, terms: Seq[String]): DataFrame = {
     val docs = graft.Engine.spread(t.documents)
       .select(col("doc_id"), Dedup.words(col("text")).as("w"))
     val stats = docs.agg(
@@ -961,7 +969,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_terms"), sum("term_score").as("score"))
       .select(col("doc_id"), col("n_terms"),
         col("score").cast("double").as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
+  }
+
+  /** Reciprocal rank fusion of two retrieval runs for the same query —
+    * the standard way to combine rankers with incomparable score scales
+    * (here: BM25 and a plain tf·idf sum). Each run ranks its candidate
+    * set; a document's fused score is `Σ 1/(60 + rank)` over the runs
+    * that retrieved it (the Cormack-Clarke constant). Both runs are
+    * candidate-set-sized frames by the time they rank — the corpus work
+    * is the two scoring passes — and the fusion itself is one full-outer
+    * join + fixed-arity double arithmetic (two correctly-rounded terms
+    * added in expression order: engine-exact, no aggregation).
+    */
+  def qRankFusion(
+      t: Tables, terms: Seq[String] = Seq("join", "filter", "window"),
+      k: Int = 10): DataFrame = {
+    val wRank = Window.orderBy(col("score").desc, col("doc_id"))
+    val bm25 = bm25Scores(t, terms)
+      .withColumn("r1", row_number().over(wRank).cast("long"))
+      .select("doc_id", "r1")
+    val docs = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("word"))
+      .filter(col("word").isin(terms: _*))
+    val n = graft.Engine.spread(t.documents).agg(count(lit(1)).as("n"))
+    val df = docs.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val tfidf = docs.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .join(broadcast(df), "word")
+      .crossJoin(broadcast(n))
+      .withColumn("w",
+        round(log(col("n").cast("double") / col("df")), 9)
+          .cast("decimal(28,9)"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf").cast("decimal(10,0)") * col("w")).as("score"))
+      .withColumn("r2", row_number().over(wRank).cast("long"))
+      .select("doc_id", "r2")
+    bm25.join(tfidf, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r1"), col("r2"),
+        (coalesce(lit(1.0) / (col("r1") + 60), lit(0.0)) +
+          coalesce(lit(1.0) / (col("r2") + 60), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
   }
 
