@@ -218,6 +218,7 @@ object SparkEntry {
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
+    "q_dedup_agreement" -> q(Dedup.qDedupAgreement),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
     "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
@@ -2267,6 +2268,60 @@ object SparkEntry {
            CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
          FROM j WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
          ORDER BY id1, id2""",
+    // ensemble agreement: jaccard CTEs identical to q_ngram_jaccard;
+    // cosine threshold as pure integer arithmetic (25 dot^2 >= 9 s1 s2)
+    "q_dedup_agreement" ->
+      """WITH docs AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         dw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM docs),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+         hot AS (SELECT d.lang, d.word
+           FROM (SELECT lang, word, COUNT(*) AS df FROM dw0 GROUP BY 1, 2) d
+           JOIN nd ON d.lang = nd.lang WHERE d.df > nd.n_docs * 0.5),
+         dw AS (SELECT * FROM dw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = dw0.lang AND hot.word = dw0.word)),
+         sized AS (SELECT doc_id, lang, CAST(COUNT(*) AS DOUBLE) AS nw
+           FROM dw GROUP BY 1, 2),
+         dwn AS (SELECT dw.doc_id, dw.lang, dw.word, sized.nw
+           FROM dw JOIN sized ON dw.doc_id = sized.doc_id AND dw.lang = sized.lang),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
+             COUNT(*) AS inter
+           FROM dwn a JOIN dwn b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         jp AS (SELECT id1, id2 FROM j
+           WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+         tdocs AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         tdw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM tdocs),
+         tdw AS (SELECT * FROM tdw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = tdw0.lang AND hot.word = tdw0.word)),
+         tf AS (SELECT doc_id, lang, word, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tdw GROUP BY 1, 2, 3),
+         tsz AS (SELECT doc_id, lang, CAST(SUM(tf * tf) AS BIGINT) AS ss
+           FROM tf GROUP BY 1, 2),
+         tfn AS (SELECT tf.doc_id, tf.lang, tf.word, tf.tf, tsz.ss
+           FROM tf JOIN tsz ON tf.doc_id = tsz.doc_id AND tf.lang = tsz.lang),
+         c AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.ss AS s1, b.ss AS s2,
+             CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+           FROM tfn a JOIN tfn b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         cp AS (SELECT id1, id2 FROM c
+           WHERE 25 * dot * dot >= 9 * s1 * s2),
+         u AS (SELECT COALESCE(jp.id1, cp.id1) AS id1,
+             COALESCE(jp.id2, cp.id2) AS id2,
+             CASE WHEN jp.id1 IS NOT NULL THEN 1 ELSE 0 END AS mj,
+             CASE WHEN cp.id1 IS NOT NULL THEN 1 ELSE 0 END AS mc
+           FROM jp FULL OUTER JOIN cp
+             ON jp.id1 = cp.id1 AND jp.id2 = cp.id2)
+         SELECT CAST(SUM(mj) AS BIGINT) AS n_jaccard,
+           CAST(SUM(mc) AS BIGINT) AS n_cosine,
+           CAST(SUM(mj * mc) AS BIGINT) AS n_both,
+           CAST(SUM(mj * mc) AS DOUBLE)
+             / CAST(SUM(mj) + SUM(mc) - SUM(mj * mc) AS DOUBLE) AS overlap
+         FROM u""",
     "q_dedup_clusters" ->
       """WITH RECURSIVE docs AS (
            SELECT doc_id, lang,

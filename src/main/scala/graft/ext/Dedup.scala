@@ -366,6 +366,60 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Ensemble agreement between two EXACT near-dup detectors on the same
+    * document sample: set-overlap (n-gram Jaccard ≥ 0.3, from
+    * [[ngramJaccardPairs]] — including its df hot-word guard) vs
+    * tf-weighted cosine (≥ 0.6) over the identically guarded token
+    * streams. The cosine threshold is pure integer arithmetic —
+    * `cos ≥ 0.6 ⇔ 25·dot² ≥ 9·Σtf1²·Σtf2²` — so neither detector owns a
+    * float anywhere, and the agreement row (pair counts + pair-set
+    * Jaccard) is engine-exact. The methods disagree exactly where
+    * weighting matters (repeated tokens), which is what the overlap
+    * metric surfaces; both sides share one sample, one guard, and the
+    * word-keyed join shape that scales them.
+    */
+  def qDedupAgreement(t: Tables): DataFrame = {
+    val jac = ngramJaccardPairs(t).select("id1", "id2")
+    val docs = t.documents
+      .filter(pmod(col("doc_id"), lit(20)) === 0)
+      .select(col("doc_id"), col("lang"), words(col("text")).as("w"))
+    val dw0 = docs.select(col("doc_id"), col("lang"),
+      explode(col("w")).as("word"))
+    val nDocs = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    // the guard counts DISTINCT docs per word — identical to the jaccard
+    // side's definition, so both detectors see the same filtered universe
+    val hot = dw0.select("doc_id", "lang", "word").distinct()
+      .groupBy("lang", "word").agg(count(lit(1)).as("df"))
+      .join(broadcast(nDocs), "lang")
+      .filter(col("df") > col("n_docs") * 0.5)
+      .select("lang", "word")
+    val tf = dw0.join(broadcast(hot), Seq("lang", "word"), "left_anti")
+      .groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("tf"))
+    val sized = tf.groupBy("doc_id", "lang")
+      .agg(sum(expr("tf * tf")).as("ss"))
+    val tfn = tf.join(broadcast(sized), Seq("doc_id", "lang"))
+    val a = tfn.select(col("doc_id").as("id1"), col("lang"), col("word"),
+      col("tf").as("tf1"), col("ss").as("s1"))
+    val b = tfn.select(col("doc_id").as("id2"), col("lang"), col("word"),
+      col("tf").as("tf2"), col("ss").as("s2"))
+    val cos = a.join(b, Seq("lang", "word"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2", "s1", "s2")
+      .agg(sum(expr("tf1 * tf2")).as("dot"))
+      .filter(expr("25 * dot * dot >= 9 * s1 * s2"))
+      .select("id1", "id2")
+    jac.withColumn("mj", lit(1L))
+      .join(cos.withColumn("mc", lit(1L)), Seq("id1", "id2"), "full_outer")
+      .agg(
+        sum(coalesce(col("mj"), lit(0L))).as("n_jaccard"),
+        sum(coalesce(col("mc"), lit(0L))).as("n_cosine"),
+        sum(when(col("mj").isNotNull && col("mc").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"))
+      .withColumn("overlap",
+        col("n_both").cast("double") /
+          (col("n_jaccard") + col("n_cosine") - col("n_both")).cast("double"))
+  }
+
   /** Dedup threshold tuning curve: how many candidate pairs (and how many
     * distinct documents) a jaccard cutoff would remove, per threshold step
     * — the dial a pipeline operator actually turns. One pass over the
