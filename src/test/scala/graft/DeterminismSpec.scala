@@ -83,7 +83,9 @@ class DeterminismSpec extends SparkSuite {
     "q_bpe_merges",       // exact pair counts, lexicographic argmax
     "q_bpe_tokenize",     // vocab-dimension segmentation counts
     "q_coreset_kcenter",  // exact fixed-point farthest-point rounds
-    "q_skipping_audit")   // integer bound checks over bucket stats
+    "q_skipping_audit",   // integer bound checks over bucket stats
+    "q_rank_fusion",      // exact ranks, fixed-arity rrf doubles
+    "q_dedup_agreement")  // integer cosine threshold vs exact jaccard
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
