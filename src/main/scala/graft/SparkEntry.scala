@@ -117,6 +117,8 @@ object SparkEntry {
     "q_welch_ttest" -> q(Stats.qWelchTtest),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
     "q_pagerank" -> q(Graph.qPagerank(_)),
+    "q_label_prop" -> q(Graph.qLabelProp(_)),
+    "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
     "q_zorder_layout" -> q(Analytics.qZorderLayout(_)),
@@ -2924,6 +2926,75 @@ object SparkEntry {
            GROUP BY e.dst, nn.n)
          SELECT node AS part, CAST(r AS BIGINT) AS rank FROM s3
          ORDER BY part""",
+    // three synchronous label-propagation rounds unrolled; the engine's
+    // min(struct(-count, label)) reduction must equal the windowed
+    // (count DESC, label) argmax round for round
+    "q_label_prop" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         c1 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c1)
+           WHERE rn = 1),
+         c2 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c2)
+           WHERE rn = 1),
+         c3 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c3)
+           WHERE rn = 1)
+         SELECT node AS part, lbl AS community FROM l3 ORDER BY part""",
+    // same three unrolled rounds, then the exact-integer Newman
+    // decomposition: q_num = internal·2m − deg_sum² over two_m²
+    "q_modularity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM e),
+         c1 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l0 l ON e.src = l.node GROUP BY 1, 2),
+         l1 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c1)
+           WHERE rn = 1),
+         c2 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l1 l ON e.src = l.node GROUP BY 1, 2),
+         l2 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c2)
+           WHERE rn = 1),
+         c3 AS (SELECT e.dst, l.lbl, COUNT(*) AS c
+           FROM e JOIN l2 l ON e.src = l.node GROUP BY 1, 2),
+         l3 AS (SELECT dst AS node, lbl FROM (
+           SELECT dst, lbl, row_number() OVER (
+             PARTITION BY dst ORDER BY c DESC, lbl) AS rn FROM c3)
+           WHERE rn = 1),
+         d AS (SELECT CAST(COUNT(*) AS BIGINT) AS dd FROM e),
+         j AS (SELECT ls.lbl AS community, e.src AS src, lt.lbl AS lt
+           FROM e JOIN l3 ls ON e.src = ls.node
+                  JOIN l3 lt ON e.dst = lt.node),
+         per AS (SELECT community,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(SUM(CASE WHEN lt = community THEN 1 ELSE 0 END)
+               AS BIGINT) AS internal_edges,
+             CAST(COUNT(*) AS BIGINT) AS deg_sum
+           FROM j GROUP BY 1)
+         SELECT community, n_nodes, internal_edges, deg_sum,
+           CAST(internal_edges * d.dd - deg_sum * deg_sum AS BIGINT)
+             AS q_num,
+           d.dd AS two_m
+         FROM per, d ORDER BY community""",
     // three BFS frontiers unrolled as NOT-IN chained CTEs; the engine's
     // anti-join frontier loop must produce the same min-hop assignment
     "q_bfs_hops" ->

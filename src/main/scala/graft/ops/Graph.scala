@@ -214,6 +214,92 @@ object Graph {
       (lit(num.toDouble) / lit(den.toDouble)).as("assortativity"))
   }
 
+  /** Synchronous label propagation (fixed `iters` rounds) over the
+    * co-purchase graph: every node starts as its own label, and each round
+    * every node adopts the most frequent label among its neighbors, ties
+    * broken toward the SMALLEST label — the classic LPA community
+    * heuristic made deterministic. Per round the edge fact is joined once
+    * against the node-sized (broadcast-guarded) label frame, counted by
+    * (dst, label), and reduced by an exact `min(struct(-count, label))`
+    * argmax — a partial-aggregable reduction, no sort window — so each
+    * round costs two hash aggregations over edge-sized data and the label
+    * state stays node-sized. All arithmetic is integer (counts and label
+    * keys), so the fixed-round unrolled-CTE oracle is value-identical.
+    * Returns the checkpointed final label frame; the CALLER frees it.
+    */
+  private def propagateLabels(t: Tables, iters: Int): DataFrame = {
+    val edges = coPurchaseEdgesCached(t)
+    val nNodes = edges.select("src").distinct().count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= 1000000L) broadcast(df) else df
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val next = edges
+        .join(maybeBroadcast(labels.withColumnRenamed("node", "src")), "src")
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("s"))
+        .select(col("node"), col("s.l").as("lbl"))
+        .localCheckpoint()
+      graft.Engine.freeCheckpoint(labels)
+      labels = next
+    }
+    labels
+  }
+
+  /** Final per-node community assignment after three synchronous label
+    * propagation rounds — see [[propagateLabels]] for the loop shape and
+    * determinism argument.
+    */
+  def qLabelProp(t: Tables, iters: Int = 3): DataFrame =
+    // the final label checkpoint stays live under the returned plan (the
+    // qPagerank convention); the superseded rounds were freed in-loop
+    propagateLabels(t, iters)
+      .select(col("node").as("part"), col("lbl").as("community"))
+      .orderBy("part")
+
+  /** Newman modularity decomposition of the [[propagateLabels]] partition,
+    * kept in exact integers: per community c the contribution to
+    * Q = Σ_c [ e_c/(2m) − (deg_c/(2m))² ] is reported as the integer
+    * numerator `q_num = internal_edges·2m − deg_sum²` over the constant
+    * denominator `two_m²` — no float aggregation, so both engines agree
+    * bit-for-bit. On the symmetric directed edge set, `deg_sum` (directed
+    * edges leaving c) equals the undirected degree sum and
+    * `internal_edges` counts intra-community directed edges (2·e_c on
+    * both sides of the oracle, consistently). Shape: one edge-fact pass
+    * joining the two node-sized label maps (broadcast-guarded), one
+    * community-keyed aggregation. Headroom: deg_sum² < 2^63 up to ~3e9
+    * directed edges per community; widen to DECIMAL(38,0) beyond.
+    */
+  def qModularity(t: Tables, iters: Int = 3): DataFrame = {
+    val edges = coPurchaseEdgesCached(t)
+    val labels = propagateLabels(t, iters) // final checkpoint stays live
+    val nNodes = labels.count()
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (nNodes <= 1000000L) broadcast(df) else df
+    val dTot = edges.count() // directed edge count = 2m, a driver scalar
+    edges
+      .join(maybeBroadcast(
+        labels.select(col("node").as("src"), col("lbl").as("ls"))), "src")
+      .join(maybeBroadcast(
+        labels.select(col("node").as("dst"), col("lbl").as("lt"))), "dst")
+      .groupBy(col("ls").as("community"))
+      .agg(
+        countDistinct(col("src")).as("n_nodes"),
+        sum(when(col("lt") === col("ls"), 1L).otherwise(0L))
+          .as("internal_edges"),
+        count(lit(1)).as("deg_sum"))
+      .select(col("community"), col("n_nodes"), col("internal_edges"),
+        col("deg_sum"),
+        (col("internal_edges") * lit(dTot) -
+          col("deg_sum") * col("deg_sum")).as("q_num"),
+        lit(dTot).as("two_m"))
+      .orderBy("community")
+  }
+
   /** Triangle census of the undirected co-purchase graph, via the
     * degree-ordered node-iterator (Schank–Wagner): every edge is oriented
     * from its lower-(degree, id) endpoint, wedges are generated only at

@@ -85,7 +85,9 @@ class DeterminismSpec extends SparkSuite {
     "q_coreset_kcenter",  // exact fixed-point farthest-point rounds
     "q_skipping_audit",   // integer bound checks over bucket stats
     "q_rank_fusion",      // exact ranks, fixed-arity rrf doubles
-    "q_dedup_agreement")  // integer cosine threshold vs exact jaccard
+    "q_dedup_agreement",  // integer cosine threshold vs exact jaccard
+    "q_label_prop",       // integer count argmax, min-label ties
+    "q_modularity")       // exact-integer Newman decomposition
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -65,6 +65,47 @@ class GraphInferenceSpec extends SparkSuite {
     assert(got.values.exists(_ > 0), "graph must extend past the seed")
   }
 
+  test("label propagation matches a driver-side recompute of the same rounds") {
+    val li = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val edges: Set[(Long, Long)] = li.toSeq.groupBy(_._1).values.flatMap {
+      lines =>
+        val ps: Seq[Long] = lines.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    var lbl: Map[Long, Long] = edges.map(_._1).map(n => n -> n).toMap
+    for (_ <- 1 to 3) {
+      lbl = edges.toSeq.map { case (s, d) => d -> lbl(s) }
+        .groupBy(_._1).map { case (d, ls) =>
+          val counts = ls.map(_._2).groupBy(identity)
+            .map { case (l, xs) => (l, xs.size) }
+          // most frequent neighbor label, smallest label on ties
+          d -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+        }
+    }
+    val got = Graph.qLabelProp(tables).as[(Long, Long)].collect().toMap
+    assert(got == lbl)
+    assert(got.values.toSet.size >= 1)
+  }
+
+  test("modularity: per-community accounting sums to the global edge count") {
+    val rows = Graph.qModularity(tables).collect()
+    assert(rows.nonEmpty)
+    val twoM = rows.head.getLong(5)
+    assert(rows.forall(_.getLong(5) == twoM), "two_m is a global constant")
+    // directed degree totals partition the edge set across communities
+    assert(rows.map(_.getLong(3)).sum == twoM)
+    // internal edges never exceed the community's degree mass, and the
+    // integer numerator is exactly internal*2m - deg_sum^2
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3))
+      assert(r.getLong(4) == r.getLong(2) * twoM - r.getLong(3) * r.getLong(3))
+    }
+    // modularity Q = sum(q_num) / (2m)^2 lies in [-1, 1]
+    val q = rows.map(_.getLong(4)).sum.toDouble / (twoM.toDouble * twoM)
+    assert(q >= -1.0 && q <= 1.0)
+  }
+
   test("pareto front: no frontier point dominates another; dominated points are absent") {
     val all = tables.lineitem.groupBy("l_partkey")
       .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("q"),
