@@ -26,21 +26,40 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
-  /** Raw events: `ts` is INT64 epoch-nanoseconds (see Engine.tune). */
+  /** Raw events as stored on disk (see [[events]] for the encodings). */
   def eventsRaw: DataFrame = t("events")
 
-  /** Events with `ts` converted to a naive (NTZ) timestamp at microsecond
-    * precision, matching how DuckDB/pandas see the column. The raw
-    * nanosecond long is kept as `ts_ns` for exact interval arithmetic.
+  /** Events with `ts` as a naive (NTZ) timestamp at microsecond precision,
+    * matching how DuckDB/pandas see the column, plus `ts_ns` — the exact
+    * epoch-nanosecond long the engine uses for integer interval arithmetic.
+    *
+    * The driver has shipped two on-disk encodings for `ts`: INT64
+    * TIMESTAMP(NANOS) (read as a raw long via Engine.tune's nanosAsLong)
+    * and plain TIMESTAMP(MICROS). Branch on the scanned type so both land
+    * on the same (ts: NTZ, ts_ns: long) contract.
     */
-  def events: DataFrame =
-    eventsRaw
-      .withColumn("ts_ns", col("ts"))
-      .withColumn(
-        // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's 2^53
-        // exact range, so float division truncates to the wrong microsecond
-        "ts",
-        timestamp_micros(expr("ts_ns div 1000")).cast(TimestampNTZType))
+  def events: DataFrame = {
+    val raw = eventsRaw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn(
+            // integer `div`, not `/`: epoch-nanos (~1.7e18) exceed double's
+            // 2^53 exact range, so float division truncates to the wrong
+            // microsecond
+            "ts",
+            timestamp_micros(expr("ts_ns div 1000")).cast(TimestampNTZType))
+      case _ =>
+        // TIMESTAMP(MICROS): micros fit 2^53-free long math exactly; the
+        // NTZ->TZ cast is identity under the engine's pinned UTC session
+        raw
+          .withColumn("ts", col("ts").cast(TimestampNTZType))
+          .withColumn(
+            "ts_ns",
+            unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * lit(1000L))
+    }
+  }
 
   /** Register every table as a temp view under its canonical name, making
     * the whole corpus queryable through `spark.sql` — the engine's SQL

@@ -40,34 +40,48 @@ object Streams {
     StructField("event_type", StringType),
     StructField("value", DoubleType)))
 
-  /** Raw on-disk schema of the driver's events parquet: `ts` is INT64
-    * epoch-nanoseconds (see Engine.tune / Tables.events).
+  /** On-disk schema of the driver's events parquet, parameterized on the
+    * `ts` encoding — the driver has shipped INT64 epoch-nanos (read as a
+    * raw long via Engine.tune's nanosAsLong) and TIMESTAMP(MICROS).
     */
-  val eventFileSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def eventFileSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", tsType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType)))
 
-  /** File-based streaming source over the events parquet directory: the
-    * same ns-long -> timestamp normalization as the batch reader
-    * (Tables.events), so every downstream streaming job sees the batch
-    * schema. In production this is the landing-zone directory a collector
-    * appends to; `maxFilesPerTrigger` bounds per-microbatch work.
+  /** File-based streaming source over the events parquet directory,
+    * normalized to the batch contract (ts: TimestampType, ts_ns: exact
+    * epoch-nanos long — see Tables.events). A streaming source needs a
+    * static schema, so the `ts` encoding is probed with one batch footer
+    * read before the stream is declared. In production this is the
+    * landing-zone directory a collector appends to; `maxFilesPerTrigger`
+    * bounds per-microbatch work.
     */
   def eventsStream(
-      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
-    spark.readStream
-      .schema(eventFileSchema)
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val tsIsLong = spark.read.option("pathGlobFilter", globFilter)
+      .parquet(dir).schema.find(_.name == "ts").exists(_.dataType == LongType)
+    val src = spark.readStream
+      .schema(eventFileSchema(if (tsIsLong) LongType else TimestampNTZType))
       .option("maxFilesPerTrigger", "8")
       // lets a stream share a mixed landing directory (e.g. the testdata
       // root, where events.parquet sits next to the other tables)
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
-      // integer `div` (see Tables.events): double division loses us precision
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (tsIsLong)
+      src
+        .withColumn("ts_ns", col("ts"))
+        // integer `div` (see Tables.events): double division loses precision
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+    else
+      src
+        .withColumn("ts", col("ts").cast(TimestampType))
+        .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+  }
 
   /** Tumbling 1-hour windowed counts with a 2-hour watermark. The value sum
     * goes through an exact DECIMAL accumulator (same rule as the batch
@@ -485,12 +499,7 @@ object Streams {
     */
   def drainTransitions(
       spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
-    val src = spark.readStream
-      .schema(eventFileSchema)
-      .option("maxFilesPerTrigger", "8")
-      .option("pathGlobFilter", globFilter)
-      .parquet(dir)
-      .withColumn("ts_ns", col("ts"))
+    val src = eventsStream(spark, dir, globFilter)
     val fromTotals = org.apache.spark.sql.expressions.Window
       .partitionBy("from_type")
     drain(spark, transitions(spark, src), OutputMode.Append())
