@@ -116,8 +116,15 @@ object SparkEntry {
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
+    "q_mannwhitney" -> q(Stats.qMannWhitney),
+    "q_ks_test" -> q(Stats.qKsTest),
+    "q_kendall_tau" -> q(Stats.qKendallTau),
+    "q_fd_audit" -> q(Analytics.qFdAudit),
+    "q_interval_overlap" -> q(Events.qIntervalOverlap),
     "q_pagerank" -> q(Graph.qPagerank(_)),
     "q_label_prop" -> q(Graph.qLabelProp(_)),
+    "q_kcore" -> q(Graph.qKcore(_)),
+    "q_hierarchy_flatten" -> q(Graph.qHierarchyFlatten(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
@@ -231,6 +238,7 @@ object SparkEntry {
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
+    "q_token_budget" -> q(Sampling.qTokenBudget),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
     // — similarity search —
@@ -274,6 +282,12 @@ object SparkEntry {
             .as("window_start"),
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start", "event_type")),
+    "q_stream_hourly_users" -> ((spark, dir) =>
+      graft.streaming.Streams.drainDistinctUsers(spark, dir, "events.parquet")
+        .select(
+          date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("n_users"))
+        .orderBy("hour")),
     "q_stream_sliding" -> ((spark, dir) =>
       graft.streaming.Streams.drainSlidingCounts(spark, dir, "events.parquet")
         .select(
@@ -2135,6 +2149,12 @@ object SparkEntry {
            event_type, COUNT(*) AS n,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // streaming COUNT(DISTINCT): dropDuplicates state feeding the hourly
+    // aggregate, drained and compared against the batch distinct count
+    "q_stream_hourly_users" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
     // same oracle again: the warehouse-merged drain must converge to the
     // identical hourly table after foreachBatch upserts + parquet roundtrip
     "q_stream_upsert" ->
@@ -2878,6 +2898,174 @@ object SparkEntry {
              (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
              4) AS df_welch
          FROM v""",
+    // the oracle resolves the same decimal-prefix forest with a recursive
+    // CTE — a different closure algorithm than the engine's level loop
+    "q_hierarchy_flatten" ->
+      """WITH RECURSIVE pc AS (SELECT c.c_custkey AS id, p.c_custkey AS parent
+           FROM customer c LEFT JOIN customer p
+           ON p.c_custkey = c.c_custkey // 10 AND p.c_custkey <> c.c_custkey),
+         walk AS (
+           SELECT id, id AS root, CAST(0 AS BIGINT) AS depth FROM pc
+           WHERE parent IS NULL
+           UNION ALL
+           SELECT pc.id, w.root, w.depth + 1 FROM pc
+           JOIN walk w ON pc.parent = w.id)
+         SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots
+         FROM walk GROUP BY 1 ORDER BY 1""",
+    // U computed in the doubled-rank integer domain (2U1 = Σ c1·(2·cum2+c2))
+    // so tie midranks never touch a float; DECIMAL products guard overflow
+    "q_mannwhitney" ->
+      """WITH bv AS (SELECT l_quantity AS v,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE l_returnflag = 'A') AS BIGINT) AS c2
+           FROM lineitem WHERE l_returnflag IN ('R', 'A') GROUP BY 1),
+         t AS (SELECT c1, c2,
+             COALESCE(SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less2,
+             c1 + c2 AS tie
+           FROM bv),
+         s AS (SELECT
+             CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2,
+             SUM(CAST(c1 AS DECIMAL(28,0)) * (2 * less2 + c2)) AS u2x,
+             SUM(CAST(tie AS DECIMAL(28,0)) * tie * tie - tie) AS tie3
+           FROM t)
+         SELECT n1, n2, CAST(u2x AS DOUBLE) / 2.0 AS u1,
+           round((CAST(u2x AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0) /
+             sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+               (CAST(n1 + n2 + 1 AS DOUBLE) - CAST(tie3 AS DOUBLE) /
+                 (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))),
+             9) AS z
+         FROM s""",
+    // KS supremum located on the INTEGER |cum1·n2 - cum2·n1| domain — the
+    // max position cannot be perturbed by float ECDF rounding
+    "q_ks_test" ->
+      """WITH bv AS (SELECT o_totalprice AS v,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS c1,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS c2
+           FROM orders WHERE o_orderstatus IN ('F', 'O') GROUP BY 1),
+         c AS (SELECT
+             SUM(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             SUM(c2) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             SUM(c1) OVER () AS t1, SUM(c2) OVER () AS t2
+           FROM bv)
+         SELECT CAST(MAX(t1) AS BIGINT) AS n1, CAST(MAX(t2) AS BIGINT) AS n2,
+           CAST(MAX(abs(CAST(cum1 AS DECIMAL(28,0)) * t2
+             - CAST(cum2 AS DECIMAL(28,0)) * t1)) AS BIGINT) AS dnum,
+           CAST(MAX(abs(CAST(cum1 AS DECIMAL(28,0)) * t2
+             - CAST(cum2 AS DECIMAL(28,0)) * t1)) AS DOUBLE) /
+             (CAST(MAX(t1) AS DOUBLE) * CAST(MAX(t2) AS DOUBLE)) AS d
+         FROM c""",
+    // concordance counts are integers off the aggregated supplier frame;
+    // tau-b is the only float, rounded far above ulp
+    "q_kendall_tau" ->
+      """WITH rev AS (SELECT l_suppkey AS sk,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+           FROM lineitem GROUP BY 1),
+         per AS (SELECT s_suppkey AS id,
+             CAST(s_acctbal AS DECIMAL(18,2)) AS x,
+             COALESCE(rev, CAST(0 AS DECIMAL(18,2))) AS y
+           FROM supplier LEFT JOIN rev ON s_suppkey = sk),
+         p AS (SELECT
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+               OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS concordant,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+               OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT)
+               AS discordant,
+             CAST(SUM(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS tie_x,
+             CAST(SUM(CASE WHEN a.x <> b.x AND a.y = b.y THEN 1 ELSE 0 END)
+               AS BIGINT) AS tie_y
+           FROM per a JOIN per b ON a.id < b.id)
+         SELECT concordant, discordant, tie_x, tie_y,
+           round(CAST(concordant - discordant AS DOUBLE) /
+             sqrt(CAST(concordant + discordant + tie_x AS DOUBLE) *
+               CAST(concordant + discordant + tie_y AS DOUBLE)), 9) AS tau_b
+         FROM p""",
+    "q_fd_audit" ->
+      """WITH u AS (
+           SELECT 'o_orderkey -> o_custkey' AS fd,
+             CAST(o_orderkey AS VARCHAR) AS k, CAST(o_custkey AS VARCHAR) AS d
+           FROM orders
+           UNION ALL SELECT 'o_custkey -> o_orderpriority',
+             CAST(o_custkey AS VARCHAR), o_orderpriority FROM orders
+           UNION ALL SELECT 'l_orderkey -> l_partkey',
+             CAST(l_orderkey AS VARCHAR), CAST(l_partkey AS VARCHAR)
+           FROM lineitem
+           UNION ALL SELECT 'l_partkey -> l_suppkey',
+             CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR)
+           FROM lineitem
+           UNION ALL SELECT 'c_nationkey -> c_mktsegment',
+             CAST(c_nationkey AS VARCHAR), c_mktsegment FROM customer),
+         g AS (SELECT fd, k, COUNT(DISTINCT d) AS nd FROM u GROUP BY 1, 2)
+         SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(nd) AS BIGINT) AS max_fanout,
+           (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS holds
+         FROM g GROUP BY fd ORDER BY fd""",
+    // greedy admission in (rounded quality desc, doc_id) order under an
+    // integer token cumsum; budget = half the corpus tokens (integer div)
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             round(
+               least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
+                   / 100.0, 1.0) * 0.4
+               + CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+                   AS DOUBLE) / len(string_split_regex(trim(text), ' +')) * 0.4
+               + least((CAST(len(trim(text))
+                   - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                   / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0)
+                 * 0.2, 9) AS q
+           FROM documents),
+         c AS (SELECT source, n_tokens, q,
+             SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM d),
+         b AS (SELECT SUM(n_tokens) // 2 AS budget FROM d)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sel_tokens, MIN(q) AS min_quality
+         FROM c, b WHERE cum <= budget GROUP BY source ORDER BY source""",
+    // hour-aligned incidents make interval overlap an equi-join on the
+    // hour key: h ∈ [s div H, e div H] ⟺ [s,e] ∩ [hH,(h+1)H) ≠ ∅
+    "q_interval_overlap" ->
+      """WITH ev AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns
+           FROM events),
+         g AS (SELECT user_id, event_id, ts_ns,
+             CASE WHEN lag(ts_ns) OVER w IS NULL
+                 OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+               THEN 1 ELSE 0 END AS brk
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+         s AS (SELECT user_id, ts_ns,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM g),
+         sess AS (SELECT user_id, sid,
+             MIN(ts_ns) AS s_ns, MAX(ts_ns) AS e_ns FROM s GROUP BY 1, 2),
+         h AS (SELECT ts_ns // 3600000000000 AS h, CAST(COUNT(*) AS BIGINT)
+             AS n FROM ev GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS total FROM h),
+         inc AS (SELECT h.h FROM h, st
+           WHERE 2 * h.n * st.n_hours > 3 * st.total),
+         hit AS (SELECT DISTINCT s2.user_id, s2.sid FROM sess s2 JOIN inc i
+           ON i.h BETWEEN s2.s_ns // 3600000000000
+             AND s2.e_ns // 3600000000000)
+         SELECT sess.user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN hit.sid IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_incident_sessions
+         FROM sess LEFT JOIN hit
+           ON sess.user_id = hit.user_id AND sess.sid = hit.sid
+         GROUP BY sess.user_id
+         HAVING SUM(CASE WHEN hit.sid IS NOT NULL THEN 1 ELSE 0 END) > 0
+         ORDER BY sess.user_id""",
     // list(... ORDER BY bucket) + list_sum = the same sequential fold as
     // the engine's sorted-array aggregate — double sum order pinned on
     // both sides

@@ -147,4 +147,40 @@ object Sampling {
           " div cast(wsum * 1000000000 as bigint)").as("alloc_docs"))
       .orderBy("source")
   }
+
+  /** Token-budget-constrained corpus selection: greedily admit documents in
+    * (quality desc, doc_id) order until the running token total exceeds the
+    * budget — the knapsack-greedy pass that turns a scored corpus into a
+    * fixed-size training set. Emits the per-source composition of the
+    * selected set (the dial an operator actually reads).
+    *
+    * Exactness: quality is rounded at 1e-9 BEFORE the ordering so both
+    * engines sort the same key (doc_id breaks the residual ties), and the
+    * admission cut runs on an integer token cumsum. Scale shape: scoring is
+    * map-side; the global greedy order is one sort (the same
+    * total-order-by-score shape as any top-k corpus cut — range
+    * partitioning keeps it parallel at 100 TB); the final rollup is a
+    * hash aggregate on the few-row source dimension.
+    */
+  def qTokenBudget(t: Tables): DataFrame = {
+    val scored = t.documents.select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+      round(TextAnalysis.qualityExpr(col("text")), 9).as("q"))
+    // budget = half the corpus's tokens (integer div — scale-relative, so
+    // the query is meaningful at every sf)
+    val budget = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
+    val byGreed = Window.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("cum_tokens", sum("n_tokens").over(byGreed))
+      .crossJoin(broadcast(budget))
+      .filter(col("cum_tokens") <= col("budget"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sel_tokens"),
+        min("q").as("min_quality"))
+      .orderBy("source")
+  }
 }

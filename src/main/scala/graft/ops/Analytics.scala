@@ -1278,4 +1278,40 @@ object Analytics {
         col("n_skipped").cast("double") / col("n_checks").cast("double"))
       .orderBy("layout", "probe")
   }
+
+  /** Functional-dependency audit: for each candidate determinant -> dependent
+    * column pair, how many determinant groups exist, how many VIOLATE the
+    * dependency (more than one distinct dependent value), and the worst
+    * fan-out. The discovery half of schema profiling — verifying which
+    * "should-be-keys" actually determine their dependents before a model or
+    * a merge relies on it.
+    *
+    * Scale shape: each candidate pair is one hash aggregate keyed
+    * (pair, determinant) — the union of pairs shares a single shuffle
+    * stage; the per-pair rollup then runs on group-count-sized frames.
+    * No joins, no windows.
+    */
+  def qFdAudit(t: Tables): DataFrame = {
+    val candidates: Seq[(DataFrame, String, String)] = Seq(
+      (t.orders, "o_orderkey", "o_custkey"),
+      (t.orders, "o_custkey", "o_orderpriority"),
+      (t.lineitem, "l_orderkey", "l_partkey"),
+      (t.lineitem, "l_partkey", "l_suppkey"),
+      (t.customer, "c_nationkey", "c_mktsegment"))
+    candidates.map { case (df, det, dep) =>
+      df.select(
+        lit(s"$det -> $dep").as("fd"),
+        col(det).cast("string").as("k"),
+        col(dep).cast("string").as("d"))
+    }.reduce(_ unionByName _)
+      .groupBy("fd", "k")
+      .agg(countDistinct("d").as("nd"))
+      .groupBy("fd")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+        max("nd").as("max_fanout"))
+      .withColumn("holds", col("n_violating") === 0L)
+      .orderBy("fd")
+  }
 }

@@ -585,4 +585,56 @@ object Events {
         expr("st[0] + 7 * st[1]").as("forecast_7"))
       .orderBy("event_type")
   }
+
+  /** Interval-overlap join: per-user activity sessions (30-minute gap
+    * sessionization, [[qSessionize]]'s exact formulation) joined against
+    * "incident hours" — hours whose global event count exceeds 1.5x the
+    * mean over non-empty hours (an integer-exact predicate:
+    * 2·n·n_hours > 3·total). Emits per-user counts of sessions and of
+    * sessions that overlap at least one incident hour.
+    *
+    * Scale shape: because incidents are hour-aligned, interval overlap
+    * [s,e] x [hH,(h+1)H) reduces EXACTLY to membership of h in
+    * [s div H, e div H] — so the join is an equi-join on the hour key
+    * (sessions explode to their covered hours, bounded by session span),
+    * not an inequality theta-join; the tiny incident dimension broadcasts.
+    * This is the banding trick every production interval join at 100 TB
+    * needs, stated in its cleanest form.
+    */
+  def qIntervalOverlap(t: Tables): DataFrame = {
+    val gapNs = 30L * 60L * 1000000000L
+    val hourNs = 3600L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val sess = t.events
+      .withColumn("prev_ns", lag("ts_ns", 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_ns").isNull || col("ts_ns") - col("prev_ns") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("sid",
+        sum("brk").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_ns").as("s_ns"), max("ts_ns").as("e_ns"))
+    val hourly = t.events
+      .withColumn("h", expr(s"ts_ns div $hourNs"))
+      .groupBy("h").agg(count(lit(1)).as("n"))
+    val stats = hourly.agg(
+      count(lit(1)).as("n_hours"), sum("n").as("total"))
+    val incidents = hourly.crossJoin(broadcast(stats))
+      .filter(lit(2L) * col("n") * col("n_hours") > lit(3L) * col("total"))
+      .select(col("h"))
+    val overlapped = sess
+      .select(col("user_id"), col("sid"),
+        explode(sequence(expr(s"s_ns div $hourNs"), expr(s"e_ns div $hourNs")))
+          .as("h"))
+      .join(broadcast(incidents), "h")
+      .select("user_id", "sid").distinct()
+    sess
+      .join(overlapped.withColumn("hit", lit(1L)), Seq("user_id", "sid"), "left")
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_incident_sessions"))
+      .filter(col("n_incident_sessions") > 0)
+      .orderBy("user_id")
+  }
 }

@@ -381,4 +381,130 @@ object Graph {
       graft.Engine.freeCheckpoint(deg) // the shared edge index stays
     }
   }
+
+  /** k-core decomposition by iterative peeling: repeatedly delete nodes of
+    * degree < k until the subgraph stabilizes; emitted for a ladder of k
+    * values. Cores are NESTED (the (k+1)-core is a subgraph of the
+    * k-core), so each ladder step peels the PREVIOUS step's survivor
+    * graph, not the full graph — the expensive first peel happens once.
+    *
+    * Scale shape: each peel round is one degree aggregate + one semi-join
+    * on the shrinking edge frame, checkpointed per round with the
+    * superseded round freed ([[graft.ext.Dedup.connectedComponents]]'s
+    * loop discipline); the driver reads only the surviving-node COUNT.
+    * Rounds are bounded by the peel depth of the degeneracy ordering —
+    * loud failure past `maxIter`, never a silently unconverged core.
+    *
+    * No SQL oracle: the peel fixpoint is not expressible in DuckDB's
+    * recursive CTEs (no aggregation in the recursive term) — graded
+    * rows-only, with a brute-force cross-check in ScalaTest.
+    */
+  /** Single-k peel: the stabilized symmetric edge frame of the k-core of
+    * `edges0` (src/dst, both directions). Returns a checkpointed frame the
+    * caller owns; the input is never freed. Package-private so the spec
+    * can cross-check it against a brute-force peel on crafted graphs.
+    */
+  private[graft] def kcoreSurvivors(
+      edges0: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    var edges = edges0
+    var owned = false
+    var prevCount = edges.count()
+    var done = false
+    var i = 0
+    while (!done && i < maxIter) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("src"))
+      val next = edges
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .select("src", "dst")
+        .localCheckpoint()
+      // the symmetric edge frame's src-degree equals the undirected
+      // degree; convergence = no edge was dropped this round
+      val c = next.count()
+      done = c == prevCount
+      prevCount = c
+      if (owned) graft.Engine.freeCheckpoint(edges)
+      edges = next
+      owned = true
+      i += 1
+    }
+    if (!done) throw new IllegalStateException(
+      s"kcoreSurvivors: $k-core peel did not converge in $maxIter rounds")
+    edges
+  }
+
+  def qKcore(t: Tables, ks: Seq[Int] = Seq(2, 4, 8), maxIter: Int = 30): DataFrame = {
+    val spark = t.spark
+    var cur = coPurchaseEdgesCached(t) // shared index; do not free
+    var curOwned = false
+    val rows = ks.sorted.map { k =>
+      // cores are nested: peel the previous k's survivors, not the full graph
+      val surv = kcoreSurvivors(cur, k, maxIter)
+      if (curOwned) graft.Engine.freeCheckpoint(cur)
+      cur = surv
+      curOwned = true
+      val stats = cur
+        .agg(countDistinct(col("src")).as("n"), count(lit(1)).as("e")).head()
+      (k.toLong, stats.getLong(0), stats.getLong(1) / 2)
+    }
+    if (curOwned) graft.Engine.freeCheckpoint(cur)
+    import spark.implicits._
+    rows.toDF("k", "n_nodes", "n_edges").orderBy("k")
+  }
+
+  /** Hierarchy flattening: every node resolved to its ROOT and DEPTH over
+    * a parent forest (here the deterministic decimal-prefix forest on
+    * customer keys: parent(c) = c div 10 when that key exists). The
+    * transitive-closure pattern behind org charts and bill-of-materials
+    * explosions, driver-looped with one join per level — depth is bounded
+    * by the hierarchy (≈ log10 of the key domain), NOT by data volume, so
+    * the loop count is scale-free. Each round rewrites only UNRESOLVED
+    * rows; resolved rows pass through untouched, and the per-round
+    * checkpoint keeps the plan flat. The oracle walks the same forest with
+    * a recursive CTE — two different closure algorithms, one hash.
+    */
+  def qHierarchyFlatten(t: Tables, maxIter: Int = 20): DataFrame = {
+    val nodes = t.customer.select(col("c_custkey").as("id"))
+    // p.id <> c.id guards the degenerate self-loop at key 0 (0 div 10 = 0)
+    val parentOf = nodes.as("c")
+      .join(nodes.as("p"), expr("p.id = c.id div 10 AND p.id <> c.id"), "left")
+      .select(col("c.id").as("id"), col("p.id").as("parent"))
+      .localCheckpoint()
+    var labels = parentOf.select(
+        col("id"),
+        coalesce(col("parent"), col("id")).as("anc"),
+        when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
+        col("parent").isNull.as("done"))
+      .localCheckpoint()
+    val anc = parentOf.toDF("anc", "anc_parent")
+    var active = labels.filter(!col("done")).count()
+    var i = 0
+    while (active > 0 && i < maxIter) {
+      val next = labels
+        .join(anc, Seq("anc"), "left")
+        .select(
+          col("id"),
+          when(col("done") || col("anc_parent").isNull, col("anc"))
+            .otherwise(col("anc_parent")).as("anc"),
+          when(col("done") || col("anc_parent").isNull, col("depth"))
+            .otherwise(col("depth") + 1L).as("depth"),
+          (col("done") || col("anc_parent").isNull).as("done"))
+        .localCheckpoint()
+      active = next.filter(!col("done")).count()
+      graft.Engine.freeCheckpoint(labels)
+      labels = next
+      i += 1
+    }
+    if (active > 0) throw new IllegalStateException(
+      s"qHierarchyFlatten: unresolved nodes after $maxIter levels")
+    val out = labels
+      .groupBy("depth")
+      .agg(count(lit(1)).as("n_nodes"), countDistinct("anc").as("n_roots"))
+      .orderBy("depth")
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(labels)
+    graft.Engine.freeCheckpoint(parentOf)
+    out
+  }
 }

