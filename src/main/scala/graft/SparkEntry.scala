@@ -125,6 +125,9 @@ object SparkEntry {
     "q_label_prop" -> q(Graph.qLabelProp(_)),
     "q_kcore" -> q(Graph.qKcore(_)),
     "q_hierarchy_flatten" -> q(Graph.qHierarchyFlatten(_)),
+    "q_sssp" -> q(Graph.qSssp(_)),
+    "q_cross_corr" -> q(Events.qCrossCorr(_)),
+    "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
     "q_triangle_count" -> q(Graph.qTriangleCount),
@@ -2898,6 +2901,92 @@ object SparkEntry {
              (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
              4) AS df_welch
          FROM v""",
+    // four Bellman-Ford relaxation rounds unrolled as chained CTEs;
+    // integer edge weights make loop and unroll value-identical
+    "q_sssp" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT a.pk AS src, b.pk AS dst, CAST(COUNT(*) AS BIGINT)
+             AS shared
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk GROUP BY 1, 2),
+         w AS (SELECT src, dst, 1000000 // shared AS wt FROM e),
+         s AS (SELECT MIN(LEAST(src, dst)) AS sn FROM w),
+         d0 AS (SELECT sn AS node, CAST(0 AS BIGINT) AS dist FROM s),
+         d1 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT w.dst AS node, d0.dist + w.wt AS dist
+             FROM w JOIN d0 ON w.src = d0.node
+             UNION ALL SELECT node, dist FROM d0) u GROUP BY 1),
+         d2 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT w.dst AS node, d1.dist + w.wt AS dist
+             FROM w JOIN d1 ON w.src = d1.node
+             UNION ALL SELECT node, dist FROM d1) u GROUP BY 1),
+         d3 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT w.dst AS node, d2.dist + w.wt AS dist
+             FROM w JOIN d2 ON w.src = d2.node
+             UNION ALL SELECT node, dist FROM d2) u GROUP BY 1),
+         d4 AS (SELECT node, MIN(dist) AS dist FROM (
+             SELECT w.dst AS node, d3.dist + w.wt AS dist
+             FROM w JOIN d3 ON w.src = d3.node
+             UNION ALL SELECT node, dist FROM d3) u GROUP BY 1)
+         SELECT node, CAST(dist AS BIGINT) AS dist FROM d4
+         ORDER BY dist, node LIMIT 20""",
+    // zero-filled hour spine so lags align empty hours too; integer moment
+    // sums, one rounded Pearson per lag
+    "q_cross_corr" ->
+      """WITH ev AS (SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS h FROM events
+           WHERE event_type IN ('click', 'view')),
+         b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+         spine AS (SELECT unnest(range(lo, hi + 1)) AS h FROM b),
+         cx AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+           WHERE event_type = 'click' GROUP BY 1),
+         cy AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM ev
+           WHERE event_type = 'view' GROUP BY 1),
+         x AS (SELECT spine.h, COALESCE(cx.n, 0) AS x FROM spine
+           LEFT JOIN cx ON spine.h = cx.h),
+         y AS (SELECT spine.h, COALESCE(cy.n, 0) AS y FROM spine
+           LEFT JOIN cy ON spine.h = cy.h),
+         lags AS (SELECT unnest(range(-3, 4)) AS lag),
+         p AS (SELECT l.lag, x.x, y.y FROM x CROSS JOIN lags l
+           JOIN y ON x.h + l.lag = y.h),
+         m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(28,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(28,0)) * x) AS sxx,
+             SUM(CAST(y AS DECIMAL(28,0)) * y) AS syy
+           FROM p GROUP BY 1)
+         SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           round(CAST(n_pairs * sxy - sx * sy AS DOUBLE) /
+             sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
+               CAST(n_pairs * syy - sy * sy AS DOUBLE)), 9) AS xcorr
+         FROM m ORDER BY lag""",
+    // welch-style exact decimal moments -> closed-form 2x2 inverse; d²
+    // rounded at 1e-6 BEFORE the top-k cut, keys break residual ties
+    "q_mahalanobis" ->
+      """WITH r AS (SELECT l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(l_quantity AS DECIMAL(18,2)) AS x,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+           FROM lineitem),
+         m0 AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy FROM r),
+         m AS (SELECT sx / n AS mx, sy / n AS my,
+             (sxx - sx * sx / n) / (n - 1) AS vx,
+             (syy - sy * sy / n) / (n - 1) AS vy,
+             (sxy - sx * sy / n) / (n - 1) AS cxy FROM m0),
+         d AS (SELECT r.l_orderkey, r.l_linenumber,
+             CAST(r.x AS DOUBLE) - m.mx AS dx,
+             CAST(r.y AS DOUBLE) - m.my AS dy,
+             m.vx, m.vy, m.cxy,
+             m.vx * m.vy - m.cxy * m.cxy AS det
+           FROM r CROSS JOIN m)
+         SELECT l_orderkey, l_linenumber,
+           round((dx * dx * vy - 2.0 * dx * dy * cxy + dy * dy * vx) / det,
+             6) AS d2
+         FROM d ORDER BY d2 DESC, l_orderkey, l_linenumber LIMIT 15""",
     // the oracle resolves the same decimal-prefix forest with a recursive
     // CTE — a different closure algorithm than the engine's level loop
     "q_hierarchy_flatten" ->

@@ -586,6 +586,59 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Lagged cross-correlation between the hourly 'click' and 'view' count
+    * series: Pearson r of (click_t, view_{t+lag}) for lags -3..3 hours —
+    * the lead/lag diagnostic behind "does one stream drive the other".
+    * Series are ZERO-FILLED over the table's hour spine first (a lag over
+    * a sparse series would silently skip empty hours and misalign pairs).
+    *
+    * Scale shape: the corpus reduces to two (hour, n) series in one
+    * aggregate; the per-lag self-join runs on spine-sized frames (hours,
+    * not events) keyed by exact hour offset. Counts and their moment sums
+    * are integers; r is the only float, rounded far above ulp.
+    */
+  def qCrossCorr(t: Tables, maxLag: Int = 3): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val ev = t.events
+      .filter(col("event_type").isin("click", "view"))
+      .withColumn("h", expr(s"ts_ns div $hourNs"))
+    val bounds = ev.agg(min("h").as("lo"), max("h").as("hi"))
+    val spine = bounds
+      .select(explode(sequence(col("lo"), col("hi"))).as("h"))
+      .localCheckpoint()
+    def series(et: String) = spine
+      .join(ev.filter(col("event_type") === et)
+          .groupBy("h").agg(count(lit(1)).as("n")),
+        Seq("h"), "left")
+      .select(col("h"), coalesce(col("n"), lit(0L)).as("n"))
+    val x = series("click").toDF("hx", "x")
+    val y = series("view").toDF("hy", "y")
+    val lags = spine.sparkSession.range(-maxLag, maxLag + 1L)
+      .select(col("id").cast("long").as("lag"))
+    val out = x.crossJoin(broadcast(lags))
+      .join(y, col("hx") + col("lag") === col("hy"))
+      .groupBy("lag")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        // moment products in DECIMAL: hot-hour counts square past long
+        // range at full scale
+        sum(col("x").cast(DecimalType(28, 0)) * col("y")).as("sxy"),
+        sum(col("x").cast(DecimalType(28, 0)) * col("x")).as("sxx"),
+        sum(col("y").cast(DecimalType(28, 0)) * col("y")).as("syy"))
+      .select(col("lag"), col("n_pairs"),
+        round(
+          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            sqrt(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
+                (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+          9).as("xcorr"))
+      .orderBy("lag")
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(spine)
+    out
+  }
+
   /** Interval-overlap join: per-user activity sessions (30-minute gap
     * sessionization, [[qSessionize]]'s exact formulation) joined against
     * "incident hours" — hours whose global event count exceeds 1.5x the

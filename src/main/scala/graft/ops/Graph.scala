@@ -453,6 +453,50 @@ object Graph {
     rows.toDF("k", "n_nodes", "n_edges").orderBy("k")
   }
 
+  /** Hop-bounded weighted shortest paths (Bellman-Ford rounds) from the
+    * minimum part key over the co-purchase graph. Edge weight is
+    * `1000000 div shared_order_count` — strongly co-purchased parts are
+    * "closer" — so every distance is an exact integer and the result
+    * hash-matches an oracle that unrolls the same relaxation rounds as
+    * chained CTEs (the same unroll-vs-loop pairing as [[qPagerank]]).
+    *
+    * The hop bound IS the semantics (cheapest cost over paths of <= `hops`
+    * edges), so the loop is a fixed count, not a convergence test —
+    * exactly `hops` rounds of one join + one min-aggregate each, with the
+    * per-round checkpoint/free discipline of the other iterative
+    * operators. State is (node, dist) — linear in nodes.
+    */
+  def qSssp(t: Tables, hops: Int = 4): DataFrame = {
+    val weighted = t.lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
+      .select(col("src"), col("dst"), expr("1000000 div shared").as("w"))
+      .localCheckpoint()
+    val source = weighted.agg(min(least(col("src"), col("dst")))).head().getLong(0)
+    var dist = weighted.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to hops) {
+      val next = weighted
+        .join(dist, weighted("src") === dist("node"))
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        .union(dist)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint()
+      graft.Engine.freeCheckpoint(dist)
+      dist = next
+    }
+    val out = dist.orderBy(col("dist"), col("node")).limit(20)
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(dist)
+    graft.Engine.freeCheckpoint(weighted)
+    out
+  }
+
   /** Hierarchy flattening: every node resolved to its ROOT and DEPTH over
     * a parent forest (here the deterministic decimal-prefix forest on
     * customer keys: parent(c) = c div 10 when that key exists). The

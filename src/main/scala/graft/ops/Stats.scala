@@ -875,6 +875,56 @@ object Stats {
           (col("n1").cast("double") * col("n2").cast("double"))).as("d"))
   }
 
+  /** Mahalanobis outliers in the (l_quantity, l_extendedprice) plane: the
+    * 2x2 covariance from exact decimal moment sums, closed-form inverse,
+    * and the top squared distances — multivariate outlier detection
+    * without any per-row second pass (the moment frame broadcasts back
+    * over the map-side distance computation).
+    *
+    * Numerics: moment sums are exact decimals; means/covariance/distance
+    * are doubles with the same expression shape on both engines, and d²
+    * is rounded at 1e-6 before the ranking cut so the top-k membership is
+    * taken on a value both engines agree on (ties break on the line's
+    * primary key).
+    */
+  def qMahalanobis(t: Tables, k: Int = 15): DataFrame = {
+    val rows = t.lineitem.select(
+      col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+      col("l_quantity").cast(DecimalType(18, 2)).as("x"),
+      col("l_extendedprice").cast(DecimalType(18, 2)).as("y"))
+    val m = rows.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(
+        col("n").cast("double").as("n"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxy").cast("double").as("sxy"),
+        col("sxx").cast("double").as("sxx"),
+        col("syy").cast("double").as("syy"))
+      .select(
+        (col("sx") / col("n")).as("mx"), (col("sy") / col("n")).as("my"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - 1))
+          .as("vx"),
+        ((col("syy") - col("sy") * col("sy") / col("n")) / (col("n") - 1))
+          .as("vy"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1))
+          .as("cxy"))
+    rows.crossJoin(broadcast(m))
+      .withColumn("dx", col("x").cast("double") - col("mx"))
+      .withColumn("dy", col("y").cast("double") - col("my"))
+      .withColumn("det", col("vx") * col("vy") - col("cxy") * col("cxy"))
+      .withColumn("d2", round(
+        (col("dx") * col("dx") * col("vy")
+          - lit(2.0) * col("dx") * col("dy") * col("cxy")
+          + col("dy") * col("dy") * col("vx")) / col("det"), 6))
+      .orderBy(col("d2").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+      .select("l_orderkey", "l_linenumber", "d2")
+  }
+
   /** Kendall tau-b rank correlation between supplier account balance and
     * total lineitem revenue. The corpus-sized work is the per-supplier
     * revenue aggregate (one shuffle); the O(k²) concordance self-join then
