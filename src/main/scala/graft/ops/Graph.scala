@@ -39,7 +39,10 @@ object Graph {
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") =!= col("dst"))
-      .distinct()
+      // shared-order multiplicity rides along for free (the group IS the
+      // dedup): unweighted consumers project it away, qSssp derives its
+      // integer edge weights from it without a second graph build
+      .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
 
   /** The co-purchase edge fact is an INDEX every graph query probes —
     * PageRank, BFS, and the triangle census all start from the same
@@ -52,7 +55,7 @@ object Graph {
     */
   private var cachedEdgeDir: String = null
   private var cachedEdgeFrame: DataFrame = null
-  private def coPurchaseEdgesCached(t: Tables): DataFrame = synchronized {
+  private def coPurchaseWeightedCached(t: Tables): DataFrame = synchronized {
     if (cachedEdgeDir != t.dir || cachedEdgeFrame == null ||
         cachedEdgeFrame.sparkSession != t.spark) {
       if (cachedEdgeFrame != null) graft.Engine.freeCheckpoint(cachedEdgeFrame)
@@ -61,6 +64,8 @@ object Graph {
     }
     cachedEdgeFrame
   }
+  private def coPurchaseEdgesCached(t: Tables): DataFrame =
+    coPurchaseWeightedCached(t).select("src", "dst")
 
   /** PageRank (damping 0.85, fixed `iters` rounds) over the co-purchase
     * graph, in exact integer micro-units. Nodes are parts with at least one
@@ -225,8 +230,29 @@ object Graph {
     * round costs two hash aggregations over edge-sized data and the label
     * state stays node-sized. All arithmetic is integer (counts and label
     * keys), so the fixed-round unrolled-CTE oracle is value-identical.
-    * Returns the checkpointed final label frame; the CALLER frees it.
+    * Returns the checkpointed final label frame, owned by
+    * [[propagateLabelsCached]]'s session cache.
     */
+  private var cachedLabelsKey: (String, Int) = null
+  private var cachedLabelsFrame: DataFrame = null
+
+  /** [[propagateLabels]] behind the same build-once session cache as the
+    * edge index: the community partition is consumed by both qLabelProp
+    * and qModularity, and re-propagating for each costs a full round set.
+    * The cache owns the final checkpoint; callers must not free it.
+    */
+  private def propagateLabelsCached(t: Tables, iters: Int): DataFrame =
+    synchronized {
+      if (cachedLabelsKey != (t.dir, iters) || cachedLabelsFrame == null ||
+          cachedLabelsFrame.sparkSession != t.spark) {
+        if (cachedLabelsFrame != null)
+          graft.Engine.freeCheckpoint(cachedLabelsFrame)
+        cachedLabelsFrame = propagateLabels(t, iters)
+        cachedLabelsKey = (t.dir, iters)
+      }
+      cachedLabelsFrame
+    }
+
   private def propagateLabels(t: Tables, iters: Int): DataFrame = {
     val edges = coPurchaseEdgesCached(t)
     val nNodes = edges.select("src").distinct().count()
@@ -255,9 +281,9 @@ object Graph {
     * determinism argument.
     */
   def qLabelProp(t: Tables, iters: Int = 3): DataFrame =
-    // the final label checkpoint stays live under the returned plan (the
-    // qPagerank convention); the superseded rounds were freed in-loop
-    propagateLabels(t, iters)
+    // the final label checkpoint is owned by the session cache (shared
+    // with qModularity); the superseded rounds were freed in-loop
+    propagateLabelsCached(t, iters)
       .select(col("node").as("part"), col("lbl").as("community"))
       .orderBy("part")
 
@@ -276,7 +302,7 @@ object Graph {
     */
   def qModularity(t: Tables, iters: Int = 3): DataFrame = {
     val edges = coPurchaseEdgesCached(t)
-    val labels = propagateLabels(t, iters) // final checkpoint stays live
+    val labels = propagateLabelsCached(t, iters) // cache-owned checkpoint
     val nNodes = labels.count()
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (nNodes <= 1000000L) broadcast(df) else df
@@ -467,15 +493,9 @@ object Graph {
     * operators. State is (node, dist) — linear in nodes.
     */
   def qSssp(t: Tables, hops: Int = 4): DataFrame = {
-    val weighted = t.lineitem
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-      .select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
+    // shares the session's weighted co-purchase index — no second build
+    val weighted = coPurchaseWeightedCached(t)
       .select(col("src"), col("dst"), expr("1000000 div shared").as("w"))
-      .localCheckpoint()
     val source = weighted.agg(min(least(col("src"), col("dst")))).head().getLong(0)
     var dist = weighted.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
@@ -492,8 +512,7 @@ object Graph {
     }
     val out = dist.orderBy(col("dist"), col("node")).limit(20)
       .localCheckpoint()
-    graft.Engine.freeCheckpoint(dist)
-    graft.Engine.freeCheckpoint(weighted)
+    graft.Engine.freeCheckpoint(dist) // the shared weighted index stays
     out
   }
 

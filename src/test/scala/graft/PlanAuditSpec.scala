@@ -293,4 +293,43 @@ class PlanAuditSpec extends SparkSuite {
       "the dimension-sized iterate must broadcast into round 2")
     assert(!p.contains("CartesianProduct"), "unexpected cartesian in matvec")
   }
+
+  test("interval overlap meets incidents through a broadcast on the hour key") {
+    // the session side explodes to covered hours and must probe the tiny
+    // incident dimension in a BroadcastHashJoin — an SMJ here means the
+    // exploded session-hour stream shuffled on the hour key
+    val p = formatted("q_interval_overlap")
+    assert(p.contains("BroadcastHashJoin"), s"incidents not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("mahalanobis: moment frame broadcasts, fact side stays map-side until top-k") {
+    val p = formatted("q_mahalanobis")
+    // one-row moment frame joins the fact via broadcast-nested-loop (no
+    // key), then distance + TakeOrderedAndProject — no fact-wide sort
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"moments should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded take, not a global sort:\n$p")
+  }
+
+  test("mann-whitney/ks reduce to the distinct-value domain before any window") {
+    for (name <- Seq("q_mannwhitney", "q_ks_test")) {
+      val p = formatted(name)
+      // the corpus must collapse through a partial hash aggregate before
+      // the single-partition domain window
+      assert(p.contains("HashAggregate"), s"$name: no hash aggregate:\n$p")
+      val n = shuffleCount(p)
+      assert(n <= 3, s"$name: expected <=3 shuffle exchanges, got $n")
+    }
+  }
+
+  test("token budget: one global quality sort, budget scalar broadcasts") {
+    val p = formatted("q_token_budget")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"budget scalar should broadcast:\n$p")
+    // exactly one global ordering stage (the greedy order) plus bounded
+    // aggregation shuffles
+    assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
+  }
 }
