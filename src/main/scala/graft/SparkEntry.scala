@@ -1,6 +1,6 @@
 package graft
 
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Classifier, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.load.Warehouse
 import graft.ops.{Analytics, Events, Graph, Relational, Skew, Stats, TpchSql}
 import graft.orchestrate.Orchestrator
@@ -242,6 +242,8 @@ object SparkEntry {
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
     "q_token_budget" -> q(Sampling.qTokenBudget),
+    "q_lr_train" -> q(Classifier.qLrTrain(_)),
+    "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
     // — similarity search —
@@ -291,6 +293,10 @@ object SparkEntry {
           date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("n_users"))
         .orderBy("hour")),
+    "q_stream_quality_funnel" -> ((spark, dir) =>
+      graft.streaming.Streams
+        .drainQualityFunnel(spark, dir, "documents.parquet")
+        .orderBy("source")),
     "q_stream_sliding" -> ((spark, dir) =>
       graft.streaming.Streams.drainSlidingCounts(spark, dir, "events.parquet")
         .select(
@@ -2028,6 +2034,35 @@ object SparkEntry {
            CAST(SUM(CASE WHEN short = 0 AND lowq = 0 AND digity = 0
              THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          FROM f GROUP BY source ORDER BY source""",
+    // same oracle as q_quality_funnel: the streaming drain must converge
+    // to the identical per-source funnel after the backlog is processed
+    "q_stream_quality_funnel" ->
+      """WITH d AS (SELECT source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             least((CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END) / 100.0,
+                 1.0) * 0.4
+               + (CAST(len(list_distinct(string_split_regex(trim(text), ' +'))) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) * 0.4
+               + least((CAST(len(trim(text))
+                    - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                  / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0) * 0.2 AS q,
+             CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / CAST(greatest(n_chars, 1) AS DOUBLE) AS digit_frac
+           FROM documents),
+         f AS (SELECT source,
+             CAST(n_tokens < 5 AS BIGINT) AS short,
+             CAST(q < 0.35 AS BIGINT) AS lowq,
+             CAST(digit_frac > 0.2 AS BIGINT) AS digity
+           FROM d)
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(short) AS BIGINT) AS n_short,
+           CAST(SUM(lowq) AS BIGINT) AS n_low_quality,
+           CAST(SUM(digity) AS BIGINT) AS n_digit_heavy,
+           CAST(SUM(CASE WHEN short = 0 AND lowq = 0 AND digity = 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         FROM f GROUP BY source ORDER BY source""",
     // conditional bigram LM; gram construction mirrors q_contamination's
     // clamp (a doc shorter than n yields one whole-doc gram), surprisal
     // rounded at 1e-9 into DECIMAL then weighted by exact counts
@@ -2901,6 +2936,167 @@ object SparkEntry {
              (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
              4) AS df_welch
          FROM v""",
+    // three full-batch GD rounds unrolled as chained CTEs: micro-unit
+    // integer gradient sums make the engine's driver loop and this
+    // closed form produce bit-identical weights; z-terms are grouped
+    // w*(x/S) to match the engine's IEEE evaluation order exactly
+    "q_lr_train" ->
+      """WITH f AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             1000000 AS x0,
+             CAST(round(least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
+                 / 100.0, 1.0) * 1000000, 0) AS BIGINT) AS x1,
+             CAST(round(CAST(len(list_distinct(string_split_regex(trim(text),
+                 ' +'))) AS DOUBLE) / len(string_split_regex(trim(text), ' +'))
+                 * 1000000, 0) AS BIGINT) AS x2,
+             CAST(round(least((CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0)
+                 * 1000000, 0) AS BIGINT) AS x3,
+             CAST(round(least(CAST(len(list_filter(string_split_regex(
+                 trim(text), ' +'), t -> t IN ('the', 'data', 'query')))
+                 AS DOUBLE) * 10.0
+                 / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE),
+                 1.0) * 1000000, 0) AS BIGINT) AS x4
+           FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) * 1000000.0 * 1000000.0 AS den FROM f),
+         g1 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             0.0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + 0.0 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + 0.0 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + 0.0 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + 0.0 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f),
+         w1 AS (SELECT
+             0.0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             0.0 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             0.0 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             0.0 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             0.0 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g1, nn GROUP BY den),
+         g2 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w1.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w1.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w1.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w1.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w1.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w1),
+         w2 AS (SELECT
+             w1.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w1.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w1.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w1.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w1.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g2, nn, w1 GROUP BY den, w1.w0, w1.w1, w1.w2, w1.w3, w1.w4),
+         g3 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w2.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w2.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w2.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w2.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w2.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w2),
+         w3 AS (SELECT
+             w2.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w2.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w2.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w2.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w2.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g3, nn, w2 GROUP BY den, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4),
+         fz AS (SELECT f.y,
+             w3.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w3.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w3.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w3.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w3.w4 * (CAST(x4 AS DOUBLE) / 1000000.0) AS z,
+             w3.w0 AS w0, w3.w1 AS w1, w3.w2 AS w2, w3.w3 AS w3,
+             w3.w4 AS w4
+           FROM f, w3)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN (z >= 0.0) = (y = 1) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN (z >= 0.0) = (y = 1) THEN 1 ELSE 0 END)
+             AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy,
+           w0, w1, w2, w3, w4
+         FROM fz GROUP BY w0, w1, w2, w3, w4""",
+    // same unrolled weights, then decile reliability bins on the
+    // micro-rounded predicted probability
+    "q_lr_calibration" ->
+      """WITH f AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             1000000 AS x0,
+             CAST(round(least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
+                 / 100.0, 1.0) * 1000000, 0) AS BIGINT) AS x1,
+             CAST(round(CAST(len(list_distinct(string_split_regex(trim(text),
+                 ' +'))) AS DOUBLE) / len(string_split_regex(trim(text), ' +'))
+                 * 1000000, 0) AS BIGINT) AS x2,
+             CAST(round(least((CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0)
+                 * 1000000, 0) AS BIGINT) AS x3,
+             CAST(round(least(CAST(len(list_filter(string_split_regex(
+                 trim(text), ' +'), t -> t IN ('the', 'data', 'query')))
+                 AS DOUBLE) * 10.0
+                 / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE),
+                 1.0) * 1000000, 0) AS BIGINT) AS x4
+           FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) * 1000000.0 * 1000000.0 AS den FROM f),
+         g1 AS (SELECT f.*, CAST(round((y - 0.5) * 1000000, 0) AS BIGINT)
+             AS g FROM f),
+         w1 AS (SELECT
+             0.0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             0.0 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             0.0 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             0.0 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             0.0 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g1, nn GROUP BY den),
+         g2 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w1.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w1.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w1.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w1.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w1.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w1),
+         w2 AS (SELECT
+             w1.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w1.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w1.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w1.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w1.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g2, nn, w1 GROUP BY den, w1.w0, w1.w1, w1.w2, w1.w3, w1.w4),
+         g3 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w2.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w2.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w2.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w2.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w2.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w2),
+         w3 AS (SELECT
+             w2.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w2.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w2.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w2.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w2.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g3, nn, w2 GROUP BY den, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4),
+         s AS (SELECT f.y, CAST(round(1000000.0 / (1.0 + exp(-(
+             w3.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w3.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w3.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w3.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w3.w4 * (CAST(x4 AS DOUBLE) / 1000000.0)))), 0) AS BIGINT)
+             AS su FROM f, w3)
+         SELECT least(su * 10 // 1000000, 9) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS observed_rate,
+           CAST(SUM(su) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
+             AS mean_predicted
+         FROM s GROUP BY 1 ORDER BY 1""",
     // four Bellman-Ford relaxation rounds unrolled as chained CTEs;
     // integer edge weights make loop and unroll value-identical
     "q_sssp" ->

@@ -218,12 +218,25 @@ object TextAnalysis {
       t: Tables,
       minTokens: Int = 5,
       minQuality: Double = 0.35,
+      maxDigitFrac: Double = 0.2): DataFrame =
+    qualityFunnelFrame(t.documents, minTokens, minQuality, maxDigitFrac)
+      .orderBy("source")
+
+  /** The funnel aggregation over any documents frame — shared by the
+    * batch query above and its streaming drain twin
+    * ([[graft.streaming.Streams.drainQualityFunnel]]): per-row rule
+    * columns are stateless, and the grouped state is one row per source.
+    */
+  def qualityFunnelFrame(
+      docs: org.apache.spark.sql.DataFrame,
+      minTokens: Int = 5,
+      minQuality: Double = 0.35,
       maxDigitFrac: Double = 0.2): DataFrame = {
     val nToks = tokenCount(col("text"))
     val digitFrac =
       length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
         greatest(col("n_chars"), lit(1L)).cast("double")
-    t.documents
+    docs
       .withColumn("short", (nToks < minTokens).cast("long"))
       .withColumn("lowq", (qualityExpr(col("text")) < minQuality).cast("long"))
       .withColumn("digity", (digitFrac > maxDigitFrac).cast("long"))
@@ -236,7 +249,6 @@ object TextAnalysis {
         sum(
           (col("short") === 0 && col("lowq") === 0 && col("digity") === 0)
             .cast("long")).as("n_kept"))
-      .orderBy("source")
   }
 
   /** Mean bigram surprisal per sampled document under the corpus bigram

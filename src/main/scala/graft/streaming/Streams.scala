@@ -557,6 +557,19 @@ object Streams {
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
 
+  /** Streaming drain of the document quality funnel — the ingest-time
+    * twin of [[graft.ext.TextAnalysis.qQualityFunnel]], sharing its
+    * oracle: per-row rule columns are stateless, so the only streaming
+    * state is the per-source counter row (bounded by the source
+    * dimension, not the backlog).
+    */
+  def drainQualityFunnel(
+      spark: SparkSession, dir: String,
+      globFilter: String = "*"): DataFrame =
+    drain(spark,
+      graft.ext.TextAnalysis.qualityFunnelFrame(
+        docsStream(spark, dir, globFilter)))
+
   /** Streaming incremental-ingest dedup — the stateful-streaming twin of
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the

@@ -98,7 +98,9 @@ class DeterminismSpec extends SparkSuite {
     "q_hierarchy_flatten", // level-loop closure, integer depths
     "q_sssp",             // integer Bellman-Ford rounds, total-order cut
     "q_cross_corr",       // spine-aligned integer moments, rounded r
-    "q_mahalanobis")      // decimal moments, rounded-d² top-k
+    "q_mahalanobis",      // decimal moments, rounded-d² top-k
+    "q_lr_train",         // micro-unit integer gradient sums per GD round
+    "q_lr_calibration")   // pinned-σ reliability bins
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

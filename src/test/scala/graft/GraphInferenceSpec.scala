@@ -439,6 +439,40 @@ class GraphInferenceSpec extends SparkSuite {
     assert(row.getDouble(2) == u1Expect)
   }
 
+  test("lr training: weights match a driver-side GD recompute") {
+    import graft.ext.Classifier
+    val feat = Classifier.features(tables).collect().map { r =>
+      (Array(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)), r.getLong(6))
+    }
+    val S = Classifier.Scale.toDouble
+    val n = feat.length
+    var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val sums = Array.fill(5)(BigInt(0))
+      feat.foreach { case (x, y) =>
+        val z = (0 until 5).map(j => w(j) * (x(j).toDouble / S)).sum
+        // HALF_UP like the engine's round() — math.round rounds -x.5
+        // toward +inf, away-from-zero is what both engines do
+        val g = BigDecimal((y.toDouble - 1.0 / (1.0 + math.exp(-z))) * S)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        for (j <- 0 until 5) sums(j) += BigInt(g) * BigInt(x(j))
+      }
+      val den = n.toDouble * S * S
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + 6.0 * sums(j).toDouble / den
+      }
+    }
+    val row = Classifier.qLrTrain(tables).head()
+    val got = (0 until 5).map(j => row.getDouble(4 + j))
+    // the driver fold sums in row order vs the engine's integer partials —
+    // integer sums are order-free, so the weights must be IDENTICAL
+    assert(got == w.toSeq, s"weights diverge: $got vs ${w.toSeq}")
+    // sanity: minority-positive labels push the bias negative
+    assert(row.getDouble(4) < 0.0)
+    assert(row.getLong(0) == n)
+  }
+
   test("ks: D equals a driver-side two-sample ECDF sweep") {
     val vals = tables.orders
       .filter(col("o_orderstatus").isin("F", "O"))
