@@ -244,6 +244,7 @@ object SparkEntry {
     "q_token_budget" -> q(Sampling.qTokenBudget),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
+    "q_nb_confusion" -> q(Classifier.qNbConfusion),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
     // — similarity search —
@@ -2936,6 +2937,48 @@ object SparkEntry {
              (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
              4) AS df_welch
          FROM v""",
+    // Laplace-smoothed log-likelihoods rounded at 1e-9 into DECIMAL;
+    // the argmax runs as a ranked window here vs min(struct) in the
+    // engine — two algorithms, one exact score domain
+    "q_nb_confusion" ->
+      """WITH docs AS (SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), ' +') AS ws
+           FROM documents),
+         tok AS (SELECT doc_id, lang, w AS word FROM (
+             SELECT doc_id, lang, unnest(ws) AS w FROM docs) u
+           WHERE len(w) > 0),
+         ct AS (SELECT lang AS l, CAST(COUNT(*) AS BIGINT) AS cl
+           FROM tok GROUP BY 1),
+         cw AS (SELECT lang AS l, word, CAST(COUNT(*) AS BIGINT) AS clw
+           FROM tok GROUP BY 1, 2),
+         vocab AS (SELECT DISTINCT word FROM tok),
+         vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+         lp AS (SELECT ct.l, vocab.word,
+             CAST(round(ln(CAST(COALESCE(cw.clw, 0) + 1 AS DOUBLE)
+               / CAST(ct.cl + vs.v AS DOUBLE)), 9) AS DECIMAL(18,9)) AS lp
+           FROM vocab CROSS JOIN ct CROSS JOIN vs
+           LEFT JOIN cw ON cw.l = ct.l AND cw.word = vocab.word),
+         nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+         pr AS (SELECT lang AS l,
+             CAST(round(ln(CAST(COUNT(*) AS DOUBLE) / CAST(nd.n AS DOUBLE)),
+               9) AS DECIMAL(18,9)) AS lprior
+           FROM docs, nd GROUP BY 1, nd.n),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tfreq
+           FROM tok GROUP BY 1, 2),
+         wsc AS (SELECT tf.doc_id, lp.l, SUM(tf.tfreq * lp.lp) AS ws_sum
+           FROM tf JOIN lp ON tf.word = lp.word GROUP BY 1, 2),
+         sc AS (SELECT d.doc_id, d.lang, pr.l,
+             pr.lprior + COALESCE(wsc.ws_sum, CAST(0 AS DECIMAL(18,9)))
+               AS score
+           FROM docs d CROSS JOIN pr
+           LEFT JOIN wsc ON wsc.doc_id = d.doc_id AND wsc.l = pr.l),
+         pred AS (SELECT doc_id, lang, l AS predicted FROM (
+             SELECT doc_id, lang, l, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, l ASC) AS rn
+             FROM sc) x WHERE rn = 1)
+         SELECT lang AS actual_lang, predicted AS predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+         FROM pred GROUP BY 1, 2 ORDER BY 1, 2""",
     // three full-batch GD rounds unrolled as chained CTEs: micro-unit
     // integer gradient sums make the engine's driver loop and this
     // closed form produce bit-identical weights; z-terms are grouped

@@ -127,6 +127,76 @@ object Classifier {
     out
   }
 
+  /** Multinomial Naive Bayes language classifier, trained and applied in
+    * one query, graded as its CONFUSION MATRIX — the generative
+    * counterpart to [[qLrTrain]]'s discriminative model. Laplace-smoothed
+    * log-likelihoods ln((c(l,w)+1)/(c(l)+V)) and document priors are
+    * rounded at 1e-9 into DECIMAL (the engine's standard recipe for
+    * transcendentals), so per-document score sums are exact and the
+    * argmax — min(struct(-score, lang)), ties to the smaller language —
+    * is engine-identical.
+    *
+    * Scale shape: class-word counts and the vocabulary are hash
+    * aggregates over the token stream (map-side combined); the dense
+    * (vocab × lang) likelihood table is vocabulary-sized and BROADCASTS
+    * into the per-document term-frequency stream; scoring is one
+    * (doc, lang)-keyed aggregate. Documents with no tokens still score
+    * via the prior-only base frame, so the matrix covers every document.
+    */
+  def qNbConfusion(t: Tables): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), col("lang"),
+      Dedup.words(col("text")).as("ws"))
+    val tok = docs.select(col("doc_id"), col("lang"),
+      explode(col("ws")).as("word"))
+      .filter(length(col("word")) > 0)
+    // per-class token totals and class-word occurrence counts
+    val clsTok = tok.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("cl"))
+    val clsWord = tok.groupBy(col("lang").as("l"), col("word"))
+      .agg(count(lit(1)).as("clw"))
+    val vocab = tok.select("word").distinct()
+    val vSize = vocab.agg(count(lit(1)).as("v"))
+    // dense vocab x lang log-likelihoods (Laplace +1); vocabulary-sized
+    val lp = vocab.crossJoin(broadcast(clsTok))
+      .join(clsWord, Seq("l", "word"), "left")
+      .crossJoin(broadcast(vSize))
+      .select(col("l"), col("word"),
+        round(log(
+          (coalesce(col("clw"), lit(0L)) + lit(1L)).cast("double") /
+            (col("cl") + col("v")).cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("lp"))
+    // document priors from class document counts
+    val nDocs = docs.agg(count(lit(1)).as("n"))
+    val prior = docs.groupBy(col("lang").as("l"))
+      .agg(count(lit(1)).as("nl"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("l"),
+        round(log(col("nl").cast("double") / col("n").cast("double")), 9)
+          .cast(DecimalType(18, 9)).as("lprior"))
+    // per-(doc, lang) word-likelihood sums over the tf stream
+    val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tfreq"))
+    val wordScore = tf
+      .join(broadcast(lp), "word")
+      .groupBy("doc_id", "l")
+      .agg(sum(col("tfreq") * col("lp")).as("ws_sum"))
+    // prior-only base covers empty documents too
+    val scored = docs.select(col("doc_id"), col("lang"))
+      .crossJoin(broadcast(prior))
+      .join(wordScore, Seq("doc_id", "l"), "left")
+      .select(col("doc_id"), col("lang"), col("l"),
+        (col("lprior") +
+          coalesce(col("ws_sum"), lit(0).cast(DecimalType(18, 9))))
+          .as("score"))
+    scored
+      .groupBy("doc_id", "lang")
+      .agg(min(struct((-col("score")).as("ns"), col("l").as("pl"))).as("best"))
+      .groupBy(col("lang").as("actual_lang"),
+        col("best.pl").as("predicted_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
   /** Reliability diagram for the trained model: predicted-probability
     * deciles vs observed positive rate — the calibration check that turns
     * a trained classifier into a usable corpus-filter threshold. The bin

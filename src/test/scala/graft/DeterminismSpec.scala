@@ -100,7 +100,8 @@ class DeterminismSpec extends SparkSuite {
     "q_cross_corr",       // spine-aligned integer moments, rounded r
     "q_mahalanobis",      // decimal moments, rounded-d² top-k
     "q_lr_train",         // micro-unit integer gradient sums per GD round
-    "q_lr_calibration")   // pinned-σ reliability bins
+    "q_lr_calibration",   // pinned-σ reliability bins
+    "q_nb_confusion")     // rounded-ln decimal scores, struct argmax
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

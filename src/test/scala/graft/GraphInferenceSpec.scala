@@ -473,6 +473,19 @@ class GraphInferenceSpec extends SparkSuite {
     assert(row.getLong(0) == n)
   }
 
+  test("nb confusion: matrix partitions the corpus; majority class learned") {
+    val rows = graft.ext.Classifier.qNbConfusion(tables).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val nDocs = tables.documents.count()
+    assert(total == nDocs, "confusion matrix must cover every document")
+    // the dominant class's own row must peak on the diagonal — the
+    // weakest claim that survives the synthetic corpus's shared vocab
+    val enRow = rows.filter(_.getString(0) == "en")
+    val enDiag = enRow.filter(_.getString(1) == "en").map(_.getLong(2)).sum
+    assert(enDiag == enRow.map(_.getLong(2)).max,
+      "en documents should be predicted en more than any other class")
+  }
+
   test("ks: D equals a driver-side two-sample ECDF sweep") {
     val vals = tables.orders
       .filter(col("o_orderstatus").isin("F", "O"))
