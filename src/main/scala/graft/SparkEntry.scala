@@ -242,6 +242,7 @@ object SparkEntry {
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
     "q_token_budget" -> q(Sampling.qTokenBudget),
+    "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
@@ -2937,6 +2938,16 @@ object SparkEntry {
              (pow(v_o / n_o, 2) / (n_o - 1) + pow(v_f / n_f, 2) / (n_f - 1)),
              4) AS df_welch
          FROM v""",
+    // the engine assigns ids by two-pass partition offsets; the oracle by
+    // a ranking window over the same content-hash order — identical ids
+    "q_assign_ids" ->
+      """WITH r AS (SELECT doc_id,
+             row_number() OVER (
+               ORDER BY md5(text || CAST(doc_id AS VARCHAR)), doc_id) - 1
+               AS gid
+           FROM documents)
+         SELECT doc_id, CAST(gid AS BIGINT) AS gid FROM r
+         WHERE gid % 37 = 0 ORDER BY gid""",
     // Laplace-smoothed log-likelihoods rounded at 1e-9 into DECIMAL;
     // the argmax runs as a ranked window here vs min(struct) in the
     // engine — two algorithms, one exact score domain

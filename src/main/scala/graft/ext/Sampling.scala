@@ -162,6 +162,43 @@ object Sampling {
     * partitioning keeps it parallel at 100 TB); the final rollup is a
     * hash aggregate on the few-row source dimension.
     */
+  /** Global contiguous id assignment in content-hash order — the
+    * "stable document ids for a 100 TB corpus" primitive, WITHOUT a
+    * single-partition ranking window. Two passes, the production shape:
+    * range-partition + sort on the deterministic key, count rows per
+    * partition (one scalar each to the driver), prefix-sum the offsets,
+    * then assign id = partition offset + local position map-side. The
+    * ids equal the global rank REGARDLESS of where the range sampler
+    * placed partition boundaries, so the result is a pure function of
+    * the data — and hash-matches the oracle's row_number over the same
+    * order. (The per-partition counter is genuine imperative
+    * per-partition logic — the one place mapPartitions is the right
+    * tool.) Output decimated to every 37th id for compare compactness.
+    */
+  def qAssignIds(t: Tables, parts: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val sorted = t.documents
+      .select(col("doc_id"), hashKey("text", "doc_id").as("skey"))
+      .repartitionByRange(parts, col("skey"), col("doc_id"))
+      .sortWithinPartitions("skey", "doc_id")
+      .select(col("doc_id"))
+      .as[Long]
+    val counts = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var k = bc.value(i) - 1
+        it.map { id => k += 1; (id, k) }
+      }
+      .toDF("doc_id", "gid")
+      .filter(pmod(col("gid"), lit(37)) === 0)
+      .orderBy("gid")
+  }
+
   def qTokenBudget(t: Tables): DataFrame = {
     val scored = t.documents.select(
       col("doc_id"), col("source"),

@@ -101,7 +101,8 @@ class DeterminismSpec extends SparkSuite {
     "q_mahalanobis",      // decimal moments, rounded-d² top-k
     "q_lr_train",         // micro-unit integer gradient sums per GD round
     "q_lr_calibration",   // pinned-σ reliability bins
-    "q_nb_confusion")     // rounded-ln decimal scores, struct argmax
+    "q_nb_confusion",     // rounded-ln decimal scores, struct argmax
+    "q_assign_ids")       // two-pass offsets == global rank, any boundaries
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
