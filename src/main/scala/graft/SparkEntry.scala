@@ -119,6 +119,8 @@ object SparkEntry {
     "q_mannwhitney" -> q(Stats.qMannWhitney),
     "q_ks_test" -> q(Stats.qKsTest),
     "q_kendall_tau" -> q(Stats.qKendallTau),
+    "q_decision_stump" -> q(Stats.qDecisionStump),
+    "q_score_auc" -> q(Stats.qScoreAuc),
     "q_fd_audit" -> q(Analytics.qFdAudit),
     "q_interval_overlap" -> q(Events.qIntervalOverlap),
     "q_pagerank" -> q(Graph.qPagerank(_)),
@@ -3252,6 +3254,78 @@ object SparkEntry {
          SELECT depth, CAST(COUNT(*) AS BIGINT) AS n_nodes,
            CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots
          FROM walk GROUP BY 1 ORDER BY 1""",
+    // per feature: domain-collapsed counts, cumsum window, one rounded
+    // Gini per candidate threshold, ranked-window argmax (vs the
+    // engine's min(struct)) — the boosting weak learner, engine-exact
+    "q_decision_stump" ->
+      """WITH b AS (SELECT feature, v, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS np FROM (
+             SELECT 'l_quantity' AS feature,
+               CAST(l_quantity AS DECIMAL(18,2)) AS v,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+             FROM lineitem
+             UNION ALL SELECT 'l_discount',
+               CAST(l_discount AS DECIMAL(18,2)),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END FROM lineitem
+             UNION ALL SELECT 'l_tax', CAST(l_tax AS DECIMAL(18,2)),
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END
+             FROM lineitem) u
+           GROUP BY 1, 2),
+         s AS (SELECT feature, v,
+             SUM(n) OVER w AS nl, SUM(np) OVER w AS pl,
+             SUM(n) OVER (PARTITION BY feature) AS nt,
+             SUM(np) OVER (PARTITION BY feature) AS pt
+           FROM b WINDOW w AS (PARTITION BY feature ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         g AS (SELECT feature, v, nl, pl, nt - nl AS nr, pt - pl AS pr,
+             round((CAST(nl AS DOUBLE) / CAST(nt AS DOUBLE)) * (1.0
+                 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                 - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+               + (CAST(nt - nl AS DOUBLE) / CAST(nt AS DOUBLE)) * (1.0
+                 - (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                   * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                 - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                     / CAST(nt - nl AS DOUBLE))
+                   * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                     / CAST(nt - nl AS DOUBLE))), 9) AS gini
+           FROM s WHERE nl < nt),
+         r AS (SELECT feature, v, gini, nl, pl, nr, pr, row_number() OVER (
+             PARTITION BY feature ORDER BY gini ASC, v ASC) AS rn FROM g)
+         SELECT feature, CAST(v AS DOUBLE) AS threshold, gini,
+           (pl * 2 > nl) AS left_predicts_pos,
+           (pr * 2 > nr) AS right_predicts_pos
+         FROM r WHERE rn = 1 ORDER BY feature""",
+    // AUC through the Mann-Whitney identity U1/(n1·n2), doubled-rank
+    // integer domain; one double division at the end
+    "q_score_auc" ->
+      """WITH d AS (SELECT
+             round(least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
+                 / 100.0, 1.0) * 0.4
+               + CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+                   AS DOUBLE) / len(string_split_regex(trim(text), ' +'))
+                 * 0.4
+               + least((CAST(len(trim(text))
+                   - (len(string_split_regex(trim(text), ' +')) - 1)
+                   AS DOUBLE) / len(string_split_regex(trim(text), ' +')))
+                 / 10.0, 1.0) * 0.2, 9) AS v,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         b AS (SELECT v, CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(SUM(1 - y) AS BIGINT) AS c2 FROM d GROUP BY 1),
+         t AS (SELECT c1, c2, COALESCE(SUM(c2) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less2
+           FROM b),
+         s AS (SELECT CAST(SUM(c1) AS BIGINT) AS n_pos,
+             CAST(SUM(c2) AS BIGINT) AS n_neg,
+             SUM(CAST(c1 AS DECIMAL(28,0)) * (2 * less2 + c2)) AS u2x
+           FROM t)
+         SELECT n_pos, n_neg,
+           CAST(u2x AS DOUBLE) / 2.0 /
+             (CAST(n_pos AS DOUBLE) * CAST(n_neg AS DOUBLE)) AS auc
+         FROM s""",
     // U computed in the doubled-rank integer domain (2U1 = Σ c1·(2·cum2+c2))
     // so tie midranks never touch a float; DECIMAL products guard overflow
     "q_mannwhitney" ->

@@ -925,6 +925,103 @@ object Stats {
       .select("l_orderkey", "l_linenumber", "d2")
   }
 
+  /** Decision-stump training (the boosting weak learner): for each
+    * candidate feature, the best threshold by weighted Gini impurity over
+    * the feature's distinct-value domain, plus each side's majority
+    * class. Label: l_returnflag = 'R'.
+    *
+    * Exactness + scale: per feature, the corpus collapses to
+    * (value, n, n_pos) in one partial-aggregated shuffle; threshold
+    * evaluation is a cumsum window over the DOMAIN frame (the
+    * [[qMannWhitney]] shape); the Gini score is the only float, rounded
+    * at 1e-9 before the min(struct) argmax with the threshold as
+    * tie-break — so the chosen split is engine-exact. All features share
+    * one union pipeline; none is ever sorted at fact size.
+    */
+  def qDecisionStump(t: Tables): DataFrame = {
+    val base = t.lineitem.select(
+      col("l_quantity"), col("l_discount"), col("l_tax"),
+      when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val perFeature = Seq("l_quantity", "l_discount", "l_tax").map { f =>
+      base.select(lit(f).as("feature"),
+        col(f).cast(DecimalType(18, 2)).as("v"), col("y"))
+    }.reduce(_ unionByName _)
+    val byVal = perFeature
+      .groupBy("feature", "v")
+      .agg(count(lit(1)).as("n"), sum("y").as("np"))
+    val wRun = Window.partitionBy("feature").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("feature")
+    val scored = byVal
+      .withColumn("nl", sum("n").over(wRun))
+      .withColumn("pl", sum("np").over(wRun))
+      .withColumn("nt", sum("n").over(wAll))
+      .withColumn("pt", sum("np").over(wAll))
+      .filter(col("nl") < col("nt")) // a split must leave a right side
+      .withColumn("nr", col("nt") - col("nl"))
+      .withColumn("pr", col("pt") - col("pl"))
+      // weighted Gini: Σ_side (n_side/n) * (1 - p² - q²), expanded to
+      // divisions of exact integer counts
+      .withColumn("gini", round(
+        (col("nl").cast("double") / col("nt").cast("double")) *
+          (lit(1.0)
+            - (col("pl").cast("double") / col("nl").cast("double")) *
+              (col("pl").cast("double") / col("nl").cast("double"))
+            - ((col("nl") - col("pl")).cast("double") / col("nl").cast("double")) *
+              ((col("nl") - col("pl")).cast("double") / col("nl").cast("double"))) +
+        (col("nr").cast("double") / col("nt").cast("double")) *
+          (lit(1.0)
+            - (col("pr").cast("double") / col("nr").cast("double")) *
+              (col("pr").cast("double") / col("nr").cast("double"))
+            - ((col("nr") - col("pr")).cast("double") / col("nr").cast("double")) *
+              ((col("nr") - col("pr")).cast("double") / col("nr").cast("double"))),
+        9))
+    scored
+      .groupBy("feature")
+      .agg(min(struct(col("gini").as("g"), col("v").as("thr"),
+        col("nl").as("bnl"), col("pl").as("bpl"),
+        col("nr").as("bnr"), col("pr").as("bpr"))).as("best"))
+      .select(
+        col("feature"),
+        col("best.thr").cast("double").as("threshold"),
+        col("best.g").as("gini"),
+        (col("best.bpl") * 2 > col("best.bnl")).as("left_predicts_pos"),
+        (col("best.bpr") * 2 > col("best.bnr")).as("right_predicts_pos"))
+      .orderBy("feature")
+  }
+
+  /** Rank-based AUC of the text quality score as a predictor of
+    * lang = 'en' — the standard threshold-free ranking metric, computed
+    * through the [[qMannWhitney]] identity AUC = U₁/(n₁n₂) in the
+    * doubled-rank integer domain: ties and the supremum never touch a
+    * float, AUC is one division at the end. Same scale shape: one
+    * aggregate to the (rounded) score domain, a domain-sized cumsum.
+    */
+  def qScoreAuc(t: Tables): DataFrame = {
+    val byVal = t.documents
+      .select(
+        round(graft.ext.TextAnalysis.qualityExpr(col("text")), 9).as("v"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("v")
+      .agg(
+        sum(col("y")).as("c1"),
+        sum(lit(1L) - col("y")).as("c2"))
+    val wPrior = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    byVal
+      .withColumn("less2", coalesce(sum("c2").over(wPrior), lit(0L)))
+      .withColumn("u2_term", col("c1").cast(DecimalType(28, 0)) *
+        (lit(2L) * col("less2") + col("c2")))
+      .agg(
+        sum("c1").as("n_pos"),
+        sum("c2").as("n_neg"),
+        sum(col("u2_term")).as("u2x"))
+      .select(
+        col("n_pos"), col("n_neg"),
+        (col("u2x").cast("double") / 2.0 /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")))
+          .as("auc"))
+  }
+
   /** Kendall tau-b rank correlation between supplier account balance and
     * total lineitem revenue. The corpus-sized work is the per-supplier
     * revenue aggregate (one shuffle); the O(k²) concordance self-join then

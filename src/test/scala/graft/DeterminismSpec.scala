@@ -102,7 +102,9 @@ class DeterminismSpec extends SparkSuite {
     "q_lr_train",         // micro-unit integer gradient sums per GD round
     "q_lr_calibration",   // pinned-σ reliability bins
     "q_nb_confusion",     // rounded-ln decimal scores, struct argmax
-    "q_assign_ids")       // two-pass offsets == global rank, any boundaries
+    "q_assign_ids",       // two-pass offsets == global rank, any boundaries
+    "q_decision_stump",   // domain-window Gini, rounded argmax split
+    "q_score_auc")        // doubled-rank integer U -> one division
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
