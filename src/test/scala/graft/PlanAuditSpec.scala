@@ -332,4 +332,22 @@ class PlanAuditSpec extends SparkSuite {
     // aggregation shuffles
     assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
   }
+
+  test("naive bayes: likelihood table broadcasts into the tf stream") {
+    // the vocab x lang table and the priors are dimension-sized; the
+    // per-doc term-frequency stream must meet them through broadcasts,
+    // never by shuffling the corpus on the word key
+    val p = formatted("q_nb_confusion")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      s"likelihood table not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("decision stump: features collapse to their value domain before windows") {
+    val p = formatted("q_decision_stump")
+    assert(p.contains("HashAggregate"), s"no domain collapse:\n$p")
+    // one union-wide domain aggregate + per-feature windows + final
+    // argmax: the fact table crosses at most these exchanges
+    assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
+  }
 }
