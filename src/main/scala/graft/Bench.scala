@@ -10,7 +10,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: per-query WARN lines (e.g. function re-registration,
+    // AQE notices) otherwise flood the harness's bounded output capture and
+    // push the final JSON line out of the tail
+    spark.sparkContext.setLogLevel("ERROR")
     Engine.tune(spark)
     // warm-up: JIT/codegen/parquet-footer costs land here, not on the
     // alphabetically-first timed query. The text path matters most: the
@@ -19,6 +22,11 @@ object Bench {
     // on the first shingle-heavy query (measured: q_bigram_surprisal 9.3 s
     // cold vs 1.7 s steady-state in the same JVM, independent of Spark
     // codegen and AQE). A bounded document sample pushes those loops hot.
+    // Warmup cost and failure are RECORDED, not swallowed: if warmup dies
+    // in the graded environment its JIT/codegen cost silently lands on the
+    // timed queries, so the bench JSON must say whether that happened.
+    val warmT0 = System.nanoTime()
+    var warmErr: String = null
     try {
       import org.apache.spark.sql.functions._
       val t = Tables(spark, sfDir)
@@ -50,7 +58,15 @@ object Bench {
       ext.Similarity.lloydCentroids(
         t.embeddings.limit(500).select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("vec")), iters = 1)
-    } catch { case _: Throwable => () }
+    } catch {
+      case e: Throwable =>
+        warmErr = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
+    }
+    val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    val warmupJson =
+      s""""warmup_sec":$warmupSec,"warmup_error":${
+        if (warmErr == null) "null" else "\"" + warmErr + "\""}"""
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run for local iteration on a
     // hotspot; unset (the driver's mode) times every registered query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
@@ -78,7 +94,7 @@ object Bench {
         s""","warm_total":${warm.map(_._2).sum},"warm":${toJson(warm)}"""
       }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$warmupJson,"queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
     // The full per-query map (218 queries, ~8 KB) overflows the harness's
     // stdout-tail capture, so it goes ONLY to the file; stdout gets a compact
     // line (total + slowest queries, bounded size) printed LAST so the tail
@@ -91,7 +107,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(20)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},"queries":${toJson(slowest)},"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},$warmupJson,"queries":${toJson(slowest)},"full":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -13,8 +13,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Engine {
 
-  /** Runtime confs applied to any session (settable post-construction). */
+  /** Runtime confs applied to any session (settable post-construction).
+    * Idempotent per session: every query entry point constructs a
+    * [[Tables]] (whose ctor calls tune), so a 241-query bench run would
+    * otherwise re-register ~30 native functions and re-install the plan
+    * extensions 241 times — pure fixed cost, plus a WARN line per
+    * re-registration that floods the harness's captured output.
+    */
   def tune(spark: SparkSession): SparkSession = {
+    if (spark.conf.getOption("graft.tuned").contains("1")) return spark
     // The driver testdata's `events.ts` is parquet INT64 TIMESTAMP(NANOS),
     // which Spark's parquet reader rejects by default; read it as raw
     // nanosecond longs and convert explicitly where needed (Tables.events).
@@ -31,6 +38,7 @@ object Engine {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.BandRangeJoin))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.BandRangeJoin
+    spark.conf.set("graft.tuned", "1")
     spark
   }
 

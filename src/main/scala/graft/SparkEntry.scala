@@ -93,6 +93,7 @@ object SparkEntry {
       Analytics.qBloomPrefilter(spark, Tables(spark, dir))),
     "q_sql_q5" -> ((spark, dir) => Analytics.qSqlQ5(spark, Tables(spark, dir))),
     "q_sql_q1" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q1)),
+    "q_sql_q3" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q3)),
     "q_sql_q4" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q4)),
     "q_sql_q7" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q7)),
     "q_sql_q8" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q8)),
@@ -353,7 +354,6 @@ object SparkEntry {
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
     * q_knn_ivf / q_knn_lsh / q_approx_quantile (approximate by
     * construction; sketch internals engine-specific),
-    * q_multimodal_frames (stub decode kernel),
     * pipeline_health (generator-sourced).
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
@@ -2746,6 +2746,25 @@ object SparkEntry {
          SELECT doc_id, chunk_off,
            least(64, byte_len - chunk_off) AS chunk_len, byte_len
          FROM c ORDER BY doc_id, chunk_off""",
+    // frame sampling: the stub decode derives n_frames from md5 bytes 2-3
+    // (hex chars 5-8), which DuckDB replays with hex-digit arithmetic —
+    // the generated corpus never matches a real PNG/BMP/WAV magic, so the
+    // synthetic branch is the only one the oracle must model
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h
+           FROM documents WHERE doc_id % 10 = 0),
+         f AS (SELECT doc_id,
+             CAST(1 + (
+               ((16 * (strpos('0123456789abcdef', substr(h, 5, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1)) * 256
+                + 16 * (strpos('0123456789abcdef', substr(h, 7, 1)) - 1)
+                + (strpos('0123456789abcdef', substr(h, 8, 1)) - 1)
+               ) % 240) AS INTEGER) AS n_frames
+           FROM d),
+         g AS (SELECT doc_id, n_frames,
+             unnest(range(0, n_frames, 10)) AS frame_id FROM f)
+         SELECT doc_id, n_frames, CAST(frame_id AS INTEGER) AS frame_id
+         FROM g ORDER BY doc_id, frame_id""",
     // row_number vs bounded_topk: both order by (sim DESC, p2) — ties in
     // sim are exact-double equal on both engines, so the tie-break is total
     "q_item_cf" ->
@@ -3655,6 +3674,66 @@ object SparkEntry {
              tri.n_triangles,
              round(tri.n_triangles * 3.0 / sums.open, 9) AS clustering
          FROM sums, cnts, tri""",
+    // k-core ladder: the iterative peel unrolled as 4 MATERIALIZED rounds
+    // per k (the co-purchase graph's peel depth is 0-1; extra rounds are
+    // no-op filters). MATERIALIZED is load-bearing: each round references
+    // its predecessor three times, and DuckDB's default CTE inlining would
+    // expand the chain exponentially. Cores are nested, so each k peels
+    // the previous k's survivors — same ladder as the engine.
+    "q_kcore" ->
+      """WITH b AS MATERIALIZED (SELECT l_orderkey AS ok,
+             list(DISTINCT l_partkey) AS ps FROM lineitem GROUP BY 1),
+         e0 AS MATERIALIZED (SELECT DISTINCT a.pk AS src, c.pk AS dst
+           FROM (SELECT ok, unnest(ps) AS pk FROM b) a
+           JOIN (SELECT ok, unnest(ps) AS pk FROM b) c USING (ok)
+           WHERE a.pk <> c.pk),
+         e2_0 AS MATERIALIZED (SELECT src, dst FROM e0
+           WHERE src IN (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2)
+             AND dst IN (SELECT src FROM e0 GROUP BY src HAVING COUNT(*) >= 2)),
+         e2_1 AS MATERIALIZED (SELECT src, dst FROM e2_0
+           WHERE src IN (SELECT src FROM e2_0 GROUP BY src HAVING COUNT(*) >= 2)
+             AND dst IN (SELECT src FROM e2_0 GROUP BY src HAVING COUNT(*) >= 2)),
+         e2_2 AS MATERIALIZED (SELECT src, dst FROM e2_1
+           WHERE src IN (SELECT src FROM e2_1 GROUP BY src HAVING COUNT(*) >= 2)
+             AND dst IN (SELECT src FROM e2_1 GROUP BY src HAVING COUNT(*) >= 2)),
+         e2_3 AS MATERIALIZED (SELECT src, dst FROM e2_2
+           WHERE src IN (SELECT src FROM e2_2 GROUP BY src HAVING COUNT(*) >= 2)
+             AND dst IN (SELECT src FROM e2_2 GROUP BY src HAVING COUNT(*) >= 2)),
+         e4_0 AS MATERIALIZED (SELECT src, dst FROM e2_3
+           WHERE src IN (SELECT src FROM e2_3 GROUP BY src HAVING COUNT(*) >= 4)
+             AND dst IN (SELECT src FROM e2_3 GROUP BY src HAVING COUNT(*) >= 4)),
+         e4_1 AS MATERIALIZED (SELECT src, dst FROM e4_0
+           WHERE src IN (SELECT src FROM e4_0 GROUP BY src HAVING COUNT(*) >= 4)
+             AND dst IN (SELECT src FROM e4_0 GROUP BY src HAVING COUNT(*) >= 4)),
+         e4_2 AS MATERIALIZED (SELECT src, dst FROM e4_1
+           WHERE src IN (SELECT src FROM e4_1 GROUP BY src HAVING COUNT(*) >= 4)
+             AND dst IN (SELECT src FROM e4_1 GROUP BY src HAVING COUNT(*) >= 4)),
+         e4_3 AS MATERIALIZED (SELECT src, dst FROM e4_2
+           WHERE src IN (SELECT src FROM e4_2 GROUP BY src HAVING COUNT(*) >= 4)
+             AND dst IN (SELECT src FROM e4_2 GROUP BY src HAVING COUNT(*) >= 4)),
+         e8_0 AS MATERIALIZED (SELECT src, dst FROM e4_3
+           WHERE src IN (SELECT src FROM e4_3 GROUP BY src HAVING COUNT(*) >= 8)
+             AND dst IN (SELECT src FROM e4_3 GROUP BY src HAVING COUNT(*) >= 8)),
+         e8_1 AS MATERIALIZED (SELECT src, dst FROM e8_0
+           WHERE src IN (SELECT src FROM e8_0 GROUP BY src HAVING COUNT(*) >= 8)
+             AND dst IN (SELECT src FROM e8_0 GROUP BY src HAVING COUNT(*) >= 8)),
+         e8_2 AS MATERIALIZED (SELECT src, dst FROM e8_1
+           WHERE src IN (SELECT src FROM e8_1 GROUP BY src HAVING COUNT(*) >= 8)
+             AND dst IN (SELECT src FROM e8_1 GROUP BY src HAVING COUNT(*) >= 8)),
+         e8_3 AS MATERIALIZED (SELECT src, dst FROM e8_2
+           WHERE src IN (SELECT src FROM e8_2 GROUP BY src HAVING COUNT(*) >= 8)
+             AND dst IN (SELECT src FROM e8_2 GROUP BY src HAVING COUNT(*) >= 8))
+         SELECT * FROM (
+           SELECT CAST(2 AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+             CAST(COUNT(*) // 2 AS BIGINT) AS n_edges FROM e2_3
+           UNION ALL
+           SELECT CAST(4 AS BIGINT), CAST(COUNT(DISTINCT src) AS BIGINT),
+             CAST(COUNT(*) // 2 AS BIGINT) FROM e4_3
+           UNION ALL
+           SELECT CAST(8 AS BIGINT), CAST(COUNT(DISTINCT src) AS BIGINT),
+             CAST(COUNT(*) // 2 AS BIGINT) FROM e8_3)
+         ORDER BY k""",
     // skipping audit: same morton grid + pk-sorted grid, same hash
     // probe sample, exact bound checks
     "q_skipping_audit" ->

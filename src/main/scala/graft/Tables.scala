@@ -13,8 +13,14 @@ import org.apache.spark.sql.types.TimestampNTZType
 final case class Tables(spark: SparkSession, dir: String) {
   Engine.tune(spark)
 
+  // Cache the analyzed source frames per (session, dir, table): schema
+  // inference reads the parquet footer + file listing on every
+  // `spark.read.parquet`, and a bench/verify run constructs a Tables per
+  // query (241x) — per-query footer re-reads are pure fixed cost. A
+  // DataFrame is an immutable plan, so sharing one across queries is safe.
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.frameCache.getOrElseUpdate(
+      (spark, dir, name), spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -77,4 +83,10 @@ final case class Tables(spark: SparkSession, dir: String) {
     embeddings.createOrReplaceTempView("embeddings")
     events.createOrReplaceTempView("events")
   }
+}
+
+object Tables {
+  private val frameCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), DataFrame]
 }

@@ -32,15 +32,20 @@ object Multimodal {
       n_frames: Int)
 
   /** STUB decode kernel: derives fake-but-deterministic image dimensions
-    * from the payload hash. Used only for payloads [[decodeMedia]] cannot
+    * from the payload's MD5. Used only for payloads [[decodeMedia]] cannot
     * recognize; everything around it (batch shape, schema) is production
-    * plumbing.
+    * plumbing. MD5 (not a JVM hashCode) on purpose: any SQL engine can
+    * replay `md5(payload)` and re-derive the exact dims from the first
+    * four digest bytes, which is what lets the frame-sampling query be
+    * hash-checked against an external oracle instead of rows-only.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int) = {
-    val h = java.util.Arrays.hashCode(payload)
-    val w = 160 + math.floorMod(h, 8) * 160 // 160..1280
-    val ht = 90 + math.floorMod(h >> 3, 8) * 90 // 90..720
-    val frames = 1 + math.floorMod(h >> 6, 240)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val b0 = d(0) & 0xff; val b1 = d(1) & 0xff
+    val b2 = d(2) & 0xff; val b3 = d(3) & 0xff
+    val w = 160 + (b0 % 8) * 160 // 160..1280
+    val ht = 90 + (b1 % 8) * 90 // 90..720
+    val frames = 1 + (b2 * 256 + b3) % 240 // 1..240
     (w, ht, frames)
   }
 

@@ -4,9 +4,9 @@ import graft.Tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** The rest of the TPC-H sweep through the SQL frontend (Q3/5/6/10/14/18/
-  * 19/22 live in [[Analytics]]; this object completes the set with Q1, Q4,
-  * Q7, Q8, Q12, Q13, Q15, Q17 and Q21, plus schema-adapted analogues of
+/** The rest of the TPC-H sweep through the SQL frontend (Q5/6/10/14/18/
+  * 19/22 live in [[Analytics]]; this object completes the set with Q1, Q3,
+  * Q4, Q7, Q8, Q12, Q13, Q15, Q17 and Q21, plus schema-adapted analogues of
   * the five partsupp-dependent queries Q2/Q9/Q11/Q16/Q20 — the testdata
   * has no partsupp table, no commit/receipt dates and no ship modes, so
   * supply cost/stock terms re-derive from lineitem (unit price, shipped
@@ -76,6 +76,33 @@ object TpchSql {
        WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
        GROUP BY l_returnflag, l_linestatus
        ORDER BY l_returnflag, l_linestatus"""
+
+  /** Q3 (shipping priority): the classic two-fact join funnel — segment
+    * filter on the customer dim, date split across orders/lineitem, revenue
+    * per un-shipped order, top 10. `o_orderpriority` stands in for the
+    * reference schema's missing `o_shippriority` (a projected passenger
+    * column either way). Revenue accumulates as exact decimal (order-free,
+    * engine-identical) and surfaces as double; the LIMIT 10 rides a TOTAL
+    * order (revenue DESC, then orderdate, then the unique orderkey), so
+    * the cut line cannot differ between engines even under revenue ties.
+    * At scale: customer broadcasts; the orders↔lineitem join shuffles on
+    * the orderkey; the top-10 is a partial-aggregated TakeOrdered, no
+    * global sort materializes.
+    */
+  val q3: String =
+    """SELECT l_orderkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+         o_orderdate, o_orderpriority
+       FROM customer
+         JOIN orders ON c_custkey = o_custkey
+         JOIN lineitem ON l_orderkey = o_orderkey
+       WHERE c_mktsegment = 'BUILDING'
+         AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+         AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+       GROUP BY l_orderkey, o_orderdate, o_orderpriority
+       ORDER BY revenue DESC, o_orderdate, l_orderkey
+       LIMIT 10"""
 
   /** Q4 (order priority checking), adapted: "late" = some line shipped more
     * than 60 days after the order date. The correlated EXISTS carries an
@@ -366,7 +393,8 @@ object TpchSql {
 
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
-    "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q4" -> q4, "q_sql_q7" -> q7,
+    "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,
+    "q_sql_q7" -> q7,
     "q_sql_q8" -> q8, "q_sql_q9" -> q9, "q_sql_q11" -> q11,
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
     "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
