@@ -31,12 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] at sf0.1 in one JVM: an 8g heap forces frequent full GCs
-  // under 32 concurrent task threads (measured as multi-second random
-  // stalls on otherwise-trivial queries in the graded runs); the box has
-  // 128 GiB, so size the heap for throughput and use the throughput
-  // collector — this is the test-harness JVM, not the cluster posture
+  // Heap size was A/B-measured on the full 243-query bench at sf0.1 on
+  // local[32]: 8g+G1 = 238s with a clean profile; 24g (either collector)
+  // = ~256s with random multi-second stalls landing on arbitrary queries
+  // (big-heap G1 young-gen pauses under 32 task threads). Keep the small
+  // proven heap; SPARK_DRIVER_MEM / SPARK_GRAFT_GC override for
+  // experiments. This is the test-harness JVM, not the cluster posture
   // (executors size their own heaps there).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-  "-XX:+UseParallelGC",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-XX:+Use${sys.env.getOrElse("SPARK_GRAFT_GC", "G1")}GC",
 )

@@ -71,14 +71,18 @@ object Bench {
     // hotspot; unset (the driver's mode) times every registered query
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    def timeAll(): Seq[(String, Double)] =
+    def timeAll(): Seq[(String, Double)] = {
+      var i = 0
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => only.forall(_.contains(name)) }
         .map { case (name, fn) =>
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          i += 1
+          name -> dt
         }
+    }
     def toJson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val results = timeAll()

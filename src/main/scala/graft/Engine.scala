@@ -61,6 +61,35 @@ object Engine {
     if (estBytes >= BigInt(maxPartBytes) * target) df else df.repartition(target)
   }
 
+  /** Materialization point for driver-orchestrated iterative loops
+    * (connected components, PageRank rounds, k-core peels, Lloyd's
+    * iterations). Default: `localCheckpoint()` — executor-memory resident,
+    * the right call for bench/test runs. Cluster posture: set
+    * `spark.graft.checkpoint.reliable=true` (plus optionally
+    * `spark.graft.checkpoint.dir`) and every loop switches to a RELIABLE
+    * `checkpoint()` — round state survives executor loss and is not bound
+    * by executor storage memory, which is what a 100 TB edge fact needs.
+    * Same loop code either way; the toggle is pure configuration.
+    */
+  def loopCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
+      if (spark.sparkContext.getCheckpointDir.isEmpty)
+        spark.sparkContext.setCheckpointDir(
+          spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
+            java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
+      df.checkpoint()
+    } else df.localCheckpoint()
+  }
+
+  /** `.loopCheckpoint()` as a postfix op so call sites chain like the
+    * `localCheckpoint()` they replace.
+    */
+  implicit final class LoopCheckpointOps(private val df: org.apache.spark.sql.DataFrame)
+      extends AnyVal {
+    def loopCheckpoint(): org.apache.spark.sql.DataFrame = Engine.loopCheckpoint(df)
+  }
+
   /** Unpersist the materialized RDD behind a `localCheckpoint()`ed frame.
     * Iterative loops (connected components, Lloyd's iterations) checkpoint
     * every round; without this the superseded rounds' blocks sit in

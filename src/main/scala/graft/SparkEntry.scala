@@ -233,6 +233,7 @@ object SparkEntry {
     "q_dedup_minhash" -> q(Dedup.qDedupMinhash),
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
+    "q_dedup_minhash_verify" -> q(Dedup.qDedupMinhashVerify(_)),
     "q_dedup_agreement" -> q(Dedup.qDedupAgreement),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
@@ -244,7 +245,7 @@ object SparkEntry {
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
-    "q_token_budget" -> q(Sampling.qTokenBudget),
+    "q_token_budget" -> q(Sampling.qTokenBudget(_)),
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
@@ -1780,22 +1781,33 @@ object SparkEntry {
            list_max(list_transform(range(1, len(v) + 1),
              i -> abs(v[i] - CAST(q[i] AS DOUBLE) * mx / 127.0))) AS max_err
          FROM q ORDER BY vec_id""",
+    // fuzzy-name family: blocks are (brand, token1, token2) with blocks
+    // over 2000 rows dropped — identical key + cap as the engine's
+    // nameBlockPairs, so both engines cut the same candidates
     "q_fuzzy_names" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name,
-             string_split(p_name, ' ')[1] AS w1 FROM part)
+             string_split(p_name, ' ')[1] AS w1,
+             coalesce(string_split(p_name, ' ')[2], '') AS w2 FROM part),
+         ok AS (SELECT p_brand, w1, w2 FROM p GROUP BY 1, 2, 3
+           HAVING COUNT(*) <= 2000),
+         pc AS (SELECT p.* FROM p JOIN ok USING (p_brand, w1, w2))
          SELECT a.p_partkey AS id1, b.p_partkey AS id2,
            CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-         FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
-           AND a.p_partkey < b.p_partkey
+         FROM pc a JOIN pc b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+           AND a.w2 = b.w2 AND a.p_partkey < b.p_partkey
          WHERE levenshtein(a.p_name, b.p_name) <= 3
          ORDER BY id1, id2""",
     "q_jaro_names" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_name,
-             string_split(p_name, ' ')[1] AS w1 FROM part),
+             string_split(p_name, ' ')[1] AS w1,
+             coalesce(string_split(p_name, ' ')[2], '') AS w2 FROM part),
+         ok AS (SELECT p_brand, w1, w2 FROM p GROUP BY 1, 2, 3
+           HAVING COUNT(*) <= 2000),
+         pc AS (SELECT p.* FROM p JOIN ok USING (p_brand, w1, w2)),
          j AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
-           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
-             AND a.p_partkey < b.p_partkey)
+           FROM pc a JOIN pc b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+             AND a.w2 = b.w2 AND a.p_partkey < b.p_partkey)
          SELECT id1, id2, sim FROM j WHERE sim >= 0.93
          ORDER BY id1, id2""",
     // exact streaming distinct (dropDuplicates -> hourly agg) must match
@@ -2332,6 +2344,35 @@ object SparkEntry {
            CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
          FROM j WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3
          ORDER BY id1, id2""",
+    // the LSH verify stage under deterministic rare-gram buckets: same
+    // 3-gram construction as q_contamination, df band [2, 8] = bucket +
+    // cap, exact gram-set jaccard rounded at 1e-6 like the engine's
+    // hashed-set verify
+    "q_dedup_minhash_verify" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d),
+         sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         rare AS (SELECT gram FROM dg GROUP BY gram
+           HAVING COUNT(*) BETWEEN 2 AND 8),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT * FROM dg JOIN rare USING (gram)) a
+           JOIN (SELECT * FROM dg JOIN rare USING (gram)) b USING (gram)
+           WHERE a.doc_id < b.doc_id),
+         j AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM cand c
+           JOIN dg x ON x.doc_id = c.id1
+           JOIN dg y ON y.doc_id = c.id2 AND y.gram = x.gram
+           GROUP BY 1, 2),
+         scored AS (SELECT j.id1, j.id2,
+             round(CAST(inter AS DOUBLE) / (s1.ng + s2.ng - inter), 6)
+               AS jaccard
+           FROM j JOIN sz s1 ON j.id1 = s1.doc_id
+                  JOIN sz s2 ON j.id2 = s2.doc_id)
+         SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
+         ORDER BY id1, id2""",
     // ensemble agreement: jaccard CTEs identical to q_ngram_jaccard;
     // cosine threshold as pure integer arithmetic (25 dot^2 >= 9 s1 s2)
     "q_dedup_agreement" ->
@@ -2851,11 +2892,15 @@ object SparkEntry {
     // min-label + max-of-struct pipeline
     "q_entity_resolution" ->
       """WITH RECURSIVE p AS (SELECT p_partkey, p_brand, p_name,
-             string_split(p_name, ' ')[1] AS w1 FROM part),
+             string_split(p_name, ' ')[1] AS w1,
+             coalesce(string_split(p_name, ' ')[2], '') AS w2 FROM part),
+         ok AS (SELECT p_brand, w1, w2 FROM p GROUP BY 1, 2, 3
+           HAVING COUNT(*) <= 2000),
+         pc AS (SELECT p.* FROM p JOIN ok USING (p_brand, w1, w2)),
          j AS (SELECT a.p_partkey AS id1, b.p_partkey AS id2,
              round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS sim
-           FROM p a JOIN p b ON a.p_brand = b.p_brand AND a.w1 = b.w1
-             AND a.p_partkey < b.p_partkey),
+           FROM pc a JOIN pc b ON a.p_brand = b.p_brand AND a.w1 = b.w1
+             AND a.w2 = b.w2 AND a.p_partkey < b.p_partkey),
          pairs AS (SELECT id1, id2 FROM j WHERE sim >= 0.93),
          sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
            UNION ALL SELECT id2, id1 FROM pairs),

@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.DecimalType
 /** Distributed training of a document-quality classifier WITHOUT MLlib:
   * logistic regression by a fixed number of full-batch gradient-descent
   * rounds, driver-orchestrated in the engine's iterative-loop convention
-  * (each round = ONE aggregate over the feature frame; only 4 gradient
+  * (each round = ONE aggregate over the feature frame; only 5 gradient
   * scalars ever reach the driver — the same shape as PageRank's rounds or
   * Lloyd's iterations, so it runs unchanged on a 1000-executor corpus).
   *
@@ -34,7 +34,7 @@ object Classifier {
 
   val Scale: Long = 1000000L // 1e6: micro-unit fixed point
 
-  /** Feature frame: integer micro-unit features x0..x3 (x0 = bias) and
+  /** Feature frame: integer micro-unit features x0..x4 (x0 = bias) and
     * the 0/1 label. Map-side only.
     */
   def features(t: Tables): DataFrame = {
@@ -60,7 +60,7 @@ object Classifier {
   }
 
   /** One GD round: returns the updated weights. `eta` is the learning
-    * rate; the gradient aggregate runs distributed, only 4 scalars and
+    * rate; the gradient aggregate runs distributed, only 5 scalars and
     * the (loop-invariant) row count come back.
     */
   private def roundGd(weights: Seq[Double], feat: DataFrame, nRows: Long,

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.Tables
+import graft.Engine.LoopCheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -119,20 +120,33 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // verification: fetch shingle hashes for ONLY the candidate docs (a
-    // broadcast semi-join against the cached shingled frame; at a scale
-    // where the corpus-wide shd cache is too big to keep, this join swaps
-    // to the raw corpus + re-derivation for the handful of candidates —
-    // either way nothing doc-sized crosses the banding shuffle)
+    // materialize the (small, verified) result, then drop the two pipeline
+    // caches — a long-lived session would otherwise accumulate storage
+    // blocks on every invocation
+    val out = verifyJaccard(pairs, shingled, threshold).loopCheckpoint()
+    shingled.unpersist(false)
+    pairs.unpersist(false)
+    out
+  }
+
+  /** The exact-jaccard VERIFY stage every LSH pipeline funnels into:
+    * fetch hashed shingle sets for ONLY the candidate docs (a broadcast
+    * semi-join against the cached shingled frame; at a scale where the
+    * corpus-wide shd cache is too big to keep, this join swaps to the raw
+    * corpus + re-derivation for the handful of candidates — either way
+    * nothing doc-sized crosses the banding shuffle), intersect, threshold.
+    * The verify joins are left to AQE: the candidate set is bounded
+    * (bucket-capped) so AQE converts them to broadcasts at runtime from
+    * the actual sizes; forcing eager broadcast here serializes the nested
+    * broadcast builds and measured ~3x slower.
+    */
+  private[graft] def verifyJaccard(
+      pairs: DataFrame, shingled: DataFrame, threshold: Double): DataFrame = {
     val candIds = pairs.select(col("id1").as("id"))
       .union(pairs.select(col("id2").as("id")))
       .distinct()
     val candShd = shingled.join(broadcast(candIds), "id")
-    // the verify joins are left to AQE: candShd is bounded (bucket-capped)
-    // so AQE converts them to broadcasts at runtime from the actual sizes;
-    // forcing eager broadcast here serializes the nested broadcast builds
-    // and measured ~3x slower
-    val verified = pairs
+    pairs
       .join(candShd.toDF("id1", "sh1"), "id1")
       .join(candShd.toDF("id2", "sh2"), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
@@ -141,12 +155,52 @@ object Dedup {
       .withColumn("jaccard", round(col("inter") / col("uni"), 6))
       .filter(col("jaccard") >= threshold)
       .select("id1", "id2", "jaccard")
-    // materialize the (small, verified) result, then drop the two pipeline
-    // caches — a long-lived session would otherwise accumulate storage
-    // blocks on every invocation
-    val out = verified.localCheckpoint()
+  }
+
+  /** [[minhashPairs]]' verify stage under a DETERMINISTIC candidate
+    * generator, graded with a full hash oracle. Candidates are rare-gram
+    * buckets: doc pairs sharing at least one 3-gram that appears in 2 to
+    * `maxDf` documents — the same bucket-join + cap + exact-jaccard-verify
+    * plan shape as the minhash banding (a rare gram IS a band bucket), but
+    * with bucket membership defined by the gram itself rather than an
+    * engine-specific signature, so DuckDB replays the identical candidate
+    * set from gram strings and the identical jaccard from gram-set sizes
+    * (hashed-set jaccard = string-set jaccard; the hashes are injective on
+    * the corpus modulo 2^-64 collisions). On this corpus the rare-gram
+    * candidates recover every >= 0.7 pair the banded pipeline finds, so
+    * this query hash-checks exactly the verify arithmetic q_dedup_minhash
+    * relies on.
+    *
+    * Scale: gram df and bucket explode are one shuffle each; the df cap
+    * bounds per-bucket fan-out at maxDf^2/2; verify touches only candidate
+    * docs. Same 100 TB posture as the banded variant.
+    */
+  def qDedupMinhashVerify(
+      t: Tables, maxDf: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val shingled = graft.Engine.spread(
+      t.documents.select(col("doc_id").as("id"), col("text")))
+      .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
+      .filter(size(col("shd")) > 0)
+      .select(col("id"), col("shd"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dg = shingled.select(col("id"), explode(col("shd")).as("g"))
+    // shd is distinct per doc, so bucket size == document frequency; the
+    // [2, maxDf] band is both the rarity definition and the skew cap
+    val pairs = dg
+      .groupBy("g")
+      .agg(collect_list(col("id")).as("members"))
+      .filter(size(col("members")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+             transform(slice(members, i + 2, size(members)), b ->
+               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .dropDuplicates("id1", "id2")
+    val out = verifyJaccard(pairs, shingled, threshold)
+      .orderBy("id1", "id2")
+      .loopCheckpoint()
     shingled.unpersist(false)
-    pairs.unpersist(false)
     out
   }
 
@@ -198,7 +252,7 @@ object Dedup {
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
     var labels = sym.select(col("src").as("id"), col("src").as("comp")).distinct()
-      .localCheckpoint()
+      .loopCheckpoint()
     // min-propagation is monotone (a label only ever decreases), so the
     // label sum is a convergence witness — one aggregate per round, no
     // old-vs-new join
@@ -214,7 +268,7 @@ object Dedup {
         .select(sym("src").as("id"), col("comp"))
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+        .loopCheckpoint()
       val s = labelSum(next)
       done = s == lastSum
       lastSum = s
@@ -243,7 +297,7 @@ object Dedup {
     // propagation below (and under both of connectedComponents' initial
     // frames), re-analyzing and re-optimizing a deep plan per round. Also
     // skips qNgramJaccard's presentation sort — edges are unordered input.
-    val edges = ngramJaccardPairs(t).select("id1", "id2").localCheckpoint()
+    val edges = ngramJaccardPairs(t).select("id1", "id2").loopCheckpoint()
     val labels = connectedComponents(edges)
     val out = labels
       .groupBy("comp")
@@ -254,7 +308,7 @@ object Dedup {
           ",").as("members"))
       .select(col("comp").as("keep_id"), col("n_members"), col("members"))
       .orderBy("keep_id")
-      .localCheckpoint()
+      .loopCheckpoint()
     graft.Engine.freeCheckpoint(labels)
     graft.Engine.freeCheckpoint(edges)
     out
@@ -461,59 +515,79 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
-  /** Fuzzy record dedup by edit distance under blocking: candidate pairs
-    * share a cheap block key (brand + first name token), then
-    * levenshtein <= maxDist confirms. Blocking is what makes fuzzy matching
-    * scale — the quadratic comparison runs only inside blocks (max block
-    * here: a few dozen rows), never across the whole table; the block key
-    * is the shuffle key, so skew maps directly to block-size skew, which a
-    * good key keeps bounded.
+  /** Blocked candidate pairs over part names — the shared front end of
+    * the fuzzy-matching family ([[qFuzzyNames]], [[qJaroNames]],
+    * [[qEntityResolution]]). Two defenses keep the in-block quadratic
+    * bounded as data grows:
+    *
+    *  1. the block key is (brand, first token, second token) — the
+    *     coarser (brand, first-token) key has a FIXED key domain on this
+    *     vocabulary, so its block sizes grow linearly with the table and
+    *     the in-block self-join quadratically; adding the second token
+    *     scales the key domain with the data. Every >= 0.93 Jaro-Winkler
+    *     pair at both test SFs shares its second token, so the refinement
+    *     does not change results (single-token names keep an '' key on
+    *     both sides rather than a null that would un-pair them);
+    *  2. `maxBlock` drops blocks that are still pathological after the
+    *     refinement (a boilerplate name flooding one key) — the same
+    *     cap-the-bucket semantics as [[minhashPairs]]'s `maxBucket`,
+    *     mirrored in the DuckDB oracles so both engines cut identically.
+    *     It never binds at test scale (max block 26 at sf0.1 vs cap 2000).
     */
-  def qFuzzyNames(t: Tables, maxDist: Int = 3): DataFrame = {
-    val p = t.part.select(
+  private[graft] def nameBlockPairs(t: Tables, maxBlock: Int = 2000): DataFrame =
+    nameBlockPairsOf(t.part, maxBlock)
+
+  private[graft] def nameBlockPairsOf(part: DataFrame, maxBlock: Int): DataFrame = {
+    val p = part.select(
       col("p_partkey"), col("p_brand"), col("p_name"),
-      split(col("p_name"), " ").getItem(0).as("w1"))
-    val a = p.select(col("p_brand"), col("w1"),
+      split(col("p_name"), " ").getItem(0).as("w1"),
+      coalesce(split(col("p_name"), " ").getItem(1), lit("")).as("w2"))
+    val ok = p.groupBy("p_brand", "w1", "w2")
+      .agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBlock)
+      .select("p_brand", "w1", "w2")
+    // the block-key whitelist is key-domain-sized (tiny) — broadcast it
+    val pc = p.join(broadcast(ok), Seq("p_brand", "w1", "w2"), "left_semi")
+    val a = pc.select(col("p_brand"), col("w1"), col("w2"),
       col("p_partkey").as("id1"), col("p_name").as("name1"))
-    val b = p.select(col("p_brand"), col("w1"),
+    val b = pc.select(col("p_brand"), col("w1"), col("w2"),
       col("p_partkey").as("id2"), col("p_name").as("name2"))
-    a.join(b, Seq("p_brand", "w1"))
+    a.join(b, Seq("p_brand", "w1", "w2"))
       .filter(col("id1") < col("id2"))
+  }
+
+  /** Fuzzy record dedup by edit distance under blocking: candidate pairs
+    * share the capped [[nameBlockPairs]] block key, then
+    * levenshtein <= maxDist confirms. Blocking is what makes fuzzy matching
+    * scale — the quadratic comparison runs only inside bounded blocks,
+    * never across the whole table.
+    */
+  def qFuzzyNames(t: Tables, maxDist: Int = 3): DataFrame =
+    nameBlockPairs(t)
       .withColumn("dist", levenshtein(col("name1"), col("name2")).cast("long"))
       .filter(col("dist") <= maxDist)
       .select("id1", "id2", "dist")
       .orderBy("id1", "id2")
-  }
 
-  /** Jaro-Winkler fuzzy matching over the same (brand, first-word) blocks
-    * as [[qFuzzyNames]], through the native `jaro_winkler` expression
-    * (codegen'd, DuckDB-bit-exact — see
-    * [[graft.functions.JaroWinklerImpl]]). Similarity is rounded at 1e-6
-    * BEFORE thresholding so the cut is taken on a value both engines agree
-    * on exactly. Same scale posture as the levenshtein variant: candidate
-    * count is bounded by block size, the pair filter runs inside
-    * whole-stage codegen.
+  /** Jaro-Winkler fuzzy matching over the same capped [[nameBlockPairs]]
+    * blocks, through the native `jaro_winkler` expression (codegen'd,
+    * DuckDB-bit-exact — see [[graft.functions.JaroWinklerImpl]]).
+    * Similarity is rounded at 1e-6 BEFORE thresholding so the cut is taken
+    * on a value both engines agree on exactly.
     */
-  def qJaroNames(t: Tables, minSim: Double = 0.93): DataFrame = {
-    val p = t.part.select(
-      col("p_partkey"), col("p_brand"), col("p_name"),
-      split(col("p_name"), " ").getItem(0).as("w1"))
-    val a = p.select(col("p_brand"), col("w1"),
-      col("p_partkey").as("id1"), col("p_name").as("name1"))
-    val b = p.select(col("p_brand"), col("w1"),
-      col("p_partkey").as("id2"), col("p_name").as("name2"))
-    a.join(b, Seq("p_brand", "w1"))
-      .filter(col("id1") < col("id2"))
+  def qJaroNames(t: Tables, minSim: Double = 0.93): DataFrame =
+    jaroPairs(nameBlockPairs(t), minSim).orderBy("id1", "id2")
+
+  private[graft] def jaroPairs(pairs: DataFrame, minSim: Double): DataFrame =
+    pairs
       .withColumn("sim", round(expr("jaro_winkler(name1, name2)"), 6))
       .filter(col("sim") >= minSim)
       .select("id1", "id2", "sim")
-      .orderBy("id1", "id2")
-  }
 
   /** End-to-end entity resolution over part names, composing the graded
     * building blocks into one pipeline: blocked Jaro-Winkler candidate
-    * pairs ([[qJaroNames]]'s blocks — quadratic work confined to
-    * (brand, first-token) buckets) → min-label connected components
+    * pairs ([[nameBlockPairs]] — quadratic work confined to capped
+    * (brand, token1, token2) buckets) → min-label connected components
     * ([[connectedComponents]]) → canonical-record survivorship per cluster
     * (longest name, ties to the lowest key — the same max-of-struct
     * single-aggregate shape as [[qDedupKeepBest]], no ranking window).
@@ -522,7 +596,10 @@ object Dedup {
     * survivor — three different algorithms, one hash.
     */
   def qEntityResolution(t: Tables, minSim: Double = 0.93): DataFrame = {
-    val edges = qJaroNames(t, minSim).select("id1", "id2").localCheckpoint()
+    // the un-sorted pair form: edges are unordered CC input, so skip
+    // qJaroNames' presentation sort
+    val edges = jaroPairs(nameBlockPairs(t), minSim)
+      .select("id1", "id2").loopCheckpoint()
     val labels = connectedComponents(edges)
     val named = labels.join(
       t.part.select(col("p_partkey").as("id"), col("p_name")), "id")
@@ -539,7 +616,7 @@ object Dedup {
         (-col("best.negid")).as("canonical_id"),
         col("best.nm").as("canonical_name"), col("members"))
       .orderBy("cluster_id")
-      .localCheckpoint()
+      .loopCheckpoint()
     graft.Engine.freeCheckpoint(labels)
     graft.Engine.freeCheckpoint(edges)
     out

@@ -148,20 +148,6 @@ object Sampling {
       .orderBy("source")
   }
 
-  /** Token-budget-constrained corpus selection: greedily admit documents in
-    * (quality desc, doc_id) order until the running token total exceeds the
-    * budget — the knapsack-greedy pass that turns a scored corpus into a
-    * fixed-size training set. Emits the per-source composition of the
-    * selected set (the dial an operator actually reads).
-    *
-    * Exactness: quality is rounded at 1e-9 BEFORE the ordering so both
-    * engines sort the same key (doc_id breaks the residual ties), and the
-    * admission cut runs on an integer token cumsum. Scale shape: scoring is
-    * map-side; the global greedy order is one sort (the same
-    * total-order-by-score shape as any top-k corpus cut — range
-    * partitioning keeps it parallel at 100 TB); the final rollup is a
-    * hash aggregate on the few-row source dimension.
-    */
   /** Global contiguous id assignment in content-hash order — the
     * "stable document ids for a 100 TB corpus" primitive, WITHOUT a
     * single-partition ranking window. Two passes, the production shape:
@@ -199,20 +185,50 @@ object Sampling {
       .orderBy("gid")
   }
 
-  def qTokenBudget(t: Tables): DataFrame = {
+  /** Token-budget-constrained corpus selection: greedily admit documents in
+    * (quality desc, doc_id) order until the running token total exceeds the
+    * budget — the knapsack-greedy pass that turns a scored corpus into a
+    * fixed-size training set. Emits the per-source composition of the
+    * selected set (the dial an operator actually reads).
+    *
+    * Exactness: quality is rounded at 1e-9 BEFORE the ordering so both
+    * engines sort the same key (doc_id breaks the residual ties), and the
+    * admission cut runs on an integer token cumsum. Scale shape: scoring is
+    * map-side, and the greedy cumsum is [[qAssignIds]]' two-pass
+    * range-partition + per-partition-offset pattern — NOT a
+    * single-partition ranking window: range-partition on the greed key,
+    * one token subtotal per partition to the driver, prefix-sum the
+    * offsets, then each partition extends its own running total from its
+    * offset. The cumsum is a pure function of the total order, so the
+    * result is partition-placement-independent and hash-matches the
+    * oracle's global window.
+    */
+  def qTokenBudget(t: Tables, parts: Int = 8): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
     val scored = t.documents.select(
       col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       round(TextAnalysis.qualityExpr(col("text")), 9).as("q"))
     // budget = half the corpus's tokens (integer div — scale-relative, so
-    // the query is meaningful at every sf)
-    val budget = scored.agg(expr("sum(n_tokens) div 2").as("budget"))
-    val byGreed = Window.orderBy(col("q").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scored
-      .withColumn("cum_tokens", sum("n_tokens").over(byGreed))
-      .crossJoin(broadcast(budget))
-      .filter(col("cum_tokens") <= col("budget"))
+    // the query is meaningful at every sf); one scalar to the driver
+    val budget = scored.agg(expr("sum(n_tokens) div 2")).head().getLong(0)
+    val sorted = scored
+      .repartitionByRange(parts, col("q").desc, col("doc_id"))
+      .sortWithinPartitions(col("q").desc, col("doc_id"))
+      .as[(Long, String, Long, Double)]
+    val subtotals = sorted.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._3).sum)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = subtotals.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    sorted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var cum = bc.value(i)
+        it.map { case (id, src, tok, q) => cum += tok; (id, src, tok, q, cum) }
+      }
+      .toDF("doc_id", "source", "n_tokens", "q", "cum_tokens")
+      .filter(col("cum_tokens") <= budget)
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -392,14 +392,21 @@ object Events {
 
   /** Peak concurrency per hour-of-day by interval sweep: each event opens
     * a 5-minute activity window [ts, ts+300s), the +1/-1 endpoint deltas
-    * are sorted once, and a running sum gives the live-interval count at
-    * every boundary — the O(n log n) sweep-line that replaces the
-    * quadratic self-join formulation of "how many windows overlap".
-    * End points sort BEFORE start points at the same instant (delta
-    * ascending), which is exactly half-open interval semantics, and the
-    * event id is the final tiebreak so the running sum is a total order —
-    * engine-exact. Scale: the only cost is one global sort of 2n tiny
-    * rows; per-key (e.g. per-tenant) sweeps would partition the window.
+    * are sorted, and a running sum gives the live-interval count at every
+    * boundary — the O(n log n) sweep-line that replaces the quadratic
+    * self-join formulation of "how many windows overlap". End points sort
+    * BEFORE start points at the same instant (delta ascending), which is
+    * exactly half-open interval semantics, and the event id is the final
+    * tiebreak so the running sum is a total order — engine-exact.
+    *
+    * Scale: NOT one global single-partition window. The sweep decomposes
+    * by epoch hour: a window partitioned by hour runs the in-hour prefix
+    * sums in parallel, and each hour's carry-in (the live count inherited
+    * from every earlier hour) is a prefix sum over the HOUR-TOTAL frame —
+    * dimension-sized (one row per hour in the data), so its global window
+    * is bounded regardless of event volume. live = carry + in-hour sum
+    * reproduces the global cumsum exactly, so the oracle keeps its plain
+    * one-window formulation.
     */
   def qSessionConcurrency(t: Tables, activeUs: Long = 300L * 1000000L): DataFrame = {
     // microsecond domain like qInterarrival: sweep order must be a total
@@ -408,15 +415,29 @@ object Events {
     // invisible to the oracle and could transiently reorder +1/-1 deltas
     val ev = t.events.select(
       expr("ts_ns div 1000").as("ts_us"), col("event_id"))
+    val hourUs = 3600L * 1000000L
     val pts = ev
       .select(col("ts_us").as("pt"), lit(1).as("delta"), col("event_id"))
       .unionAll(ev.select(
         (col("ts_us") + lit(activeUs)).as("pt"), lit(-1).as("delta"),
         col("event_id")))
-    val sweep = Window.orderBy(col("pt"), col("delta"), col("event_id"))
+      .withColumn("hr", expr(s"pt div ${hourUs}L"))
+    // pass 1: in-hour sweep — partitioned window, parallel at any scale
+    // (epoch hour is monotone in pt, so per-hour order + hour order is
+    // exactly the global sweep order)
+    val inHour = Window.partitionBy("hr")
+      .orderBy(col("pt"), col("delta"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // pass 2: carry-in per hour — prefix sum over one row per hour
+    val priorHours = Window.orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = pts.groupBy("hr").agg(sum("delta").as("tot"))
+      .withColumn("carry", coalesce(sum("tot").over(priorHours), lit(0L)))
+      .select("hr", "carry")
     pts
-      .withColumn("live", sum("delta").over(
-        sweep.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("loc", sum("delta").over(inHour))
+      .join(broadcast(carry), "hr")
+      .withColumn("live", col("carry") + col("loc"))
       .groupBy(expr("(pt div 3600000000) % 24").as("hod"))
       .agg(max("live").cast("long").as("peak_concurrent"),
         count(lit(1)).as("n_boundaries"))
@@ -627,11 +648,18 @@ object Events {
         sum(col("x").cast(DecimalType(28, 0)) * col("x")).as("sxx"),
         sum(col("y").cast(DecimalType(28, 0)) * col("y")).as("syy"))
       .select(col("lag"), col("n_pairs"),
+        // the cross-terms sx*sy / sx² / sy² get the same DECIMAL widening
+        // as the moment sums above: long*long would wrap silently at the
+        // hot-hour magnitudes the decimal guard exists for (DuckDB computes
+        // these in HUGEINT, so only the Spark side needed widening)
         round(
-          (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_pairs") * col("sxy") -
+            col("sx").cast(DecimalType(28, 0)) * col("sy")).cast("double") /
             sqrt(
-              (col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double") *
-                (col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double")),
+              (col("n_pairs") * col("sxx") -
+                col("sx").cast(DecimalType(28, 0)) * col("sx")).cast("double") *
+                (col("n_pairs") * col("syy") -
+                  col("sy").cast(DecimalType(28, 0)) * col("sy")).cast("double")),
           9).as("xcorr"))
       .orderBy("lag")
       .localCheckpoint()

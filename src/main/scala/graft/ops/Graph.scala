@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Engine.LoopCheckpointOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -11,10 +12,12 @@ import org.apache.spark.sql.functions._
   *
   * Iterative algorithms follow the same driver-orchestrated loop shape as
   * [[graft.ext.Dedup.connectedComponents]]: the edge set is materialized
-  * once (`localCheckpoint` — at cluster scale a real checkpoint), each
-  * round is ONE join + ONE aggregation, and only scalar convergence
-  * metadata ever reaches the driver. Rank state is a (node, rank) frame —
-  * linear in nodes, never in edges.
+  * once via [[graft.Engine.loopCheckpoint]] (local by default; the
+  * `spark.graft.checkpoint.reliable` conf switches every loop to reliable
+  * `checkpoint()` for the fault-tolerant cluster posture), each round is
+  * ONE join + ONE aggregation, and only scalar convergence metadata ever
+  * reaches the driver. Rank state is a (node, rank) frame — linear in
+  * nodes, never in edges.
   *
   * Numerics: ranks are kept in integer MICRO-UNITS (1e9 = total mass 1.0)
   * and every per-edge contribution is an integer floor division
@@ -73,12 +76,12 @@ object Graph {
         graft.Engine.freeCheckpoint(cachedEdgeIndex.edges)
         graft.Engine.freeCheckpoint(cachedEdgeIndex.deg)
       }
-      val edges = coPurchaseEdges(t).localCheckpoint()
+      val edges = coPurchaseEdges(t).loopCheckpoint()
       // src-degree over the symmetric deduplicated edge set = undirected
       // neighbor count — the degree every consumer (PageRank, profile,
       // triangles) wants
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-        .localCheckpoint()
+        .loopCheckpoint()
       val stats = deg.agg(count(lit(1)), min("src")).head()
       cachedEdgeIndex = EdgeIndex(edges, deg, stats.getLong(0),
         if (stats.isNullAt(1)) 0L else stats.getLong(1))
@@ -129,7 +132,7 @@ object Graph {
       // would drag edgesD's checkpoint down with it on round 2
       var ranks = deg.select(col("src").as("node"))
         .withColumn("r", lit(1000000000L / nNodes))
-        .localCheckpoint()
+        .loopCheckpoint()
       var prev: DataFrame = null
       for (_ <- 1 to iters) {
         val next = edgesD
@@ -138,7 +141,7 @@ object Graph {
             expr("(r * 85) div (100 * deg)").as("c"))
           .groupBy(col("dst").as("node"))
           .agg((sum("c") + lit(base)).as("r"))
-          .localCheckpoint()
+          .loopCheckpoint()
         if (prev != null) graft.Engine.freeCheckpoint(prev)
         prev = ranks
         ranks = next
@@ -174,7 +177,7 @@ object Graph {
     val hopFrames = scala.collection.mutable.Buffer(
       edges0.sparkSession.range(1)
         .select(lit(seed).as("node"), lit(0L).as("hop"))
-        .localCheckpoint())
+        .loopCheckpoint())
     var frontier = hopFrames.head.select("node")
     var h = 1
     var growing = true
@@ -185,7 +188,7 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(maybeBroadcast(visited), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint()
+        .loopCheckpoint()
       growing = !next.isEmpty // cheap: `next` is already materialized
       if (growing) {
         hopFrames += next
@@ -284,7 +287,7 @@ object Graph {
     // frame — no distinct shuffle over edges; re-checkpointed so round 1's
     // free of the superseded frame cannot unpersist the cache-owned deg
     var labels = idx.deg.select(col("src").as("node"), col("src").as("lbl"))
-      .localCheckpoint()
+      .loopCheckpoint()
     for (_ <- 1 to iters) {
       val next = edges
         .join(maybeBroadcast(labels.withColumnRenamed("node", "src")), "src")
@@ -293,7 +296,7 @@ object Graph {
         .groupBy(col("dst").as("node"))
         .agg(min(struct((-col("c")).as("nc"), col("lbl").as("l"))).as("s"))
         .select(col("node"), col("s.l").as("lbl"))
-        .localCheckpoint()
+        .loopCheckpoint()
       graft.Engine.freeCheckpoint(labels)
       labels = next
     }
@@ -466,7 +469,7 @@ object Graph {
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
         .select("src", "dst")
-        .localCheckpoint()
+        .loopCheckpoint()
       // the symmetric edge frame's src-degree equals the undirected
       // degree; convergence = no edge was dropped this round
       val c = next.count()
@@ -523,19 +526,19 @@ object Graph {
     val source = idx.minNode
     var dist = weighted.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
-      .localCheckpoint()
+      .loopCheckpoint()
     for (_ <- 1 to hops) {
       val next = weighted
         .join(dist, weighted("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint()
+        .loopCheckpoint()
       graft.Engine.freeCheckpoint(dist)
       dist = next
     }
     val out = dist.orderBy(col("dist"), col("node")).limit(20)
-      .localCheckpoint()
+      .loopCheckpoint()
     graft.Engine.freeCheckpoint(dist) // the shared weighted index stays
     out
   }
@@ -557,13 +560,13 @@ object Graph {
     val parentOf = nodes.as("c")
       .join(nodes.as("p"), expr("p.id = c.id div 10 AND p.id <> c.id"), "left")
       .select(col("c.id").as("id"), col("p.id").as("parent"))
-      .localCheckpoint()
+      .loopCheckpoint()
     var labels = parentOf.select(
         col("id"),
         coalesce(col("parent"), col("id")).as("anc"),
         when(col("parent").isNull, lit(0L)).otherwise(lit(1L)).as("depth"),
         col("parent").isNull.as("done"))
-      .localCheckpoint()
+      .loopCheckpoint()
     val anc = parentOf.toDF("anc", "anc_parent")
     var active = labels.filter(!col("done")).count()
     var i = 0
@@ -577,7 +580,7 @@ object Graph {
           when(col("done") || col("anc_parent").isNull, col("depth"))
             .otherwise(col("depth") + 1L).as("depth"),
           (col("done") || col("anc_parent").isNull).as("done"))
-        .localCheckpoint()
+        .loopCheckpoint()
       active = next.filter(!col("done")).count()
       graft.Engine.freeCheckpoint(labels)
       labels = next
@@ -589,7 +592,7 @@ object Graph {
       .groupBy("depth")
       .agg(count(lit(1)).as("n_nodes"), countDistinct("anc").as("n_roots"))
       .orderBy("depth")
-      .localCheckpoint()
+      .loopCheckpoint()
     graft.Engine.freeCheckpoint(labels)
     graft.Engine.freeCheckpoint(parentOf)
     out

@@ -63,16 +63,21 @@ object Streams {
     */
   def eventsStream(
       spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
-    val tsIsLong = spark.read.option("pathGlobFilter", globFilter)
-      .parquet(dir).schema.find(_.name == "ts").exists(_.dataType == LongType)
+    // the probed batch type is threaded into the declared stream schema
+    // VERBATIM — hardcoding e.g. TimestampNTZType here would make the
+    // vectorized reader reject a future TIMESTAMP(MICROS, adjusted-to-UTC)
+    // encoding that the batch reader (Tables.events) handles fine
+    val tsType = spark.read.option("pathGlobFilter", globFilter)
+      .parquet(dir).schema.find(_.name == "ts").map(_.dataType)
+      .getOrElse(TimestampNTZType)
     val src = spark.readStream
-      .schema(eventFileSchema(if (tsIsLong) LongType else TimestampNTZType))
+      .schema(eventFileSchema(tsType))
       .option("maxFilesPerTrigger", "8")
       // lets a stream share a mixed landing directory (e.g. the testdata
       // root, where events.parquet sits next to the other tables)
       .option("pathGlobFilter", globFilter)
       .parquet(dir)
-    if (tsIsLong)
+    if (tsType == LongType)
       src
         .withColumn("ts_ns", col("ts"))
         // integer `div` (see Tables.events): double division loses precision

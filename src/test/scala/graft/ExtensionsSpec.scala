@@ -64,6 +64,34 @@ class ExtensionsSpec extends SparkSuite {
     }
   }
 
+  test("name blocking caps pathological blocks and keys on both tokens") {
+    import spark.implicits._
+    // block A: 3 rows under one (brand, w1, w2) key -> 3 pairs at cap>=3,
+    // dropped whole at cap 2. block B: same brand+w1, DIFFERENT w2 -> never
+    // pairs with A (the second token is part of the key). single-token
+    // names: '' key keeps them pairable with each other.
+    val part = Seq(
+      (1L, "Brand#1", "alpha beta one"),
+      (2L, "Brand#1", "alpha beta two"),
+      (3L, "Brand#1", "alpha beta three"),
+      (4L, "Brand#1", "alpha gamma one"),
+      (5L, "Brand#1", "solo"),
+      (6L, "Brand#1", "solo")
+    ).toDF("p_partkey", "p_brand", "p_name")
+    def pairs(cap: Int): Set[(Long, Long)] =
+      graft.ext.Dedup.nameBlockPairsOf(part, cap)
+        .select("id1", "id2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unbounded = pairs(2000)
+    assert(unbounded == Set((1L, 2L), (1L, 3L), (2L, 3L), (5L, 6L)),
+      "two-token key must split the gamma row away; single-token rows pair")
+    val capped = pairs(2)
+    assert(capped == Set((5L, 6L)),
+      "a block over the cap contributes NO pairs (dropped whole)")
+    // bounded expansion: candidate count <= blocks * cap^2 / 2 by construction
+    assert(capped.size <= 2 * 2 * 6 / 2)
+  }
+
   test("jaro fuzzy names: every levenshtein<=1 block pair is also a jaro match") {
     import org.apache.spark.sql.functions._
     val lev = graft.ext.Dedup.qFuzzyNames(tables, maxDist = 1)

@@ -324,13 +324,25 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
-  test("token budget: one global quality sort, budget scalar broadcasts") {
+  test("token budget: two-pass cumsum — no event-volume window, no global sort in the final plan") {
+    // the greedy cumsum runs as range-partition + per-partition offsets
+    // (qAssignIds' shape); the final plan over the cumsum RDD must carry
+    // NO window at all (the old single-partition Window.orderBy shape) and
+    // only the rollup + presentation exchanges
     val p = formatted("q_token_budget")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"budget scalar should broadcast:\n$p")
-    // exactly one global ordering stage (the greedy order) plus bounded
-    // aggregation shuffles
-    assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
+    assert(!p.contains("Window"), s"cumsum regressed to a window:\n$p")
+    assert(shuffleCount(p) <= 3, s"too many exchanges:\n$p")
+  }
+
+  test("session concurrency: sweep windows are hour-partitioned; carry frame broadcasts") {
+    val p = formatted("q_session_concurrency")
+    // two windows appear: the in-hour sweep (partitioned) and the
+    // hour-total carry chain (over the dimension-sized hour frame); the
+    // event-volume window MUST be partitioned — assert via the physical
+    // partitioning clause
+    assert(p.contains("Window"), s"sweep lost its window formulation:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"hour carry frame should broadcast:\n$p")
   }
 
   test("naive bayes: likelihood table broadcasts into the tf stream") {
