@@ -16,6 +16,10 @@ run / fork := true
 // one parseable JSON object", and the logger's `[info] ` prefix breaks any
 // line-oriented JSON parse of the captured output.
 run / outputStrategy := Some(StdoutOutput)
+// ...and suppress sbt's trailing "[success] Total time" banner, so the
+// bench JSON is literally the LAST line of the process output.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -52,6 +52,19 @@ object Bench {
         .join(li.as("b"), "l_orderkey").count()
       // bloom aggregate/probe expressions (q_bloom_prefilter's first run)
       ops.Analytics.bloomPrefilterOnly(spark, t).count()
+      // graph-index machinery (basket gather -> set explode -> pair dedup
+      // -> degree aggregate): first-compile on a SAMPLED edge build so the
+      // alphabetically-first graph query doesn't absorb the codegen cost;
+      // the real shared edge index still builds inside the timed run
+      val gb = t.lineitem
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .limit(50000)
+        .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+        .select(explode(col("ps")).as("src"), col("ps"))
+        .select(col("src"), explode(col("ps")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("shared"))
+      gb.groupBy("src").agg(count(lit(1))).count()
       // Lloyd's/IVF path: the nearest_centroid + vector_sum natives and the
       // per-round centroid job machinery first-compile here instead of on
       // q_knn_ivf (measured 11.4 s cold-in-context vs 1.4 s isolated)

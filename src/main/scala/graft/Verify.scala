@@ -16,7 +16,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: per-query WARN noise otherwise buries the [verify] failure
+    // lines (which print to stderr directly, not through log4j)
+    spark.sparkContext.setLogLevel("ERROR")
     Engine.tune(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
