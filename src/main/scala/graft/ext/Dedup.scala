@@ -44,6 +44,44 @@ object Dedup {
   def minhashSig(sh: Column, k: Int = 32): Column =
     call_function("minhash_sig", sh, lit(k))
 
+  /** Per-group candidate membership with a HARD cap on aggregation-buffer
+    * size: `bounded_topk` keeps at most `maxSize + 1` ids per group at all
+    * times — map-side partials included — so a pathological hot bucket
+    * (boilerplate shingles, near-constant band signatures) ships a few
+    * capped rows per map task instead of its full membership through the
+    * shuffle. The previous collect_list + size-filter formulation admitted
+    * the same buckets but buffered the whole hot bucket first: an
+    * unbounded aggregation state and an executor OOM at 100 TB. Overflow
+    * surfaces as size == maxSize + 1, which the [2, maxSize] admission
+    * filter drops — bucket admission is therefore IDENTICAL to the
+    * unbounded formulation (any bucket with df > maxSize saturates the
+    * cap); `members` comes back id-ascending.
+    */
+  private[graft] def cappedMembers(
+      grouped: org.apache.spark.sql.RelationalGroupedDataset,
+      maxSize: Int): DataFrame =
+    grouped
+      .agg(call_function("bounded_topk",
+        struct(lit(0.0).as("score"), col("id").cast("long").as("id")),
+        lit(maxSize + 1), lit(true)).as("capped"))
+      .filter(size(col("capped")).between(2, maxSize))
+      .withColumn("members", expr("transform(capped, x -> x.id)"))
+
+  /** All unordered member pairs of each capped bucket, canonicalized
+    * (id1 < id2) and deduplicated across buckets. Expansion is map-side
+    * (flatten/transform over the bounded members array — fan-out capped at
+    * maxSize^2/2 per bucket); only the pair ids shuffle, for the dedup.
+    */
+  private[graft] def bucketPairs(members: DataFrame): DataFrame =
+    members
+      .select(explode(expr(
+        """flatten(transform(members, (a, i) ->
+             transform(slice(members, i + 2, size(members)), b ->
+               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .dropDuplicates("id1", "id2")
+
   /** Exact duplicate stats per source: groupBy on md5(normalized text).
     * Scale: single hash-aggregate shuffle; the md5 is computed map-side.
     */
@@ -106,18 +144,9 @@ object Dedup {
     val banded = sig
       .select(col("id"), posexplode(array(bandHashes: _*)).as(Seq("band", "bucket")))
 
-    // candidate pairs from shared (band,bucket); cap pathological buckets
-    val pairs = banded
-      .groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")).between(2, maxBucket))
-      .select(explode(expr(
-        """flatten(transform(members, (a, i) ->
-             transform(slice(members, i + 2, size(members)), b ->
-               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // candidate pairs from shared (band,bucket); the bounded-buffer cap
+    // drops pathological buckets without ever materializing them
+    val pairs = bucketPairs(cappedMembers(banded.groupBy("band", "bucket"), maxBucket))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // materialize the (small, verified) result, then drop the two pipeline
@@ -185,18 +214,10 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dg = shingled.select(col("id"), explode(col("shd")).as("g"))
     // shd is distinct per doc, so bucket size == document frequency; the
-    // [2, maxDf] band is both the rarity definition and the skew cap
-    val pairs = dg
-      .groupBy("g")
-      .agg(collect_list(col("id")).as("members"))
-      .filter(size(col("members")).between(2, maxDf))
-      .select(explode(expr(
-        """flatten(transform(members, (a, i) ->
-             transform(slice(members, i + 2, size(members)), b ->
-               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // [2, maxDf] band is both the rarity definition and the skew cap —
+    // and the bounded-buffer aggregate means a corpus-stopword gram ships
+    // maxDf+1 ids per map task instead of its (corpus-sized) posting list
+    val pairs = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf))
     val out = verifyJaccard(pairs, shingled, threshold)
       .orderBy("id1", "id2")
       .loopCheckpoint()

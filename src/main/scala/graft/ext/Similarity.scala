@@ -240,17 +240,17 @@ object Similarity {
       .select(col("label"), col("vec_id"),
         explode(bandBuckets(col("sig"), subBands, subBits)).as("bb"))
       .select(col("label"), col("vec_id"), col("bb.band"), col("bb.bucket"))
-    banded
-      .groupBy("label", "band", "bucket")
-      .agg(collect_list(col("vec_id")).as("members"))
-      .filter(size(col("members")) >= 2)
-      .select(explode(expr(
-        """flatten(transform(members, (a, i) ->
-             transform(slice(members, i + 2, size(members)), b ->
-               named_struct('id1', least(a, b), 'id2', greatest(a, b)))))"""))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"))
-      .dropDuplicates("id1", "id2")
+    // bounded-buffer membership (Dedup.cappedMembers): a hot
+    // (label, band, bucket) cell ships a capped handful of ids per map
+    // task instead of its full posting list, and over-cap cells are
+    // dropped instead of exploding quadratically. The cap is far above
+    // any cell this corpus produces (hyperplane buckets spread ~uniform),
+    // so test-scale results are unchanged; at 100 TB it is the same
+    // guard minhashPairs' maxBucket provides.
+    Dedup.bucketPairs(Dedup.cappedMembers(
+      banded.select(col("label"), col("band"), col("bucket"),
+          col("vec_id").as("id"))
+        .groupBy("label", "band", "bucket"), maxSize = 512))
   }
 
   /** label-blocked near-dup pairs with the big-cell guard (see qDedupEmbed). */
