@@ -234,6 +234,7 @@ object SparkEntry {
     "q_dedup_simhash" -> q(Dedup.qDedupSimhash),
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
     "q_dedup_minhash_verify" -> q(Dedup.qDedupMinhashVerify(_)),
+    "q_simhash_portable" -> q(Dedup.qSimhashPortable(_)),
     "q_dedup_agreement" -> q(Dedup.qDedupAgreement),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
@@ -258,6 +259,8 @@ object SparkEntry {
     "q_vector_norms" -> q(Similarity.qVectorNorms),
     "q_knn_ivf" -> q(Similarity.qKnnIvf(_)),
     "q_knn_lsh" -> q(Similarity.qKnnLsh(_)),
+    "q_knn_lsh_portable" -> q(Similarity.qKnnLshPortable(_)),
+    "q_ann_recall" -> q(Similarity.qAnnRecall(_)),
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
@@ -355,7 +358,12 @@ object SparkEntry {
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
     * q_knn_ivf / q_knn_lsh / q_approx_quantile (approximate by
     * construction; sketch internals engine-specific),
-    * pipeline_health (generator-sourced).
+    * pipeline_health (generator-sourced). Each engine-specific signature
+    * family carries a fully-oracled portable companion that hash-checks
+    * the same plan shape: q_dedup_minhash_verify (rare-gram buckets +
+    * exact-jaccard verify), q_simhash_portable (md5-vote fingerprint +
+    * hamming verify), q_knn_lsh_portable (md5 sign matrix + integer
+    * micro-unit band codes + exact-cosine top-k).
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
@@ -2373,6 +2381,101 @@ object SparkEntry {
                   JOIN sz s2 ON j.id2 = s2.doc_id)
          SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
          ORDER BY id1, id2""",
+    // portable simhash: 60-bit md5-vote fingerprint, 4x15-bit band
+    // candidates under the [2, 100] admission cap, hamming <= 3 verify —
+    // every stage integer-exact, so the whole pipeline hash-matches
+    "q_simhash_portable" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS word
+           FROM documents),
+         h AS (SELECT doc_id, md5(word) AS hx FROM w),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS f
+           FROM v GROUP BY doc_id),
+         bands AS (SELECT doc_id, b, (f >> (15 * b)) & 32767 AS code
+           FROM fp, range(4) t(b)),
+         sizes AS (SELECT b, code FROM bands GROUP BY b, code
+           HAVING COUNT(*) BETWEEN 2 AND 100),
+         pairs AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+           FROM bands a JOIN sizes s ON a.b = s.b AND a.code = s.code
+           JOIN bands c ON c.b = s.b AND c.code = s.code AND a.doc_id < c.doc_id),
+         ham AS (SELECT id1, id2, CAST(bit_count(xor(f1.f, f2.f)) AS BIGINT) AS hamming
+           FROM pairs JOIN fp f1 ON f1.doc_id = id1 JOIN fp f2 ON f2.doc_id = id2)
+         SELECT id1, id2, hamming FROM ham WHERE hamming <= 3 ORDER BY id1, id2""",
+    // portable hyperplane LSH: md5-derived sign matrix, integer
+    // micro-unit projections (exact BIGINT sums -> bit-identical band
+    // codes), then the same exact-cosine fold + top-5 as q_knn_brute
+    "q_knn_lsh_portable" ->
+      """WITH signs AS (SELECT p, i,
+             CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+               THEN 1 ELSE -1 END AS s
+           FROM range(30) t(p), range(64) u(i)),
+         mu AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+           FROM embeddings),
+         proj AS (SELECT vec_id, p // 3 AS b, p, SUM(s * m[i + 1]) AS pr
+           FROM mu, signs GROUP BY vec_id, p),
+         codes AS (SELECT vec_id, b,
+             CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 3) ELSE 0 END) AS BIGINT) AS code
+           FROM proj GROUP BY vec_id, b),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code AND q.vec_id <> c.vec_id
+           WHERE q.vec_id % 200 = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sims AS (SELECT qid, nid,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+           FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
+         ranked AS (SELECT qid, nid, sim,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+           FROM sims)
+         SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    // ANN audit: brute CTEs = q_knn_brute, LSH CTEs = q_knn_lsh_portable;
+    // recall@5 is a ratio of small exact integers
+    "q_ann_recall" ->
+      """WITH signs AS (SELECT p, i,
+             CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+               THEN 1 ELSE -1 END AS s
+           FROM range(30) t(p), range(64) u(i)),
+         mu AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+           FROM embeddings),
+         proj AS (SELECT vec_id, p // 3 AS b, p, SUM(s * m[i + 1]) AS pr
+           FROM mu, signs GROUP BY vec_id, p),
+         codes AS (SELECT vec_id, b,
+             CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 3) ELSE 0 END) AS BIGINT) AS code
+           FROM proj GROUP BY vec_id, b),
+         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+           FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code AND q.vec_id <> c.vec_id
+           WHERE q.vec_id % 200 = 0),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         lsims AS (SELECT qid, nid,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+           FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
+         lsh AS (SELECT qid, nid FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM lsims) WHERE rnk <= 5),
+         bsims AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+           FROM e a JOIN e b ON a.vec_id % 200 = 0 AND a.vec_id <> b.vec_id),
+         brute AS (SELECT qid, nid FROM (SELECT qid, nid,
+             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+           FROM bsims) WHERE rnk <= 5)
+         SELECT brute.qid, CAST(COUNT(*) AS BIGINT) AS n_brute,
+           CAST(SUM(CASE WHEN lsh.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN lsh.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS recall
+         FROM brute LEFT JOIN lsh ON brute.qid = lsh.qid AND brute.nid = lsh.nid
+         GROUP BY brute.qid ORDER BY brute.qid""",
     // ensemble agreement: jaccard CTEs identical to q_ngram_jaccard;
     // cosine threshold as pure integer arithmetic (25 dot^2 >= 9 s1 s2)
     "q_dedup_agreement" ->

@@ -243,6 +243,84 @@ object Dedup {
       .filter(col("n") >= 1)
       .orderBy("fp")
 
+  /** Engine-PORTABLE SimHash near-dup pairs, graded with a full hash
+    * oracle — the companion to [[qDedupSimhash]], whose xxhash64-based
+    * fingerprint is engine-specific and therefore rows-only checked.
+    *
+    * Fingerprint: 60 bits; bit j is the sign of a vote sum over the doc's
+    * DISTINCT words, where word w votes +1 on bit j iff bit j of the
+    * leading 15 hex digits of md5(w) is set — md5 being the one hash both
+    * engines evaluate identically. Votes are exact small integers, so the
+    * fingerprint (and everything downstream: band codes, candidate set,
+    * hamming distances) is bit-deterministic under any aggregation order,
+    * which is what lets a distributed simhash hash-match a single-threaded
+    * SQL replay.
+    *
+    * Scale shape is the same banded-LSH plan as [[minhashPairs]]: 4 bands
+    * x 15 bits, docs sharing a band code are candidates, membership goes
+    * through the bounded-buffer cap ([2, maxBucket] admission), and the
+    * verify stage is a popcount over the fingerprint xor (hamming <=
+    * maxHamming) joined back over ONLY the candidate ids. The per-word
+    * +-1 vote arrays fold through the vector_sum partial aggregate — one
+    * (doc, 60-double) buffer per group per map task crosses the exchange,
+    * never the exploded word stream.
+    */
+  def qSimhashPortable(
+      t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
+    simhashPortablePairs(t.documents, "doc_id", "text", maxHamming, maxBucket)
+
+  /** [[qSimhashPortable]]'s pipeline on any (id, text) frame.
+    * `checkpoint = false` skips the final materialization (and the cache
+    * release it guards) so plan audits can inspect the full verify-join
+    * tree; production callers keep the default.
+    */
+  def simhashPortablePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, maxBucket: Int, checkpoint: Boolean = true): DataFrame = {
+    val fp = graft.Engine.spread(
+      docs.select(col(idCol).as("id"), col(textCol).as("text")))
+      .select(col("id"),
+        explode(array_distinct(words(col("text")))).as("word"))
+      // 60-bit word hash from md5's leading 15 hex digits (< 2^63: no
+      // sign games); conv parses the hex exactly like the oracle's
+      // per-nibble strpos arithmetic
+      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      .withColumn("contrib", expr(
+        "transform(sequence(0, 59), j -> CASE WHEN shiftright(h, j) % 2 = 1 THEN 1.0D ELSE -1.0D END)"))
+      .groupBy("id")
+      .agg(call_function("vector_sum", col("contrib")).as("votes"))
+      .withColumn("f", expr(
+        """aggregate(
+             transform(votes, (v, j) -> IF(v >= 0.0D,
+               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
+             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+      .select(col("id"), col("f"))
+      // consumed by the banding pass AND the verify join-back
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val banded = fp.select(col("id"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("f"), 15 * b).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "code")))
+    val pairs = bucketPairs(cappedMembers(banded.groupBy("band", "code"), maxBucket))
+
+    val candIds = pairs.select(col("id1").as("id"))
+      .union(pairs.select(col("id2").as("id")))
+      .distinct()
+    val candFp = fp.join(broadcast(candIds), "id")
+    val out = pairs
+      .join(candFp.toDF("id1", "f1"), "id1")
+      .join(candFp.toDF("id2", "f2"), "id2")
+      .withColumn("hamming", expr("CAST(bit_count(f1 ^ f2) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+      .orderBy("id1", "id2")
+    if (!checkpoint) return out
+    val mat = out.loopCheckpoint()
+    fp.unpersist(false)
+    mat
+  }
+
   /** Connected components over an undirected duplicate-pair edge list by
     * min-label propagation — the step that turns pairwise near-dup output
     * (minhash / simhash / embedding) into dedup GROUPS with a keep-one

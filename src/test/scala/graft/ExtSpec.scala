@@ -129,6 +129,63 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.8, s"recall=$recall")
   }
 
+  test("portable LSH knn: structure sound, recall >= 0.8 vs brute force") {
+    val brute = Similarity.qKnnBrute(tables).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.qKnnLshPortable(tables).collect()
+    val byQ = lsh.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length <= 5)
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(rows.forall(_.getLong(1) != qid))
+    }
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lshPairs).size.toDouble / brute.size
+    info(s"portable-LSH recall vs brute = $recall")
+    assert(recall >= 0.8, s"recall=$recall")
+  }
+
+  test("ann recall audit: one row per query, hits consistent with the two rankings") {
+    val out = Similarity.qAnnRecall(tables).collect()
+    val brute = Similarity.qKnnBrute(tables).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Similarity.qKnnLshPortable(tables).select("qid", "nid")
+      .as[(Long, Long)].collect().toSet
+    assert(out.map(_.getLong(0)).toSet == brute.map(_._1))
+    out.foreach { r =>
+      val (qid, nBrute, nHits, recall) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nBrute == 5L)
+      assert(nHits == brute.filter(_._1 == qid).count(lsh.contains))
+      assert(recall == nHits.toDouble / nBrute)
+    }
+  }
+
+  test("md5 sign matrix: balanced-ish and stable across invocations") {
+    val m1 = Similarity.md5SignMatrix(30, 64)
+    val m2 = Similarity.md5SignMatrix(30, 64)
+    assert(m1 == m2)
+    val plus = m1.flatten.count(_ == 1L)
+    assert(plus > 700 && plus < 1220, s"sign skew: $plus of 1920")
+  }
+
+  test("portable simhash: exact dup at hamming 0, crafted near-dup found, unrelated absent") {
+    val docs = Seq(
+      (1L, nearDupA), (2L, nearDupB), (3L, unrelated), (4L, nearDupA))
+      .toDF("doc_id", "text")
+    val got = Dedup
+      .simhashPortablePairs(docs, "doc_id", "text", maxHamming = 12, maxBucket = 100)
+      .as[(Long, Long, Long)].collect()
+    val byPair = got.map(r => (r._1, r._2) -> r._3).toMap
+    assert(byPair.get((1L, 4L)).contains(0L), s"exact dup not at hamming 0: $byPair")
+    assert(byPair.contains((1L, 2L)), s"near-dup pair missing: $byPair")
+    assert(!got.exists(r => r._1 == 3L || r._2 == 3L), s"unrelated doc paired: $byPair")
+    got.foreach { case (id1, id2, ham) =>
+      assert(id1 < id2 && ham >= 0L && ham <= 12L)
+    }
+  }
+
   test("embed dedup big-cell sub-blocking bounds candidate pairs far below n^2") {
     // 10k random-ish vectors in ONE label cell: the uncapped all-pairs path
     // would materialize ~50M pairs; the banded sub-blocking must not

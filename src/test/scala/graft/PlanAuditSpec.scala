@@ -47,6 +47,33 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
   }
 
+  test("portable LSH knn keeps the banded shape: corpus never shuffles") {
+    // same budget as q_knn_lsh: candidate dedup, top-k agg, output sort —
+    // the md5/micro-unit signature must not change the exchange structure
+    val p = formatted("q_knn_lsh_portable")
+    val n = shuffleCount(p)
+    assert(n <= 3, s"expected <=3 shuffle exchanges, got $n:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+  }
+
+  test("portable simhash verify fetches fingerprints via broadcast joins") {
+    // band/bucket grouping + pair dedup + final sort are the only
+    // shuffles ON TOP OF the fingerprint aggregate; the verify joins on
+    // candidate ids must broadcast (candidate set is bucket-cap bounded)
+    val p = graft.ext.Dedup
+      .simhashPortablePairs(tables.documents, "doc_id", "text",
+        maxHamming = 3, maxBucket = 100, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the candidate-id semi-join carries an explicit broadcast hint; the
+    // two fingerprint fetch joins are left to AQE (verifyJaccard's
+    // pattern) — statically they must at least not plan a cartesian
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
+      "candidate id set not broadcast")
+    assert(!p.contains("CartesianProduct"), "verify join went cartesian")
+    assert(p.contains("partial_vectorsum"),
+      "vote fold lost its partial aggregate")
+  }
+
   test("native as-of join plans the custom exec between sorted exchanges") {
     val p = formatted("q_asof_join_native")
     assert(p.contains("AsOfJoinExec") || p.contains("AsOfJoin"))
