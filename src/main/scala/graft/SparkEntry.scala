@@ -116,6 +116,8 @@ object SparkEntry {
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
+    "q_cohens_kappa" -> q(Stats.qCohensKappa),
+    "q_k_anonymity" -> q(Sampling.qKAnonymity(_)),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
     "q_mannwhitney" -> q(Stats.qMannWhitney),
     "q_ks_test" -> q(Stats.qKsTest),
@@ -2738,6 +2740,44 @@ object SparkEntry {
            FROM sc)
          SELECT doc_id, word, CAST(score AS DOUBLE) AS score, rnk
          FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
+    // k-anonymity/l-diversity audit: exact integer class stats, one
+    // division for the exposure rate
+    "q_k_anonymity" ->
+      """WITH classes AS (
+           SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS csize,
+             CAST(COUNT(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS ldiv
+           FROM customer GROUP BY c_nationkey, c_mktsegment),
+         ks AS (SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k)
+         SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(CASE WHEN csize < k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+           CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS BIGINT) AS rows_at_risk,
+           CAST(SUM(csize) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(csize) AS DOUBLE) AS risk_pct,
+           MIN(csize) AS min_class, MIN(ldiv) AS min_l
+         FROM classes CROSS JOIN ks GROUP BY k ORDER BY k""",
+    // Cohen's kappa in the integer form (n*agree - sumprod) /
+    // (n^2 - sumprod): one exact division, no float marginal chain
+    "q_cohens_kappa" ->
+      """WITH r AS (
+           SELECT lang,
+             CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END AS ra,
+             CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END) >= 55
+               THEN 1 ELSE 0 END AS rb
+           FROM documents),
+         g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ra) AS BIGINT) AS a1, CAST(SUM(rb) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree
+           FROM r GROUP BY lang),
+         s AS (SELECT lang, n, agree,
+             a1 * b1 + (n - a1) * (n - b1) AS sumprod FROM g)
+         SELECT lang, n, agree,
+           CAST(agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+           CASE WHEN n * n = sumprod THEN NULL
+             ELSE CAST(n * agree - sumprod AS DOUBLE)
+               / CAST(n * n - sumprod AS DOUBLE) END AS kappa
+         FROM s ORDER BY lang""",
     "q_sample_stratified" ->
       """SELECT lang, source, doc_id, rn FROM (
            SELECT lang, source, doc_id,

@@ -236,4 +236,46 @@ object Sampling {
         min("q").as("min_quality"))
       .orderBy("source")
   }
+
+  /** K-anonymity / l-diversity audit over a quasi-identifier tuple — the
+    * privacy gate a training corpus passes before release: every row must
+    * sit in an equivalence class (same QI values) of at least k rows, and
+    * each class should carry at least l distinct sensitive values so the
+    * class doesn't leak the attribute by uniformity.
+    *
+    * QI here is (c_nationkey, c_mktsegment); the sensitive attribute is
+    * the account-balance kilo-bucket. One row per candidate k: how many
+    * classes violate, how many rows sit at risk, the re-identification
+    * exposure rate, plus the corpus-wide min class size and min
+    * l-diversity (constant across k rows by construction).
+    *
+    * Scale: ONE hash aggregate over the QI key builds the class frame
+    * (classes are dimension-sized); the per-k summary aggregates that
+    * frame, never the base table again. All outputs are exact integer
+    * counts and single divisions — hash-stable in any engine.
+    */
+  def qKAnonymity(t: Tables, ks: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame =
+    t.customer
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("csize"),
+        countDistinct(floor(col("c_acctbal") / 1000.0)).as("ldiv"))
+      // class frame is dimension-sized: replicating it per candidate k is
+      // a map-side explode, and the whole audit stays ONE base-table scan
+      .select(col("csize"), col("ldiv"),
+        explode(typedLit(ks.map(_.toLong))).as("k"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("csize") < col("k"), 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("csize") < col("k"), col("csize")).otherwise(lit(0L)))
+          .as("rows_at_risk"),
+        sum("csize").as("n_rows"),
+        min("csize").as("min_class"),
+        min("ldiv").as("min_l"))
+      .withColumn("risk_pct",
+        col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+      .select("k", "n_classes", "n_violating", "rows_at_risk", "n_rows",
+        "risk_pct", "min_class", "min_l")
+      .orderBy("k")
 }

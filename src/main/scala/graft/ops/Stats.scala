@@ -1063,4 +1063,42 @@ object Stats {
                 .cast("double")),
           9).as("tau_b"))
   }
+
+  /** Cohen's kappa between two deterministic document labelers — the
+    * inter-annotator-agreement check a labeling/filter pipeline runs
+    * before trusting weak heuristics as training signal. Rater A flags
+    * length (n_chars >= 300), rater B flags whitespace token count
+    * (>= 55); kappa corrects their raw agreement for chance.
+    *
+    * Computed per language in the INTEGER form
+    *   kappa = (n*agree - (a1*b1 + a0*b0)) / (n^2 - (a1*b1 + a0*b0))
+    * — numerator and denominator are exact BIGINTs from one aggregate
+    * pass, so the single double division is bit-identical in any engine
+    * (no marginal-probability float chain to diverge on). pe == 1
+    * (degenerate constant raters) yields null, not a division blow-up.
+    *
+    * Scale: one hash aggregate over the corpus, per-lang rows out.
+    */
+  def qCohensKappa(t: Tables): DataFrame = {
+    val a = (col("n_chars") >= 300).cast("long")
+    val b = (graft.ext.TextAnalysis.tokenCount(col("text")) >= 55).cast("long")
+    t.documents
+      .select(col("lang"), a.as("ra"), b.as("rb"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ra")).as("a1"),
+        sum(col("rb")).as("b1"),
+        sum(when(col("ra") === col("rb"), 1L).otherwise(0L)).as("agree"))
+      .withColumn("sumprod",
+        col("a1") * col("b1") + (col("n") - col("a1")) * (col("n") - col("b1")))
+      .withColumn("po", col("agree").cast("double") / col("n").cast("double"))
+      .withColumn("kappa",
+        when(col("n") * col("n") === col("sumprod"), lit(null))
+          .otherwise(
+            (col("n") * col("agree") - col("sumprod")).cast("double") /
+              (col("n") * col("n") - col("sumprod")).cast("double")))
+      .select("lang", "n", "agree", "po", "kappa")
+      .orderBy("lang")
+  }
 }

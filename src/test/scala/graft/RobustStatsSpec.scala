@@ -91,6 +91,40 @@ class RobustStatsSpec extends SparkSuite {
     }
   }
 
+  test("cohen's kappa reconciles against marginal counts; po bounds hold") {
+    val rows = Stats.qCohensKappa(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, agree, po) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(agree >= 0 && agree <= n)
+      assert(po == agree.toDouble / n)
+      if (!r.isNullAt(4)) {
+        val kappa = r.getDouble(4)
+        // kappa <= po always; >= -1 by construction
+        assert(kappa <= po + 1e-12 && kappa >= -1.0 - 1e-12)
+      }
+    }
+  }
+
+  test("k-anonymity audit: violations monotone in k, exposure consistent") {
+    val rows = graft.ext.Sampling.qKAnonymity(tables).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 5L, 10L, 25L))
+    val nRows = rows.head.getLong(4)
+    val minClass = rows.head.getLong(6)
+    rows.foreach { r =>
+      assert(r.getLong(4) == nRows && r.getLong(6) == minClass)
+      assert(r.getDouble(5) == r.getLong(3).toDouble / nRows)
+      assert(r.getLong(2) <= r.getLong(1)) // violating <= classes
+      // every class smaller than min_class is impossible
+      if (r.getLong(0) <= minClass) assert(r.getLong(2) == 0L)
+    }
+    val viol = rows.map(_.getLong(2))
+    assert(viol.zip(viol.tail).forall { case (a, b) => a <= b })
+    val risk = rows.map(_.getLong(3))
+    assert(risk.zip(risk.tail).forall { case (a, b) => a <= b })
+  }
+
   test("mode: winner is the max-count category with lexicographic tiebreak") {
     val out = Stats.qModeCategory(tables).collect()
     val counts = tables.orders
