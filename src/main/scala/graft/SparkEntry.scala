@@ -337,6 +337,9 @@ object SparkEntry {
       graft.streaming.Streams
         .drainIncrementalDedup(spark, dir, "documents.parquet")
         .orderBy("id_new", "id_old")),
+    "q_stream_neardedup" -> ((spark, dir) =>
+      graft.streaming.Streams
+        .drainSimhashGroups(spark, dir, "documents.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -3070,6 +3073,23 @@ object SparkEntry {
     // the streaming drain executes the same semantics through a real
     // stream-static join + complete-mode aggregation — same oracle
     "q_stream_incdedup" -> incDedupOracle,
+    // streaming near-dedup: the portable md5-vote simhash is per-row
+    // deterministic, so the drained duplicate-cluster rollup hash-checks
+    // against the same fingerprint CTE as q_simhash_portable
+    "q_stream_neardedup" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS word
+           FROM documents),
+         h AS (SELECT doc_id, md5(word) AS hx FROM w),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS f
+           FROM v GROUP BY doc_id)
+         SELECT f, CAST(COUNT(*) AS BIGINT) AS n, MIN(doc_id) AS keep_id
+         FROM fp GROUP BY f HAVING COUNT(*) >= 2 ORDER BY f""",
     "q_kaplan_meier" ->
       """WITH o AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE) AS d
              FROM orders),

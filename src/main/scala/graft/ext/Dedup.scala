@@ -235,6 +235,31 @@ object Dedup {
   def simhash(text: Column): Column =
     call_function("simhash64", words(text))
 
+  /** The PORTABLE simhash fingerprint ([[qSimhashPortable]]'s md5-vote
+    * construction) as a single per-row Column — no aggregation across
+    * rows, so it composes into contexts where a groupBy-based fingerprint
+    * cannot go: a streaming query may run only ONE stateful aggregation,
+    * and a per-doc vote aggregate would already spend it. One md5/conv
+    * per distinct word (hoisted into the hash array before the vote
+    * fold); the 60-lane vote zip runs on plain longs. Bit-identical to
+    * the vector_sum formulation (parity-tested): both sum the same exact
+    * integers, order-free.
+    */
+  def portableSimhashCol(text: Column): Column = {
+    val hs = transform(array_distinct(words(text)),
+      w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
+    val votes = aggregate(hs, array_repeat(lit(0L), 60), (acc, h) =>
+      zip_with(acc,
+        transform(sequence(lit(0), lit(59)), j =>
+          when(call_function("shiftright", h, j) % 2 === 1, lit(1L))
+            .otherwise(lit(-1L))),
+        (a, c) => a + c))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(59)), (v, j) =>
+        when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (a, x) => a + x)
+  }
+
   def qDedupSimhash(t: Tables): DataFrame =
     t.documents
       .withColumn("fp", simhash(col("text")))

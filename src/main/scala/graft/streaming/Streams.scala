@@ -575,6 +575,33 @@ object Streams {
       graft.ext.TextAnalysis.qualityFunnelFrame(
         docsStream(spark, dir, globFilter)))
 
+  /** Streaming near-duplicate detection at ingest: every arriving doc is
+    * fingerprinted with the PORTABLE simhash
+    * ([[graft.ext.Dedup.portableSimhashCol]]) — a stateless per-row
+    * expression, which matters because a streaming query gets only ONE
+    * stateful aggregation and the duplicate-group rollup needs it. State
+    * is the distinct-fingerprint key set (bounded by content diversity,
+    * not stream length; near-dup corpora collapse hard). The md5-vote
+    * fingerprint is engine-portable, so this drain is hash-graded
+    * end-to-end — the only streaming near-dedup shape that can be.
+    */
+  def simhashGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        graft.ext.Dedup.portableSimhashCol(col("text")).as("f"))
+      .groupBy("f")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
+
+  /** Drain-mode execution of [[simhashGroups]]: duplicate clusters
+    * (n >= 2) with their keep-one representative, ordered in a batch
+    * epilogue. `q_stream_neardedup`.
+    */
+  def drainSimhashGroups(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    drain(spark, simhashGroups(docsStream(spark, dir, globFilter)))
+      .filter(col("n") >= 2)
+      .orderBy("f")
+
   /** Streaming incremental-ingest dedup — the stateful-streaming twin of
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the
