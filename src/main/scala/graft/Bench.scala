@@ -44,6 +44,24 @@ object Bench {
       // minhash/banding path (native shingle_hashes + minhash_sig_longs +
       // band bucketing) has its own first-run cost — warm on a sample
       ext.Dedup.minhashPairs(docs, "doc_id", "text").count()
+      // rare-gram df buckets + exact-jaccard verify (q_dedup_minhash_verify)
+      // and the portable md5-vote simhash (vector_sum fold + banding +
+      // hamming verify, q_simhash_portable / q_stream_neardedup) each have
+      // distinct codegen shapes; measured ~2.4 s and ~0.9 s of residual
+      // first-run cost landing on the timed queries without this
+      val docSample = docs.limit(600)
+      val shingledW = docSample
+        .withColumn("shd",
+          call_function("shingle_hashes", ext.Dedup.words(col("text")), lit(3)))
+        .filter(size(col("shd")) > 0)
+        .select(col("doc_id").as("id"), col("shd"))
+      ext.Dedup.verifyJaccard(
+        ext.Dedup.bucketPairs(ext.Dedup.cappedMembers(
+          shingledW.select(col("id"), explode(col("shd")).as("g")).groupBy("g"),
+          8)),
+        shingledW, 0.7).count()
+      ext.Dedup.simhashPortablePairs(
+        docSample, "doc_id", "text", maxHamming = 3, maxBucket = 100).count()
       // sort-merge-join machinery: the first big-big equi-join in the JVM
       // (alphabetically q_basket_pairs) otherwise absorbs its C2 cost
       val li = t.lineitem.select(col("l_orderkey"), col("l_partkey"))

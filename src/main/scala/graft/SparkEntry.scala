@@ -340,6 +340,8 @@ object SparkEntry {
     "q_stream_neardedup" -> ((spark, dir) =>
       graft.streaming.Streams
         .drainSimhashGroups(spark, dir, "documents.parquet")),
+    "q_stream_knn" -> ((spark, dir) =>
+      graft.streaming.Streams.drainKnn(spark, dir, "embeddings.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -380,6 +382,39 @@ object SparkEntry {
   /** Shared by the batch per-language vocabulary ranking and its
     * streaming drain twin (`q_top_terms`, `q_stream_topterms`).
     */
+  /** Portable hyperplane LSH kNN: md5-derived sign matrix, integer
+    * micro-unit projections (exact BIGINT sums -> bit-identical band
+    * codes), then the same exact-cosine fold + top-5 as q_knn_brute.
+    * Shared by `q_knn_lsh_portable` (batch) and `q_stream_knn` (the
+    * drain reproduces identical candidates/cosines/ranking).
+    */
+  private val knnLshPortableOracle: String =
+    """WITH signs AS (SELECT p, i,
+           CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
+             THEN 1 ELSE -1 END AS s
+         FROM range(30) t(p), range(64) u(i)),
+       mu AS (SELECT vec_id,
+           list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
+         FROM embeddings),
+       proj AS (SELECT vec_id, p // 3 AS b, p, SUM(s * m[i + 1]) AS pr
+         FROM mu, signs GROUP BY vec_id, p),
+       codes AS (SELECT vec_id, b,
+           CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 3) ELSE 0 END) AS BIGINT) AS code
+         FROM proj GROUP BY vec_id, b),
+       cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+         FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code AND q.vec_id <> c.vec_id
+         WHERE q.vec_id % 200 = 0),
+       e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       sims AS (SELECT qid, nid,
+           list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+             (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+              sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+         FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
+       ranked AS (SELECT qid, nid, sim,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         FROM sims)
+       SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+
   private val topTermsOracle: String =
     """WITH dw AS (SELECT lang, word, COUNT(*) AS df FROM (
            SELECT doc_id, lang,
@@ -2414,32 +2449,10 @@ object SparkEntry {
     // portable hyperplane LSH: md5-derived sign matrix, integer
     // micro-unit projections (exact BIGINT sums -> bit-identical band
     // codes), then the same exact-cosine fold + top-5 as q_knn_brute
-    "q_knn_lsh_portable" ->
-      """WITH signs AS (SELECT p, i,
-             CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
-               THEN 1 ELSE -1 END AS s
-           FROM range(30) t(p), range(64) u(i)),
-         mu AS (SELECT vec_id,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * 1000000) AS BIGINT)) AS m
-           FROM embeddings),
-         proj AS (SELECT vec_id, p // 3 AS b, p, SUM(s * m[i + 1]) AS pr
-           FROM mu, signs GROUP BY vec_id, p),
-         codes AS (SELECT vec_id, b,
-             CAST(SUM(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << (p % 3) ELSE 0 END) AS BIGINT) AS code
-           FROM proj GROUP BY vec_id, b),
-         cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
-           FROM codes q JOIN codes c ON q.b = c.b AND q.code = c.code AND q.vec_id <> c.vec_id
-           WHERE q.vec_id % 200 = 0),
-         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         sims AS (SELECT qid, nid,
-             list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
-               (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
-                sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
-           FROM cand JOIN e a ON a.vec_id = qid JOIN e b ON b.vec_id = nid),
-         ranked AS (SELECT qid, nid, sim,
-             CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
-           FROM sims)
-         SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk""",
+    "q_knn_lsh_portable" -> knnLshPortableOracle,
+    // the streaming drain reproduces the same candidates/cosines/ranking
+    // through a per-microbatch broadcast probe + bounded_topk state
+    "q_stream_knn" -> knnLshPortableOracle,
     // ANN audit: brute CTEs = q_knn_brute, LSH CTEs = q_knn_lsh_portable;
     // recall@5 is a ratio of small exact integers
     "q_ann_recall" ->

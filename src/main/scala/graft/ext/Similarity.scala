@@ -534,27 +534,41 @@ object Similarity {
     * portability; the engine-specific [[qKnnLsh]] keeps the native
     * codegen'd signature for the 100 TB hot path.
     */
-  def qKnnLshPortable(
-      t: Tables, k: Int = 5, bands: Int = 10, bitsPerBand: Int = 3,
-      dim: Int = 64): DataFrame = {
+  /** Per-row array of (band, code) keys from the PORTABLE integer
+    * micro-unit hyperplane signature (see [[qKnnLshPortable]]): a pure
+    * projection over `mu` (the floor(x*1e6) long array) against the
+    * literal md5 sign matrix — stateless, so it composes into streaming
+    * ingest the same way [[graft.ext.Dedup.portableSimhashCol]] does.
+    */
+  private[graft] def portableBandStructs(
+      muCol: Column, bands: Int, bitsPerBand: Int, dim: Int): Column = {
     val planes = bands * bitsPerBand
     val signs = typedLit(md5SignMatrix(planes, dim))
-    val mu = transform(asDouble(col("embedding")),
-      x => floor(x * lit(1000000.0)))
     def proj(p: Int): Column =
       aggregate(
-        zip_with(col("mu"), element_at(signs, p + 1), (m, s) => m * s),
+        zip_with(muCol, element_at(signs, p + 1), (m, s) => m * s),
         lit(0L), (a, v) => a + v)
     def bandCode(b: Int): Column =
       (0 until bitsPerBand).map { j =>
         when(proj(b * bitsPerBand + j) >= 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"), bandCode(b).as("code"))): _*)
+  }
 
+  /** floor(x * 1e6) micro-unit quantization of an embedding. */
+  private[graft] def microUnits(embedding: Column): Column =
+    transform(asDouble(embedding), x => floor(x * lit(1000000.0)))
+
+  def qKnnLshPortable(
+      t: Tables, k: Int = 5, bands: Int = 10, bitsPerBand: Int = 3,
+      dim: Int = 64): DataFrame = {
     val coded = t.embeddings
-      .select(col("vec_id"), mu.as("mu"))
+      .select(col("vec_id"), microUnits(col("embedding")).as("mu"))
       .select(col("vec_id"),
-        posexplode(array((0 until bands).map(bandCode): _*))
-          .as(Seq("band", "code")))
+        explode(portableBandStructs(col("mu"), bands, bitsPerBand, dim))
+          .as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.code").as("code"))
     val isQuery = pmod(col("vec_id"), lit(200)) === 0
 
     val candidates = coded.toDF("nid", "band", "code")

@@ -602,6 +602,83 @@ object Streams {
       .filter(col("n") >= 2)
       .orderBy("f")
 
+  /** Raw on-disk schema of the driver's embeddings parquet. */
+  val embFileSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-based streaming source over the embeddings parquet — the
+    * landing zone an embedding service appends vector files to.
+    */
+  def embeddingsStream(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    spark.readStream
+      .schema(embFileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+
+  /** Streaming vector-search ingest: as vectors arrive, maintain the
+    * exact-cosine top-k per registered query — the continuously-updated
+    * ANN index shape. Candidate generation is the PORTABLE banded
+    * signature ([[graft.ext.Similarity.portableBandStructs]]) computed
+    * STATELESSLY per row; the query side (ids, vectors, band codes) is a
+    * broadcast static frame, so each microbatch is a stateless
+    * nested-loop probe of queries × arrivals on `arrays_overlap` of the
+    * band keys (one row per candidate pair regardless of how many bands
+    * collide — the same dedup-free semantics as the batch twin's
+    * dropDuplicates). The ONE stateful aggregation slot goes to the
+    * per-query `bounded_topk` rollup, whose state is queries × k rows —
+    * bounded by the query registry, not the stream.
+    *
+    * Drained over the full backlog this reproduces
+    * [[graft.ext.Similarity.qKnnLshPortable]] exactly (same candidates,
+    * same cosines, same ranking), so the drain shares its hash oracle.
+    */
+  def streamingKnn(
+      arrivals: DataFrame, queriesStatic: DataFrame, k: Int = 5): DataFrame = {
+    import graft.ext.Similarity
+    arrivals
+      .select(col("vec_id").as("nid"),
+        col("embedding").cast("array<double>").as("nvec"))
+      .withColumn("ncodes",
+        Similarity.portableBandStructs(
+          Similarity.microUnits(col("nvec")), bands = 10, bitsPerBand = 3,
+          dim = 64))
+      .join(broadcast(queriesStatic),
+        arrays_overlap(col("ncodes"), col("qcodes")) &&
+          col("qid") =!= col("nid"))
+      .withColumn("sim", Similarity.cosine(col("qvec"), col("nvec")))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+  }
+
+  /** Drain-mode execution of [[streamingKnn]] with the query registry =
+    * every 200th vector (the batch twin's query set). `q_stream_knn`.
+    */
+  def drainKnn(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    import graft.ext.Similarity
+    val queries = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(pmod(col("vec_id"), lit(200)) === 0)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+      .withColumn("qcodes",
+        Similarity.portableBandStructs(
+          Similarity.microUnits(col("qvec")), bands = 10, bitsPerBand = 3,
+          dim = 64))
+    drain(spark, streamingKnn(embeddingsStream(spark, dir, globFilter), queries))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Streaming incremental-ingest dedup — the stateful-streaming twin of
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the

@@ -416,6 +416,14 @@ class StreamsSpec extends SparkSuite {
     streamed.foreach(r => assert(r.getLong(1) >= 2L))
   }
 
+  test("streaming vector-search drain equals the batch portable-LSH knn") {
+    val streamed = Streams.drainKnn(spark, sfDir, "embeddings.parquet")
+      .collect().toSeq
+    val batch = ext.Similarity.qKnnLshPortable(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("per-row portable fingerprint is bit-identical to the vector_sum fold") {
     import org.apache.spark.sql.functions._
     val perRow = tables.documents
