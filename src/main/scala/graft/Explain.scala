@@ -24,7 +24,15 @@ object Explain {
     val sb = new StringBuilder
     names.foreach { n =>
       sb.append(s"\n===================== $n =====================\n")
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      // the registered simhash query materializes through loopCheckpoint,
+      // which truncates the visible plan to a checkpoint scan — this alias
+      // explains the full verify-join tree instead
+      val df =
+        if (n == "q_simhash_portable_precheckpoint")
+          ext.Dedup.simhashPortablePairs(
+            Tables(spark, sfDir).documents, "doc_id", "text",
+            maxHamming = 3, maxBucket = 100, checkpoint = false)
+        else SparkEntry.queries(n)(spark, sfDir)
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
     }
