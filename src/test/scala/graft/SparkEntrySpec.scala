@@ -17,4 +17,21 @@ class SparkEntrySpec extends SparkSuite {
       assert(sql.count(_ == '\'') % 2 == 0, s"$k has unbalanced quotes")
     }
   }
+
+  test("every query is oracled or on the documented rows-only allowlist") {
+    // the weaker rows-only check is a DELIBERATE status, never drift:
+    // each entry here is justified in SparkEntry's oracleSql scaladoc
+    // (engine-specific signatures / approximate sketches / side-effectful
+    // generators), and each signature family has a fully-oracled portable
+    // companion. A new query missing from both maps fails this test.
+    val rowsOnly = Set(
+      "pipeline_health",
+      "q_approx_distinct", "q_approx_quantile",
+      "q_dedup_minhash", "q_dedup_simhash",
+      "q_knn_ivf", "q_knn_lsh")
+    val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(unoracled == rowsOnly,
+      s"undocumented rows-only queries: ${unoracled -- rowsOnly}; " +
+        s"stale allowlist entries: ${rowsOnly -- unoracled}")
+  }
 }
