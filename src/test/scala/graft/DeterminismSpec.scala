@@ -104,7 +104,12 @@ class DeterminismSpec extends SparkSuite {
     "q_nb_confusion",     // rounded-ln decimal scores, struct argmax
     "q_assign_ids",       // two-pass offsets == global rank, any boundaries
     "q_decision_stump",   // domain-window Gini, rounded argmax split
-    "q_score_auc")        // doubled-rank integer U -> one division
+    "q_score_auc",        // doubled-rank integer U -> one division
+    "q_simhash_portable", // md5-vote integer fingerprints, capped buckets
+    "q_knn_lsh_portable", // integer micro-unit band codes, exact cosine
+    "q_ann_recall",       // composition of two deterministic rankings
+    "q_k_anonymity",      // exact integer class census per k
+    "q_cohens_kappa")     // integer kappa form, one division
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
