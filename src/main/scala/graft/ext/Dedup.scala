@@ -239,13 +239,23 @@ object Dedup {
     * construction) as a single per-row Column — no aggregation across
     * rows, so it composes into contexts where a groupBy-based fingerprint
     * cannot go: a streaming query may run only ONE stateful aggregation,
-    * and a per-doc vote aggregate would already spend it. One md5/conv
-    * per distinct word (hoisted into the hash array before the vote
-    * fold); the 60-lane vote zip runs on plain longs. Bit-identical to
-    * the vector_sum formulation (parity-tested): both sum the same exact
-    * integers, order-free.
+    * and a per-doc vote aggregate would already spend it. Backed by the
+    * native [[graft.functions.PortableSimhash60]] expression (one MD5 +
+    * tight vote loop per distinct word); [[portableSimhashColHof]] is the
+    * reference higher-order-function formulation it is parity-tested
+    * against.
     */
-  def portableSimhashCol(text: Column): Column = {
+  def portableSimhashCol(text: Column): Column =
+    call_function("portable_simhash", words(text))
+
+  /** Reference HOF formulation of the portable fingerprint — the direct
+    * transliteration of the DuckDB oracle's arithmetic (one md5/conv per
+    * distinct word hoisted into a hash array, then a 60-lane vote zip).
+    * Kept as the parity baseline for the native expression; interpreted
+    * lambdas make it ~10x slower, so production paths use
+    * [[portableSimhashCol]].
+    */
+  def portableSimhashColHof(text: Column): Column = {
     val hs = transform(array_distinct(words(text)),
       w => conv(substring(md5(w), 1, 15), 16, 10).cast("long"))
     val votes = aggregate(hs, array_repeat(lit(0L), 60), (acc, h) =>
@@ -285,10 +295,11 @@ object Dedup {
     * x 15 bits, docs sharing a band code are candidates, membership goes
     * through the bounded-buffer cap ([2, maxBucket] admission), and the
     * verify stage is a popcount over the fingerprint xor (hamming <=
-    * maxHamming) joined back over ONLY the candidate ids. The per-word
-    * +-1 vote arrays fold through the vector_sum partial aggregate — one
-    * (doc, 60-double) buffer per group per map task crosses the exchange,
-    * never the exploded word stream.
+    * maxHamming) joined back over ONLY the candidate ids. Fingerprints
+    * come from the native per-row [[graft.functions.PortableSimhash60]]
+    * — a map-side projection, so the word stream never explodes and the
+    * first shuffle in the whole pipeline is the (band, code) grouping of
+    * (id, fingerprint) rows.
     */
   def qSimhashPortable(
       t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
@@ -304,22 +315,7 @@ object Dedup {
       maxHamming: Int, maxBucket: Int, checkpoint: Boolean = true): DataFrame = {
     val fp = graft.Engine.spread(
       docs.select(col(idCol).as("id"), col(textCol).as("text")))
-      .select(col("id"),
-        explode(array_distinct(words(col("text")))).as("word"))
-      // 60-bit word hash from md5's leading 15 hex digits (< 2^63: no
-      // sign games); conv parses the hex exactly like the oracle's
-      // per-nibble strpos arithmetic
-      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-      .withColumn("contrib", expr(
-        "transform(sequence(0, 59), j -> CASE WHEN shiftright(h, j) % 2 = 1 THEN 1.0D ELSE -1.0D END)"))
-      .groupBy("id")
-      .agg(call_function("vector_sum", col("contrib")).as("votes"))
-      .withColumn("f", expr(
-        """aggregate(
-             transform(votes, (v, j) -> IF(v >= 0.0D,
-               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
-      .select(col("id"), col("f"))
+      .select(col("id"), portableSimhashCol(col("text")).as("f"))
       // consumed by the banding pass AND the verify join-back
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 

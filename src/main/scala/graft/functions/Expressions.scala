@@ -436,6 +436,59 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** ENGINE-PORTABLE 60-bit simhash over a string array (words): bit j of
+  * the fingerprint is the sign of the vote sum over the array's DISTINCT
+  * words, where word w votes +1 on bit j iff bit j of the leading 15 hex
+  * digits of md5(w) is set — the construction any SQL engine replays
+  * from md5 + integer arithmetic (DuckDB oracle: strpos/nibble form).
+  * The 15-hex-digit value equals the big-endian u64 of the digest's
+  * first 8 bytes shifted right 4 (dropping the 16th nibble). One MD5 per
+  * distinct word; the vote loop runs on plain longs. Bit-identical to
+  * the higher-order-function formulation ([[graft.ext.Dedup
+  * .portableSimhashColHof]], parity-tested) at ~10x its throughput —
+  * interpreted lambdas re-evaluate per element, this is one tight pass.
+  */
+case class PortableSimhash60(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val seen = new java.util.HashSet[String]()
+    val votes = new Array[Int](60)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < arr.numElements()) {
+      val w = arr.getUTF8String(i).toString
+      if (seen.add(w)) {
+        md.reset()
+        val d = md.digest(w.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        var h = 0L
+        var k = 0
+        while (k < 8) { h = (h << 8) | (d(k) & 0xFFL); k += 1 }
+        h = h >>> 4
+        var b = 0
+        while (b < 60) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (votes(b) >= 0) fp |= (1L << b)
+      b += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Point-frequency estimate from a serialized `CountMinSketch`
   * (`count_min_sketch` aggregate output): `cms_estimate(sketch, key)` ->
   * the sketch's overestimate-only count for `key`.

@@ -53,6 +53,7 @@ object GraftFunctions {
     ("minhash_sig_longs", args => MinHashSigLongs(args(0),
       if (args.length > 1) intLit("minhash_sig_longs", args(1)) else 32)),
     ("simhash64", args => SimHash64(args.head)),
+    ("portable_simhash", args => PortableSimhash60(args.head)),
     ("hyperplane_sig", args => HyperplaneSig(args(0),
       if (args.length > 1) intLit("hyperplane_sig", args(1)) else 64)),
     ("poly_hash", args => PolyHash64(args.head)),

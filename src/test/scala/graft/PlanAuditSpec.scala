@@ -70,8 +70,10 @@ class PlanAuditSpec extends SparkSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       "candidate id set not broadcast")
     assert(!p.contains("CartesianProduct"), "verify join went cartesian")
-    assert(p.contains("partial_vectorsum"),
-      "vote fold lost its partial aggregate")
+    // the fingerprint is the native per-row expression — a map-side
+    // projection, so the word stream never explodes into an aggregate
+    assert(p.toLowerCase.contains("portablesimhash"),
+      "fingerprint not the native per-row expression")
   }
 
   test("native as-of join plans the custom exec between sorted exchanges") {

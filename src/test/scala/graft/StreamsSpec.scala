@@ -424,26 +424,13 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
-  test("per-row portable fingerprint is bit-identical to the vector_sum fold") {
+  test("native portable fingerprint is bit-identical to the HOF oracle transliteration") {
     import org.apache.spark.sql.functions._
-    val perRow = tables.documents
-      .select(col("doc_id").as("id"),
-        ext.Dedup.portableSimhashCol(col("text")).as("f"))
-    val agg = graft.Engine.spread(
-      tables.documents.select(col("doc_id").as("id"), col("text")))
-      .select(col("id"),
-        explode(array_distinct(ext.Dedup.words(col("text")))).as("word"))
-      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-      .withColumn("contrib", expr(
-        "transform(sequence(0, 59), j -> CASE WHEN shiftright(h, j) % 2 = 1 THEN 1.0D ELSE -1.0D END)"))
-      .groupBy("id")
-      .agg(call_function("vector_sum", col("contrib")).as("votes"))
-      .withColumn("f2", expr(
-        """aggregate(
-             transform(votes, (v, j) -> IF(v >= 0.0D,
-               shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT))),
-             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
-      .select("id", "f2")
-    assert(perRow.join(agg, "id").filter(col("f") =!= col("f2")).count() == 0L)
+    val d = tables.documents.select(
+      col("doc_id"),
+      ext.Dedup.portableSimhashCol(col("text")).as("f"),
+      ext.Dedup.portableSimhashColHof(col("text")).as("f2"))
+    assert(d.filter(col("f") =!= col("f2")).count() == 0L)
+    assert(d.count() > 0L)
   }
 }
