@@ -237,6 +237,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> q(Dedup.qNgramJaccard(_)),
     "q_dedup_minhash_verify" -> q(Dedup.qDedupMinhashVerify(_)),
     "q_simhash_portable" -> q(Dedup.qSimhashPortable(_)),
+    "q_dedup_pipeline" -> q(Dedup.qDedupPipeline(_)),
     "q_dedup_agreement" -> q(Dedup.qDedupAgreement),
     "q_dedup_clusters" -> q(Dedup.qDedupClusters),
     "q_contamination" -> q(Dedup.qContamination(_)),
@@ -2453,6 +2454,59 @@ object SparkEntry {
     // the streaming drain reproduces the same candidates/cosines/ranking
     // through a per-microbatch broadcast probe + bounded_topk state
     "q_stream_knn" -> knnLshPortableOracle,
+    // the dedup funnel end-to-end: exact-keeper CTE -> portable-simhash
+    // fingerprint CTE over the keepers -> banded pairs -> recursive-CTE
+    // connected components -> per-source survivor rollup
+    "q_dedup_pipeline" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source, text,
+             md5(lower(trim(text))) AS h FROM documents),
+         ek AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         m AS (SELECT d.doc_id, d.source, d.text, ek.keep_id
+           FROM d JOIN ek USING (h)),
+         keepers AS (SELECT doc_id, source, text FROM m WHERE doc_id = keep_id),
+         exact_drop AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact_dropped
+           FROM m WHERE doc_id <> keep_id GROUP BY source),
+         w AS (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS word
+           FROM keepers),
+         hh AS (SELECT doc_id, md5(word) AS hx FROM w),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM hh, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS f
+           FROM v GROUP BY doc_id),
+         bands AS (SELECT doc_id, b, (f >> (15 * b)) & 32767 AS code
+           FROM fp, range(4) t(b)),
+         sizes AS (SELECT b, code FROM bands GROUP BY b, code
+           HAVING COUNT(*) BETWEEN 2 AND 100),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+           FROM bands a JOIN sizes s ON a.b = s.b AND a.code = s.code
+           JOIN bands c ON c.b = s.b AND c.code = s.code AND a.doc_id < c.doc_id),
+         near AS (SELECT id1, id2 FROM cand
+           JOIN fp f1 ON f1.doc_id = id1 JOIN fp f2 ON f2.doc_id = id2
+           WHERE bit_count(xor(f1.f, f2.f)) <= 3),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM near
+           UNION ALL SELECT id2, id1 FROM near),
+         reach(id, r) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         near_drop AS (SELECT k.source, CAST(COUNT(*) AS BIGINT) AS n_near_dropped
+           FROM comp JOIN keepers k ON k.doc_id = comp.id
+           WHERE comp.comp <> comp.id GROUP BY k.source),
+         tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+         SELECT tot.source, n_docs,
+           COALESCE(n_exact_dropped, 0) AS n_exact_dropped,
+           COALESCE(n_near_dropped, 0) AS n_near_dropped,
+           n_docs - COALESCE(n_exact_dropped, 0) - COALESCE(n_near_dropped, 0)
+             AS n_survivors
+         FROM tot LEFT JOIN exact_drop USING (source)
+           LEFT JOIN near_drop USING (source)
+         ORDER BY tot.source""",
     // ANN audit: brute CTEs = q_knn_brute, LSH CTEs = q_knn_lsh_portable;
     // recall@5 is a ratio of small exact integers
     "q_ann_recall" ->

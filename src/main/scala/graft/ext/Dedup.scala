@@ -342,6 +342,59 @@ object Dedup {
     mat
   }
 
+  /** The corpus-dedup FUNNEL end-to-end, as one graded query — the
+    * composition a training-data pipeline actually runs nightly:
+    *
+    *  1. exact dedup on md5(normalized text), keep-lowest-id;
+    *  2. near-dup pairs among the exact survivors via the PORTABLE
+    *     simhash ([[simhashPortablePairs]]: banded candidates, capped
+    *     buckets, hamming verify);
+    *  3. duplicate groups by min-label [[connectedComponents]], cluster
+    *     representative = lowest id;
+    *  4. per-source retention report: docs in, exact drops, near drops,
+    *     survivors.
+    *
+    * Every stage is integer/hash-exact, so the WHOLE funnel hash-checks
+    * against a single SQL replay (exact-keeper CTE -> fingerprint CTE ->
+    * banded pairs -> recursive-CTE closure -> survivor rollup).
+    *
+    * Scale: stage 1 is one hash shuffle on the text hash; stage 2 is the
+    * banded-LSH plan (nothing quadratic, buckets capped); stage 3 rounds
+    * are edge-list joins with checkpointed lineage; the report aggregates
+    * are source-dimension-sized. The funnel ordering (exact BEFORE near)
+    * is the cost lever: exact-dup clusters collapse to one member each
+    * before any banding, so boilerplate-heavy corpora shrink the
+    * candidate volume instead of inflating it.
+    */
+  def qDedupPipeline(
+      t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
+    val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
+      .withColumn("h", md5(lower(trim(col("text")))))
+    val exactKeep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    val marked = docs.join(exactKeep, "h")
+    val keepers = marked.filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "source", "text")
+    val exactDropped = marked.filter(col("doc_id") =!= col("keep_id"))
+      .groupBy("source").agg(count(lit(1)).as("n_exact_dropped"))
+
+    val pairs = simhashPortablePairs(
+      keepers, "doc_id", "text", maxHamming, maxBucket)
+    val comp = connectedComponents(pairs.select("id1", "id2"))
+    val nearDropped = comp.filter(col("id") =!= col("comp"))
+      .join(keepers.select(col("doc_id").as("id"), col("source")), "id")
+      .groupBy("source").agg(count(lit(1)).as("n_near_dropped"))
+
+    t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(exactDropped, Seq("source"), "left")
+      .join(nearDropped, Seq("source"), "left")
+      .na.fill(0L, Seq("n_exact_dropped", "n_near_dropped"))
+      .withColumn("n_survivors",
+        col("n_docs") - col("n_exact_dropped") - col("n_near_dropped"))
+      .select("source", "n_docs", "n_exact_dropped", "n_near_dropped",
+        "n_survivors")
+      .orderBy("source")
+  }
+
   /** Connected components over an undirected duplicate-pair edge list by
     * min-label propagation — the step that turns pairwise near-dup output
     * (minhash / simhash / embedding) into dedup GROUPS with a keep-one

@@ -109,7 +109,8 @@ class DeterminismSpec extends SparkSuite {
     "q_knn_lsh_portable", // integer micro-unit band codes, exact cosine
     "q_ann_recall",       // composition of two deterministic rankings
     "q_k_anonymity",      // exact integer class census per k
-    "q_cohens_kappa")     // integer kappa form, one division
+    "q_cohens_kappa",     // integer kappa form, one division
+    "q_dedup_pipeline")   // exact->near->cluster funnel, integer census
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -162,6 +162,22 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("dedup funnel: conservation per source and exact-drop reconciliation") {
+    val rows = Dedup.qDedupPipeline(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, ex, near, surv) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(ex + near + surv == n, s"conservation broken for ${r.getString(0)}")
+      assert(surv > 0)
+    }
+    // exact drops across sources equal the corpus-wide exact-dup census
+    val exactTotal = rows.map(_.getLong(2)).sum
+    val census = Dedup.qDedupExact(tables)
+      .agg(org.apache.spark.sql.functions.sum("n_dupes")).head.getLong(0)
+    assert(exactTotal == census, s"$exactTotal != $census")
+  }
+
   test("md5 sign matrix: balanced-ish and stable across invocations") {
     val m1 = Similarity.md5SignMatrix(30, 64)
     val m2 = Similarity.md5SignMatrix(30, 64)
