@@ -343,6 +343,8 @@ object SparkEntry {
         .drainSimhashGroups(spark, dir, "documents.parquet")),
     "q_stream_knn" -> ((spark, dir) =>
       graft.streaming.Streams.drainKnn(spark, dir, "embeddings.parquet")),
+    "q_stream_kanonymity" -> ((spark, dir) =>
+      graft.streaming.Streams.drainKAnonymity(spark, dir, "customer.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -415,6 +417,24 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
          FROM sims)
        SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** k-anonymity / l-diversity audit over the (nation, segment) QI;
+    * shared by the batch audit and its streaming-drain twin.
+    */
+  private val kAnonymityOracle: String =
+    """WITH classes AS (
+         SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS csize,
+           CAST(COUNT(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS ldiv
+         FROM customer GROUP BY c_nationkey, c_mktsegment),
+       ks AS (SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k)
+       SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         CAST(SUM(CASE WHEN csize < k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+         CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         CAST(SUM(csize) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(csize) AS DOUBLE) AS risk_pct,
+         MIN(csize) AS min_class, MIN(ldiv) AS min_l
+       FROM classes CROSS JOIN ks GROUP BY k ORDER BY k"""
 
   private val topTermsOracle: String =
     """WITH dw AS (SELECT lang, word, COUNT(*) AS df FROM (
@@ -2812,20 +2832,10 @@ object SparkEntry {
          FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""",
     // k-anonymity/l-diversity audit: exact integer class stats, one
     // division for the exposure rate
-    "q_k_anonymity" ->
-      """WITH classes AS (
-           SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS csize,
-             CAST(COUNT(DISTINCT floor(c_acctbal / 1000.0)) AS BIGINT) AS ldiv
-           FROM customer GROUP BY c_nationkey, c_mktsegment),
-         ks AS (SELECT CAST(unnest([2, 5, 10, 25]) AS BIGINT) AS k)
-         SELECT k, CAST(COUNT(*) AS BIGINT) AS n_classes,
-           CAST(SUM(CASE WHEN csize < k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
-           CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS BIGINT) AS rows_at_risk,
-           CAST(SUM(csize) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN csize < k THEN csize ELSE 0 END) AS DOUBLE)
-             / CAST(SUM(csize) AS DOUBLE) AS risk_pct,
-           MIN(csize) AS min_class, MIN(ldiv) AS min_l
-         FROM classes CROSS JOIN ks GROUP BY k ORDER BY k""",
+    "q_k_anonymity" -> kAnonymityOracle,
+    // the streaming drain builds the same class frame through a real
+    // stateful aggregation (collect_set for l-diversity) — same oracle
+    "q_stream_kanonymity" -> kAnonymityOracle,
     // Cohen's kappa in the integer form (n*agree - sumprod) /
     // (n^2 - sumprod): one exact division, no float marginal chain
     "q_cohens_kappa" ->

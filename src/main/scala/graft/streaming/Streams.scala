@@ -602,6 +602,63 @@ object Streams {
       .filter(col("n") >= 2)
       .orderBy("f")
 
+  /** Raw on-disk schema of the driver's customer parquet. */
+  val customerFileSchema: StructType = StructType(Seq(
+    StructField("c_custkey", LongType),
+    StructField("c_name", StringType),
+    StructField("c_nationkey", IntegerType),
+    StructField("c_acctbal", DoubleType),
+    StructField("c_mktsegment", StringType)))
+
+  /** File-based streaming source over the customer parquet. */
+  def customersStream(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    spark.readStream
+      .schema(customerFileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+
+  /** Continuous privacy monitoring at ingest: the k-anonymity /
+    * l-diversity audit ([[graft.ext.Sampling.qKAnonymity]]) kept current
+    * as records arrive. The ONE stateful aggregation builds the
+    * quasi-identifier class frame — count plus a `collect_set` of the
+    * sensitive kilo-bucket (streaming-legal where COUNT DISTINCT is not;
+    * its state is bounded by the bucket domain per class, ~11 values,
+    * not by stream length); the per-k violation rollup is a stateless
+    * batch epilogue over the drained dimension-sized class frame.
+    */
+  def qiClasses(customers: DataFrame): DataFrame =
+    customers
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("csize"),
+        collect_set(floor(col("c_acctbal") / 1000.0)).as("lset"))
+
+  /** Drain-mode execution of [[qiClasses]] + the batch per-k epilogue;
+    * shares `q_k_anonymity`'s oracle. `q_stream_kanonymity`.
+    */
+  def drainKAnonymity(
+      spark: SparkSession, dir: String, globFilter: String = "*",
+      ks: Seq[Int] = Seq(2, 5, 10, 25)): DataFrame =
+    drain(spark, qiClasses(customersStream(spark, dir, globFilter)))
+      .select(col("csize"), size(col("lset")).cast("long").as("ldiv"),
+        explode(typedLit(ks.map(_.toLong))).as("k"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n_classes"),
+        sum(when(col("csize") < col("k"), 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("csize") < col("k"), col("csize")).otherwise(lit(0L)))
+          .as("rows_at_risk"),
+        sum("csize").as("n_rows"),
+        min("csize").as("min_class"),
+        min("ldiv").as("min_l"))
+      .withColumn("risk_pct",
+        col("rows_at_risk").cast("double") / col("n_rows").cast("double"))
+      .select("k", "n_classes", "n_violating", "rows_at_risk", "n_rows",
+        "risk_pct", "min_class", "min_l")
+      .orderBy("k")
+
   /** Raw on-disk schema of the driver's embeddings parquet. */
   val embFileSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

@@ -424,6 +424,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming k-anonymity drain equals the batch privacy audit") {
+    val streamed = Streams.drainKAnonymity(spark, sfDir, "customer.parquet")
+      .collect().toSeq
+    val batch = ext.Sampling.qKAnonymity(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("native portable fingerprint is bit-identical to the HOF oracle transliteration") {
     import org.apache.spark.sql.functions._
     val d = tables.documents.select(
