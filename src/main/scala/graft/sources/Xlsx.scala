@@ -94,11 +94,23 @@ object Xlsx {
   }
 
   /** Export a (small) DataFrame as one workbook file. */
+  /** Rows a single-file export will collect to the driver before failing
+    * loudly. The format itself caps a sheet at ~1M rows; this guard trips
+    * far earlier because a driver-side collect of a fact table is a
+    * deployment error, not a format limit — use [[writeDir]] (per-
+    * partition workbooks, no driver row traffic) for anything sizable.
+    */
+  val maxSingleFileRows: Int = 100000
+
   def write(df: DataFrame, path: String): Unit = {
     val header = df.schema.fieldNames.toSeq
-    val rows = df.collect().toSeq.map(r => r.toSeq)
+    // limit+1 probe: bounds the collect itself, not just a post-hoc check
+    val probe = df.limit(maxSingleFileRows + 1).collect().toSeq
+    require(probe.length <= maxSingleFileRows,
+      s"Xlsx.write collects to the driver and refuses > $maxSingleFileRows " +
+        s"rows; use Xlsx.writeDir for distributed export")
     java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      writeBytes(header, rows))
+      writeBytes(header, probe.map(_.toSeq)))
   }
 
   /** Distributed export: each partition writes its own workbook under
