@@ -411,10 +411,11 @@ object Dedup {
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
     // NOTE: convergence is detected by a round whose labels don't change,
-    // so the usable component-diameter budget is maxIter - 1 (the last
-    // round confirms). 15 covers diameter-14 chains — far beyond real
-    // near-dup cliques — at one cheap join+agg per unused round only when
-    // chains actually run that deep.
+    // so the usable budget is maxIter - 1 rounds (the last confirms).
+    // With the pointer jump below each round covers ~2x the chain depth
+    // of plain propagation, so 15 rounds handle component diameters in
+    // the thousands — far beyond any duplicate graph — at one cheap
+    // join+agg per unused round only when chains actually run deep.
     // localCheckpoint (not persist) per round: iterative plans otherwise
     // grow lineage every round and each round pays fresh codegen for an
     // ever-bigger tree. On a cluster with fault-tolerance needs this
@@ -437,11 +438,29 @@ object Dedup {
     var i = 0
     var done = false
     while (!done && i < maxIter) {
-      val next = sym.join(labels, sym("dst") === labels("id"))
+      val prop = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
         .union(labels)
         .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: follow the freshly-propagated label one more hop
+      // (comp of comp). Labels are node ids and `prop` carries EVERY node
+      // id (the union above), so the parent lookup is an inner self-join
+      // on the node-sized label frame — cheap next to the edge join — and
+      // it roughly doubles the chain depth covered per round: neighbor
+      // propagation alone is O(diameter) rounds (a 1 500-doc near-dup
+      // CHAIN component measured diameter 21 on the sf0.1 corpus — real
+      // corpora chain through boilerplate just like this), jumping makes
+      // it O(log diameter). Monotone (comp(comp) <= comp), so the
+      // label-sum convergence witness is unchanged.
+      // materialize once; the jump joins the frame with itself and a
+      // lazy self-join of one plan trips attribute-dedup on the reused
+      // lineage — two scans of the checkpointed RDD are cheaper anyway
+      val propM = prop.loopCheckpoint()
+      val next = propM
+        .join(propM.toDF("pid", "pcomp"), col("comp") === col("pid"))
+        .select(col("id"), col("pcomp").as("comp"))
         .loopCheckpoint()
+      graft.Engine.freeCheckpoint(propM)
       val s = labelSum(next)
       done = s == lastSum
       lastSum = s
