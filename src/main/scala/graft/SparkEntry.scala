@@ -166,6 +166,7 @@ object SparkEntry {
     "q_interval_union" -> q(Events.qIntervalUnion),
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
+    "q_markov_attribution" -> q(Events.qMarkovAttribution(_)),
     "q_hourly_profile" -> q(Events.qHourlyProfile),
     "q_vocab_containment" -> q(TextAnalysis.qVocabContainment),
     "q_decile_lift" -> q(Analytics.qDecileLift),
@@ -2527,6 +2528,109 @@ object SparkEntry {
          FROM tot LEFT JOIN exact_drop USING (source)
            LEFT JOIN near_drop USING (source)
          ORDER BY tot.source""",
+    // Markov removal-effect attribution: micro-unit integer transition
+    // probabilities + 8 unrolled value-iteration rounds per scenario
+    "q_markov_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+edges AS (
+  SELECT 'start' AS src, event_type AS dst FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT event_type, COALESCE(nxt, 'end') FROM ev WHERE event_type <> 'purchase'),
+cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
+outd AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt GROUP BY 1),
+pm AS (SELECT c.src, c.dst, (c.n * 1000000) // o.n_src AS p
+  FROM cnt c JOIN outd o ON c.src = o.src),
+scen AS (SELECT unnest(['__base__', 'click', 'error', 'signup', 'view']) AS removed),
+sp AS (SELECT s.removed, p.src, p.dst, p.p FROM pm p CROSS JOIN scen s
+  WHERE p.src <> s.removed AND p.dst <> s.removed),
+states AS (SELECT DISTINCT removed, src AS st FROM sp
+  UNION SELECT DISTINCT removed, dst FROM sp),
+v0 AS (SELECT removed, st,
+    CAST(CASE WHEN st = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT) AS v
+  FROM states),
+v1 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v0 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v2 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v1 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v3 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v2 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v4 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v3 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v5 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v4 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v6 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v5 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v7 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v6 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v8 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v7 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+base AS (SELECT v AS b FROM v8 WHERE removed = '__base__' AND st = 'start')
+SELECT removed AS channel,
+  (SELECT b FROM base) AS base_cv_micro,
+  v AS removed_cv_micro,
+  CASE WHEN (SELECT b FROM base) = 0 THEN NULL
+    ELSE CAST((SELECT b FROM base) - v AS DOUBLE) / CAST((SELECT b FROM base) AS DOUBLE)
+  END AS removal_effect
+FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
     // ANN audit: brute CTEs = q_knn_brute, LSH CTEs = q_knn_lsh_portable;
     // recall@5 is a ratio of small exact integers
     "q_ann_recall" ->

@@ -390,6 +390,82 @@ object Events {
       .orderBy("touch")
   }
 
+  /** Markov removal-effect attribution — the marketing-science upgrade of
+    * [[qAttribution]]'s last-touch rule: model user journeys as a Markov
+    * chain over event types (synthetic `start` feeds each user's first
+    * event; `purchase` absorbs as conversion; journey tails absorb at
+    * `end`), then credit each channel by how much the start->purchase
+    * absorption probability DROPS when that channel is removed from the
+    * chain (its transition mass is lost, denominators unchanged).
+    *
+    * Determinism/oracle story: transition probabilities are micro-unit
+    * integers ((n * 1e6) div out-degree) and the K truncated value-
+    * iteration rounds are integer multiply-sum-div — order-free, so the
+    * distributed transition count hash-matches a SQL replay that unrolls
+    * the same rounds. Micro-unit probabilities also BOUND the arithmetic
+    * (p <= 1e6, v <= 1e6, |states| <= 7 => sums < 1e13) independent of
+    * corpus size.
+    *
+    * Scale: the one fact-sized stage is the per-user window + transition
+    * count (one shuffle each); the chain itself is |event types|^2 rows —
+    * index metadata — so the value iteration runs driver-side on the
+    * collected count matrix, the same k-sized-collect convention as
+    * Lloyd's centroids.
+    */
+  def qMarkovAttribution(t: Tables, rounds: Int = 8): DataFrame = {
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val seq = t.events
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("nxt", lead("event_type", 1).over(byUser))
+      .withColumn("rn", row_number().over(byUser))
+    val starts = seq.filter(col("rn") === 1)
+      .select(lit("start").as("src"), col("event_type").as("dst"))
+    val steps = seq.filter(col("event_type") =!= "purchase")
+      .select(col("event_type").as("src"),
+        coalesce(col("nxt"), lit("end")).as("dst"))
+    val counts = starts.unionAll(steps)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+    val outDeg = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    // micro-unit transition probabilities, truncating div (matches //)
+    val pMicro = counts.map { case (s, d, n) => (s, d, n * 1000000L / outDeg(s)) }
+    val real = (counts.map(_._1) ++ counts.map(_._2)).distinct
+      .filterNot(Set("start", "end")).sorted
+    val channels = real.filterNot(_ == "purchase")
+
+    def absorption(removed: String): Long = {
+      val edges = pMicro.filter { case (s, d, _) => s != removed && d != removed }
+      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var v = Map("purchase" -> 1000000L).withDefaultValue(0L)
+      (1 to rounds).foreach { _ =>
+        val nv = states.map { s =>
+          s -> (s match {
+            case "purchase" => 1000000L
+            case "end" => 0L
+            case _ =>
+              edges.iterator.filter(_._1 == s)
+                .map { case (_, d, p) => p * v(d) }.sum / 1000000L
+          })
+        }.toMap
+        v = nv.withDefaultValue(0L)
+      }
+      v("start")
+    }
+
+    val base = absorption("__base__")
+    channels.toSeq.map { c =>
+      val cv = absorption(c)
+      val eff = if (base == 0L) None
+        else Some((base - cv).toDouble / base.toDouble)
+      (c, base, cv, eff)
+    }.toDF("channel", "base_cv_micro", "removed_cv_micro", "removal_effect")
+      .orderBy("channel")
+  }
+
   /** Peak concurrency per hour-of-day by interval sweep: each event opens
     * a 5-minute activity window [ts, ts+300s), the +1/-1 endpoint deltas
     * are sorted, and a running sum gives the live-interval count at every

@@ -110,7 +110,8 @@ class DeterminismSpec extends SparkSuite {
     "q_ann_recall",       // composition of two deterministic rankings
     "q_k_anonymity",      // exact integer class census per k
     "q_cohens_kappa",     // integer kappa form, one division
-    "q_dedup_pipeline")   // exact->near->cluster funnel, integer census
+    "q_dedup_pipeline",   // exact->near->cluster funnel, integer census
+    "q_markov_attribution") // micro-unit chain, truncated value iteration
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

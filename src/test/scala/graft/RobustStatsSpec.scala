@@ -91,6 +91,24 @@ class RobustStatsSpec extends SparkSuite {
     }
   }
 
+  test("markov attribution: removal never raises conversion; effects reconcile") {
+    val rows = Events.qMarkovAttribution(tables).collect()
+    assert(rows.nonEmpty)
+    val base = rows.head.getLong(1)
+    assert(base > 0L)
+    rows.foreach { r =>
+      assert(r.getLong(1) == base)
+      val cv = r.getLong(2)
+      // dropping a channel only removes probability mass (floors are
+      // monotone), so conversion cannot rise
+      assert(cv <= base, s"${r.getString(0)}: $cv > $base")
+      assert(r.getDouble(3) == (base - cv).toDouble / base)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+    val channels = rows.map(_.getString(0)).toSeq
+    assert(channels == channels.sorted && !channels.contains("purchase"))
+  }
+
   test("cohen's kappa reconciles against marginal counts; po bounds hold") {
     val rows = Stats.qCohensKappa(tables).collect()
     assert(rows.nonEmpty)
