@@ -167,6 +167,7 @@ object SparkEntry {
     "q_session_paths" -> q(Events.qSessionPaths(_)),
     "q_attribution" -> q(Events.qAttribution),
     "q_markov_attribution" -> q(Events.qMarkovAttribution(_)),
+    "q_shapley_attribution" -> q(Events.qShapleyAttribution(_)),
     "q_hourly_profile" -> q(Events.qHourlyProfile),
     "q_vocab_containment" -> q(TextAnalysis.qVocabContainment),
     "q_decile_lift" -> q(Analytics.qDecileLift),
@@ -2528,6 +2529,144 @@ object SparkEntry {
          FROM tot LEFT JOIN exact_drop USING (source)
            LEFT JOIN near_drop USING (source)
          ORDER BY tot.source""",
+    // exact Shapley channel attribution: 16 coalition scenarios through
+    // the same micro-unit value iteration; integer 24th-sum credits
+    "q_shapley_attribution" ->
+      """WITH ev AS (SELECT user_id, event_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events),
+edges AS (
+  SELECT 'start' AS src, event_type AS dst FROM ev WHERE rn = 1
+  UNION ALL
+  SELECT event_type, COALESCE(nxt, 'end') FROM ev WHERE event_type <> 'purchase'),
+cnt AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM edges GROUP BY 1, 2),
+outd AS (SELECT src, CAST(SUM(n) AS BIGINT) AS n_src FROM cnt GROUP BY 1),
+pm AS (SELECT c.src, c.dst, (c.n * 1000000) // o.n_src AS p
+  FROM cnt c JOIN outd o ON c.src = o.src),
+scen AS (SELECT unnest(['|', '|click|', '|error|', '|signup|', '|view|', '|click|error|', '|click|signup|', '|click|view|', '|error|signup|', '|error|view|', '|signup|view|', '|click|error|signup|', '|click|error|view|', '|click|signup|view|', '|error|signup|view|', '|click|error|signup|view|']) AS removed),
+sp AS (SELECT s.removed, p.src, p.dst, p.p FROM pm p CROSS JOIN scen s
+  WHERE strpos(s.removed, '|' || p.src || '|') = 0
+    AND strpos(s.removed, '|' || p.dst || '|') = 0),
+states AS (SELECT DISTINCT removed, src AS st FROM sp
+  UNION SELECT DISTINCT removed, dst FROM sp),
+v0 AS (SELECT removed, st,
+    CAST(CASE WHEN st = 'purchase' THEN 1000000 ELSE 0 END AS BIGINT) AS v
+  FROM states),
+v1 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v0 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v2 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v1 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v3 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v2 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v4 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v3 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v5 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v4 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v6 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v5 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v7 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v6 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+v8 AS (
+  SELECT st.removed, st.st,
+    CASE WHEN st.st = 'purchase' THEN CAST(1000000 AS BIGINT)
+         WHEN st.st = 'end' THEN CAST(0 AS BIGINT)
+         ELSE CAST(COALESCE(SUM(sp.p * pv.v), 0) // 1000000 AS BIGINT) END AS v
+  FROM states st
+  LEFT JOIN sp ON sp.removed = st.removed AND sp.src = st.st
+  LEFT JOIN v7 pv ON pv.removed = st.removed AND pv.st = sp.dst
+  GROUP BY st.removed, st.st),
+coal(channel, keep_scen, drop_scen, w) AS (VALUES
+    ('click', '|error|signup|view|', '|click|error|signup|view|', 6),
+    ('click', '|signup|view|', '|click|signup|view|', 2),
+    ('click', '|error|view|', '|click|error|view|', 2),
+    ('click', '|error|signup|', '|click|error|signup|', 2),
+    ('click', '|view|', '|click|view|', 2),
+    ('click', '|signup|', '|click|signup|', 2),
+    ('click', '|error|', '|click|error|', 2),
+    ('click', '|', '|click|', 6),
+    ('error', '|click|signup|view|', '|click|error|signup|view|', 6),
+    ('error', '|signup|view|', '|error|signup|view|', 2),
+    ('error', '|click|view|', '|click|error|view|', 2),
+    ('error', '|click|signup|', '|click|error|signup|', 2),
+    ('error', '|view|', '|error|view|', 2),
+    ('error', '|signup|', '|error|signup|', 2),
+    ('error', '|click|', '|click|error|', 2),
+    ('error', '|', '|error|', 6),
+    ('signup', '|click|error|view|', '|click|error|signup|view|', 6),
+    ('signup', '|error|view|', '|error|signup|view|', 2),
+    ('signup', '|click|view|', '|click|signup|view|', 2),
+    ('signup', '|click|error|', '|click|error|signup|', 2),
+    ('signup', '|view|', '|signup|view|', 2),
+    ('signup', '|error|', '|error|signup|', 2),
+    ('signup', '|click|', '|click|signup|', 2),
+    ('signup', '|', '|signup|', 6),
+    ('view', '|click|error|signup|', '|click|error|signup|view|', 6),
+    ('view', '|error|signup|', '|error|signup|view|', 2),
+    ('view', '|click|signup|', '|click|signup|view|', 2),
+    ('view', '|click|error|', '|click|error|view|', 2),
+    ('view', '|signup|', '|signup|view|', 2),
+    ('view', '|error|', '|error|view|', 2),
+    ('view', '|click|', '|click|view|', 2),
+    ('view', '|', '|view|', 6)),
+vfull AS (SELECT v AS vf FROM v8 WHERE removed = '|' AND st = 'start')
+SELECT c.channel,
+  (SELECT vf FROM vfull) AS v_full_micro,
+  CAST(SUM(c.w * (COALESCE(vw.v, 0) - COALESCE(vo.v, 0))) AS BIGINT) AS shapley_num,
+  CAST(SUM(c.w * (COALESCE(vw.v, 0) - COALESCE(vo.v, 0))) AS DOUBLE) / 24 AS shapley_micro
+FROM coal c
+LEFT JOIN v8 vw ON vw.removed = c.keep_scen AND vw.st = 'start'
+LEFT JOIN v8 vo ON vo.removed = c.drop_scen AND vo.st = 'start'
+GROUP BY c.channel ORDER BY c.channel""",
     // Markov removal-effect attribution: micro-unit integer transition
     // probabilities + 8 unrolled value-iteration rounds per scenario
     "q_markov_attribution" ->

@@ -415,6 +415,24 @@ object Events {
   def qMarkovAttribution(t: Tables, rounds: Int = 8): DataFrame = {
     val spark = t.events.sparkSession
     import spark.implicits._
+    val (pMicro, channels) = journeyChain(t)
+    val base = absorptionMicro(pMicro, Set.empty, rounds)
+    channels.map { c =>
+      val cv = absorptionMicro(pMicro, Set(c), rounds)
+      val eff = if (base == 0L) None
+        else Some((base - cv).toDouble / base.toDouble)
+      (c, base, cv, eff)
+    }.toDF("channel", "base_cv_micro", "removed_cv_micro", "removal_effect")
+      .orderBy("channel")
+  }
+
+  /** Shared journey-chain build for the attribution pair: ONE fact-sized
+    * window + transition-count stage, collected as the |types|^2
+    * micro-unit probability matrix (index metadata) plus the sorted
+    * non-absorbing channel list.
+    */
+  private[graft] def journeyChain(
+      t: Tables): (Array[(String, String, Long)], Seq[String]) = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
     val seq = t.events
       .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
@@ -429,40 +447,79 @@ object Events {
       .groupBy("src", "dst").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
-
     val outDeg = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
     // micro-unit transition probabilities, truncating div (matches //)
     val pMicro = counts.map { case (s, d, n) => (s, d, n * 1000000L / outDeg(s)) }
-    val real = (counts.map(_._1) ++ counts.map(_._2)).distinct
-      .filterNot(Set("start", "end")).sorted
-    val channels = real.filterNot(_ == "purchase")
+    val channels = (counts.map(_._1) ++ counts.map(_._2)).distinct
+      .filterNot(Set("start", "end", "purchase")).sorted.toSeq
+    (pMicro, channels)
+  }
 
-    def absorption(removed: String): Long = {
-      val edges = pMicro.filter { case (s, d, _) => s != removed && d != removed }
-      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
-      var v = Map("purchase" -> 1000000L).withDefaultValue(0L)
-      (1 to rounds).foreach { _ =>
-        val nv = states.map { s =>
-          s -> (s match {
-            case "purchase" => 1000000L
-            case "end" => 0L
-            case _ =>
-              edges.iterator.filter(_._1 == s)
-                .map { case (_, d, p) => p * v(d) }.sum / 1000000L
-          })
-        }.toMap
-        v = nv.withDefaultValue(0L)
-      }
-      v("start")
+  /** Truncated micro-unit value iteration: start->purchase absorption of
+    * the chain with `removed` states dropped (their mass is lost —
+    * denominators unchanged). Exact integer arithmetic, order-free.
+    */
+  private[graft] def absorptionMicro(
+      pMicro: Array[(String, String, Long)], removed: Set[String],
+      rounds: Int): Long = {
+    val edges = pMicro.filter { case (s, d, _) => !removed(s) && !removed(d) }
+    val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var v = Map("purchase" -> 1000000L).withDefaultValue(0L)
+    (1 to rounds).foreach { _ =>
+      v = states.map { s =>
+        s -> (s match {
+          case "purchase" => 1000000L
+          case "end" => 0L
+          case _ =>
+            edges.iterator.filter(_._1 == s)
+              .map { case (_, d, p) => p * v(d) }.sum / 1000000L
+        })
+      }.toMap.withDefaultValue(0L)
     }
+    v("start")
+  }
 
-    val base = absorption("__base__")
-    channels.toSeq.map { c =>
-      val cv = absorption(c)
-      val eff = if (base == 0L) None
-        else Some((base - cv).toDouble / base.toDouble)
-      (c, base, cv, eff)
-    }.toDF("channel", "base_cv_micro", "removed_cv_micro", "removal_effect")
+  /** EXACT Shapley-value channel attribution over the journey Markov
+    * chain — the game-theoretic sibling of [[qMarkovAttribution]]:
+    * coalition value v(S) is the start->purchase absorption (micro-unit
+    * integers, same truncated value iteration) of the chain restricted
+    * to channel subset S, and each channel's credit is its exact Shapley
+    * average marginal contribution over all 2^|channels| coalitions —
+    * tractable exactly because the channel set is the EVENT-TYPE domain
+    * (4 here), not a cardinality that grows with data.
+    *
+    * Numbers: v(S) are exact micro-unit longs; Shapley weights for n=4
+    * are {3,1,1,3}/12, so the credit is an integer twelfth-sum with ONE
+    * double division at the end — order-free, hash-stable. The
+    * efficiency property (credits sum to v(all) - v(none)) holds as an
+    * exact integer identity and is spec'd.
+    *
+    * Scale: identical to qMarkovAttribution — one fact-sized window +
+    * count stage; 16 coalition iterations on the driver over the
+    * |types|^2 count matrix.
+    */
+  def qShapleyAttribution(t: Tables, rounds: Int = 8): DataFrame = {
+    val spark = t.events.sparkSession
+    import spark.implicits._
+    val (pMicro, channels) = journeyChain(t)
+    val n = channels.length
+    require(n <= 8, s"coalition sweep is 2^n; got n=$n channel states")
+    val all = channels.toSet
+    def vKept(kept: Set[String]): Long =
+      absorptionMicro(pMicro, all -- kept, rounds)
+    val value = all.subsets().map(s => s -> vKept(s)).toMap
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _)
+    val denom = fact(n)
+    val vAll = value(all)
+
+    channels.map { c =>
+      val others = all - c
+      // integer sum of |S|!(n-|S|-1)! * marginal, over S <= others
+      val num = others.subsets().map { s =>
+        fact(s.size) * fact(n - s.size - 1) * (value(s + c) - value(s))
+      }.sum
+      (c, vAll, num, num.toDouble / denom.toDouble)
+    }.toDF("channel", "v_full_micro", "shapley_num", "shapley_micro")
       .orderBy("channel")
   }
 

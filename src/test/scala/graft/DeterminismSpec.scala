@@ -111,7 +111,8 @@ class DeterminismSpec extends SparkSuite {
     "q_k_anonymity",      // exact integer class census per k
     "q_cohens_kappa",     // integer kappa form, one division
     "q_dedup_pipeline",   // exact->near->cluster funnel, integer census
-    "q_markov_attribution") // micro-unit chain, truncated value iteration
+    "q_markov_attribution", // micro-unit chain, truncated value iteration
+    "q_shapley_attribution") // exact coalition sweep, integer 24th-sums
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -109,6 +109,21 @@ class RobustStatsSpec extends SparkSuite {
     assert(channels == channels.sorted && !channels.contains("purchase"))
   }
 
+  test("shapley attribution: efficiency holds as an exact integer identity") {
+    val rows = Events.qShapleyAttribution(tables).collect()
+    assert(rows.length == 4)
+    val vFull = rows.head.getLong(1)
+    rows.foreach { r =>
+      assert(r.getLong(1) == vFull)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / 24.0)
+    }
+    // efficiency: credits sum EXACTLY (in 24ths) to v(all) - v(none)
+    val (pMicro, channels) = Events.journeyChain(tables)
+    val vNone = Events.absorptionMicro(pMicro, channels.toSet, rounds = 8)
+    val sumNum = rows.map(_.getLong(2)).sum
+    assert(sumNum == 24L * (vFull - vNone), s"$sumNum != 24*($vFull-$vNone)")
+  }
+
   test("cohen's kappa reconciles against marginal counts; po bounds hold") {
     val rows = Stats.qCohensKappa(tables).collect()
     assert(rows.nonEmpty)
