@@ -647,6 +647,62 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** Earth-mover (Wasserstein-1) drift of each source's length
+    * distribution vs the corpus — the metric-aware companion to
+    * [[qPsiDrift]] (PSI sees only per-bin ratios; EMD also sees how FAR
+    * the mass moved). For 1-D discrete distributions EMD is the area
+    * between the CDFs: sum over the sorted support of |F_src - F_corpus|
+    * times the gap to the next support point.
+    *
+    * Exactness: with C = cumulative counts, |F1 - F2| =
+    * |C_src * all_n - C_all * n_src| / (n_src * all_n) — the numerator
+    * is an exact BIGINT, so the whole sum is one integer and the final
+    * EMD is a single double division. No float accumulates.
+    *
+    * Scale: one (source, bin) aggregate over the corpus; everything
+    * after runs on the sources x support grid — dimension-sized (bins
+    * are n_chars/binWidth). Cumulative windows partition by source.
+    */
+  def qEmdDrift(t: Tables, binWidth: Int = 25): DataFrame = {
+    val counts = t.documents
+      .select(col("source"),
+        floor(col("n_chars").cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("k"))
+    val support = counts.select("bin").distinct()
+      .withColumn("gap",
+        coalesce(lead("bin", 1).over(Window.orderBy("bin")) - col("bin"),
+          lit(0L)))
+    val grid = counts.select("source").distinct()
+      .crossJoin(support)
+      .join(counts, Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("k"))
+    val bySrc = Window.partitionBy("source").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val byBin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    val corpus = grid.groupBy("bin").agg(sum("k").as("bk"))
+      .withColumn("c_all", sum("bk").over(byBin))
+    grid
+      .withColumn("c_src", sum("k").over(bySrc))
+      .withColumn("n_src", sum("k").over(Window.partitionBy("source")))
+      .join(broadcast(corpus), "bin")
+      .withColumn("all_n", sum("k").over(Window.partitionBy(lit(1))))
+      .withColumn("term",
+        abs(col("c_src") * col("all_n") - col("c_all") * col("n_src")) *
+          col("gap"))
+      .groupBy("source")
+      .agg(
+        max("n_src").as("n_docs"),
+        sum("term").as("emd_num"),
+        max("all_n").as("all_n"))
+      .withColumn("emd_bins",
+        col("emd_num").cast("double") /
+          (col("n_docs") * col("all_n")).cast("double"))
+      .withColumn("emd_chars", col("emd_bins") * binWidth)
+      .select("source", "n_docs", "emd_num", "emd_bins", "emd_chars")
+      .orderBy("source")
+  }
+
   /** Sparse doc×topic scoring — the sparse-matrix-multiply shape: topic
     * dictionaries are the top-`k` per-source words by in-source document
     * frequency (corpus-hot words excluded via the same df guard as

@@ -112,7 +112,8 @@ class DeterminismSpec extends SparkSuite {
     "q_cohens_kappa",     // integer kappa form, one division
     "q_dedup_pipeline",   // exact->near->cluster funnel, integer census
     "q_markov_attribution", // micro-unit chain, truncated value iteration
-    "q_shapley_attribution") // exact coalition sweep, integer 24th-sums
+    "q_shapley_attribution", // exact coalition sweep, integer 24th-sums
+    "q_emd_drift")        // integer CDF-difference numerators
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

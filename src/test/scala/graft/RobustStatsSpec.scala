@@ -91,6 +91,30 @@ class RobustStatsSpec extends SparkSuite {
     }
   }
 
+  test("EMD drift matches a driver-side CDF-area recompute") {
+    import org.apache.spark.sql.functions._
+    val got = graft.ext.TextAnalysis.qEmdDrift(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val raw = tables.documents
+      .select(col("source"), floor(col("n_chars") / 25.0).cast("long").as("b"))
+      .as[(String, Long)].collect()
+    val support = raw.map(_._2).distinct.sorted
+    val allN = raw.length.toLong
+    val corpusCum = support.map(b => b -> raw.count(_._2 <= b).toLong).toMap
+    raw.groupBy(_._1).foreach { case (src, rows) =>
+      val n = rows.length.toLong
+      var num = 0L
+      support.zip(support.tail).foreach { case (b, nxt) =>
+        val cSrc = rows.count(_._2 <= b).toLong
+        num += math.abs(cSrc * allN - corpusCum(b) * n) * (nxt - b)
+      }
+      val (gn, gnum, gbins) = got(src)
+      assert(gn == n && gnum == num, s"$src: ($gn,$gnum) != ($n,$num)")
+      assert(gbins == num.toDouble / (n * allN))
+    }
+  }
+
   test("markov attribution: removal never raises conversion; effects reconcile") {
     val rows = Events.qMarkovAttribution(tables).collect()
     assert(rows.nonEmpty)
