@@ -363,6 +363,7 @@ object SparkEntry {
         .orderBy("click_id", "view_id")),
     // — multimodal plumbing —
     "q_multimodal_meta" -> q(Multimodal.qMultimodalMeta),
+    "q_multimodal_dedup" -> q(Multimodal.qMultimodalDedup),
     "q_multimodal_chunks" -> q(Multimodal.qMultimodalChunks(_)),
     "q_multimodal_frames" -> ((spark, dir) =>
       Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
@@ -973,6 +974,20 @@ SELECT source, MAX(n_src) AS n_docs,
   CAST(SUM(term) AS DOUBLE)
     / CAST(MAX(n_src) * (SELECT all_n FROM tot) AS DOUBLE) * 25 AS emd_chars
 FROM terms GROUP BY source ORDER BY source""",
+    // byte-level payload dedup census: md5 of the raw bytes, sizes via
+    // octet_length; identical media dedup regardless of metadata
+    "q_multimodal_dedup" ->
+      """WITH p AS (SELECT doc_id, source, md5(text) AS h,
+             CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS nbytes
+           FROM documents),
+         g AS (SELECT source, h, CAST(COUNT(*) AS BIGINT) AS copies,
+             MIN(nbytes) AS sz
+           FROM p GROUP BY 1, 2)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(copies) AS BIGINT) AS n_payloads,
+           CAST(SUM(copies) - COUNT(*) AS BIGINT) AS n_dupes,
+           CAST(SUM((copies - 1) * sz) AS BIGINT) AS dup_bytes
+         FROM g GROUP BY source ORDER BY source""",
     "q_psi_drift" ->
       """WITH c AS (SELECT source, CAST(floor(n_chars / 25.0) AS BIGINT) AS bin,
              COUNT(*) AS k

@@ -163,6 +163,34 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Binary-payload dedup census — the CHEAPEST multimodal filter, run
+    * before any decode: md5 over the raw payload bytes, per-source
+    * duplicate counts plus total duplicate bytes reclaimable (bytes of
+    * every non-first copy). Byte-level hashing means identical media
+    * dedups regardless of filename/metadata. One hash-aggregate shuffle;
+    * md5 map-side; payload bytes never shuffle (only hash + length do).
+    */
+  def qMultimodalDedup(t: Tables): DataFrame = {
+    val payloads = t.documents
+      .select(col("doc_id"), col("source"),
+        encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), col("source"),
+        md5(col("payload")).as("h"),
+        octet_length(col("payload")).cast("long").as("nbytes"))
+    payloads
+      .groupBy("source", "h")
+      .agg(
+        count(lit(1)).as("copies"),
+        min("nbytes").as("sz"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_distinct"),
+        sum("copies").as("n_payloads"),
+        (sum("copies") - count(lit(1))).as("n_dupes"),
+        sum((col("copies") - 1) * col("sz")).as("dup_bytes"))
+      .orderBy("source")
+  }
+
   final case class FrameFeature(doc_id: Long, frame_id: Long, feature: Array[Float])
 
   /** Per-frame feature extraction STUB: the (doc, frame) grain from

@@ -113,7 +113,8 @@ class DeterminismSpec extends SparkSuite {
     "q_dedup_pipeline",   // exact->near->cluster funnel, integer census
     "q_markov_attribution", // micro-unit chain, truncated value iteration
     "q_shapley_attribution", // exact coalition sweep, integer 24th-sums
-    "q_emd_drift")        // integer CDF-difference numerators
+    "q_emd_drift",        // integer CDF-difference numerators
+    "q_multimodal_dedup") // byte-level payload hash census
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
