@@ -348,6 +348,8 @@ object SparkEntry {
       graft.streaming.Streams.drainKnn(spark, dir, "embeddings.parquet")),
     "q_stream_kanonymity" -> ((spark, dir) =>
       graft.streaming.Streams.drainKAnonymity(spark, dir, "customer.parquet")),
+    "q_stream_emd" -> ((spark, dir) =>
+      graft.streaming.Streams.drainEmdDrift(spark, dir, "documents.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -949,6 +951,34 @@ object SparkEntry {
     // Wasserstein-1 drift: integer CDF-difference numerators, one
     // double division per source
     "q_emd_drift" ->
+      """WITH c AS (SELECT source, CAST(floor(n_chars / 25.0) AS BIGINT) AS bin,
+    CAST(COUNT(*) AS BIGINT) AS k FROM documents GROUP BY 1, 2),
+sup AS (SELECT bin,
+    CAST(COALESCE(lead(bin) OVER (ORDER BY bin) - bin, 0) AS BIGINT) AS gap
+  FROM (SELECT DISTINCT bin FROM c)),
+grid AS (SELECT s.source, sup.bin, sup.gap, CAST(COALESCE(c.k, 0) AS BIGINT) AS k
+  FROM (SELECT DISTINCT source FROM c) s CROSS JOIN sup
+  LEFT JOIN c ON c.source = s.source AND c.bin = sup.bin),
+corp AS (SELECT bin, CAST(SUM(k) AS BIGINT) AS bk FROM grid GROUP BY bin),
+corp2 AS (SELECT bin, CAST(SUM(bk) OVER (ORDER BY bin) AS BIGINT) AS c_all FROM corp),
+tot AS (SELECT CAST(SUM(k) AS BIGINT) AS all_n FROM grid),
+g2 AS (SELECT source, bin, gap, k,
+    CAST(SUM(k) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS c_src,
+    CAST(SUM(k) OVER (PARTITION BY source) AS BIGINT) AS n_src
+  FROM grid),
+terms AS (SELECT g2.source, g2.n_src,
+    abs(g2.c_src * (SELECT all_n FROM tot) - corp2.c_all * g2.n_src) * g2.gap AS term
+  FROM g2 JOIN corp2 ON g2.bin = corp2.bin)
+SELECT source, MAX(n_src) AS n_docs,
+  CAST(SUM(term) AS BIGINT) AS emd_num,
+  CAST(SUM(term) AS DOUBLE)
+    / CAST(MAX(n_src) * (SELECT all_n FROM tot) AS DOUBLE) AS emd_bins,
+  CAST(SUM(term) AS DOUBLE)
+    / CAST(MAX(n_src) * (SELECT all_n FROM tot) AS DOUBLE) * 25 AS emd_chars
+FROM terms GROUP BY source ORDER BY source""",
+    // the streaming drain produces the same histogram through a real
+    // stateful aggregation - same oracle
+    "q_stream_emd" ->
       """WITH c AS (SELECT source, CAST(floor(n_chars / 25.0) AS BIGINT) AS bin,
     CAST(COUNT(*) AS BIGINT) AS k FROM documents GROUP BY 1, 2),
 sup AS (SELECT bin,

@@ -663,12 +663,20 @@ object TextAnalysis {
     * after runs on the sources x support grid — dimension-sized (bins
     * are n_chars/binWidth). Cumulative windows partition by source.
     */
-  def qEmdDrift(t: Tables, binWidth: Int = 25): DataFrame = {
-    val counts = t.documents
-      .select(col("source"),
-        floor(col("n_chars").cast("double") / binWidth).cast("long").as("bin"))
-      .groupBy("source", "bin")
-      .agg(count(lit(1)).as("k"))
+  def qEmdDrift(t: Tables, binWidth: Int = 25): DataFrame =
+    emdFromHistogram(
+      t.documents
+        .select(col("source"),
+          floor(col("n_chars").cast("double") / binWidth).cast("long").as("bin"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("k")),
+      binWidth)
+
+  /** The CDF-area epilogue of [[qEmdDrift]] on any (source, bin, k)
+    * histogram — shared with the streaming drift monitor, whose stateful
+    * aggregation produces the same frame.
+    */
+  def emdFromHistogram(counts: DataFrame, binWidth: Int): DataFrame = {
     val support = counts.select("bin").distinct()
       .withColumn("gap",
         coalesce(lead("bin", 1).over(Window.orderBy("bin")) - col("bin"),

@@ -659,6 +659,32 @@ object Streams {
         "risk_pct", "min_class", "min_l")
       .orderBy("k")
 
+  /** Continuous distribution-drift monitoring at ingest: the Wasserstein-1
+    * audit ([[graft.ext.TextAnalysis.qEmdDrift]]) kept current as
+    * documents arrive. The ONE stateful aggregation is the (source, bin)
+    * length histogram — state bounded by sources × length bins, however
+    * long the stream runs; the CDF-area arithmetic (exact integer
+    * numerators) is a stateless batch epilogue over the drained
+    * dimension-sized histogram.
+    */
+  def lengthHistogram(docs: DataFrame, binWidth: Int = 25): DataFrame =
+    docs
+      .select(col("source"),
+        floor(col("n_chars").cast("double") / binWidth).cast("long").as("bin"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("k"))
+
+  /** Drain-mode execution of [[lengthHistogram]] + the batch CDF-area
+    * epilogue; shares `q_emd_drift`'s oracle. `q_stream_emd`.
+    */
+  def drainEmdDrift(
+      spark: SparkSession, dir: String, globFilter: String = "*",
+      binWidth: Int = 25): DataFrame = {
+    val counts = drain(spark,
+      lengthHistogram(docsStream(spark, dir, globFilter), binWidth))
+    graft.ext.TextAnalysis.emdFromHistogram(counts, binWidth)
+  }
+
   /** Raw on-disk schema of the driver's embeddings parquet. */
   val embFileSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),

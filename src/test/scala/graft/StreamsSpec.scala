@@ -424,6 +424,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming EMD drift drain equals the batch Wasserstein audit") {
+    val streamed = Streams.drainEmdDrift(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.TextAnalysis.qEmdDrift(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming k-anonymity drain equals the batch privacy audit") {
     val streamed = Streams.drainKAnonymity(spark, sfDir, "customer.parquet")
       .collect().toSeq
