@@ -87,6 +87,26 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("property: portable simhash is word-order and duplication invariant") {
+    // order-freedom is what lets the distributed fingerprint hash-match a
+    // serial SQL replay: the fingerprint must depend only on the distinct
+    // word SET
+    val textGen = Gen.nonEmptyListOf(
+      Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString))
+    for (seed <- 1L to 5L) {
+      val wordLists = sample(Gen.listOfN(20, textGen), seed)
+      val rng = new scala.util.Random(seed)
+      val rows = wordLists.zipWithIndex.map { case (ws, i) =>
+        val shuffledDup = rng.shuffle(ws ++ rng.shuffle(ws).take(ws.length / 2))
+        (i.toLong, ws.mkString(" "), shuffledDup.mkString(" "))
+      }
+      val d = rows.toDF("id", "a", "b").select(
+        Dedup.portableSimhashCol(col("a")).as("fa"),
+        Dedup.portableSimhashCol(col("b")).as("fb"))
+      assert(d.filter(col("fa") =!= col("fb")).count() == 0L, s"seed=$seed")
+    }
+  }
+
   test("property: connectedComponents equals union-find on random graphs") {
     val edgeGen = Gen.listOfN(
       40,
