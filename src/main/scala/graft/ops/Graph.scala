@@ -524,12 +524,18 @@ object Graph {
     val weighted = idx.edges
       .select(col("src"), col("dst"), expr("1000000 div shared").as("w"))
     val source = idx.minNode
+    // dist is node-sized state, same as PageRank's rank frame: while it
+    // fits the broadcast tier the relaxation join is a map-side hash probe
+    // and the (checkpointed) edge fact never shuffles per round — AQE
+    // cannot make this call itself because LogicalRDD stats are unknown
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
     var dist = weighted.sparkSession.range(1)
       .select(lit(source).as("node"), lit(0L).as("dist"))
       .loopCheckpoint()
     for (_ <- 1 to hops) {
       val next = weighted
-        .join(dist, weighted("src") === dist("node"))
+        .join(maybeBroadcast(dist), weighted("src") === dist("node"))
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
         .union(dist)
         .groupBy("node").agg(min("dist").as("dist"))
