@@ -131,6 +131,7 @@ object SparkEntry {
     "q_kcore" -> q(Graph.qKcore(_)),
     "q_hierarchy_flatten" -> q(Graph.qHierarchyFlatten(_)),
     "q_sssp" -> q(Graph.qSssp(_)),
+    "q_link_prediction" -> q(Graph.qLinkPrediction(_)),
     "q_cross_corr" -> q(Events.qCrossCorr(_)),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
@@ -248,6 +249,7 @@ object SparkEntry {
     "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
     "q_jaro_names" -> q(Dedup.qJaroNames(_)),
     "q_cross_source_overlap" -> q(Dedup.qCrossSourceOverlap),
+    "q_dedup_savings" -> q(Dedup.qDedupSavings),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -276,6 +278,8 @@ object SparkEntry {
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
     "q_lang_id" -> q(TextAnalysis.qLangId),
+    "q_hapax_ratio" -> q(TextAnalysis.qHapaxRatio),
+    "q_simpson_diversity" -> q(TextAnalysis.qSimpsonDiversity),
     "q_token_bpe" -> q(TextAnalysis.qTokenBpe),
     "q_fingerprint" -> q(TextAnalysis.qFingerprint),
     "q_repetition" -> q(TextAnalysis.qRepetition),
@@ -3196,6 +3200,66 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
          FROM s WHERE rn <= quota GROUP BY source ORDER BY source""",
     "q_top_terms" -> topTermsOracle,
     "q_stream_topterms" -> topTermsOracle,
+    // ratios divide exact integer counts — bit-identical doubles, no round
+    "q_hapax_ratio" ->
+      """WITH wc AS (SELECT source, word, COUNT(*) AS c FROM (
+             SELECT source,
+               unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+             FROM documents) GROUP BY 1, 2)
+         SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS BIGINT) AS ttr,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS hapax_frac
+         FROM wc GROUP BY source ORDER BY source""",
+    "q_simpson_diversity" ->
+      """WITH lc AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+             FROM documents GROUP BY 1, 2),
+         s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs,
+             CAST(SUM(n * n) AS BIGINT) AS ss
+           FROM lc GROUP BY source)
+         SELECT source, n_docs, n_langs,
+           CAST(n_docs * n_docs - ss AS DOUBLE) / (n_docs * n_docs)
+             AS simpson
+         FROM s ORDER BY source""",
+    "q_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             md5(lower(trim(text))) AS h
+           FROM documents),
+         k AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY 1)
+         SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_dupe,
+           CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END)
+               AS DOUBLE)
+             / CAST(SUM(n_tokens) AS BIGINT) AS pct_saved
+         FROM d JOIN k USING (h) GROUP BY source ORDER BY source""",
+    "q_link_prediction" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         pr AS (SELECT src AS u, dst AS w FROM e WHERE src % 199 = 0),
+         cn AS (SELECT pr.u, e.dst AS v, COUNT(*) AS n_common
+           FROM pr JOIN e ON e.src = pr.w
+           WHERE e.dst <> pr.u GROUP BY 1, 2),
+         nonadj AS (SELECT u, v, n_common FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.src = cn.u AND e.dst = cn.v)),
+         r AS (SELECT u, v, n_common,
+             row_number() OVER (PARTITION BY u
+               ORDER BY n_common DESC, v) AS rnk
+           FROM nonadj)
+         SELECT u AS part, v AS candidate, CAST(n_common AS BIGINT) AS n_common,
+           CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY part, rnk""",
     "q_knn_brute" ->
       """WITH corpus AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
          queries AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

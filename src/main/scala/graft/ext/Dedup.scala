@@ -330,7 +330,21 @@ object Dedup {
     */
   def qSimhashPortable(
       t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
-    simhashPortablePairs(t.documents, "doc_id", "text", maxHamming, maxBucket)
+    simhashPortablePairsFromFp(
+      portableFpCache(t), maxHamming, maxBucket, checkpoint = true)
+
+  /** The documents table's portable-simhash fingerprint frame (id, f)
+    * behind a build-once session cache: the banded pair query probes it
+    * directly and the dedup funnel re-attaches it to the exact-dedup
+    * survivors by id (the fingerprint is a pure per-row function of the
+    * text, so a subset's fingerprints are a semi-join away — an MD5 +
+    * vote loop per word is the expensive part, not the join).
+    * Cache-owned — callers must not unpersist.
+    */
+  private val portableFpCache = new graft.Engine.DirCache(t =>
+    graft.Engine.spread(
+      t.documents.select(col("doc_id").as("id"), col("text")))
+      .select(col("id"), portableSimhashCol(col("text")).as("f")))
 
   /** [[qSimhashPortable]]'s pipeline on any (id, text) frame.
     * `checkpoint = false` skips the final materialization (and the cache
@@ -345,7 +359,18 @@ object Dedup {
       .select(col("id"), portableSimhashCol(col("text")).as("f"))
       // consumed by the banding pass AND the verify join-back
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = simhashPortablePairsFromFp(fp, maxHamming, maxBucket, checkpoint)
+    if (checkpoint) fp.unpersist(false)
+    out
+  }
 
+  /** Banding + hamming verify over an already-materialized fingerprint
+    * frame (cached or caller-persisted — this layer neither persists nor
+    * frees it).
+    */
+  private[graft] def simhashPortablePairsFromFp(
+      fp: DataFrame, maxHamming: Int, maxBucket: Int,
+      checkpoint: Boolean): DataFrame = {
     val banded = fp.select(col("id"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("f"), 15 * b).bitwiseAND(lit(32767L))): _*))
@@ -364,9 +389,7 @@ object Dedup {
       .select("id1", "id2", "hamming")
       .orderBy("id1", "id2")
     if (!checkpoint) return out
-    val mat = out.loopCheckpoint()
-    fp.unpersist(false)
-    mat
+    out.loopCheckpoint()
   }
 
   /** The corpus-dedup FUNNEL end-to-end, as one graded query — the
@@ -398,20 +421,34 @@ object Dedup {
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
       .withColumn("h", md5(lower(trim(col("text")))))
     val exactKeep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    // (doc_id, source, keep_id) feeds three consumers (keeper ids, the
+    // exact-drop rollup, the near-drop join) — persist so the md5 groupBy
+    // + join runs once, not per consumer. Text is NOT carried: survivor
+    // fingerprints come from the session fp cache below.
     val marked = docs.join(exactKeep, "h")
+      .select(col("doc_id"), col("source"), col("keep_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = marked.filter(col("doc_id") === col("keep_id"))
-      .select("doc_id", "source", "text")
+      .select(col("doc_id").as("id"), col("source"))
     val exactDropped = marked.filter(col("doc_id") =!= col("keep_id"))
       .groupBy("source").agg(count(lit(1)).as("n_exact_dropped"))
 
-    val pairs = simhashPortablePairs(
-      keepers, "doc_id", "text", maxHamming, maxBucket)
+    // the fingerprint is a pure per-row function of the text, so the
+    // exact-survivors' fingerprints are an id-keyed join against the
+    // session fp cache instead of a second per-word MD5 pass (at 100 TB
+    // both sides hash-shuffle on id once — still far cheaper than
+    // re-hashing every word of the surviving corpus)
+    val keeperFp = portableFpCache(t)
+      .join(keepers.select("id"), "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs =
+      simhashPortablePairsFromFp(keeperFp, maxHamming, maxBucket, checkpoint = true)
     val comp = connectedComponents(pairs.select("id1", "id2"))
     val nearDropped = comp.filter(col("id") =!= col("comp"))
-      .join(keepers.select(col("doc_id").as("id"), col("source")), "id")
+      .join(keepers, "id")
       .groupBy("source").agg(count(lit(1)).as("n_near_dropped"))
 
-    t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val out = t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
       .join(exactDropped, Seq("source"), "left")
       .join(nearDropped, Seq("source"), "left")
       .na.fill(0L, Seq("n_exact_dropped", "n_near_dropped"))
@@ -420,6 +457,12 @@ object Dedup {
       .select("source", "n_docs", "n_exact_dropped", "n_near_dropped",
         "n_survivors")
       .orderBy("source")
+      .loopCheckpoint() // source-dimension-sized; lets the stage caches go
+    marked.unpersist(false)
+    keeperFp.unpersist(false)
+    graft.Engine.freeCheckpoint(comp)
+    graft.Engine.freeCheckpoint(pairs)
+    out
   }
 
   /** Connected components over an undirected duplicate-pair edge list by
@@ -879,5 +922,35 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_new"), col("id_old"), col("inter"), col("jaccard"))
       .orderBy("id_new", "id_old")
+  }
+
+  /** The cost case for exact dedup, per source: duplicate documents AND
+    * the tokens they'd burn if trained on — the report that justifies the
+    * dedup pass to whoever pays for the compute. Duplicates are the
+    * global keep-lowest-id md5 groups ([[qDedupExact]]'s definition), so
+    * a doc duplicated ACROSS sources is charged to the copies' sources,
+    * not the original's. `pct_saved` divides two exact integer sums —
+    * bit-identical across engines, no rounding.
+    *
+    * Scale: one hash shuffle on the text hash (the dedup group), one
+    * source-dimension rollup; token counting is map-side.
+    */
+  def qDedupSavings(t: Tables): DataFrame = {
+    val docs = t.documents.select(
+      col("doc_id"), col("source"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      md5(lower(trim(col("text")))).as("h"))
+    val keep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
+    docs.join(keep, "h")
+      .withColumn("dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("dup").as("n_dup_docs"),
+        sum("n_tokens").as("tokens_total"),
+        sum(col("n_tokens") * col("dup")).as("tokens_dupe"))
+      .withColumn("pct_saved",
+        col("tokens_dupe").cast("double") / col("tokens_total").cast("double"))
+      .orderBy("source")
   }
 }

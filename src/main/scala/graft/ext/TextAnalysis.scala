@@ -1115,4 +1115,57 @@ object TextAnalysis {
       .select(col("word"), col("df"), col("tf_total"), col("postings"))
       .orderBy("word")
   }
+
+  /** Lexical richness per source: token/type/hapax counts, type-token
+    * ratio, and the hapax fraction (words occurring exactly once in the
+    * source) — the vocabulary-health gauge that flags both boilerplate
+    * (low TTR, few hapaxes) and OCR noise (hapax explosion) in a
+    * training corpus. Every ratio divides two exact integer counts, so
+    * the doubles are bit-identical across engines with no rounding.
+    *
+    * Scale: one hash aggregate on (source, word) with map-side combine —
+    * the word stream crosses one exchange as partial counts — then a
+    * source-dimension-sized rollup. No sorts, no joins.
+    */
+  def qHapaxRatio(t: Tables): DataFrame = {
+    val wc = graft.Engine.spread(t.documents)
+      .select(col("source"), explode(Dedup.words(col("text"))).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    wc.groupBy("source")
+      .agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("ttr"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_frac"))
+      .orderBy("source")
+  }
+
+  /** Per-source language diversity: Simpson index 1 − Σ(nᵢ/N)², computed
+    * as the exact-integer ratio (N² − Σnᵢ²) / N² — the mix-health gauge
+    * behind "is this source monolingual boilerplate or a real blend".
+    * One double division of exact integers at the end, so the value is
+    * bit-identical across engines and partitionings.
+    *
+    * Scale: two nested hash aggregates, both dimension-sized after the
+    * first ((source, lang) is a tiny key domain regardless of corpus
+    * size). Headroom: nᵢ² stays in-long up to ~3e9 docs per
+    * (source, lang); widen the squares to DECIMAL(38,0) beyond.
+    */
+  def qSimpsonDiversity(t: Tables): DataFrame = {
+    val lc = t.documents.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n"))
+    lc.groupBy("source")
+      .agg(
+        sum("n").as("n_docs"),
+        count(lit(1)).as("n_langs"),
+        sum(col("n") * col("n")).as("ss"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        ((col("n_docs") * col("n_docs") - col("ss")).cast("double") /
+          (col("n_docs") * col("n_docs")).cast("double")).as("simpson"))
+      .orderBy("source")
+  }
 }

@@ -549,6 +549,46 @@ object Graph {
     out
   }
 
+  /** Link prediction by common-neighbor count for a deterministic PROBE
+    * set (parts with key ≡ 0 mod `probeMod`): for each probe u, the top-k
+    * non-adjacent candidates v ranked by |N(u) ∩ N(v)| — the co-purchase
+    * recommendation shortlist. The probe-set framing is the production
+    * shape: all-pairs common-neighbor counting is Σ deg²/2 wedges (148 M
+    * on this graph at sf0.1 already — quadratic in the hub degrees),
+    * while scoring a query set is probes × deg × deg work that scales
+    * linearly with the probe count at ANY corpus size.
+    *
+    * Shape: the probe adjacency (probe-count-sized) joins the shared
+    * edge index once on the middle node — candidate generation never
+    * touches non-probe wedges — then one hash aggregate on (u, v), an
+    * anti-join against the edge fact to drop already-adjacent pairs, and
+    * a per-probe ranking window (bounded by each probe's two-hop
+    * neighborhood, never global). All counts are integers; rank ties
+    * break on the candidate key, so the result is a pure function of the
+    * graph.
+    */
+  def qLinkPrediction(
+      t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges = idx.edges.select("src", "dst")
+    val probes = edges.filter(pmod(col("src"), lit(probeMod)) === 0)
+      .select(col("src").as("u"), col("dst").as("w"))
+    val common = probes
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("v") =!= col("u"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("n_common").desc, col("v"))
+    common
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u").as("part"), col("v").as("candidate"),
+        col("n_common"), col("rnk"))
+      .orderBy("part", "rnk")
+  }
+
   /** Hierarchy flattening: every node resolved to its ROOT and DEPTH over
     * a parent forest (here the deterministic decimal-prefix forest on
     * customer keys: parent(c) = c div 10 when that key exists). The

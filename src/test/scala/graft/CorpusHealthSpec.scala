@@ -1,0 +1,126 @@
+package graft
+
+import graft.ext.{Dedup, TextAnalysis}
+import graft.ops.Graph
+
+import org.apache.spark.sql.functions._
+
+/** Round-9 wave: corpus-health reports (lexical richness, language
+  * diversity, dedup cost savings) and probe-set link prediction. Each
+  * test recomputes the operator's claim driver-side from first
+  * principles over sf0.001; the DuckDB oracle covers engine-vs-engine
+  * equality separately.
+  */
+class CorpusHealthSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs: Seq[(Long, String, String, String)] =
+    tables.documents.select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSeq
+
+  test("hapax ratio matches a driver-side recompute") {
+    val bySource = docs.groupBy(_._2)
+    val expected = bySource.map { case (src, ds) =>
+      val words = ds.flatMap(_._4.trim.toLowerCase.split(" +"))
+      val counts = words.groupBy(identity).map(_._2.size)
+      val types = counts.size.toLong
+      val hapax = counts.count(_ == 1).toLong
+      src -> (words.size.toLong, types, hapax)
+    }
+    val got = TextAnalysis.qHapaxRatio(tables).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nTok, nTyp, nHap) = expected(r.getString(0))
+      assert(r.getLong(1) == nTok && r.getLong(2) == nTyp &&
+        r.getLong(3) == nHap)
+      // ratios are exact-integer divisions — bit equality, not approx
+      assert(r.getDouble(4) == nTyp.toDouble / nTok)
+      assert(r.getDouble(5) == nHap.toDouble / nTyp)
+    }
+  }
+
+  test("simpson diversity matches a driver-side recompute") {
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val n = ds.size.toLong
+      val ss = ds.groupBy(_._3).values.map(g => g.size.toLong * g.size).sum
+      src -> (n, ds.map(_._3).distinct.size.toLong,
+        (n * n - ss).toDouble / (n * n))
+    }
+    val got = TextAnalysis.qSimpsonDiversity(tables).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, langs, simpson) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == langs)
+      assert(r.getDouble(3) == simpson)
+    }
+    // a single-language source would score exactly 0; all scores in [0, 1)
+    got.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.0))
+  }
+
+  test("dedup savings matches a driver-side recompute on normalized text") {
+    // keying by the normalized text itself is equivalent to the engine's
+    // md5(normalized text) modulo collisions (none on this corpus)
+    val keepId = docs.groupBy(_._4.trim.toLowerCase)
+      .map { case (k, ds) => k -> ds.map(_._1).min }
+    val expected = docs.groupBy(_._2).map { case (src, ds) =>
+      val toks = ds.map { case (_, _, _, text) =>
+        if (text.trim.isEmpty) 0L else text.trim.split(" +").length.toLong
+      }
+      val dup = ds.zip(toks).filter { case ((id, _, _, text), _) =>
+        keepId(text.trim.toLowerCase) != id
+      }
+      src -> (ds.size.toLong, dup.size.toLong, toks.sum, dup.map(_._2).sum)
+    }
+    val got = Dedup.qDedupSavings(tables).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, nd, tt, td) = expected(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nd)
+      assert(r.getLong(3) == tt && r.getLong(4) == td)
+      assert(r.getDouble(5) == td.toDouble / tt)
+    }
+    // sf0.001 happens to carry no exact duplicates (every group keeps
+    // itself) — the zero path is still a claim worth pinning; the dup
+    // path is exercised by the sf0.01 oracle and the synthetic frame here
+    val synth = Seq(
+      (1L, "a", "en", "x y"), (2L, "a", "en", " X Y "), (3L, "b", "en", "x y z"))
+      .toDF("doc_id", "source", "lang", "text")
+    val out = {
+      val d = synth.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        md5(lower(trim(col("text")))).as("h"))
+      val k = d.groupBy("h").agg(min("doc_id").as("keep_id"))
+      d.join(k, "h").withColumn("dup", (col("doc_id") =!= col("keep_id")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("dup").as("n_dup"),
+          sum(col("n_tokens") * col("dup")).as("tokens_dupe"))
+        .orderBy("source").collect()
+    }
+    // " X Y " normalizes to "x y": doc 2 is doc 1's duplicate (2 tokens)
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq == Seq(("a", 2L, 1L, 2L), ("b", 1L, 0L, 0L)))
+  }
+
+  test("link prediction matches a driver-side recompute") {
+    val li = tables.lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .distinct().as[(Long, Long)].collect()
+    val adj: Map[Long, Set[Long]] = li.toSeq.groupBy(_._1).values
+      .flatMap { lines =>
+        val ps = lines.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.toSeq.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val expected = adj.keys.filter(_ % 199 == 0).flatMap { u =>
+      val scores = adj(u).toSeq.flatMap(w => adj(w).toSeq)
+        .filter(v => v != u && !adj(u).contains(v))
+        .groupBy(identity).map { case (v, hits) => (v, hits.size.toLong) }
+      scores.toSeq.sortBy { case (v, c) => (-c, v) }.take(5).zipWithIndex
+        .map { case ((v, c), i) => (u, v, c, i + 1L) }
+    }.toSet
+    val got = Graph.qLinkPrediction(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // candidates are genuinely non-adjacent two-hop neighbors
+    got.foreach { case (u, v, _, _) => assert(!adj(u).contains(v)) }
+  }
+}
