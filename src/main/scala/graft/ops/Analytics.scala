@@ -325,18 +325,16 @@ object Analytics {
     * corpus. Top-k by sort+limit = TakeOrderedAndProject (partial top-k per
     * partition, k rows to the driver; no global sort).
     */
-  def qBasketPairs(t: Tables, k: Int = 20): DataFrame = {
-    val items = t.lineitem
-      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
-      .distinct()
-    items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("n_orders"))
+  def qBasketPairs(t: Tables, k: Int = 20): DataFrame =
+    // the pair fact IS the session's shared co-purchase index (shared =
+    // co-order count): probe the checkpointed rows instead of re-running
+    // the basket self-join per query
+    Graph.sharedCoPurchase(t)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("p1"), col("dst").as("p2"),
+        col("shared").as("n_orders"))
       .orderBy(col("n_orders").desc, col("p1"), col("p2"))
       .limit(k)
-  }
 
   /** Item-item collaborative filtering: top-5 most-similar parts per part
     * by co-purchase cosine, cos(i,j) = c_ij / sqrt(c_i * c_j) over order
@@ -353,11 +351,12 @@ object Analytics {
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
     val freq = items.groupBy("pk").agg(count(lit(1)).as("ci"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") =!= col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("cij"))
+    // co-occurrence counts come from the session's shared co-purchase
+    // index (both directions present, shared = co-order count) — no
+    // second basket self-join
+    val pairs = Graph.sharedCoPurchase(t)
+      .select(col("src").as("p1"), col("dst").as("p2"),
+        col("shared").as("cij"))
     pairs
       .join(freq.select(col("pk").as("p1"), col("ci").as("c1")), "p1")
       .join(freq.select(col("pk").as("p2"), col("ci").as("c2")), "p2")
@@ -1041,21 +1040,21 @@ object Analytics {
     * pair frame.
     */
   def qAssocRules(t: Tables, k: Int = 20): DataFrame = {
-    // the distinct basket-item frame feeds FOUR consumers (item counts,
-    // basket total, both self-join sides); checkpoint it once or the
-    // scan + distinct shuffle re-executes per consumer (same lifecycle as
-    // Dedup.minhashPairs: materialize the small output, free the input)
+    // the distinct basket-item frame feeds the item counts and the basket
+    // total; checkpoint it once or the scan + distinct shuffle re-executes
+    // per consumer. Pair support comes from the session's shared
+    // co-purchase index (shared = co-order count) — the basket self-join
+    // this query used to run is exactly that fact.
     val items = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
       .localCheckpoint()
     val itemN = items.groupBy("pk").agg(count(lit(1)).as("nItem"))
     val total = items.select(countDistinct(col("okey")).as("nBaskets"))
-    val pairs = items.as("a")
-      .join(items.as("b"),
-        col("a.okey") === col("b.okey") && col("a.pk") < col("b.pk"))
-      .groupBy(col("a.pk").as("p1"), col("b.pk").as("p2"))
-      .agg(count(lit(1)).as("n_both"))
+    val pairs = Graph.sharedCoPurchase(t)
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("p1"), col("dst").as("p2"),
+        col("shared").as("n_both"))
     val out = pairs
       .join(broadcast(itemN.toDF("p1", "n1")), "p1")
       .join(broadcast(itemN.toDF("p2", "n2")), "p2")

@@ -94,6 +94,15 @@ object Graph {
   private def coPurchaseEdgesCached(t: Tables): DataFrame =
     coPurchaseWeightedCached(t).select("src", "dst")
 
+  /** The session's shared weighted co-purchase fact for NON-graph
+    * consumers (basket pairs, association rules, item-item CF): (src,
+    * dst, shared) with both directions present, `shared` = number of
+    * orders containing both parts. One build serves the whole recommender
+    * + graph family in a session. Cache-owned — callers must not free.
+    */
+  private[ops] def sharedCoPurchase(t: Tables): DataFrame =
+    coPurchaseWeightedCached(t)
+
   /** PageRank (damping 0.85, fixed `iters` rounds) over the co-purchase
     * graph, in exact integer micro-units. Nodes are parts with at least one
     * co-purchase edge (the graph is symmetric, so every node has in- and
