@@ -391,4 +391,32 @@ class PlanAuditSpec extends SparkSuite {
     // argmax: the fact table crosses at most these exchanges
     assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
   }
+
+  test("basket pairs probe the session co-purchase index, no self-join") {
+    // the pair fact arrives as checkpointed rows (Scan ExistingRDD); any
+    // join in this plan means the basket self-join crept back in
+    val p = formatted("q_basket_pairs")
+    assert(!p.contains("Join"), s"basket self-join re-appeared:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("Scan"),
+      s"pair fact not a materialized scan:\n$p")
+  }
+
+  test("hapax ratio aggregates partially before its word exchange") {
+    // the (source, word) count must map-side combine — the word stream
+    // crosses its exchange as partials, never as raw tokens
+    val p = formatted("q_hapax_ratio")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"no map-side combine on the word aggregate:\n$p")
+    // spread repartition + word exchange + source exchange + output sort
+    assert(shuffleCount(p) <= 4, s"too many exchanges:\n$p")
+  }
+
+  test("link prediction: per-probe ranking window, no global sort of candidates") {
+    val p = formatted("q_link_prediction")
+    // the row_number window partitions by the probe — a global
+    // single-partition window here would serialize the candidate stream
+    assert(!p.contains("No Partition Defined"),
+      s"candidate ranking lost its probe partitioning:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
 }
