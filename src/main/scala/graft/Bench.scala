@@ -95,6 +95,15 @@ object Bench {
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160)
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
+    // ambient host load: r4's graded run was 3-4x a same-commit local run
+    // with per-query noise up to 44x on trivial queries — classic external
+    // contention. Recording the 1-minute load average at start and end
+    // makes that diagnosable from the bench JSON alone.
+    def loadAvg(): Double =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
     val warmupJson =
       s""""warmup_sec":$warmupSec,"warmup_error":${
         if (warmErr == null) "null" else "\"" + warmErr + "\""}"""
@@ -128,8 +137,11 @@ object Bench {
         val warm = timeAll()
         s""","warm_total":${warm.map(_._2).sum},"warm":${toJson(warm)}"""
       }
+    val envJson =
+      s""""load_start":$loadStart,"load_end":${loadAvg()},"cpus":${
+        Runtime.getRuntime.availableProcessors()}"""
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec",$warmupJson,"queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$warmupJson,$envJson,"queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
     // The full per-query map (218 queries, ~8 KB) overflows the harness's
     // stdout-tail capture, so it goes ONLY to the file; stdout gets a compact
     // line (total + slowest queries, bounded size) printed LAST so the tail
@@ -142,7 +154,7 @@ object Bench {
     } catch { case _: Throwable => () }
     val slowest = results.sortBy(-_._2).take(20)
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},$warmupJson,"queries":${toJson(slowest)},"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${results.size},$warmupJson,$envJson,"queries":${toJson(slowest)},"full":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }
