@@ -133,6 +133,10 @@ object SparkEntry {
     "q_sssp" -> q(Graph.qSssp(_)),
     "q_link_prediction" -> q(Graph.qLinkPrediction(_)),
     "q_cross_corr" -> q(Events.qCrossCorr(_)),
+    "q_slo_burn" -> q(Events.qSloBurn),
+    "q_cuped" -> q(Events.qCuped),
+    "q_changepoint" -> q(Events.qChangepoint),
+    "q_lang_confusion" -> q(TextAnalysis.qLangConfusion),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
@@ -354,6 +358,8 @@ object SparkEntry {
       graft.streaming.Streams.drainKAnonymity(spark, dir, "customer.parquet")),
     "q_stream_emd" -> ((spark, dir) =>
       graft.streaming.Streams.drainEmdDrift(spark, dir, "documents.parquet")),
+    "q_stream_slo" -> ((spark, dir) =>
+      graft.streaming.Streams.drainSloBurn(spark, dir, "events.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -401,6 +407,30 @@ object SparkEntry {
     * Shared by `q_knn_lsh_portable` (batch) and `q_stream_knn` (the
     * drain reproduces identical candidates/cosines/ranking).
     */
+  /** Day-spine SLO burn: RANGE frame over the integer day index on both
+    * sides; burns are single long/long IEEE divisions. Shared by the
+    * batch monitor and its streaming drain (`q_slo_burn`, `q_stream_slo`).
+    */
+  private val sloBurnOracle: String =
+    """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT)
+             AS n_errors
+         FROM events GROUP BY 1),
+       w AS (SELECT *,
+           CAST(SUM(n_errors) OVER win AS BIGINT) AS err7,
+           CAST(SUM(n_events) OVER win AS BIGINT) AS tot7
+         FROM d WINDOW win AS (ORDER BY day_idx
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+       SELECT strftime(make_timestamp(day_idx * 86400000000), '%Y-%m-%d')
+           AS day,
+         n_events, n_errors,
+         round(4 * CAST(n_errors AS DOUBLE) / CAST(n_events AS DOUBLE), 6)
+           AS burn_1d,
+         round(4 * CAST(err7 AS DOUBLE) / CAST(tot7 AS DOUBLE), 6)
+           AS burn_7d
+       FROM w ORDER BY day"""
+
   private val knnLshPortableOracle: String =
     """WITH signs AS (SELECT p, i,
            CASE WHEN substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i AS VARCHAR)), 1, 1) >= '8'
@@ -3330,6 +3360,31 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
             ${langs.map("score_" + _).mkString(", ")}
           FROM g ORDER BY doc_id"""
     },
+    // q_lang_id's marker scoring over the FULL corpus, folded to a
+    // confusion matrix; share = cell / row total (exact longs, one IEEE
+    // division)
+    "q_lang_confusion" -> {
+      val langs = TextAnalysis.markers.keys.toSeq.sorted
+      def score(l: String) = TextAnalysis.markers(l)
+        .map(w => s"len(list_filter(string_split_regex(lt, ' +'), x -> x = '$w'))")
+        .mkString("CAST(", " + ", s" AS BIGINT) AS score_$l")
+      val caseArms = langs
+        .map(l => s"WHEN score_$l = g AND g > 0 THEN '$l'")
+        .mkString(" ")
+      s"""WITH d AS (SELECT doc_id, lang, trim(lower(text)) AS lt
+            FROM documents),
+          s AS (SELECT doc_id, lang, ${langs.map(score).mkString(", ")} FROM d),
+          g AS (SELECT *, greatest(${langs.map("score_" + _).mkString(", ")}) AS g FROM s),
+          p AS (SELECT lang, CASE $caseArms ELSE 'und' END AS predicted FROM g),
+          cells AS (SELECT lang, predicted, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY 1, 2),
+          tot AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_lang
+            FROM cells GROUP BY 1)
+          SELECT cells.lang, predicted, n,
+            round(CAST(n AS DOUBLE) / CAST(n_lang AS DOUBLE), 6) AS share
+          FROM cells JOIN tot ON cells.lang = tot.lang
+          ORDER BY cells.lang, predicted"""
+    },
     "q_fingerprint" ->
       """WITH f AS (SELECT doc_id,
              md5(array_to_string(list_sort(list_distinct(
@@ -3897,6 +3952,92 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
              sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE) *
                CAST(n_pairs * syy - sy * sy AS DOUBLE)), 9) AS xcorr
          FROM m ORDER BY lag""",
+    // day-spine rolling window (30 rows/month) — RANGE frame over the
+    // integer day index on both sides; burns are single long/long IEEE
+    // divisions. Shared with the streaming drain q_stream_slo.
+    "q_slo_burn" -> sloBurnOracle,
+    "q_stream_slo" -> sloBurnOracle,
+    // per-user micro-unit sums -> exact decimal moments (the q_cross_corr
+    // widening); theta and the adjusted means are computed from UNROUNDED
+    // doubles on both sides, rounding applies only at the output
+    "q_cuped" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS day_idx,
+             CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 1000000) AS BIGINT)
+               ELSE 0 END AS v_mu
+           FROM events),
+         b AS (SELECT (MIN(day_idx) + MAX(day_idx) + 1) // 2 AS mid FROM ev),
+         pu AS (SELECT user_id,
+             CAST(SUM(CASE WHEN day_idx < mid THEN v_mu ELSE 0 END)
+               AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN day_idx >= mid THEN v_mu ELSE 0 END)
+               AS BIGINT) AS y
+           FROM ev CROSS JOIN b GROUP BY 1),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS DECIMAL(28,0)) * y) AS sxy,
+             SUM(CAST(x AS DECIMAL(28,0)) * x) AS sxx
+           FROM pu),
+         v AS (SELECT user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS vx, CAST(SUM(y) AS BIGINT) AS vy
+           FROM pu GROUP BY 1),
+         j AS (SELECT variant, n_users,
+             CAST(n * sxy - CAST(sx AS DECIMAL(28,0)) * sy AS DOUBLE) /
+               CAST(n * sxx - CAST(sx AS DECIMAL(28,0)) * sx AS DOUBLE)
+               AS theta,
+             CAST(vx AS DOUBLE) / 1e6 / CAST(n_users AS DOUBLE) AS mean_pre,
+             CAST(vy AS DOUBLE) / 1e6 / CAST(n_users AS DOUBLE) AS mean_post,
+             CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mean_pre_all
+           FROM v CROSS JOIN m)
+         SELECT CAST(variant AS BIGINT) AS variant, n_users,
+           round(mean_pre, 6) AS mean_pre,
+           round(mean_post, 6) AS mean_post,
+           round(theta, 6) AS theta,
+           round(mean_post - theta * (mean_pre - mean_pre_all), 6)
+             AS mean_adjusted
+         FROM j ORDER BY variant""",
+    // prefix-sum SSE scan: daily sums are exact integer cents, so every
+    // cost operand is an exactly-represented double and the argmin
+    // compares bit-identical IEEE values on both engines
+    "q_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_ns(ts) // 86400000000000 AS day_idx,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         d2 AS (SELECT *, v * v AS vv FROM daily),
+         c AS (SELECT *,
+             CAST(COUNT(*) OVER cum AS BIGINT) AS k,
+             CAST(SUM(v) OVER cum AS BIGINT) AS sx_l,
+             CAST(SUM(vv) OVER cum AS BIGINT) AS sxx_l,
+             CAST(COUNT(*) OVER alltype AS BIGINT) AS n_tot,
+             CAST(SUM(v) OVER alltype AS BIGINT) AS sx_tot,
+             CAST(SUM(vv) OVER alltype AS BIGINT) AS sxx_tot
+           FROM d2 WINDOW
+             cum AS (PARTITION BY event_type ORDER BY day_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             alltype AS (PARTITION BY event_type)),
+         s AS (SELECT *,
+             (CAST(sxx_l AS DOUBLE) -
+               CAST(sx_l AS DOUBLE) * CAST(sx_l AS DOUBLE) /
+                 CAST(k AS DOUBLE)) +
+             (CAST(sxx_tot - sxx_l AS DOUBLE) -
+               CAST(sx_tot - sx_l AS DOUBLE) * CAST(sx_tot - sx_l AS DOUBLE) /
+                 CAST(n_tot - k AS DOUBLE)) AS cost
+           FROM c WHERE k < n_tot),
+         r AS (SELECT *, row_number() OVER (
+             PARTITION BY event_type ORDER BY cost, day_idx) AS rn FROM s)
+         SELECT event_type,
+           strftime(make_timestamp(day_idx * 86400000000), '%Y-%m-%d')
+             AS split_day,
+           k AS n_left, n_tot - k AS n_right,
+           round(CAST(sx_l AS DOUBLE) / 100.0 / CAST(k AS DOUBLE), 6)
+             AS mean_left,
+           round(CAST(sx_tot - sx_l AS DOUBLE) / 100.0 /
+             CAST(n_tot - k AS DOUBLE), 6) AS mean_right,
+           round(cost / 10000.0, 4) AS sse
+         FROM r WHERE rn = 1 ORDER BY event_type""",
     // welch-style exact decimal moments -> closed-form 2x2 inverse; d²
     // rounded at 1e-6 BEFORE the top-k cut, keys break residual ties
     "q_mahalanobis" ->

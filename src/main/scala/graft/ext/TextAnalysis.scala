@@ -110,6 +110,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Language-ID audit: the [[qLangId]] marker heuristic run over the FULL
+    * corpus, folded into a (labeled lang x predicted) confusion matrix
+    * with per-label shares — the quality gate that tells you WHERE the
+    * classifier leaks before you route documents by its output. Counts
+    * are one group-by over per-doc scores; `share` is each cell divided
+    * by its row total (exact longs, one IEEE division, rounded).
+    *
+    * Scale shape: the scoring is a per-row token-array filter (no joins,
+    * no shuffle before the 25-cell aggregate); the row-total join is a
+    * broadcast against a languages-sized dimension.
+    */
+  def qLangConfusion(t: Tables): DataFrame = {
+    val langs = markers.keys.toSeq.sorted
+    val scored = langs.foldLeft(
+      t.documents.withColumn("lt", lower(trim(col("text"))))) { (d, l) =>
+      d.withColumn(
+        s"score_$l",
+        markers(l).map(w => wordOccurrences(col("lt"), w)).reduce(_ + _))
+    }
+    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
+    val pred = langs.foldRight(lit("und")) { (l, acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    val cells = scored
+      .withColumn("predicted", pred)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy("lang").agg(sum("n").cast("long").as("n_lang"))
+    cells.join(broadcast(rowTotals), "lang")
+      .select(
+        col("lang"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_lang").cast("double"), 6)
+          .as("share"))
+      .orderBy("lang", "predicted")
+  }
+
   /** Whitespace vs BPE-ish subword token counts: the subword tokenizer is a
     * regex over vowel-runs / consonant-runs — a deterministic stand-in for
     * a BPE vocabulary, exercising regexp_extract_all in both engines.

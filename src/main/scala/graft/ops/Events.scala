@@ -851,4 +851,180 @@ object Events {
       .filter(col("n_incident_sessions") > 0)
       .orderBy("user_id")
   }
+
+  /** SLO error-budget burn rate, the multi-window alerting query from the
+    * SRE playbook: per day, the error-event share against a 25% error
+    * budget, as both the 1-day burn and the 7-day rolling burn
+    * (burn = error_rate / budget; burn > 1 consumes budget faster than
+    * the SLO allows). Short window catches fast burns, long window slow
+    * leaks — paging on both is the standard reduction of alert noise.
+    *
+    * Scale shape: the corpus reduces to one (day, total, errors) row per
+    * day in a single aggregate; the rolling window runs over the
+    * day-spine (30 rows/month), not events. All counts are exact longs;
+    * each burn is a single long/long IEEE division, bit-identical across
+    * engines, rounded far above ulp.
+    */
+  def qSloBurn(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    // RANGE (not ROWS) over the integer day index: a day with zero events
+    // is absent from the spine, and a rows-frame would silently stretch
+    // the "7-day" window across the gap
+    val w7 = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    t.events
+      .withColumn("day_idx", expr(s"ts_ns div ${dayNs}L"))
+      .groupBy("day_idx")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("err7", sum("n_errors").over(w7))
+      .withColumn("tot7", sum("n_events").over(w7))
+      .select(
+        date_format(
+          timestamp_micros(expr(s"day_idx * ${86400L * 1000000L}L")),
+          "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_errors"),
+        // 4*err/tot = (err/tot) / 0.25 in ONE division: two exact longs
+        // in, one IEEE op out — no intermediate rounding to disagree on
+        round(lit(4L) * col("n_errors").cast("double") /
+          col("n_events").cast("double"), 6).as("burn_1d"),
+        round(lit(4L) * col("err7").cast("double") /
+          col("tot7").cast("double"), 6).as("burn_7d"))
+      .orderBy("day")
+  }
+
+  /** CUPED variance-reduced A/B readout (Deng et al., WSDM'13): users are
+    * split into two variants by id parity; the experiment metric is each
+    * user's purchase revenue in the second half of the observed period,
+    * adjusted by their first-half revenue as the pre-experiment covariate:
+    * adj_mean = mean(Y_v) - theta * (mean(X_v) - mean(X)), with
+    * theta = cov(X,Y)/var(X) pooled over all users. The variance the
+    * covariate explains drops out of the between-variant comparison —
+    * the standard way to cut experiment runtime on heavy-tailed revenue.
+    *
+    * Scale shape: events reduce to one (x, y) row per user in a single
+    * conditional aggregate; moments are micro-unit integer sums (exact
+    * DECIMAL cross-products, one cast to double at the ratio), so
+    * aggregation order cannot shift a bit. The moment frame is a handful
+    * of scalars broadcast into the two variant rows. Micro-unit
+    * magnitudes stay exact to ~1e31 — rescale the unit before that.
+    */
+  def qCuped(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ev = t.events
+      .withColumn("day_idx", expr(s"ts_ns div ${dayNs}L"))
+      .withColumn("v_mu",
+        when(col("event_type") === "purchase",
+          round(col("value") * lit(1000000L)).cast("long")).otherwise(lit(0L)))
+    // data-driven midpoint split keeps the query meaningful on any
+    // shipped time range (a fixed calendar literal would put every event
+    // on one side of the boundary for a differently-dated drop)
+    // integer `div`: Spark's `/` on longs yields double, and a fractional
+    // midpoint would never equal the oracle's integer-halved boundary
+    val mid = ev.agg(expr("(min(day_idx) + max(day_idx) + 1) div 2").as("mid"))
+    val perUser = ev.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("day_idx") < col("mid"), col("v_mu")).otherwise(0L))
+          .as("x"),
+        sum(when(col("day_idx") >= col("mid"), col("v_mu")).otherwise(0L))
+          .as("y"))
+      .withColumn("variant", pmod(col("user_id"), lit(2)).cast("long"))
+    val moments = perUser.agg(
+      count(lit(1)).as("n"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x").cast(DecimalType(28, 0)) * col("y")).as("sxy"),
+      sum(col("x").cast(DecimalType(28, 0)) * col("x")).as("sxx"))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("vx"), sum("y").as("vy"))
+    byVariant.crossJoin(broadcast(moments))
+      .select(
+        col("variant"), col("n_users"),
+        col("n"), col("vx"), col("vy"), col("sx"), col("sy"),
+        col("sxy"), col("sxx"))
+      .withColumn("theta",
+        (col("n") * col("sxy") -
+          col("sx").cast(DecimalType(28, 0)) * col("sy")).cast("double") /
+          (col("n") * col("sxx") -
+            col("sx").cast(DecimalType(28, 0)) * col("sx")).cast("double"))
+      .withColumn("mean_pre",
+        col("vx").cast("double") / lit(1e6) / col("n_users").cast("double"))
+      .withColumn("mean_post",
+        col("vy").cast("double") / lit(1e6) / col("n_users").cast("double"))
+      .withColumn("mean_pre_all",
+        col("sx").cast("double") / lit(1e6) / col("n").cast("double"))
+      .select(
+        col("variant"), col("n_users"),
+        round(col("mean_pre"), 6).as("mean_pre"),
+        round(col("mean_post"), 6).as("mean_post"),
+        round(col("theta"), 6).as("theta"),
+        round(col("mean_post") -
+          col("theta") * (col("mean_pre") - col("mean_pre_all")), 6)
+          .as("mean_adjusted"))
+      .orderBy("variant")
+  }
+
+  /** Single-changepoint detection per event-type daily revenue series:
+    * the split day minimizing total within-segment squared error
+    * (binary-segmentation step 1 / CUSUM's offline twin). For each
+    * candidate boundary, SSE_left + SSE_right comes from prefix sums:
+    * SSE = Sxx - Sx^2/n per segment — the O(n) scan over an O(n)
+    * prefix frame, not the naive O(n^2) re-aggregation.
+    *
+    * Scale shape: events collapse to one row per (type, day) in one
+    * aggregate; prefix sums are a window over the per-type day spine;
+    * the argmin is a per-type min over spine rows. Daily sums are exact
+    * integer cents, so every prefix is an exactly-represented double
+    * (< 2^53 up to ~ sf1-scale corpora — rescale the unit beyond) and
+    * the cost expression is the same IEEE arithmetic on both engines;
+    * the (cost, day) tiebreak never actually decides between unequal
+    * plans.
+    */
+  def qChangepoint(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val daily = t.events
+      .withColumn("day_idx", expr(s"ts_ns div ${dayNs}L"))
+      .withColumn("v_c", round(col("value") * lit(100L)).cast("long"))
+      .groupBy("event_type", "day_idx")
+      .agg(sum("v_c").as("v"))
+      // the series point is the DAILY sum, so the second moment squares
+      // the per-day value, not per-event values
+      .withColumn("vv", col("v") * col("v"))
+    val byType = Window.partitionBy("event_type")
+    val cum = Window.partitionBy("event_type").orderBy("day_idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy("event_type")
+    val scored = daily
+      .withColumn("k", count(lit(1)).over(cum))
+      .withColumn("sx_l", sum("v").over(cum))
+      .withColumn("sxx_l", sum("vv").over(cum))
+      .withColumn("n_tot", count(lit(1)).over(all))
+      .withColumn("sx_tot", sum("v").over(all))
+      .withColumn("sxx_tot", sum("vv").over(all))
+      .filter(col("k") < col("n_tot")) // right segment must be non-empty
+      .withColumn("cost",
+        (col("sxx_l").cast("double") -
+          col("sx_l").cast("double") * col("sx_l").cast("double") /
+            col("k").cast("double")) +
+          ((col("sxx_tot") - col("sxx_l")).cast("double") -
+            (col("sx_tot") - col("sx_l")).cast("double") *
+              (col("sx_tot") - col("sx_l")).cast("double") /
+              (col("n_tot") - col("k")).cast("double")))
+      .withColumn("rn",
+        row_number().over(byType.orderBy(col("cost"), col("day_idx"))))
+      .filter(col("rn") === 1)
+    scored.select(
+        col("event_type"),
+        date_format(
+          timestamp_micros(expr(s"day_idx * ${86400L * 1000000L}L")),
+          "yyyy-MM-dd").as("split_day"),
+        col("k").as("n_left"),
+        (col("n_tot") - col("k")).as("n_right"),
+        round(col("sx_l").cast("double") / lit(100.0) /
+          col("k").cast("double"), 6).as("mean_left"),
+        round((col("sx_tot") - col("sx_l")).cast("double") / lit(100.0) /
+          (col("n_tot") - col("k")).cast("double"), 6).as("mean_right"),
+        round(col("cost") / lit(10000.0), 4).as("sse"))
+      .orderBy("event_type")
+  }
 }

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
@@ -683,6 +684,46 @@ object Streams {
     val counts = drain(spark,
       lengthHistogram(docsStream(spark, dir, globFilter), binWidth))
     graft.ext.TextAnalysis.emdFromHistogram(counts, binWidth)
+  }
+
+  /** Streaming daily error/total counts: 1-day tumbling windows over the
+    * watermarked event stream — the stateful half of the SLO burn-rate
+    * monitor. State is one row per (day), bounded by the drained range's
+    * span, never by input rows.
+    */
+  def dailyErrorCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("n_errors"))
+
+  /** Drain-mode execution of [[dailyErrorCounts]] + the batch rolling-burn
+    * epilogue over the day-level aggregate (a spine-sized frame — the
+    * 7-day RANGE window runs on ~30 rows regardless of input scale).
+    * Shares `q_slo_burn`'s oracle. `q_stream_slo`.
+    */
+  def drainSloBurn(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val daily = drain(spark,
+      dailyErrorCounts(eventsStream(spark, dir, globFilter)))
+    val w7 = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    daily
+      .withColumn("day_idx",
+        datediff(to_date(col("window_start")), lit("1970-01-01")).cast("long"))
+      .withColumn("err7", sum("n_errors").over(w7))
+      .withColumn("tot7", sum("n_events").over(w7))
+      .select(
+        date_format(col("window_start"), "yyyy-MM-dd").as("day"),
+        col("n_events"), col("n_errors"),
+        round(lit(4L) * col("n_errors").cast("double") /
+          col("n_events").cast("double"), 6).as("burn_1d"),
+        round(lit(4L) * col("err7").cast("double") /
+          col("tot7").cast("double"), 6).as("burn_7d"))
+      .orderBy("day")
   }
 
   /** Raw on-disk schema of the driver's embeddings parquet. */

@@ -432,6 +432,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming SLO burn drain equals the batch monitor row-for-row") {
+    val streamed = Streams.drainSloBurn(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = ops.Events.qSloBurn(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming k-anonymity drain equals the batch privacy audit") {
     val streamed = Streams.drainKAnonymity(spark, sfDir, "customer.parquet")
       .collect().toSeq
