@@ -137,6 +137,13 @@ object SparkEntry {
     "q_cuped" -> q(Events.qCuped),
     "q_changepoint" -> q(Events.qChangepoint),
     "q_lang_confusion" -> q(TextAnalysis.qLangConfusion),
+    "q_mann_kendall" -> q(Stats.qMannKendall),
+    "q_theil_sen" -> q(Stats.qTheilSen),
+    "q_cramers_v" -> q(Stats.qCramersV),
+    "q_burstiness" -> q(Events.qBurstiness(_)),
+    "q_seasonal_strength" -> q(Events.qSeasonalStrength),
+    "q_ttr_curve" -> q(TextAnalysis.qTtrCurve(_)),
+    "q_resource_alloc" -> q(Graph.qResourceAlloc(_)),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
@@ -523,6 +530,176 @@ object SparkEntry {
        ORDER BY id_new, id_old"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_mann_kendall" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS segment,
+             ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         p AS (
+           SELECT a.segment,
+             SUM(CASE WHEN b.rev > a.rev THEN 1
+                 WHEN b.rev < a.rev THEN -1 ELSE 0 END) AS s_stat
+           FROM m a JOIN m b ON a.segment = b.segment AND a.x < b.x
+           GROUP BY 1),
+         ties AS (
+           SELECT segment, SUM(tsz*(tsz-1)*(2*tsz+5)) AS tie_term
+           FROM (SELECT segment, rev, COUNT(*) AS tsz FROM m GROUP BY 1, 2)
+           GROUP BY 1),
+         n AS (SELECT segment, COUNT(*) AS n_months FROM m GROUP BY 1),
+         v AS (
+           SELECT n.segment, n_months, s_stat,
+             CAST(n_months*(n_months-1)*(2*n_months+5) - tie_term AS DOUBLE)
+               / 18.0 AS vs
+           FROM n JOIN p ON n.segment = p.segment
+             JOIN ties ON n.segment = ties.segment)
+         SELECT segment, CAST(n_months AS BIGINT) AS n_months,
+           CAST(s_stat AS BIGINT) AS s_stat, vs AS var_s,
+           CASE WHEN s_stat > 0
+               THEN CAST(s_stat - 1 AS DOUBLE) / sqrt(vs)
+             WHEN s_stat < 0
+               THEN CAST(s_stat + 1 AS DOUBLE) / sqrt(vs)
+             ELSE 0.0 END AS z
+         FROM v ORDER BY segment""",
+    "q_theil_sen" ->
+      """WITH m AS (
+           SELECT c_mktsegment AS segment,
+             ((year(o_orderdate) - 1992) * 12 + month(o_orderdate) - 1) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         s AS (
+           SELECT a.segment, a.x AS xa, b.x AS xb,
+             CAST(b.rev - a.rev AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+               AS slope
+           FROM m a JOIN m b ON a.segment = b.segment AND a.x < b.x),
+         r AS (
+           SELECT segment, slope,
+             row_number() OVER (PARTITION BY segment
+               ORDER BY slope, xa, xb) AS rk,
+             COUNT(*) OVER (PARTITION BY segment) AS np
+           FROM s)
+         SELECT segment, CAST(MAX(np) AS BIGINT) AS n_pairs,
+           (MAX(CASE WHEN rk = (np+1)//2 THEN slope END) +
+            MAX(CASE WHEN rk = (np+2)//2 THEN slope END)) / 2.0 AS ts_slope
+         FROM r GROUP BY segment ORDER BY segment""",
+    "q_cramers_v" ->
+      """WITH obs AS (
+           SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, SUM(o) AS rt FROM obs GROUP BY 1),
+         ct AS (SELECT source, SUM(o) AS ct FROM obs GROUP BY 1),
+         grid AS (
+           SELECT rt.lang, ct.source, rt.rt, ct.ct, COALESCE(obs.o, 0) AS o
+           FROM rt CROSS JOIN ct
+             LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source),
+         tot AS (
+           SELECT SUM(o) AS n, COUNT(DISTINCT lang) AS r,
+             COUNT(DISTINCT source) AS c
+           FROM grid),
+         agg AS (
+           SELECT n, r, c, COUNT(*) AS n_cells,
+             CAST(SUM(CAST(round(
+               (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+               * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE))
+               / (CAST(rt AS DOUBLE)*CAST(ct AS DOUBLE)/CAST(n AS DOUBLE)), 9)
+               AS DECIMAL(20,10))) AS DOUBLE) AS chi2
+           FROM grid CROSS JOIN tot GROUP BY 1, 2, 3)
+         SELECT CAST(n AS BIGINT) AS n_docs, CAST(n_cells AS BIGINT) AS n_cells,
+           CAST((r-1)*(c-1) AS BIGINT) AS dof, chi2,
+           sqrt(chi2 /
+             (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE)))
+             AS cramers_v
+         FROM agg""",
+    "q_burstiness" ->
+      """WITH g AS (
+           SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events),
+         a AS (
+           SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS sg,
+             SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+           FROM g WHERE gap IS NOT NULL GROUP BY 1
+           HAVING COUNT(*) >= 20),
+         d AS (
+           SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us,
+             sqrt(CAST(sgg * n_gaps - CAST(sg AS HUGEINT) * sg AS DOUBLE) /
+               CAST(n_gaps * n_gaps AS DOUBLE)) AS sd_us
+           FROM a)
+         SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           mean_us / 1e6 AS mean_gap_s,
+           sd_us / 1e6 AS sd_gap_s,
+           (sd_us - mean_us) / (sd_us + mean_us) AS burstiness
+         FROM d ORDER BY user_id""",
+    "q_seasonal_strength" ->
+      """WITH c AS (
+           SELECT event_type,
+             (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+           FROM events),
+         h AS (
+           SELECT event_type, hod, COUNT(*) AS nh, SUM(c) AS sh,
+             SUM(CAST(c AS HUGEINT) * c) AS ssh
+           FROM c GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, nh, sh, ssh,
+             CAST(round((CAST(ssh AS DOUBLE) -
+               CAST(sh AS DOUBLE) * CAST(sh AS DOUBLE) / CAST(nh AS DOUBLE))
+               / 10000.0, 6) AS DECIMAL(28,8)) AS within
+           FROM h),
+         a AS (
+           SELECT event_type, SUM(nh) AS n_events, COUNT(*) AS n_hours,
+             SUM(sh) AS s, SUM(ssh) AS ss,
+             CAST(round(SUM(within), 2) AS DOUBLE) AS ss_within
+           FROM w GROUP BY 1),
+         f AS (
+           SELECT event_type, n_events, n_hours, ss_within,
+             (CAST(ss AS DOUBLE) -
+               CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n_events AS DOUBLE))
+               / 10000.0 AS ss_total
+           FROM a)
+         SELECT event_type, CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_hours AS BIGINT) AS n_hours,
+           round(ss_total, 4) AS ss_total, ss_within,
+           round(1.0 - ss_within / ss_total, 6) AS strength
+         FROM f ORDER BY event_type""",
+    "q_ttr_curve" ->
+      """WITH d AS (
+           SELECT lang,
+             len(string_split_regex(trim(lower(text)), ' +')) AS n_tok,
+             len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+               AS n_typ
+           FROM documents)
+         SELECT lang, (n_tok - 1) // 16 AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_typ) AS BIGINT) AS sum_types,
+           CAST(SUM(n_typ) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) AS ttr
+         FROM d GROUP BY 1, 2 ORDER BY lang, len_bucket""",
+    "q_resource_alloc" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src AS w, 1000000000 // COUNT(*) AS wt
+           FROM e GROUP BY src),
+         pr AS (SELECT src AS u, dst AS w FROM e WHERE src % 199 = 0),
+         cn AS (SELECT pr.u, e.dst AS v, COUNT(*) AS n_common,
+             SUM(wt) AS ra_units
+           FROM pr JOIN e ON e.src = pr.w JOIN deg ON deg.w = pr.w
+           WHERE e.dst <> pr.u GROUP BY 1, 2),
+         nonadj AS (SELECT u, v, n_common, ra_units FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.src = cn.u AND e.dst = cn.v)),
+         r AS (SELECT u, v, n_common, ra_units,
+             row_number() OVER (PARTITION BY u
+               ORDER BY ra_units DESC, v) AS rnk
+           FROM nonadj)
+         SELECT u AS part, v AS candidate,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(ra_units AS BIGINT) AS ra_units, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY part, rnk""",
     "etl_sales_pipeline" ->
       """WITH t AS (
            SELECT DISTINCT * FROM orders

@@ -1204,4 +1204,35 @@ object TextAnalysis {
           (col("n_docs") * col("n_docs")).cast("double")).as("simpson"))
       .orderBy("source")
   }
+
+  /** Type–token-ratio curve: lexical diversity (distinct words / words,
+    * pooled) per document-length bucket per language. TTR falls with
+    * length by construction, so a single corpus-wide TTR is confounded by
+    * the length mix — the curve separates "short docs" from "repetitive
+    * docs", the distinction a quality filter actually needs.
+    *
+    * Per-doc token/type counts are pure array expressions (split +
+    * array_distinct inside codegen — no explode, the word lists never
+    * leave the row), then one (lang, bucket)-keyed aggregate of exact
+    * integers; the ratio is a single double division. One corpus scan,
+    * map-side combinable, output is (langs x buckets)-sized.
+    */
+  def qTtrCurve(t: Tables, bucketWidth: Int = 16): DataFrame = {
+    val toks = Dedup.words(col("text"))
+    t.documents
+      .select(col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_typ"))
+      .groupBy(col("lang"),
+        expr(s"(n_tok - 1) div $bucketWidth").as("len_bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("sum_tokens"),
+        sum(col("n_typ")).cast("long").as("sum_types"))
+      // raw double: one IEEE division of exact integers, identical bits
+      // in any engine
+      .withColumn("ttr",
+        col("sum_types").cast("double") / col("sum_tokens").cast("double"))
+      .orderBy("lang", "len_bucket")
+  }
 }

@@ -1027,4 +1027,110 @@ object Events {
         round(col("cost") / lit(10000.0), 4).as("sse"))
       .orderBy("event_type")
   }
+
+  /** Per-user interarrival burstiness (Goh–Barabási B = (σ−μ)/(σ+μ) over
+    * the gap distribution): B → −1 for a metronome, 0 for a Poisson
+    * process, → +1 for extreme bursts. The traffic-shape fingerprint a
+    * pipeline uses to separate organic users from schedulers and scrapers
+    * before rate decisions.
+    *
+    * Gaps are exact microsecond integers; μ and the population σ come
+    * from (n, Σg, Σg²) with Σg² held in DECIMAL(38,0) (a month-long gap
+    * squared overflows a long), so the double chain after the aggregate is
+    * fixed-order and engine-portable.
+    *
+    * Scale: one window per user (the natural shuffle key) + one hash
+    * aggregate; output is user-dimension-sized. The min-gap filter keeps
+    * drive-by users out of the B estimate (σ of 3 gaps is noise).
+    */
+  def qBurstiness(t: Tables, minGaps: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t.events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(byUser))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap")).cast("long").as("sg"),
+        // widen BEFORE squaring: a week-long gap is ~6e11 µs and its
+        // square overflows long arithmetic (silently, with ANSI off)
+        sum(col("gap").cast(DecimalType(38, 0)) * col("gap")).as("sgg"))
+      .filter(col("n_gaps") >= minGaps)
+      .withColumn("mean_us",
+        col("sg").cast("double") / col("n_gaps").cast("double"))
+      // population variance: (n·Σg² − (Σg)²) / n² with the numerator exact
+      .withColumn("sd_us", sqrt(
+        (col("sgg") * col("n_gaps") -
+          (col("sg").cast(DecimalType(38, 0)) * col("sg"))).cast("double") /
+          (col("n_gaps") * col("n_gaps")).cast("double")))
+      // raw doubles out: every step from the exact (n, Σg, Σg²) is a
+      // correctly-rounded IEEE op chain identical in any engine
+      .select(
+        col("user_id"), col("n_gaps"),
+        (col("mean_us") / lit(1e6)).as("mean_gap_s"),
+        (col("sd_us") / lit(1e6)).as("sd_gap_s"),
+        ((col("sd_us") - col("mean_us")) /
+          (col("sd_us") + col("mean_us"))).as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  /** Hour-of-day seasonality strength per event type: the share of the
+    * value variance explained by the hourly profile, 1 − SS_within /
+    * SS_total over the 24 hour-of-day groups — the one-number answer to
+    * "does this metric actually have a daily cycle" that decides whether
+    * a monitor needs hourly baselines ([[qHourlyProfile]]) or one global
+    * band.
+    *
+    * Values are exact integer cents; each hour's within-group sum of
+    * squares is a fixed double expression of that hour's exact
+    * (n, Σx, Σx²), rounded to 6 dp and summed as DECIMAL across the ≤24
+    * hour rows (the [[graft.ops.Stats.qChi2]] recipe) so the final sum
+    * cannot drift with aggregation order.
+    *
+    * Scale: one map-side-combinable aggregate over events into
+    * (type x 24) cells; everything downstream is metadata-sized.
+    */
+  def qSeasonalStrength(t: Tables): DataFrame = {
+    val cents = (col("value").cast(DecimalType(18, 2)) * 100).cast("long")
+    val hourly = t.events
+      .select(col("event_type"),
+        expr("(ts_ns div 3600000000000) % 24").as("hod"), cents.as("c"))
+      .groupBy("event_type", "hod")
+      .agg(
+        count(lit(1)).as("nh"),
+        sum(col("c")).cast(DecimalType(38, 0)).as("sh"),
+        sum((col("c") * col("c")).cast(DecimalType(38, 0))).as("ssh"))
+    hourly
+      .withColumn("within", round(
+        (col("ssh").cast("double") -
+          col("sh").cast("double") * col("sh").cast("double") /
+            col("nh").cast("double")) / lit(10000.0), 6)
+        .cast(DecimalType(28, 8)))
+      .groupBy("event_type")
+      .agg(
+        sum(col("nh")).cast("long").as("n_events"),
+        count(lit(1)).as("n_hours"),
+        sum(col("sh")).as("s"),
+        sum(col("ssh")).as("ss"),
+        // round the DECIMAL sum to scale 2 before the double cast: at
+        // scale 8 the scaled int128 can exceed 2^53 where DuckDB's
+        // two-step decimal→double conversion splits from Spark's
+        round(sum(col("within")), 2).cast("double").as("ss_within"))
+      .withColumn("ss_total",
+        (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") /
+            col("n_events").cast("double")) / lit(10000.0))
+      .select(
+        col("event_type"), col("n_events"), col("n_hours"),
+        // ss_total is a composite multiply-subtract chain (ulp-variant
+        // across engines) → round far above the ulp; ss_within is already
+        // an exact 2-dp value → raw; strength inherits ss_total's ulps →
+        // round
+        round(col("ss_total"), 4).as("ss_total"),
+        col("ss_within"),
+        round(lit(1.0) - col("ss_within") / col("ss_total"), 6)
+          .as("strength"))
+      .orderBy("event_type")
+  }
 }

@@ -598,6 +598,46 @@ object Graph {
       .orderBy("part", "rnk")
   }
 
+  /** Resource-allocation link scoring (Zhou–Lü–Zhang): each common
+    * neighbor w contributes 1/deg(w) instead of 1 — a hub that bridges
+    * everything stops dominating the shortlist. Same probe-set framing
+    * and join shape as [[qLinkPrediction]]; the only addition is one
+    * broadcast-sized join against the shared degree frame on the middle
+    * node.
+    *
+    * Exactness: the per-neighbor weight is the INTEGER 10⁹ div deg(w)
+    * (micro-unit floor division), so the score sum is exact integer
+    * arithmetic — no float-accumulation order to diverge on, and the
+    * ranking (score desc, candidate asc) is a pure function of the graph
+    * in any engine.
+    */
+  def qResourceAlloc(
+      t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges = idx.edges.select("src", "dst")
+    val probes = edges.filter(pmod(col("src"), lit(probeMod)) === 0)
+      .select(col("src").as("u"), col("dst").as("w"))
+    val wWeight = idx.deg
+      .select(col("src").as("w"), expr("1000000000 div deg").as("wt"))
+    val scored = probes
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("v") =!= col("u"))
+      .join(wWeight, "w")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("wt")).cast("long").as("ra_units"))
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("ra_units").desc, col("v"))
+    scored
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u").as("part"), col("v").as("candidate"),
+        col("n_common"), col("ra_units"), col("rnk"))
+      .orderBy("part", "rnk")
+  }
+
   /** Hierarchy flattening: every node resolved to its ROOT and DEPTH over
     * a parent forest (here the deterministic decimal-prefix forest on
     * customer keys: parent(c) = c div 10 when that key exists). The

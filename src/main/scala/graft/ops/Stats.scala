@@ -1101,4 +1101,167 @@ object Stats {
       .select("lang", "n", "agree", "po", "kappa")
       .orderBy("lang")
   }
+
+  /** Monthly revenue series per market segment in exact cents — the shared
+    * input of the trend tests below. The month index is scale-free (the
+    * time dimension does not grow with data volume), so the per-segment
+    * series stays O(months) rows no matter the corpus size.
+    */
+  private def monthlySeries(t: Tables): DataFrame = t.orders
+    .join(t.customer.select("c_custkey", "c_mktsegment"),
+      col("o_custkey") === col("c_custkey"))
+    .groupBy(col("c_mktsegment").as("segment"),
+      ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("x"))
+    .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("rev"))
+
+  /** Mann–Kendall trend test per market segment over the monthly revenue
+    * series: S = sum over ordered month pairs of sign(rev_j - rev_i), with
+    * the tie-corrected variance Var(S) = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)]
+    * / 18 and the continuity-corrected normal score. The nonparametric
+    * complement of [[graft.ops.Analytics.qRegressionTrend]]'s least-squares
+    * slope: it detects ANY monotone drift without assuming linearity.
+    *
+    * Numerics: revenue is an exact DECIMAL, so every pairwise comparison
+    * and the whole S / variance chain is integer arithmetic — the only
+    * doubles are the final two divisions, bit-identical in any engine.
+    *
+    * Scale: the pairwise self-join runs on the AGGREGATED series
+    * (segments x months rows), not on orders — months are bounded by the
+    * calendar, so the quadratic is over a time dimension that does not
+    * grow at 100 TB. One shuffle for the monthly rollup; everything after
+    * is metadata-sized.
+    */
+  def qMannKendall(t: Tables): DataFrame = {
+    val m = monthlySeries(t)
+    val a = m.select(col("segment"), col("x").as("xa"), col("rev").as("ra"))
+    val b = m.select(col("segment").as("seg_b"), col("x").as("xb"),
+      col("rev").as("rb"))
+    val s = a
+      .join(b, col("segment") === col("seg_b") && col("xa") < col("xb"))
+      .groupBy("segment")
+      .agg(sum(when(col("rb") > col("ra"), 1L)
+        .when(col("rb") < col("ra"), -1L).otherwise(0L)).as("s_stat"))
+    // tie-group sizes over the revenue values (exact decimal equality)
+    val ties = m.groupBy("segment", "rev").agg(count(lit(1)).as("tsz"))
+      .groupBy("segment")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("tsz") * (col("tsz") - 1L) * (lit(2L) * col("tsz") + 5L))
+          .cast("long").as("tie_term"))
+    val n = m.groupBy("segment").agg(count(lit(1)).as("n_months"))
+    n.join(s, "segment").join(ties, "segment")
+      .withColumn("var18",
+        col("n_months") * (col("n_months") - 1L) *
+          (lit(2L) * col("n_months") + 5L) - col("tie_term"))
+      // raw doubles out: every step after the exact-integer aggregate is a
+      // single correctly-rounded IEEE op (divide, sqrt), identical in any
+      // engine — rounding would only add a half-boundary hazard
+      .withColumn("var_s", col("var18").cast("double") / lit(18.0))
+      .withColumn("z",
+        when(col("s_stat") > 0L,
+          (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0L,
+            (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .select(col("segment"), col("n_months"), col("s_stat"),
+        col("var_s"), col("z"))
+      .orderBy("segment")
+  }
+
+  /** Theil–Sen robust trend per market segment: the MEDIAN of all pairwise
+    * slopes (rev_j - rev_i) / (j - i) over the monthly revenue series —
+    * the outlier-resistant alternative to the least-squares slope (one
+    * blow-out month moves the mean line but not the pairwise median).
+    *
+    * The median is picked POSITIONALLY (row_number over a total slope
+    * order, average of the two middle elements) instead of any built-in
+    * median/percentile, whose interpolation rules differ across engines.
+    * Each slope is one IEEE division of exact integers (cent difference /
+    * month difference), so the sorted sequence — and the picked values —
+    * are bit-identical in any engine.
+    *
+    * Scale: as [[qMannKendall]] — quadratic only in the bounded month
+    * dimension, on the already-aggregated series.
+    */
+  def qTheilSen(t: Tables): DataFrame = {
+    val m = monthlySeries(t)
+    val a = m.select(col("segment"), col("x").as("xa"), col("rev").as("ra"))
+    val b = m.select(col("segment").as("seg_b"), col("x").as("xb"),
+      col("rev").as("rb"))
+    val slopes = a
+      .join(b, col("segment") === col("seg_b") && col("xa") < col("xb"))
+      .select(col("segment"), col("xa"), col("xb"),
+        ((col("rb") - col("ra")).cast("double") /
+          (col("xb") - col("xa")).cast("double")).as("slope"))
+    val w = Window.partitionBy("segment")
+      .orderBy(col("slope"), col("xa"), col("xb"))
+    val ranked = slopes
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("np", count(lit(1)).over(Window.partitionBy("segment")))
+    // lo == hi for odd counts; the average of the two picks is then the
+    // element itself. Integer `div`, not `/` (Spark's `/` on longs is
+    // IEEE division).
+    ranked
+      .groupBy("segment")
+      .agg(max(col("np")).cast("long").as("n_pairs"))
+      .join(
+        ranked.filter(col("rk") === expr("(np + 1) div 2"))
+          .select(col("segment"), col("slope").as("s_lo")), "segment")
+      .join(
+        ranked.filter(col("rk") === expr("(np + 2) div 2"))
+          .select(col("segment"), col("slope").as("s_hi")), "segment")
+      // raw double: slopes are IEEE divisions of exact integers and the
+      // midpoint is one add + one halving — identical bits in any engine
+      .withColumn("ts_slope", (col("s_lo") + col("s_hi")) / lit(2.0))
+      .select("segment", "n_pairs", "ts_slope")
+      .orderBy("segment")
+  }
+
+  /** Cramér's V effect size for the language x source contingency of the
+    * document corpus — the normalized companion of [[qChi2]] that answers
+    * "HOW strongly is language associated with source" on a 0..1 scale,
+    * the check a mixture designer runs before stratifying by one of two
+    * correlated keys.
+    *
+    * Chi-square terms are rounded to 9 dp and summed as DECIMAL (the
+    * [[qChi2]] recipe) so the 2-digit-cell sum cannot drift with
+    * aggregation order; V = sqrt(chi2 / (n * min(r-1, c-1))) is then a
+    * fixed double chain. One hash aggregate over the corpus; the grid is
+    * (languages x sources)-sized metadata.
+    */
+  def qCramersV(t: Tables): DataFrame = {
+    val obs = t.documents.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("o"))
+    val rt = obs.groupBy("lang").agg(sum(col("o")).cast("long").as("rt"))
+    val ct = obs.groupBy("source").agg(sum(col("o")).cast("long").as("ct"))
+    val grid = rt.crossJoin(ct)
+      .join(obs, Seq("lang", "source"), "left")
+      .na.fill(0L, Seq("o"))
+    val tot = grid.agg(sum(col("o")).cast("long").as("n")).crossJoin(
+      grid.agg(countDistinct(col("lang")).as("r"),
+        countDistinct(col("source")).as("c")))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("e",
+        col("rt").cast("double") * col("ct").cast("double") /
+          col("n").cast("double"))
+      .withColumn("term",
+        round((col("o").cast("double") - col("e")) *
+          (col("o").cast("double") - col("e")) / col("e"), 9)
+          .cast(DecimalType(20, 10)))
+      .groupBy("n", "r", "c")
+      .agg(sum(col("term")).cast("double").as("chi2"),
+        count(lit(1)).as("n_cells"))
+      .withColumn("dof", (col("r") - 1L) * (col("c") - 1L))
+      // chi2 is the decimal term-sum cast once to double (the qChi2
+      // contract); V is then a fixed divide+sqrt chain of that value —
+      // identical in any engine, so both go out raw
+      .withColumn("cramers_v",
+        sqrt(col("chi2") /
+          (col("n").cast("double") *
+            least(col("r") - 1L, col("c") - 1L).cast("double"))))
+      .select(col("n").as("n_docs"), col("n_cells"),
+        col("dof").cast("long").as("dof"), col("chi2"),
+        col("cramers_v"))
+  }
 }

@@ -1,0 +1,190 @@
+package graft
+
+import graft.ext.TextAnalysis
+import graft.ops.{Events, Graph, Stats}
+
+/** Round-5 wave: robust trend tests, association effect size, lexical
+  * diversity, traffic-shape and seasonality gauges, and degree-weighted
+  * link scoring. Each test recomputes the operator's claim driver-side
+  * from first principles over sf0.001; the DuckDB oracle covers
+  * engine-vs-engine equality separately.
+  */
+class TrendStatsSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  /** (segment, month index) -> revenue cents, the shared series. */
+  private lazy val monthly: Map[String, Seq[(Long, BigInt)]] = {
+    val rows = tables.orders
+      .join(tables.customer, col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"),
+        ((year(col("o_orderdate")) - 1992) * 12 + month(col("o_orderdate")) - 1)
+          .cast("long"),
+        (col("o_totalprice").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    rows.groupBy(_._1).map { case (seg, rs) =>
+      seg -> rs.groupBy(_._2).map { case (x, es) =>
+        x -> es.map(e => BigInt(e._3)).sum
+      }.toSeq.sortBy(_._1)
+    }
+  }
+
+  test("mann-kendall S and variance match a brute-force pair scan") {
+    val got = Stats.qMannKendall(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val series = monthly(r.getString(0)).map(_._2)
+      val n = series.size
+      var s = 0L
+      for (i <- series.indices; j <- i + 1 until n)
+        s += series(j).compare(series(i)).sign
+      val ties = series.groupBy(identity).values.map(_.size.toLong)
+      val tieTerm = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+      val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieTerm) / 18.0
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == s)
+      assert(math.abs(r.getDouble(3) - varS) < 1e-9)
+      val z =
+        if (s > 0) (s - 1) / math.sqrt(varS)
+        else if (s < 0) (s + 1) / math.sqrt(varS)
+        else 0.0
+      assert(math.abs(r.getDouble(4) - z) < 1e-9)
+    }
+  }
+
+  test("theil-sen slope is the median pairwise slope") {
+    val got = Stats.qTheilSen(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val series = monthly(r.getString(0))
+      val slopes = (for {
+        i <- series.indices; j <- i + 1 until series.size
+      } yield (series(j)._2 - series(i)._2).toDouble / 100.0 /
+        (series(j)._1 - series(i)._1).toDouble).sorted
+      val np = slopes.size
+      assert(r.getLong(1) == np)
+      // both in dollars/month (the engine's rev is a DECIMAL dollar sum)
+      val med = (slopes((np - 1) / 2) + slopes(np / 2)) / 2.0
+      assert(math.abs(r.getDouble(2) - med) < 1e-6)
+    }
+  }
+
+  test("cramers v matches a driver-side contingency recompute") {
+    val docs = tables.documents.select("lang", "source").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = docs.length.toDouble
+    val langs = docs.map(_._1).distinct.sorted
+    val srcs = docs.map(_._2).distinct.sorted
+    val chi2 = (for { l <- langs; s <- srcs } yield {
+      val o = docs.count(d => d == (l, s)).toDouble
+      val e = docs.count(_._1 == l) * docs.count(_._2 == s) / n
+      BigDecimal(math.round((o - e) * (o - e) / e * 1e9)) / BigDecimal(1e9)
+    }).sum.toDouble
+    val r = Stats.qCramersV(tables).collect().head
+    assert(r.getLong(0) == docs.length)
+    assert(r.getLong(1) == langs.size * srcs.size)
+    assert(r.getLong(2) == (langs.size - 1) * (srcs.size - 1))
+    assert(math.abs(r.getDouble(3) - chi2) < 1e-6)
+    val v = math.sqrt(chi2 / (n * math.min(langs.size - 1, srcs.size - 1)))
+    assert(math.abs(r.getDouble(4) - v) < 1e-9)
+    assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+  }
+
+  test("burstiness matches per-user gap moments; bounds hold") {
+    val evs = tables.events.select("user_id", "ts_ns", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 1000, r.getLong(2)))
+    val byUser = evs.groupBy(_._1).map { case (u, es) =>
+      val ts = es.sortBy(e => (e._2, e._3)).map(_._2)
+      u -> ts.zip(ts.tail).map { case (a, b) => b - a }
+    }
+    val got = Events.qBurstiness(tables).collect()
+    val expected = byUser.filter(_._2.size >= 20)
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val gaps = byUser(r.getLong(0))
+      val n = gaps.size
+      assert(r.getLong(1) == n)
+      val mean = gaps.sum.toDouble / n
+      val sd = math.sqrt(
+        gaps.map(g => (g - mean) * (g - mean)).sum / n)
+      assert(math.abs(r.getDouble(2) - mean / 1e6) < 1e-6)
+      assert(math.abs(r.getDouble(3) - sd / 1e6) < 1e-4)
+      val b = r.getDouble(4)
+      assert(b > -1.0 && b < 1.0)
+      assert(math.abs(b - (sd - mean) / (sd + mean)) < 1e-6)
+    }
+  }
+
+  test("seasonal strength is a valid variance decomposition") {
+    val evs = tables.events
+      .select(col("event_type"), expr("(ts_ns div 3600000000000) % 24"),
+        (col("value").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val got = Events.qSeasonalStrength(tables).collect()
+    got.foreach { r =>
+      val es = evs.filter(_._1 == r.getString(0))
+      val cents = es.map(_._3.toDouble)
+      val n = cents.size
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == es.map(_._2).distinct.size)
+      val mean = cents.sum / n
+      val ssTotal = cents.map(c => (c - mean) * (c - mean)).sum / 1e4
+      val ssWithin = es.groupBy(_._2).values.map { hs =>
+        val h = hs.map(_._3.toDouble)
+        val hm = h.sum / h.size
+        h.map(c => (c - hm) * (c - hm)).sum / 1e4
+      }.sum
+      assert(math.abs(r.getDouble(3) - ssTotal) < math.abs(ssTotal) * 1e-6 + 1)
+      assert(math.abs(r.getDouble(4) - ssWithin) <
+        math.abs(ssWithin) * 1e-6 + 1)
+      // within-group SS can never exceed total SS
+      assert(r.getDouble(5) >= -1e-9 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("ttr curve: pooled type/token sums match per-doc array counts") {
+    val docs = tables.documents.select("lang", "text").collect()
+      .map { r =>
+        val w = r.getString(1).trim.toLowerCase.split(" +")
+        (r.getString(0), (w.length - 1) / 16, w.length.toLong,
+          w.distinct.length.toLong)
+      }
+    val got = TextAnalysis.qTtrCurve(tables).collect()
+    val exp = docs.groupBy(d => (d._1, d._2))
+    assert(got.length == exp.size)
+    got.foreach { r =>
+      val ds = exp((r.getString(0), r.getLong(1).toInt))
+      assert(r.getLong(2) == ds.size)
+      assert(r.getLong(3) == ds.map(_._3).sum)
+      assert(r.getLong(4) == ds.map(_._4).sum)
+      assert(math.abs(r.getDouble(5) -
+        ds.map(_._4).sum.toDouble / ds.map(_._3).sum) < 1e-12)
+      // TTR is a ratio of types to tokens: (0, 1]
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("resource allocation demotes hub-mediated candidates") {
+    val ra = Graph.qResourceAlloc(tables).collect()
+    assert(ra.nonEmpty)
+    // per-probe: ranks are 1..k and ra_units non-increasing
+    ra.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.size).toSeq)
+      assert(sorted.map(_.getLong(3)).toSeq ==
+        sorted.map(_.getLong(3)).toSeq.sorted.reverse)
+    }
+    // RA score of a pair can never exceed 1e9 * common-neighbor count
+    // (each common neighbor contributes at most 1e9/1 units)
+    ra.foreach(r => assert(r.getLong(3) <= r.getLong(2) * 1000000000L))
+    // cross-check n_common against qLinkPrediction on shared pairs
+    val cn = Graph.qLinkPrediction(tables).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    ra.foreach { r =>
+      cn.get((r.getLong(0), r.getLong(1)))
+        .foreach(c => assert(c == r.getLong(2)))
+    }
+  }
+}
