@@ -367,6 +367,13 @@ object SparkEntry {
       graft.streaming.Streams.drainEmdDrift(spark, dir, "documents.parquet")),
     "q_stream_slo" -> ((spark, dir) =>
       graft.streaming.Streams.drainSloBurn(spark, dir, "events.parquet")),
+    "q_dwell_time" -> q(Events.qDwellTime),
+    "q_stream_dwell" -> ((spark, dir) =>
+      graft.streaming.Streams.drainDwellTime(spark, dir, "events.parquet")),
+    "q_stream_burstiness" -> ((spark, dir) =>
+      graft.streaming.Streams.drainBurstiness(spark, dir, "events.parquet")),
+    "q_stream_benford" -> ((spark, dir) =>
+      graft.streaming.Streams.drainBenford(spark, dir, "events.parquet")),
     "q_stream_enrich" -> ((spark, dir) =>
       graft.streaming.Streams.drainEnrich(spark, dir, "events.parquet")
         .orderBy("segment")),
@@ -418,6 +425,52 @@ object SparkEntry {
     * sides; burns are single long/long IEEE divisions. Shared by the
     * batch monitor and its streaming drain (`q_slo_burn`, `q_stream_slo`).
     */
+  /** Shared by the batch gauge and its streaming drain (`q_burstiness`,
+    * `q_stream_burstiness`): the drain's stateful gap emitter reproduces
+    * the batch lag() gaps exactly, so one oracle covers both.
+    */
+  private val burstinessOracle: String =
+    """WITH g AS (
+           SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+           FROM events),
+         a AS (
+           SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS sg,
+             SUM(CAST(gap AS HUGEINT) * gap) AS sgg
+           FROM g WHERE gap IS NOT NULL GROUP BY 1
+           HAVING COUNT(*) >= 20),
+         d AS (
+           SELECT user_id, n_gaps,
+             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us,
+             sqrt(CAST(sgg * n_gaps - CAST(sg AS HUGEINT) * sg AS DOUBLE) /
+               CAST(n_gaps * n_gaps AS DOUBLE)) AS sd_us
+           FROM a)
+         SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           mean_us / 1e6 AS mean_gap_s,
+           sd_us / 1e6 AS sd_gap_s,
+           (sd_us - mean_us) / (sd_us + mean_us) AS burstiness
+         FROM d ORDER BY user_id"""
+
+  /** Shared by `q_dwell_time` and `q_stream_dwell` (same emitter
+    * equivalence as the burstiness pair).
+    */
+  private val dwellOracle: String =
+    """WITH g AS (
+           SELECT event_type,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap
+           FROM events),
+         a AS (
+           SELECT event_type, COUNT(*) AS n_intervals, SUM(gap) AS sg
+           FROM g WHERE gap IS NOT NULL GROUP BY 1)
+         SELECT event_type, CAST(n_intervals AS BIGINT) AS n_intervals,
+           CAST(sg AS DOUBLE) / 1e6 AS total_dwell_s,
+           CAST(sg AS DOUBLE) / CAST(n_intervals AS DOUBLE) / 1e6
+             AS mean_dwell_s,
+           CAST(sg AS DOUBLE) / CAST(SUM(sg) OVER () AS DOUBLE)
+             AS dwell_share
+         FROM a ORDER BY event_type"""
+
   private val sloBurnOracle: String =
     """WITH d AS (SELECT epoch_ns(ts) // 86400000000000 AS day_idx,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -611,27 +664,20 @@ object SparkEntry {
              (CAST(n AS DOUBLE) * CAST(least(r-1, c-1) AS DOUBLE)))
              AS cramers_v
          FROM agg""",
-    "q_burstiness" ->
-      """WITH g AS (
-           SELECT user_id, epoch_us(ts) - lag(epoch_us(ts)) OVER
-               (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
-           FROM events),
-         a AS (
-           SELECT user_id, COUNT(*) AS n_gaps, SUM(gap) AS sg,
-             SUM(CAST(gap AS HUGEINT) * gap) AS sgg
-           FROM g WHERE gap IS NOT NULL GROUP BY 1
-           HAVING COUNT(*) >= 20),
-         d AS (
-           SELECT user_id, n_gaps,
-             CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_us,
-             sqrt(CAST(sgg * n_gaps - CAST(sg AS HUGEINT) * sg AS DOUBLE) /
-               CAST(n_gaps * n_gaps AS DOUBLE)) AS sd_us
-           FROM a)
-         SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
-           mean_us / 1e6 AS mean_gap_s,
-           sd_us / 1e6 AS sd_gap_s,
-           (sd_us - mean_us) / (sd_us + mean_us) AS burstiness
-         FROM d ORDER BY user_id""",
+    "q_burstiness" -> burstinessOracle,
+    "q_stream_burstiness" -> burstinessOracle,
+    "q_dwell_time" -> dwellOracle,
+    "q_stream_dwell" -> dwellOracle,
+    "q_stream_benford" ->
+      """WITH d AS (
+           SELECT substr(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+             AS digit
+           FROM events WHERE value >= 1),
+         g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1)
+         SELECT digit, n,
+           CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS freq,
+           round(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 6) AS expected
+         FROM g ORDER BY digit""",
     "q_seasonal_strength" ->
       """WITH c AS (
            SELECT event_type,

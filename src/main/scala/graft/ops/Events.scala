@@ -1045,10 +1045,21 @@ object Events {
     */
   def qBurstiness(t: Tables, minGaps: Int = 20): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    t.events
+    val gaps = t.events
       .withColumn("ts_us", expr("ts_ns div 1000"))
       .withColumn("gap", col("ts_us") - lag("ts_us", 1).over(byUser))
       .filter(col("gap").isNotNull)
+      .select(col("user_id"), col("gap"))
+    burstinessFromGaps(gaps, minGaps)
+  }
+
+  /** [[qBurstiness]]' aggregate over an already-extracted (user_id, gap)
+    * frame — shared with the streaming drain, whose stateful emitter
+    * produces the same gaps incrementally.
+    */
+  private[graft] def burstinessFromGaps(
+      gaps: DataFrame, minGaps: Int): DataFrame = {
+    gaps
       .groupBy("user_id")
       .agg(
         count(lit(1)).as("n_gaps"),
@@ -1073,6 +1084,47 @@ object Events {
         ((col("sd_us") - col("mean_us")) /
           (col("sd_us") + col("mean_us"))).as("burstiness"))
       .orderBy("user_id")
+  }
+
+  /** Per-state dwell time: the interval until a user's NEXT event is
+    * attributed to the type of the event that opened it, then rolled up
+    * per type — where user time is actually spent, the engagement
+    * complement of the transition-count Markov view
+    * ([[qEventTransitions]]). Intervals are exact microsecond integers;
+    * totals/means/shares are fixed double chains over one integer sum per
+    * type, and the share denominator is a window over the handful of type
+    * rows.
+    *
+    * Scale: one window per user (the shuffle key) + one dimension-sized
+    * aggregate — the same shape as [[qInterarrival]].
+    */
+  def qDwellTime(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = t.events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("gap", lead("ts_us", 1).over(byUser) - col("ts_us"))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    dwellFromGaps(gaps)
+  }
+
+  /** [[qDwellTime]]'s rollup over an already-extracted (event_type, gap)
+    * frame — shared with the streaming drain.
+    */
+  private[graft] def dwellFromGaps(gaps: DataFrame): DataFrame = {
+    val w = Window.partitionBy()
+    gaps
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"), sum("gap").cast("long").as("sg"))
+      .withColumn("total", sum("sg").over(w))
+      .select(
+        col("event_type"), col("n_intervals"),
+        (col("sg").cast("double") / lit(1e6)).as("total_dwell_s"),
+        (col("sg").cast("double") / col("n_intervals").cast("double") /
+          lit(1e6)).as("mean_dwell_s"),
+        (col("sg").cast("double") / col("total").cast("double"))
+          .as("dwell_share"))
+      .orderBy("event_type")
   }
 
   /** Hour-of-day seasonality strength per event type: the share of the

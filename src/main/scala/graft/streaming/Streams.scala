@@ -27,6 +27,15 @@ final case class TransPair(from_type: String, to_type: String)
 /** Per-user last-event memory for the streaming transition counter. */
 final case class TransState(lastTsNs: Long, lastEventId: Long, lastType: String)
 
+/** One closed inter-event interval for the streaming gap emitter: the
+  * time until the user's next event, attributed to the type of the event
+  * that OPENED the interval.
+  */
+final case class GapEmit(user_id: Long, from_type: String, gap_us: Long)
+
+/** Per-user last-event memory (µs domain) for the streaming gap emitter. */
+final case class GapState(lastTsUs: Long, lastEventId: Long, lastType: String)
+
 /** Structured Streaming surface: windowed aggregation with watermarks,
   * late-data dedup, and custom sessionization state. The column logic
   * matches the batch twins in [[graft.ops.Events]], which is how the
@@ -844,5 +853,88 @@ object Streams {
     val corpus = spark.read.parquet(s"$dir/documents.parquet")
     drain(spark,
       incrementalDedup(docsStream(spark, dir, globFilter), corpus))
+  }
+
+  /** Streaming inter-event gap emitter: flatMapGroupsWithState keyed by
+    * user carries the last event seen and emits one closed interval per
+    * arriving event — the shared stateful half of the dwell-time and
+    * burstiness drains. The interval is attributed to the type of the
+    * event that OPENED it (the [[graft.ops.Events.qDwellTime]]
+    * semantics); rows sort by (µs, event_id) inside each group — the
+    * exact total order the batch twins' lag/lead windows use. One tiny
+    * state row per user, emission volume = input volume.
+    */
+  def gapEmitter(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    events
+      .selectExpr("user_id", "ts_ns div 1000 as ts_us", "event_id",
+        "event_type")
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[GapState, GapEmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (u: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[GapState]) =>
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer[GapEmit]()
+          sorted.foreach { r =>
+            if (st != null) out += GapEmit(u, st.lastType, r._2 - st.lastTsUs)
+            st = GapState(r._2, r._3, r._4)
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+      .toDF()
+  }
+
+  /** Drain-mode execution of [[gapEmitter]] + the per-type dwell rollup
+    * as a batch epilogue over the emitted intervals. Shares
+    * `q_dwell_time`'s oracle. `q_stream_dwell`.
+    */
+  def drainDwellTime(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Events.dwellFromGaps(
+      drain(spark, gapEmitter(spark, eventsStream(spark, dir, globFilter)),
+        OutputMode.Append())
+        .select(col("from_type").as("event_type"), col("gap_us").as("gap")))
+
+  /** Drain-mode execution of [[gapEmitter]] + the per-user burstiness
+    * moments as a batch epilogue (same exact-integer moment math as the
+    * batch twin). Shares `q_burstiness`' oracle. `q_stream_burstiness`.
+    */
+  def drainBurstiness(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Events.burstinessFromGaps(
+      drain(spark, gapEmitter(spark, eventsStream(spark, dir, globFilter)),
+        OutputMode.Append())
+        .select(col("user_id"), col("gap_us").as("gap")),
+      minGaps = 20)
+
+  /** Streaming Benford audit: running first-digit counts of the event
+    * values (amounts >= 1 — a sub-unit amount has no leading digit in the
+    * Benford sense) as a Complete-mode aggregate whose state is at most
+    * nine rows, with the frequency-vs-expectation comparison as a
+    * dimension-sized epilogue. The fraud/integrity monitor a pipeline
+    * keeps current at ingest. `q_stream_benford`.
+    */
+  def digitCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("value") >= 1)
+      .select(substring(
+        col("value").cast(DecimalType(18, 2)).cast("string"), 1, 1)
+        .as("digit"))
+      .groupBy("digit")
+      .agg(count(lit(1)).as("n"))
+
+  def drainBenford(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val w = Window.partitionBy()
+    drain(spark, digitCounts(eventsStream(spark, dir, globFilter)))
+      .withColumn("freq",
+        col("n").cast("double") / sum("n").over(w).cast("double"))
+      .withColumn("expected",
+        round(log10(lit(1.0) + lit(1.0) / col("digit").cast("double")), 6))
+      .orderBy("digit")
   }
 }

@@ -448,6 +448,43 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming dwell drain equals the batch per-type dwell rollup") {
+    val streamed = Streams.drainDwellTime(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = ops.Events.qDwellTime(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming burstiness drain equals the batch gauge row-for-row") {
+    val streamed = Streams.drainBurstiness(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = ops.Events.qBurstiness(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming benford drain: digit counts match a batch recompute") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = tables.events.filter(col("value") >= 1)
+      .select(substring(col("value")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2))
+        .cast("string"), 1, 1).as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.map(r => r.getString(0) -> r.getLong(1)).toMap == batch)
+    val total = batch.values.sum.toDouble
+    streamed.foreach { r =>
+      assert(math.abs(r.getDouble(2) - r.getLong(1) / total) < 1e-12)
+      // Benford expectation for digit d is log10(1 + 1/d)
+      val d = r.getString(0).toInt
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+    }
+  }
+
   test("native portable fingerprint is bit-identical to the HOF oracle transliteration") {
     import org.apache.spark.sql.functions._
     val d = tables.documents.select(
