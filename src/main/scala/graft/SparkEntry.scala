@@ -144,6 +144,10 @@ object SparkEntry {
     "q_seasonal_strength" -> q(Events.qSeasonalStrength),
     "q_ttr_curve" -> q(TextAnalysis.qTtrCurve(_)),
     "q_resource_alloc" -> q(Graph.qResourceAlloc(_)),
+    "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
+    "q_assortativity" -> q(Graph.qAssortativity),
+    "q_ab_srm" -> q(Events.qAbSrm),
+    "q_silhouette" -> q(Similarity.qSilhouette),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
@@ -583,6 +587,132 @@ object SparkEntry {
        ORDER BY id_new, id_old"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_clustering_coeff" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         und AS (SELECT DISTINCT a.pk AS s, b.pk AS t
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+         deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM
+             (SELECT s AS n FROM und UNION ALL SELECT t FROM und)
+           GROUP BY 1),
+         ori AS (SELECT
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN und.s ELSE und.t END AS u,
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN und.t ELSE und.s END AS v,
+             CASE WHEN ds.d < dt.d OR (ds.d = dt.d AND und.s < und.t)
+               THEN dt.d ELSE ds.d END AS dv
+           FROM und JOIN deg ds ON und.s = ds.n
+                    JOIN deg dt ON und.t = dt.n),
+         wedges AS (SELECT a.u AS apex, a.v AS wu, b.v AS wv
+           FROM ori a JOIN ori b
+           ON a.u = b.u AND (a.dv < b.dv OR (a.dv = b.dv AND a.v < b.v))),
+         closed AS (SELECT apex, wu, wv FROM wedges w
+           WHERE EXISTS (SELECT 1 FROM ori
+             WHERE ori.u = w.wu AND ori.v = w.wv)),
+         corners AS (SELECT apex AS node FROM closed
+           UNION ALL SELECT wu FROM closed
+           UNION ALL SELECT wv FROM closed),
+         tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t
+           FROM corners GROUP BY 1),
+         o AS (SELECT deg.n AS node, deg.d, COALESCE(tri.t, 0) AS t
+           FROM deg LEFT JOIN tri ON tri.node = deg.n)
+         SELECT node, CAST(d AS BIGINT) AS deg, CAST(t AS BIGINT) AS n_tri,
+           CASE WHEN d >= 2 THEN CAST(2 * t AS DOUBLE) /
+             CAST(d * (d - 1) AS DOUBLE) END AS coeff
+         FROM o ORDER BY t DESC, node LIMIT 25""",
+    "q_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+           FROM e GROUP BY 1),
+         j AS (SELECT ds.d AS ds, dt.d AS dt
+           FROM e JOIN deg ds ON e.src = ds.src
+                  JOIN deg dt ON e.dst = dt.src),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(ds) AS BIGINT) AS sx, CAST(SUM(dt) AS BIGINT) AS sy,
+             CAST(SUM(ds * ds) AS DOUBLE) AS sxx,
+             CAST(SUM(dt * dt) AS DOUBLE) AS syy,
+             CAST(SUM(ds * dt) AS DOUBLE) AS sxy
+           FROM j)
+         SELECT n AS n_edges,
+           CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_deg,
+           round(
+             (CAST(n AS DOUBLE) * sxy -
+               CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+             sqrt(
+               (CAST(n AS DOUBLE) * sxx -
+                 CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+               (CAST(n AS DOUBLE) * syy -
+                 CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS assortativity
+         FROM m""",
+    "q_ab_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+         b AS (SELECT s.k, u.user_id % s.k AS b
+           FROM u CROSS JOIN (VALUES (2), (3), (5)) AS s(k)),
+         c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS o
+           FROM b GROUP BY 1, 2),
+         g AS (SELECT s.k, unnest(range(0, s.k)) AS b
+           FROM (VALUES (2), (3), (5)) AS s(k)),
+         t AS (SELECT g.k, g.b, COALESCE(c.o, 0) AS o, tot.n
+           FROM g LEFT JOIN c ON c.k = g.k AND c.b = g.b CROSS JOIN tot),
+         terms AS (SELECT k, n,
+             CAST(round(
+               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) *
+               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) /
+               (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 9)
+               AS DECIMAL(20,10)) AS term
+           FROM t),
+         a AS (SELECT CAST(k AS BIGINT) AS k, MAX(n) AS n_users,
+             CAST(SUM(term) AS DOUBLE) AS chi2
+           FROM terms GROUP BY 1)
+         SELECT k, n_users, chi2,
+           CASE WHEN k = 2 THEN 3.841459
+             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END AS crit,
+           CAST(chi2 > (CASE WHEN k = 2 THEN 3.841459
+             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END) AS BIGINT)
+             AS srm_detected
+         FROM a ORDER BY k""",
+    "q_silhouette" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS own,
+             CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         x AS (SELECT vec_id, own, unnest(range(1, len(v) + 1)) AS i, v
+           FROM e),
+         y AS (SELECT vec_id, own, CAST(i - 1 AS BIGINT) AS dim,
+             CAST(floor(v[i] * 1000.0 + 0.5) AS BIGINT) AS m FROM x),
+         s AS (SELECT own AS l, dim, CAST(SUM(m) AS BIGINT) AS sm
+           FROM y GROUP BY 1, 2),
+         cn AS (SELECT own AS l, CAST(COUNT(*) AS BIGINT) AS nl
+           FROM e GROUP BY 1),
+         dn AS (SELECT y.vec_id, y.own, s.l, cn.nl,
+             CAST(SUM((y.m * cn.nl - s.sm) * (y.m * cn.nl - s.sm))
+               AS BIGINT) AS dnum
+           FROM y JOIN s ON s.dim = y.dim JOIN cn ON cn.l = s.l
+           GROUP BY 1, 2, 3, 4),
+         d AS (SELECT vec_id, own, l,
+             sqrt(CAST(dnum AS DOUBLE)) / CAST(nl * 1000 AS DOUBLE) AS dist
+           FROM dn),
+         p AS (SELECT vec_id, own,
+             MAX(CASE WHEN l = own THEN dist END) AS a,
+             MIN(CASE WHEN l <> own THEN dist END) AS b
+           FROM d GROUP BY 1, 2),
+         ps AS (SELECT own, a, b,
+             CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+               ELSE (b - a) / greatest(a, b) END AS sil
+           FROM p)
+         SELECT own AS label, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(CAST(round(sil, 9) AS DECIMAL(20,10))) AS DOUBLE)
+             / COUNT(*) AS mean_sil,
+           CAST(SUM(CAST(round(a, 6) AS DECIMAL(24,8))) AS DOUBLE)
+             / COUNT(*) AS mean_dist_own,
+           CAST(SUM(CAST(round(b, 6) AS DECIMAL(24,8))) AS DOUBLE)
+             / COUNT(*) AS mean_dist_other
+         FROM ps GROUP BY 1 ORDER BY label""",
     "q_mann_kendall" ->
       """WITH m AS (
            SELECT c_mktsegment AS segment,

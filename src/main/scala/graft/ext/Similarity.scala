@@ -714,4 +714,63 @@ object Similarity {
           .as("loading"))
       .orderBy("dim")
   }
+
+  /** Simplified (centroid-based) silhouette per label — the clustering
+    * quality score: a = distance to the OWN label centroid, b = distance
+    * to the nearest OTHER centroid, s = (b−a)/max(a,b), averaged per
+    * label. The label-quality gauge behind "is this class embedding-
+    * coherent or two clusters wearing one name". Uses the exact-centroid
+    * trick from [[qCentroidSim]]: with m = milli-unit integers and
+    * S_l/n_l the centroid, ‖x − c_l‖ = √(Σ(m·n_l − S_l)²)/(1000·n_l) —
+    * the radical is an EXACT integer, so every distance (and the a/b
+    * comparison picking the nearest rival) is bit-identical in any
+    * engine; per-label means decimal-pin the rounded terms.
+    *
+    * Scale: one vector_sum collapse to (labels × dims), one broadcast of
+    * the label-count-sized centroid frame through the corpus (each row
+    * computes #labels distances map-side), one hash aggregate. No
+    * point-to-point pairs anywhere.
+    */
+  def qSilhouette(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("vec_id"), col("label").cast("long").as("own"),
+        transform(asDouble(col("embedding")),
+          x => floor(x * lit(1000.0) + lit(0.5)).cast("long")).as("m"))
+    val cents = base
+      .groupBy(col("own").as("l"))
+      .agg(call_function("vector_sum",
+        transform(col("m"), _.cast("double"))).as("sraw"),
+        count(lit(1)).as("nl"))
+      .select(col("l"), transform(col("sraw"), _.cast("long")).as("s"),
+        col("nl"))
+    val dists = base
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("own"), col("l"),
+        (sqrt(
+          aggregate(
+            zip_with(col("m"), col("s"),
+              (md, sd) => (md * col("nl") - sd) * (md * col("nl") - sd)),
+            lit(0L), (acc, v) => acc + v).cast("double")) /
+          (col("nl") * 1000L).cast("double")).as("dist"))
+    dists
+      .groupBy("vec_id", "own")
+      .agg(
+        max(when(col("l") === col("own"), col("dist"))).as("a"),
+        min(when(col("l") =!= col("own"), col("dist"))).as("b"))
+      .withColumn("sil",
+        when(greatest(col("a"), col("b")) === 0.0, lit(0.0))
+          .otherwise((col("b") - col("a")) / greatest(col("a"), col("b"))))
+      .groupBy(col("own").as("label"))
+      .agg(
+        count(lit(1)).as("n_points"),
+        (sum(round(col("sil"), 9).cast(DecimalType(20, 10))).cast("double") /
+          count(lit(1))).as("mean_sil"),
+        (sum(round(col("a"), 6).cast(DecimalType(24, 8))).cast("double") /
+          count(lit(1))).as("mean_dist_own"),
+        (sum(round(col("b"), 6).cast(DecimalType(24, 8))).cast("double") /
+          count(lit(1))).as("mean_dist_other"))
+      .orderBy("label")
+  }
 }

@@ -1086,6 +1086,53 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Sample-ratio-mismatch (SRM) audit: for each candidate assignment
+    * split (user_id mod k, k ∈ 2/3/5 — the same hash-mod family
+    * [[qCuped]] assigns variants with), a uniform-goodness chi-square over
+    * the DISTINCT-user bucket counts against the 95% critical value for
+    * k−1 dof. The first gate an experimentation pipeline runs: a skewed
+    * split invalidates every downstream readout no matter how good the
+    * effect estimator is.
+    *
+    * The full (k, bucket) grid is joined in (a silently absent empty
+    * bucket would drop its (0−e)²/e term); chi-square terms follow the
+    * [[graft.ops.Stats.qChi2]] decimal-pinning recipe. One distinct-user
+    * shuffle + dimension-sized everything after.
+    */
+  def qAbSrm(t: Tables): DataFrame = {
+    import t.spark.implicits._
+    val ks = Seq(2L, 3L, 5L)
+    val users = t.events.select(col("user_id")).distinct()
+    val counts = users
+      .select(explode(array(ks.map(k =>
+        struct(lit(k).as("k"), pmod(col("user_id"), lit(k)).as("b"))): _*))
+        .as("s"))
+      .select(col("s.k"), col("s.b"))
+      .groupBy("k", "b").agg(count(lit(1)).as("o"))
+    val grid = ks.flatMap(k => (0L until k).map(b => (k, b))).toDF("k", "b")
+    val tot = users.agg(count(lit(1)).as("n"))
+    val e = col("n").cast("double") / col("k").cast("double")
+    val d = col("o").cast("double") - e
+    grid
+      .join(counts, Seq("k", "b"), "left")
+      .na.fill(0L, Seq("o"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term",
+        round(d * d / e, 9).cast(DecimalType(20, 10)))
+      .groupBy("k")
+      .agg(max(col("n")).cast("long").as("n_users"),
+        sum(col("term")).cast("double").as("chi2"))
+      .withColumn("crit",
+        when(col("k") === 2L, lit(3.841459))
+          .when(col("k") === 3L, lit(5.991465))
+          .otherwise(lit(9.487729)))
+      .withColumn("srm_detected",
+        (col("chi2") > col("crit")).cast("long"))
+      .select(col("k"), col("n_users"), col("chi2"), col("crit"),
+        col("srm_detected"))
+      .orderBy("k")
+  }
+
   /** Per-state dwell time: the interval until a user's NEXT event is
     * attributed to the type of the event that opened it, then rolled up
     * per type — where user time is actually spent, the engagement

@@ -442,6 +442,100 @@ object Graph {
     }
   }
 
+  /** Per-node local clustering coefficient: 2·t(v) / (deg(v)·(deg(v)−1)),
+    * the top-25 most triangle-embedded nodes — which products sit inside
+    * tight co-purchase cliques (bundle candidates) vs mere hubs. Same
+    * degree-oriented wedge stream as [[qTriangleCount]] (each triangle
+    * enumerated exactly once, wedge fan-out bounded by the O(√m)
+    * orientation), but the apex rides along so every closed triangle
+    * credits its THREE corners via a 3-row explode; per-node counts are
+    * then one hash aggregate. All-integer until the one coefficient
+    * division; the top-25 cut orders by (t, node) — integer keys, so the
+    * cut is deterministic in any engine.
+    */
+  def qClusteringCoeff(t: Tables, k: Int = 25): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val und = idx.edges.select("src", "dst").filter(col("src") < col("dst"))
+      .select(col("src").as("s"), col("dst").as("t"))
+    val deg = idx.deg.select(col("src").as("n"), col("deg").as("d"))
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    val lower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("s") < col("t"))
+    val ori = und
+      .join(maybeBroadcast(deg.select(col("n").as("s"), col("d").as("ds"))), "s")
+      .join(maybeBroadcast(deg.select(col("n").as("t"), col("d").as("dt"))), "t")
+      .select(
+        when(lower, col("s")).otherwise(col("t")).as("u"),
+        when(lower, col("t")).otherwise(col("s")).as("v"),
+        when(lower, col("dt")).otherwise(col("ds")).as("dv"))
+    val nbrs = ori.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+    // apex (a) stays on every wedge so the closing join yields full
+    // (a, wu, wv) triangles, not just a count
+    val wedges = nbrs
+      .select(col("u").as("a"), posexplode(col("ns")).as(Seq("i", "x")),
+        col("ns"))
+      .select(col("a"), col("x.v").as("wu"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
+      .select(col("a"), col("wu"), col("y.v").as("wv"))
+    val closed = wedges
+      .join(ori.select(col("u").as("wu"), col("v").as("wv")),
+        Seq("wu", "wv"), "left_semi")
+    val triPerNode = closed
+      .select(explode(array(col("a"), col("wu"), col("wv"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+    deg.select(col("n").as("node"), col("d"))
+      .join(triPerNode, Seq("node"), "left")
+      .na.fill(0L, Seq("t"))
+      .withColumn("coeff",
+        when(col("d") >= 2L,
+          (col("t") * 2L).cast("double") /
+            (col("d") * (col("d") - 1L)).cast("double")))
+      .orderBy(col("t").desc, col("node"))
+      .limit(k)
+      .select(col("node"), col("d").cast("long").as("deg"),
+        col("t").cast("long").as("n_tri"), col("coeff"))
+  }
+
+  /** Degree assortativity: the Pearson correlation of endpoint degrees
+    * over the symmetric edge list — do high-degree products co-purchase
+    * with other hubs (r > 0) or with the long tail (r < 0)? One
+    * broadcast-degree join over the shared edge index plus a single
+    * exact-decimal moment aggregate; the correlation is the only float,
+    * rounded far above the cross-engine ulp.
+    */
+  def qAssortativity(t: Tables): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val idx = edgeIndexCached(t)
+    val deg = idx.deg
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    idx.edges.select("src", "dst")
+      .join(maybeBroadcast(deg.select(col("src"), col("deg").as("ds"))), "src")
+      .join(maybeBroadcast(
+        deg.select(col("src").as("dst"), col("deg").as("dt"))), "dst")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("ds")).cast("long").as("sx"),
+        sum(col("dt")).cast("long").as("sy"),
+        sum((col("ds") * col("ds")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("dt") * col("dt")).cast(DecimalType(38, 0))).as("syy"),
+        sum((col("ds") * col("dt")).cast(DecimalType(38, 0))).as("sxy"))
+      .select(
+        col("n").as("n_edges"),
+        (col("sx").cast("double") / col("n").cast("double")).as("mean_deg"),
+        round(
+          (col("n").cast("double") * col("sxy").cast("double") -
+            col("sx").cast("double") * col("sy").cast("double")) /
+            sqrt(
+              (col("n").cast("double") * col("sxx").cast("double") -
+                col("sx").cast("double") * col("sx").cast("double")) *
+              (col("n").cast("double") * col("syy").cast("double") -
+                col("sy").cast("double") * col("sy").cast("double"))), 9)
+          .as("assortativity"))
+  }
+
   /** k-core decomposition by iterative peeling: repeatedly delete nodes of
     * degree < k until the subgraph stabilizes; emitted for a ladder of k
     * values. Cores are NESTED (the (k+1)-core is a subgraph of the

@@ -166,6 +166,108 @@ class TrendStatsSpec extends SparkSuite {
     }
   }
 
+  /** Symmetric distinct co-purchase adjacency at sf0.001. */
+  private lazy val adj: Map[Long, Set[Long]] = {
+    val baskets = tables.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).toSet)
+    val edges = baskets.flatMap(b =>
+      for (a <- b; c <- b if a != c) yield (a, c)).toSet
+    edges.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+  }
+
+  test("clustering coefficient matches brute-force per-node triangles") {
+    val got = graft.ops.Graph.qClusteringCoeff(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val node = r.getLong(0)
+      val nbrs = adj(node)
+      assert(r.getLong(1) == nbrs.size)
+      val tri = nbrs.toSeq.combinations(2)
+        .count { case Seq(a, b) => adj(a).contains(b) }
+      assert(r.getLong(2) == tri)
+      if (nbrs.size >= 2)
+        assert(math.abs(r.getDouble(3) -
+          2.0 * tri / (nbrs.size.toLong * (nbrs.size - 1))) < 1e-12)
+    }
+    // top-25 cut is by triangle count: verify non-increasing
+    val ts = got.map(_.getLong(2)).toSeq
+    assert(ts == ts.sorted.reverse)
+  }
+
+  test("assortativity matches a driver-side Pearson over edge degrees") {
+    val pairs = adj.toSeq.flatMap { case (u, ns) =>
+      ns.toSeq.map(v => (adj(u).size.toLong, adj(v).size.toLong))
+    }
+    val n = pairs.size.toDouble
+    val sx = pairs.map(_._1).sum.toDouble
+    val sy = pairs.map(_._2).sum.toDouble
+    val sxx = pairs.map(p => p._1.toDouble * p._1).sum
+    val syy = pairs.map(p => p._2.toDouble * p._2).sum
+    val sxy = pairs.map(p => p._1.toDouble * p._2).sum
+    val r = (n * sxy - sx * sy) /
+      math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    val got = graft.ops.Graph.qAssortativity(tables).collect().head
+    assert(got.getLong(0) == pairs.size)
+    assert(math.abs(got.getDouble(1) - sx / n) < 1e-9)
+    assert(math.abs(got.getDouble(2) - r) < 1e-6)
+    assert(got.getDouble(2) >= -1.0 && got.getDouble(2) <= 1.0)
+  }
+
+  test("srm audit: chi2 matches a bucket recompute; uniform split passes") {
+    val users = tables.events.select("user_id").distinct().collect()
+      .map(_.getLong(0))
+    val got = graft.ops.Events.qAbSrm(tables).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 3L, 5L))
+    got.foreach { r =>
+      val k = r.getLong(0)
+      assert(r.getLong(1) == users.length)
+      val e = users.length.toDouble / k
+      val chi2 = (0L until k).map { b =>
+        val o = users.count(_ % k == b).toDouble
+        (o - e) * (o - e) / e
+      }.sum
+      assert(math.abs(r.getDouble(2) - chi2) < 1e-6)
+      // sequential synthetic user ids are near-perfectly uniform mod k
+      assert(r.getLong(4) == 0L)
+    }
+  }
+
+  test("silhouette: bounds hold and a/b match a driver-side recompute") {
+    val rows = tables.embeddings.collect().map { r =>
+      (r.getLong(0), r.getInt(2).toLong,
+        r.getSeq[Float](1).map(x => math.floor(x * 1000.0 + 0.5).toLong))
+    }
+    val byLabel = rows.groupBy(_._2)
+    val cents = byLabel.map { case (l, rs) =>
+      val dims = rs.head._3.indices
+      l -> (rs.size.toLong, dims.map(d => rs.map(_._3(d)).sum).toVector)
+    }
+    def dist(m: Seq[Long], l: Long): Double = {
+      val (nl, s) = cents(l)
+      math.sqrt(
+        m.indices.map { d =>
+          val diff = m(d) * nl - s(d); diff.toDouble * diff
+        }.sum) / (nl * 1000.0)
+    }
+    val perLabel = rows.groupBy(_._2).map { case (l, rs) =>
+      val sils = rs.map { case (_, own, m) =>
+        val a = dist(m, own)
+        val b = cents.keys.filter(_ != own).map(dist(m, _)).min
+        if (math.max(a, b) == 0.0) 0.0 else (b - a) / math.max(a, b)
+      }
+      l -> sils.map(s => math.round(s * 1e9) / 1e9).sum / rs.size
+    }
+    val got = graft.ext.Similarity.qSilhouette(tables).collect()
+    assert(got.length == byLabel.size)
+    got.foreach { r =>
+      assert(r.getLong(1) == byLabel(r.getLong(0)).size)
+      assert(r.getDouble(2) >= -1.0 && r.getDouble(2) <= 1.0)
+      assert(math.abs(r.getDouble(2) - perLabel(r.getLong(0))) < 1e-6)
+      assert(r.getDouble(3) > 0.0 && r.getDouble(4) > 0.0)
+    }
+  }
+
   test("resource allocation demotes hub-mediated candidates") {
     val ra = Graph.qResourceAlloc(tables).collect()
     assert(ra.nonEmpty)
