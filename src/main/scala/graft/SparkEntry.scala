@@ -651,15 +651,15 @@ object SparkEntry {
          FROM m""",
     "q_ab_srm" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
-         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
          b AS (SELECT s.k, u.user_id % s.k AS b
            FROM u CROSS JOIN (VALUES (2), (3), (5)) AS s(k)),
          c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS o
            FROM b GROUP BY 1, 2),
          g AS (SELECT s.k, unnest(range(0, s.k)) AS b
            FROM (VALUES (2), (3), (5)) AS s(k)),
-         t AS (SELECT g.k, g.b, COALESCE(c.o, 0) AS o, tot.n
-           FROM g LEFT JOIN c ON c.k = g.k AND c.b = g.b CROSS JOIN tot),
+         t AS (SELECT g.k, g.b, COALESCE(c.o, 0) AS o,
+             SUM(COALESCE(c.o, 0)) OVER (PARTITION BY g.k) AS n
+           FROM g LEFT JOIN c ON c.k = g.k AND c.b = g.b),
          terms AS (SELECT k, n,
              CAST(round(
                (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) *
@@ -667,7 +667,8 @@ object SparkEntry {
                (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 9)
                AS DECIMAL(20,10)) AS term
            FROM t),
-         a AS (SELECT CAST(k AS BIGINT) AS k, MAX(n) AS n_users,
+         a AS (SELECT CAST(k AS BIGINT) AS k,
+             CAST(MAX(n) AS BIGINT) AS n_users,
              CAST(SUM(term) AS DOUBLE) AS chi2
            FROM terms GROUP BY 1)
          SELECT k, n_users, chi2,

@@ -1110,13 +1110,14 @@ object Events {
       .select(col("s.k"), col("s.b"))
       .groupBy("k", "b").agg(count(lit(1)).as("o"))
     val grid = ks.flatMap(k => (0L until k).map(b => (k, b))).toDF("k", "b")
-    val tot = users.agg(count(lit(1)).as("n"))
+    // the user total is the bucket-count sum per split (buckets partition
+    // users) — a window over the ≤5-row group, not a second corpus pass
     val e = col("n").cast("double") / col("k").cast("double")
     val d = col("o").cast("double") - e
     grid
       .join(counts, Seq("k", "b"), "left")
       .na.fill(0L, Seq("o"))
-      .crossJoin(broadcast(tot))
+      .withColumn("n", sum("o").over(Window.partitionBy("k")))
       .withColumn("term",
         round(d * d / e, 9).cast(DecimalType(20, 10)))
       .groupBy("k")

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Engine.LoopCheckpointOps
 import graft.transform.Transforms.dsum
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -1133,7 +1134,10 @@ object Stats {
     * is metadata-sized.
     */
   def qMannKendall(t: Tables): DataFrame = {
-    val m = monthlySeries(t)
+    // materialize the dimension-sized series ONCE: four consumers (pair
+    // scan, tie census, month count — each with two join sides) would
+    // otherwise each re-run the orders⋈customer rollup
+    val m = monthlySeries(t).loopCheckpoint()
     val a = m.select(col("segment"), col("x").as("xa"), col("rev").as("ra"))
     val b = m.select(col("segment").as("seg_b"), col("x").as("xb"),
       col("rev").as("rb"))
@@ -1150,7 +1154,7 @@ object Stats {
         sum(col("tsz") * (col("tsz") - 1L) * (lit(2L) * col("tsz") + 5L))
           .cast("long").as("tie_term"))
     val n = m.groupBy("segment").agg(count(lit(1)).as("n_months"))
-    n.join(s, "segment").join(ties, "segment")
+    val out = n.join(s, "segment").join(ties, "segment")
       .withColumn("var18",
         col("n_months") * (col("n_months") - 1L) *
           (lit(2L) * col("n_months") + 5L) - col("tie_term"))
@@ -1167,6 +1171,9 @@ object Stats {
       .select(col("segment"), col("n_months"), col("s_stat"),
         col("var_s"), col("z"))
       .orderBy("segment")
+      .loopCheckpoint() // segment-sized; lets the series checkpoint go
+    graft.Engine.freeCheckpoint(m)
+    out
   }
 
   /** Theil–Sen robust trend per market segment: the MEDIAN of all pairwise
@@ -1185,7 +1192,9 @@ object Stats {
     * dimension, on the already-aggregated series.
     */
   def qTheilSen(t: Tables): DataFrame = {
-    val m = monthlySeries(t)
+    // one series materialization for the pair scan + two median picks
+    // (the qMannKendall rationale)
+    val m = monthlySeries(t).loopCheckpoint()
     val a = m.select(col("segment"), col("x").as("xa"), col("rev").as("ra"))
     val b = m.select(col("segment").as("seg_b"), col("x").as("xb"),
       col("rev").as("rb"))
@@ -1202,7 +1211,7 @@ object Stats {
     // lo == hi for odd counts; the average of the two picks is then the
     // element itself. Integer `div`, not `/` (Spark's `/` on longs is
     // IEEE division).
-    ranked
+    val out = ranked
       .groupBy("segment")
       .agg(max(col("np")).cast("long").as("n_pairs"))
       .join(
@@ -1216,6 +1225,9 @@ object Stats {
       .withColumn("ts_slope", (col("s_lo") + col("s_hi")) / lit(2.0))
       .select("segment", "n_pairs", "ts_slope")
       .orderBy("segment")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(m)
+    out
   }
 
   /** Cramér's V effect size for the language x source contingency of the

@@ -419,4 +419,60 @@ class PlanAuditSpec extends SparkSuite {
       s"candidate ranking lost its probe partitioning:\n$p")
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
+
+  test("silhouette: centroid frame broadcasts, corpus never self-joins") {
+    // points meet the label-count-sized centroid frame through ONE
+    // broadcast nested loop; any hash/sort-merge join or cartesian here
+    // means point rows started shuffling against each other
+    val p = formatted("q_silhouette")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus-side SMJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"non-broadcast cartesian:\n$p")
+  }
+
+  test("assortativity: degree joins broadcast; one moment aggregate") {
+    val p = formatted("q_assortativity")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"degree frames not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"edge-side SMJ:\n$p")
+  }
+
+  test("clustering coefficient: per-node credit via hash aggregate, no cartesian") {
+    val p = formatted("q_clustering_coeff")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // degree attach on both endpoints broadcasts (node frame is small
+    // relative to the wedge stream)
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"degree frames not broadcast:\n$p")
+  }
+
+  test("srm gate: one distinct-user exchange; grid math is dimension-sized") {
+    val p = formatted("q_ab_srm")
+    // distinct users + bucket aggregate + (k)-row epilogue: the bucket
+    // explode must not introduce extra fact-sized exchanges
+    assert(shuffleCount(p) <= 5, s"too many exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
+  test("trend tests materialize the month series once (checkpoint-backed result)") {
+    // the monthly rollup is loopCheckpoint'ed before its 3-4 consumers
+    // (pair scan sides, tie census, month count) — without it each
+    // consumer re-runs orders⋈customer (measured: 16 parquet scans). The
+    // graded frame must therefore be checkpoint-backed: zero parquet
+    // scans in its final plan.
+    for (q <- Seq("q_mann_kendall", "q_theil_sen")) {
+      val p = formatted(q)
+      val scans = "Scan parquet".r.findAllIn(p).length
+      assert(scans == 0, s"$q: series not materialized once ($scans scans):\n$p")
+    }
+  }
+
+  test("burstiness/dwell: user-partitioned windows, never single-partition") {
+    for (q <- Seq("q_burstiness", "q_dwell_time")) {
+      val p = formatted(q)
+      assert(!p.contains("No Partition Defined"),
+        s"$q: gap window collapsed to one partition:\n$p")
+    }
+  }
 }
