@@ -148,6 +148,10 @@ object SparkEntry {
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
     "q_silhouette" -> q(Similarity.qSilhouette),
+    "q_hill_tail" -> q(Stats.qHillTail(_)),
+    "q_did" -> q(Events.qDid),
+    "q_dominant_period" -> q(Events.qDominantPeriod(_)),
+    "q_tokenizer_fertility" -> q(TextAnalysis.qTokenizerFertility),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
@@ -587,6 +591,102 @@ object SparkEntry {
        ORDER BY id_new, id_old"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_hill_tail" ->
+      """WITH top AS (
+           SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+             AS c, o_orderkey
+           FROM orders ORDER BY c DESC, o_orderkey LIMIT 201),
+         r AS (SELECT c,
+             row_number() OVER (ORDER BY c DESC, o_orderkey) AS rk
+           FROM top),
+         thr AS (SELECT c AS xk1 FROM r WHERE rk = 201),
+         h AS (
+           SELECT CAST(SUM(CAST(round(
+               ln(CAST(c AS DOUBLE) / CAST(xk1 AS DOUBLE)), 9)
+               AS DECIMAL(16,10))) AS DOUBLE) / 200.0 AS hill_h
+           FROM r CROSS JOIN thr WHERE rk <= 200)
+         SELECT CAST(200 AS BIGINT) AS k,
+           CAST(xk1 AS DOUBLE) / 100.0 AS x_threshold,
+           hill_h, 1.0 / hill_h AS alpha
+         FROM h CROSS JOIN thr""",
+    "q_did" ->
+      """WITH ev AS (SELECT user_id,
+             epoch_ns(ts) // 86400000000000 AS day_idx,
+             CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 1000000) AS BIGINT)
+               ELSE 0 END AS v_mu
+           FROM events),
+         b AS (SELECT (MIN(day_idx) + MAX(day_idx) + 1) // 2 AS mid FROM ev),
+         pv AS (SELECT user_id % 2 AS variant,
+             COUNT(DISTINCT user_id) AS n_users,
+             CAST(SUM(CASE WHEN day_idx < mid THEN v_mu ELSE 0 END)
+               AS BIGINT) AS sx,
+             CAST(SUM(CASE WHEN day_idx >= mid THEN v_mu ELSE 0 END)
+               AS BIGINT) AS sy
+           FROM ev CROSS JOIN b GROUP BY 1),
+         d AS (SELECT variant, n_users,
+             CAST(sx AS DOUBLE) / 1e6 / CAST(n_users AS DOUBLE) AS mean_pre,
+             CAST(sy AS DOUBLE) / 1e6 / CAST(n_users AS DOUBLE) AS mean_post
+           FROM pv)
+         SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(n_users AS BIGINT) AS n_users, mean_pre, mean_post,
+           mean_post - mean_pre AS delta,
+           MAX(CASE WHEN variant = 1 THEN mean_post - mean_pre END) OVER ()
+             - MAX(CASE WHEN variant = 0 THEN mean_post - mean_pre END)
+               OVER () AS did
+         FROM d ORDER BY variant""",
+    "q_dominant_period" ->
+      """WITH c AS (SELECT event_type,
+             epoch_ns(ts) // 3600000000000 AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+           FROM events GROUP BY 1, 2),
+         rg AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+           FROM c GROUP BY 1),
+         g AS (SELECT event_type, unnest(range(h0, h1 + 1)) AS h FROM rg),
+         sp AS (SELECT g.event_type, g.h, COALESCE(c.x, 0) AS x
+           FROM g LEFT JOIN c ON c.event_type = g.event_type AND c.h = g.h),
+         st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s
+           FROM sp GROUP BY 1),
+         dev AS (SELECT sp.event_type, sp.h, sp.x * st.n - st.s AS d, st.n
+           FROM sp JOIN st ON sp.event_type = st.event_type),
+         den AS (SELECT event_type,
+             SUM(CAST(d AS HUGEINT) * d) AS den,
+             CAST(MAX(n) AS BIGINT) AS n_hours
+           FROM dev GROUP BY 1),
+         lg AS (SELECT unnest(range(2, 49)) AS lag),
+         pr AS (SELECT a.event_type, lg.lag,
+             SUM(CAST(a.d AS HUGEINT) * b.d) AS num
+           FROM dev a CROSS JOIN lg
+           JOIN dev b ON b.event_type = a.event_type AND b.h = a.h + lg.lag
+           GROUP BY 1, 2),
+         acf AS (SELECT pr.event_type, pr.lag,
+             CAST(round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 9)
+               AS DECIMAL(12,10)) AS r,
+             den.n_hours
+           FROM pr JOIN den ON pr.event_type = den.event_type),
+         r1 AS (SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY r DESC, lag ASC) AS rk
+           FROM acf)
+         SELECT r1.event_type, r1.n_hours, CAST(r1.lag AS BIGINT) AS best_lag,
+           CAST(r1.r AS DOUBLE) AS best_acf,
+           (SELECT CAST(a24.r AS DOUBLE) FROM acf a24
+             WHERE a24.event_type = r1.event_type AND a24.lag = 24) AS acf24
+         FROM r1 WHERE rk = 1 ORDER BY event_type""",
+    "q_tokenizer_fertility" ->
+      """WITH d AS (SELECT lang,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+               ELSE CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+               END AS n_ws,
+             CAST(len(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+'))
+               AS BIGINT) AS n_bpe
+           FROM documents)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS sum_words,
+           CAST(SUM(n_bpe) AS BIGINT) AS sum_tokens,
+           CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE)
+             AS fertility
+         FROM d GROUP BY 1 ORDER BY lang""",
     "q_clustering_coeff" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
              FROM lineitem),

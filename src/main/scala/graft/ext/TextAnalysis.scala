@@ -1235,4 +1235,27 @@ object TextAnalysis {
         col("sum_types").cast("double") / col("sum_tokens").cast("double"))
       .orderBy("lang", "len_bucket")
   }
+
+  /** Tokenizer fertility per language: subword tokens emitted per
+    * whitespace word under the BPE-ish vowel/consonant-run segmenter
+    * ([[qTokenBpe]]'s per-doc probe, here rolled up corpus-wide) — the
+    * cost model a budget planner needs, since languages tokenize at very
+    * different rates and a token budget split by words alone misprices
+    * them. Map-only regex counting + one dimension-sized aggregate; the
+    * fertility ratio divides exact integers.
+    */
+  def qTokenizerFertility(t: Tables): DataFrame =
+    t.documents
+      .select(col("lang"),
+        tokenCount(col("text")).as("n_ws"),
+        expr("size(regexp_extract_all(text, '[aeiou]+|[^aeiou ]+', 0))")
+          .cast("long").as("n_bpe"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).cast("long").as("sum_words"),
+        sum(col("n_bpe")).cast("long").as("sum_tokens"))
+      .withColumn("fertility",
+        col("sum_tokens").cast("double") / col("sum_words").cast("double"))
+      .orderBy("lang")
 }

@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.Tables
+import graft.Engine.LoopCheckpointOps
 import graft.transform.Transforms.{davg, dsum}
 
 import org.apache.spark.sql.DataFrame
@@ -1084,6 +1085,116 @@ object Events {
         ((col("sd_us") - col("mean_us")) /
           (col("sd_us") + col("mean_us"))).as("burstiness"))
       .orderBy("user_id")
+  }
+
+  /** Difference-in-differences readout: per-user purchase value split at
+    * the data-driven midpoint day ([[qCuped]]'s pre/post boundary) and by
+    * the mod-2 assignment; DiD = (treatment post−pre) − (control
+    * post−pre), the estimator that nets out the shared time trend when no
+    * pre-period covariate model is wanted. Exact integer micro-unit sums
+    * per user → per-variant means by fixed double chains; the cross-
+    * variant difference is a window over the two variant rows.
+    */
+  def qDid(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val ev = t.events
+      .withColumn("day_idx", expr(s"ts_ns div ${dayNs}L"))
+      .withColumn("v_mu",
+        when(col("event_type") === "purchase",
+          round(col("value") * lit(1000000L)).cast("long")).otherwise(lit(0L)))
+    val mid = ev.agg(expr("(min(day_idx) + max(day_idx) + 1) div 2").as("mid"))
+    val perVariant = ev.crossJoin(broadcast(mid))
+      .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("variant"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        sum(when(col("day_idx") < col("mid"), col("v_mu")).otherwise(0L))
+          .cast("long").as("sx"),
+        sum(when(col("day_idx") >= col("mid"), col("v_mu")).otherwise(0L))
+          .cast("long").as("sy"))
+      .withColumn("mean_pre",
+        col("sx").cast("double") / lit(1e6) / col("n_users").cast("double"))
+      .withColumn("mean_post",
+        col("sy").cast("double") / lit(1e6) / col("n_users").cast("double"))
+      .withColumn("delta", col("mean_post") - col("mean_pre"))
+    val w = Window.partitionBy()
+    perVariant
+      .withColumn("did",
+        max(when(col("variant") === 1L, col("delta"))).over(w) -
+          max(when(col("variant") === 0L, col("delta"))).over(w))
+      .select("variant", "n_users", "mean_pre", "mean_post", "delta", "did")
+      .orderBy("variant")
+  }
+
+  /** Dominant periodicity: the autocorrelation-maximizing lag of each
+    * event type's hourly count series over lags 2..48 — does this metric
+    * breathe daily (lag 24), half-daily, or not at all? The detector a
+    * monitor runs before choosing its seasonal baseline
+    * ([[qSeasonalStrength]] then quantifies the winner).
+    *
+    * The series is the ZERO-FILLED hour spine (gaps are real zeros, not
+    * missing rows); ACF terms use the n-scaled integer form
+    * Σ(n·x_t − S)(n·x_{t+l} − S) / Σ(n·x_t − S)² — numerator and
+    * denominator are exact DECIMAL sums of integer products, so the
+    * argmax lag (picked on 9-dp-rounded decimal r with smallest-lag
+    * tie-break) is a pure function of the data in any engine.
+    *
+    * Scale: the corpus collapses to the (type × hour) spine in one
+    * aggregate; the lag self-join and everything after run on
+    * spine-sized frames (hours are bounded by the calendar).
+    */
+  def qDominantPeriod(t: Tables, maxLag: Int = 48): DataFrame = {
+    val spineBase = t.events
+      .select(col("event_type"), expr("ts_ns div 3600000000000").as("h"))
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("x"))
+      .loopCheckpoint() // spine-sized; consumed by range, stats, both lag sides
+    val range = spineBase.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+    val spine = range
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+      .join(spineBase, Seq("event_type", "h"), "left")
+      .na.fill(0L, Seq("x"))
+      .loopCheckpoint()
+    val stats = spine.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").cast("long").as("s"))
+    // centered value in n-scaled integers: n·x − S (exact)
+    val dev = spine.join(broadcast(stats), "event_type")
+      .select(col("event_type"), col("h"),
+        (col("x") * col("n") - col("s")).as("d"), col("n"))
+    val den = dev.groupBy("event_type")
+      .agg(sum((col("d") * col("d")).cast(DecimalType(38, 0))).as("den"),
+        max("n").cast("long").as("n_hours"))
+    // lag join: one self-join per lag would be 47 passes — instead join
+    // (t, t+l) pairs for ALL lags at once via an explode of the lag range
+    val pairs = dev
+      .select(col("event_type"), col("h"), col("d"),
+        explode(expr(s"sequence(2, $maxLag)")).as("lag"))
+      .withColumn("h2", col("h") + col("lag"))
+      .join(dev.select(col("event_type"), col("h").as("h2"),
+        col("d").as("d2")), Seq("event_type", "h2"))
+      .groupBy("event_type", "lag")
+      .agg(sum((col("d") * col("d2")).cast(DecimalType(38, 0))).as("num"))
+    val acf = pairs.join(broadcast(den), "event_type")
+      .withColumn("r",
+        round(col("num").cast("double") / col("den").cast("double"), 9)
+          .cast(DecimalType(12, 10)))
+    val out = acf
+      .groupBy("event_type")
+      .agg(
+        max("n_hours").as("n_hours"),
+        max(struct(col("r"), (-col("lag")).as("nl"))).as("best"),
+        max(when(col("lag") === 24, col("r"))).as("r24"))
+      .select(
+        col("event_type"), col("n_hours"),
+        (-col("best.nl")).cast("long").as("best_lag"),
+        col("best.r").cast("double").as("best_acf"),
+        col("r24").cast("double").as("acf24"))
+      .orderBy("event_type")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(spine)
+    graft.Engine.freeCheckpoint(spineBase)
+    out
   }
 
   /** Sample-ratio-mismatch (SRM) audit: for each candidate assignment

@@ -1276,4 +1276,43 @@ object Stats {
         col("dof").cast("long").as("dof"), col("chi2"),
         col("cramers_v"))
   }
+
+  /** Hill tail-index estimator over order prices: H = (1/k)·Σ ln(x_i /
+    * x_{k+1}) on the k largest values, α = 1/H — is the price
+    * distribution heavy-tailed enough that means/topk budgets are
+    * whale-driven? The top-(k+1) cut is a TakeOrdered (per-partition
+    * top-k then merge — never a global sort of the fact table), after
+    * which everything runs on k+1 rows. Each log term is rounded to 9 dp
+    * into DECIMAL before the sum (libm `ln` may differ in the last ulp
+    * across engines; the k-term sum must not amplify it).
+    */
+  def qHillTail(t: Tables, k: Int = 200): DataFrame = {
+    val top = t.orders
+      .select((col("o_totalprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long").as("c"), col("o_orderkey"))
+      .orderBy(col("c").desc, col("o_orderkey"))
+      .limit(k + 1)
+      .loopCheckpoint() // (k+1)-row frame; windows below are bounded
+    val ranked = top.withColumn("rk",
+      row_number().over(Window.orderBy(col("c").desc, col("o_orderkey")))
+        .cast("long"))
+    val thr = ranked.filter(col("rk") === (k + 1).toLong)
+      .select(col("c").as("xk1"))
+    val out = ranked.filter(col("rk") <= k.toLong)
+      .crossJoin(broadcast(thr))
+      .agg(
+        (sum(
+          round(log(col("c").cast("double") / col("xk1").cast("double")), 9)
+            .cast(DecimalType(16, 10))).cast("double") /
+          lit(k.toDouble)).as("hill_h"),
+        max(col("xk1")).as("xk1"))
+      .select(
+        lit(k.toLong).as("k"),
+        (col("xk1").cast("double") / lit(100.0)).as("x_threshold"),
+        col("hill_h"),
+        (lit(1.0) / col("hill_h")).as("alpha"))
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(top)
+    out
+  }
 }

@@ -268,6 +268,100 @@ class TrendStatsSpec extends SparkSuite {
     }
   }
 
+  test("hill tail estimator matches a driver-side top-k recompute") {
+    val cents = tables.orders
+      .select((col("o_totalprice").cast(
+        org.apache.spark.sql.types.DecimalType(18, 2)) * 100).cast("long"),
+        col("o_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (c, k) => (-c, k) }
+    val top = cents.take(201)
+    val xk1 = top.last._1
+    val hill = top.take(200)
+      .map(p => math.round(math.log(p._1.toDouble / xk1) * 1e9) / 1e9)
+      .sum / 200.0
+    val r = graft.ops.Stats.qHillTail(tables).collect().head
+    assert(r.getLong(0) == 200L)
+    assert(math.abs(r.getDouble(1) - xk1 / 100.0) < 1e-9)
+    assert(math.abs(r.getDouble(2) - hill) < 1e-9)
+    assert(math.abs(r.getDouble(3) - 1.0 / hill) < 1e-6)
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("difference-in-differences nets out the shared trend") {
+    val dayNs = 86400L * 1000000000L
+    val evs = tables.events
+      .select("user_id", "ts_ns", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / dayNs, r.getString(2),
+        r.getDouble(3)))
+    val mid = (evs.map(_._2).min + evs.map(_._2).max + 1) / 2
+    def cell(v: Long, pre: Boolean): (Long, Double) = {
+      val us = evs.filter(_._1 % 2 == v).map(_._1).distinct
+      val s = evs.filter(e => e._1 % 2 == v && e._3 == "purchase" &&
+        ((e._2 < mid) == pre)).map(e => math.round(e._4 * 1e6)).sum
+      (us.size.toLong, s.toDouble / 1e6 / us.size)
+    }
+    val got = graft.ops.Events.qDid(tables).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L))
+    val deltas = got.map(r => r.getLong(0) -> (r.getDouble(3) - r.getDouble(2))).toMap
+    got.foreach { r =>
+      val v = r.getLong(0)
+      val (n, mpre) = cell(v, pre = true)
+      val (_, mpost) = cell(v, pre = false)
+      assert(r.getLong(1) == n)
+      assert(math.abs(r.getDouble(2) - mpre) < 1e-6)
+      assert(math.abs(r.getDouble(3) - mpost) < 1e-6)
+      assert(math.abs(r.getDouble(5) - (deltas(1L) - deltas(0L))) < 1e-9)
+    }
+  }
+
+  test("dominant period: acf matches a brute-force recompute per type") {
+    val hourNs = 3600L * 1000000000L
+    val evs = tables.events.select("event_type", "ts_ns").collect()
+      .map(r => (r.getString(0), r.getLong(1) / hourNs))
+    val got = graft.ops.Events.qDominantPeriod(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val hs = evs.filter(_._1 == r.getString(0)).map(_._2)
+      val counts = hs.groupBy(identity).map { case (h, g) => h -> g.size.toLong }
+      val (h0, h1) = (hs.min, hs.max)
+      val xs = (h0 to h1).map(h => counts.getOrElse(h, 0L)).toArray
+      val n = xs.length.toLong
+      assert(r.getLong(1) == n)
+      val s = xs.sum
+      val d = xs.map(x => BigInt(x * n - s))
+      val den = d.map(v => v * v).sum
+      val acf = (2 to 48).map { l =>
+        val num = (0 until xs.length - l).map(i => d(i) * d(i + l)).sum
+        l -> math.round(num.toDouble / den.toDouble * 1e9) / 1e9
+      }
+      val (bestLag, bestR) = acf.minBy { case (l, v) => (-v, l) }
+      assert(r.getLong(2) == bestLag)
+      assert(math.abs(r.getDouble(3) - bestR) < 1e-9)
+      assert(math.abs(r.getDouble(4) - acf.toMap.apply(24)) < 1e-9)
+    }
+  }
+
+  test("tokenizer fertility: subword/word ratio per language") {
+    val docs = tables.documents.select("lang", "text").collect()
+      .map { r =>
+        val text = r.getString(1)
+        val ws = if (text.trim.isEmpty) 0L else text.trim.split(" +").length.toLong
+        val bpe = "[aeiou]+|[^aeiou ]+".r.findAllIn(text).size.toLong
+        (r.getString(0), ws, bpe)
+      }
+    val got = graft.ext.TextAnalysis.qTokenizerFertility(tables).collect()
+    assert(got.length == docs.map(_._1).distinct.length)
+    got.foreach { r =>
+      val ds = docs.filter(_._1 == r.getString(0))
+      assert(r.getLong(1) == ds.length)
+      assert(r.getLong(2) == ds.map(_._2).sum)
+      assert(r.getLong(3) == ds.map(_._3).sum)
+      // subword segmentation can only split words, never merge them
+      assert(r.getDouble(4) >= 1.0)
+    }
+  }
+
   test("resource allocation demotes hub-mediated candidates") {
     val ra = Graph.qResourceAlloc(tables).collect()
     assert(ra.nonEmpty)
