@@ -152,6 +152,12 @@ object SparkEntry {
     "q_did" -> q(Events.qDid),
     "q_dominant_period" -> q(Events.qDominantPeriod(_)),
     "q_tokenizer_fertility" -> q(TextAnalysis.qTokenizerFertility),
+    "q_conversion_window" -> q(Events.qConversionWindow(_)),
+    "q_dup_size_hist" -> q(Dedup.qDupSizeHist(_)),
+    "q_node_jaccard" -> q(Graph.qNodeJaccard(_)),
+    "q_partial_corr" -> q(Stats.qPartialCorr),
+    "q_stream_srm" -> ((spark, dir) =>
+      graft.streaming.Streams.drainSrm(spark, dir, "events.parquet")),
     "q_mahalanobis" -> q(Stats.qMahalanobis(_)),
     "q_modularity" -> q(Graph.qModularity(_)),
     "q_bfs_hops" -> q(Graph.qBfsHops(_)),
@@ -433,6 +439,40 @@ object SparkEntry {
     * sides; burns are single long/long IEEE divisions. Shared by the
     * batch monitor and its streaming drain (`q_slo_burn`, `q_stream_slo`).
     */
+  /** Shared by the batch SRM gate and its streaming drain (`q_ab_srm`,
+    * `q_stream_srm`): the drain's dedup+bucket states reproduce the batch
+    * distinct-user counts exactly.
+    */
+  private val srmOracle: String =
+    """WITH u AS (SELECT DISTINCT user_id FROM events),
+         b AS (SELECT s.k, u.user_id % s.k AS b
+           FROM u CROSS JOIN (VALUES (2), (3), (5)) AS s(k)),
+         c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS o
+           FROM b GROUP BY 1, 2),
+         g AS (SELECT s.k, unnest(range(0, s.k)) AS b
+           FROM (VALUES (2), (3), (5)) AS s(k)),
+         t AS (SELECT g.k, g.b, COALESCE(c.o, 0) AS o,
+             SUM(COALESCE(c.o, 0)) OVER (PARTITION BY g.k) AS n
+           FROM g LEFT JOIN c ON c.k = g.k AND c.b = g.b),
+         terms AS (SELECT k, n,
+             CAST(round(
+               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) *
+               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) /
+               (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 9)
+               AS DECIMAL(20,10)) AS term
+           FROM t),
+         a AS (SELECT CAST(k AS BIGINT) AS k,
+             CAST(MAX(n) AS BIGINT) AS n_users,
+             CAST(SUM(term) AS DOUBLE) AS chi2
+           FROM terms GROUP BY 1)
+         SELECT k, n_users, chi2,
+           CASE WHEN k = 2 THEN 3.841459
+             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END AS crit,
+           CAST(chi2 > (CASE WHEN k = 2 THEN 3.841459
+             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END) AS BIGINT)
+             AS srm_detected
+         FROM a ORDER BY k"""
+
   /** Shared by the batch gauge and its streaming drain (`q_burstiness`,
     * `q_stream_burstiness`): the drain's stateful gap emitter reproduces
     * the batch lag() gaps exactly, so one oracle covers both.
@@ -591,6 +631,100 @@ object SparkEntry {
        ORDER BY id_new, id_old"""
 
   def oracleSql: Map[String, String] = Map(
+    "q_conversion_window" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+             epoch_us(ts) AS ts_us FROM events),
+         w AS (SELECT user_id, event_id, event_type, ts_us,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER
+               (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS next_purchase
+           FROM e),
+         c AS (SELECT event_id, next_purchase - ts_us AS lat,
+             CASE WHEN next_purchase IS NOT NULL
+                 AND next_purchase - ts_us <= 3600000000
+               THEN 1 ELSE 0 END AS converted
+           FROM w WHERE event_type = 'click')
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           CAST(SUM(converted) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS conv_rate,
+           CAST(SUM(CASE WHEN converted = 1 THEN lat ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(converted) AS DOUBLE) / 1e6 AS mean_latency_s,
+           quantile_cont(CASE WHEN converted = 1 THEN lat END, 0.5) / 1e6
+             AS median_latency_s
+         FROM c""",
+    "q_dup_size_hist" ->
+      """WITH g AS (SELECT
+             md5(array_to_string(
+               string_split_regex(trim(lower(text)), ' +')[1:12], ' ')) AS h,
+             CAST(COUNT(*) AS BIGINT) AS sz
+           FROM documents GROUP BY 1),
+         hh AS (SELECT sz AS copies, CAST(COUNT(*) AS BIGINT) AS n_groups
+           FROM g GROUP BY 1)
+         SELECT copies, n_groups,
+           CAST(copies * n_groups AS BIGINT) AS n_docs,
+           CAST((copies - 1) * n_groups AS BIGINT) AS n_dup_copies,
+           CAST(copies * n_groups AS DOUBLE) /
+             CAST(SUM(copies * n_groups) OVER () AS DOUBLE) AS doc_share
+         FROM hh ORDER BY copies""",
+    "q_node_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+           FROM e GROUP BY 1),
+         pr AS (SELECT src AS u, dst AS w FROM e WHERE src % 199 = 0),
+         cn AS (SELECT pr.u, e.dst AS v, CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM pr JOIN e ON e.src = pr.w
+           WHERE e.dst <> pr.u GROUP BY 1, 2),
+         nonadj AS (SELECT u, v, n_common FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.src = cn.u AND e.dst = cn.v)),
+         j AS (SELECT u, v, n_common,
+             du.d + dv.d - n_common AS n_union,
+             (1000000000 * n_common) // (du.d + dv.d - n_common) AS jac_units
+           FROM nonadj JOIN deg du ON du.src = nonadj.u
+             JOIN deg dv ON dv.src = nonadj.v),
+         r AS (SELECT u, v, n_common, n_union, jac_units,
+             row_number() OVER (PARTITION BY u
+               ORDER BY jac_units DESC, v) AS rnk
+           FROM j)
+         SELECT u AS part, v AS candidate, n_common,
+           CAST(n_union AS BIGINT) AS n_union,
+           CAST(jac_units AS BIGINT) AS jac_units,
+           CAST(n_common AS DOUBLE) / CAST(n_union AS DOUBLE) AS jaccard,
+           CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY part, rnk""",
+    "q_partial_corr" ->
+      """WITH m AS (SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sz,
+             CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS szz,
+             CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sxy_,
+             CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS sxz_,
+             CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(30,4))) AS DOUBLE) AS syz_
+           FROM lineitem GROUP BY l_linestatus),
+         r AS (SELECT l_linestatus, n,
+             (nd * sxy_ - sx * sy) /
+               sqrt((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS rxy,
+             (nd * sxz_ - sx * sz) /
+               sqrt((nd * sxx - sx * sx) * (nd * szz - sz * sz)) AS rxz,
+             (nd * syz_ - sy * sz) /
+               sqrt((nd * syy - sy * sy) * (nd * szz - sz * sz)) AS ryz
+           FROM m)
+         SELECT l_linestatus, n,
+           round(rxy, 9) AS r_price_qty,
+           round(rxz, 9) AS r_price_disc,
+           round(ryz, 9) AS r_qty_disc,
+           round((rxy - rxz * ryz) /
+             sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 9) AS partial_r
+         FROM r ORDER BY l_linestatus""",
     "q_hill_tail" ->
       """WITH top AS (
            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
@@ -749,35 +883,8 @@ object SparkEntry {
                  CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
              AS assortativity
          FROM m""",
-    "q_ab_srm" ->
-      """WITH u AS (SELECT DISTINCT user_id FROM events),
-         b AS (SELECT s.k, u.user_id % s.k AS b
-           FROM u CROSS JOIN (VALUES (2), (3), (5)) AS s(k)),
-         c AS (SELECT k, b, CAST(COUNT(*) AS BIGINT) AS o
-           FROM b GROUP BY 1, 2),
-         g AS (SELECT s.k, unnest(range(0, s.k)) AS b
-           FROM (VALUES (2), (3), (5)) AS s(k)),
-         t AS (SELECT g.k, g.b, COALESCE(c.o, 0) AS o,
-             SUM(COALESCE(c.o, 0)) OVER (PARTITION BY g.k) AS n
-           FROM g LEFT JOIN c ON c.k = g.k AND c.b = g.b),
-         terms AS (SELECT k, n,
-             CAST(round(
-               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) *
-               (CAST(o AS DOUBLE) - CAST(n AS DOUBLE) / CAST(k AS DOUBLE)) /
-               (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 9)
-               AS DECIMAL(20,10)) AS term
-           FROM t),
-         a AS (SELECT CAST(k AS BIGINT) AS k,
-             CAST(MAX(n) AS BIGINT) AS n_users,
-             CAST(SUM(term) AS DOUBLE) AS chi2
-           FROM terms GROUP BY 1)
-         SELECT k, n_users, chi2,
-           CASE WHEN k = 2 THEN 3.841459
-             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END AS crit,
-           CAST(chi2 > (CASE WHEN k = 2 THEN 3.841459
-             WHEN k = 3 THEN 5.991465 ELSE 9.487729 END) AS BIGINT)
-             AS srm_detected
-         FROM a ORDER BY k""",
+    "q_ab_srm" -> srmOracle,
+    "q_stream_srm" -> srmOracle,
     "q_silhouette" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS own,
              CAST(embedding AS DOUBLE[]) AS v FROM embeddings

@@ -4,6 +4,7 @@ import graft.Tables
 import graft.Engine.LoopCheckpointOps
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication operators for training-data pipelines.
@@ -94,6 +95,34 @@ object Dedup {
         countDistinct(col("h")).as("n_distinct"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_dupes"))
       .orderBy("source")
+
+  /** Duplicate-multiplicity histogram over the opening-prefix
+    * fingerprint (first 12 normalized words): how many template FAMILIES
+    * exist at each copy count, and how many documents (and redundant
+    * copies) each class holds — the shape report that tells a curation
+    * team whether duplication is a few mega-templates or a long tail of
+    * doubles (different fixes). The prefix key catches boilerplate
+    * openings that full-text equality misses. Two nested hash
+    * aggregates: corpus → (fingerprint, family size) → (size, family
+    * count); output is bounded by the distinct multiplicities.
+    */
+  def qDupSizeHist(t: Tables, prefixWords: Int = 12): DataFrame = {
+    val groups = t.documents
+      .withColumn("h",
+        md5(array_join(slice(words(col("text")), 1, prefixWords), " ")))
+      .groupBy("h").agg(count(lit(1)).as("sz"))
+    val tot = Window.partitionBy()
+    groups
+      .groupBy(col("sz").as("copies"))
+      .agg(count(lit(1)).as("n_groups"))
+      .withColumn("n_docs", (col("copies") * col("n_groups")).cast("long"))
+      .withColumn("n_dup_copies",
+        ((col("copies") - 1L) * col("n_groups")).cast("long"))
+      .withColumn("doc_share",
+        col("n_docs").cast("double") /
+          sum("n_docs").over(tot).cast("double"))
+      .orderBy("copies")
+  }
 
   /** MinHash + LSH near-duplicate candidate pairs, verified by exact
     * shingle-set jaccard. Bands: `bands` groups of `rowsPerBand` signature

@@ -1087,6 +1087,52 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Time-boxed conversion: for every click, the user's NEXT purchase and
+    * whether it lands within the attribution window — the conversion-rate
+    * + latency readout a funnel owner actually reports (the unboxed
+    * funnel [[qFunnel]] overcounts conversions that happen days later).
+    *
+    * next-purchase lookup is a running MIN over the user's later events
+    * (descending window) — one window pass per user, no self-join, exact
+    * µs integers. The latency median is the exact `percentile` aggregate
+    * over integer µs values, whose linear interpolation matches DuckDB's
+    * quantile_cont bit-for-bit on exact integers.
+    */
+  def qConversionWindow(t: Tables, windowUs: Long = 3600L * 1000000L)
+      : DataFrame = {
+    val wDesc = Window.partitionBy("user_id")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val clicks = t.events
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("purch_ts",
+        when(col("event_type") === "purchase", col("ts_us")))
+      .withColumn("next_purchase", min("purch_ts").over(wDesc))
+      .filter(col("event_type") === "click")
+      .select(col("event_id"),
+        (col("next_purchase") - col("ts_us")).as("lat"))
+      .withColumn("converted",
+        (col("lat").isNotNull && col("lat") <= windowUs).cast("long"))
+    // exact `percentile` over integer µs latencies: an aggregate, not a
+    // global-sort window, and its linear interpolation matches DuckDB's
+    // quantile_cont on exact integers (the q_interarrival precedent)
+    clicks
+      .agg(
+        count(lit(1)).as("n_clicks"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        sum(when(col("converted") === 1L, col("lat")).otherwise(0L))
+          .cast("long").as("sl"),
+        (percentile(when(col("converted") === 1L, col("lat")), lit(0.5)) /
+          lit(1e6)).as("median_latency_s"))
+      .select(
+        col("n_clicks"), col("n_converted"),
+        (col("n_converted").cast("double") / col("n_clicks").cast("double"))
+          .as("conv_rate"),
+        (col("sl").cast("double") / col("n_converted").cast("double") /
+          lit(1e6)).as("mean_latency_s"),
+        col("median_latency_s"))
+  }
+
   /** Difference-in-differences readout: per-user purchase value split at
     * the data-driven midpoint day ([[qCuped]]'s pre/post boundary) and by
     * the mod-2 assignment; DiD = (treatment post−pre) − (control
@@ -1211,16 +1257,32 @@ object Events {
     * shuffle + dimension-sized everything after.
     */
   def qAbSrm(t: Tables): DataFrame = {
-    import t.spark.implicits._
-    val ks = Seq(2L, 3L, 5L)
     val users = t.events.select(col("user_id")).distinct()
-    val counts = users
-      .select(explode(array(ks.map(k =>
+    srmFromCounts(srmBucketCounts(users), users.sparkSession)
+  }
+
+  /** The per-(split, bucket) distinct-user counts every SRM consumer
+    * (batch gate + streaming drain) aggregates — input must already be
+    * one row per user.
+    */
+  private[graft] def srmBucketCounts(users: DataFrame): DataFrame =
+    users
+      .select(explode(array(srmKs.map(k =>
         struct(lit(k).as("k"), pmod(col("user_id"), lit(k)).as("b"))): _*))
         .as("s"))
       .select(col("s.k"), col("s.b"))
       .groupBy("k", "b").agg(count(lit(1)).as("o"))
-    val grid = ks.flatMap(k => (0L until k).map(b => (k, b))).toDF("k", "b")
+
+  private[graft] val srmKs = Seq(2L, 3L, 5L)
+
+  /** [[qAbSrm]]'s chi-square epilogue over an already-aggregated
+    * (k, b, o) bucket frame — shared with the streaming drain.
+    */
+  private[graft] def srmFromCounts(
+      counts: DataFrame,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    val grid = srmKs.flatMap(k => (0L until k).map(b => (k, b))).toDF("k", "b")
     // the user total is the bucket-count sum per split (buckets partition
     // users) — a window over the ≤5-row group, not a second corpus pass
     val e = col("n").cast("double") / col("k").cast("double")

@@ -442,6 +442,50 @@ object Graph {
     }
   }
 
+  /** Neighborhood Jaccard similarity for the probe set: |N(u)∩N(v)| /
+    * |N(u)∪N(v)| over candidate pairs — the normalized companion of
+    * [[qLinkPrediction]]'s raw common-neighbor count (a hub pair shares
+    * many neighbors by volume alone; Jaccard asks whether their
+    * neighborhoods actually coincide). Same probe-framed join shape plus
+    * two broadcast degree attachments; the ranking key is the INTEGER
+    * micro-unit 10⁹·|∩| div |∪| — exact, so the top-k cut is a pure
+    * function of the graph in any engine.
+    */
+  def qNodeJaccard(
+      t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges = idx.edges.select("src", "dst")
+    val deg = idx.deg
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    val probes = edges.filter(pmod(col("src"), lit(probeMod)) === 0)
+      .select(col("src").as("u"), col("dst").as("w"))
+    val common = probes
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("v") =!= col("u"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_common"))
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+      .join(maybeBroadcast(deg.select(col("src").as("u"),
+        col("deg").as("du"))), "u")
+      .join(maybeBroadcast(deg.select(col("src").as("v"),
+        col("deg").as("dv"))), "v")
+      .withColumn("n_union", col("du") + col("dv") - col("n_common"))
+      .withColumn("jac_units",
+        expr("(1000000000 * n_common) div n_union"))
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("jac_units").desc, col("v"))
+    common
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u").as("part"), col("v").as("candidate"),
+        col("n_common"), col("n_union").cast("long").as("n_union"),
+        col("jac_units").cast("long").as("jac_units"),
+        (col("n_common").cast("double") / col("n_union").cast("double"))
+          .as("jaccard"), col("rnk"))
+      .orderBy("part", "rnk")
+  }
+
   /** Per-node local clustering coefficient: 2·t(v) / (deg(v)·(deg(v)−1)),
     * the top-25 most triangle-embedded nodes — which products sit inside
     * tight co-purchase cliques (bundle candidates) vs mere hubs. Same

@@ -1277,6 +1277,49 @@ object Stats {
         col("cramers_v"))
   }
 
+  /** Partial correlation r(price, qty | discount) per line status: does
+    * the price–quantity relationship survive once the discount channel is
+    * controlled for, or was it all discount-driven? Computed from the
+    * same exact DECIMAL moment sums as [[qStats]] (one aggregate pass for
+    * all three pairwise correlations), then the closed form
+    * r_xy·z = (r_xy − r_xz·r_yz) / √((1−r_xz²)(1−r_yz²)) — a composite
+    * float chain, rounded far above the cross-engine ulp.
+    */
+  def qPartialCorr(t: Tables): DataFrame = {
+    val n = count(lit(1)).cast("double")
+    def r(nd: Column, sab: Column, sa: Column, sb: Column,
+        saa: Column, sbb: Column): Column =
+      (nd * sab - sa * sb) /
+        sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
+    t.lineitem
+      .groupBy("l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        s1("l_extendedprice").as("sx"), s2("l_extendedprice").as("sxx"),
+        s1("l_quantity").as("sy"), s2("l_quantity").as("syy"),
+        s1("l_discount").as("sz"), s2("l_discount").as("szz"),
+        sxy("l_extendedprice", "l_quantity").as("sxy_"),
+        sxy("l_extendedprice", "l_discount").as("sxz_"),
+        sxy("l_quantity", "l_discount").as("syz_"),
+        n.as("nd"))
+      .withColumn("rxy", r(col("nd"), col("sxy_"), col("sx"), col("sy"),
+        col("sxx"), col("syy")))
+      .withColumn("rxz", r(col("nd"), col("sxz_"), col("sx"), col("sz"),
+        col("sxx"), col("szz")))
+      .withColumn("ryz", r(col("nd"), col("syz_"), col("sy"), col("sz"),
+        col("syy"), col("szz")))
+      .select(
+        col("l_linestatus"), col("n"),
+        round(col("rxy"), 9).as("r_price_qty"),
+        round(col("rxz"), 9).as("r_price_disc"),
+        round(col("ryz"), 9).as("r_qty_disc"),
+        round((col("rxy") - col("rxz") * col("ryz")) /
+          sqrt((lit(1.0) - col("rxz") * col("rxz")) *
+            (lit(1.0) - col("ryz") * col("ryz"))), 9)
+          .as("partial_r"))
+      .orderBy("l_linestatus")
+  }
+
   /** Hill tail-index estimator over order prices: H = (1/k)·Σ ln(x_i /
     * x_{k+1}) on the k largest values, α = 1/H — is the price
     * distribution heavy-tailed enough that means/topk budgets are

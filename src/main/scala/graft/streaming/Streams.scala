@@ -911,6 +911,23 @@ object Streams {
         .select(col("user_id"), col("gap_us").as("gap")),
       minGaps = 20)
 
+  /** Streaming sample-ratio-mismatch monitor: the assignment-health gate
+    * kept current at ingest. Stateful stage one is a dropDuplicates on
+    * user_id (state = the distinct-user key set, the
+    * [[distinctUsersHourly]] pattern); stage two aggregates the mod-k
+    * bucket counts (state = Σk rows). The chi-square epilogue is the
+    * batch gate's own, so the drain shares `q_ab_srm`'s oracle.
+    * `q_stream_srm`.
+    */
+  def srmBuckets(events: DataFrame): DataFrame =
+    graft.ops.Events.srmBucketCounts(
+      events.select("user_id").dropDuplicates("user_id"))
+
+  def drainSrm(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Events.srmFromCounts(
+      drain(spark, srmBuckets(eventsStream(spark, dir, globFilter))), spark)
+
   /** Streaming Benford audit: running first-digit counts of the event
     * values (amounts >= 1 — a sub-unit amount has no leading digit in the
     * Benford sense) as a Complete-mode aggregate whose state is at most

@@ -464,6 +464,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming srm drain equals the batch assignment gate row-for-row") {
+    val streamed = Streams.drainSrm(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = ops.Events.qAbSrm(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming benford drain: digit counts match a batch recompute") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")

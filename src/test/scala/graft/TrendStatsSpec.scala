@@ -362,6 +362,82 @@ class TrendStatsSpec extends SparkSuite {
     }
   }
 
+  test("conversion window matches a per-click next-purchase recompute") {
+    val evs = tables.events
+      .select("user_id", "event_id", "event_type", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3) / 1000))
+    val byUser = evs.groupBy(_._1)
+    val clicks = evs.filter(_._3 == "click").map { c =>
+      val later = byUser(c._1).filter(e =>
+        e._3 == "purchase" &&
+          (e._4 > c._4 || (e._4 == c._4 && e._2 > c._2)))
+      val lat = if (later.isEmpty) None else Some(later.map(_._4).min - c._4)
+      lat.filter(_ <= 3600000000L)
+    }
+    val lats = clicks.flatten.sorted
+    val r = graft.ops.Events.qConversionWindow(tables).collect().head
+    assert(r.getLong(0) == clicks.length)
+    assert(r.getLong(1) == lats.length)
+    assert(math.abs(r.getDouble(2) -
+      lats.length.toDouble / clicks.length) < 1e-12)
+    assert(math.abs(r.getDouble(3) -
+      lats.map(BigInt(_)).sum.toDouble / lats.length / 1e6) < 1e-6)
+    // exact-percentile median with linear interpolation
+    val n = lats.length
+    val med =
+      if (n % 2 == 1) lats(n / 2).toDouble
+      else (lats(n / 2 - 1) + lats(n / 2)) / 2.0
+    assert(math.abs(r.getDouble(4) - med / 1e6) < 1e-6)
+  }
+
+  test("dup-size histogram partitions the corpus exactly") {
+    val prefixes = tables.documents.select("text").collect()
+      .map(_.getString(0).trim.toLowerCase.split(" +").take(12).mkString(" "))
+    val sizes = prefixes.groupBy(identity).values.map(_.size).toSeq
+    val hist = sizes.groupBy(identity).map { case (s, g) => s -> g.size }
+    val got = graft.ext.Dedup.qDupSizeHist(tables).collect()
+    assert(got.length == hist.size)
+    var docs = 0L
+    got.foreach { r =>
+      assert(r.getLong(1) == hist(r.getLong(0).toInt))
+      assert(r.getLong(2) == r.getLong(0) * r.getLong(1))
+      assert(r.getLong(3) == (r.getLong(0) - 1) * r.getLong(1))
+      docs += r.getLong(2)
+    }
+    // families partition the corpus: doc counts sum to the corpus size
+    assert(docs == prefixes.length)
+    assert(math.abs(got.map(_.getDouble(4)).sum - 1.0) < 1e-9)
+  }
+
+  test("node jaccard agrees with adjacency-set recompute") {
+    val got = graft.ops.Graph.qNodeJaccard(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(!adj(u).contains(v)) // candidates are non-adjacent
+      val inter = (adj(u) intersect adj(v)).size
+      val uni = (adj(u) union adj(v)).size
+      assert(r.getLong(2) == inter)
+      assert(r.getLong(3) == uni)
+      assert(r.getLong(4) == 1000000000L * inter / uni)
+      assert(math.abs(r.getDouble(5) - inter.toDouble / uni) < 1e-12)
+    }
+  }
+
+  test("partial correlation: bounds and controlled-channel formula hold") {
+    val got = graft.ops.Stats.qPartialCorr(tables).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (rxy, rxz, ryz, pr) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      Seq(rxy, rxz, ryz, pr).foreach(v => assert(v >= -1.0 && v <= 1.0))
+      val expect = (rxy - rxz * ryz) /
+        math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+      assert(math.abs(pr - expect) < 1e-6)
+    }
+  }
+
   test("resource allocation demotes hub-mediated candidates") {
     val ra = Graph.qResourceAlloc(tables).collect()
     assert(ra.nonEmpty)
