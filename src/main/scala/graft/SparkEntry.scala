@@ -116,6 +116,7 @@ object SparkEntry {
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
+    "q_anova" -> q(Stats.qAnova),
     "q_cohens_kappa" -> q(Stats.qCohensKappa),
     "q_k_anonymity" -> q(Sampling.qKAnonymity(_)),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
@@ -127,6 +128,7 @@ object SparkEntry {
     "q_fd_audit" -> q(Analytics.qFdAudit),
     "q_interval_overlap" -> q(Events.qIntervalOverlap),
     "q_pagerank" -> q(Graph.qPagerank(_)),
+    "q_hits" -> q(Graph.qHits(_)),
     "q_label_prop" -> q(Graph.qLabelProp(_)),
     "q_kcore" -> q(Graph.qKcore(_)),
     "q_hierarchy_flatten" -> q(Graph.qHierarchyFlatten(_)),
@@ -198,6 +200,7 @@ object SparkEntry {
     "q_hourly_profile" -> q(Events.qHourlyProfile),
     "q_vocab_containment" -> q(TextAnalysis.qVocabContainment),
     "q_decile_lift" -> q(Analytics.qDecileLift),
+    "q_abc_class" -> q(Analytics.qAbcClass),
     "q_gini" -> q(Analytics.qGini),
     "q_autocorr" -> q(Analytics.qAutocorr),
     "q_weighted_median" -> q(Analytics.qWeightedMedian),
@@ -252,6 +255,9 @@ object SparkEntry {
     "q_funnel_steps" -> q(Events.qFunnelSteps),
     "q_retention" -> q(Events.qRetention),
     "q_cohort_matrix" -> q(Events.qCohortMatrix),
+    "q_stickiness" -> q(Events.qStickiness),
+    "q_time_to_nth" -> q(Events.qTimeToNth(_)),
+    "q_user_entropy" -> q(Events.qUserEntropy),
     "q_event_transitions" -> q(Events.qEventTransitions),
     "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
@@ -286,6 +292,7 @@ object SparkEntry {
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
+    "q_compaction_plan" -> q(Sampling.qCompactionPlan(_)),
     // — similarity search —
     "q_knn_brute" -> q(Similarity.qKnnBrute(_)),
     "q_dedup_embed" -> q(Similarity.qDedupEmbed(_)),
@@ -302,6 +309,7 @@ object SparkEntry {
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
+    "q_gopher_rules" -> q(TextAnalysis.qGopherRules),
     "q_lang_id" -> q(TextAnalysis.qLangId),
     "q_hapax_ratio" -> q(TextAnalysis.qHapaxRatio),
     "q_simpson_diversity" -> q(TextAnalysis.qSimpsonDiversity),
@@ -3007,6 +3015,52 @@ FROM terms GROUP BY source ORDER BY source""",
            CAST(COALESCE(r.n_retained, 0) AS DOUBLE)
              / CAST(n.n_active AS DOUBLE) AS retention_rate
          FROM n LEFT JOIN r ON n.wk = r.wk ORDER BY n.wk""",
+    // exact sliding-distinct actives: the (user, day) grid exploded to the
+    // ≤28 target days it can influence, min(offset) classifying the user
+    "q_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             epoch_ns(ts) // 86400000000000 AS day FROM events),
+         mx AS (SELECT MAX(day) AS md FROM a),
+         x AS (SELECT a.user_id, a.day + r.o AS td, r.o AS o
+           FROM a CROSS JOIN range(0, 28) r(o)),
+         g AS (SELECT td, user_id, MIN(o) AS mo FROM x GROUP BY 1, 2)
+         SELECT td AS day,
+           CAST(COUNT(CASE WHEN mo = 0 THEN 1 END) AS BIGINT) AS dau,
+           CAST(COUNT(CASE WHEN mo <= 6 THEN 1 END) AS BIGINT) AS wau,
+           CAST(COUNT(*) AS BIGINT) AS mau28,
+           ROUND(CAST(COUNT(CASE WHEN mo = 0 THEN 1 END) AS DOUBLE)
+             / COUNT(*), 6) AS stickiness
+         FROM g, mx WHERE td <= mx.md
+         GROUP BY td, mx.md ORDER BY day""",
+    "q_time_to_nth" ->
+      """WITH f AS (SELECT user_id, MIN(epoch_us(ts)) AS first_us
+             FROM events GROUP BY 1),
+         p AS (SELECT user_id, epoch_us(ts) AS ts_us,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS n
+           FROM events WHERE event_type = 'purchase'),
+         j AS (SELECT p.n, p.ts_us - f.first_us AS lat
+           FROM p JOIN f USING (user_id) WHERE p.n <= 3)
+         SELECT CAST(n AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(lat) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e6
+             AS mean_latency_s,
+           quantile_cont(lat, 0.5) / 1e6 AS p50_latency_s
+         FROM j GROUP BY n ORDER BY n""",
+    // the q_doc_entropy decimal-pinned log2 treatment on the user's
+    // event-type mix
+    "q_user_entropy" ->
+      """WITH c AS (SELECT user_id, event_type, COUNT(*) AS c
+             FROM events GROUP BY 1, 2),
+         a AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             SUM(CAST(round(log2(CAST(c AS DOUBLE)), 9) AS DECIMAL(14,10))
+               * CAST(c AS DECIMAL(12,0))) AS sdec
+           FROM c GROUP BY 1)
+         SELECT user_id, n_events, n_types,
+           round(log2(CAST(n_events AS DOUBLE))
+             - CAST(sdec AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
+             AS entropy_bits
+         FROM a ORDER BY user_id""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
            COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
@@ -3642,6 +3696,128 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
            round(log2(CAST(n_tokens AS DOUBLE))
              - CAST(sdec AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS entropy
          FROM a ORDER BY doc_id""",
+    // one-way ANOVA: per-group Σx²/n terms pinned at 1e-4 into DECIMAL so
+    // the k-row reduction is fold-order-free (the qDocEntropy treatment)
+    "q_anova" ->
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6))) AS sx,
+             SUM(CAST((o_totalprice / 1000.0) * (o_totalprice / 1000.0)
+               AS DECIMAL(24,6))) AS sxx
+           FROM orders GROUP BY 1),
+         g2 AS (SELECT grp, n, sx, sxx,
+             CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 4)
+               AS DECIMAL(24,4)) AS term FROM g),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(sx) AS s_all, SUM(sxx) AS sxx_all, SUM(term) AS term_all
+           FROM g2),
+         s AS (SELECT k, n_total,
+             ROUND(CAST(term_all AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total, 4)
+               AS ss_between,
+             ROUND(CAST(sxx_all AS DOUBLE) - CAST(term_all AS DOUBLE), 4)
+               AS ss_within
+           FROM a)
+         SELECT k, n_total, ss_between, ss_within,
+           ROUND((ss_between / (k - 1)) / (ss_within / (n_total - k)), 6)
+             AS f_stat,
+           ROUND(ss_between / (ss_between + ss_within), 6) AS eta_sq
+         FROM s""",
+    // two unrolled HITS rounds in integer micro-units, L-inf normalized
+    // by floor division each round (the q_pagerank exactness convention)
+    "q_hits" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         h0 AS (SELECT DISTINCT src AS node, 1000000 AS h FROM e),
+         a1r AS (SELECT e.dst AS node, SUM(h.h) AS a FROM e
+             JOIN h0 h ON e.src = h.node GROUP BY 1),
+         a1m AS (SELECT MAX(a) AS mx FROM a1r),
+         a1 AS (SELECT node, CAST((a * 1000000) // mx AS BIGINT) AS a
+             FROM a1r, a1m),
+         h1r AS (SELECT e.src AS node, SUM(a.a) AS h FROM e
+             JOIN a1 a ON e.dst = a.node GROUP BY 1),
+         h1m AS (SELECT MAX(h) AS mx FROM h1r),
+         h1 AS (SELECT node, CAST((h * 1000000) // mx AS BIGINT) AS h
+             FROM h1r, h1m),
+         a2r AS (SELECT e.dst AS node, SUM(h.h) AS a FROM e
+             JOIN h1 h ON e.src = h.node GROUP BY 1),
+         a2m AS (SELECT MAX(a) AS mx FROM a2r),
+         a2 AS (SELECT node, CAST((a * 1000000) // mx AS BIGINT) AS a
+             FROM a2r, a2m)
+         SELECT h1.node, h1.h AS hub, a2.a AS authority
+         FROM h1 JOIN a2 ON h1.node = a2.node
+         ORDER BY a2.a DESC, h1.node LIMIT 25""",
+    // ABC classification: DECIMAL cumulative shares, class decided by
+    // integer-scaled decimal comparison (cum*5 < tot*4), never a double
+    "q_abc_class" ->
+      """WITH r AS (SELECT l_partkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,6)))
+               AS rev
+           FROM lineitem GROUP BY 1),
+         c AS (SELECT l_partkey, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(rev) OVER () AS total FROM r),
+         k AS (SELECT CASE WHEN (cum - rev) * 5 < total * 4 THEN 'A'
+               WHEN (cum - rev) * 20 < total * 19 THEN 'B'
+               ELSE 'C' END AS abc_class, rev, total FROM c),
+         g AS (SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+             SUM(rev) AS class_rev, MAX(total) AS total
+           FROM k GROUP BY 1)
+         SELECT abc_class, n_parts,
+           CAST(class_rev AS DOUBLE) AS class_rev,
+           ROUND(CAST(class_rev AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS rev_share
+         FROM g ORDER BY abc_class""",
+    // per-rule quality battery over the words array — list functions only,
+    // flags as 0/1 BIGINT
+    "q_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), ' +') AS ws
+           FROM documents WHERE doc_id % 10 = 0),
+         m AS (SELECT doc_id, text, ws,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT)
+               AS sum_wl FROM d),
+         m2 AS (SELECT doc_id, n_words,
+             ROUND(CAST(sum_wl AS DOUBLE) / n_words, 6) AS mean_wl,
+             ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+               AS DOUBLE) / length(text), 6) AS digit_ratio,
+             CAST(len(list_intersect(list_distinct(ws),
+               ['the','of','and','to','le','la','el','de','der','die',
+                'data','query'])) AS BIGINT) AS n_stop
+           FROM m),
+         f AS (SELECT doc_id, n_words, mean_wl, digit_ratio, n_stop,
+             CAST(CASE WHEN n_words BETWEEN 15 AND 90 THEN 1 ELSE 0 END
+               AS BIGINT) AS r_wc,
+             CAST(CASE WHEN mean_wl >= 2.0 AND mean_wl <= 10.0
+               THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+             CAST(CASE WHEN digit_ratio <= 0.2 THEN 1 ELSE 0 END AS BIGINT)
+               AS r_digit,
+             CAST(CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT)
+               AS r_stop
+           FROM m2)
+         SELECT doc_id, n_words, mean_wl, digit_ratio, n_stop,
+           r_wc, r_mwl, r_digit, r_stop,
+           CAST(CASE WHEN r_wc + r_mwl + r_digit + r_stop = 4
+             THEN 1 ELSE 0 END AS BIGINT) AS passes
+         FROM f ORDER BY doc_id""",
+    // start-offset greedy byte binning per language; strlen = UTF-8 bytes
+    // (Spark's octet_length)
+    "q_compaction_plan" ->
+      """WITH b AS (SELECT lang, doc_id,
+             CAST(strlen(text) AS BIGINT) AS bytes FROM documents),
+         c AS (SELECT lang, doc_id, bytes,
+             SUM(bytes) OVER (PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb
+           FROM b)
+         SELECT lang, CAST((cumb - bytes) // 65536 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+         FROM c GROUP BY 1, 2 ORDER BY lang, bin""",
     "q_length_histogram" ->
       """WITH d AS (SELECT source,
              CASE WHEN len(trim(text)) = 0 THEN 0

@@ -278,4 +278,31 @@ object Sampling {
       .select("k", "n_classes", "n_violating", "rows_at_risk", "n_rows",
         "risk_pct", "min_class", "min_l")
       .orderBy("k")
+
+  /** Small-file compaction plan: pack each language's documents into
+    * ~`targetBytes` output files by a start-offset greedy cumsum
+    * (bin = floor(bytes-before / target) — deterministic, no driver
+    * loop), emitting the per-bin manifest a compactor would execute.
+    * The running sum is windowed PER LANGUAGE — the write-partition key —
+    * so no global order exists anywhere; a pathological single-language
+    * corpus falls back to the [[qAssignIds]] two-pass range-partition
+    * pattern. Byte sizes are octet_length (UTF-8 on-disk bytes), exact on
+    * both engines.
+    */
+  def qCompactionPlan(t: Tables, targetBytes: Long = 65536L): DataFrame = {
+    val byLang = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.documents
+      .select(col("lang"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("cumb", sum("bytes").over(byLang))
+      .withColumn("bin", expr(s"(cumb - bytes) div ${targetBytes}L"))
+      .groupBy("lang", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("bytes").as("bin_bytes"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("lang", "bin")
+  }
 }

@@ -1258,4 +1258,46 @@ object TextAnalysis {
       .withColumn("fertility",
         col("sum_tokens").cast("double") / col("sum_words").cast("double"))
       .orderBy("lang")
+
+  /** Gopher-style quality rule battery: the explicit per-rule pass/fail
+    * audit behind [[qQualityScore]]'s blended score — a curation pipeline
+    * needs to know WHICH rule rejected a document, not just that one did.
+    * Rules (thresholds scaled to this corpus's 10–99-word documents):
+    * word count in [15, 90]; mean word length in [2, 10]; digit-character
+    * ratio ≤ 0.2; ≥ 2 distinct common-word markers present. Everything is
+    * array/regexp expressions over the words array (codegen'd, map-only,
+    * no explode — the document never leaves its partition), flags emitted
+    * as 0/1 BIGINT so both engines hash identically.
+    */
+  def qGopherRules(t: Tables): DataFrame = {
+    val stop = Array("the", "of", "and", "to", "le", "la", "el", "de",
+      "der", "die", "data", "query")
+    val ws = Dedup.words(col("text"))
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("n_words", size(ws).cast("long"))
+      // Σ length(word) is exact integers; one double division at the end
+      .withColumn("sum_wl",
+        aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long")))
+      .withColumn("mean_wl",
+        round(col("sum_wl").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("digit_ratio",
+        round(length(regexp_replace(col("text"), "[^0-9]", ""))
+          .cast("double") / length(col("text")).cast("double"), 6))
+      .withColumn("n_stop",
+        size(array_intersect(array_distinct(ws),
+          array(stop.map(lit): _*))).cast("long"))
+      .withColumn("r_wc",
+        (col("n_words") >= 15 && col("n_words") <= 90).cast("long"))
+      .withColumn("r_mwl",
+        (col("mean_wl") >= 2.0 && col("mean_wl") <= 10.0).cast("long"))
+      .withColumn("r_digit", (col("digit_ratio") <= 0.2).cast("long"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("long"))
+      .withColumn("passes",
+        (col("r_wc") + col("r_mwl") + col("r_digit") + col("r_stop") === 4L)
+          .cast("long"))
+      .select("doc_id", "n_words", "mean_wl", "digit_ratio", "n_stop",
+        "r_wc", "r_mwl", "r_digit", "r_stop", "passes")
+      .orderBy("doc_id")
+  }
 }

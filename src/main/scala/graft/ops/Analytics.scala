@@ -1313,4 +1313,41 @@ object Analytics {
       .withColumn("holds", col("n_violating") === 0L)
       .orderBy("fd")
   }
+
+  /** ABC inventory classification: parts ranked by revenue, classed A/B/C
+    * at the 80% / 95% cumulative-share cuts (class by the share BEFORE the
+    * part — the start-offset rule, so a part straddling a cut lands in the
+    * cheaper class on both engines). Revenue collapses to the part
+    * dimension first (the only fact-sized pass); the cumulative window
+    * then runs over part rows — dimension-sized, the [[qDecileLift]]
+    * posture. The class cuts compare DECIMAL cumulative sums against
+    * DECIMAL totals scaled by small integers (cum*5 < tot*4), so no
+    * double ever decides a boundary.
+    */
+  def qAbcClass(t: Tables): DataFrame = {
+    val byRev = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    t.lineitem
+      .groupBy("l_partkey")
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast(DecimalType(24, 6))).as("rev"))
+      .withColumn("cum", sum("rev").over(byRev))
+      .withColumn("total", sum("rev").over(tot))
+      .withColumn("cum_before", col("cum") - col("rev"))
+      .withColumn("abc_class",
+        when(col("cum_before") * 5 < col("total") * 4, "A")
+          .when(col("cum_before") * 20 < col("total") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum("rev").as("class_rev"))
+      .withColumn("rev_share",
+        round(col("class_rev").cast("double") /
+          sum("class_rev").over(tot).cast("double"), 6))
+      .select(col("abc_class"), col("n_parts"),
+        col("class_rev").cast("double").as("class_rev"), col("rev_share"))
+      .orderBy("abc_class")
+  }
 }

@@ -1406,4 +1406,95 @@ object Events {
           .as("strength"))
       .orderBy("event_type")
   }
+
+  /** Product-health stickiness series: per day, DAU / trailing-7-day WAU /
+    * trailing-28-day MAU (all EXACT distinct-user counts) and the DAU/MAU
+    * stickiness ratio. The sliding distinct is computed without any
+    * per-day rescan: the event log collapses to the (user, day) activity
+    * grid ONCE (the only fact-sized aggregate), and each grid row is
+    * exploded to the ≤28 target days it can influence; min(offset) per
+    * (target day, user) then classifies the user as daily/weekly/monthly
+    * active in a single aggregate. Work is 28 × |grid| — the grid is
+    * users × days, dimension-sized next to the raw log — and every count
+    * is exact integers, so the shape holds when the log is the 100 TB
+    * side. (An HLL variant would drop the ×28 fan-out at the cost of
+    * exactness; this operator is the exact path.)
+    */
+  def qStickiness(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val grid = t.events
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+    // observation horizon: target days past the last observed day would
+    // have truncated windows — cut them, as the oracle does
+    val horizon = grid.agg(max("day").as("max_day"))
+    grid
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(27))).as("off"))
+      .select(col("user_id"), (col("day") + col("off")).as("td"), col("off"))
+      .groupBy("td", "user_id").agg(min("off").as("mo"))
+      .crossJoin(broadcast(horizon))
+      .filter(col("td") <= col("max_day"))
+      .groupBy(col("td").as("day"))
+      .agg(
+        count(when(col("mo") === 0, 1)).as("dau"),
+        count(when(col("mo") <= 6, 1)).as("wau"),
+        count(lit(1)).as("mau28"))
+      .withColumn("stickiness",
+        round(col("dau").cast("double") / col("mau28").cast("double"), 6))
+      .orderBy("day")
+  }
+
+  /** Time-to-nth-conversion: for each user's 1st/2nd/3rd purchase, the
+    * latency from their very first event of any type — the activation-
+    * funnel latency ladder. All interval arithmetic is exact integer
+    * microseconds (the qInterarrival truncation convention); the per-user
+    * purchase ordinal is a co-partitioned row_number, and the first-event
+    * frame joins back on the user key, so nothing global ever sorts.
+    */
+  def qTimeToNth(t: Tables, maxN: Int = 3): DataFrame = {
+    val first = t.events
+      .groupBy("user_id").agg(min(expr("ts_ns div 1000")).as("first_us"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    t.events
+      .filter(col("event_type") === "purchase")
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("n", row_number().over(byUser).cast("long"))
+      .filter(col("n") <= maxN)
+      .join(first, "user_id")
+      .withColumn("lat", col("ts_us") - col("first_us"))
+      .groupBy("n")
+      .agg(
+        count(lit(1)).as("n_users"),
+        // sum(long µs) is exact on both engines; one division chain at the end
+        (sum(col("lat")).cast("double") / count(lit(1)).cast("double") /
+          lit(1e6)).as("mean_latency_s"),
+        (percentile(col("lat"), lit(0.5)) / lit(1e6)).as("p50_latency_s"))
+      .orderBy("n")
+  }
+
+  /** Behavioral diversity: Shannon entropy (bits) of each user's event-type
+    * mix — the bot/power-user screen (entropy ≈ 0 = single-action
+    * automation; high = organic browsing). Uses the [[graft.ext
+    * .TextAnalysis.qDocEntropy]] determinism trick: per-type log2 terms are
+    * rounded at 1e-9 and summed in DECIMAL, so the within-group fold order
+    * (nondeterministic across engines AND across Spark partitions) cannot
+    * move a single ulp. Two co-partitioned aggregates on the user key.
+    */
+  def qUserEntropy(t: Tables): DataFrame =
+    t.events
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(round(log2(col("c").cast("double")), 9).cast("decimal(14,10)")
+          * col("c").cast("decimal(12,0)")).as("sdec"))
+      .select(
+        col("user_id"), col("n_events"), col("n_types"),
+        round(
+          log2(col("n_events").cast("double"))
+            - col("sdec").cast("double") / col("n_events").cast("double"),
+          9).as("entropy_bits"))
+      .orderBy("user_id")
 }

@@ -830,4 +830,49 @@ object Graph {
     graft.Engine.freeCheckpoint(parentOf)
     out
   }
+
+  /** HITS hubs/authorities (two fixed mutual-reinforcement rounds) over
+    * the shared co-purchase index: authority = Σ neighbor hub mass,
+    * hub = Σ neighbor authority mass, each round L∞-normalized back to a
+    * 1e6 integer scale with floor division — the [[qPagerank]] exactness
+    * convention (integer micro-units end to end, so the hash matches the
+    * oracle's unrolled CTEs regardless of fold order). On the symmetric
+    * co-purchase graph hubs and authorities coincide analytically, but the
+    * operator computes both sides generically — the plan is the one a
+    * directed citation/link graph needs. Each round is one join + one
+    * aggregate against the node-sized score frame (broadcast-guarded, the
+    * edge fact never re-shuffles).
+    */
+  def qHits(t: Tables, k: Int = 25): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges = idx.edges.select("src", "dst")
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    // round 1: h0 = 1e6 uniformly, so a1 is degree * 1e6 — still computed
+    // through the generic join shape (the constant-h0 shortcut would not
+    // survive a directed graph)
+    def normalize(scores: DataFrame, c: String): DataFrame = {
+      val mx = scores.agg(max(col(c)).as("mx"))
+      scores.crossJoin(broadcast(mx))
+        .select(col("node"),
+          expr(s"($c * 1000000L) div mx").as(c))
+    }
+    val h0 = idx.deg.select(col("src").as("node"), lit(1000000L).as("h"))
+    val a1 = normalize(
+      edges.join(maybeBroadcast(h0), col("src") === col("node"))
+        .groupBy(col("dst").as("n2")).agg(sum("h").as("a"))
+        .select(col("n2").as("node"), col("a")), "a")
+    val h1 = normalize(
+      edges.join(maybeBroadcast(a1), col("dst") === col("node"))
+        .groupBy(col("src").as("n2")).agg(sum("a").as("h"))
+        .select(col("n2").as("node"), col("h")), "h")
+    val a2 = normalize(
+      edges.join(maybeBroadcast(h1), col("src") === col("node"))
+        .groupBy(col("dst").as("n2")).agg(sum("h").as("a"))
+        .select(col("n2").as("node"), col("a")), "a")
+    h1.join(a2, "node")
+      .orderBy(col("a").desc, col("node"))
+      .limit(k)
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+  }
 }

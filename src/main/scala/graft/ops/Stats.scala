@@ -1358,4 +1358,57 @@ object Stats {
     graft.Engine.freeCheckpoint(top)
     out
   }
+
+  /** One-way ANOVA across the five order priorities on the order total —
+    * the "does this categorical move the metric at all" omnibus test that
+    * precedes per-pair t-tests. Per-group moments (n, Σx, Σx²) are exact
+    * DECIMAL sums in ONE pass over the fact table; the between/within
+    * decomposition then runs on the k=5 group rows. Cross-group double
+    * sums would be fold-order-dependent, so each group's Σx²/n term is
+    * rounded at 1e-4 into DECIMAL and the k-row sums stay decimal-exact —
+    * the same determinism treatment qDocEntropy gives its log terms. F and
+    * η² are composite chains, rounded above the ulp.
+    */
+  def qAnova(t: Tables): DataFrame = {
+    // SS terms in raw dollars² reach ~1e16, past 2^53 — where DuckDB's
+    // two-step decimal→double conversion splits from Spark's single
+    // correct rounding (the qSeasonalStrength hazard). F and η² are
+    // scale-invariant, so the metric is kilo-dollars: every scaled decimal
+    // stays under 2^53 and the decimal→double casts are exact on both
+    // engines. SS columns are therefore in k$² units.
+    val xk = col("o_totalprice") / lit(1000.0)
+    val g = t.orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xk.cast(DecimalType(18, 6))).as("sx"),
+        sum((xk * xk).cast(DecimalType(24, 6))).as("sxx"))
+      // per-group squared-sum-over-n term: one double division, pinned to
+      // 4 dp (≫ ulp, ≪ the signal) then back to DECIMAL so the k-row
+      // reduction below is order-free
+      .withColumn("term",
+        round(col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"), 4).cast(DecimalType(24, 4)))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum("n").as("n_total"),
+        sum("sx").as("s_all"),
+        sum("sxx").as("sxx_all"),
+        sum("term").as("term_all"))
+      .select(
+        col("k"), col("n_total"),
+        // SSB = Σ(sx_g²/n_g) − S²/N ; SSW = Σx² − Σ(sx_g²/n_g)
+        round(col("term_all").cast("double") -
+          col("s_all").cast("double") * col("s_all").cast("double") /
+            col("n_total").cast("double"), 4).as("ss_between"),
+        round(col("sxx_all").cast("double") -
+          col("term_all").cast("double"), 4).as("ss_within"))
+      .select(
+        col("k"), col("n_total"), col("ss_between"), col("ss_within"),
+        round((col("ss_between") / (col("k") - 1).cast("double")) /
+          (col("ss_within") /
+            (col("n_total") - col("k")).cast("double")), 6).as("f_stat"),
+        round(col("ss_between") / (col("ss_between") + col("ss_within")), 6)
+          .as("eta_sq"))
+  }
 }
