@@ -523,8 +523,17 @@ object Graph {
       .select(col("a"), col("x.v").as("wu"),
         explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
       .select(col("a"), col("wu"), col("y.v").as("wv"))
+    // the wedge stream is the huge side — closing it against the oriented
+    // edge list MUST broadcast the edges while they fit (the
+    // qTriangleCount guard); an unhinted semi-join sort-merges the wedge
+    // stream, which measured 10× the whole-query cost at sf0.1
+    val nEdgesOri = idx.deg
+      .agg((sum("deg") / 2).cast("long")).head().getLong(0)
+    def maybeBroadcastEdges(df: DataFrame): DataFrame =
+      if (nEdgesOri <= 2000000L) broadcast(df) else df
     val closed = wedges
-      .join(ori.select(col("u").as("wu"), col("v").as("wv")),
+      .join(maybeBroadcastEdges(
+        ori.select(col("u").as("wu"), col("v").as("wv"))),
         Seq("wu", "wv"), "left_semi")
     val triPerNode = closed
       .select(explode(array(col("a"), col("wu"), col("wv"))).as("node"))
