@@ -364,82 +364,97 @@ object Graph {
       .orderBy("community")
   }
 
-  /** Triangle census of the undirected co-purchase graph, via the
-    * degree-ordered node-iterator (Schank–Wagner): every edge is oriented
-    * from its lower-(degree, id) endpoint, wedges are generated only at
-    * each edge pair's LOWEST-ranked apex, and a wedge closes into a
-    * triangle iff its (v, w) chord exists in the oriented edge set. The
-    * orientation is the whole scale story: per-apex fan-out is bounded by
-    * oriented out-degree — O(sqrt(m)) worst case — so the wedge stream
-    * stays near-linear even when raw degrees are power-law skewed; a naive
-    * apex-at-every-endpoint join would square the hottest hub. One row
-    * out: node/edge/wedge/triangle counts and the global clustering
-    * coefficient (3·triangles / open wedges), all exact integers plus one
-    * rounded ratio — engine-independent.
+  /** Degree-oriented edge list (u → v with rank(u) < rank(v), rank =
+    * (degree, id)) — the Schank–Wagner orientation both triangle
+    * consumers share. A lazy view over the checkpointed edge index (one
+    * edge scan + two broadcast degree attachments per consumer); the
+    * orientation bounds per-apex fan-out by oriented out-degree —
+    * O(sqrt m) worst case — which is the whole triangle scale story.
     */
-  def qTriangleCount(t: Tables): DataFrame = {
-    // one undirected row per edge, derived from the session's shared edge
-    // index (a cheap filter over checkpointed rows, probed three times:
-    // degrees, orientation, chords)
-    val idx = edgeIndexCached(t)
+  private def orientedEdges(idx: EdgeIndex): DataFrame = {
     val und = idx.edges.select("src", "dst").filter(col("src") < col("dst"))
       .select(col("src").as("s"), col("dst").as("t"))
-    // degrees come from the shared index (src-degree over the symmetric
-    // edge set = undirected neighbor count); only the open-wedge total
-    // still needs its own (node-sized) reduce
     val deg = idx.deg.select(col("src").as("n"), col("deg").as("d"))
-    locally {
-      val degStats = deg.agg(
-        sum("d").as("deg_total"),
-        sum(expr("(d * (d - 1)) div 2")).cast("long").as("open")).head()
-      val nNodes = idx.nNodes
-      val nEdges = degStats.getLong(0) / 2 // every edge counted at both ends
-      val open = degStats.getLong(1)
-      def maybeBroadcast(df: DataFrame): DataFrame =
-        if (nNodes <= 1000000L) broadcast(df) else df
-      val lower = col("ds") < col("dt") ||
-        (col("ds") === col("dt") && col("s") < col("t"))
-      val ori = und
-        .join(maybeBroadcast(deg.select(col("n").as("s"), col("d").as("ds"))), "s")
-        .join(maybeBroadcast(deg.select(col("n").as("t"), col("d").as("dt"))), "t")
-        .select(
-          when(lower, col("s")).otherwise(col("t")).as("u"),
-          when(lower, col("t")).otherwise(col("s")).as("v"),
-          when(lower, col("dt")).otherwise(col("ds")).as("dv"))
-      // wedge (v, w) at apex u, ordered by the SAME rank as the
-      // orientation so the closing chord is exactly the oriented edge.
-      // The wedge stream is the expensive object at scale, so it is never
-      // shuffled OR materialized twice: neighbors gather once per apex
-      // (list length = oriented out-degree, O(sqrt m)-bounded by the
-      // orientation), pairs explode map-side in rank order, each wedge
-      // probes the chord set — broadcast while the edge list fits, the
-      // one-shuffle hash join beyond — and a single reduce sums wedge and
-      // triangle counts together.
-      val nbrs = ori.groupBy("u")
-        .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
-      val wedges = nbrs
-        .select(posexplode(col("ns")).as(Seq("i", "x")), col("ns"))
-        .select(col("x.v").as("u"),
-          explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
-        .select(col("u"), col("y.v").as("v"))
-      def maybeBroadcastEdges(df: DataFrame): DataFrame =
-        if (nEdges <= 2000000L) broadcast(df) else df
-      val counts = wedges
-        .join(maybeBroadcastEdges(
-          ori.select(col("u"), col("v"), lit(1L).as("hit"))),
-          Seq("u", "v"), "left")
-        .agg(count(lit(1)).as("n_wedges"),
-          sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_triangles"))
-        .head()
-      val (nWedges, nTriangles) = (counts.getLong(0), counts.getLong(1))
-      // every statistic is already a driver scalar, so the result frame is
-      // literal-only — collection cannot resurrect freed checkpoints
-      und.sparkSession.range(1).select(
-        lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
-        lit(nWedges).as("n_wedges"),
-        lit(nTriangles).as("n_triangles"),
-        round(lit(nTriangles * 3.0) / lit(open), 9).as("clustering"))
-    }
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    val lower = col("ds") < col("dt") ||
+      (col("ds") === col("dt") && col("s") < col("t"))
+    und
+      .join(maybeBroadcast(deg.select(col("n").as("s"), col("d").as("ds"))), "s")
+      .join(maybeBroadcast(deg.select(col("n").as("t"), col("d").as("dt"))), "t")
+      .select(
+        when(lower, col("s")).otherwise(col("t")).as("u"),
+        when(lower, col("t")).otherwise(col("s")).as("v"),
+        when(lower, col("dt")).otherwise(col("ds")).as("dv"))
+  }
+
+  /** Per-node triangle counts (node, t) — the ONE wedge-enumeration pass
+    * in a session, shared by [[qClusteringCoeff]] (reads it directly) and
+    * [[qTriangleCount]] (Σt = 3·triangles). Wedge (wu, wv) at apex a in
+    * the SAME rank order as the orientation, so the closing chord is
+    * exactly the oriented edge: neighbors gather once per apex
+    * (list length = oriented out-degree), pairs explode map-side in rank
+    * order, each wedge probes the chord set — broadcast while the edge
+    * list fits (an unhinted semi-join sort-merges the huge wedge stream,
+    * measured 10× the whole-query cost at sf0.1), the one-shuffle hash
+    * join beyond — and each closed triangle credits its three corners via
+    * a 3-row explode into one hash aggregate. Node-sized output,
+    * cache-owned — callers must not free.
+    */
+  private val triPerNodeCache = new graft.Engine.DirCache(t => {
+    val idx = edgeIndexCached(t)
+    val ori = orientedEdges(idx)
+    val nbrs = ori.groupBy("u")
+      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
+    val wedges = nbrs
+      .select(col("u").as("a"), posexplode(col("ns")).as(Seq("i", "x")),
+        col("ns"))
+      .select(col("a"), col("x.v").as("wu"),
+        explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
+      .select(col("a"), col("wu"), col("y.v").as("wv"))
+    val nEdgesOri = idx.deg
+      .agg((sum("deg") / 2).cast("long")).head().getLong(0)
+    def maybeBroadcastEdges(df: DataFrame): DataFrame =
+      if (nEdgesOri <= 2000000L) broadcast(df) else df
+    wedges
+      .join(maybeBroadcastEdges(
+        ori.select(col("u").as("wu"), col("v").as("wv"))),
+        Seq("wu", "wv"), "left_semi")
+      .select(explode(array(col("a"), col("wu"), col("wv"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("t"))
+  })
+
+  /** Triangle census of the undirected co-purchase graph, via the
+    * degree-ordered node-iterator (Schank–Wagner, see
+    * [[triPerNodeCache]]): one row out — node/edge/wedge/triangle counts
+    * and the global clustering coefficient (3·triangles / open wedges),
+    * all exact integers plus one rounded ratio — engine-independent.
+    * Triangles fold out of the shared per-node census (Σt / 3); the
+    * oriented wedge total is closed-form over the orientation's
+    * out-degrees (Σ_u C(odeg(u), 2)), so this query never re-enumerates
+    * the wedge stream.
+    */
+  def qTriangleCount(t: Tables): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val degStats = idx.deg.agg(
+      sum("deg").as("deg_total"),
+      sum(expr("(deg * (deg - 1)) div 2")).cast("long").as("open")).head()
+    val nNodes = idx.nNodes
+    val nEdges = degStats.getLong(0) / 2 // every edge counted at both ends
+    val open = degStats.getLong(1)
+    val wedgeRow = orientedEdges(idx)
+      .groupBy("u").agg(count(lit(1)).as("o"))
+      .agg(sum(expr("(o * (o - 1)) div 2")).cast("long")).head()
+    val nWedges = if (wedgeRow.isNullAt(0)) 0L else wedgeRow.getLong(0)
+    val triRow = triPerNodeCache(t).agg(sum("t").cast("long")).head()
+    val nTriangles = (if (triRow.isNullAt(0)) 0L else triRow.getLong(0)) / 3L
+    // every statistic is already a driver scalar, so the result frame is
+    // literal-only — collection cannot resurrect freed checkpoints
+    t.spark.range(1).select(
+      lit(nNodes).as("n_nodes"), lit(nEdges).as("n_edges"),
+      lit(nWedges).as("n_wedges"),
+      lit(nTriangles).as("n_triangles"),
+      round(lit(nTriangles * 3.0) / lit(open), 9).as("clustering"))
   }
 
   /** Neighborhood Jaccard similarity for the probe set: |N(u)∩N(v)| /
@@ -488,56 +503,18 @@ object Graph {
 
   /** Per-node local clustering coefficient: 2·t(v) / (deg(v)·(deg(v)−1)),
     * the top-25 most triangle-embedded nodes — which products sit inside
-    * tight co-purchase cliques (bundle candidates) vs mere hubs. Same
-    * degree-oriented wedge stream as [[qTriangleCount]] (each triangle
-    * enumerated exactly once, wedge fan-out bounded by the O(√m)
-    * orientation), but the apex rides along so every closed triangle
-    * credits its THREE corners via a 3-row explode; per-node counts are
-    * then one hash aggregate. All-integer until the one coefficient
-    * division; the top-25 cut orders by (t, node) — integer keys, so the
-    * cut is deterministic in any engine.
+    * tight co-purchase cliques (bundle candidates) vs mere hubs. Per-node
+    * triangle counts come from the session's shared census
+    * ([[triPerNodeCache]] — one wedge pass serves this query AND
+    * [[qTriangleCount]]); what remains here is a node-sized degree join.
+    * All-integer until the one coefficient division; the top-25 cut
+    * orders by (t, node) — integer keys, so the cut is deterministic in
+    * any engine.
     */
   def qClusteringCoeff(t: Tables, k: Int = 25): DataFrame = {
     val idx = edgeIndexCached(t)
-    val und = idx.edges.select("src", "dst").filter(col("src") < col("dst"))
-      .select(col("src").as("s"), col("dst").as("t"))
     val deg = idx.deg.select(col("src").as("n"), col("deg").as("d"))
-    def maybeBroadcast(df: DataFrame): DataFrame =
-      if (idx.nNodes <= 1000000L) broadcast(df) else df
-    val lower = col("ds") < col("dt") ||
-      (col("ds") === col("dt") && col("s") < col("t"))
-    val ori = und
-      .join(maybeBroadcast(deg.select(col("n").as("s"), col("d").as("ds"))), "s")
-      .join(maybeBroadcast(deg.select(col("n").as("t"), col("d").as("dt"))), "t")
-      .select(
-        when(lower, col("s")).otherwise(col("t")).as("u"),
-        when(lower, col("t")).otherwise(col("s")).as("v"),
-        when(lower, col("dt")).otherwise(col("ds")).as("dv"))
-    val nbrs = ori.groupBy("u")
-      .agg(sort_array(collect_list(struct(col("dv"), col("v")))).as("ns"))
-    // apex (a) stays on every wedge so the closing join yields full
-    // (a, wu, wv) triangles, not just a count
-    val wedges = nbrs
-      .select(col("u").as("a"), posexplode(col("ns")).as(Seq("i", "x")),
-        col("ns"))
-      .select(col("a"), col("x.v").as("wu"),
-        explode(expr("slice(ns, i + 2, size(ns))")).as("y"))
-      .select(col("a"), col("wu"), col("y.v").as("wv"))
-    // the wedge stream is the huge side — closing it against the oriented
-    // edge list MUST broadcast the edges while they fit (the
-    // qTriangleCount guard); an unhinted semi-join sort-merges the wedge
-    // stream, which measured 10× the whole-query cost at sf0.1
-    val nEdgesOri = idx.deg
-      .agg((sum("deg") / 2).cast("long")).head().getLong(0)
-    def maybeBroadcastEdges(df: DataFrame): DataFrame =
-      if (nEdgesOri <= 2000000L) broadcast(df) else df
-    val closed = wedges
-      .join(maybeBroadcastEdges(
-        ori.select(col("u").as("wu"), col("v").as("wv"))),
-        Seq("wu", "wv"), "left_semi")
-    val triPerNode = closed
-      .select(explode(array(col("a"), col("wu"), col("wv"))).as("node"))
-      .groupBy("node").agg(count(lit(1)).as("t"))
+    val triPerNode = triPerNodeCache(t)
     deg.select(col("n").as("node"), col("d"))
       .join(triPerNode, Seq("node"), "left")
       .na.fill(0L, Seq("t"))
@@ -612,7 +589,8 @@ object Graph {
     * can cross-check it against a brute-force peel on crafted graphs.
     */
   private[graft] def kcoreSurvivors(
-      edges0: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+      edges0: DataFrame, k: Int, maxIter: Int = 30,
+      broadcastKeep: Boolean = true): DataFrame = {
     var edges = edges0
     var owned = false
     var prevCount = edges.count()
@@ -620,7 +598,11 @@ object Graph {
     var i = 0
     while (!done && i < maxIter) {
       val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("src"))
+      // the survivor set is node-sized: broadcasting it turns BOTH
+      // semi-joins into map-side probes, so each peel round shuffles the
+      // edge frame once (the degree aggregate) instead of three times
+      val keep0 = deg.filter(col("deg") >= k).select(col("src"))
+      val keep = if (broadcastKeep) broadcast(keep0) else keep0
       val next = edges
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
@@ -645,9 +627,11 @@ object Graph {
     val spark = t.spark
     var cur = coPurchaseEdgesCached(t) // shared index; do not free
     var curOwned = false
+    val idx = edgeIndexCached(t)
     val rows = ks.sorted.map { k =>
       // cores are nested: peel the previous k's survivors, not the full graph
-      val surv = kcoreSurvivors(cur, k, maxIter)
+      val surv = kcoreSurvivors(cur, k, maxIter,
+        broadcastKeep = idx.nNodes <= 1000000L)
       if (curOwned) graft.Engine.freeCheckpoint(cur)
       cur = surv
       curOwned = true
@@ -859,12 +843,23 @@ object Graph {
       if (idx.nNodes <= 1000000L) broadcast(df) else df
     // round 1: h0 = 1e6 uniformly, so a1 is degree * 1e6 — still computed
     // through the generic join shape (the constant-h0 shortcut would not
-    // survive a directed graph)
+    // survive a directed graph).
+    // Each round's score frame is CHECKPOINTED before normalization:
+    // normalize consumes its input twice (max-agg + join) and the next
+    // round consumes the output again, so without materialization every
+    // level re-evaluates the edge-join subtree below it — measured ~8
+    // redundant edge scans over the three rounds. The frames are
+    // node-sized; intermediates are freed once the k-row output is
+    // materialized (the qSssp discipline).
     def normalize(scores: DataFrame, c: String): DataFrame = {
-      val mx = scores.agg(max(col(c)).as("mx"))
-      scores.crossJoin(broadcast(mx))
+      val m = scores.loopCheckpoint()
+      val mx = m.agg(max(col(c)).as("mx"))
+      val out = m.crossJoin(broadcast(mx))
         .select(col("node"),
           expr(s"($c * 1000000L) div mx").as(c))
+        .loopCheckpoint()
+      graft.Engine.freeCheckpoint(m) // out is materialized; m is spent
+      out
     }
     val h0 = idx.deg.select(col("src").as("node"), lit(1000000L).as("h"))
     val a1 = normalize(
@@ -879,9 +874,12 @@ object Graph {
       edges.join(maybeBroadcast(h1), col("src") === col("node"))
         .groupBy(col("dst").as("n2")).agg(sum("h").as("a"))
         .select(col("n2").as("node"), col("a")), "a")
-    h1.join(a2, "node")
+    val out = h1.join(a2, "node")
       .orderBy(col("a").desc, col("node"))
       .limit(k)
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .loopCheckpoint()
+    Seq(a1, h1, a2).foreach(graft.Engine.freeCheckpoint)
+    out
   }
 }
