@@ -79,6 +79,7 @@ object SparkEntry {
     "q_range_frame" -> q(Relational.qRangeFrame),
     "q_ignore_nulls" -> q(Relational.qIgnoreNulls),
     "q_sql_frontend" -> q(Relational.qSqlFrontend),
+    "q_lateral_topn" -> q(Relational.qLateralTopn),
     "q_window_lag" -> q(Relational.qWindowLag),
     "q_first_last" -> q(Relational.qFirstLast),
     "q_array_agg" -> q(Relational.qArrayAgg),
@@ -259,6 +260,8 @@ object SparkEntry {
     "q_time_to_nth" -> q(Events.qTimeToNth(_)),
     "q_user_entropy" -> q(Events.qUserEntropy),
     "q_event_transitions" -> q(Events.qEventTransitions),
+    "q_transition_reciprocity" -> q(Events.qTransitionReciprocity),
+    "q_sprt_gate" -> q(Events.qSprtGate(_)),
     "q_histogram" -> q(Stats.qHistogram(_)),
     "q_sessionize" -> q(Events.qSessionize),
     "q_json_extract" -> q(Events.qJsonExtract),
@@ -309,6 +312,7 @@ object SparkEntry {
     // — text analysis —
     "q_text_stats" -> q(TextAnalysis.qTextStats),
     "q_quality_score" -> q(TextAnalysis.qQualityScore),
+    "q_readability" -> q(TextAnalysis.qReadability),
     "q_gopher_rules" -> q(TextAnalysis.qGopherRules),
     "q_lang_id" -> q(TextAnalysis.qLangId),
     "q_hapax_ratio" -> q(TextAnalysis.qHapaxRatio),
@@ -1345,6 +1349,17 @@ object SparkEntry {
          GROUP BY l_orderkey, o_orderdate, o_orderpriority
          ORDER BY revenue DESC, l_orderkey
          LIMIT 10""",
+    "q_lateral_topn" ->
+      """SELECT r.r_name, top.c_name, top.c_acctbal
+         FROM region r, LATERAL (
+           SELECT c.c_name, c.c_acctbal
+           FROM customer c
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_regionkey = r.r_regionkey
+           ORDER BY c.c_acctbal DESC, c.c_name
+           LIMIT 3
+         ) top
+         ORDER BY r.r_name, top.c_acctbal DESC, top.c_name""",
     "q_unpivot_measures" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
            measure, val
@@ -2490,6 +2505,49 @@ FROM terms GROUP BY source ORDER BY source""",
     // transition probability = exact-count ratio within the from-row
     "q_event_transitions" -> eventTransitionsOracle,
     "q_stream_transitions" -> eventTransitionsOracle,
+    "q_transition_reciprocity" ->
+      """WITH g AS (SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_type
+           FROM events),
+         p AS (SELECT prev_type AS f, event_type AS s, COUNT(*) AS n
+           FROM g WHERE prev_type IS NOT NULL AND prev_type <> event_type
+           GROUP BY 1, 2),
+         fwd AS (SELECT f AS a, s AS b, n AS c_ab FROM p WHERE f < s),
+         rev AS (SELECT s AS a, f AS b, n AS c_ba FROM p WHERE f > s),
+         j AS (SELECT coalesce(fwd.a, rev.a) AS a,
+             coalesce(fwd.b, rev.b) AS b,
+             coalesce(c_ab, 0) AS c_ab, coalesce(c_ba, 0) AS c_ba
+           FROM fwd FULL OUTER JOIN rev ON fwd.a = rev.a AND fwd.b = rev.b)
+         SELECT a AS from_type, b AS to_type,
+           CAST(c_ab AS BIGINT) AS c_ab, CAST(c_ba AS BIGINT) AS c_ba,
+           CAST(c_ab + c_ba AS BIGINT) AS pair_total,
+           CAST((2000000 * least(c_ab, c_ba)) // (c_ab + c_ba) AS BIGINT)
+             AS recip_units
+         FROM j ORDER BY from_type, to_type""",
+    "q_sprt_gate" ->
+      """WITH w AS (SELECT user_id % 8 AS cohort, ts, event_id,
+             CASE WHEN event_type = 'purchase' THEN 693147
+               ELSE -117783 END AS llr
+           FROM events),
+         c AS (SELECT cohort, llr,
+             SUM(llr) OVER (PARTITION BY cohort ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             ROW_NUMBER() OVER (PARTITION BY cohort
+               ORDER BY ts, event_id) AS i
+           FROM w),
+         tot AS (SELECT cohort, COUNT(*) AS n_events,
+             CAST(SUM(llr) AS BIGINT) AS llr_final FROM c GROUP BY 1),
+         x AS (SELECT cohort, MIN(i) AS n_at_decision,
+             CAST(min_by(cum, i) AS BIGINT) AS llr_at_decision
+           FROM c WHERE cum >= 2944439 OR cum <= -2944439 GROUP BY 1)
+         SELECT cohort, CAST(n_events AS BIGINT) AS n_events, llr_final,
+           CAST(n_at_decision AS BIGINT) AS n_at_decision,
+           llr_at_decision,
+           CASE WHEN llr_at_decision >= 2944439 THEN 'accept_h1'
+                WHEN llr_at_decision <= -2944439 THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+         FROM tot LEFT JOIN x USING (cohort) ORDER BY cohort""",
     "q_cohort_matrix" ->
       """WITH ud AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),
@@ -4081,6 +4139,32 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
              + distinct_ratio * 0.4
              + least(avg_word_len / 10.0, 1.0) * 0.2 AS quality
          FROM d ORDER BY doc_id""",
+    "q_readability" ->
+      """WITH d AS (SELECT doc_id, trim(lower(text)) AS txt
+           FROM documents WHERE doc_id % 10 = 0),
+         m AS (SELECT doc_id,
+             CASE WHEN len(txt) = 0 THEN 0
+               ELSE len(string_split_regex(txt, ' +')) END AS n_words,
+             len(regexp_replace(txt, '[aeiouy]+', '~', 'g'))
+               - len(replace(regexp_replace(txt, '[aeiouy]+', '~', 'g'),
+                             '~', '')) AS vg,
+             len(list_filter(string_split_regex(txt, ' +'),
+               x -> NOT regexp_matches(x, '[aeiouy]'))) AS nv
+           FROM d),
+         s AS (SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+             CAST(vg + nv AS BIGINT) AS n_syllables
+           FROM m WHERE n_words > 0)
+         SELECT doc_id, n_words, n_syllables,
+           CAST(390000 * n_words + (11800000 * n_syllables) // n_words
+             - 15590000 AS BIGINT) AS fk_units,
+           CAST(390000 * n_words + (11800000 * n_syllables) // n_words
+             - 15590000 AS DOUBLE) / 1000000.0 AS fk_grade,
+           CAST(206835000 - 1015000 * n_words
+             - (84600000 * n_syllables) // n_words AS BIGINT) AS ease_units,
+           CAST(206835000 - 1015000 * n_words
+             - (84600000 * n_syllables) // n_words AS DOUBLE) / 1000000.0
+             AS reading_ease
+         FROM s ORDER BY doc_id""",
     "q_lang_id" -> {
       val langs = TextAnalysis.markers.keys.toSeq.sorted
       def score(l: String) = TextAnalysis.markers(l)

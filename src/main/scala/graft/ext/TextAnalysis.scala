@@ -76,6 +76,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Readability scoring (Flesch–Kincaid grade + Flesch reading ease) for
+    * every 10th document. Syllables are approximated the standard way —
+    * vowel-group runs ([aeiouy]+) per word, minimum 1 — computed WITHOUT a
+    * word explode: one regexp_replace marks every vowel group in the doc
+    * (total groups = marker count), and vowel-less words (which must still
+    * count one syllable each) are a higher-order filter over the token
+    * array. Both formulas then run in exact integer micro-units
+    * (fk = 0.39·w/s + 11.8·syl/w − 15.59 with s = 1 sentence per doc —
+    * the corpus is unpunctuated; ease = 206.835 − 1.015·w/s −
+    * 84.6·syl/w), so every score is an integer the oracle reproduces
+    * bit-for-bit; the one double per score is a single exact /1e6.
+    * Scale: pure per-row column expressions over a pruned 2-column scan —
+    * embarrassingly parallel at any corpus size.
+    */
+  def qReadability(t: Tables): DataFrame = {
+    val txt = trim(lower(col("text")))
+    val marked = regexp_replace(txt, "[aeiouy]+", "~")
+    val vowelGroups = (length(marked) -
+      length(translate(marked, "~", ""))).cast("long")
+    val noVowelWords = size(filter(split(txt, " +"),
+      x => !x.rlike("[aeiouy]"))).cast("long")
+    t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("n_words", tokenCount(col("text")))
+      .withColumn("n_syllables", vowelGroups + noVowelWords)
+      .filter(col("n_words") > 0)
+      .withColumn("fk_units",
+        lit(390000L) * col("n_words") +
+          expr("(11800000 * n_syllables) div n_words") - lit(15590000L))
+      .withColumn("ease_units",
+        lit(206835000L) - lit(1015000L) * col("n_words") -
+          expr("(84600000 * n_syllables) div n_words"))
+      .select(col("doc_id"), col("n_words"), col("n_syllables"),
+        col("fk_units"), (col("fk_units").cast("double") / 1e6).as("fk_grade"),
+        col("ease_units"),
+        (col("ease_units").cast("double") / 1e6).as("reading_ease"))
+      .orderBy("doc_id")
+  }
+
   /** Language-ID by marker-word counts (n-gram-heuristic stand-in): counts
     * occurrences of per-language marker words and predicts the argmax, ties
     * and zero-evidence -> 'und'. The exact same arithmetic runs in the

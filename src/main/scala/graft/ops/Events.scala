@@ -227,6 +227,87 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** Reciprocity of the directed session-transition graph: for each
+    * unordered event-type pair {a, b} (a < b, self-loops excluded), how
+    * many a→b transitions vs b→a, and the pair's reciprocity
+    * 2·min(c_ab, c_ba) / (c_ab + c_ba) in exact integer micro-units —
+    * is traffic between two states symmetric (view↔click) or a one-way
+    * funnel (signup→purchase)? Transition counting is
+    * [[qEventTransitions]]'s per-user lag window (partitioned — never a
+    * global sort); everything after is dimension-sized (|event types|²
+    * rows), so the pairing full-outer join costs nothing at any corpus
+    * scale.
+    */
+  def qTransitionReciprocity(t: Tables): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    val pairs = t.events
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNotNull &&
+        col("prev_type") =!= col("event_type"))
+      .groupBy(col("prev_type").as("f"), col("event_type").as("s"))
+      .agg(count(lit(1)).as("n"))
+    val fwd = pairs.filter(col("f") < col("s"))
+      .select(col("f").as("a"), col("s").as("b"), col("n").as("c_ab"))
+    val rev = pairs.filter(col("f") > col("s"))
+      .select(col("s").as("a"), col("f").as("b"), col("n").as("c_ba"))
+    fwd.join(rev, Seq("a", "b"), "full_outer")
+      .na.fill(0L, Seq("c_ab", "c_ba"))
+      .select(col("a").as("from_type"), col("b").as("to_type"),
+        col("c_ab"), col("c_ba"),
+        (col("c_ab") + col("c_ba")).as("pair_total"),
+        expr("(2000000 * least(c_ab, c_ba)) div (c_ab + c_ba)")
+          .as("recip_units"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Sequential probability-ratio test (Wald SPRT) per user cohort: is
+    * the purchase rate p0 = 0.10 (H0) or p1 = 0.20 (H1), decided as
+    * events stream in, with α = β = 0.05? The experimentation gate that
+    * stops a rollout as EARLY as the evidence allows instead of waiting
+    * for a fixed horizon.
+    *
+    * Exactness: per-event log-likelihood increments and the two decision
+    * boundaries are fixed integer micro-nat constants (ln(p1/p0) =
+    * 693147 μnats, ln((1−p1)/(1−p0)) = −117783, ±ln((1−β)/α) =
+    * ±2944439), so the cumulative LLR walk, the first boundary crossing,
+    * and the verdict are pure integer functions of the event order — the
+    * same walk replays in any engine.
+    *
+    * Scale: ONE pass — a per-cohort ordered window for the running sum
+    * (partitioned by cohort, never global), then two cohort-sized
+    * aggregates (min_by picks the first crossing). Cohort count is the
+    * parallelism; a hot cohort bounds one partition's sort, exactly the
+    * sessionization story.
+    */
+  def qSprtGate(t: Tables, cohorts: Int = 8): DataFrame = {
+    val upper = 2944439L
+    val lower = -2944439L
+    val byCohort = Window.partitionBy("cohort").orderBy("ts_ns", "event_id")
+    val walk = t.events
+      .select(pmod(col("user_id"), lit(cohorts.toLong)).as("cohort"),
+        col("ts_ns"), col("event_id"),
+        when(col("event_type") === "purchase", 693147L)
+          .otherwise(-117783L).as("llr"))
+      .withColumn("cum", sum("llr").over(byCohort))
+      .withColumn("i", row_number().over(byCohort).cast("long"))
+    val totals = walk.groupBy("cohort")
+      .agg(count(lit(1)).as("n_events"),
+        sum("llr").cast("long").as("llr_final"))
+    val crossed = walk
+      .filter(col("cum") >= upper || col("cum") <= lower)
+      .groupBy("cohort")
+      .agg(min("i").as("n_at_decision"),
+        min_by(col("cum"), col("i")).as("llr_at_decision"))
+    totals.join(crossed, Seq("cohort"), "left")
+      .withColumn("decision",
+        when(col("llr_at_decision") >= upper, lit("accept_h1"))
+          .when(col("llr_at_decision") <= lower, lit("accept_h0"))
+          .otherwise(lit("continue")))
+      .select("cohort", "n_events", "llr_final", "n_at_decision",
+        "llr_at_decision", "decision")
+      .orderBy("cohort")
+  }
+
   private def asOfInputs(t: Tables): (DataFrame, DataFrame) = (
     t.events.select(col("event_id"), col("user_id"), col("ts")),
     t.orders.select(

@@ -505,6 +505,31 @@ object Relational {
          LIMIT 10""")
   }
 
+  /** SQL LATERAL join through the frontend: per region, the top-3
+    * customers by account balance via a correlated LATERAL subquery with
+    * ORDER BY … LIMIT — the "top-n per group" idiom a reference user
+    * writes as a correlated derived table. Catalyst decorrelates the
+    * limit into a partitioned ranking window (no per-region re-scan, no
+    * driver loop), so the plan is one join + one bounded window at any
+    * scale; ties break on the customer name so the cut is deterministic
+    * in any engine.
+    */
+  def qLateralTopn(t: Tables): DataFrame = {
+    t.createViews()
+    t.spark.sql(
+      """SELECT r.r_name, top.c_name, top.c_acctbal
+         FROM region r
+         JOIN LATERAL (
+           SELECT c.c_name, c.c_acctbal
+           FROM customer c
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE n.n_regionkey = r.r_regionkey
+           ORDER BY c.c_acctbal DESC, c.c_name
+           LIMIT 3
+         ) AS top
+         ORDER BY r.r_name, top.c_acctbal DESC, top.c_name""")
+  }
+
   /** ETL pipeline shape on real data: dedup -> null-drop -> derived month ->
     * p90 high-value flag -> monthly aggregate (the reference's sales
     * pipeline re-expressed over `orders`; reference etl_pipeline.py:181-199).

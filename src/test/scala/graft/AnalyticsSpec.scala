@@ -667,4 +667,42 @@ class AnalyticsSpec extends SparkSuite {
       assert(a.getDouble(2) >= b.getDouble(2))
     }
   }
+
+  test("SPRT gate: crossings consistent, continue cohorts never crossed") {
+    val rows = graft.ops.Events.qSprtGate(tables).collect()
+    assert(rows.length == 8)
+    val (upper, lower) = (2944439L, -2944439L)
+    rows.foreach { r =>
+      val nEvents = r.getLong(1)
+      val fin = r.getLong(2)
+      r.getString(5) match {
+        case "continue" =>
+          assert(r.isNullAt(3) && r.isNullAt(4))
+          assert(fin > lower && fin < upper,
+            s"cohort ${r.getLong(0)}: final $fin outside open interval but no crossing")
+        case dec =>
+          val (nAt, at) = (r.getLong(3), r.getLong(4))
+          assert(nAt >= 1L && nAt <= nEvents)
+          if (dec == "accept_h1") assert(at >= upper) else assert(at <= lower)
+      }
+    }
+  }
+
+  test("transition reciprocity: canonical pairs, counts tie to transitions") {
+    val rows = graft.ops.Events.qTransitionReciprocity(tables).collect()
+    assert(rows.nonEmpty)
+    val trans = graft.ops.Events.qEventTransitions(tables).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      assert(a < b)
+      val (cab, cba) = (r.getLong(2), r.getLong(3))
+      val (tot, units) = (r.getLong(4), r.getLong(5))
+      assert(tot == cab + cba)
+      assert(units >= 0L && units <= 1000000L)
+      assert(cab == trans.getOrElse((a, b), 0L))
+      assert(cba == trans.getOrElse((b, a), 0L))
+      assert(units == 2000000L * math.min(cab, cba) / tot)
+    }
+  }
 }

@@ -509,4 +509,29 @@ class ExtSpec extends SparkSuite {
     assert(m(1L).byte_len == 11L)
     assert(m(1L).width >= 160 && m(1L).width <= 1280)
   }
+
+  test("readability: syllable floor, integer micro-unit formulas, hand recount") {
+    val rows = TextAnalysis.qReadability(tables).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, syl) = (r.getLong(1), r.getLong(2))
+      val (fk, fkG) = (r.getLong(3), r.getDouble(4))
+      val (ease, easeG) = (r.getLong(5), r.getDouble(6))
+      assert(syl >= w) // every word contributes at least one syllable
+      assert(fk == 390000L * w + (11800000L * syl) / w - 15590000L)
+      assert(ease == 206835000L - 1015000L * w - (84600000L * syl) / w)
+      assert(fkG == fk / 1e6 && easeG == ease / 1e6)
+    }
+    // hand-recompute the syllable census for one doc with plain JVM regexes:
+    // per-word max(1, vowel-group runs) must equal the column-expression
+    // formulation (whole-text group count + vowel-less word count)
+    val doc = tables.documents.filter(col("doc_id") === 0)
+      .select("text").head.getString(0)
+    val words = doc.trim.toLowerCase.split(" +")
+    val syl0 = words.map(w =>
+      math.max(1, "[aeiouy]+".r.findAllIn(w).length)).sum.toLong
+    val row0 = rows.find(_.getLong(0) == 0L).get
+    assert(row0.getLong(1) == words.length.toLong)
+    assert(row0.getLong(2) == syl0)
+  }
 }

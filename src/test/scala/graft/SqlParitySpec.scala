@@ -325,4 +325,22 @@ class SqlParitySpec extends SparkSuite {
       }
     }
   }
+
+  test("LATERAL top-n per group matches the ranking-window formulation") {
+    val lat = graft.ops.Relational.qLateralTopn(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(lat.size == 15) // 5 regions x top-3
+    val win = spark.sql(
+      """SELECT r_name, c_name, c_acctbal FROM (
+           SELECT r.r_name, c.c_name, c.c_acctbal,
+             row_number() OVER (PARTITION BY r.r_regionkey
+               ORDER BY c.c_acctbal DESC, c.c_name) AS rn
+           FROM region r
+             JOIN nation n ON n.n_regionkey = r.r_regionkey
+             JOIN customer c ON c.c_nationkey = n.n_nationkey)
+         WHERE rn <= 3
+         ORDER BY r_name, c_acctbal DESC, c_name""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(lat == win)
+  }
 }
