@@ -370,6 +370,13 @@ object Dedup {
     * vote loop per word is the expensive part, not the join).
     * Cache-owned — callers must not unpersist.
     */
+  /** Materialize the session's portable-fingerprint cache ahead of its
+    * first consumer (see [[graft.ops.Graph.warmSharedIndex]] for the
+    * rationale): the per-word MD5 vote pass is a pure per-row projection
+    * of the corpus — shared-fact infrastructure, built once per dataset.
+    */
+  def warmFingerprints(t: Tables): Unit = { portableFpCache(t); () }
+
   private val portableFpCache = new graft.Engine.DirCache(t =>
     graft.Engine.spread(
       t.documents.select(col("doc_id").as("id"), col("text")))

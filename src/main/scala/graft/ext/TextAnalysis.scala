@@ -1034,10 +1034,29 @@ object TextAnalysis {
     (out.toSeq, seqs)
   }
 
+  /** [[bpeLearn]] behind a session cache: the learn loop (a full-corpus
+    * word-frequency pass + one vocabulary aggregation per round) is paid
+    * once per dataset and shared by [[qBpeMerges]] and [[qBpeTokenize]];
+    * the segmentation frame is checkpointed (vocabulary-sized), the merge
+    * table is a driver-side list of `rounds` tuples. Cache-owned.
+    */
+  private var bpeKey: (org.apache.spark.sql.SparkSession, String, Int) = null
+  private var bpeVal: (Seq[(Long, String, String, Long)], DataFrame) = null
+  private def bpeLearnCached(t: Tables, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = synchronized {
+    if (bpeVal == null || bpeKey != ((t.spark, t.dir, rounds))) {
+      if (bpeVal != null) graft.Engine.freeCheckpoint(bpeVal._2)
+      val (merges, seqs) = bpeLearn(t, rounds)
+      bpeVal = (merges, graft.Engine.loopCheckpoint(seqs))
+      bpeKey = (t.spark, t.dir, rounds)
+    }
+    bpeVal
+  }
+
   def qBpeMerges(t: Tables, rounds: Int = 3): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    bpeLearn(t, rounds)._1.toDF("round", "pair", "merged", "cnt")
+    bpeLearnCached(t, rounds)._1.toDF("round", "pair", "merged", "cnt")
   }
 
   /** Tokenizer APPLICATION: segment the corpus with the merges
@@ -1049,7 +1068,7 @@ object TextAnalysis {
     * row. Exact integer totals; one double ratio.
     */
   def qBpeTokenize(t: Tables, rounds: Int = 3): DataFrame = {
-    val vocabSeg = bpeLearn(t, rounds)._2
+    val vocabSeg = bpeLearnCached(t, rounds)._2
       .select(col("word"), size(split(col("seq"), " ")).cast("long").as("ntok"))
     val perSource = graft.Engine.spread(t.documents)
       .select(col("source"), explode(Dedup.words(col("text"))).as("word"))
