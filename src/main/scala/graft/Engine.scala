@@ -71,15 +71,47 @@ object Engine {
     * by executor storage memory, which is what a 100 TB edge fact needs.
     * Same loop code either way; the toggle is pure configuration.
     */
-  def loopCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  def loopCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointImpl(df, eager = true)
+
+  /** [[loopCheckpoint]] fused with the loop's convergence witness: the
+    * checkpoint is created LAZY and the witness (label sum, frontier
+    * count, admission total — any action over the new round state) is the
+    * action that materializes it, so each round pays ONE job instead of a
+    * materialization job followed by a witness job. By the time this
+    * returns, the frame IS materialized — the caller may free the previous
+    * round immediately, same contract as the eager form. Use only when a
+    * witness action exists; rounds without one keep plain
+    * [[loopCheckpoint]] (an unmaterialized lazy checkpoint whose inputs
+    * are freed cannot be recomputed).
+    */
+  def loopCheckpointWith[T](df: org.apache.spark.sql.DataFrame)(
+      witness: org.apache.spark.sql.DataFrame => T)
+      : (org.apache.spark.sql.DataFrame, T) = {
+    val ck = checkpointImpl(df, eager = false)
+    (ck, witness(ck))
+  }
+
+  /** A lazy loop checkpoint with NO fused witness: lineage is truncated
+    * now, materialization happens on the first downstream action. For
+    * intra-round intermediates that a [[loopCheckpointWith]] round state
+    * consumes (the witness job materializes both). The caller must not
+    * free this frame's inputs until something downstream has acted.
+    */
+  def lazyLoopCheckpoint(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    checkpointImpl(df, eager = false)
+
+  private def checkpointImpl(
+      df: org.apache.spark.sql.DataFrame,
+      eager: Boolean): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
     if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(
           spark.conf.getOption("spark.graft.checkpoint.dir").getOrElse(
             java.nio.file.Files.createTempDirectory("graft-ckpt").toString))
-      df.checkpoint()
-    } else df.localCheckpoint()
+      df.checkpoint(eager = eager)
+    } else df.localCheckpoint(eager = eager)
   }
 
   /** `.loopCheckpoint()` as a postfix op so call sites chain like the

@@ -531,8 +531,6 @@ object Dedup {
     // cheaper than materializing two more checkpoints).
     val sym = edges.select(col("id1").as("src"), col("id2").as("dst"))
       .union(edges.select(col("id2").as("src"), col("id1").as("dst")))
-    var labels = sym.select(col("src").as("id"), col("src").as("comp")).distinct()
-      .loopCheckpoint()
     // min-propagation is monotone (a label only ever decreases), so the
     // label sum is a convergence witness — one aggregate per round, no
     // old-vs-new join
@@ -540,7 +538,10 @@ object Dedup {
       val r = df.agg(sum("comp")).head()
       if (r.isNullAt(0)) 0L else r.getLong(0) // empty edge list -> null sum
     }
-    var lastSum = labelSum(labels)
+    val init = graft.Engine.loopCheckpointWith(
+      sym.select(col("src").as("id"), col("src").as("comp")).distinct())(labelSum)
+    var labels = init._1
+    var lastSum = init._2
     var i = 0
     var done = false
     while (!done && i < maxIter) {
@@ -558,16 +559,17 @@ object Dedup {
       // corpora chain through boilerplate just like this), jumping makes
       // it O(log diameter). Monotone (comp(comp) <= comp), so the
       // label-sum convergence witness is unchanged.
-      // materialize once; the jump joins the frame with itself and a
+      // checkpoint once; the jump joins the frame with itself and a
       // lazy self-join of one plan trips attribute-dedup on the reused
-      // lineage — two scans of the checkpointed RDD are cheaper anyway
-      val propM = prop.loopCheckpoint()
-      val next = propM
-        .join(propM.toDF("pid", "pcomp"), col("comp") === col("pid"))
-        .select(col("id"), col("pcomp").as("comp"))
-        .loopCheckpoint()
+      // lineage — two scans of the checkpointed RDD are cheaper anyway.
+      // Both checkpoints are LAZY and the label-sum witness is the one
+      // action that materializes them: one job per round, not three.
+      val propM = graft.Engine.lazyLoopCheckpoint(prop)
+      val (next, s) = graft.Engine.loopCheckpointWith(
+        propM
+          .join(propM.toDF("pid", "pcomp"), col("comp") === col("pid"))
+          .select(col("id"), col("pcomp").as("comp")))(labelSum)
       graft.Engine.freeCheckpoint(propM)
-      val s = labelSum(next)
       done = s == lastSum
       lastSum = s
       // the superseded round's checkpoint blocks are dead once `next` is

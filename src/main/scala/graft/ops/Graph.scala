@@ -201,13 +201,16 @@ object Graph {
     var growing = true
     while (growing && h <= maxHops) {
       val visited = hopFrames.map(_.select("node")).reduce(_ unionByName _)
-      val next = edges0
-        .join(maybeBroadcast(frontier.select(col("node").as("src"))), "src")
-        .select(col("dst").as("node")).distinct()
-        .join(maybeBroadcast(visited), Seq("node"), "left_anti")
-        .withColumn("hop", lit(h.toLong))
-        .loopCheckpoint()
-      growing = !next.isEmpty // cheap: `next` is already materialized
+      // the emptiness witness materializes the lazy hop checkpoint (the
+      // limit-1 probe touches partitions until one yields; the remainder
+      // fill in when the next hop's join first scans the frame)
+      val (next, empty) = graft.Engine.loopCheckpointWith(
+        edges0
+          .join(maybeBroadcast(frontier.select(col("node").as("src"))), "src")
+          .select(col("dst").as("node")).distinct()
+          .join(maybeBroadcast(visited), Seq("node"), "left_anti")
+          .withColumn("hop", lit(h.toLong)))(_.isEmpty)
+      growing = !empty
       if (growing) {
         hopFrames += next
         frontier = next.select("node")
@@ -613,14 +616,14 @@ object Graph {
       // edge frame once (the degree aggregate) instead of three times
       val keep0 = deg.filter(col("deg") >= k).select(col("src"))
       val keep = if (broadcastKeep) broadcast(keep0) else keep0
-      val next = edges
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .select("src", "dst")
-        .loopCheckpoint()
       // the symmetric edge frame's src-degree equals the undirected
-      // degree; convergence = no edge was dropped this round
-      val c = next.count()
+      // degree; convergence = no edge was dropped this round. The count
+      // witness materializes the lazy round checkpoint — one job per peel.
+      val (next, c) = graft.Engine.loopCheckpointWith(
+        edges
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          .select("src", "dst"))(_.count())
       done = c == prevCount
       prevCount = c
       if (owned) graft.Engine.freeCheckpoint(edges)
@@ -862,7 +865,12 @@ object Graph {
     // node-sized; intermediates are freed once the k-row output is
     // materialized (the qSssp discipline).
     def normalize(scores: DataFrame, c: String): DataFrame = {
-      val m = scores.loopCheckpoint()
+      // LAZY intermediate: the eager checkpoint of `out` is the one job
+      // of the round — it materializes `m` on the way through (both the
+      // max-broadcast side and the main scan fill the same persisted
+      // blocks), where an eager `m` plus the max aggregate cost two extra
+      // jobs per normalization
+      val m = graft.Engine.lazyLoopCheckpoint(scores)
       val mx = m.agg(max(col(c)).as("mx"))
       val out = m.crossJoin(broadcast(mx))
         .select(col("node"),
