@@ -259,6 +259,10 @@ object SparkEntry {
     "q_stickiness" -> q(Events.qStickiness),
     "q_time_to_nth" -> q(Events.qTimeToNth(_)),
     "q_user_entropy" -> q(Events.qUserEntropy),
+    "q_sequence_match" -> q(Events.qSequenceMatch),
+    "q_type_precedence" -> q(Events.qTypePrecedence),
+    "q_fdr_bh" -> q(Stats.qFdrBh),
+    "q_ppr" -> q(Graph.qPpr(_)),
     "q_event_transitions" -> q(Events.qEventTransitions),
     "q_transition_reciprocity" -> q(Events.qTransitionReciprocity),
     "q_sprt_gate" -> q(Events.qSprtGate(_)),
@@ -3119,6 +3123,98 @@ FROM terms GROUP BY source ORDER BY source""",
              - CAST(sdec AS DOUBLE) / CAST(n_events AS DOUBLE), 9)
              AS entropy_bits
          FROM a ORDER BY user_id""",
+    // per-user ordered type string via string_agg; patterns use only
+    // `.`/`.*` so Java regex and RE2 agree; micro-us ordering contract
+    "q_sequence_match" ->
+      """WITH s AS (SELECT user_id,
+             string_agg(event_type, ',' ORDER BY epoch_us(ts), event_id)
+               AS seq
+           FROM events GROUP BY user_id),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN regexp_matches(seq, 'signup.*purchase')
+               THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+             CAST(SUM(CASE WHEN regexp_matches(seq, 'click.*view.*purchase')
+               THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+             CAST(SUM(CASE WHEN regexp_matches(seq, 'error.*purchase')
+               THEN 1 ELSE 0 END) AS BIGINT) AS m3
+           FROM s)
+         SELECT 'click_view_purchase' AS pattern, n_users, m2 AS n_match,
+             CAST(m2 AS DOUBLE) / n_users AS match_share FROM a
+         UNION ALL SELECT 'error_then_purchase', n_users, m3,
+             CAST(m3 AS DOUBLE) / n_users FROM a
+         UNION ALL SELECT 'signup_then_purchase', n_users, m1,
+             CAST(m1 AS DOUBLE) / n_users FROM a
+         ORDER BY pattern""",
+    // first-occurrence instants in integer microseconds; a tie counts
+    // for neither direction
+    "q_type_precedence" ->
+      """WITH f AS (SELECT user_id, event_type, MIN(epoch_us(ts)) AS f
+             FROM events GROUP BY 1, 2)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both,
+           CAST(SUM(CASE WHEN a.f < b.f THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a_first,
+           CAST(SUM(CASE WHEN a.f < b.f THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS share_a_first
+         FROM f a JOIN f b
+           ON a.user_id = b.user_id AND a.event_type <> b.event_type
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    // exact-integer chi-square in HUGEINT (Spark side DECIMAL(38,0));
+    // BH step-up against the fixed critical table for alpha=0.05, m=25
+    "q_fdr_bh" ->
+      """WITH per AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n_nat,
+             CAST(SUM(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_seg
+           FROM customer GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n_nat) AS BIGINT) AS nn,
+             CAST(SUM(n_seg) AS BIGINT) AS bb FROM per),
+         st AS (SELECT nation, n_nat, n_seg,
+             CAST((CAST(nn AS HUGEINT) * dd * dd * 1000000)
+               // (CAST(n_nat AS HUGEINT) * (nn - n_nat) * bb * (nn - bb))
+               AS BIGINT) AS chi2_micro
+           FROM (SELECT p.nation, p.n_nat, p.n_seg, t.nn, t.bb,
+               CAST(p.n_seg AS HUGEINT)
+                   * (t.nn - p.n_nat - t.bb + p.n_seg)
+                 - CAST(p.n_nat - p.n_seg AS HUGEINT) * (t.bb - p.n_seg)
+                 AS dd
+             FROM per p, tot t)),
+         rk AS (SELECT *, CAST(row_number() OVER
+             (ORDER BY chi2_micro DESC, nation) AS BIGINT) AS rnk FROM st),
+         cr AS (SELECT *, CAST(([9549536,8283815,7550303,7033474,6634897,
+             6310869,6038143,5802874,5596149,5411894,5245785,5094632,
+             4956019,4828067,4709292,4598497,4494704,4397105,4305022,
+             4217885,4135204,4056562,3981594,3909986,3841459])[rnk]
+             AS BIGINT) AS crit_micro FROM rk),
+         ks AS (SELECT MAX(CASE WHEN chi2_micro >= crit_micro THEN rnk
+             ELSE 0 END) AS kstar FROM cr)
+         SELECT nation, n_nat, n_seg, chi2_micro, rnk, crit_micro,
+           CAST(CASE WHEN rnk <= kstar THEN 1 ELSE 0 END AS BIGINT)
+             AS rejected
+         FROM cr, ks ORDER BY rnk""",
+    // qPagerank's unrolled-CTE pairing with all restart mass at the seed
+    "q_ppr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+             FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY 1),
+         sd AS (SELECT MIN(src) AS s FROM deg),
+         r0 AS (SELECT s AS node, CAST(1000000000 AS BIGINT) AS r FROM sd),
+         s1 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM (
+             SELECT e.dst AS node, (r.r * 85) // (100 * d.d) AS r
+               FROM e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             UNION ALL SELECT s, 150000000 FROM sd) GROUP BY node),
+         s2 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM (
+             SELECT e.dst AS node, (r.r * 85) // (100 * d.d) AS r
+               FROM e JOIN s1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             UNION ALL SELECT s, 150000000 FROM sd) GROUP BY node),
+         s3 AS (SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM (
+             SELECT e.dst AS node, (r.r * 85) // (100 * d.d) AS r
+               FROM e JOIN s2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+             UNION ALL SELECT s, 150000000 FROM sd) GROUP BY node)
+         SELECT node AS part, r AS ppr_micro FROM s3
+         ORDER BY r DESC, part LIMIT 25""",
     "q_histogram" ->
       """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
            COUNT(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi

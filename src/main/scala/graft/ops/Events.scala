@@ -1578,4 +1578,85 @@ object Events {
             - col("sdec").cast("double") / col("n_events").cast("double"),
           9).as("entropy_bits"))
       .orderBy("user_id")
+
+  /** Ordered-sequence pattern matching over user timelines (the
+    * sequenceMatch analytic): each user's events collapse to ONE ordered
+    * type string, and behavioral funnels become plain regular expressions
+    * over it — arbitrary gaps allowed, unlike [[qEventTransitions]]'
+    * adjacent pairs or [[qFunnelSteps]]' fixed three stages. Reported per
+    * pattern: users matched and the matched share.
+    *
+    * Determinism: ordering is (microsecond ts, event_id) — the
+    * [[qDebounce]] truncation contract, so both engines agree on the
+    * sequence string byte for byte; the patterns use only `.`/`.*`
+    * constructs that Java regex and RE2 interpret identically.
+    * Scale: one hash aggregate to user-sized rows (each bounded by the
+    * user's own event count — the sessionization per-entity cap applies),
+    * three codegen'd regex probes, one global sum. Nothing event-sized
+    * crosses a second shuffle.
+    */
+  def qSequenceMatch(t: Tables): DataFrame = {
+    val seqs = t.events
+      .select(col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("event_id"), col("event_type"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(
+            struct(col("ts_us"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ",").as("seq"))
+    seqs
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("seq").rlike("signup.*purchase"), 1L).otherwise(0L))
+          .as("m1"),
+        sum(when(col("seq").rlike("click.*view.*purchase"), 1L).otherwise(0L))
+          .as("m2"),
+        sum(when(col("seq").rlike("error.*purchase"), 1L).otherwise(0L))
+          .as("m3"))
+      .selectExpr(
+        """stack(3,
+             'click_view_purchase', m2,
+             'error_then_purchase', m3,
+             'signup_then_purchase', m1) AS (pattern, n_match)""",
+        "n_users")
+      .select(col("pattern"), col("n_users"), col("n_match"),
+        (col("n_match").cast("double") / col("n_users").cast("double"))
+          .as("match_share"))
+      .orderBy("pattern")
+  }
+
+  /** Type-precedence matrix: for every ordered pair of distinct event
+    * types, among users who performed both, how often does the FIRST
+    * occurrence of type A precede the first occurrence of type B? The
+    * directional "what leads to what" summary that transition matrices
+    * (adjacent-only) and funnels (fixed order) both miss.
+    *
+    * Exactness: first-occurrence instants are integer microseconds
+    * ([[qDebounce]] contract); a tie (same microsecond) counts for
+    * NEITHER direction, which both engines decide identically on the
+    * integers. Scale: the firsts frame is (users × ≤|types|) rows off one
+    * hash aggregate; the pair join is co-partitioned on user_id with
+    * bounded fan-out (≤ |types|² per user); output is |types|²-sized.
+    */
+  def qTypePrecedence(t: Tables): DataFrame = {
+    val firsts = t.events
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      .groupBy("user_id", "event_type")
+      .agg(min("ts_us").as("f"))
+    firsts.select(col("user_id"), col("event_type").as("type_a"),
+        col("f").as("fa"))
+      .join(firsts.select(col("user_id"), col("event_type").as("type_b"),
+        col("f").as("fb")), "user_id")
+      .filter(col("type_a") =!= col("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(
+        count(lit(1)).as("n_both"),
+        sum(when(col("fa") < col("fb"), 1L).otherwise(0L)).as("n_a_first"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a_first"),
+        (col("n_a_first").cast("double") / col("n_both").cast("double"))
+          .as("share_a_first"))
+      .orderBy("type_a", "type_b")
+  }
 }

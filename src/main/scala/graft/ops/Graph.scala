@@ -900,4 +900,56 @@ object Graph {
     Seq(a1, h1, a2).foreach(graft.Engine.freeCheckpoint)
     out
   }
+
+  /** Personalized PageRank from the deterministic seed (minimum part key):
+    * [[qPagerank]]'s damped mass flow, but ALL restart mass returns to the
+    * seed — the "related products for THIS product" ranking, vs global
+    * importance. Integer micro-unit arithmetic (seed starts with 1e9,
+    * restart adds 15% of 1e9 at the seed each round, every edge transfer
+    * is `(r * 85) div (100 * deg)`), so three rounds are a pure integer
+    * function of the graph and the oracle unrolls them as chained CTEs.
+    *
+    * Scale shape: the rank frame holds only nodes reached so far (seed's
+    * ball of radius `iters`) — never wider than PageRank's node-sized
+    * state; each round is one broadcast-guarded join + hash aggregate
+    * against the shared checkpointed edge index, with the restart row
+    * union'd in map-side. Top-k by (rank DESC, node) with the seed's own
+    * row carrying the residual mass.
+    */
+  def qPpr(t: Tables, iters: Int = 3, k: Int = 25): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges0 = idx.edges.select("src", "dst")
+    val deg = idx.deg
+    val seed = idx.minNode
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (idx.nNodes <= 1000000L) broadcast(df) else df
+    val edgesD = edges0.join(maybeBroadcast(deg), "src")
+    val spark = edges0.sparkSession
+    var ranks = spark.range(1)
+      .select(lit(seed).as("node"), lit(1000000000L).as("r"))
+      .loopCheckpoint()
+    var prev: DataFrame = null
+    for (_ <- 1 to iters) {
+      val contrib = edgesD
+        .join(maybeBroadcast(ranks), col("src") === col("node"))
+        .select(col("dst").as("node"),
+          expr("(r * 85) div (100 * deg)").as("c"))
+      val restart = spark.range(1)
+        .select(lit(seed).as("node"), lit(150000000L).as("c"))
+      val next = contrib.unionByName(restart)
+        .groupBy("node").agg(sum("c").as("r"))
+        .loopCheckpoint()
+      if (prev != null) graft.Engine.freeCheckpoint(prev)
+      prev = ranks
+      ranks = next
+    }
+    val out = ranks
+      .orderBy(col("r").desc, col("node"))
+      .limit(k)
+      .select(col("node").as("part"), col("r").as("ppr_micro"))
+      .loopCheckpoint()
+    if (prev != null) graft.Engine.freeCheckpoint(prev)
+    graft.Engine.freeCheckpoint(ranks)
+    out
+  }
 }

@@ -1411,4 +1411,68 @@ object Stats {
         round(col("ss_between") / (col("ss_between") + col("ss_within")), 6)
           .as("eta_sq"))
   }
+
+  /** Benjamini–Hochberg FDR control over the fixed family of 25
+    * nation-level independence tests — the multiple-comparisons gate an
+    * experimentation platform runs when one launch is read across many
+    * segments. Each nation gets the 2×2 chi-square of membership vs the
+    * BUILDING market segment, computed EXACTLY: with cells (a,b,c,d),
+    * chi² = N(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)), evaluated in
+    * DECIMAL(38,0) and floor-scaled to integer micro-units — no floating
+    * point anywhere, so both engines produce the identical statistic.
+    * (The DECIMAL(38,0) numerator N·(ad−bc)²·1e6 holds to ~1e6 customers
+    * per cell; past that, run the same formula on micro-scaled
+    * proportions.)
+    *
+    * BH step-up needs p-value ORDER and per-rank thresholds; with every
+    * test at df=1 the statistic order IS the p-value order, and the
+    * thresholds p(i) ≤ i·α/m become fixed critical values
+    * c(i) = Qχ²₁(1 − i·α/m) — embedded as integer micro-unit constants
+    * for α = 0.05, m = 25 (the test family is part of the spec, the
+    * same fixed-constant convention as the SPRT gate's micro-nat LLRs).
+    * Reject ranks 1..k*, k* = max{i : stat(i) ≥ c(i)}.
+    *
+    * Scale: one hash aggregate over customers builds the 25-row test
+    * frame; ranking and the k* fold run on that dimension-sized frame
+    * (the global window is bounded by m, never by the fact table).
+    */
+  def qFdrBh(t: Tables): DataFrame = {
+    // Qχ²₁(1 − 0.002·i)·1e6 for i = 1..25 (α = 0.05, m = 25)
+    val critMicro = Seq(
+      9549536L, 8283815L, 7550303L, 7033474L, 6634897L, 6310869L,
+      6038143L, 5802874L, 5596149L, 5411894L, 5245785L, 5094632L,
+      4956019L, 4828067L, 4709292L, 4598497L, 4494704L, 4397105L,
+      4305022L, 4217885L, 4135204L, 4056562L, 3981594L, 3909986L,
+      3841459L)
+    val per = t.customer
+      .groupBy(col("c_nationkey").cast("long").as("nation"))
+      .agg(
+        count(lit(1)).as("n_nat"),
+        sum(when(col("c_mktsegment") === "BUILDING", 1L).otherwise(0L))
+          .as("n_seg"))
+    val tot = per.agg(
+      sum("n_nat").as("nn"), sum("n_seg").as("bb"))
+    val stats = per.crossJoin(broadcast(tot))
+      .withColumn("delta",
+        col("n_seg").cast(DecimalType(38, 0)) *
+          (col("nn") - col("n_nat") - col("bb") + col("n_seg")) -
+          (col("n_nat") - col("n_seg")).cast(DecimalType(38, 0)) *
+            (col("bb") - col("n_seg")))
+      .withColumn("chi2_micro",
+        expr("""(CAST(nn AS DECIMAL(38,0)) * delta * delta * 1000000) div
+                (CAST(n_nat AS DECIMAL(38,0)) * (nn - n_nat) * bb * (nn - bb))"""))
+    val byStat = Window.orderBy(col("chi2_micro").desc, col("nation"))
+    val all = Window.partitionBy() // m = 25 rows — dimension-sized
+    stats
+      .withColumn("rnk", row_number().over(byStat).cast("long"))
+      .withColumn("crit_micro",
+        element_at(array(critMicro.map(lit): _*), col("rnk").cast("int")))
+      .withColumn("kstar",
+        max(when(col("chi2_micro") >= col("crit_micro"), col("rnk"))
+          .otherwise(0L)).over(all))
+      .select(col("nation"), col("n_nat"), col("n_seg"),
+        col("chi2_micro"), col("rnk"), col("crit_micro"),
+        (col("rnk") <= col("kstar")).cast("long").as("rejected"))
+      .orderBy("rnk")
+  }
 }
