@@ -147,6 +147,12 @@ object SparkEntry {
     "q_seasonal_strength" -> q(Events.qSeasonalStrength),
     "q_ttr_curve" -> q(TextAnalysis.qTtrCurve(_)),
     "q_resource_alloc" -> q(Graph.qResourceAlloc(_)),
+    "q_adamic_adar" -> q(Graph.qAdamicAdar(_)),
+    "q_levene" -> q(Stats.qLevene),
+    "q_wilcoxon" -> q(Stats.qWilcoxon),
+    "q_lorenz" -> q(Stats.qLorenz),
+    "q_hash_split" -> q(Sampling.qHashSplit(_)),
+    "q_mutual_info" -> q(TextAnalysis.qMutualInfo),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1100,6 +1106,155 @@ object SparkEntry {
            CAST(n_common AS BIGINT) AS n_common,
            CAST(ra_units AS BIGINT) AS ra_units, CAST(rnk AS BIGINT) AS rnk
          FROM r WHERE rnk <= 5 ORDER BY part, rnk""",
+    // same probe shape with pinned-ln micro-nat weights (half-up round of
+    // ln(deg)*1e6 then integer floor division — order-free sums)
+    "q_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+             FROM lineitem),
+         e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+           FROM li a JOIN li b ON a.ok = b.ok AND a.pk <> b.pk),
+         deg AS (SELECT src AS w,
+             1000000000000 // CAST(round(ln(COUNT(*)) * 1000000) AS BIGINT)
+               AS wt
+           FROM e GROUP BY src),
+         pr AS (SELECT src AS u, dst AS w FROM e WHERE src % 199 = 0),
+         cn AS (SELECT pr.u, e.dst AS v, COUNT(*) AS n_common,
+             SUM(wt) AS aa_units
+           FROM pr JOIN e ON e.src = pr.w JOIN deg ON deg.w = pr.w
+           WHERE e.dst <> pr.u GROUP BY 1, 2),
+         nonadj AS (SELECT u, v, n_common, aa_units FROM cn
+           WHERE NOT EXISTS (SELECT 1 FROM e
+             WHERE e.src = cn.u AND e.dst = cn.v)),
+         r AS (SELECT u, v, n_common, aa_units,
+             row_number() OVER (PARTITION BY u
+               ORDER BY aa_units DESC, v) AS rnk
+           FROM nonadj)
+         SELECT u AS part, v AS candidate,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(aa_units AS BIGINT) AS aa_units, CAST(rnk AS BIGINT) AS rnk
+         FROM r WHERE rnk <= 5 ORDER BY part, rnk""",
+    // Brown–Forsythe: integer half-cent median centers, then the q_anova
+    // kilo-dollar DECIMAL moment pipeline on |2·cents − med2|/200000
+    "q_levene" ->
+      """WITH o AS (SELECT o_orderpriority AS grp,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderkey AS okey FROM orders),
+         r AS (SELECT grp, cents,
+             CAST(row_number() OVER (PARTITION BY grp
+               ORDER BY cents, okey) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS n FROM o),
+         m AS (SELECT grp,
+             SUM(CASE WHEN rn = (n + 1) // 2 THEN cents ELSE 0 END) +
+             SUM(CASE WHEN rn = n // 2 + 1 THEN cents ELSE 0 END) AS med2
+           FROM r GROUP BY 1),
+         z AS (SELECT o.grp,
+             CAST(abs(2 * o.cents - m.med2) AS DOUBLE) / 200000.0 AS z
+           FROM o JOIN m ON o.grp = m.grp),
+         g AS (SELECT grp, COUNT(*) AS n,
+             SUM(CAST(z AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(z * z AS DECIMAL(24,6))) AS sxx FROM z GROUP BY 1),
+         g2 AS (SELECT grp, n, sx, sxx,
+             CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 4)
+               AS DECIMAL(24,4)) AS term FROM g),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(sx) AS s_all, SUM(sxx) AS sxx_all, SUM(term) AS term_all
+           FROM g2),
+         s AS (SELECT k, n_total,
+             ROUND(CAST(term_all AS DOUBLE)
+               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total, 4)
+               AS ss_between,
+             ROUND(CAST(sxx_all AS DOUBLE) - CAST(term_all AS DOUBLE), 4)
+               AS ss_within
+           FROM a)
+         SELECT k, n_total, ss_between, ss_within,
+           ROUND((ss_between / (k - 1)) / (ss_within / (n_total - k)), 6)
+             AS f_stat
+         FROM s""",
+    // paired signed-rank in doubled-rank integer units (midranks exact)
+    "q_wilcoxon" ->
+      """WITH rev AS (SELECT o_custkey, year(o_orderdate) AS yr,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+           GROUP BY 1, 2),
+         p AS (SELECT a.o_custkey, CAST(b.cents - a.cents AS BIGINT) AS d
+           FROM rev a JOIN rev b ON a.o_custkey = b.o_custkey
+           WHERE a.yr = 1995 AND b.yr = 1996),
+         q AS (SELECT d, abs(d) AS ad FROM p WHERE d <> 0),
+         r AS (SELECT d,
+             2 * CAST(rank() OVER (ORDER BY ad) AS BIGINT) +
+               CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT) - 1 AS r2
+           FROM q)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END), 0)
+             AS BIGINT) AS w2_plus,
+           CAST(COALESCE(SUM(CASE WHEN d < 0 THEN r2 ELSE 0 END), 0)
+             AS BIGINT) AS w2_minus,
+           ROUND((CAST(COALESCE(SUM(CASE WHEN d > 0 THEN r2 ELSE 0 END), 0)
+                 AS DOUBLE)
+               / 2.0
+               - CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) + 1.0)
+                 / 4.0)
+             / sqrt(CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE)
+               + 1.0) * (2.0 * CAST(COUNT(*) AS DOUBLE) + 1.0) / 24.0), 6)
+             AS z_approx
+         FROM r""",
+    // integer ceiling-split deciles; cents exact, one double share chain
+    "q_lorenz" ->
+      """WITH c AS (SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         r AS (SELECT CAST(cents AS BIGINT) AS cents,
+             CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT)
+               AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n FROM c),
+         d AS (SELECT (i * 10 + n - 1) // n AS decile, cents FROM r),
+         g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(cents) AS BIGINT) AS decile_cents FROM d GROUP BY 1)
+         SELECT decile, n_customers, decile_cents,
+           CAST(SUM(decile_cents) OVER (ORDER BY decile) AS BIGINT)
+             AS cum_cents,
+           ROUND(CAST(SUM(decile_cents) OVER (ORDER BY decile) AS DOUBLE)
+             / CAST(SUM(decile_cents) OVER () AS DOUBLE), 9) AS cum_share
+         FROM g ORDER BY decile""",
+    // md5-prefix split: string thresholds, exact 205/26/25-per-256 shares
+    "q_hash_split" ->
+      """WITH d AS (SELECT source, n_chars,
+             substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+           FROM documents),
+         s AS (SELECT CASE WHEN h2 < 'cd' THEN 'train'
+                 WHEN h2 < 'e7' THEN 'val' ELSE 'test' END AS split,
+             source, n_chars FROM d),
+         g AS (SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           FROM s GROUP BY 1, 2)
+         SELECT split, source, n_docs, n_chars,
+           ROUND(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 9)
+             AS source_share
+         FROM g ORDER BY split, source""",
+    // MI/entropies over the (lang, source) cell frame, log2 terms pinned
+    // at 1e-9 and summed in DECIMAL weighted by cell counts
+    "q_mutual_info" ->
+      """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS c
+             FROM documents GROUP BY 1, 2),
+         m AS (SELECT lang, source, c,
+             CAST(SUM(c) OVER (PARTITION BY lang) AS BIGINT) AS cl,
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS cs,
+             CAST(SUM(c) OVER () AS BIGINT) AS n FROM cells)
+         SELECT CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           ROUND(CAST(SUM(CAST(ROUND(log2(n) - log2(cl), 9)
+                 AS DECIMAL(16,9)) * CAST(c AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE), 9) AS h_lang_bits,
+           ROUND(CAST(SUM(CAST(ROUND(log2(n) - log2(cs), 9)
+                 AS DECIMAL(16,9)) * CAST(c AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE), 9) AS h_source_bits,
+           ROUND(CAST(SUM(CAST(ROUND(log2(c) + log2(n) - log2(cl)
+                 - log2(cs), 9) AS DECIMAL(16,9))
+                 * CAST(c AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(MAX(n) AS DOUBLE), 9) AS mi_bits
+         FROM m""",
     "etl_sales_pipeline" ->
       """WITH t AS (
            SELECT DISTINCT * FROM orders

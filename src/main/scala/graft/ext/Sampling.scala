@@ -20,6 +20,36 @@ object Sampling {
   private def hashKey(textCol: String, idCol: String) =
     md5(concat(col(textCol), col(idCol).cast("string")))
 
+  /** Deterministic train/val/test split by content hash — the
+    * reproducible-corpus split: a document's assignment is a pure function
+    * of its bytes, so it NEVER migrates between splits as the corpus
+    * grows, shards differently, or is rebuilt on another engine (random
+    * splits leak val docs into train on every re-run). The md5 hex prefix
+    * is uniform over 256 values and ASCII-compares identically everywhere,
+    * so the cut points are plain string thresholds: train < 'cd'
+    * (205/256 ≈ 80.1%), val < 'e7' (26/256 ≈ 10.2%), rest test
+    * (25/256 ≈ 9.8%) — exact rational shares, no float boundary.
+    *
+    * Scale: pure map + one hash aggregate on (split, source); nothing
+    * else. The realized per-source share comes from a window over the
+    * key-domain-sized result frame.
+    */
+  def qHashSplit(t: Tables): DataFrame = {
+    val bySource = Window.partitionBy("source")
+    t.documents
+      .withColumn("h2", substring(hashKey("text", "doc_id"), 1, 2))
+      .withColumn("split",
+        when(col("h2") < "cd", "train")
+          .when(col("h2") < "e7", "val")
+          .otherwise("test"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .withColumn("source_share",
+        round(col("n_docs").cast("double") /
+          sum(col("n_docs")).over(bySource).cast("double"), 9))
+      .orderBy("split", "source")
+  }
+
   /** Stratified top-k: k docs per (lang, source) stratum in content-hash
     * order — a fixed-size per-stratum sample that balances the corpus
     * across languages and sources.

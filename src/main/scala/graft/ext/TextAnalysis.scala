@@ -6,6 +6,7 @@ import graft.transform.Transforms.davg
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Text-analysis operators for training-data pipelines: token counting,
   * quality scoring, language-ID heuristic, and document fingerprinting.
@@ -1357,5 +1358,57 @@ object TextAnalysis {
       .select("doc_id", "n_words", "mean_wl", "digit_ratio", "n_stop",
         "r_wc", "r_mwl", "r_digit", "r_stop", "passes")
       .orderBy("doc_id")
+  }
+
+  /** Mutual information between the corpus's two categorical axes,
+    * MI(lang; source) in bits — the redundancy readout a corpus curator
+    * checks before stratifying on both ("if source determines language,
+    * stratifying on both double-counts"). Also reports the marginal
+    * entropies, so NMI = mi / min(H) is one division away.
+    *
+    * Exactness: every per-cell log₂ term is rounded at 1e-9 and summed in
+    * DECIMAL weighted by the cell count (the [[qDocEntropy]] /
+    * [[graft.ops.Events.qUserEntropy]] order-free convention); the final
+    * /N division chains are pinned at 1e-9.
+    *
+    * Scale: ONE fact-sized hash aggregate to the (lang, source) cell
+    * frame; marginals and totals are windows over that cell frame, which
+    * is key-domain-sized (|langs|·|sources|), never data-sized.
+    */
+  def qMutualInfo(t: Tables): DataFrame = {
+    val byLang = Window.partitionBy("lang")
+    val bySource = Window.partitionBy("source")
+    val all = Window.partitionBy()
+    val cells = t.documents
+      .groupBy("lang", "source").agg(count(lit(1)).as("c"))
+      .withColumn("cl", sum("c").over(byLang))
+      .withColumn("cs", sum("c").over(bySource))
+      .withColumn("n", sum("c").over(all))
+    def dl(c: Column): Column = log2(c.cast("double"))
+    cells
+      .agg(
+        max(col("n")).as("n_docs"),
+        count(lit(1)).as("n_cells"),
+        // Σ c·[log2(c) + log2(N) − log2(c_l) − log2(c_s)], term pinned
+        sum(round(dl(col("c")) + dl(col("n")) - dl(col("cl")) -
+            dl(col("cs")), 9).cast(DecimalType(16, 9)) *
+          col("c").cast(DecimalType(12, 0))).as("midec"),
+        // marginal entropies from the same cell frame: Σ c·log2(c_l)
+        // double-counts cells inside one lang, so divide by the lang size
+        // — instead sum DISTINCT-safe per-cell weights c/N·log2(N/c_l)
+        sum(round(dl(col("n")) - dl(col("cl")), 9)
+          .cast(DecimalType(16, 9)) * col("c").cast(DecimalType(12, 0)))
+          .as("hldec"),
+        sum(round(dl(col("n")) - dl(col("cs")), 9)
+          .cast(DecimalType(16, 9)) * col("c").cast(DecimalType(12, 0)))
+          .as("hsdec"))
+      .select(
+        col("n_docs"), col("n_cells"),
+        round(col("hldec").cast("double") / col("n_docs").cast("double"), 9)
+          .as("h_lang_bits"),
+        round(col("hsdec").cast("double") / col("n_docs").cast("double"), 9)
+          .as("h_source_bits"),
+        round(col("midec").cast("double") / col("n_docs").cast("double"), 9)
+          .as("mi_bits"))
   }
 }

@@ -782,6 +782,47 @@ object Graph {
       .orderBy("part", "rnk")
   }
 
+  /** Adamic–Adar link scoring: each common neighbor w contributes
+    * 1/ln(deg(w)) — the classical midpoint between [[qLinkPrediction]]'s
+    * flat count and [[qResourceAlloc]]'s aggressive 1/deg damping. Same
+    * probe-set framing and join shape as both.
+    *
+    * Exactness: ln is transcendental, so the weight is pinned BEFORE any
+    * aggregation — ln(deg(w)) rounds to integer micro-nats (half-up, the
+    * engine-shared convention), then the contribution is the INTEGER
+    * 10¹² div ln_micro. Sums of those longs are order-free on any engine.
+    * deg(w) ≥ 2 always (w is adjacent to both endpoints), so ln_micro ≥
+    * ln 2·10⁶ and the division is safe.
+    */
+  def qAdamicAdar(
+      t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val idx = edgeIndexCached(t)
+    val edges = idx.edges.select("src", "dst")
+    val probes = edges.filter(pmod(col("src"), lit(probeMod)) === 0)
+      .select(col("src").as("u"), col("dst").as("w"))
+    val wWeight = idx.deg
+      .select(col("src").as("w"), expr(
+        "CAST(1000000000000 div CAST(round(ln(deg) * 1000000) AS BIGINT) AS BIGINT)")
+        .as("wt"))
+    val scored = probes
+      .join(edges.select(col("src").as("w"), col("dst").as("v")), "w")
+      .filter(col("v") =!= col("u"))
+      .join(wWeight, "w")
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("wt")).cast("long").as("aa_units"))
+      .join(edges.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+    val byProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("aa_units").desc, col("v"))
+    scored
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("u").as("part"), col("v").as("candidate"),
+        col("n_common"), col("aa_units"), col("rnk"))
+      .orderBy("part", "rnk")
+  }
+
   /** Hierarchy flattening: every node resolved to its ROOT and DEPTH over
     * a parent forest (here the deterministic decimal-prefix forest on
     * customer keys: parent(c) = c div 10 when that key exists). The

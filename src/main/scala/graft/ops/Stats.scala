@@ -1475,4 +1475,163 @@ object Stats {
         (col("rnk") <= col("kstar")).cast("long").as("rejected"))
       .orderBy("rnk")
   }
+
+  /** Brown–Forsythe variance-equality test (Levene with median centers):
+    * does order-value SPREAD differ across priority classes, not just the
+    * mean [[qAnova]] compares? The robust screen an experimentation
+    * platform runs before trusting a pooled-variance readout.
+    *
+    * Exactness: an interpolated median of doubles is a ulp minefield, so
+    * the center is carried as the INTEGER sum of the two middle elements
+    * in cents (`med2`, half-cent units — equal to 2·median exactly); the
+    * deviation z = |2·cents − med2| is then an exact long, and the
+    * kilo-dollar conversion z/200000.0 is one correctly-rounded double op
+    * on an integer < 2⁵³ — bit-identical on every engine. From there the
+    * moments run the IDENTICAL DECIMAL pipeline as [[qAnova]]; the F on z
+    * is the Brown–Forsythe statistic.
+    *
+    * Scale: the rank window partitions on the group key (k ≈ 5 bounded
+    * partitions over the fact — parallel, no global sort); medians reduce
+    * to a k-row broadcast frame; moments are one partial-aggregating pass.
+    */
+  def qLevene(t: Tables): DataFrame = {
+    val byGrp = Window.partitionBy("grp")
+    val ranked = t.orders
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        col("o_orderkey").as("okey"))
+      .withColumn("rn",
+        row_number().over(byGrp.orderBy("cents", "okey")).cast("long"))
+      .withColumn("n", count(lit(1)).over(byGrp))
+    // lower + upper middle element (identical when n is odd ⇒ count once
+    // each via two separate guarded sums)
+    val meds = ranked.groupBy("grp").agg(
+      (sum(when(col("rn") === expr("(n + 1) div 2"), col("cents"))
+        .otherwise(0L)) +
+        sum(when(col("rn") === expr("n div 2 + 1"), col("cents"))
+          .otherwise(0L))).as("med2"))
+    val zk = col("z") // |x − med| in kilo-dollars (the qAnova unit choice)
+    val g = t.orders
+      .select(col("o_orderpriority").as("grp"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(meds), "grp")
+      .withColumn("z",
+        abs(lit(2L) * col("cents") - col("med2")).cast("double") /
+          lit(200000.0))
+      .groupBy("grp")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(zk.cast(DecimalType(18, 6))).as("sx"),
+        sum((zk * zk).cast(DecimalType(24, 6))).as("sxx"))
+      .withColumn("term",
+        round(col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"), 4).cast(DecimalType(24, 4)))
+    g.agg(
+        count(lit(1)).as("k"),
+        sum("n").as("n_total"),
+        sum("sx").as("s_all"),
+        sum("sxx").as("sxx_all"),
+        sum("term").as("term_all"))
+      .select(
+        col("k"), col("n_total"),
+        round(col("term_all").cast("double") -
+          col("s_all").cast("double") * col("s_all").cast("double") /
+            col("n_total").cast("double"), 4).as("ss_between"),
+        round(col("sxx_all").cast("double") -
+          col("term_all").cast("double"), 4).as("ss_within"))
+      .select(
+        col("k"), col("n_total"), col("ss_between"), col("ss_within"),
+        round((col("ss_between") / (col("k") - 1).cast("double")) /
+          (col("ss_within") /
+            (col("n_total") - col("k")).cast("double")), 6).as("f_stat"))
+  }
+
+  /** Wilcoxon signed-rank test on paired customer revenue, 1995 vs 1996 —
+    * the nonparametric "did the same population spend more next year"
+    * readout that survives the heavy right tail Welch's t chokes on.
+    * Pairs are customers active in BOTH years; differences are exact
+    * cent longs; zero differences drop (the standard Wilcoxon
+    * convention). Tied |d| get midranks, carried in DOUBLED units
+    * (r2 = 2·minrank + ties − 1) so every rank statistic is an integer —
+    * `w2_plus`/`w2_minus` are 2·W⁺/2·W⁻ and hash exactly on any engine.
+    * The normal approximation z is the one double chain at the end.
+    *
+    * Scale: revenue pairs are one shuffle on the customer key; the rank
+    * windows run on the pair frame (customer-dimension-sized, NOT
+    * fact-sized — same bound as [[graft.ops.Analytics.qGini]]'s rank).
+    */
+  def qWilcoxon(t: Tables): DataFrame = {
+    val rev = t.orders
+      .withColumn("yr", year(col("o_orderdate")))
+      .filter(col("yr").isin(1995, 1996))
+      .groupBy("o_custkey", "yr")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+    val pairs = rev.filter(col("yr") === 1995)
+      .select(col("o_custkey"), col("cents").as("c95"))
+      .join(rev.filter(col("yr") === 1996)
+        .select(col("o_custkey"), col("cents").as("c96")), "o_custkey")
+      .withColumn("d", col("c96") - col("c95"))
+      .filter(col("d") =!= 0L)
+      .withColumn("ad", abs(col("d")))
+    val byAd = Window.orderBy("ad")
+    val ties = Window.partitionBy("ad")
+    pairs
+      .withColumn("minrank", rank().over(byAd).cast("long"))
+      .withColumn("nties", count(lit(1)).over(ties))
+      .withColumn("r2", lit(2L) * col("minrank") + col("nties") - 1L)
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        // coalesce: an empty pair set (tiny fixtures) must yield 0, not
+        // the SQL empty-sum NULL, in BOTH engines
+        coalesce(sum(when(col("d") > 0, col("r2")).otherwise(0L)), lit(0L))
+          .as("w2_plus"),
+        coalesce(sum(when(col("d") < 0, col("r2")).otherwise(0L)), lit(0L))
+          .as("w2_minus"))
+      .select(
+        col("n_pairs"), col("w2_plus"), col("w2_minus"),
+        // z = (W⁺ − n(n+1)/4) / sqrt(n(n+1)(2n+1)/24), W⁺ = w2_plus/2
+        round((col("w2_plus").cast("double") / 2.0 -
+          col("n_pairs").cast("double") *
+            (col("n_pairs").cast("double") + 1.0) / 4.0) /
+          sqrt(col("n_pairs").cast("double") *
+            (col("n_pairs").cast("double") + 1.0) *
+            (lit(2.0) * col("n_pairs").cast("double") + 1.0) / 24.0), 6)
+          .as("z_approx"))
+  }
+
+  /** Lorenz-curve deciles of customer lifetime revenue — the
+    * concentration readout behind [[graft.ops.Analytics.qGini]]'s single
+    * coefficient: per revenue-decile member counts, decile revenue, and
+    * the cumulative share curve ("the top decile holds X% of revenue").
+    * Customers rank by (spend, key) so the decile cut is a pure function
+    * of the data; decile membership is the ceiling split
+    * ⌈i·10/n⌉ computed in INTEGER arithmetic — no ntile() semantics to
+    * match across engines. Cents stay exact longs; the share division is
+    * the one double chain, on the 10-row frame.
+    *
+    * Scale: one customer-key aggregate (fact-sized shuffle), then the
+    * rank window on the customer-dimension frame — the same bound every
+    * rank-based statistic here accepts; the decile rollup is 10 rows.
+    */
+  def qLorenz(t: Tables): DataFrame = {
+    val bySpend = Window.orderBy(col("cents"), col("o_custkey"))
+    val byDecile = Window.orderBy("decile")
+    val all = Window.partitionBy()
+    t.orders
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("i", row_number().over(bySpend).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("decile", expr("CAST((i * 10 + n - 1) div n AS BIGINT)"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).as("decile_cents"))
+      .withColumn("cum_cents", sum(col("decile_cents")).over(byDecile))
+      .withColumn("total_cents", sum(col("decile_cents")).over(all))
+      .select(col("decile"), col("n_customers"), col("decile_cents"),
+        col("cum_cents"),
+        round(col("cum_cents").cast("double") /
+          col("total_cents").cast("double"), 9).as("cum_share"))
+      .orderBy("decile")
+  }
 }

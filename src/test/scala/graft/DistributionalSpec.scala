@@ -1,0 +1,183 @@
+package graft
+
+import graft.ext.{Sampling, TextAnalysis}
+import graft.ops.{Graph, Stats}
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 additions: distributional statistics (Brown–Forsythe,
+  * Wilcoxon signed-rank, Lorenz deciles), corpus information measures
+  * (lang/source mutual information), the deterministic hash split, and
+  * Adamic–Adar link scoring. Each test recomputes the operator's
+  * semantics independently (driver-side brute force over the small
+  * sf0.001 fixture) and compares exactly — the DuckDB oracle covers
+  * engine-vs-engine, these cover the-math-is-what-we-claim.
+  */
+class DistributionalSpec extends SparkSuite {
+
+  private lazy val orderRows: Array[(String, Long, Long, Int)] =
+    tables.orders
+      .select(col("o_orderpriority"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"),
+        col("o_custkey"), year(col("o_orderdate")))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+
+  test("lorenz: deciles partition customers; cumulative share ends at 1") {
+    val out = Stats.qLorenz(tables).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 10L))
+    val spend = orderRows.groupBy(_._3).map { case (_, rs) =>
+      rs.map(_._2).sum
+    }.toVector.sorted
+    assert(out.map(_.getLong(1)).sum == spend.size)
+    assert(out.map(_.getLong(2)).sum == spend.sum)
+    // cumulative cents strictly increase and close at the exact total
+    val cum = out.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a < b })
+    assert(cum.last == spend.sum)
+    assert(out.last.getDouble(4) == 1.0)
+    // decile revenue is non-decreasing by construction (sorted by spend)
+    val dec = out.map(_.getLong(2))
+    // brute-force decile split: i-th customer (1-based, spend asc) goes
+    // to ceil(i*10/n)
+    val n = spend.size
+    val brute = spend.zipWithIndex
+      .groupBy { case (_, i0) => ((i0 + 1) * 10 + n - 1) / n }
+    assert(dec.zip(out.map(_.getLong(0))).forall { case (c, d) =>
+      brute(d.toInt).map(_._1).sum == c
+    })
+  }
+
+  test("wilcoxon: doubled midranks match a brute-force recompute") {
+    val out = Stats.qWilcoxon(tables).collect()(0)
+    val byYear = orderRows
+      .groupBy(r => (r._3, r._4))
+      .collect { case ((c, y), rs) if y == 1995 || y == 1996 =>
+        ((c, y), rs.map(_._2).sum)
+      }.toMap
+    val ds = byYear.keys.map(_._1).toSeq.distinct.sorted.flatMap { c =>
+      for {
+        a <- byYear.get((c, 1995)); b <- byYear.get((c, 1996))
+        if b - a != 0L
+      } yield b - a
+    }
+    // midrank in doubled units: 2*minrank + ties - 1
+    val sortedAbs = ds.map(math.abs).sorted
+    def r2(ad: Long): Long = {
+      val minrank = sortedAbs.indexOf(ad) + 1L
+      val ties = sortedAbs.count(_ == ad)
+      2L * minrank + ties - 1L
+    }
+    val w2p = ds.filter(_ > 0).map(d => r2(math.abs(d))).sum
+    val w2m = ds.filter(_ < 0).map(d => r2(math.abs(d))).sum
+    assert(out.getLong(0) == ds.size)
+    assert(out.getLong(1) == w2p && out.getLong(2) == w2m)
+    // rank-sum identity: W2+ + W2- = 2 * n(n+1)/2 (holds at n = 0 too —
+    // the sf0.001 fixture has no customer active in both years)
+    assert(w2p + w2m == ds.size.toLong * (ds.size + 1))
+  }
+
+  test("levene: half-cent median centers match a brute-force recompute") {
+    val out = Stats.qLevene(tables).collect()(0)
+    val byGrp = orderRows.groupBy(_._1).map { case (g, rs) =>
+      g -> rs.map(_._2).sorted.toVector
+    }
+    assert(out.getLong(0) == byGrp.size)
+    assert(out.getLong(1) == orderRows.length)
+    // recompute the F statistic with the same pinned arithmetic
+    val moments = byGrp.values.map { v =>
+      val n = v.size
+      val med2 = v((n + 1) / 2 - 1) + v(n / 2)
+      val zs = v.map(c => math.abs(2 * c - med2).toDouble / 200000.0)
+      def d6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      val sx = zs.map(d6).sum
+      val sxx = zs.map(z => d6(z * z)).sum
+      val term = BigDecimal(sx.toDouble * sx.toDouble / n)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+      (n, sx, sxx, term)
+    }
+    val k = moments.size
+    val nTot = moments.map(_._1).sum
+    val sAll = moments.map(_._2).sum.toDouble
+    val sxxAll = moments.map(_._3).sum.toDouble
+    val termAll = moments.map(_._4).sum.toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ssb = r4(termAll - sAll * sAll / nTot)
+    val ssw = r4(sxxAll - termAll)
+    assert(out.getDouble(2) == ssb && out.getDouble(3) == ssw)
+    val f = BigDecimal((ssb / (k - 1)) / (ssw / (nTot - k)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(4) == f)
+  }
+
+  test("hash split: assignment is a pure function of bytes; shares exact") {
+    val docs = tables.documents
+      .select("doc_id", "text", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h2(text: String, id: Long): String =
+      md.digest((text + id).getBytes("UTF-8"))
+        .take(1).map(b => f"$b%02x").mkString
+    val brute = docs.groupBy { case (id, text, src) =>
+      val h = h2(text, id)
+      val split = if (h < "cd") "train" else if (h < "e7") "val" else "test"
+      (split, src)
+    }.map { case (k, v) => k -> v.size }
+    val out = Sampling.qHashSplit(tables).collect()
+    assert(out.map(_.getLong(2)).sum == docs.length)
+    out.foreach { r =>
+      assert(brute((r.getString(0), r.getString(1))) == r.getLong(2))
+    }
+    // determinism: a second run is byte-identical
+    val again = Sampling.qHashSplit(tables).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("mutual info: MI >= 0, bounded by both marginal entropies") {
+    val out = TextAnalysis.qMutualInfo(tables).collect()(0)
+    val nDocs = tables.documents.count()
+    assert(out.getLong(0) == nDocs)
+    val (hl, hs, mi) = (out.getDouble(2), out.getDouble(3), out.getDouble(4))
+    // rounding at 1e-9 can push a zero MI infinitesimally negative
+    assert(mi >= -1e-6)
+    assert(mi <= hl + 1e-6 && mi <= hs + 1e-6)
+    // brute-force MI from counts (unpinned, so compare loosely)
+    val cells = tables.documents.groupBy("lang", "source").count()
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val cl = cells.groupBy(_._1._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val cs = cells.groupBy(_._1._2).map { case (k, v) => k -> v.map(_._2).sum }
+    val n = cells.map(_._2).sum.toDouble
+    def lg2(x: Double) = math.log(x) / math.log(2.0)
+    val miB = cells.map { case ((l, s), c) =>
+      c / n * lg2(c * n / (cl(l) * cs(s).toDouble))
+    }.sum
+    assert(math.abs(mi - miB) < 1e-6)
+  }
+
+  test("adamic adar: candidates non-adjacent, ranked by pinned-ln weight") {
+    val out = Graph.qAdamicAdar(tables).collect()
+    val li = tables.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.toSeq.flatMap {
+      g =>
+        val ps = g.map(_._2).distinct
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.toSet
+    val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+    out.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(u % 199 == 0 && !edges.contains((u, v)))
+      // recompute the exact integer score
+      val commons = edges.collect {
+        case (a, w) if a == u && edges.contains((w, v)) && v != u => w
+      }
+      val units = commons.toSeq.map { w =>
+        1000000000000L / math.round(math.log(deg(w).toDouble) * 1e6)
+      }.sum
+      assert(r.getLong(2) == commons.size && r.getLong(3) == units)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 5)
+    }
+  }
+}

@@ -479,4 +479,35 @@ class PlanAuditSpec extends SparkSuite {
         s"$q: gap window collapsed to one partition:\n$p")
     }
   }
+
+  test("hash split: map-side split + one aggregate; scan prunes to 4 cols") {
+    // the split is a projection over the scan — no join, no window over
+    // the fact; the only exchanges are the (split, source) aggregate,
+    // the source-share window, and the output sort
+    val p = formatted("q_hash_split")
+    assert(shuffleCount(p) <= 3, s"too many exchanges:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).get.group(1)
+    assert(read.split(",").length <= 4, s"ReadSchema too wide: $read")
+  }
+
+  test("adamic adar: degree weights broadcast onto the probe wedge stream") {
+    // probe adjacency × edge index on the middle node, then the
+    // node-sized weight frame must arrive by broadcast — an SMJ there
+    // would shuffle the wedge stream a second time
+    val p = formatted("q_adamic_adar")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+    // epilogue probes the shared checkpointed edge index, no parquet re-scan
+    assert(!p.contains("Scan parquet"),
+      s"probe stage re-scans parquet instead of the shared index:\n$p")
+  }
+
+  test("levene: group-partitioned rank window; median frame broadcasts") {
+    val p = formatted("q_levene")
+    assert(!p.contains("No Partition Defined"),
+      s"median rank window collapsed to one partition:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"median frame not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-side SMJ:\n$p")
+  }
 }
