@@ -108,6 +108,8 @@ object SparkEntry {
     "q_sql_q11" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q11)),
     "q_sql_q16" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q16)),
     "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
+    "q_sql_recursive" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.recursive)),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
     "q_entity_resolution" -> q(Dedup.qEntityResolution(_)),
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),
@@ -363,6 +365,8 @@ object SparkEntry {
       graft.streaming.Streams
         .drainQualityFunnel(spark, dir, "documents.parquet")
         .orderBy("source")),
+    "q_stream_hash_split" -> ((spark, dir) =>
+      graft.streaming.Streams.drainHashSplit(spark, dir, "documents.parquet")),
     "q_stream_sliding" -> ((spark, dir) =>
       graft.streaming.Streams.drainSlidingCounts(spark, dir, "events.parquet")
         .select(
@@ -1219,6 +1223,23 @@ object SparkEntry {
          FROM g ORDER BY decile""",
     // md5-prefix split: string thresholds, exact 205/26/25-per-256 shares
     "q_hash_split" ->
+      """WITH d AS (SELECT source, n_chars,
+             substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+           FROM documents),
+         s AS (SELECT CASE WHEN h2 < 'cd' THEN 'train'
+                 WHEN h2 < 'e7' THEN 'val' ELSE 'test' END AS split,
+             source, n_chars FROM d),
+         g AS (SELECT split, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars
+           FROM s GROUP BY 1, 2)
+         SELECT split, source, n_docs, n_chars,
+           ROUND(CAST(n_docs AS DOUBLE) /
+             CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 9)
+             AS source_share
+         FROM g ORDER BY split, source""",
+    // same oracle as q_hash_split: the streaming drain must converge to
+    // the identical split census after the backlog is processed
+    "q_stream_hash_split" ->
       """WITH d AS (SELECT source, n_chars,
              substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
            FROM documents),

@@ -34,9 +34,15 @@ object Sampling {
     * else. The realized per-source share comes from a window over the
     * key-domain-sized result frame.
     */
-  def qHashSplit(t: Tables): DataFrame = {
-    val bySource = Window.partitionBy("source")
-    t.documents
+  def qHashSplit(t: Tables): DataFrame =
+    hashSplitEpilogue(hashSplitCounts(t.documents))
+
+  /** Split census shared by the batch query and the streaming drain: the
+    * split assignment is a STATELESS per-row expression, so a streaming
+    * execution's only state is one counter row per (split, source) cell.
+    */
+  private[graft] def hashSplitCounts(docs: DataFrame): DataFrame =
+    docs
       .withColumn("h2", substring(hashKey("text", "doc_id"), 1, 2))
       .withColumn("split",
         when(col("h2") < "cd", "train")
@@ -44,6 +50,11 @@ object Sampling {
           .otherwise("test"))
       .groupBy("split", "source")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+
+  /** Share/ordering epilogue over the cell-sized census frame. */
+  private[graft] def hashSplitEpilogue(counts: DataFrame): DataFrame = {
+    val bySource = Window.partitionBy("source")
+    counts
       .withColumn("source_share",
         round(col("n_docs").cast("double") /
           sum(col("n_docs")).over(bySource).cast("double"), 9))

@@ -391,6 +391,42 @@ object TpchSql {
             FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey))
        ORDER BY s_name"""
 
+  /** Recursive CTE through the SQL frontend (WITH RECURSIVE, supported by
+    * both Spark 4's recursion-enabled CTE resolution and DuckDB): every
+    * customer walks the decimal-prefix parent forest (parent(c) =
+    * floor(c/10) when that key exists) up to its root, then the per-depth
+    * census rolls up. Same closure semantics as the driver-looped
+    * [[Graph.qHierarchyFlatten]], but the ITERATION itself is planned by
+    * the engine's recursive-union operator — the frontend feature a
+    * BOM-explosion or org-chart user reaches for first.
+    *
+    * Dual-dialect notes: integer parent derivation via
+    * CAST(FLOOR(node / 10.0) AS BIGINT) (both engines floor the same
+    * IEEE quotient; `div` vs `//` would split the dialects), depth CAST
+    * to BIGINT in the epilogue, total ORDER BY. Recursion depth is
+    * bounded by log10 of the key domain (≤ 7 at any SF), far under both
+    * engines' recursion limits — the loop count is scale-free even
+    * though each level's join is fact-sized.
+    */
+  val recursive: String =
+    """WITH RECURSIVE walk AS (
+         SELECT c_custkey AS id, c_custkey AS node, 0 AS depth
+         FROM customer
+         UNION ALL
+         SELECT w.id, p.c_custkey AS node, w.depth + 1
+         FROM walk w JOIN customer p
+           ON p.c_custkey = CAST(FLOOR(w.node / 10.0) AS BIGINT)
+          AND p.c_custkey <> w.node),
+       tops AS (SELECT id, MAX(depth) AS d FROM walk GROUP BY id),
+       roots AS (SELECT w.id, w.node AS root, w.depth
+                 FROM walk w JOIN tops t ON w.id = t.id AND w.depth = t.d)
+       SELECT CAST(depth AS BIGINT) AS depth,
+         CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+         CAST(MIN(id) AS BIGINT) AS min_id,
+         CAST(MAX(id) AS BIGINT) AS max_id
+       FROM roots GROUP BY depth ORDER BY depth"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,
@@ -398,5 +434,5 @@ object TpchSql {
     "q_sql_q8" -> q8, "q_sql_q9" -> q9, "q_sql_q11" -> q11,
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
     "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
-    "q_sql_q21" -> q21)
+    "q_sql_q21" -> q21, "q_sql_recursive" -> recursive)
 }

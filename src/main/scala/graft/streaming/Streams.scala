@@ -585,6 +585,23 @@ object Streams {
       graft.ext.TextAnalysis.qualityFunnelFrame(
         docsStream(spark, dir, globFilter)))
 
+  /** Streaming drain of the deterministic corpus split — the ingest-time
+    * twin of [[graft.ext.Sampling.qHashSplit]], sharing its oracle: the
+    * md5-prefix split assignment is a stateless per-row expression, so
+    * streaming state is one counter row per (split, source) cell
+    * (bounded by the split × source key domain, not the backlog). The
+    * production shape: split quotas stay current as the landing zone
+    * fills, and a doc's assignment never changes as more data arrives —
+    * which is exactly why the drained census can hash-match the batch
+    * oracle.
+    */
+  def drainHashSplit(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ext.Sampling.hashSplitEpilogue(
+      drain(spark,
+        graft.ext.Sampling.hashSplitCounts(
+          docsStream(spark, dir, globFilter))))
+
   /** Streaming near-duplicate detection at ingest: every arriving doc is
     * fingerprinted with the PORTABLE simhash
     * ([[graft.ext.Dedup.portableSimhashCol]]) — a stateless per-row

@@ -472,6 +472,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming hash-split drain equals the batch split census") {
+    val streamed = Streams.drainHashSplit(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.Sampling.qHashSplit(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming benford drain: digit counts match a batch recompute") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")
