@@ -155,6 +155,8 @@ object SparkEntry {
     "q_lorenz" -> q(Stats.qLorenz),
     "q_hash_split" -> q(Sampling.qHashSplit(_)),
     "q_mutual_info" -> q(TextAnalysis.qMutualInfo),
+    "q_dim_stats" -> q(Similarity.qDimStats),
+    "q_variant_agg" -> q(Events.qVariantAgg),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1254,6 +1256,40 @@ object SparkEntry {
              CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 9)
              AS source_share
          FROM g ORDER BY split, source""",
+    // per-dim whitening stats from exact milli-unit integer sums; the
+    // lateral range() re-derives Spark's posexplode positions (0-based)
+    "q_dim_stats" ->
+      """WITH e AS (SELECT embedding FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+               * 1000.0 + 0.5) AS BIGINT) AS m
+           FROM e),
+         g AS (SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sum_milli,
+             CAST(SUM(m * m) AS BIGINT) AS sumsq_milli
+           FROM x GROUP BY 1)
+         SELECT dim, n, sum_milli, sumsq_milli,
+           ROUND(CAST(sum_milli AS DOUBLE) / n, 6) AS mean_milli,
+           ROUND((CAST(sumsq_milli AS DOUBLE)
+             - CAST(sum_milli AS DOUBLE) * CAST(sum_milli AS DOUBLE) / n)
+             / n, 6) AS var_milli
+         FROM g ORDER BY dim""",
+    // typed stats over the JSON props key (the engine side reads it
+    // through the parsed VARIANT encoding; values are identical)
+    "q_variant_agg" ->
+      """WITH e AS (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+         SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS distinct_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           quantile_cont(k, 0.5) AS med_k
+         FROM e GROUP BY event_type ORDER BY event_type""",
     // MI/entropies over the (lang, source) cell frame, log2 terms pinned
     // at 1e-9 and summed in DECIMAL weighted by cell counts
     "q_mutual_info" ->

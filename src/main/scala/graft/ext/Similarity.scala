@@ -328,6 +328,45 @@ object Similarity {
         (col("sm") / col("n")).as("mean_milli"))
       .orderBy("label", "dim")
 
+  /** Per-dimension corpus statistics — the whitening/normalization frame
+    * a training pipeline computes before feeding embeddings to a model
+    * (mean-center, scale by std, clip outlier dims). Same fixed-point
+    * milli-unit trick as [[qLabelCentroids]]: sums and sums-of-squares
+    * fold through TWO [[graft.functions.VectorSum]] partial aggregates,
+    * so the corpus collapses to ONE dims-wide row per exchange — the
+    * input is never exploded to (rows × dims) long form; the explode
+    * happens on the single result row. Milli-squares stay < 2^53 for
+    * corpora up to ~10⁹ rows; past that, re-quantize coarser.
+    *
+    * Variance is computed from the exact integer sums with one pinned
+    * double chain (the [[graft.ops.Stats.qAnova]] convention).
+    */
+  def qDimStats(t: Tables): DataFrame = {
+    val clean = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(transform(asDouble(col("embedding")),
+        x => floor(x * lit(1000.0) + lit(0.5)).cast("double")).as("m"))
+    clean
+      .select(col("m"),
+        expr("transform(m, x -> x * x)").as("m2"))
+      .agg(
+        call_function("vector_sum", col("m")).as("s"),
+        call_function("vector_sum", col("m2")).as("s2"),
+        count(lit(1)).as("n"))
+      .select(col("n"), posexplode(arrays_zip(col("s"), col("s2")))
+        .as(Seq("dim", "z")))
+      .select(
+        col("dim").cast("long").as("dim"),
+        col("n"),
+        col("z.s").cast("long").as("sum_milli"),
+        col("z.s2").cast("long").as("sumsq_milli"),
+        round(col("z.s") / col("n").cast("double"), 6).as("mean_milli"),
+        round((col("z.s2") - col("z.s") * col("z.s") /
+          col("n").cast("double")) / col("n").cast("double"), 6)
+          .as("var_milli"))
+      .orderBy("dim")
+  }
+
   /** Pairwise cosine similarity between label centroids — the
     * cluster-geometry diagnostic (which classes are embedding-confusable).
     * Works on the SAME fixed-point milli-unit sums as [[qLabelCentroids]]:

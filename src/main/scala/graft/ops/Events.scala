@@ -97,6 +97,31 @@ object Events {
         davg(col("value")).as("avg_value"))
       .orderBy("event_type")
 
+  /** Semi-structured aggregation through Spark 4's VARIANT type: the
+    * props blob parses ONCE per row into the binary variant encoding
+    * (`parse_json`), and every downstream extraction is a typed
+    * `variant_get` over that encoding — the modern replacement for
+    * re-parsing the JSON string per `get_json_object` path (at 100 TB a
+    * wide-props pipeline re-tokenizes terabytes per extra path; variant
+    * pays the parse once and the shredded reads are cheap). Full typed
+    * stat battery per event type, incl. an exact-`percentile` median
+    * (the DuckDB `quantile_cont` parity contract).
+    */
+  def qVariantAgg(t: Tables): DataFrame =
+    t.events
+      .withColumn("v", expr("parse_json(props)"))
+      .withColumn("k", expr("variant_get(v, '$.k', 'bigint')"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        count(col("k")).as("n_with_k"),
+        count_distinct(col("k")).as("distinct_k"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        expr("percentile(k, 0.5D)").as("med_k"))
+      .orderBy("event_type")
+
   /** Funnel conversion: of users whose first click starts the funnel, how
     * many purchase within the hour. Two grouped aggregates + one
     * range-predicated join on the (already-grouped, small) funnel heads;

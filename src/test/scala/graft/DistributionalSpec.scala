@@ -156,6 +156,48 @@ class DistributionalSpec extends SparkSuite {
     assert(math.abs(mi - miB) < 1e-6)
   }
 
+  test("dim stats: milli-unit sums match a driver-side recompute") {
+    val out = graft.ext.Similarity.qDimStats(tables).collect()
+    val vecs = tables.embeddings
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0))
+      .filter(v => v != null && v.nonEmpty)
+    assert(out.length == vecs.head.size)
+    out.foreach { r =>
+      val d = r.getLong(0).toInt
+      val ms = vecs.map(v => math.floor(v(d).toDouble * 1000.0 + 0.5).toLong)
+      assert(r.getLong(1) == vecs.length)
+      assert(r.getLong(2) == ms.sum)
+      assert(r.getLong(3) == ms.map(m => m * m).sum)
+      // variance non-negative, mean consistent with the integer sum
+      assert(r.getDouble(5) >= 0.0)
+      assert(math.abs(r.getDouble(4) - ms.sum.toDouble / ms.length) < 1e-6)
+    }
+  }
+
+  test("variant agg: typed variant extraction equals the JSON-string path") {
+    val out = graft.ops.Events.qVariantAgg(tables).collect()
+    val brute = tables.events
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .collect().map(r => (r.getString(0), Option(r.get(1)).map(_ =>
+        r.getLong(1))))
+      .groupBy(_._1)
+    out.foreach { r =>
+      val ks = brute(r.getString(0)).flatMap(_._2)
+      assert(r.getLong(1) == brute(r.getString(0)).size)
+      assert(r.getLong(2) == ks.length)
+      assert(r.getLong(3) == ks.distinct.length)
+      assert(r.getLong(4) == ks.sum)
+      assert(r.getLong(5) == ks.min && r.getLong(6) == ks.max)
+    }
+    // the plan must read through the parsed variant, not re-parse strings
+    val plan = graft.ops.Events.qVariantAgg(tables)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("variant_get") || plan.contains("VariantGet"),
+      s"typed extraction missing from plan:\n$plan")
+  }
+
   test("adamic adar: candidates non-adjacent, ranked by pinned-ln weight") {
     val out = Graph.qAdamicAdar(tables).collect()
     val li = tables.lineitem.select("l_orderkey", "l_partkey").collect()
