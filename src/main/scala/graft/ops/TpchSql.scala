@@ -427,6 +427,21 @@ object TpchSql {
          CAST(MAX(id) AS BIGINT) AS max_id
        FROM roots GROUP BY depth ORDER BY depth"""
 
+  /** PIVOT through the SQL frontend: per-source character volume spread
+    * across the language domain as columns — the reshape every BI layer
+    * asks of an engine. NOT dual-dialect (DuckDB's PIVOT grammar
+    * differs), so unlike the entries in [[all]] this text is registered
+    * with a hand-written CASE-aggregation oracle; absent cells are NULL
+    * in both engines. The lang list is part of the query spec (PIVOT IN
+    * lists are static by design — a dynamic domain needs the DataFrame
+    * pivot, which scans the domain first).
+    */
+  val pivotSpark: String =
+    """SELECT * FROM (SELECT source, lang, n_chars FROM documents)
+       PIVOT (SUM(n_chars) FOR lang IN
+         ('de' AS de, 'en' AS en, 'es' AS es, 'fr' AS fr, 'zh' AS zh))
+       ORDER BY source"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,

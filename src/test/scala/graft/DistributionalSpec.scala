@@ -156,6 +156,49 @@ class DistributionalSpec extends SparkSuite {
     assert(math.abs(mi - miB) < 1e-6)
   }
 
+  test("moments: skewness/kurtosis match a brute-force recompute") {
+    val out = Stats.qMoments(tables).collect()
+    val byGrp = tables.orders
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1) / 10000.0))
+      .groupBy(_._1)
+    assert(out.length == byGrp.size)
+    out.foreach { r =>
+      val xs = byGrp(r.getString(0)).map(_._2)
+      val n = xs.length
+      assert(r.getLong(1) == n)
+      def d6(x: Double, s: Int) = BigDecimal(x)
+        .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val s1 = xs.map(x => BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s2 = xs.map(x => BigDecimal(x * x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s3 = xs.map(x => BigDecimal(x * x * x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val s4 = xs.map(x => BigDecimal(x * x * x * x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val mean = s1 / n
+      val m2 = s2 / n - mean * mean
+      val m3 = s3 / n - 3.0 * mean * (s2 / n) + 2.0 * mean * mean * mean
+      val m4 = s4 / n - 4.0 * mean * (s3 / n) +
+        6.0 * mean * mean * (s2 / n) - 3.0 * mean * mean * mean * mean
+      assert(r.getDouble(2) == d6(mean, 9))
+      assert(r.getDouble(3) == d6(m3 / (m2 * math.sqrt(m2)), 6))
+      assert(r.getDouble(4) == d6(m4 / (m2 * m2) - 3.0, 6))
+      // sanity: heavy right tail of order values => positive skew
+      assert(r.getDouble(3) > -5 && r.getDouble(3) < 5)
+    }
+  }
+
+  test("sql pivot equals the DataFrame pivot reshape") {
+    val sql = SparkEntry.queries("q_sql_pivot")(spark, sfDir).collect()
+    val df = tables.documents
+      .groupBy("source").pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .sum("n_chars").orderBy("source").collect()
+    assert(sql.map(_.toString).toSeq == df.map(_.toString).toSeq)
+    assert(sql.nonEmpty)
+  }
+
   test("dim stats: milli-unit sums match a driver-side recompute") {
     val out = graft.ext.Similarity.qDimStats(tables).collect()
     val vecs = tables.embeddings
