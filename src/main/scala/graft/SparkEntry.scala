@@ -372,6 +372,10 @@ object SparkEntry {
         .orderBy("source")),
     "q_stream_hash_split" -> ((spark, dir) =>
       graft.streaming.Streams.drainHashSplit(spark, dir, "documents.parquet")),
+    "q_stream_moments" -> ((spark, dir) =>
+      graft.streaming.Streams.drainMoments(spark, dir, "orders.parquet")),
+    "q_stream_dim_stats" -> ((spark, dir) =>
+      graft.streaming.Streams.drainDimStats(spark, dir, "embeddings.parquet")),
     "q_stream_sliding" -> ((spark, dir) =>
       graft.streaming.Streams.drainSlidingCounts(spark, dir, "events.parquet")
         .select(
@@ -1298,6 +1302,52 @@ object SparkEntry {
            ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
            ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
          FROM c ORDER BY grp""",
+    // drained stream twins share the batch oracles verbatim
+    "q_stream_moments" ->
+      """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,
+             SUM(CAST(o_totalprice / 10000.0 AS DECIMAL(18,6))) AS s1,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               AS DECIMAL(24,6))) AS s2,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               * (o_totalprice / 10000.0) AS DECIMAL(28,6))) AS s3,
+             SUM(CAST((o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               * (o_totalprice / 10000.0) * (o_totalprice / 10000.0)
+               AS DECIMAL(32,6))) AS s4
+           FROM orders GROUP BY 1),
+         m AS (SELECT grp, CAST(n AS BIGINT) AS n,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+           FROM g),
+         c AS (SELECT grp, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3.0 * mean * r2 + 2.0 * mean * mean * mean AS m3,
+             r4 - 4.0 * mean * r3 + 6.0 * mean * mean * r2
+               - 3.0 * mean * mean * mean * mean AS m4
+           FROM m)
+         SELECT grp, n, ROUND(mean, 9) AS mean_10k,
+           ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
+         FROM c ORDER BY grp""",
+    "q_stream_dim_stats" ->
+      """WITH e AS (SELECT embedding FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         x AS (SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+               * 1000.0 + 0.5) AS BIGINT) AS m
+           FROM e),
+         g AS (SELECT CAST(dim AS BIGINT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(m) AS BIGINT) AS sum_milli,
+             CAST(SUM(m * m) AS BIGINT) AS sumsq_milli
+           FROM x GROUP BY 1)
+         SELECT dim, n, sum_milli, sumsq_milli,
+           ROUND(CAST(sum_milli AS DOUBLE) / n, 6) AS mean_milli,
+           ROUND((CAST(sumsq_milli AS DOUBLE)
+             - CAST(sum_milli AS DOUBLE) * CAST(sum_milli AS DOUBLE) / n)
+             / n, 6) AS var_milli
+         FROM g ORDER BY dim""",
     // per-dim whitening stats from exact milli-unit integer sums; the
     // lateral range() re-derives Spark's posexplode positions (0-based)
     "q_dim_stats" ->

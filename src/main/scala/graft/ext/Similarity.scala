@@ -341,18 +341,26 @@ object Similarity {
     * Variance is computed from the exact integer sums with one pinned
     * double chain (the [[graft.ops.Stats.qAnova]] convention).
     */
-  def qDimStats(t: Tables): DataFrame = {
-    val clean = t.embeddings
+  def qDimStats(t: Tables): DataFrame =
+    dimStatsEpilogue(dimSums(t.embeddings))
+
+  /** The two-vector_sum fold shared by the batch query and the streaming
+    * drain: a streaming execution's state is ONE (s, s2, n) row. */
+  private[graft] def dimSums(embeddings: DataFrame): DataFrame =
+    embeddings
       .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
       .select(transform(asDouble(col("embedding")),
         x => floor(x * lit(1000.0) + lit(0.5)).cast("double")).as("m"))
-    clean
       .select(col("m"),
         expr("transform(m, x -> x * x)").as("m2"))
       .agg(
         call_function("vector_sum", col("m")).as("s"),
         call_function("vector_sum", col("m2")).as("s2"),
         count(lit(1)).as("n"))
+
+  /** Explode the single dims-wide sums row to per-dim stats. */
+  private[graft] def dimStatsEpilogue(sums: DataFrame): DataFrame =
+    sums
       .select(col("n"), posexplode(arrays_zip(col("s"), col("s2")))
         .as(Seq("dim", "z")))
       .select(
@@ -365,7 +373,6 @@ object Similarity {
           col("n").cast("double")) / col("n").cast("double"), 6)
           .as("var_milli"))
       .orderBy("dim")
-  }
 
   /** Pairwise cosine similarity between label centroids — the
     * cluster-geometry diagnostic (which classes are embedding-confusable).

@@ -1611,10 +1611,15 @@ object Stats {
     * 2⁵³, so even DuckDB's two-step decimal→double conversion is exact
     * (the qAnova/qSeasonalStrength hazard never arms).
     */
-  def qMoments(t: Tables): DataFrame = {
+  def qMoments(t: Tables): DataFrame =
+    momentsEpilogue(momentSums(t.orders))
+
+  /** Power-sum frame shared by the batch query and the streaming drain:
+    * a streaming execution's state is one (count + four DECIMAL sums)
+    * row per priority class. */
+  private[graft] def momentSums(orders: DataFrame): DataFrame = {
     val x = col("o_totalprice") / lit(10000.0)
-    def d(c: Column): Column = c.cast("double")
-    t.orders
+    orders
       .groupBy(col("o_orderpriority").as("grp"))
       .agg(
         count(lit(1)).as("n"),
@@ -1622,6 +1627,13 @@ object Stats {
         sum((x * x).cast(DecimalType(24, 6))).as("s2"),
         sum((x * x * x).cast(DecimalType(28, 6))).as("s3"),
         sum((x * x * x * x).cast(DecimalType(32, 6))).as("s4"))
+  }
+
+  /** Central-moment algebra over the k-row sums frame (one pinned
+    * double chain, mirrored token-for-token in the oracle). */
+  private[graft] def momentsEpilogue(sums: DataFrame): DataFrame = {
+    def d(c: Column): Column = c.cast("double")
+    sums
       .withColumn("mean", d(col("s1")) / d(col("n")))
       .withColumn("m2",
         d(col("s2")) / d(col("n")) - col("mean") * col("mean"))

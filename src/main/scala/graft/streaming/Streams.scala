@@ -629,6 +629,53 @@ object Streams {
       .filter(col("n") >= 2)
       .orderBy("f")
 
+  /** Raw on-disk schema of the driver's orders parquet. */
+  val orderFileSchema: StructType = StructType(Seq(
+    StructField("o_orderkey", LongType),
+    StructField("o_custkey", LongType),
+    StructField("o_orderstatus", StringType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderdate", TimestampNTZType),
+    StructField("o_orderpriority", StringType)))
+
+  /** File-based streaming source over the orders parquet. */
+  def ordersStream(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    spark.readStream
+      .schema(orderFileSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", globFilter)
+      .parquet(dir)
+
+  /** Streaming drain of the higher-moment profile — the ingest-time twin
+    * of [[graft.ops.Stats.qMoments]], sharing its oracle: the four
+    * DECIMAL power sums merge exactly across microbatches (integer-exact
+    * decimal addition is order-free), so state is one (n, s1..s4) row
+    * per priority class and the skew/kurtosis algebra runs as a batch
+    * epilogue over the drained k-row frame. The tail-shape monitor a
+    * warehouse keeps current as orders land.
+    */
+  def drainMoments(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Stats.momentsEpilogue(
+      drain(spark,
+        graft.ops.Stats.momentSums(ordersStream(spark, dir, globFilter))))
+
+  /** Streaming drain of the per-dimension whitening stats — the
+    * ingest-time twin of [[graft.ext.Similarity.qDimStats]], sharing its
+    * oracle: the two `vector_sum` folds are the ONE stateful aggregation
+    * (state = a single dims-wide sums row; milli-unit integer doubles
+    * merge exactly in any microbatch order), and the per-dim explode is
+    * a stateless epilogue. A feature store keeps normalization stats
+    * current this way as embedding shards land.
+    */
+  def drainDimStats(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ext.Similarity.dimStatsEpilogue(
+      drain(spark,
+        graft.ext.Similarity.dimSums(
+          embeddingsStream(spark, dir, globFilter))))
+
   /** Raw on-disk schema of the driver's customer parquet. */
   val customerFileSchema: StructType = StructType(Seq(
     StructField("c_custkey", LongType),

@@ -480,6 +480,22 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming moments drain equals the batch tail-shape profile") {
+    val streamed = Streams.drainMoments(spark, sfDir, "orders.parquet")
+      .collect().toSeq
+    val batch = ops.Stats.qMoments(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming dim-stats drain equals the batch whitening frame") {
+    val streamed = Streams.drainDimStats(spark, sfDir, "embeddings.parquet")
+      .collect().toSeq
+    val batch = ext.Similarity.qDimStats(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming benford drain: digit counts match a batch recompute") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")
