@@ -160,6 +160,8 @@ object SparkEntry {
     "q_mutual_info" -> q(TextAnalysis.qMutualInfo),
     "q_dim_stats" -> q(Similarity.qDimStats),
     "q_variant_agg" -> q(Events.qVariantAgg),
+    "q_rec_eval" -> q(Analytics.qRecEval(_)),
+    "q_ab_power" -> q(Events.qAbPower),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1302,6 +1304,79 @@ object SparkEntry {
            ROUND(m3 / (m2 * sqrt(m2)), 6) AS skewness,
            ROUND(m4 / (m2 * m2) - 3.0, 6) AS kurtosis_excess
          FROM c ORDER BY grp""",
+    // held-out recommender eval: midpoint date split, train-side
+    // co-occurrence, per-probe rank, hit-rate vs test baskets
+    "q_rec_eval" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+             FROM lineitem),
+         days AS (SELECT o_orderkey AS okey,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS d
+           FROM orders),
+         cut AS (SELECT (MIN(d) + MAX(d)) // 2 AS cut FROM days),
+         sides AS (SELECT okey, d < (SELECT cut FROM cut) AS is_train
+           FROM days),
+         trainb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE is_train),
+         testb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE NOT is_train),
+         edges AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS cij
+           FROM trainb a JOIN trainb b
+             ON a.okey = b.okey AND a.pk <> b.pk
+           GROUP BY 1, 2),
+         recs AS (SELECT u, v, row_number() OVER (PARTITION BY u
+             ORDER BY cij DESC, v) AS rnk
+           FROM edges WHERE u % 199 = 0),
+         reck AS (SELECT u, v FROM recs WHERE rnk <= 5),
+         nrecs AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_recs
+           FROM reck GROUP BY 1),
+         withu AS (SELECT DISTINCT okey, pk AS u FROM testb
+           WHERE pk % 199 = 0),
+         hitb AS (SELECT DISTINCT w.okey, w.u FROM withu w
+           JOIN reck r ON w.u = r.u
+           WHERE EXISTS (SELECT 1 FROM testb t
+             WHERE t.okey = w.okey AND t.pk = r.v)),
+         ntest AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_test_baskets
+           FROM withu GROUP BY 1),
+         nhit AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_hit_baskets
+           FROM hitb GROUP BY 1)
+         SELECT nrecs.u AS part, n_recs,
+           COALESCE(n_test_baskets, 0) AS n_test_baskets,
+           COALESCE(n_hit_baskets, 0) AS n_hit_baskets,
+           CASE WHEN COALESCE(n_test_baskets, 0) = 0 THEN NULL
+             ELSE ROUND(CAST(COALESCE(n_hit_baskets, 0) AS DOUBLE)
+               / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
+         FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
+         ORDER BY part""",
+    // pooled-variance MDE at alpha=.05/power=.8; z-sum constant embedded
+    "q_ab_power" ->
+      """WITH per AS (SELECT o_custkey,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         arms AS (SELECT o_custkey % 2 AS arm,
+             CAST(cents AS DOUBLE) / 100000.0 AS x FROM per),
+         g AS (SELECT arm, COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(18,6))) AS sx,
+             SUM(CAST(x * x AS DECIMAL(24,6))) AS sxx
+           FROM arms GROUP BY 1),
+         g2 AS (SELECT arm, n, sx, sxx,
+             CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n, 4)
+               AS DECIMAL(24,4)) AS term FROM g),
+         a AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(MIN(n) AS BIGINT) AS n_min,
+             SUM(sx) AS s_all, SUM(sxx) AS sxx_all, SUM(term) AS term_all
+           FROM g2),
+         s AS (SELECT n_total, n_min,
+             ROUND(CAST(s_all AS DOUBLE) / n_total, 6) AS grand_mean_k,
+             ROUND((CAST(sxx_all AS DOUBLE) - CAST(term_all AS DOUBLE))
+               / (n_total - 2), 6) AS pooled_var_k2
+           FROM a)
+         SELECT n_total, n_min, grand_mean_k, pooled_var_k2,
+           ROUND(2.801585 * sqrt(pooled_var_k2 * 2.0 / n_min), 6)
+             AS mde_abs_k,
+           ROUND(2.801585 * sqrt(pooled_var_k2 * 2.0 / n_min)
+             / grand_mean_k, 6) AS mde_rel
+         FROM s""",
     // drained stream twins share the batch oracles verbatim
     "q_stream_moments" ->
       """WITH g AS (SELECT o_orderpriority AS grp, COUNT(*) AS n,

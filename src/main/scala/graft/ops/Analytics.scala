@@ -1350,4 +1350,67 @@ object Analytics {
         col("class_rev").cast("double").as("class_rev"), col("rev_share"))
       .orderBy("abc_class")
   }
+
+  /** Held-out evaluation of the co-purchase recommender — the offline
+    * metric loop every recommendation pipeline runs before shipping a
+    * model: baskets split at the DATA-DRIVEN midpoint of the order-date
+    * range (the [[graft.ops.Events.qCuped]] convention — a calendar
+    * literal would put every order on one side of a differently-dated
+    * drop), co-occurrence counts build on the TRAIN side only, top-k
+    * recommendations per probe part rank by (count desc, candidate asc),
+    * and hit-rate@k scores them against the TEST baskets that contain
+    * the probe ("did the basket also contain something we would have
+    * recommended").
+    *
+    * Scale: the train-side pair build is the standard bounded-basket
+    * self-join (fan-out capped by basket size); the ranking window is
+    * per-probe (probe-bounded, never global); test scoring joins the
+    * (probe × k) recommendation frame — broadcast-sized — against the
+    * test baskets. All counts exact integers; the rate is one division.
+    */
+  def qRecEval(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val li = t.lineitem
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
+      .distinct()
+    val days = t.orders.select(col("o_orderkey").as("okey"),
+      expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)")
+        .as("d"))
+    val cut = days.agg(expr("(min(d) + max(d)) div 2").as("cut"))
+    val sides = days.crossJoin(broadcast(cut))
+      .select(col("okey"), (col("d") < col("cut")).as("is_train"))
+    val trainB = li.join(sides.filter(col("is_train")).select("okey"), "okey")
+    val testB = li.join(sides.filter(!col("is_train")).select("okey"), "okey")
+    val edges = trainB.as("a")
+      .join(trainB.as("b"), "okey")
+      .filter(col("a.pk") =!= col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("cij"))
+    val byProbe = Window.partitionBy("u")
+      .orderBy(col("cij").desc, col("v"))
+    val recs = edges.filter(pmod(col("u"), lit(probeMod)) === 0)
+      .withColumn("rnk", row_number().over(byProbe).cast("long"))
+      .filter(col("rnk") <= k)
+    val nRecs = recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
+    // test baskets that contain the probe part
+    val withU = testB.filter(pmod(col("pk"), lit(probeMod)) === 0)
+      .select(col("okey"), col("pk").as("u")).distinct()
+    // ... of those, the baskets that also contain >=1 recommended item
+    val hitB = withU
+      .join(recs.select("u", "v"), "u")
+      .join(testB.select(col("okey"), col("pk").as("v")),
+        Seq("okey", "v"), "left_semi")
+      .select("okey", "u").distinct()
+    val nTest = withU.groupBy("u").agg(count(lit(1)).as("n_test_baskets"))
+    val nHit = hitB.groupBy("u").agg(count(lit(1)).as("n_hit_baskets"))
+    nRecs
+      .join(nTest, Seq("u"), "left")
+      .join(nHit, Seq("u"), "left")
+      .na.fill(0L, Seq("n_test_baskets", "n_hit_baskets"))
+      .select(col("u").as("part"), col("n_recs"),
+        col("n_test_baskets"), col("n_hit_baskets"),
+        when(col("n_test_baskets") === 0L, lit(null))
+          .otherwise(round(col("n_hit_baskets").cast("double") /
+            col("n_test_baskets").cast("double"), 9)).as("hit_rate"))
+      .orderBy("part")
+  }
 }

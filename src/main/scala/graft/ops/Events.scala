@@ -1349,6 +1349,58 @@ object Events {
     out
   }
 
+  /** Pre-experiment power analysis: the minimum detectable effect (MDE)
+    * on per-customer revenue for the mod-2 assignment the platform uses
+    * ([[qCuped]]'s split family) at α = 0.05 / power = 0.8 — the
+    * question every experiment review asks FIRST ("can this test even
+    * see the effect size we care about?"). The z-quantile sum
+    * z₀.₉₇₅ + z₀.₈ = 2.801585 is embedded as a fixed constant (part of
+    * the test spec, the [[graft.ops.Stats.qFdrBh]] convention).
+    *
+    * Per-arm moments follow the qAnova DECIMAL recipe on kilo-dollar
+    * units; the pooled variance and MDE are one pinned double chain.
+    * Scale: one customer-key aggregate, then arm-sized everything.
+    */
+  def qAbPower(t: Tables): DataFrame = {
+    val arms = t.orders
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+      .withColumn("x", col("cents").cast("double") / lit(100000.0))
+      .groupBy(pmod(col("o_custkey"), lit(2)).cast("long").as("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(DecimalType(18, 6))).as("sx"),
+        sum((col("x") * col("x")).cast(DecimalType(24, 6))).as("sxx"))
+      .withColumn("term",
+        round(col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"), 4).cast(DecimalType(24, 4)))
+    arms
+      .agg(
+        sum("n").as("n_total"),
+        min("n").as("n_min"),
+        sum("sx").as("s_all"),
+        sum("sxx").as("sxx_all"),
+        sum("term").as("term_all"))
+      .select(
+        col("n_total"), col("n_min"),
+        round(col("s_all").cast("double") /
+          col("n_total").cast("double"), 6).as("grand_mean_k"),
+        round((col("sxx_all").cast("double") -
+          col("term_all").cast("double")) /
+          (col("n_total") - 2).cast("double"), 6).as("pooled_var_k2"))
+      .select(
+        col("n_total"), col("n_min"), col("grand_mean_k"),
+        col("pooled_var_k2"),
+        round(lit(2.801585) *
+          sqrt(col("pooled_var_k2") * lit(2.0) /
+            col("n_min").cast("double")), 6).as("mde_abs_k"),
+        round(lit(2.801585) *
+          sqrt(col("pooled_var_k2") * lit(2.0) /
+            col("n_min").cast("double")) / col("grand_mean_k"), 6)
+          .as("mde_rel"))
+  }
+
   /** Sample-ratio-mismatch (SRM) audit: for each candidate assignment
     * split (user_id mod k, k ∈ 2/3/5 — the same hash-mod family
     * [[qCuped]] assigns variants with), a uniform-goodness chi-square over

@@ -156,6 +156,59 @@ class DistributionalSpec extends SparkSuite {
     assert(math.abs(mi - miB) < 1e-6)
   }
 
+  test("rec eval: hit rates match a brute-force train/test replay") {
+    val out = graft.ops.Analytics.qRecEval(tables).collect()
+    val li = tables.lineitem.select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.distinct
+    val days = tables.orders
+      .select(col("o_orderkey"),
+        expr("CAST(datediff(o_orderdate, DATE '1992-01-01') AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val cut = (days.values.min + days.values.max) / 2
+    val train = li.filter(x => days(x._1) < cut)
+    val test = li.filter(x => days(x._1) >= cut)
+    val testByBasket = test.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).toSet
+    }
+    // brute recommendations: co-occurrence counts on train baskets
+    val co = train.groupBy(_._1).values.toSeq.flatMap { g =>
+      val ps = g.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) yield (a, b)
+    }.groupBy(identity).map { case (k, v) => k -> v.size }
+    out.foreach { r =>
+      val u = r.getLong(0)
+      assert(u % 199 == 0)
+      val recs = co.collect { case ((a, b), c) if a == u => (b, c) }
+        .toSeq.sortBy { case (v, c) => (-c, v) }.take(5).map(_._1).toSet
+      assert(r.getLong(1) == recs.size)
+      val uBaskets = testByBasket.filter(_._2.contains(u)).keys.toSeq
+      val hits = uBaskets.count(k => testByBasket(k).intersect(recs).nonEmpty)
+      assert(r.getLong(2) == uBaskets.size && r.getLong(3) == hits)
+      if (uBaskets.nonEmpty)
+        assert(math.abs(r.getDouble(4) -
+          hits.toDouble / uBaskets.size) < 1e-8)
+      else assert(r.isNullAt(4))
+    }
+  }
+
+  test("ab power: MDE identities hold and match the pinned recompute") {
+    val r = graft.ops.Events.qAbPower(tables).collect()(0)
+    val (nTot, nMin) = (r.getLong(0), r.getLong(1))
+    val (mean, varK) = (r.getDouble(2), r.getDouble(3))
+    val (mdeAbs, mdeRel) = (r.getDouble(4), r.getDouble(5))
+    assert(nMin * 2 <= nTot + 1 && nMin >= 1)
+    assert(varK > 0)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(mdeAbs == r6(2.801585 * math.sqrt(varK * 2.0 / nMin)))
+    assert(mdeRel == r6(2.801585 * math.sqrt(varK * 2.0 / nMin) / mean))
+    // the split is customer-parity: arm sizes from a direct recompute
+    val custs = tables.orders.select("o_custkey").distinct().collect()
+      .map(_.getLong(0))
+    assert(nTot == custs.length)
+    assert(nMin == math.min(custs.count(_ % 2 == 0), custs.count(_ % 2 == 1)))
+  }
+
   test("moments: skewness/kurtosis match a brute-force recompute") {
     val out = Stats.qMoments(tables).collect()
     val byGrp = tables.orders
