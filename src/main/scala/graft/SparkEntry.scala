@@ -162,6 +162,10 @@ object SparkEntry {
     "q_variant_agg" -> q(Events.qVariantAgg),
     "q_rec_eval" -> q(Analytics.qRecEval(_)),
     "q_ab_power" -> q(Events.qAbPower),
+    "q_hard_negatives" -> q(Similarity.qHardNegatives(_)),
+    "q_multimodal_resize" -> ((spark, dir) =>
+      Multimodal.qMultimodalResize(spark, Tables(spark, dir))),
+    "q_mlm_mask" -> q(TextAnalysis.qMlmMask),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1348,6 +1352,63 @@ object SparkEntry {
                / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
          FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
          ORDER BY part""",
+    // identity-hash masking plan: md5(doc_id:pos) < '26' = exact 38/256
+    "q_mlm_mask" ->
+      """WITH d AS (SELECT doc_id,
+             CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END
+               AS BIGINT) AS n_tokens
+           FROM documents),
+         m AS (SELECT doc_id, n_tokens,
+             list_filter(range(0, n_tokens),
+               i -> substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                 CAST(i AS VARCHAR)), 1, 2) < '26') AS pos
+           FROM d)
+         SELECT doc_id, n_tokens, CAST(len(pos) AS BIGINT) AS n_masked,
+           ROUND(CAST(len(pos) AS DOUBLE) / n_tokens, 9) AS mask_ratio,
+           COALESCE(array_to_string(pos[1:10], ','), '') AS mask_head
+         FROM m ORDER BY doc_id""",
+    // stub dims replayed from md5 hex digits (the q_multimodal_frames
+    // convention), then the aspect-preserving resize arithmetic
+    "q_multimodal_resize" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h
+           FROM documents WHERE doc_id % 10 = 0),
+         wh AS (SELECT doc_id,
+             CAST(160 + ((16 * (strpos('0123456789abcdef', substr(h, 1, 1))
+                 - 1) + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1))
+               % 8) * 160 AS INTEGER) AS width,
+             CAST(90 + ((16 * (strpos('0123456789abcdef', substr(h, 3, 1))
+                 - 1) + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1))
+               % 8) * 90 AS INTEGER) AS height
+           FROM d),
+         s AS (SELECT doc_id, width, height,
+             least(256.0 / width, 256.0 / height, 1.0) AS scale FROM wh)
+         SELECT doc_id, width, height,
+           CAST(floor(width * scale) AS INTEGER) AS out_w,
+           CAST(floor(height * scale) AS INTEGER) AS out_h
+         FROM s ORDER BY doc_id""",
+    // qKnnBrute's oracle with the label-mismatch predicate: the
+    // contrastive hard-negative shortlist
+    "q_hard_negatives" ->
+      """WITH corpus AS (SELECT vec_id AS nid, label AS nlabel,
+             CAST(embedding AS DOUBLE[]) AS nvec FROM embeddings),
+         queries AS (SELECT vec_id AS qid, label AS qlabel,
+             CAST(embedding AS DOUBLE[]) AS qvec
+           FROM embeddings WHERE vec_id % 200 = 0),
+         sims AS (SELECT qid, CAST(qlabel AS BIGINT) AS qlabel, nid,
+             list_sum(list_transform(range(1, len(qvec) + 1),
+               i -> qvec[i] * nvec[i])) /
+               (sqrt(list_sum(list_transform(range(1, len(qvec) + 1),
+                 i -> qvec[i] * qvec[i]))) *
+                sqrt(list_sum(list_transform(range(1, len(nvec) + 1),
+                 i -> nvec[i] * nvec[i])))) AS sim
+           FROM corpus CROSS JOIN queries WHERE nlabel <> qlabel),
+         ranked AS (SELECT qid, qlabel, nid, sim,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+           FROM sims)
+         SELECT qid, qlabel, nid, sim, rnk FROM ranked WHERE rnk <= 5
+         ORDER BY qid, rnk""",
     // pooled-variance MDE at alpha=.05/power=.8; z-sum constant embedded
     "q_ab_power" ->
       """WITH per AS (SELECT o_custkey,

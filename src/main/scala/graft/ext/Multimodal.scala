@@ -152,6 +152,21 @@ object Multimodal {
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
       .select("doc_id", "width", "height", "out_w", "out_h")
 
+  /** Resize planning as a registered query: payload -> batched stub
+    * decode -> aspect-preserving target dims ([[resizePlan]]). Like
+    * [[qMultimodalFrames]], the md5-derived stub dims let DuckDB replay
+    * the whole computation with hex-digit arithmetic — the resize stage
+    * of the media pipeline hash-checks end-to-end even though the
+    * "decode" is synthetic.
+    */
+  def qMultimodalResize(
+      spark: SparkSession, t: Tables, maxSide: Int = 256): DataFrame = {
+    val payloads = t.documents
+      .filter(pmod(col("doc_id"), lit(10)) === 0)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+    resizePlan(extractMeta(spark, payloads), maxSide).orderBy("doc_id")
+  }
+
   /** Full multimodal pipeline as a registered (rows-only) query: payload ->
     * batched stub decode -> frame sampling, emitting (doc, frame) grain.
     */

@@ -71,6 +71,40 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Hard-negative mining — for each probe query, the top-k most similar
+    * corpus vectors with a DIFFERENT label: the contrastive-training
+    * primitive (an embedding model trains fastest on negatives that look
+    * like positives, and this is exactly the query that finds them).
+    * Identical plan shape to [[qKnnBrute]] — broadcast query side, one
+    * corpus scan, `bounded_topk` reducing the similarity stream to k rows
+    * per (query, map task) BEFORE any exchange — with the label-mismatch
+    * predicate fused into the scan-side filter.
+    */
+  def qHardNegatives(t: Tables, k: Int = 5, qMod: Int = 200): DataFrame = {
+    val corpus = t.embeddings
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"),
+        asDouble(col("embedding")).as("nvec"))
+    val queries = t.embeddings
+      .filter(pmod(col("vec_id"), lit(qMod)) === 0)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        asDouble(col("embedding")).as("qvec"))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("sim", cosine(col("qvec"), col("nvec")))
+      .groupBy("qid", "qlabel")
+      .agg(call_function("bounded_topk",
+        struct(col("sim"), col("nid")), lit(k), lit(true)).as("top"))
+      .select(col("qid"), col("qlabel").cast("long").as("qlabel"),
+        posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"), col("qlabel"),
+        col("item.id").as("nid"),
+        col("item.score").as("sim"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** Nearest-centroid cell id for a vector, against a LITERAL centroid set:
     * a pure projection (argmax of k cosines via the native
     * [[graft.functions.NearestCentroid]]), no join and no shuffle — the

@@ -1360,6 +1360,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Deterministic MLM masking plan — which token positions a masked-
+    * language-model corpus build would corrupt, decided by
+    * md5(doc_id:position) against a fixed hex threshold ('26' = 38/256 ≈
+    * 14.8%, the BERT-style rate as an exact rational). Like
+    * [[graft.ext.Sampling.qHashSplit]], the mask is a pure function of
+    * identity — rebuilding the corpus, resharding, or switching engines
+    * never moves a mask, so training runs are reproducible byte-for-byte.
+    *
+    * Scale: everything is per-row array arithmetic inside codegen
+    * (sequence/filter/slice on positions — the token ARRAY never
+    * explodes); one output row per doc, no shuffle but the output sort.
+    */
+  def qMlmMask(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .withColumn("pos", expr(
+        """filter(sequence(0L, n_tokens - 1),
+             i -> substring(md5(concat(CAST(doc_id AS STRING), ':',
+               CAST(i AS STRING))), 1, 2) < '26')"""))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        size(col("pos")).cast("long").as("n_masked"),
+        round(size(col("pos")).cast("double") /
+          col("n_tokens").cast("double"), 9).as("mask_ratio"),
+        array_join(expr("transform(slice(pos, 1, 10), x -> CAST(x AS STRING))"),
+          ",").as("mask_head"))
+      .orderBy("doc_id")
+
   /** Mutual information between the corpus's two categorical axes,
     * MI(lang; source) in bits — the redundancy readout a corpus curator
     * checks before stratifying on both ("if source determines language,

@@ -191,6 +191,64 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("mlm mask: positions match a MessageDigest recompute; rate sane") {
+    val out = TextAnalysis.qMlmMask(tables).collect()
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == docs.size)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var masked = 0L; var total = 0L
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val n = docs(id).trim.split(" +").length.toLong
+      assert(r.getLong(1) == n)
+      val pos = (0L until n).filter { i =>
+        md.digest(s"$id:$i".getBytes("UTF-8")).take(1)
+          .map(b => f"$b%02x").mkString < "26"
+      }
+      assert(r.getLong(2) == pos.length)
+      assert(r.getString(4) == pos.take(10).mkString(","))
+      masked += pos.length; total += n
+    }
+    // corpus-wide realized rate tracks the exact 38/256 design rate
+    val rate = masked.toDouble / total
+    assert(rate > 0.10 && rate < 0.20, s"rate $rate")
+  }
+
+  test("multimodal resize: aspect preserved, bounded by maxSide") {
+    val out = graft.ext.Multimodal
+      .qMultimodalResize(spark, tables).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (w, h, ow, oh) = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(ow <= 256 && oh <= 256 && ow >= 1 && oh >= 1)
+      assert(ow <= w && oh <= h)
+      // aspect ratio preserved within the floor's quantization
+      val s = math.min(math.min(256.0 / w, 256.0 / h), 1.0)
+      assert(ow == math.floor(w * s).toInt && oh == math.floor(h * s).toInt)
+    }
+  }
+
+  test("hard negatives: all cross-label, ranked by descending cosine") {
+    val out = graft.ext.Similarity.qHardNegatives(tables).collect()
+    val labels = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out.nonEmpty)
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rows) =>
+      assert(qid % 200 == 0)
+      val sorted = rows.sortBy(_.getLong(4))
+      // negatives never share the query's label; sims non-increasing
+      sorted.foreach { r =>
+        assert(labels(r.getLong(2)) != r.getLong(1))
+        assert(labels(qid).toLong == r.getLong(1))
+      }
+      val sims = sorted.map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to rows.length))
+    }
+  }
+
   test("ab power: MDE identities hold and match the pinned recompute") {
     val r = graft.ops.Events.qAbPower(tables).collect()(0)
     val (nTot, nMin) = (r.getLong(0), r.getLong(1))
