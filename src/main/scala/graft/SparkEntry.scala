@@ -112,6 +112,8 @@ object SparkEntry {
       TpchSql.run(spark, Tables(spark, dir), TpchSql.recursive)),
     "q_sql_pivot" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.pivotSpark)),
+    "q_sql_unpivot" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.unpivotSpark)),
     "q_moments" -> q(Stats.qMoments),
     "q_dedup_incremental" -> q(Dedup.qDedupIncremental(_)),
     "q_entity_resolution" -> q(Dedup.qEntityResolution(_)),
@@ -1352,6 +1354,24 @@ object SparkEntry {
                / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
          FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
          ORDER BY part""",
+    // hand-lowered UNION ALL mirror of the frontend UNPIVOT fold
+    "q_sql_unpivot" ->
+      """WITH b AS (SELECT l_orderkey,
+             CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_quantity, l_extendedprice, l_discount, l_tax
+           FROM lineitem WHERE l_orderkey % 500 = 0),
+         u AS (
+           SELECT l_orderkey, l_linenumber,
+             'l_quantity' AS measure, l_quantity AS val FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber,
+             'l_extendedprice', l_extendedprice FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+           UNION ALL
+           SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b)
+         SELECT l_orderkey, l_linenumber, measure, val FROM u
+         ORDER BY l_orderkey, l_linenumber, measure""",
     // identity-hash masking plan: md5(doc_id:pos) < '26' = exact 38/256
     "q_mlm_mask" ->
       """WITH d AS (SELECT doc_id,

@@ -442,6 +442,24 @@ object TpchSql {
          ('de' AS de, 'en' AS en, 'es' AS es, 'fr' AS fr, 'zh' AS zh))
        ORDER BY source"""
 
+  /** UNPIVOT through the SQL frontend — the inverse reshape of
+    * [[pivotSpark]]: the four lineitem measures fold to (measure, val)
+    * long form in one scan-side projection (no join, no shuffle beyond
+    * the sort). Like PIVOT, NOT dual-dialect (DuckDB's UNPIVOT grammar
+    * differs), so the oracle hand-lowers the fold as a 4-way
+    * UNION ALL. Spark's UNPIVOT drops NULL values by default and so
+    * does a lateral-VALUES lowering — the measures here are all
+    * non-null, keeping the two semantics identical.
+    */
+  val unpivotSpark: String =
+    """SELECT l_orderkey, l_linenumber, measure, val
+       FROM (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+               l_quantity, l_extendedprice, l_discount, l_tax
+             FROM lineitem WHERE l_orderkey % 500 = 0)
+       UNPIVOT (val FOR measure IN
+         (l_quantity, l_extendedprice, l_discount, l_tax))
+       ORDER BY l_orderkey, l_linenumber, measure"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,

@@ -301,6 +301,13 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("sql unpivot equals the DataFrame unpivot fold") {
+    val sql = SparkEntry.queries("q_sql_unpivot")(spark, sfDir).collect()
+    val df = graft.ops.Analytics.qUnpivotMeasures(tables).collect()
+    assert(sql.map(_.toString).toSeq == df.map(_.toString).toSeq)
+    assert(sql.nonEmpty)
+  }
+
   test("sql pivot equals the DataFrame pivot reshape") {
     val sql = SparkEntry.queries("q_sql_pivot")(spark, sfDir).collect()
     val df = tables.documents
