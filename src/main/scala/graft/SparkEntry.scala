@@ -168,6 +168,7 @@ object SparkEntry {
     "q_multimodal_resize" -> ((spark, dir) =>
       Multimodal.qMultimodalResize(spark, Tables(spark, dir))),
     "q_mlm_mask" -> q(TextAnalysis.qMlmMask),
+    "q_surprisal_curve" -> q(TextAnalysis.qSurprisalCurve(_)),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1354,6 +1355,39 @@ object SparkEntry {
                / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
          FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
          ORDER BY part""",
+    // per-doc mean surprisal (q_unigram_surprisal's decimal pinning),
+    // swept over a fixed cutoff grid — the LM-filter tuning curve
+    "q_surprisal_curve" ->
+      """WITH toks AS (SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         counts AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+           FROM toks GROUP BY 1),
+         total AS (SELECT CAST(SUM(cw) AS BIGINT) AS tt FROM counts),
+         sp AS (SELECT word,
+             CAST(ROUND(-ln(CAST(cw AS DOUBLE) / tt), 9)
+               AS DECIMAL(14,10)) AS sp
+           FROM counts, total),
+         dw AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS k
+           FROM toks GROUP BY 1, 2),
+         d AS (SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+             CAST(SUM(sp.sp * CAST(k AS DECIMAL(8,0))) AS DOUBLE)
+               / SUM(k) AS avg_sp
+           FROM dw JOIN sp USING (word) GROUP BY 1),
+         grid AS (SELECT CAST(unnest([3.39, 3.40, 3.41, 3.42, 3.45,
+             3.50]) AS DOUBLE) AS cutoff),
+         x AS (SELECT cutoff, n_tokens, avg_sp FROM d CROSS JOIN grid)
+         SELECT cutoff,
+           CAST(SUM(CASE WHEN avg_sp <= cutoff THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN avg_sp > cutoff THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_dropped,
+           CAST(SUM(CASE WHEN avg_sp <= cutoff THEN n_tokens ELSE 0 END)
+             AS BIGINT) AS tokens_kept,
+           ROUND(CAST(SUM(CASE WHEN avg_sp <= cutoff THEN n_tokens
+               ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_tokens) AS DOUBLE), 9) AS token_share_kept
+         FROM x GROUP BY cutoff ORDER BY cutoff""",
     // hand-lowered UNION ALL mirror of the frontend UNPIVOT fold
     "q_sql_unpivot" ->
       """WITH b AS (SELECT l_orderkey,

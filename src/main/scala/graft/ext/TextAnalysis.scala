@@ -283,6 +283,59 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Perplexity-filter tuning curve: documents kept/dropped and token
+    * mass retained at each candidate mean-surprisal cutoff — the dial a
+    * curation pipeline turns before committing to an LM-based quality
+    * filter (the [[graft.ext.Dedup.qDedupThresholdCurve]] idea applied
+    * to the quality axis). Per-doc mean surprisal reuses
+    * [[qUnigramSurprisal]]'s exact-decimal convention (per-word ln
+    * pinned at 1e-9 into DECIMAL, occurrence-weighted decimal sums, ONE
+    * double division) so the cutoff comparison runs on a value both
+    * engines hold bit-identically.
+    *
+    * Scale: one corpus pass for the LM counts, the dictionary joins back
+    * broadcast-sized, per-doc aggregate shuffles (doc, word) pairs once;
+    * the cutoff explode multiplies the DOC-sized frame by a fixed grid.
+    */
+  def qSurprisalCurve(
+      t: Tables,
+      cutoffs: Seq[Double] = Seq(3.39, 3.40, 3.41, 3.42, 3.45, 3.50))
+      : DataFrame = {
+    val toks = t.documents
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), " +")).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).as("cw"))
+    val total = counts.agg(sum("cw").as("tt"))
+    val surprisal = counts.crossJoin(broadcast(total))
+      .select(col("word"),
+        round(-log(col("cw").cast("double") / col("tt")), 9)
+          .cast("decimal(14,10)").as("sp"))
+    val perDoc = toks
+      .groupBy("doc_id", "word")
+      .agg(count(lit(1)).as("k"))
+      .join(surprisal, "word")
+      .groupBy("doc_id")
+      .agg(
+        sum("k").as("n_tokens"),
+        (sum(col("sp") * col("k").cast("decimal(8,0)")).cast("double") /
+          sum("k")).as("avg_sp"))
+    perDoc
+      .select(col("n_tokens"), col("avg_sp"),
+        explode(array(cutoffs.map(lit): _*)).as("cutoff"))
+      .groupBy("cutoff")
+      .agg(
+        sum(when(col("avg_sp") <= col("cutoff"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("avg_sp") > col("cutoff"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("avg_sp") <= col("cutoff"), col("n_tokens"))
+          .otherwise(0L)).as("tokens_kept"),
+        round(sum(when(col("avg_sp") <= col("cutoff"), col("n_tokens"))
+            .otherwise(0L)).cast("double") /
+          sum(col("n_tokens")).cast("double"), 9).as("token_share_kept"))
+      .orderBy("cutoff")
+  }
+
   /** Data-curation funnel: per source, how many documents each quality
     * gate rejects (too short, low quality blend, digit-heavy) and how many
     * survive all gates. Map-only rule evaluation + one aggregate — the

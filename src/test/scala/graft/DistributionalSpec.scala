@@ -191,6 +191,21 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("surprisal curve: monotone in the cutoff; totals conserve") {
+    val out = graft.ext.TextAnalysis.qSurprisalCurve(tables).collect()
+    assert(out.length == 6)
+    val nDocs = tables.documents.count()
+    out.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == nDocs)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // raising the cutoff can only keep more docs and more tokens
+    val kept = out.map(_.getLong(1))
+    val toks = out.map(_.getLong(3))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    assert(toks.zip(toks.tail).forall { case (a, b) => a <= b })
+  }
+
   test("mlm mask: positions match a MessageDigest recompute; rate sane") {
     val out = TextAnalysis.qMlmMask(tables).collect()
     val docs = tables.documents.select("doc_id", "text").collect()
