@@ -169,6 +169,8 @@ object SparkEntry {
       Multimodal.qMultimodalResize(spark, Tables(spark, dir))),
     "q_mlm_mask" -> q(TextAnalysis.qMlmMask),
     "q_surprisal_curve" -> q(TextAnalysis.qSurprisalCurve(_)),
+    "q_ltv_curve" -> q(Analytics.qLtvCurve),
+    "q_rec_ndcg" -> q(Analytics.qRecNdcg(_)),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1355,6 +1357,88 @@ object SparkEntry {
                / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
          FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
          ORDER BY part""",
+    // q_rec_eval's frames with ROUNDED-decimal-literal log2 discounts:
+    // DCG sums are exact decimal arithmetic, no query-time transcendental
+    "q_rec_ndcg" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+             FROM lineitem),
+         days AS (SELECT o_orderkey AS okey,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS d
+           FROM orders),
+         cut AS (SELECT (MIN(d) + MAX(d)) // 2 AS cut FROM days),
+         sides AS (SELECT okey, d < (SELECT cut FROM cut) AS is_train
+           FROM days),
+         trainb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE is_train),
+         testb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE NOT is_train),
+         edges AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS cij
+           FROM trainb a JOIN trainb b
+             ON a.okey = b.okey AND a.pk <> b.pk
+           GROUP BY 1, 2),
+         recs AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u
+             ORDER BY cij DESC, v) AS BIGINT) AS rnk
+           FROM edges WHERE u % 199 = 0),
+         reck AS (SELECT u, v, rnk FROM recs WHERE rnk <= 5),
+         withu AS (SELECT DISTINCT okey, pk AS u FROM testb
+           WHERE pk % 199 = 0),
+         relrec AS (SELECT DISTINCT r.u, r.v, r.rnk
+           FROM reck r JOIN withu w ON r.u = w.u
+           WHERE EXISTS (SELECT 1 FROM testb t
+             WHERE t.okey = w.okey AND t.pk = r.v)),
+         dcg AS (SELECT u, SUM(CASE rnk
+             WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+             WHEN 2 THEN CAST('0.630929754' AS DECIMAL(12,9))
+             WHEN 3 THEN CAST('0.500000000' AS DECIMAL(12,9))
+             WHEN 4 THEN CAST('0.430676558' AS DECIMAL(12,9))
+             ELSE CAST('0.386852807' AS DECIMAL(12,9)) END) AS dcg_dec
+           FROM relrec GROUP BY 1),
+         nrel AS (SELECT w.u, CAST(COUNT(DISTINCT t.pk) AS BIGINT)
+             AS n_rel
+           FROM withu w JOIN testb t ON w.okey = t.okey
+           WHERE t.pk <> w.u GROUP BY 1),
+         wnr AS (SELECT u, n_rel, CASE LEAST(n_rel, 5)
+             WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+             WHEN 2 THEN CAST('1.630929754' AS DECIMAL(12,9))
+             WHEN 3 THEN CAST('2.130929754' AS DECIMAL(12,9))
+             WHEN 4 THEN CAST('2.561606312' AS DECIMAL(12,9))
+             WHEN 5 THEN CAST('2.948459119' AS DECIMAL(12,9)) END
+             AS idcg_dec
+           FROM nrel),
+         base AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_recs
+           FROM reck GROUP BY 1)
+         SELECT base.u AS part, n_recs, COALESCE(n_rel, 0) AS n_rel,
+           CAST(COALESCE(dcg_dec, 0) AS DOUBLE) AS dcg,
+           CAST(idcg_dec AS DOUBLE) AS idcg,
+           CASE WHEN COALESCE(n_rel, 0) = 0 THEN NULL
+             ELSE ROUND(CAST(COALESCE(dcg_dec, 0) AS DOUBLE)
+               / CAST(idcg_dec AS DOUBLE), 9) END AS ndcg
+         FROM base LEFT JOIN wnr USING (u) LEFT JOIN dcg USING (u)
+         ORDER BY part""",
+    // cohort month = integer 12y+m-1 keys; exact cent cumsums per cohort
+    "q_ltv_curve" ->
+      """WITH om AS (SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+               AS BIGINT) AS m,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         cohort AS (SELECT o_custkey, MIN(m) AS m0 FROM om GROUP BY 1),
+         sizes AS (SELECT m0, CAST(COUNT(*) AS BIGINT) AS cohort_users
+           FROM cohort GROUP BY 1),
+         g AS (SELECT c.m0, om.m - c.m0 AS age,
+             CAST(SUM(cents) AS BIGINT) AS rev_cents
+           FROM om JOIN cohort c USING (o_custkey) GROUP BY 1, 2),
+         w AS (SELECT m0, age, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY m0 ORDER BY age)
+               AS BIGINT) AS cum_cents
+           FROM g)
+         SELECT printf('%04d-%02d', CAST(m0 // 12 AS INTEGER),
+             CAST(m0 % 12 + 1 AS INTEGER)) AS cohort,
+           age, cohort_users, rev_cents, cum_cents,
+           ROUND(CAST(cum_cents AS DOUBLE)
+             / CAST(cohort_users AS DOUBLE) / 100.0, 6) AS ltv_per_user
+         FROM w JOIN sizes USING (m0) ORDER BY cohort, age""",
     // per-doc mean surprisal (q_unigram_surprisal's decimal pinning),
     // swept over a fixed cutoff grid — the LM-filter tuning curve
     "q_surprisal_curve" ->

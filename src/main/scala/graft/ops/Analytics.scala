@@ -1351,6 +1351,44 @@ object Analytics {
       .orderBy("abc_class")
   }
 
+  /** Cohort lifetime-value curve: customers cohorted by FIRST-order
+    * month, revenue accumulated by months-since-first — "how much is a
+    * January-acquired customer worth after six months", the retention
+    * economics readout behind every acquisition-spend decision
+    * (completing [[graft.ops.Events.qCohortMatrix]]'s activity view with
+    * the revenue view). Cents stay exact longs; the running cumulative
+    * runs per cohort over the (cohort × age) frame, never the fact; LTV
+    * per acquired customer is the one double division.
+    *
+    * Month arithmetic is integer (12·year + month), so cohort and age
+    * are engine-exact keys.
+    */
+  def qLtvCurve(t: Tables): DataFrame = {
+    val om = t.orders.select(
+      col("o_custkey"),
+      expr("CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT)")
+        .as("m"),
+      expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+    val cohort = om.groupBy("o_custkey").agg(min("m").as("m0"))
+    val sizes = cohort.groupBy("m0").agg(count(lit(1)).as("cohort_users"))
+    val byCohort = Window.partitionBy("m0").orderBy("age")
+    om.join(cohort, "o_custkey")
+      .groupBy(col("m0"), (col("m") - col("m0")).as("age"))
+      .agg(sum("cents").as("rev_cents"))
+      .withColumn("cum_cents", sum("rev_cents").over(byCohort))
+      .join(sizes, "m0")
+      .select(
+        // month key back to a calendar label both engines format alike
+        expr("""format_string('%04d-%02d', CAST(m0 div 12 AS INT),
+                CAST(m0 % 12 + 1 AS INT))""").as("cohort"),
+        col("age"), col("cohort_users"), col("rev_cents"),
+        col("cum_cents"),
+        round(col("cum_cents").cast("double") /
+          col("cohort_users").cast("double") / 100.0, 6)
+          .as("ltv_per_user"))
+      .orderBy("cohort", "age")
+  }
+
   /** Held-out evaluation of the co-purchase recommender — the offline
     * metric loop every recommendation pipeline runs before shipping a
     * model: baskets split at the DATA-DRIVEN midpoint of the order-date
@@ -1368,7 +1406,11 @@ object Analytics {
     * (probe × k) recommendation frame — broadcast-sized — against the
     * test baskets. All counts exact integers; the rate is one division.
     */
-  def qRecEval(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+  /** Train/test frames shared by [[qRecEval]] and [[qRecNdcg]]. */
+  private case class RecFrames(
+      recs: DataFrame, testB: DataFrame, withU: DataFrame)
+
+  private def recFrames(t: Tables, probeMod: Int, k: Int): RecFrames = {
     val li = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
@@ -1390,10 +1432,14 @@ object Analytics {
     val recs = edges.filter(pmod(col("u"), lit(probeMod)) === 0)
       .withColumn("rnk", row_number().over(byProbe).cast("long"))
       .filter(col("rnk") <= k)
-    val nRecs = recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
-    // test baskets that contain the probe part
     val withU = testB.filter(pmod(col("pk"), lit(probeMod)) === 0)
       .select(col("okey"), col("pk").as("u")).distinct()
+    RecFrames(recs, testB, withU)
+  }
+
+  def qRecEval(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    val RecFrames(recs, testB, withU) = recFrames(t, probeMod, k)
+    val nRecs = recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
     // ... of those, the baskets that also contain >=1 recommended item
     val hitB = withU
       .join(recs.select("u", "v"), "u")
@@ -1411,6 +1457,59 @@ object Analytics {
         when(col("n_test_baskets") === 0L, lit(null))
           .otherwise(round(col("n_hit_baskets").cast("double") /
             col("n_test_baskets").cast("double"), 9)).as("hit_rate"))
+      .orderBy("part")
+  }
+
+  /** nDCG@k of the same held-out recommendation run — the POSITION-aware
+    * complement to [[qRecEval]]'s hit rate (putting the right item at
+    * rank 1 should score higher than rank 5). Relevance of a
+    * recommendation (u, v) is binary: v co-occurs with u in ≥ 1 test
+    * basket; the ideal pool is every part co-occurring with u in test.
+    * Discount weights 1/log2(r+1) are embedded as ROUNDED decimal
+    * literals (and their prefix sums for the ideal DCG), so DCG sums are
+    * exact decimal arithmetic — no transcendental is evaluated at query
+    * time and both engines agree to the last digit.
+    */
+  def qRecNdcg(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    require(k == 5, "discount literals are specialized to k = 5")
+    val RecFrames(recs, testB, withU) = recFrames(t, probeMod, k)
+    val w = Seq("1.000000000", "0.630929754", "0.500000000",
+      "0.430676558", "0.386852807")
+    val cumW = Seq("1.000000000", "1.630929754", "2.130929754",
+      "2.561606312", "2.948459119")
+    def decArr(xs: Seq[String]) =
+      array(xs.map(x => lit(x).cast("decimal(12,9)")): _*)
+    // relevant recommendations: (u, v) co-occurring in some test basket
+    val relRec = recs.select("u", "v", "rnk")
+      .join(withU, "u")
+      .join(testB.select(col("okey"), col("pk").as("v")),
+        Seq("okey", "v"), "left_semi")
+      .select("u", "v", "rnk").distinct()
+    val dcg = relRec
+      .withColumn("w", element_at(decArr(w), col("rnk").cast("int")))
+      .groupBy("u").agg(sum("w").as("dcg_dec"))
+    // ideal pool size: distinct test co-occurring parts per probe
+    val nRel = withU
+      .join(testB.select(col("okey"), col("pk").as("v")), "okey")
+      .filter(col("v") =!= col("u"))
+      .groupBy("u").agg(count_distinct(col("v")).as("n_rel"))
+    recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
+      .join(nRel, Seq("u"), "left")
+      .join(dcg, Seq("u"), "left")
+      .na.fill(0L, Seq("n_rel"))
+      .withColumn("dcg_dec",
+        coalesce(col("dcg_dec"), lit("0").cast("decimal(12,9)")))
+      .withColumn("idcg_dec",
+        when(col("n_rel") === 0L, lit(null))
+          .otherwise(element_at(decArr(cumW),
+            least(col("n_rel"), lit(5L)).cast("int"))))
+      .select(
+        col("u").as("part"), col("n_recs"), col("n_rel"),
+        col("dcg_dec").cast("double").as("dcg"),
+        col("idcg_dec").cast("double").as("idcg"),
+        when(col("n_rel") === 0L, lit(null))
+          .otherwise(round(col("dcg_dec").cast("double") /
+            col("idcg_dec").cast("double"), 9)).as("ndcg"))
       .orderBy("part")
   }
 }

@@ -264,6 +264,42 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("ltv curve: cohort revenue conserves; cumulative closes the total") {
+    val out = graft.ops.Analytics.qLtvCurve(tables).collect()
+    val totalCents = tables.orders
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sum
+    assert(out.map(_.getLong(3)).sum == totalCents)
+    // per cohort: cumulative is a running sum of the age series and the
+    // user count is constant
+    out.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(2)).distinct.length == 1)
+      var run = 0L
+      sorted.foreach { r =>
+        run += r.getLong(3)
+        assert(r.getLong(4) == run)
+      }
+    }
+  }
+
+  test("rec ndcg: bounded by 1, zero iff no relevant rec, idcg from pool") {
+    val out = graft.ops.Analytics.qRecNdcg(tables).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 199 == 0)
+      val nRel = r.getLong(2)
+      if (nRel == 0) { assert(r.isNullAt(4) && r.isNullAt(5)) }
+      else {
+        val (dcg, idcg, ndcg) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+        assert(idcg > 0 && dcg >= 0 && dcg <= idcg + 1e-9)
+        assert(ndcg >= 0.0 && ndcg <= 1.0)
+        assert(math.abs(ndcg - BigDecimal(dcg / idcg)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      }
+    }
+  }
+
   test("ab power: MDE identities hold and match the pinned recompute") {
     val r = graft.ops.Events.qAbPower(tables).collect()(0)
     val (nTot, nMin) = (r.getLong(0), r.getLong(1))
