@@ -1406,11 +1406,33 @@ object Analytics {
     * (probe × k) recommendation frame — broadcast-sized — against the
     * test baskets. All counts exact integers; the rate is one division.
     */
-  /** Train/test frames shared by [[qRecEval]] and [[qRecNdcg]]. */
+  /** Train/test frames shared by [[qRecEval]] and [[qRecNdcg]]. The
+    * expensive members (train-side pair build + ranked recommendations;
+    * the test basket frame) are session-cached per dataset dir like the
+    * graph family's co-purchase index — the two consumers each probe the
+    * same checkpointed frames instead of re-running the basket
+    * self-join. Cache key is the dir only, so the (probeMod, k) defaults
+    * are part of the cached spec (both registry entries use them).
+    */
   private case class RecFrames(
       recs: DataFrame, testB: DataFrame, withU: DataFrame)
 
+  private val recsCache = new graft.Engine.DirCache(t =>
+    recFramesUncached(t, 199, 5).recs)
+  private val testBCache = new graft.Engine.DirCache(t =>
+    recFramesUncached(t, 199, 5).testB)
+
   private def recFrames(t: Tables, probeMod: Int, k: Int): RecFrames = {
+    require(probeMod == 199 && k == 5,
+      "shared rec-frame cache is specialized to the registry defaults")
+    val testB = testBCache(t)
+    val withU = testB.filter(pmod(col("pk"), lit(probeMod)) === 0)
+      .select(col("okey"), col("pk").as("u")).distinct()
+    RecFrames(recsCache(t), testB, withU)
+  }
+
+  private def recFramesUncached(
+      t: Tables, probeMod: Int, k: Int): RecFrames = {
     val li = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
