@@ -103,6 +103,7 @@ object Bench {
       // threshold-curve family) — same warmup-owns-the-one-time-cost rule
       ops.Graph.warmTriangleCensus(t)
       ext.Dedup.warmPairCaches(t)
+      ops.Analytics.warmRecFrames(t)
     } catch {
       case e: Throwable =>
         warmErr = (e.getClass.getName + ": " + String.valueOf(e.getMessage))

@@ -171,6 +171,7 @@ object SparkEntry {
     "q_surprisal_curve" -> q(TextAnalysis.qSurprisalCurve(_)),
     "q_ltv_curve" -> q(Analytics.qLtvCurve),
     "q_rec_ndcg" -> q(Analytics.qRecNdcg(_)),
+    "q_embed_drift" -> q(Similarity.qEmbedDrift(_)),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
     "q_ab_srm" -> q(Events.qAbSrm),
@@ -1357,6 +1358,27 @@ object SparkEntry {
                / CAST(n_test_baskets AS DOUBLE), 9) END AS hit_rate
          FROM nrecs LEFT JOIN ntest USING (u) LEFT JOIN nhit USING (u)
          ORDER BY part""",
+    // exact integer milli2-norm histogram, then the q_psi_drift epilogue
+    "q_embed_drift" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+             CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+               x -> floor(x * 1000.0 + 0.5) * floor(x * 1000.0 + 0.5)))
+               AS BIGINT) AS n2
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
+         c AS (SELECT label, n2 // 100000 AS bin, COUNT(*) AS k
+           FROM e GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(k) AS BIGINT) AS all_n FROM c),
+         m AS (SELECT label, bin, k,
+             CAST(SUM(k) OVER (PARTITION BY label) AS BIGINT) AS src_n,
+             CAST(SUM(k) OVER (PARTITION BY bin) AS BIGINT) AS bin_n
+           FROM c)
+         SELECT label, CAST(COUNT(*) AS BIGINT) AS n_bins,
+           ROUND(SUM((CAST(k AS DOUBLE) / src_n
+               - CAST(bin_n AS DOUBLE) / all_n)
+             * ln((CAST(k AS DOUBLE) / src_n)
+               / (CAST(bin_n AS DOUBLE) / all_n))), 9) AS psi
+         FROM m, tot GROUP BY label ORDER BY label""",
     // q_rec_eval's frames with ROUNDED-decimal-literal log2 discounts:
     // DCG sums are exact decimal arithmetic, no query-time transcendental
     "q_rec_ndcg" ->

@@ -71,6 +71,48 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Embedding drift per label: PSI of each label's squared-norm
+    * distribution against the corpus — the vector-column member of the
+    * drift family ([[graft.ext.TextAnalysis.qPsiDrift]] watches text
+    * lengths; this watches whether one class's embeddings are shifting
+    * in magnitude, the cheap first symptom of an upstream encoder or
+    * preprocessing change). The squared norm is an EXACT integer in
+    * milli²-units (left-fold of m·m over the quantized vector — every
+    * partial stays far under 2⁵³), so binning is integer division and
+    * the histogram is engine-exact; the PSI epilogue runs on the
+    * (labels × bins) frame like its text twin.
+    */
+  def qEmbedDrift(t: Tables, binWidth: Long = 100000L): DataFrame = {
+    val counts = t.embeddings
+      .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+      .select(col("label").cast("long").as("label"),
+        expr("""CAST(aggregate(
+            transform(CAST(embedding AS ARRAY<DOUBLE>),
+              x -> floor(x * 1000.0 + 0.5) * floor(x * 1000.0 + 0.5)),
+            0D, (a, x) -> a + x) AS BIGINT)""").as("n2"))
+      .withColumn("bin", expr(s"n2 div ${binWidth}L"))
+      .groupBy("label", "bin")
+      .agg(count(lit(1)).as("k"))
+    val tot = counts.agg(sum("k").as("all_n"))
+    counts
+      .withColumn("src_n",
+        sum("k").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("label")))
+      .withColumn("bin_n",
+        sum("k").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bin")))
+      .crossJoin(broadcast(tot))
+      .withColumn("p", col("k").cast("double") / col("src_n").cast("double"))
+      .withColumn("q",
+        col("bin_n").cast("double") / col("all_n").cast("double"))
+      .groupBy("label")
+      .agg(
+        count(lit(1)).as("n_bins"),
+        round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 9)
+          .as("psi"))
+      .orderBy("label")
+  }
+
   /** Hard-negative mining — for each probe query, the top-k most similar
     * corpus vectors with a DIFFERENT label: the contrastive-training
     * primitive (an embedding model trains fastest on negatives that look

@@ -1422,6 +1422,10 @@ object Analytics {
   private val testBCache = new graft.Engine.DirCache(t =>
     recFramesUncached(t, 199, 5).testB)
 
+  /** Build the shared recommender train/test frames (bench warmup —
+    * records the one-time cost in warmup_sec, the shared-fact rule). */
+  def warmRecFrames(t: Tables): Unit = { recsCache(t); testBCache(t); () }
+
   private def recFrames(t: Tables, probeMod: Int, k: Int): RecFrames = {
     require(probeMod == 199 && k == 5,
       "shared rec-frame cache is specialized to the registry defaults")

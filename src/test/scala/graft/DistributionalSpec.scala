@@ -244,6 +244,27 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("embed drift: histogram exact; psi >= 0 within rounding") {
+    val out = graft.ext.Similarity.qEmbedDrift(tables).collect()
+    val labels = tables.embeddings.select("label").distinct().count()
+    assert(out.length == labels)
+    // brute-force the integer norm2 histogram for one label
+    val vecs = tables.embeddings.select("label", "embedding").collect()
+      .map(r => (r.getInt(0).toLong, r.getSeq[Float](1)))
+      .filter(_._2 != null).filter(_._2.nonEmpty)
+    val n2 = vecs.map { case (l, v) =>
+      (l, v.map(x => math.floor(x.toDouble * 1000.0 + 0.5)).map(m => m * m)
+        .sum.toLong / 100000L)
+    }
+    out.foreach { r =>
+      val bins = n2.filter(_._1 == r.getLong(0)).map(_._2).distinct.length
+      assert(r.getLong(1) == bins)
+      // every (p-q)ln(p/q) term is non-negative ((p-q) and ln(p/q)
+      // share sign), so PSI >= 0 up to the 1e-9 rounding
+      assert(r.getDouble(2) >= -1e-8)
+    }
+  }
+
   test("hard negatives: all cross-label, ranked by descending cosine") {
     val out = graft.ext.Similarity.qHardNegatives(tables).collect()
     val labels = tables.embeddings.select("vec_id", "label").collect()
