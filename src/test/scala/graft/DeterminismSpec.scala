@@ -114,7 +114,19 @@ class DeterminismSpec extends SparkSuite {
     "q_markov_attribution", // micro-unit chain, truncated value iteration
     "q_shapley_attribution", // exact coalition sweep, integer 24th-sums
     "q_emd_drift",        // integer CDF-difference numerators
-    "q_multimodal_dedup") // byte-level payload hash census
+    "q_multimodal_dedup", // byte-level payload hash census
+    "q_hash_split",       // md5-prefix thresholds, pure function of bytes
+    "q_mlm_mask",         // md5(doc_id:pos) masks, identity-pure
+    "q_levene",           // integer half-cent medians, decimal moments
+    "q_wilcoxon",         // doubled-integer midranks
+    "q_moments",          // decimal power sums, pinned algebra
+    "q_dim_stats",        // milli-unit vector_sum folds
+    "q_mutual_info",      // decimal-pinned log2 cell terms
+    "q_adamic_adar",      // pinned-ln integer micro-nat weights
+    "q_rec_eval",         // integer co-counts, ranked tiebreaks
+    "q_rec_ndcg",         // decimal-literal discounts, exact DCG sums
+    "q_embed_drift",      // integer milli2-norm histogram
+    "q_surprisal_curve")  // decimal surprisal sums, pinned cutoffs
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -503,6 +503,17 @@ class PlanAuditSpec extends SparkSuite {
       s"probe stage re-scans parquet instead of the shared index:\n$p")
   }
 
+  test("rec eval/ndcg: probe the cached frames, no train-side rebuild") {
+    // both consumers must read the session-cached recommendation/test
+    // frames (Scan ExistingRDD) — a parquet scan in either plan means
+    // the basket self-join is being rebuilt per query
+    for (q <- Seq("q_rec_eval", "q_rec_ndcg")) {
+      val p = formatted(q)
+      assert(p.contains("ExistingRDD"), s"$q: frames not checkpoint-backed:\n$p")
+      assert(!p.contains("Scan parquet"), s"$q: train-side rebuild:\n$p")
+    }
+  }
+
   test("levene: group-partitioned rank window; median frame broadcasts") {
     val p = formatted("q_levene")
     assert(!p.contains("No Partition Defined"),
