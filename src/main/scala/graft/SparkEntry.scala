@@ -108,6 +108,8 @@ object SparkEntry {
     "q_sql_q11" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q11)),
     "q_sql_q16" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q16)),
     "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
+    "q_sql_setops" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.setops)),
     "q_sql_recursive" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.recursive)),
     "q_sql_pivot" -> ((spark, dir) =>
@@ -124,6 +126,9 @@ object SparkEntry {
     "q_pareto_front" -> q(Analytics.qParetoFront),
     "q_window_distinct" -> q(Analytics.qWindowDistinct),
     "q_welch_ttest" -> q(Stats.qWelchTtest),
+    "q_paired_ttest" -> q(Stats.qPairedTtest),
+    "q_permutation_test" -> q(Stats.qPermutationTest(_)),
+    "q_qq_drift" -> q(Stats.qQqDrift),
     "q_anova" -> q(Stats.qAnova),
     "q_cohens_kappa" -> q(Stats.qCohensKappa),
     "q_k_anonymity" -> q(Sampling.qKAnonymity(_)),
@@ -321,6 +326,17 @@ object SparkEntry {
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
+    "q_isotonic_calibration" -> q(Classifier.qIsotonicCalibration(_)),
+    "q_importance_weights" -> q(TextAnalysis.qImportanceWeights(_)),
+    "q_kneser_ney" -> q(TextAnalysis.qKneserNey(_)),
+    "q_poisson_bootstrap" -> q(Sampling.qPoissonBootstrap(_)),
+    "q_weighted_sample" -> q(Sampling.qWeightedSample(_)),
+    "q_pr_auc" -> q(Classifier.qPrAuc),
+    "q_brier_decomp" -> q(Classifier.qBrierDecomp(_)),
+    "q_mmd_drift" -> q(TextAnalysis.qMmdDrift(_)),
+    "q_good_turing" -> q(TextAnalysis.qGoodTuring(_)),
+    "q_vocab_chao1" -> q(TextAnalysis.qVocabChao1),
+    "q_propensity_match" -> q(Stats.qPropensityMatch(_)),
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
@@ -678,6 +694,407 @@ object SparkEntry {
        ORDER BY id_new, id_old"""
 
   def oracleSql: Map[String, String] = Map(
+    // average precision under the deterministic (score desc, doc_id)
+    // total order; each precision@k pinned at 1e-9 before the sum
+    "q_pr_auc" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+               AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS dr,
+             CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS awl,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         s AS (SELECT doc_id,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + dr * 0.4 + least(awl / 10.0, 1.0) * 0.2, 6) AS p, y
+           FROM d),
+         r AS (SELECT p, y,
+             ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS k,
+             SUM(y) OVER (ORDER BY p DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+           FROM s)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN y = 1 THEN
+               CAST(ROUND(CAST(cum_pos AS DOUBLE) / k, 9) AS DECIMAL(12,9))
+             END) AS DOUBLE) / SUM(y), 9) AS avg_precision,
+           MAX(CASE WHEN k = 10 THEN CAST(cum_pos AS DOUBLE) / 10.0 END)
+             AS p_at_10
+         FROM r""",
+    // Murphy decomposition over 10 forecast bins: Brier sum exact in
+    // DECIMAL(20,12); per-bin squared terms pinned at 1e-12
+    "q_brier_decomp" ->
+      """WITH d AS (SELECT
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+               AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS dr,
+             CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS awl,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         s AS (SELECT CAST(ROUND(
+               (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + dr * 0.4 + least(awl / 10.0, 1.0) * 0.2) * 1000000)
+               AS BIGINT) AS pu, y FROM d),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS npos,
+             SUM(CAST((pu - y * 1000000) * (pu - y * 1000000)
+               AS DECIMAL(30,0))) AS squ FROM s),
+         bins AS (SELECT
+             least(pu // 100000, 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nk,
+             CAST(SUM(pu) AS BIGINT) AS spu,
+             CAST(SUM(y) AS BIGINT) AS sy FROM s GROUP BY 1),
+         terms AS (SELECT bin, nk, t.n, t.npos, t.squ,
+             CAST(ROUND((CAST(spu - sy * 1000000 AS DOUBLE)
+                 / CAST(nk * 1000000 AS DOUBLE))
+               * (CAST(spu - sy * 1000000 AS DOUBLE)
+                 / CAST(nk * 1000000 AS DOUBLE)), 12)
+               AS DECIMAL(16,12)) AS rel_t,
+             CAST(ROUND((CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(nk AS DOUBLE)
+                 - CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)), 12)
+               AS DECIMAL(16,12)) AS res_t
+           FROM bins, tot t)
+         SELECT n AS n_docs,
+           CAST(squ AS DOUBLE) / (CAST(n AS DOUBLE) * 1e12) AS brier,
+           CAST(SUM(rel_t * CAST(nk AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS reliability,
+           CAST(SUM(res_t * CAST(nk AS DECIMAL(12,0))) AS DOUBLE)
+             / CAST(n AS DOUBLE) AS resolution,
+           (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+             * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
+             AS uncertainty
+         FROM terms GROUP BY n, npos, squ""",
+    // RBF-kernel MMD² on binned doc lengths: kernel pinned to integer
+    // nano-units, count products exact — the pair sums are exact integer
+    // arithmetic; mmd2 surfaces as a raw mirrored double chain
+    "q_mmd_drift" ->
+      """WITH b AS (SELECT source,
+             least(n_chars // 100, 49) AS b FROM documents),
+         sh AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS s
+           FROM b GROUP BY 1, 2),
+         ch AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM b GROUP BY 1),
+         nss AS (SELECT source, CAST(SUM(s) AS BIGINT) AS ns
+           FROM sh GROUP BY 1),
+         ncc AS (SELECT CAST(SUM(c) AS BIGINT) AS nc FROM ch),
+         ssx AS (SELECT a.source,
+             SUM(CAST(a.s * bb.s AS DECIMAL(28,0))
+               * CAST(ROUND(exp(-((a.b - bb.b) * (a.b - bb.b)) / 50.0)
+                 * 1e9) AS BIGINT)) AS ss
+           FROM sh a JOIN sh bb USING (source) GROUP BY 1),
+         ccx AS (SELECT
+             SUM(CAST(a.c * bb.c AS DECIMAL(28,0))
+               * CAST(ROUND(exp(-((a.b - bb.b) * (a.b - bb.b)) / 50.0)
+                 * 1e9) AS BIGINT)) AS cc
+           FROM ch a, ch bb),
+         scx AS (SELECT sh.source,
+             SUM(CAST(sh.s * ch.c AS DECIMAL(28,0))
+               * CAST(ROUND(exp(-((sh.b - ch.b) * (sh.b - ch.b)) / 50.0)
+                 * 1e9) AS BIGINT)) AS sc
+           FROM sh, ch GROUP BY 1)
+         SELECT x.source, n.ns,
+           CAST(ss AS DOUBLE)
+               / (CAST(n.ns AS DOUBLE) * CAST(n.ns AS DOUBLE) * 1e9)
+             + CAST(cc AS DOUBLE)
+               / (CAST(m.nc AS DOUBLE) * CAST(m.nc AS DOUBLE) * 1e9)
+             - 2.0 * CAST(sc AS DOUBLE)
+               / (CAST(n.ns AS DOUBLE) * CAST(m.nc AS DOUBLE) * 1e9) AS mmd2
+         FROM ssx x JOIN nss n USING (source) JOIN scx USING (source),
+           ccx, ncc m ORDER BY x.source""",
+    // Turing re-estimates: N_r exact type counts, r* and masses single
+    // IEEE divisions — no rounding anywhere
+    "q_good_turing" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 2),
+             i -> array_to_string(w[i:i+1], ' '))) AS g FROM d),
+         c AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM g GROUP BY 1),
+         f AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS nr FROM c GROUP BY 1),
+         t AS (SELECT CAST(SUM(r) AS BIGINT) AS ntok FROM c)
+         SELECT f.r, f.nr, COALESCE(f2.nr, 0) AS nr1,
+           CAST(f.r + 1 AS DOUBLE) * CAST(COALESCE(f2.nr, 0) AS DOUBLE)
+             / CAST(f.nr AS DOUBLE) AS r_star,
+           CAST((f.r + 1) * COALESCE(f2.nr, 0) AS DOUBLE)
+             / CAST(t.ntok AS DOUBLE) AS gt_mass
+         FROM f LEFT JOIN f f2 ON f2.r = f.r + 1, t
+         WHERE f.r <= 10 ORDER BY f.r""",
+    // Chao1 richness: exact type counts, one IEEE division
+    "q_vocab_chao1" ->
+      """WITH w AS (SELECT lang,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+           FROM documents),
+         c AS (SELECT lang, word, COUNT(*) AS cnt FROM w
+           WHERE len(word) > 0 GROUP BY 1, 2)
+         SELECT lang, CAST(COUNT(*) AS BIGINT) AS d_types,
+           CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           CAST(COUNT(*) AS DOUBLE)
+             + CAST(SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                 * (SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE)
+               / CAST(2 * (SUM(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) + 1)
+                 AS DOUBLE) AS chao1
+         FROM c GROUP BY lang ORDER BY lang""",
+    // banded nearest-balance match (shifted bands: negative balances
+    // floor/truncate differently across engines), ATT over matched pairs
+    "q_propensity_match" ->
+      """WITH cust AS (SELECT c_custkey AS ck,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             c_custkey % 2 AS arm FROM customer),
+         rv AS (SELECT o_custkey AS ck,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+         wr AS (SELECT c.ck, c.bal, c.arm, COALESCE(r.rev, 0) AS rev
+           FROM cust c LEFT JOIN rv r USING (ck)),
+         tr AS (SELECT ck AS t_ck, bal AS t_bal, rev AS t_rev,
+             (bal + 100000) // 10000 + off.o AS band
+           FROM wr, (SELECT UNNEST([-1, 0, 1]) AS o) off WHERE arm = 1),
+         co AS (SELECT ck AS c_ck, bal AS c_bal, rev AS c_rev,
+             (bal + 100000) // 10000 AS band FROM wr WHERE arm = 0),
+         cand AS (SELECT t_ck, t_rev, c_ck, c_rev,
+             abs(t_bal - c_bal) AS gap,
+             ROW_NUMBER() OVER (PARTITION BY t_ck
+               ORDER BY abs(t_bal - c_bal), c_ck) AS rnk
+           FROM tr JOIN co USING (band)
+           WHERE abs(t_bal - c_bal) <= 10000),
+         m AS (SELECT * FROM cand WHERE rnk = 1),
+         nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_treated
+           FROM wr WHERE arm = 1)
+         SELECT nt.n_treated, CAST(COUNT(*) AS BIGINT) AS n_matched,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / nt.n_treated, 9) AS match_rate,
+           ROUND(CAST(SUM(t_rev - c_rev) AS DOUBLE) / COUNT(*), 6)
+             AS att_cents,
+           ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_cents
+         FROM m, nt GROUP BY nt.n_treated""",
+    // within-subject paired t: same per-customer era split, per-pair
+    // difference pinned at 1e-6 into DECIMAL before the moment sums
+    "q_paired_ttest" ->
+      """WITH p AS (SELECT o_custkey,
+             COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1998-07-01')
+               AS n_early,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderdate < TIMESTAMP '1998-07-01') AS c_early,
+             COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1998-07-01')
+               AS n_late,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               FILTER (WHERE o_orderdate >= TIMESTAMP '1998-07-01') AS c_late
+           FROM orders GROUP BY o_custkey),
+         d AS (SELECT CAST(ROUND(CAST(c_late AS DOUBLE) / n_late
+               - CAST(c_early AS DOUBLE) / n_early, 6) AS DECIMAL(22,6)) AS d
+           FROM p WHERE n_early > 0 AND n_late > 0),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+             SUM(d) AS sd1,
+             SUM(CAST(d * d AS DECIMAL(30,8))) AS sd2 FROM d)
+         SELECT n_pairs,
+           ROUND(CAST(sd1 AS DOUBLE) / n_pairs, 6) AS mean_diff_cents,
+           ROUND((CAST(sd1 AS DOUBLE) / n_pairs)
+             / (sqrt((CAST(sd2 AS DOUBLE)
+                 - CAST(sd1 AS DOUBLE) * CAST(sd1 AS DOUBLE) / n_pairs)
+               / (n_pairs - 1)) / sqrt(CAST(n_pairs AS DOUBLE))), 6)
+             AS t_stat
+         FROM m""",
+    // md5-derived re-randomizations: permutation b flips customer c by
+    // parity of the first hex digit of md5(b:c) — identical draws here
+    "q_permutation_test" ->
+      """WITH pc AS (SELECT o_custkey AS c,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         obs AS (SELECT
+             CAST(SUM(cents) FILTER (WHERE c % 2 = 1) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE c % 2 = 1)
+             - CAST(SUM(cents) FILTER (WHERE c % 2 = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE c % 2 = 0) AS obs_gap FROM pc),
+         pm AS (SELECT b,
+             (strpos('0123456789abcdef',
+               substr(md5(CAST(b AS VARCHAR) || ':' || CAST(c AS VARCHAR)),
+                 1, 1)) - 1) % 2 AS arm, cents
+           FROM pc, range(1, 201) t(b)),
+         gaps AS (SELECT b,
+             CAST(SUM(cents) FILTER (WHERE arm = 1) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 1)
+             - CAST(SUM(cents) FILTER (WHERE arm = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE arm = 0) AS gap
+           FROM pm GROUP BY b)
+         SELECT ROUND(MAX(obs_gap), 6) AS obs_gap_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN abs(gap) >= abs(obs_gap) THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_extreme,
+           ROUND(CAST(SUM(CASE WHEN abs(gap) >= abs(obs_gap) THEN 1 ELSE 0
+               END) + 1 AS DOUBLE) / (COUNT(*) + 1), 9) AS p_value
+         FROM gaps, obs""",
+    // type-1 order-statistic quantiles at the 10..90 grid, per source and
+    // corpus-wide — integer rank picks, no interpolation
+    "q_qq_drift" ->
+      """WITH s AS (SELECT source AS k, n_chars, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER (PARTITION BY source) AS n FROM documents),
+         grid AS (SELECT CAST(UNNEST([10,20,30,40,50,60,70,80,90])
+             AS BIGINT) AS q),
+         g AS (SELECT k, q, n_chars AS source_len FROM s, grid
+           WHERE i = (q * n + 99) // 100),
+         c0 AS (SELECT n_chars, doc_id,
+             ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS i,
+             COUNT(*) OVER () AS n FROM documents),
+         c AS (SELECT q, n_chars AS corpus_len FROM c0, grid
+           WHERE i = (q * n + 99) // 100)
+         SELECT g.k AS source, g.q, g.source_len, c.corpus_len,
+           g.source_len - c.corpus_len AS gap
+         FROM g JOIN c USING (q) ORDER BY source, q""",
+    // PAVA via the minimax closed form over quality-score bins: pooled
+    // rates are exact integer prefix-sum differences divided once
+    "q_isotonic_calibration" ->
+      """WITH d AS (SELECT
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+               AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS dr,
+             CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS awl,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         qd AS (SELECT least(CAST(floor(
+               (least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + dr * 0.4 + least(awl / 10.0, 1.0) * 0.2) * 20)
+               AS BIGINT), 19) AS bin, y FROM d),
+         bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(y) AS BIGINT) AS n_pos FROM qd GROUP BY bin),
+         pre AS (SELECT bin, n_docs, n_pos,
+             CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn,
+             CAST(SUM(n_pos) OVER (ORDER BY bin) AS BIGINT) AS cp FROM bins),
+         r AS (SELECT lo.bin AS j, hi.bin AS k,
+             CAST(hi.cp - (lo.cp - lo.n_pos) AS DOUBLE)
+               / CAST(hi.cn - (lo.cn - lo.n_docs) AS DOUBLE) AS r
+           FROM pre lo JOIN pre hi ON lo.bin <= hi.bin),
+         mins AS (SELECT b.bin, r.j, MIN(r.r) AS mr
+           FROM bins b JOIN r ON r.j <= b.bin AND b.bin <= r.k
+           GROUP BY 1, 2),
+         fit AS (SELECT bin, MAX(mr) AS fr FROM mins GROUP BY 1)
+         SELECT b.bin, b.n_docs, b.n_pos,
+           ROUND(CAST(b.n_pos AS DOUBLE) / b.n_docs, 9) AS observed_rate,
+           ROUND(fr, 9) AS fitted_rate
+         FROM bins b JOIN fit USING (bin) ORDER BY bin""",
+    // DSIR importance weights: md5-hex bucket (leading 8 digits mod 4096),
+    // per-bucket log-ratio pinned to integer micro-nats before doc sums
+    "q_importance_weights" ->
+      """WITH w AS (SELECT doc_id, lang = 'en' AS is_t,
+             unnest(string_split_regex(lower(trim(text)), ' +')) AS word
+           FROM documents),
+         wb AS (SELECT doc_id, is_t,
+             list_sum(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(word), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+                 * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INTEGER))))
+               % 4096 AS b
+           FROM w WHERE len(word) > 0),
+         bc AS (SELECT b,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+           FROM wb GROUP BY b),
+         wt AS (SELECT b, CAST(round((ln(ct + 1) - ln(nt + 4096)
+               - ln(cs + 1) + ln(ns + 4096)) * 1000000) AS BIGINT) AS wt_u
+           FROM (SELECT b, ct, cs, CAST(SUM(ct) OVER () AS BIGINT) AS nt,
+               CAST(SUM(cs) OVER () AS BIGINT) AS ns FROM bc)),
+         k AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS k
+           FROM wb GROUP BY doc_id, b)
+         SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_words,
+           CAST(SUM(k * wt_u) AS BIGINT) AS iw_units,
+           CAST(SUM(k * wt_u) AS DOUBLE)
+             / (CAST(SUM(k) AS DOUBLE) * 1e6) AS iw_per_word
+         FROM k JOIN wt USING (b) GROUP BY doc_id ORDER BY doc_id""",
+    // interpolated Kneser-Ney with d=3/4: every term rational, the
+    // probability one exact integer numerator over one exact denominator
+    "q_kneser_ney" ->
+      """WITH d AS (SELECT string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         g AS (SELECT unnest(list_transform(range(1, greatest(len(w) - 2, 0) + 2),
+             i -> array_to_string(w[i:i+1], ' '))) AS g FROM d),
+         cg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS c12 FROM g GROUP BY 1),
+         c AS (SELECT string_split(g, ' ')[1] AS w1,
+             string_split(g, ' ')[-1] AS w2, c12 FROM cg),
+         lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p FROM c GROUP BY 1),
+         rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncont
+           FROM c GROUP BY 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM c),
+         probes AS (SELECT w1, c1, n1p FROM lft
+           ORDER BY c1 DESC, w1 LIMIT 5),
+         j AS (SELECT c.w1, c.w2, c.c12, p.c1, p.n1p, r.ncont, t.ntypes,
+             CAST(greatest(4 * c.c12 - 3, 0) AS DECIMAL(20,0))
+                 * CAST(t.ntypes AS DECIMAL(12,0))
+               + CAST(3 AS DECIMAL(6,0)) * CAST(p.n1p AS DECIMAL(12,0))
+                 * CAST(r.ncont AS DECIMAL(12,0)) AS num
+           FROM c JOIN probes p USING (w1) JOIN rgt r USING (w2), tot t),
+         rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+             ORDER BY num DESC, w2) AS rnk FROM j)
+         SELECT w1, w2, c12, c1, n1p, ncont, CAST(rnk AS BIGINT) AS rnk,
+           ROUND(CAST(num AS DOUBLE) / CAST(c1 * 4 AS DOUBLE)
+             / CAST(ntypes AS DOUBLE), 9) AS p_kn
+         FROM rk WHERE rnk <= 5 ORDER BY w1, rnk""",
+    // Poisson(1) bootstrap: md5-uniform inverted against precomputed
+    // integer CDF thresholds, replica means exact, CI = order statistics
+    "q_poisson_bootstrap" ->
+      """WITH o AS (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+         r AS (SELECT b, cents,
+             list_sum(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(b AS VARCHAR) || ':'
+                     || CAST(o_orderkey AS VARCHAR)),
+                     CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+                 * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INTEGER)))) AS u
+           FROM o, range(1, 101) t(b)),
+         dw AS (SELECT b, cents,
+             CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
+               WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3
+               WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5
+               WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7
+               ELSE 8 END AS w
+           FROM r),
+         m AS (SELECT b,
+             CAST(SUM(CAST(w * cents AS DECIMAL(28,0))) AS DOUBLE)
+               / CAST(SUM(w) AS DOUBLE) AS mean_b
+           FROM dw GROUP BY b),
+         ranked AS (SELECT b, mean_b,
+             ROW_NUMBER() OVER (ORDER BY mean_b, b) AS i,
+             COUNT(*) OVER () AS nn FROM m),
+         pt AS (SELECT CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS mc FROM o)
+         SELECT ROUND(MAX(mc), 6) AS mean_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_boot,
+           ROUND(MAX(CASE WHEN i = (25 * nn + 999) // 1000
+             THEN mean_b END), 6) AS ci_lo_cents,
+           ROUND(MAX(CASE WHEN i = (975 * nn + 999) // 1000
+             THEN mean_b END), 6) AS ci_hi_cents
+         FROM ranked, pt""",
+    // Efraimidis-Spirakis keys from the content-hash uniform: -ln(u)
+    // pinned to micro-nats, key = one IEEE division, k smallest per lang
+    "q_weighted_sample" ->
+      """WITH d AS (SELECT lang, doc_id, n_chars,
+             list_sum(list_transform(range(1, 9),
+               i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(text || CAST(doc_id AS VARCHAR)),
+                     CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+                 * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INTEGER))))
+               AS u32
+           FROM documents),
+         kk AS (SELECT lang, doc_id, n_chars,
+             CAST(round(-ln((u32 + 1) / 4294967296.0) * 1000000) AS BIGINT)
+               AS lnu_u FROM d),
+         r AS (SELECT lang, doc_id, n_chars, lnu_u,
+             CAST(lnu_u AS DOUBLE) / n_chars AS key,
+             ROW_NUMBER() OVER (PARTITION BY lang
+               ORDER BY CAST(lnu_u AS DOUBLE) / n_chars, doc_id) AS rnk
+           FROM kk)
+         SELECT lang, CAST(rnk AS BIGINT) AS rnk, doc_id, n_chars, lnu_u,
+           ROUND(key, 9) AS key
+         FROM r WHERE rnk <= 5 ORDER BY lang, rnk""",
     "q_conversion_window" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
              epoch_us(ts) AS ts_us FROM events),

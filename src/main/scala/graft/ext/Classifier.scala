@@ -3,6 +3,7 @@ package graft.ext
 import graft.Tables
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -229,5 +230,169 @@ object Classifier {
       .localCheckpoint()
     graft.Engine.freeCheckpoint(feat)
     out
+  }
+
+  /** Isotonic (monotone) calibration of the heuristic quality score
+    * against the is-English label — the standard recalibration step when a
+    * ranking score must become a probability: fit the least-squares
+    * MONOTONE rate curve over score bins (pool-adjacent-violators), so a
+    * higher quality bin never predicts a lower label rate.
+    *
+    * Algorithm: the PAVA fit has the closed minimax form
+    * fitted(i) = max_{j≤i} min_{k≥i} rate(j..k), where rate(j..k) is the
+    * POOLED positive rate over bins j..k — exact integer prefix-sum
+    * differences divided once (IEEE-exact), so min/max over those doubles
+    * is engine-identical and the whole fit is hash-checkable (no
+    * iterative pooling to replicate).
+    *
+    * Scale: the corpus collapses to a ≤`nBins`-row bin frame in ONE
+    * map-side-combined aggregate; the O(bins²) range enumeration and the
+    * minimax join run on that config-sized frame (broadcast joins, never
+    * data-sized). Bin count is config — 20 here — so the quadratic is a
+    * constant, independent of corpus size.
+    */
+  def qIsotonicCalibration(t: Tables, nBins: Int = 20): DataFrame = {
+    val bins = t.documents
+      .select(
+        least(floor(TextAnalysis.qualityExpr(col("text")) * nBins),
+          lit(nBins - 1)).cast("long").as("bin"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("y").as("n_pos"))
+    // prefix sums over the bin frame: single-partition window on ≤20 rows
+    // (config-sized, not data-sized — the documented exception)
+    val w = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = bins
+      .withColumn("cn", sum("n_docs").over(w))
+      .withColumn("cp", sum("n_pos").over(w))
+    val lo = pre.select(col("bin").as("j"),
+      (col("cn") - col("n_docs")).as("cn_lo"),
+      (col("cp") - col("n_pos")).as("cp_lo"))
+    val hi = pre.select(col("bin").as("k"),
+      col("cn").as("cn_hi"), col("cp").as("cp_hi"))
+    // pooled rate of every bin range [j, k]: exact integer differences,
+    // one double division
+    val ranges = lo.join(hi, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("cp_hi") - col("cp_lo")).cast("double") /
+          (col("cn_hi") - col("cn_lo")).cast("double")).as("r"))
+    val fitted = bins.select(col("bin"))
+      .join(broadcast(ranges),
+        col("j") <= col("bin") && col("bin") <= col("k"))
+      .groupBy("bin", "j").agg(min("r").as("mr"))
+      .groupBy("bin").agg(max("mr").as("fitted_rate"))
+    bins.join(fitted, "bin")
+      .select(col("bin"), col("n_docs"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n_docs").cast("double"), 9)
+          .as("observed_rate"),
+        round(col("fitted_rate"), 9).as("fitted_rate"))
+      .orderBy("bin")
+  }
+
+  /** Precision–recall AUC (average precision) of the quality score
+    * against the is-English label — the ranking metric that matters when
+    * positives are rare ([[Stats.qScoreAuc]]'s ROC view saturates under
+    * imbalance; AP weighs every retrieved positive by the precision at
+    * its rank). AP = (1/P) Σ_{k: y_k = 1} precision@k under the
+    * DETERMINISTIC total order (score desc, doc_id asc) — tie handling is
+    * part of the spec, so the value is exact and hash-checkable.
+    *
+    * Exactness: each precision@k is one IEEE division of exact integers,
+    * pinned at 1e-9 into DECIMAL before the order-free sum.
+    *
+    * Scale: one global rank window — the documented exact-ranking bound
+    * ([[Stats]] header); at 100 TB the two-pass qAssignIds offset pattern
+    * replaces the window, same semantics.
+    */
+  def qPrAuc(t: Tables): DataFrame = {
+    val byScore = Window.orderBy(col("p").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byRank = Window.orderBy(col("p").desc, col("doc_id"))
+    t.documents
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityExpr(col("text")), 6).as("p"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("k", row_number().over(byRank).cast("long"))
+      .withColumn("cum_pos", sum("y").over(byScore))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("y").as("n_pos"),
+        sum(when(col("y") === 1L,
+          round(col("cum_pos").cast("double") / col("k").cast("double"), 9)
+            .cast(DecimalType(12, 9)))).as("ap_sum"),
+        max(when(col("k") === 10L, col("cum_pos"))).as("pos_at_10"))
+      .select(col("n_docs"), col("n_pos"),
+        round(col("ap_sum").cast("double") / col("n_pos").cast("double"), 9)
+          .as("avg_precision"),
+        (col("pos_at_10").cast("double") / 10.0).as("p_at_10"))
+  }
+
+  /** Brier score with the Murphy decomposition (reliability − resolution
+    * + uncertainty) of the quality score as a probability forecast of
+    * is-English — the proper-scoring-rule companion to
+    * [[qIsotonicCalibration]]: reliability IS the squared calibration
+    * error the isotonic fit removes, resolution is what the score knows.
+    *
+    * Exactness: the forecast is pinned at 1e-6 into DECIMAL, so the Brier
+    * sum Σ(p−y)² is exact decimal arithmetic; the per-bin squared terms
+    * are fixed double chains over exact bin sums, pinned at 1e-12 and
+    * weighted by exact counts. Each surfaced value is one final double
+    * division.
+    *
+    * Scale: corpus → one 10-row bin frame (map-side combine) + one scalar
+    * frame; the decomposition runs on broadcast-joined config-sized
+    * frames.
+    */
+  def qBrierDecomp(t: Tables, nBins: Int = 10): DataFrame = {
+    // forecast in integer MICRO-UNITS (never a computed double cast to
+    // decimal — the engines round the cast differently near boundaries;
+    // same convention as the GD gradients above): pu ∈ [0, 1e6], so
+    // (pu − 1e6·y)² is an exact long and every moment sum is integer
+    val scored = t.documents.select(
+      round(TextAnalysis.qualityExpr(col("text")) * Scale, 0).cast("long")
+        .as("pu"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val totals = scored.agg(
+      count(lit(1)).as("n"),
+      sum("y").as("npos"),
+      sum(((col("pu") - col("y") * Scale) * (col("pu") - col("y") * Scale))
+        .cast(DecimalType(30, 0))).as("squ"))
+    val bins = scored
+      .groupBy(least(expr(s"pu div ${Scale / nBins}"), lit(nBins - 1L))
+        .cast("long").as("bin"))
+      .agg(count(lit(1)).as("nk"), sum("pu").as("spu"), sum("y").as("sy"))
+    // per-bin squared gaps: exact integer numerators, ONE double division
+    // each, square, pinned at 1e-12 before the count-weighted decimal sum
+    bins.crossJoin(broadcast(totals))
+      .select(col("bin"), col("nk"), col("n"), col("npos"), col("squ"),
+        round(
+          ((col("spu") - col("sy") * Scale).cast("double") /
+            (col("nk") * Scale).cast("double")) *
+          ((col("spu") - col("sy") * Scale).cast("double") /
+            (col("nk") * Scale).cast("double")), 12)
+          .cast(DecimalType(16, 12)).as("rel_t"),
+        round(
+          (col("sy").cast("double") / col("nk").cast("double") -
+            col("npos").cast("double") / col("n").cast("double")) *
+          (col("sy").cast("double") / col("nk").cast("double") -
+            col("npos").cast("double") / col("n").cast("double")), 12)
+          .cast(DecimalType(16, 12)).as("res_t"))
+      .groupBy("n", "npos", "squ")
+      .agg(
+        sum(col("rel_t") * col("nk").cast(DecimalType(12, 0))).as("rel_s"),
+        sum(col("res_t") * col("nk").cast(DecimalType(12, 0))).as("res_s"))
+      .select(
+        col("n").as("n_docs"),
+        // raw doubles out: numerators exact, one division each
+        (col("squ").cast("double") /
+          (col("n").cast("double") * 1e12)).as("brier"),
+        (col("rel_s").cast("double") / col("n").cast("double"))
+          .as("reliability"),
+        (col("res_s").cast("double") / col("n").cast("double"))
+          .as("resolution"),
+        ((col("npos").cast("double") / col("n").cast("double")) *
+          (lit(1.0) - col("npos").cast("double") / col("n").cast("double")))
+          .as("uncertainty"))
   }
 }

@@ -346,4 +346,105 @@ object Sampling {
         max("doc_id").as("last_doc"))
       .orderBy("lang", "bin")
   }
+
+  /** Poisson bootstrap confidence interval for the mean order value — THE
+    * bootstrap that works on distributed data (Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams"): instead of resampling n rows
+    * with replacement (which needs global coordination), each row draws an
+    * independent Poisson(1) replication count per replica, a pure
+    * per-row projection.
+    *
+    * Determinism: the draw inverts the Poisson(1) CDF at an md5-derived
+    * 32-bit uniform (leading 8 hex digits of md5(b‖':'‖o_orderkey)) against
+    * PRECOMPUTED integer thresholds ⌊2³²·CDF(k)⌋ — integer compares only,
+    * so every engine draws the same counts. Counts are truncated at 8
+    * (P[X>8] ≈ 1.1e-6, bias far below the CI's resolution). Replica means
+    * are exact cent sums over exact integer weights; the 95% CI picks
+    * order statistics of the `nBoot` replica means (type-1, no
+    * interpolation).
+    *
+    * Scale: the fact table crosses ONE shuffle as (replica → weighted
+    * moment) partial aggregates — the explode is map-side and the
+    * aggregate state is `nBoot` rows. The CI sort runs on the nBoot-row
+    * frame (config-sized).
+    */
+  def qPoissonBootstrap(t: Tables, nBoot: Int = 100): DataFrame = {
+    // ⌊2³²·CDF(k)⌋ for Poisson(1), k = 0..7; ≥ last ⇒ 8
+    val cdf = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
+      4279248373L, 4292415291L, 4294609777L, 4294923276L)
+    val u32 = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+      col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+    val draw = cdf.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(col("u") < thr, lit(k.toLong)).otherwise(rest)
+    }
+    val replicas = t.orders
+      .select(col("o_orderkey"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+        explode(sequence(lit(1), lit(nBoot))).as("b"))
+      .withColumn("u", u32)
+      .withColumn("w", draw)
+      .groupBy("b")
+      // weighted cent sum in DECIMAL: at full fact scale the w·cents
+      // products overflow a long sum (silent wrap with ANSI off)
+      .agg(sum("w").as("nw"),
+        sum(expr("CAST(w * cents AS DECIMAL(28,0))")).as("cw"))
+      .select(col("b"),
+        (col("cw").cast("double") / col("nw").cast("double")).as("mean_b"))
+    val byMean = Window.orderBy(col("mean_b"), col("b"))
+    val point = t.orders.agg(
+      (sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).cast("double") /
+        count(lit(1)).cast("double")).as("mean_cents"))
+    // rank window over the nBoot-row replica frame: config-sized
+    replicas
+      .withColumn("i", row_number().over(byMean).cast("long"))
+      .withColumn("nn", count(lit(1)).over(Window.partitionBy()))
+      .crossJoin(broadcast(point))
+      .agg(
+        max("mean_cents").as("mc"),
+        count(lit(1)).as("n_boot"),
+        // type-1 order statistics at 2.5% / 97.5%: ranks ⌈q·n⌉
+        max(when(col("i") === expr("CAST((25 * nn + 999) div 1000 AS BIGINT)"),
+          col("mean_b"))).as("lo"),
+        max(when(col("i") === expr("CAST((975 * nn + 999) div 1000 AS BIGINT)"),
+          col("mean_b"))).as("hi"))
+      .select(round(col("mc"), 6).as("mean_cents"), col("n_boot"),
+        round(col("lo"), 6).as("ci_lo_cents"),
+        round(col("hi"), 6).as("ci_hi_cents"))
+  }
+
+  /** Weighted sample without replacement, k docs per language, inclusion
+    * probability ∝ document length — Efraimidis–Spirakis A-ES keys: doc i
+    * survives with key u_i^(1/w_i), equivalently by SMALLEST
+    * −ln(u_i)/w_i, computable independently per row and mergeable as a
+    * bounded top-k — the one weighted-sampling scheme that needs no
+    * global pass, so it distributes (and streams) for free.
+    *
+    * Determinism: u_i is the md5-derived 32-bit uniform of the document's
+    * content hash ((U+1)/2³² ∈ (0,1], an EXACT double); −ln(u) is pinned
+    * to integer micro-nats, and the key is one IEEE division of exact
+    * integers (micro-nats over n_chars) — identical on every engine, ties
+    * broken by doc_id.
+    *
+    * Scale: per-row key projection, then a per-language rank — bounded by
+    * the stratum-size contract every sampler here accepts; the
+    * bounded_topk aggregate form ships k rows per map task for hot
+    * strata.
+    */
+  def qWeightedSample(t: Tables, k: Int = 5): DataFrame = {
+    val u32 = conv(substring(hashKey("text", "doc_id"), 1, 8), 16, 10)
+      .cast("long")
+    val byLang = Window.partitionBy("lang")
+      .orderBy(col("key"), col("doc_id"))
+    t.documents
+      .select(col("lang"), col("doc_id"), col("n_chars"), u32.as("u32"))
+      .withColumn("lnu_u", expr(
+        "CAST(round(-ln((u32 + 1) / 4294967296.0) * 1000000) AS BIGINT)"))
+      .withColumn("key",
+        col("lnu_u").cast("double") / col("n_chars").cast("double"))
+      .withColumn("rnk", row_number().over(byLang).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("lang"), col("rnk"), col("doc_id"), col("n_chars"),
+        col("lnu_u"), round(col("key"), 9).as("key"))
+      .orderBy("lang", "rnk")
+  }
 }

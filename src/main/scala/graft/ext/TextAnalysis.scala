@@ -1492,4 +1492,249 @@ object TextAnalysis {
         round(col("midec").cast("double") / col("n_docs").cast("double"), 9)
           .as("mi_bits"))
   }
+
+  /** DSIR-style importance weights: score every document by how much its
+    * hashed-unigram distribution looks like the TARGET domain (lang='en')
+    * versus the rest of the corpus — the data-selection signal behind
+    * importance resampling for pretraining mixes (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling"). Weight of
+    * bucket b = log of the add-one-smoothed target/source probability
+    * ratio; a document's score is the sum over its token occurrences.
+    *
+    * Portability: the bucket is md5-derived (leading 8 hex digits mod
+    * `nBuckets` — both engines agree bit-for-bit), and the per-bucket
+    * log-ratio is pinned to integer micro-nats (one 1e-6 round of a
+    * composite ln chain over exact integer counts) BEFORE any per-doc
+    * summation, so doc scores are order-free exact longs.
+    *
+    * Scale: token stream → `nBuckets`-row aggregate (map-side combine);
+    * per-doc needs one (doc, bucket) aggregate; the weight table is a
+    * ≤4096-row broadcast. Nothing doc-sized crosses a shuffle twice, and
+    * the LM fits in memory by construction (bucket count is config).
+    */
+  def qImportanceWeights(t: Tables, nBuckets: Int = 4096): DataFrame = {
+    val stream = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(Dedup.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .withColumn("b",
+        pmod(conv(substring(md5(col("word")), 1, 8), 16, 10).cast("long"),
+          lit(nBuckets.toLong)))
+    val all = Window.partitionBy()
+    val weights = stream
+      .groupBy("b")
+      .agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("is_t"), 1L).otherwise(0L)).as("cs"))
+      .withColumn("nt", sum("ct").over(all))
+      .withColumn("ns", sum("cs").over(all))
+      .select(col("b"), expr(
+        s"""CAST(round((ln(ct + 1) - ln(nt + $nBuckets)
+             - ln(cs + 1) + ln(ns + $nBuckets)) * 1000000) AS BIGINT)""")
+        .as("wt_u"))
+    stream
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("k"))
+      .join(broadcast(weights), "b")
+      .groupBy("doc_id")
+      .agg(sum("k").as("n_words"),
+        sum(col("k") * col("wt_u")).as("iw_units"))
+      .select(col("doc_id"), col("n_words"), col("iw_units"),
+        // raw IEEE division of exact integers — bit-identical on every
+        // engine; a ROUND here would be LESS portable (half-boundary
+        // disagreement between engines' decimal-rounding algorithms)
+        (col("iw_units").cast("double") /
+          (col("n_words").cast("double") * 1e6)).as("iw_per_word"))
+      .orderBy("doc_id")
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (d = 0.75) for the
+    * most-frequent context words: p(w2|w1) = max(c(w1w2)−d, 0)/c(w1·) +
+    * d·N1+(w1·)/c(w1·) · N1+(·w2)/N1+(··) — the smoothing used by
+    * production n-gram LMs (KenLM-style), whose continuation counts fix
+    * add-k's overestimate of frequent-but-unproductive words.
+    *
+    * Exactness: with d = 3/4 every term is RATIONAL in integer counts, so
+    * the probability is computed as one exact integer numerator
+    * (4·c12−3 clamped, times the type total, plus the continuation term)
+    * over one exact denominator (4·c1·Ntypes) — ranking within a context
+    * compares exact DECIMAL numerators (shared denominator), and the
+    * surfaced probability is a single IEEE division. No transcendentals
+    * anywhere.
+    *
+    * Scale: the gram stream collapses to the bigram-TYPE frame in one
+    * map-side-combined aggregate (the [[qBigramSurprisal]] posture); left
+    * counts, continuation counts, and the type total are vocab-sized
+    * aggregates of that frame; the probe contexts are a k-row broadcast.
+    */
+  def qKneserNey(t: Tables, kProbe: Int = 5, kNext: Int = 5): DataFrame = {
+    val c12 = graft.Engine.spread(t.documents)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("c12"))
+      .select(
+        substring_index(col("g"), " ", 1).as("w1"),
+        substring_index(col("g"), " ", -1).as("w2"),
+        col("c12"))
+    val left = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1p"))
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("ncont"))
+    val tot = c12.agg(count(lit(1)).as("ntypes"))
+    val probes = left
+      .orderBy(col("c1").desc, col("w1")).limit(kProbe)
+    val byW1 = Window.partitionBy("w1")
+      .orderBy(col("num").desc, col("w2"))
+    c12
+      .join(broadcast(probes), "w1")
+      .join(right.hint("shuffle_hash"), "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        greatest(col("c12") * 4 - 3, lit(0L)).cast(DecimalType(20, 0)) *
+          col("ntypes").cast(DecimalType(12, 0)) +
+          lit(3).cast(DecimalType(6, 0)) *
+            col("n1p").cast(DecimalType(12, 0)) *
+            col("ncont").cast(DecimalType(12, 0)))
+      .withColumn("rnk", row_number().over(byW1).cast("long"))
+      .filter(col("rnk") <= kNext)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("n1p"),
+        col("ncont"), col("rnk"),
+        round(col("num").cast("double") /
+          (col("c1") * 4).cast("double") / col("ntypes").cast("double"), 9)
+          .as("p_kn"))
+      .orderBy(col("w1"), col("rnk"))
+  }
+
+  /** Kernel MMD² drift per source vs the corpus over binned document
+    * lengths — the kernel-space member of the drift family (PSI sees
+    * share shifts, KS/EMD see CDF gaps, Q–Q localizes; MMD weighs
+    * distributional distance by a smooth similarity, so a mass move
+    * between NEARBY bins costs less than a jump across the range).
+    * MMD² = Σpᵢpⱼk(i,j) + Σqᵢqⱼk(i,j) − 2Σpᵢqⱼk(i,j) with the RBF
+    * kernel k(i,j) = exp(−(i−j)²/(2σ²)) on bin indices.
+    *
+    * Exactness: the kernel value is pinned to integer nano-units
+    * (round(exp·10⁹)); the count products sᵢsⱼ are exact longs — so each
+    * pair sum above is exact integer arithmetic, normalized by one
+    * mirrored double chain at the end (surfaced raw, no final round).
+    *
+    * Scale: histograms are ≤`maxBin`-row frames per source (one fact
+    * aggregate with map-side combine); every pair join is config-sized
+    * (≤ maxBin² rows) and broadcast. Nothing quadratic touches data.
+    */
+  def qMmdDrift(t: Tables, binWidth: Int = 100, maxBin: Int = 49,
+      sigma2x2: Double = 50.0): DataFrame = {
+    def binned(df: DataFrame) = df.select(col("source"),
+      expr(s"least(n_chars div $binWidth, ${maxBin}L)").as("b"))
+    val srcHist = binned(t.documents)
+      .groupBy("source", "b").agg(count(lit(1)).as("s"))
+    val corpHist = binned(t.documents)
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    // kernel in integer NANO-units (round(exp·1e9) as a long — never a
+    // computed double cast to decimal, which the engines round apart):
+    // every pair term is then (exact count product) × (exact long), and
+    // the 1e9 scale divides back out in the final double chain
+    def kern(i: Column, j: Column): Column =
+      round(exp(-((i - j) * (i - j)).cast("double") / sigma2x2) * 1e9, 0)
+        .cast("long")
+    // Σ sᵢsⱼk within each source (≤ maxBin² rows per source, broadcast)
+    val ss = srcHist.as("a")
+      .join(broadcast(srcHist.as("bb")), col("a.source") === col("bb.source"))
+      .groupBy(col("a.source").as("source"))
+      .agg(sum((col("a.s") * col("bb.s")).cast(DecimalType(28, 0)) *
+        kern(col("a.b"), col("bb.b"))).as("ss"))
+    val ns = srcHist.groupBy("source").agg(sum("s").as("ns"))
+    // corpus self term and size: one scalar row
+    val cc = corpHist.as("a").join(broadcast(corpHist.as("bb")))
+      .agg(sum((col("a.c") * col("bb.c")).cast(DecimalType(28, 0)) *
+        kern(col("a.b"), col("bb.b"))).as("cc"))
+    val nc = corpHist.agg(sum("c").as("nc"))
+    // cross term per source
+    val sc = srcHist
+      .join(broadcast(corpHist))
+      .groupBy("source")
+      .agg(sum((col("s") * col("c")).cast(DecimalType(28, 0)) *
+        kern(srcHist("b"), corpHist("b"))).as("sc"))
+    ss.join(ns, "source").join(sc, "source")
+      .crossJoin(broadcast(cc.join(nc)))
+      .select(col("source"), col("ns"),
+        // raw double out (exact integer numerators, mirrored op order)
+        (col("ss").cast("double") /
+          (col("ns").cast("double") * col("ns").cast("double") * 1e9) +
+        col("cc").cast("double") /
+          (col("nc").cast("double") * col("nc").cast("double") * 1e9) -
+        lit(2.0) * col("sc").cast("double") /
+          (col("ns").cast("double") * col("nc").cast("double") * 1e9))
+          .as("mmd2"))
+      .orderBy("source")
+  }
+
+  /** Good–Turing frequency re-estimation over the bigram type counts:
+    * for each observed frequency r, the adjusted count r* = (r+1)·
+    * N_{r+1}/N_r (Turing's estimator) and the total probability mass the
+    * LM should reserve for it — the smoothing table every n-gram LM
+    * (and [[qKneserNey]]'s discount) approximates. The mass every
+    * class gives up, summed, is the unseen-mass estimate p₀ = N₁/N —
+    * readable off the table as 1 minus the gt_mass column's total.
+    *
+    * Exactness: N_r are exact type counts; r* and the masses are single
+    * IEEE divisions of exact integers — bit-identical, no rounding
+    * needed anywhere.
+    *
+    * Scale: gram stream → type-sized count frame → count-of-counts
+    * frame (≤ max observed frequency rows, in practice tiny); the
+    * N_{r+1} attachment is a self-join on that micro-frame.
+    */
+  def qGoodTuring(t: Tables, maxR: Int = 10): DataFrame = {
+    // BIGRAM types, not unigrams: the synthetic corpus draws from a small
+    // vocabulary, so every unigram is frequent (N_r empty below r≈10 even
+    // at sf0.01) — bigrams keep a fat low-frequency tail at every SF,
+    // which is also where Good–Turing is actually used (n-gram LMs)
+    val counts = graft.Engine.spread(t.documents)
+      .select(explode(Dedup.shingles(col("text"), 2)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("r"))
+    val freqOfFreq = counts.groupBy("r").agg(count(lit(1)).as("nr"))
+    val tot = counts.agg(sum("r").as("ntok"))
+    val next = freqOfFreq.select(col("r").as("r1"), col("nr").as("nr1"))
+    freqOfFreq
+      .filter(col("r") <= maxR)
+      .join(broadcast(next), col("r1") === col("r") + 1, "left")
+      .crossJoin(broadcast(tot))
+      .select(col("r"), col("nr"),
+        coalesce(col("nr1"), lit(0L)).as("nr1"),
+        ((col("r") + 1).cast("double") *
+          coalesce(col("nr1"), lit(0L)).cast("double") /
+          col("nr").cast("double")).as("r_star"),
+        // mass this frequency class keeps after discounting: N_r·r*/N =
+        // (r+1)·N_{r+1}/N — exact integers over one division
+        (((col("r") + 1) * coalesce(col("nr1"), lit(0L))).cast("double") /
+          col("ntok").cast("double")).as("gt_mass"))
+      .orderBy("r")
+  }
+
+  /** Chao1 vocabulary-richness estimate per language: the bias-corrected
+    * lower bound on TRUE vocabulary size, D + n₁(n₁−1)/(2(n₂+1)) — how
+    * many word types the corpus is still missing, from how many it has
+    * seen exactly once vs twice. The acquisition-planning companion to
+    * [[qHapaxRatio]] and the TTR curve: a chao1 far above D says more
+    * data keeps paying.
+    *
+    * Exactness: D, n₁, n₂ are exact type counts; the correction is one
+    * IEEE division of exact integers.
+    *
+    * Scale: token stream → (lang, word) count frame → one dimension-sized
+    * aggregate. Same two-shuffle shape as every vocab statistic here.
+    */
+  def qVocabChao1(t: Tables): DataFrame =
+    graft.Engine.spread(t.documents)
+      .select(col("lang"), explode(Dedup.words(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("lang", "word").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("d_types"),
+        sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+      .select(col("lang"), col("d_types"), col("n1"), col("n2"),
+        (col("d_types").cast("double") +
+          (col("n1") * (col("n1") - 1)).cast("double") /
+          ((col("n2") + 1) * 2).cast("double")).as("chao1"))
+      .orderBy("lang")
 }

@@ -1690,4 +1690,221 @@ object Stats {
           col("total_cents").cast("double"), 9).as("cum_share"))
       .orderBy("decile")
   }
+
+  /** Paired t-test on per-customer mean order value, early era (orders
+    * before 1998-07-01) vs late era — the within-subject companion to
+    * [[qWelchTtest]]'s independent-samples test: each customer is their
+    * own control, so cross-customer spend variance cancels out of the
+    * statistic. Only customers with orders in BOTH eras form pairs.
+    *
+    * Exactness: per-era means are exact cent sums divided once (IEEE
+    * double division of exact integers — correctly rounded, engine-
+    * identical); the difference moments Σd and Σd² fold those doubles
+    * through DECIMAL(22,6)/DECIMAL(30,8) pins so the sums are order-free;
+    * t = mean_d / (sd_d/√n) is then a fixed double chain (sqrt is IEEE
+    * correctly-rounded), rounded at 1e-6.
+    *
+    * Scale: one customer-key aggregate over the fact table (conditional
+    * aggregation collects both eras in a single pass — no self-join), then
+    * a scalar aggregate over the customer-sized pair frame.
+    */
+  def qPairedTtest(t: Tables): DataFrame = {
+    val cut = "TIMESTAMP '1998-07-01 00:00:00'"
+    val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+    val isEarly = expr(s"o_orderdate < $cut")
+    val pairs = t.orders
+      .groupBy("o_custkey")
+      .agg(
+        count(when(isEarly, 1)).as("n_early"),
+        sum(when(isEarly, cents)).as("c_early"),
+        count(when(!isEarly, 1)).as("n_late"),
+        sum(when(!isEarly, cents)).as("c_late"))
+      .filter(col("n_early") > 0 && col("n_late") > 0)
+      // mean cents per era: exact-long / exact-long, one double division
+      .select(
+        ((col("c_late").cast("double") / col("n_late").cast("double")) -
+          (col("c_early").cast("double") / col("n_early").cast("double")))
+          .as("d"))
+      // pin each per-customer difference before the order-free moment sums
+      .select(round(col("d"), 6).cast(DecimalType(22, 6)).as("d"))
+    pairs
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("d")).as("sd1"),
+        sum((col("d") * col("d")).cast(DecimalType(30, 8))).as("sd2"))
+      .select(
+        col("n_pairs"),
+        round(col("sd1").cast("double") / col("n_pairs").cast("double"), 6)
+          .as("mean_diff_cents"),
+        round(
+          (col("sd1").cast("double") / col("n_pairs").cast("double")) /
+            (sqrt((col("sd2").cast("double") -
+              col("sd1").cast("double") * col("sd1").cast("double") /
+                col("n_pairs").cast("double")) /
+              (col("n_pairs") - 1).cast("double")) /
+              sqrt(col("n_pairs").cast("double"))), 6)
+          .as("t_stat"))
+  }
+
+  /** Deterministic permutation test for the A/B revenue split: the mod-2
+    * customer assignment's observed mean-revenue gap is compared against
+    * `nPerm` md5-derived re-randomizations — the exact-inference
+    * complement to [[qWelchTtest]]'s parametric t (no normality
+    * assumption; at training-pipeline scale the permutation p is the one
+    * reviewers trust when revenue is heavy-tailed).
+    *
+    * Determinism: permutation b assigns customer c to arm
+    * parity(md5(b‖':'‖c)) — a pure projection both engines compute
+    * identically, so every re-run (and the DuckDB oracle) scores the SAME
+    * permutations; no RNG state anywhere. Per-arm means are exact cent
+    * sums divided once; the two-sided p-value is an exact integer ratio
+    * with the +1 continuity convention.
+    *
+    * Scale: revenue first collapses to the customer frame (ONE fact-sized
+    * shuffle), and the nPerm-way explode happens on that frame — the
+    * permutation stream is |customers|·nPerm skinny rows through one
+    * hash aggregate with map-side combine. nPerm is config, not data.
+    */
+  def qPermutationTest(t: Tables, nPerm: Int = 200): DataFrame = {
+    val perCust = t.orders
+      .groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .select(col("o_custkey").as("c"), col("cents"))
+    def gapOf(df: DataFrame, arm: Column, grp: Seq[Column]): DataFrame =
+      df.groupBy(grp: _*)
+        .agg(
+          sum(when(arm === 1, col("cents"))).as("c1"),
+          count(when(arm === 1, 1)).as("n1"),
+          sum(when(arm === 0, col("cents"))).as("c0"),
+          count(when(arm === 0, 1)).as("n0"))
+        .select((grp :+
+          (col("c1").cast("double") / col("n1").cast("double") -
+            col("c0").cast("double") / col("n0").cast("double")).as("gap")): _*)
+    val observed = gapOf(perCust, pmod(col("c"), lit(2)), Seq(lit(1).as("one")))
+      .select(col("gap").as("obs_gap"))
+    val perms = gapOf(
+      perCust.select(col("c"), col("cents"),
+        explode(sequence(lit(1), lit(nPerm))).as("b"))
+        .withColumn("arm",
+          conv(substring(md5(concat(col("b").cast("string"), lit(":"),
+            col("c").cast("string"))), 1, 1), 16, 10).cast("long") % 2),
+      col("arm"), Seq(col("b")))
+    perms.crossJoin(broadcast(observed))
+      .agg(
+        count(lit(1)).as("n_perms"),
+        sum(when(abs(col("gap")) >= abs(col("obs_gap")), 1L).otherwise(0L))
+          .as("n_extreme"),
+        max(col("obs_gap")).as("og"))
+      .select(
+        round(col("og"), 6).as("obs_gap_cents"),
+        col("n_perms"),
+        col("n_extreme"),
+        round((col("n_extreme") + 1).cast("double") /
+          (col("n_perms") + 1).cast("double"), 9).as("p_value"))
+  }
+
+  /** Q–Q drift audit: each source's document-length distribution lined up
+    * against the whole corpus at a fixed quantile grid (10%..90%) — the
+    * distribution-shape complement to the PSI/KS/EMD drift family: a
+    * Q–Q table localizes WHERE two distributions diverge (head, body,
+    * tail), not just whether.
+    *
+    * Exactness: quantiles are type-1 order statistics (the element at
+    * rank ⌈q·n⌉) picked by integer rank arithmetic — no interpolation, so
+    * both engines return an actual data value, bit-identical.
+    *
+    * Scale: one rank window per side, partitioned by source (the corpus
+    * side reuses the same shape with a constant key — corpus-wide sort,
+    * the documented bound every exact-quantile statistic here accepts;
+    * at 100 TB the grid would come from approx_percentile or a
+    * t-digest merge instead, traded against the exactness contract).
+    */
+  def qQqDrift(t: Tables): DataFrame = {
+    val grid = (1 to 9).map(_ * 10L)
+    def ranked(df: DataFrame, key: Column, tag: String): DataFrame = {
+      val w = Window.partitionBy("k").orderBy(col("n_chars"), col("doc_id"))
+      df.select(key.as("k"), col("n_chars"), col("doc_id"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("k")))
+        // the 9-point grid is config: a per-row array literal, no join
+        .withColumn("q", explode(array(grid.map(lit(_)): _*)))
+        .filter(col("i") === expr("CAST((q * n + 99) div 100 AS BIGINT)"))
+        .select(col("k"), col("q"), col("n_chars").as(tag))
+    }
+    val bySource = ranked(t.documents, col("source"), "source_len")
+    val corpus = ranked(t.documents, lit("__all__"), "corpus_len")
+      .select(col("q"), col("corpus_len"))
+    bySource
+      .join(broadcast(corpus), "q")
+      .select(col("k").as("source"), col("q"),
+        col("source_len"), col("corpus_len"),
+        (col("source_len") - col("corpus_len")).as("gap"))
+      .orderBy("source", "q")
+  }
+
+  /** Nearest-neighbor propensity matching for the mod-2 "treatment": each
+    * treated customer (odd key) matched to the control (even key) with
+    * the CLOSEST account balance within a caliper, then the average
+    * treatment effect on per-customer order revenue over matched pairs —
+    * the observational-causal step between [[qCuped]]'s variance
+    * reduction and [[graft.ops.Events.qDid]]'s time-based identification.
+    * Matching is with replacement (each treated picks independently),
+    * the standard distributable form: a greedy without-replacement match
+    * is inherently sequential.
+    *
+    * Determinism: the match minimizes (|balance gap|, control key) — an
+    * exact integer lexicographic order, so the matched set is unique.
+    *
+    * Scale: candidate pairs come from a BANDED equi-join on the caliper
+    * grid (treated side exploded to its 3 adjacent bands — the
+    * [[graft.plans.BandRangeJoin]] discipline), never a quadratic
+    * inequality join; per-treated ranking is a window over
+    * caliper-bounded candidate groups.
+    */
+  def qPropensityMatch(t: Tables, caliperCents: Long = 10000L): DataFrame = {
+    val cents = expr("CAST(round(c_acctbal * 100) AS BIGINT)")
+    val cust = t.customer.select(col("c_custkey").as("ck"), cents.as("bal"),
+      pmod(col("c_custkey"), lit(2)).as("arm"))
+    val revenue = t.orders
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+    val withRev = cust.join(revenue, Seq("ck"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+    // band on SHIFTED balances: acctbal can be negative, and integer
+    // division of negatives truncates in Spark but floors in DuckDB —
+    // the +1e5-cent shift keeps every banded value nonnegative, where
+    // the two semantics agree
+    val treated = withRev.filter(col("arm") === 1)
+      .select(col("ck").as("t_ck"), col("bal").as("t_bal"),
+        col("rev").as("t_rev"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("off"))
+      .withColumn("band",
+        expr(s"((t_bal + 100000) div ${caliperCents}L) + off"))
+    val control = withRev.filter(col("arm") === 0)
+      .select(col("ck").as("c_ck"), col("bal").as("c_bal"),
+        col("rev").as("c_rev"),
+        expr(s"(c_bal + 100000) div ${caliperCents}L").as("band"))
+    val byTreated = Window.partitionBy("t_ck")
+      .orderBy(col("gap"), col("c_ck"))
+    val matched = treated.join(control, "band")
+      .withColumn("gap", abs(col("t_bal") - col("c_bal")))
+      .filter(col("gap") <= caliperCents)
+      .withColumn("rnk", row_number().over(byTreated))
+      .filter(col("rnk") === 1)
+    val nTreated = withRev.filter(col("arm") === 1)
+      .agg(count(lit(1)).as("n_treated"))
+    matched
+      .agg(
+        count(lit(1)).as("n_matched"),
+        sum(col("t_rev") - col("c_rev")).as("diff_cents"),
+        sum(col("gap")).as("gap_cents"))
+      .crossJoin(broadcast(nTreated))
+      .select(col("n_treated"), col("n_matched"),
+        round(col("n_matched").cast("double") /
+          col("n_treated").cast("double"), 9).as("match_rate"),
+        round(col("diff_cents").cast("double") /
+          col("n_matched").cast("double"), 6).as("att_cents"),
+        round(col("gap_cents").cast("double") /
+          col("n_matched").cast("double"), 6).as("mean_gap_cents"))
+  }
 }

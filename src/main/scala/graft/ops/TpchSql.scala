@@ -460,6 +460,34 @@ object TpchSql {
          (l_quantity, l_extendedprice, l_discount, l_tax))
        ORDER BY l_orderkey, l_linenumber, measure"""
 
+  /** Multiset set operations through the frontend: INTERSECT ALL /
+    * EXCEPT ALL over the two year cohorts — the bag semantics
+    * (min/difference of multiplicities) that DISTINCT-flavored set ops
+    * silently destroy, and that both engines implement identically.
+    * Dual-dialect; each set op is isolated in its own CTE so no
+    * precedence rule is exercised differently across parsers. The
+    * aggregate epilogue (row count, distinct count, key checksum) makes
+    * the multiplicity semantics hash-visible.
+    */
+  val setops: String =
+    """WITH y95 AS (SELECT o_custkey AS c FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+       y96 AS (SELECT o_custkey AS c FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'),
+       ib AS (SELECT c FROM y95 INTERSECT ALL SELECT c FROM y96),
+       eb AS (SELECT c FROM y95 EXCEPT ALL SELECT c FROM y96)
+       SELECT op, n_rows, n_custs, key_sum FROM (
+         SELECT 'intersect_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_custs,
+           CAST(SUM(c) AS BIGINT) AS key_sum FROM ib
+         UNION ALL
+         SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS n_custs,
+           CAST(SUM(c) AS BIGINT) AS key_sum FROM eb)
+       ORDER BY op"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,
@@ -467,5 +495,6 @@ object TpchSql {
     "q_sql_q8" -> q8, "q_sql_q9" -> q9, "q_sql_q11" -> q11,
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
     "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
-    "q_sql_q21" -> q21, "q_sql_recursive" -> recursive)
+    "q_sql_q21" -> q21, "q_sql_recursive" -> recursive,
+    "q_sql_setops" -> setops)
 }

@@ -126,7 +126,21 @@ class DeterminismSpec extends SparkSuite {
     "q_rec_eval",         // integer co-counts, ranked tiebreaks
     "q_rec_ndcg",         // decimal-literal discounts, exact DCG sums
     "q_embed_drift",      // integer milli2-norm histogram
-    "q_surprisal_curve")  // decimal surprisal sums, pinned cutoffs
+    "q_surprisal_curve",  // decimal surprisal sums, pinned cutoffs
+    "q_paired_ttest",     // pinned per-pair diffs, decimal moments
+    "q_permutation_test", // md5-parity draws, exact integer p ratio
+    "q_qq_drift",         // type-1 order statistics, integer ranks
+    "q_isotonic_calibration", // integer prefix pools, minimax on exact rates
+    "q_importance_weights",   // md5 buckets, micro-nat pinned log-ratios
+    "q_kneser_ney",       // rational KN terms, exact integer numerators
+    "q_poisson_bootstrap", // md5-uniform CDF inversion, exact replica sums
+    "q_weighted_sample",  // pinned -ln(u) micro-nats, IEEE key division
+    "q_pr_auc",           // pinned total order, decimal precision sums
+    "q_brier_decomp",     // micro-unit forecasts, exact integer moments
+    "q_mmd_drift",        // nano-unit kernel, exact integer pair sums
+    "q_good_turing",      // exact count-of-count ratios
+    "q_vocab_chao1",      // exact type counts, one IEEE division
+    "q_propensity_match") // integer lexicographic nearest match
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

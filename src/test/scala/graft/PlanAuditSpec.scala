@@ -521,4 +521,43 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), s"median frame not broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"fact-side SMJ:\n$p")
   }
+
+  test("importance weights: bucket LM broadcasts into the doc stream") {
+    // the 4096-row weight table must arrive by broadcast; an SMJ there
+    // would sort the (doc, bucket) stream — corpus-sized — on the join key
+    val p = formatted("q_importance_weights")
+    assert(p.contains("BroadcastHashJoin"), s"weight table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc-stream SMJ:\n$p")
+  }
+
+  test("paired t-test: one fact shuffle, no self-join") {
+    // both eras come out of ONE conditional aggregation over orders — a
+    // second Exchange would mean the query joined orders to itself
+    // fact-key Exchange + the 1-row final-aggregate gather = 2; a third
+    // would mean the eras were computed by joining orders to itself
+    val p = formatted("q_paired_ttest")
+    assert(shuffleCount(p) <= 2, s"paired eras should not self-join:\n$p")
+    assert(!p.contains("Join"), s"unexpected join:\n$p")
+  }
+
+  test("permutation test: explode on the customer frame, not the fact") {
+    // the nPerm-way sequence explode must sit ABOVE the customer-key
+    // aggregate: exactly one fact-sized Exchange (custkey), then the
+    // permutation stream aggregates by b
+    val p = formatted("q_permutation_test")
+    assert(p.contains("Generate") && p.contains("explode("),
+      s"no explode in plan:\n$p")
+    // count tree nodes only (formatted repeats each scan in the detail
+    // section): once for the permutation stream, once for the observed gap
+    val scans = "[:+]- Scan parquet".r.findAllIn(p).length
+    assert(scans <= 2, s"fact scanned more than twice:\n$p")
+  }
+
+  test("kneser-ney: probe contexts and type total broadcast") {
+    val p = formatted("q_kneser_ney")
+    assert(p.contains("BroadcastHashJoin"), s"probes not broadcast:\n$p")
+    // the continuation-count join is vocab×vocab on the gram key: hash
+    // join on the shuffled key, no sort of the bigram-type frame
+    assert(!p.contains("SortMergeJoin"), s"vocab SMJ:\n$p")
+  }
 }

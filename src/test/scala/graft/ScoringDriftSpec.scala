@@ -1,0 +1,209 @@
+package graft
+
+import graft.ext.{Classifier, TextAnalysis}
+import graft.ops.{Stats, TpchSql}
+
+/** Round-5 second wave: forecast-quality scoring (PR-AUC, Brier/Murphy),
+  * kernel MMD drift, Good–Turing / Chao1 vocabulary estimation, banded
+  * propensity matching, and multiset SQL set ops. Every test recomputes
+  * the claim from first principles over sf0.001 — the propensity check
+  * brute-forces the all-pairs nearest match the engine's banded join must
+  * reproduce; the MMD check verifies the V-statistic's nonnegativity on
+  * top of equality.
+  */
+class ScoringDriftSpec extends SparkSuite {
+  import org.apache.spark.sql.functions._
+
+  private def roundHalfUp(x: Double, scale: Int): Double =
+    BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private lazy val docs: Seq[(Long, String, String, String, Long)] =
+    tables.documents
+      .select("doc_id", "text", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+      .toSeq
+
+  private def wordsOf(text: String): Seq[String] =
+    text.replaceAll("^ +| +$", "").toLowerCase.split(" +", -1).toSeq
+
+  // the engine's qualityExpr replayed driver-side (same formula as the
+  // q_quality_score oracle)
+  private def quality(text: String): Double = {
+    val trimmed = text.replaceAll("^ +| +$", "")
+    val toks = trimmed.split(" +", -1).toSeq
+    val n = if (trimmed.isEmpty) 0 else toks.size
+    val nd = toks.distinct.size.toDouble
+    val awl = (trimmed.length - (toks.size - 1)).toDouble / toks.size
+    math.min(n / 100.0, 1.0) * 0.4 + (nd / toks.size) * 0.4 +
+      math.min(awl / 10.0, 1.0) * 0.2
+  }
+
+  test("pr auc: average precision under the pinned total order") {
+    val scored = docs.map(d =>
+      (d._1, roundHalfUp(quality(d._2), 6), if (d._3 == "en") 1L else 0L))
+      .sortBy(x => (-x._2, x._1))
+    var cum = 0L
+    val terms = scored.zipWithIndex.flatMap { case ((_, _, y), i) =>
+      cum += y
+      if (y == 1L) Some(BigDecimal(roundHalfUp(cum.toDouble / (i + 1), 9)))
+      else None
+    }
+    val nPos = scored.map(_._3).sum
+    val r = Classifier.qPrAuc(tables).collect().head
+    assert(r.getLong(0) == scored.size && r.getLong(1) == nPos)
+    assert(math.abs(r.getDouble(2) -
+      roundHalfUp(terms.sum.toDouble / nPos, 9)) < 1e-12)
+    val p10 = scored.take(10).map(_._3).sum / 10.0
+    assert(r.getDouble(3) == p10)
+  }
+
+  test("brier decomposition: all four terms from first principles") {
+    val s = docs.map(d =>
+      (BigDecimal(quality(d._2) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong,
+        if (d._3 == "en") 1L else 0L))
+    val n = s.size
+    val npos = s.map(_._2).sum
+    val brier = s.map { case (pu, y) =>
+      BigInt(pu - y * 1000000L) * BigInt(pu - y * 1000000L)
+    }.sum.toDouble / (n.toDouble * 1e12)
+    val ybar = npos.toDouble / n
+    val bins = s.groupBy { case (pu, _) => math.min(pu / 100000L, 9L) }
+    def sq(x: Double) = roundHalfUp(x * x, 12)
+    val rel = bins.values.map { g =>
+      val diff = (g.map(_._1).sum - g.map(_._2).sum * 1000000L).toDouble /
+        (g.size * 1000000L).toDouble
+      BigDecimal(sq(diff)) * g.size
+    }.sum.toDouble / n
+    val res = bins.values.map { g =>
+      val yb = g.map(_._2).sum.toDouble / g.size
+      BigDecimal(sq(yb - ybar)) * g.size
+    }.sum.toDouble / n
+    val r = Classifier.qBrierDecomp(tables).collect().head
+    assert(r.getLong(0) == n)
+    assert(math.abs(r.getDouble(1) - brier) < 1e-15)
+    assert(math.abs(r.getDouble(2) - rel) < 1e-15)
+    assert(math.abs(r.getDouble(3) - res) < 1e-15)
+    assert(math.abs(r.getDouble(4) - ybar * (1 - ybar)) < 1e-15)
+    // Murphy identity holds up to within-bin forecast variance
+    assert(math.abs((r.getDouble(2) - r.getDouble(3) + r.getDouble(4)) -
+      r.getDouble(1)) < 0.05)
+  }
+
+  test("mmd drift: brute-force kernel sums; V-statistic is nonnegative") {
+    def hist(ds: Seq[Long]): Map[Long, Long] =
+      ds.map(n => math.min(n / 100, 49L)).groupBy(identity)
+        .map { case (b, xs) => b -> xs.size.toLong }
+    def kern(i: Long, j: Long): Long =
+      BigDecimal(math.exp(-((i - j) * (i - j)) / 50.0) * 1e9)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def pairSum(a: Map[Long, Long], b: Map[Long, Long]): BigInt =
+      (for ((i, x) <- a; (j, y) <- b) yield BigInt(x * y) * kern(i, j)).sum
+    val corpus = hist(docs.map(_._5))
+    val nc = docs.size.toDouble
+    val cc = pairSum(corpus, corpus)
+    val rows = TextAnalysis.qMmdDrift(tables).collect()
+    val bySource = docs.groupBy(_._4)
+    assert(rows.length == bySource.size)
+    rows.foreach { r =>
+      val src = hist(bySource(r.getString(0)).map(_._5))
+      val ns = r.getLong(1).toDouble
+      assert(ns == bySource(r.getString(0)).size.toDouble)
+      val mmd2 = pairSum(src, src).toDouble / (ns * ns * 1e9) +
+        cc.toDouble / (nc * nc * 1e9) -
+        2.0 * pairSum(src, corpus).toDouble / (ns * nc * 1e9)
+      assert(math.abs(r.getDouble(2) - mmd2) < 1e-12)
+      assert(r.getDouble(2) >= -1e-9, "biased MMD^2 must be nonnegative")
+    }
+  }
+
+  test("good-turing: adjusted counts from the frequency of frequencies") {
+    val counts = docs.flatMap { d =>
+      val w = wordsOf(d._2)
+      if (w.size < 2) Seq(w.mkString(" "))
+      else w.sliding(2).map(_.mkString(" ")).toSeq
+    }.groupBy(identity).map(_._2.size.toLong)
+    val fof = counts.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    val ntok = counts.sum
+    val rows = TextAnalysis.qGoodTuring(tables).collect()
+    assert(rows.map(_.getLong(0)).toSeq ==
+      fof.keys.filter(_ <= 10).toSeq.sorted)
+    rows.foreach { r =>
+      val rr = r.getLong(0)
+      val nr1 = fof.getOrElse(rr + 1, 0L)
+      assert(r.getLong(1) == fof(rr) && r.getLong(2) == nr1)
+      assert(r.getDouble(3) == (rr + 1).toDouble * nr1.toDouble / fof(rr))
+      assert(r.getDouble(4) == ((rr + 1) * nr1).toDouble / ntok.toDouble)
+    }
+  }
+
+  test("chao1: richness estimate per language, always >= observed types") {
+    val rows = TextAnalysis.qVocabChao1(tables).collect()
+    val byLang = docs.groupBy(_._3)
+    assert(rows.length == byLang.size)
+    rows.foreach { r =>
+      val tc = byLang(r.getString(0))
+        .flatMap(d => wordsOf(d._2).filter(_.nonEmpty))
+        .groupBy(identity).map(_._2.size)
+      val (d, n1, n2) =
+        (tc.size.toLong, tc.count(_ == 1).toLong, tc.count(_ == 2).toLong)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((d, n1, n2)))
+      val chao1 = d.toDouble + (n1 * (n1 - 1)).toDouble / (2 * (n2 + 1)).toDouble
+      assert(r.getDouble(4) == chao1)
+      assert(r.getDouble(4) >= r.getLong(1).toDouble)
+    }
+  }
+
+  test("propensity match equals the brute-force all-pairs nearest match") {
+    val cust = tables.customer.select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rev = tables.orders.groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val treated = cust.filter(_._1 % 2 == 1)
+    val control = cust.filter(_._1 % 2 == 0)
+    val matches = treated.flatMap { case (tk, tb) =>
+      val cands = control.map { case (ck, cb) => (math.abs(tb - cb), ck, cb) }
+        .filter(_._1 <= 10000L)
+      if (cands.isEmpty) None
+      else {
+        val (gap, ck, _) = cands.min
+        Some((tk, ck, gap,
+          rev.getOrElse(tk, 0L) - rev.getOrElse(ck, 0L)))
+      }
+    }
+    val r = Stats.qPropensityMatch(tables).collect().head
+    assert(r.getLong(0) == treated.length.toLong)
+    assert(r.getLong(1) == matches.length.toLong)
+    assert(math.abs(r.getDouble(3) - roundHalfUp(
+      matches.map(_._4).sum.toDouble / matches.length, 6)) < 1e-9)
+    assert(math.abs(r.getDouble(4) - roundHalfUp(
+      matches.map(_._3).sum.toDouble / matches.length, 6)) < 1e-9)
+  }
+
+  test("sql setops: multiset intersect/except multiplicities") {
+    val years = tables.orders.select(col("o_custkey"),
+        year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996)).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    val m95 = years.filter(_._2 == 1995).groupBy(_._1).map(kv => kv._1 -> kv._2.size)
+    val m96 = years.filter(_._2 == 1996).groupBy(_._1).map(kv => kv._1 -> kv._2.size)
+    val interRows = m95.map { case (c, n) =>
+      c -> math.min(n, m96.getOrElse(c, 0)) }.filter(_._2 > 0)
+    val exceptRows = m95.map { case (c, n) =>
+      c -> math.max(n - m96.getOrElse(c, 0), 0) }.filter(_._2 > 0)
+    val got = TpchSql.run(spark, tables, TpchSql.setops).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got("intersect_all") == ((
+      interRows.values.map(_.toLong).sum,
+      interRows.size.toLong,
+      interRows.map { case (c, n) => c * n }.sum)))
+    assert(got("except_all") == ((
+      exceptRows.values.map(_.toLong).sum,
+      exceptRows.size.toLong,
+      exceptRows.map { case (c, n) => c * n }.sum)))
+  }
+}
