@@ -337,6 +337,11 @@ object SparkEntry {
     "q_good_turing" -> q(TextAnalysis.qGoodTuring(_)),
     "q_vocab_chao1" -> q(TextAnalysis.qVocabChao1),
     "q_propensity_match" -> q(Stats.qPropensityMatch(_)),
+    "q_qini_curve" -> q(Stats.qQiniCurve),
+    "q_stream_brier" -> ((spark, dir) =>
+      graft.streaming.Streams.drainBrier(spark, dir, "documents.parquet")),
+    "q_stream_mmd" -> ((spark, dir) =>
+      graft.streaming.Streams.drainMmdDrift(spark, dir, "documents.parquet")),
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
     "q_top_terms" -> q(Sampling.qTopTerms(_)),
     "q_train_shards" -> q(Sampling.qTrainShards(_)),
@@ -693,41 +698,8 @@ object SparkEntry {
        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
        ORDER BY id_new, id_old"""
 
-  def oracleSql: Map[String, String] = Map(
-    // average precision under the deterministic (score desc, doc_id)
-    // total order; each precision@k pinned at 1e-9 before the sum
-    "q_pr_auc" ->
-      """WITH d AS (SELECT doc_id,
-             CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
-             CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
-               AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS dr,
-             CAST(len(trim(text))
-                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
-               / len(string_split_regex(trim(text), ' +')) AS awl,
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
-           FROM documents),
-         s AS (SELECT doc_id,
-             ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
-               + dr * 0.4 + least(awl / 10.0, 1.0) * 0.2, 6) AS p, y
-           FROM d),
-         r AS (SELECT p, y,
-             ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS k,
-             SUM(y) OVER (ORDER BY p DESC, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
-           FROM s)
-         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(y) AS BIGINT) AS n_pos,
-           ROUND(CAST(SUM(CASE WHEN y = 1 THEN
-               CAST(ROUND(CAST(cum_pos AS DOUBLE) / k, 9) AS DECIMAL(12,9))
-             END) AS DOUBLE) / SUM(y), 9) AS avg_precision,
-           MAX(CASE WHEN k = 10 THEN CAST(cum_pos AS DOUBLE) / 10.0 END)
-             AS p_at_10
-         FROM r""",
-    // Murphy decomposition over 10 forecast bins: Brier sum exact in
-    // DECIMAL(20,12); per-bin squared terms pinned at 1e-12
-    "q_brier_decomp" ->
-      """WITH d AS (SELECT
+  private val brierOracle: String =
+    """WITH d AS (SELECT
              CASE WHEN len(trim(text)) = 0 THEN 0
                ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
              CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
@@ -771,12 +743,10 @@ object SparkEntry {
            (CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
              * (1.0 - CAST(npos AS DOUBLE) / CAST(n AS DOUBLE))
              AS uncertainty
-         FROM terms GROUP BY n, npos, squ""",
-    // RBF-kernel MMD² on binned doc lengths: kernel pinned to integer
-    // nano-units, count products exact — the pair sums are exact integer
-    // arithmetic; mmd2 surfaces as a raw mirrored double chain
-    "q_mmd_drift" ->
-      """WITH b AS (SELECT source,
+         FROM terms GROUP BY n, npos, squ"""
+
+  private val mmdOracle: String =
+    """WITH b AS (SELECT source,
              least(n_chars // 100, 49) AS b FROM documents),
          sh AS (SELECT source, b, CAST(COUNT(*) AS BIGINT) AS s
            FROM b GROUP BY 1, 2),
@@ -807,7 +777,48 @@ object SparkEntry {
              - 2.0 * CAST(sc AS DOUBLE)
                / (CAST(n.ns AS DOUBLE) * CAST(m.nc AS DOUBLE) * 1e9) AS mmd2
          FROM ssx x JOIN nss n USING (source) JOIN scx USING (source),
-           ccx, ncc m ORDER BY x.source""",
+           ccx, ncc m ORDER BY x.source"""
+
+  def oracleSql: Map[String, String] = Map(
+    // average precision under the deterministic (score desc, doc_id)
+    // total order; each precision@k pinned at 1e-9 before the sum
+    "q_pr_auc" ->
+      """WITH d AS (SELECT doc_id,
+             CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), ' +')) END AS n_tokens,
+             CAST(len(list_distinct(string_split_regex(trim(text), ' +')))
+               AS DOUBLE) / len(string_split_regex(trim(text), ' +')) AS dr,
+             CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+               / len(string_split_regex(trim(text), ' +')) AS awl,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents),
+         s AS (SELECT doc_id,
+             ROUND(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+               + dr * 0.4 + least(awl / 10.0, 1.0) * 0.2, 6) AS p, y
+           FROM d),
+         r AS (SELECT p, y,
+             ROW_NUMBER() OVER (ORDER BY p DESC, doc_id) AS k,
+             SUM(y) OVER (ORDER BY p DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_pos
+           FROM s)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(y) AS BIGINT) AS n_pos,
+           ROUND(CAST(SUM(CASE WHEN y = 1 THEN
+               CAST(ROUND(CAST(cum_pos AS DOUBLE) / k, 9) AS DECIMAL(12,9))
+             END) AS DOUBLE) / SUM(y), 9) AS avg_precision,
+           MAX(CASE WHEN k = 10 THEN CAST(cum_pos AS DOUBLE) / 10.0 END)
+             AS p_at_10
+         FROM r""",
+    // Murphy decomposition over 10 forecast bins (micro-unit forecasts,
+    // integer moments); the drain shares the oracle — bin state merges
+    // exactly across microbatches
+    "q_brier_decomp" -> brierOracle,
+    "q_stream_brier" -> brierOracle,
+    // RBF-kernel MMD² on binned doc lengths: kernel pinned to integer
+    // nano-units, count products exact; the drain shares the oracle
+    "q_mmd_drift" -> mmdOracle,
+    "q_stream_mmd" -> mmdOracle,
     // Turing re-estimates: N_r exact type counts, r* and masses single
     // IEEE divisions — no rounding anywhere
     "q_good_turing" ->
@@ -872,6 +883,40 @@ object SparkEntry {
              AS att_cents,
            ROUND(CAST(SUM(gap) AS DOUBLE) / COUNT(*), 6) AS mean_gap_cents
          FROM m, nt GROUP BY nt.n_treated""",
+    // qini uplift curve: ceiling-rank deciles, exact cumulative cents,
+    // one mirrored double chain per decile
+    "q_qini_curve" ->
+      """WITH cust AS (SELECT c_custkey AS ck,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+             c_custkey % 2 AS arm FROM customer),
+         rv AS (SELECT o_custkey AS ck,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+           FROM orders GROUP BY 1),
+         w AS (SELECT c.ck, c.bal, c.arm, COALESCE(r.rev, 0) AS rev
+           FROM cust c LEFT JOIN rv r USING (ck)),
+         rk AS (SELECT arm, rev,
+             ROW_NUMBER() OVER (ORDER BY bal DESC, ck) AS i,
+             COUNT(*) OVER () AS n FROM w),
+         g AS (SELECT (i * 10 + n - 1) // n AS decile,
+             CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS nt,
+             CAST(COALESCE(SUM(rev) FILTER (WHERE arm = 1), 0) AS BIGINT)
+               AS rt,
+             CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS nc,
+             CAST(COALESCE(SUM(rev) FILTER (WHERE arm = 0), 0) AS BIGINT)
+               AS rc
+           FROM rk GROUP BY 1),
+         c AS (SELECT decile,
+             CAST(SUM(nt) OVER (ORDER BY decile) AS BIGINT) AS cum_nt,
+             CAST(SUM(rt) OVER (ORDER BY decile) AS BIGINT) AS cum_rt,
+             CAST(SUM(nc) OVER (ORDER BY decile) AS BIGINT) AS cum_nc,
+             CAST(SUM(rc) OVER (ORDER BY decile) AS BIGINT) AS cum_rc
+           FROM g)
+         SELECT CAST(decile AS BIGINT) AS decile, cum_nt, cum_nc,
+           cum_rt, cum_rc,
+           CAST(cum_rt AS DOUBLE) - CAST(cum_rc AS DOUBLE)
+             * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE)
+             AS qini_cents
+         FROM c ORDER BY decile""",
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->

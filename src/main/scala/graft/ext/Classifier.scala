@@ -344,26 +344,37 @@ object Classifier {
     * frame; the decomposition runs on broadcast-joined config-sized
     * frames.
     */
-  def qBrierDecomp(t: Tables, nBins: Int = 10): DataFrame = {
-    // forecast in integer MICRO-UNITS (never a computed double cast to
-    // decimal — the engines round the cast differently near boundaries;
-    // same convention as the GD gradients above): pu ∈ [0, 1e6], so
-    // (pu − 1e6·y)² is an exact long and every moment sum is integer
-    val scored = t.documents.select(
-      round(TextAnalysis.qualityExpr(col("text")) * Scale, 0).cast("long")
-        .as("pu"),
-      when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-    val totals = scored.agg(
-      count(lit(1)).as("n"),
-      sum("y").as("npos"),
-      sum(((col("pu") - col("y") * Scale) * (col("pu") - col("y") * Scale))
-        .cast(DecimalType(30, 0))).as("squ"))
-    val bins = scored
+  def qBrierDecomp(t: Tables, nBins: Int = 10): DataFrame =
+    brierEpilogue(brierBins(t.documents, nBins))
+
+  /** Stateful half of [[qBrierDecomp]], shared with the streaming drain:
+    * forecast in integer MICRO-UNITS (never a computed double cast to
+    * decimal — the engines round the cast differently near boundaries;
+    * same convention as the GD gradients above): pu ∈ [0, 1e6], so
+    * (pu − 1e6·y)² is an exact long and every moment sum is integer —
+    * per-bin state merges exactly across microbatches in any order.
+    */
+  private[graft] def brierBins(docs: DataFrame, nBins: Int = 10): DataFrame =
+    docs.select(
+        round(TextAnalysis.qualityExpr(col("text")) * Scale, 0).cast("long")
+          .as("pu"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
       .groupBy(least(expr(s"pu div ${Scale / nBins}"), lit(nBins - 1L))
         .cast("long").as("bin"))
-      .agg(count(lit(1)).as("nk"), sum("pu").as("spu"), sum("y").as("sy"))
-    // per-bin squared gaps: exact integer numerators, ONE double division
-    // each, square, pinned at 1e-12 before the count-weighted decimal sum
+      .agg(count(lit(1)).as("nk"), sum("pu").as("spu"), sum("y").as("sy"),
+        sum(((col("pu") - col("y") * Scale) * (col("pu") - col("y") * Scale))
+          .cast(DecimalType(30, 0))).as("squ_k"))
+
+  /** Decomposition epilogue over the bin frame: the corpus totals are the
+    * bin sums, so the whole statistic derives from the ≤nBins-row state.
+    * Per-bin squared gaps: exact integer numerators, ONE double division
+    * each, square, pinned at 1e-12 before the count-weighted decimal sum.
+    */
+  private[graft] def brierEpilogue(bins: DataFrame): DataFrame = {
+    val totals = bins.agg(
+      sum("nk").as("n"),
+      sum("sy").as("npos"),
+      sum("squ_k").as("squ"))
     bins.crossJoin(broadcast(totals))
       .select(col("bin"), col("nk"), col("n"), col("npos"), col("squ"),
         round(

@@ -1620,13 +1620,31 @@ object TextAnalysis {
     * (≤ maxBin² rows) and broadcast. Nothing quadratic touches data.
     */
   def qMmdDrift(t: Tables, binWidth: Int = 100, maxBin: Int = 49,
-      sigma2x2: Double = 50.0): DataFrame = {
-    def binned(df: DataFrame) = df.select(col("source"),
-      expr(s"least(n_chars div $binWidth, ${maxBin}L)").as("b"))
-    val srcHist = binned(t.documents)
+      sigma2x2: Double = 50.0): DataFrame =
+    mmdEpilogue(mmdHist(t.documents, binWidth, maxBin), sigma2x2)
+
+  /** Stateful half of [[qMmdDrift]], shared with the streaming drain:
+    * the per-(source, bin) length histogram — ≤ (sources × maxBin) count
+    * cells, merging exactly across microbatches.
+    */
+  private[graft] def mmdHist(docs: DataFrame, binWidth: Int = 100,
+      maxBin: Int = 49): DataFrame =
+    docs
+      .select(col("source"),
+        expr(s"least(n_chars div $binWidth, ${maxBin}L)").as("b"))
       .groupBy("source", "b").agg(count(lit(1)).as("s"))
-    val corpHist = binned(t.documents)
-      .groupBy("b").agg(count(lit(1)).as("c"))
+
+  /** Kernel-sum epilogue over the histogram state: the corpus histogram
+    * is the bin-wise sum of the per-source cells, so the whole statistic
+    * derives from the drained frame; all pair joins stay config-sized.
+    */
+  private[graft] def mmdEpilogue(srcHist: DataFrame,
+      sigma2x2: Double = 50.0): DataFrame = {
+    // corpus histogram derives FROM the source histogram (bin-wise sum);
+    // rename its columns so the cross join below is not an ambiguous
+    // self-join of the same lineage
+    val corpHist = srcHist.groupBy("b").agg(sum("s").as("c"))
+      .select(col("b").as("cb"), col("c"))
     // kernel in integer NANO-units (round(exp·1e9) as a long — never a
     // computed double cast to decimal, which the engines round apart):
     // every pair term is then (exact count product) × (exact long), and
@@ -1641,17 +1659,19 @@ object TextAnalysis {
       .agg(sum((col("a.s") * col("bb.s")).cast(DecimalType(28, 0)) *
         kern(col("a.b"), col("bb.b"))).as("ss"))
     val ns = srcHist.groupBy("source").agg(sum("s").as("ns"))
-    // corpus self term and size: one scalar row
-    val cc = corpHist.as("a").join(broadcast(corpHist.as("bb")))
-      .agg(sum((col("a.c") * col("bb.c")).cast(DecimalType(28, 0)) *
-        kern(col("a.b"), col("bb.b"))).as("cc"))
+    // corpus self term and size: one scalar row. Dataset aliases +
+    // qualified refs everywhere — corpHist DERIVES from srcHist, so every
+    // join below is a self-join to Spark's ambiguity detector
+    val cc = corpHist.as("l").join(broadcast(corpHist.as("r")))
+      .agg(sum((col("l.c") * col("r.c")).cast(DecimalType(28, 0)) *
+        kern(col("l.cb"), col("r.cb"))).as("cc"))
     val nc = corpHist.agg(sum("c").as("nc"))
     // cross term per source
-    val sc = srcHist
-      .join(broadcast(corpHist))
-      .groupBy("source")
-      .agg(sum((col("s") * col("c")).cast(DecimalType(28, 0)) *
-        kern(srcHist("b"), corpHist("b"))).as("sc"))
+    val sc = srcHist.as("sl")
+      .join(broadcast(corpHist.as("r")))
+      .groupBy(col("sl.source").as("source"))
+      .agg(sum((col("sl.s") * col("r.c")).cast(DecimalType(28, 0)) *
+        kern(col("sl.b"), col("r.cb"))).as("sc"))
     ss.join(ns, "source").join(sc, "source")
       .crossJoin(broadcast(cc.join(nc)))
       .select(col("source"), col("ns"),

@@ -1907,4 +1907,56 @@ object Stats {
         round(col("gap_cents").cast("double") /
           col("n_matched").cast("double"), 6).as("mean_gap_cents"))
   }
+
+  /** Qini curve for the mod-2 "campaign": customers ranked by a targeting
+    * score (account balance, the stand-in for an uplift model's output),
+    * and at each decile of the ranking the incremental revenue the
+    * treated arm shows over the control arm's rate-adjusted expectation —
+    * qini(d) = R_t(d) − R_c(d)·N_t(d)/N_c(d). The uplift-model
+    * evaluation curve ([[qPropensityMatch]] estimates ONE effect; the
+    * Qini curve shows where in the ranking the effect lives, and its
+    * final point is the overall incremental revenue).
+    *
+    * Exactness: decile split by the integer ceiling rank (the qLorenz
+    * convention), cumulative counts/cents exact longs via the decile
+    * window; qini is one mirrored double chain over exact integers.
+    *
+    * Scale: one customer-key revenue aggregate (fact-sized shuffle), one
+    * global rank — the documented exact-ranking bound — then all
+    * cumulative work on the 10-row decile frame.
+    */
+  def qQiniCurve(t: Tables): DataFrame = {
+    val byScore = Window.orderBy(col("bal").desc, col("ck"))
+    val byDecile = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val cust = t.customer.select(col("c_custkey").as("ck"),
+      expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
+      pmod(col("c_custkey"), lit(2)).as("arm"))
+    val revenue = t.orders
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
+    cust.join(revenue, Seq("ck"), "left")
+      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+      .withColumn("i", row_number().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("decile", expr("CAST((i * 10 + n - 1) div n AS BIGINT)"))
+      .groupBy("decile")
+      .agg(
+        count(when(col("arm") === 1, 1)).as("nt"),
+        coalesce(sum(when(col("arm") === 1, col("rev"))), lit(0L)).as("rt"),
+        count(when(col("arm") === 0, 1)).as("nc"),
+        coalesce(sum(when(col("arm") === 0, col("rev"))), lit(0L)).as("rc"))
+      .select(col("decile"),
+        sum("nt").over(byDecile).as("cum_nt"),
+        sum("rt").over(byDecile).as("cum_rt"),
+        sum("nc").over(byDecile).as("cum_nc"),
+        sum("rc").over(byDecile).as("cum_rc"))
+      .select(col("decile"), col("cum_nt"), col("cum_nc"),
+        col("cum_rt"), col("cum_rc"),
+        (col("cum_rt").cast("double") -
+          col("cum_rc").cast("double") * col("cum_nt").cast("double") /
+            col("cum_nc").cast("double")).as("qini_cents"))
+      .orderBy("decile")
+  }
 }

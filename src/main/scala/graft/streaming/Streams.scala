@@ -676,6 +676,33 @@ object Streams {
         graft.ext.Similarity.dimSums(
           embeddingsStream(spark, dir, globFilter))))
 
+  /** Streaming drain of the Brier/Murphy forecast audit — the ingest-time
+    * twin of [[graft.ext.Classifier.qBrierDecomp]], sharing its oracle:
+    * state is the ≤10-row forecast-bin frame (integer micro-unit moments
+    * merge exactly in any microbatch order), and the decomposition —
+    * including the corpus totals, which are just the bin sums — is a
+    * batch epilogue. The calibration monitor a labeling pipeline keeps
+    * current as scored documents land.
+    */
+  def drainBrier(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ext.Classifier.brierEpilogue(
+      drain(spark,
+        graft.ext.Classifier.brierBins(docsStream(spark, dir, globFilter))))
+
+  /** Streaming drain of the kernel-MMD drift monitor — the ingest-time
+    * twin of [[graft.ext.TextAnalysis.qMmdDrift]], sharing its oracle:
+    * state is the (source × bin) length histogram (count cells merge
+    * exactly), and every kernel pair sum runs as a config-sized batch
+    * epilogue over the drained frame. Distribution drift per source,
+    * kept current at ingest.
+    */
+  def drainMmdDrift(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ext.TextAnalysis.mmdEpilogue(
+      drain(spark,
+        graft.ext.TextAnalysis.mmdHist(docsStream(spark, dir, globFilter))))
+
   /** Raw on-disk schema of the driver's customer parquet. */
   val customerFileSchema: StructType = StructType(Seq(
     StructField("c_custkey", LongType),

@@ -140,7 +140,8 @@ class DeterminismSpec extends SparkSuite {
     "q_mmd_drift",        // nano-unit kernel, exact integer pair sums
     "q_good_turing",      // exact count-of-count ratios
     "q_vocab_chao1",      // exact type counts, one IEEE division
-    "q_propensity_match") // integer lexicographic nearest match
+    "q_propensity_match", // integer lexicographic nearest match
+    "q_qini_curve")       // ceiling-rank deciles, exact cumulative cents
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

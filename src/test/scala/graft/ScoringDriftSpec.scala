@@ -183,6 +183,37 @@ class ScoringDriftSpec extends SparkSuite {
       matches.map(_._3).sum.toDouble / matches.length, 6)) < 1e-9)
   }
 
+  test("qini curve: decile uplift from a brute-force ranking replay") {
+    val cust = tables.customer.select(col("c_custkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rev = tables.orders.groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = cust.length
+    val ranked = cust.sortBy { case (ck, bal) => (-bal, ck) }.zipWithIndex
+      .map { case ((ck, _), i) =>
+        val decile = ((i + 1).toLong * 10 + n - 1) / n
+        (decile, ck % 2, rev.getOrElse(ck, 0L))
+      }
+    val rows = ops.Stats.qQiniCurve(tables).collect()
+    assert(rows.length == 10)
+    var (cnt, crt, cnc, crc) = (0L, 0L, 0L, 0L)
+    rows.foreach { r =>
+      val d = r.getLong(0)
+      val g = ranked.filter(_._1 == d)
+      cnt += g.count(_._2 == 1); crt += g.filter(_._2 == 1).map(_._3).sum
+      cnc += g.count(_._2 == 0); crc += g.filter(_._2 == 0).map(_._3).sum
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((cnt, cnc, crt, crc)), s"decile $d cumulative cells")
+      assert(r.getDouble(5) ==
+        crt.toDouble - crc.toDouble * cnt.toDouble / cnc.toDouble)
+    }
+    // the final decile's qini is the overall incremental revenue
+    val last = rows.last
+    assert(last.getLong(1) + last.getLong(2) == n.toLong)
+  }
+
   test("sql setops: multiset intersect/except multiplicities") {
     val years = tables.orders.select(col("o_custkey"),
         year(col("o_orderdate")).as("y"))

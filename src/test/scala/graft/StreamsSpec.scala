@@ -496,6 +496,22 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming brier drain equals the batch Murphy decomposition") {
+    val streamed = Streams.drainBrier(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.Classifier.qBrierDecomp(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming mmd drain equals the batch kernel-drift frame") {
+    val streamed = Streams.drainMmdDrift(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.TextAnalysis.qMmdDrift(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming benford drain: digit counts match a batch recompute") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")
