@@ -338,6 +338,7 @@ object SparkEntry {
     "q_vocab_chao1" -> q(TextAnalysis.qVocabChao1),
     "q_propensity_match" -> q(Stats.qPropensityMatch(_)),
     "q_qini_curve" -> q(Stats.qQiniCurve),
+    "q_var_cvar" -> q(Stats.qVarCvar(_)),
     "q_stream_brier" -> ((spark, dir) =>
       graft.streaming.Streams.drainBrier(spark, dir, "documents.parquet")),
     "q_stream_mmd" -> ((spark, dir) =>
@@ -917,6 +918,28 @@ object SparkEntry {
              * CAST(cum_nt AS DOUBLE) / CAST(cum_nc AS DOUBLE)
              AS qini_cents
          FROM c ORDER BY decile""",
+    // daily-revenue VaR/CVaR: type-1 order-statistic pick by integer
+    // rank on the day frame; CVaR = one IEEE division of exact sums
+    "q_var_cvar" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         r AS (SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, day) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(cents) OVER (ORDER BY cents, day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d),
+         x AS (SELECT r.*, lv.level,
+             ((100 - lv.level) * r.n + 99) // 100 AS k
+           FROM r CROSS JOIN (VALUES (95), (99)) lv(level))
+         SELECT CAST(level AS BIGINT) AS level,
+           CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail_days,
+           cents AS var_cents,
+           CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS cvar_cents
+         FROM x WHERE i = k ORDER BY level""",
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->

@@ -483,9 +483,8 @@ object Dedup {
     // session fp cache instead of a second per-word MD5 pass (at 100 TB
     // both sides hash-shuffle on id once — still far cheaper than
     // re-hashing every word of the surviving corpus)
-    val keeperFp = portableFpCache(t)
-      .join(keepers.select("id"), "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keeperFp = graft.Engine.loopCheckpoint(
+      portableFpCache(t).join(keepers.select("id"), "id"))
     val pairs =
       simhashPortablePairsFromFp(keeperFp, maxHamming, maxBucket, checkpoint = true)
     val comp = connectedComponents(pairs.select("id1", "id2"))
@@ -504,7 +503,7 @@ object Dedup {
       .orderBy("source")
       .loopCheckpoint() // source-dimension-sized; lets the stage caches go
     marked.unpersist(false)
-    keeperFp.unpersist(false)
+    graft.Engine.freeCheckpoint(keeperFp)
     graft.Engine.freeCheckpoint(comp)
     graft.Engine.freeCheckpoint(pairs)
     out
@@ -573,6 +572,12 @@ object Dedup {
       // lineage — two scans of the checkpointed RDD are cheaper anyway.
       // Both checkpoints are LAZY and the label-sum witness is the one
       // action that materializes them: one job per round, not three.
+      // (Deeper jump chains per round — P⁴/P⁸, whether as chained lazy
+      // checkpoints or as repeated references to the one lazy propM —
+      // were both measured to wedge this loop: a not-yet-materialized
+      // lazy localCheckpoint referenced from several join branches races
+      // its own materialization. One doubling per round against a
+      // twice-referenced checkpoint is the stable shape.)
       val propM = graft.Engine.lazyLoopCheckpoint(prop)
       val (next, s) = graft.Engine.loopCheckpointWith(
         propM

@@ -1959,4 +1959,40 @@ object Stats {
             col("cum_nc").cast("double")).as("qini_cents"))
       .orderBy("decile")
   }
+
+  /** Value-at-Risk and conditional VaR (expected shortfall) of daily
+    * order revenue at the 95% and 99% levels — the tail-risk summary a
+    * finance-facing warehouse reports next to the mean: VaR is the
+    * ⌈(1−q)·n⌉-th WORST day (type-1 order statistic, an actual observed
+    * value), CVaR the exact mean of the days at or below it.
+    *
+    * Exactness: daily cents are exact longs; VaR is an element pick by
+    * integer rank; CVaR is one IEEE division of exact sums.
+    *
+    * Scale: the fact collapses to a day-count frame in one aggregate;
+    * the rank runs on that calendar-sized frame (bounded by days, not
+    * data).
+    */
+  def qVarCvar(t: Tables, levels: Seq[Int] = Seq(95, 99)): DataFrame = {
+    val byRev = Window.orderBy(col("cents"), col("day"))
+    val all = Window.partitionBy()
+    val daily = t.orders
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+      .withColumn("i", row_number().over(byRev).cast("long"))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn("cum", sum("cents").over(
+        Window.orderBy(col("cents"), col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    daily
+      .withColumn("level", explode(array(levels.map(lit(_)): _*)))
+      .withColumn("k", expr("CAST(((100 - level) * n + 99) div 100 AS BIGINT)"))
+      .filter(col("i") === col("k"))
+      .select(col("level").cast("long").as("level"), col("n").as("n_days"),
+        col("k").as("n_tail_days"),
+        col("cents").as("var_cents"),
+        (col("cum").cast("double") / col("k").cast("double"))
+          .as("cvar_cents"))
+      .orderBy("level")
+  }
 }

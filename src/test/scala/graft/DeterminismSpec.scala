@@ -141,7 +141,8 @@ class DeterminismSpec extends SparkSuite {
     "q_good_turing",      // exact count-of-count ratios
     "q_vocab_chao1",      // exact type counts, one IEEE division
     "q_propensity_match", // integer lexicographic nearest match
-    "q_qini_curve")       // ceiling-rank deciles, exact cumulative cents
+    "q_qini_curve",       // ceiling-rank deciles, exact cumulative cents
+    "q_var_cvar")         // type-1 rank pick, exact cents, one division
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

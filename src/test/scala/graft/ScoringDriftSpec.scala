@@ -237,4 +237,27 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.size.toLong,
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
+
+  test("var/cvar: rank pick and tail mean from a brute-force daily replay") {
+    val daily = tables.orders
+      .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)))
+      .sortBy { case (day, c) => (c, day) }
+    val n = daily.length.toLong
+    val rows = Stats.qVarCvar(tables).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(95L, 99L))
+    rows.foreach { r =>
+      val level = r.getLong(0)
+      val k = ((100 - level) * n + 99) / 100
+      assert(r.getLong(1) == n, "n_days")
+      assert(r.getLong(2) == k, "n_tail_days")
+      val tail = daily.take(k.toInt).map(_._2)
+      assert(r.getLong(3) == tail.last, s"VaR@$level is the k-th worst day")
+      assert(r.getDouble(4) == tail.sum.toDouble / k.toDouble,
+        s"CVaR@$level is the exact tail mean")
+      // tail-risk sanity: CVaR never exceeds VaR (mean of worse-or-equal days)
+      assert(r.getDouble(4) <= r.getLong(3).toDouble)
+    }
+  }
 }
