@@ -108,6 +108,8 @@ object SparkEntry {
     "q_sql_q11" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q11)),
     "q_sql_q16" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q16)),
     "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
+    "q_sql_named_window" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.namedWindow)),
     "q_sql_setops" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.setops)),
     "q_sql_recursive" -> ((spark, dir) =>
@@ -176,6 +178,7 @@ object SparkEntry {
     "q_surprisal_curve" -> q(TextAnalysis.qSurprisalCurve(_)),
     "q_ltv_curve" -> q(Analytics.qLtvCurve),
     "q_rec_ndcg" -> q(Analytics.qRecNdcg(_)),
+    "q_rec_mrr" -> q(Analytics.qRecMrr(_)),
     "q_embed_drift" -> q(Similarity.qEmbedDrift(_)),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
@@ -256,6 +259,7 @@ object SparkEntry {
     "q_assoc_rules" -> q(Analytics.qAssocRules(_)),
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
     "q_holt_smoothing" -> q(Events.qHoltSmoothing),
+    "q_holt_winters" -> q(Events.qHoltWinters),
     "q_stl_anomalies" -> q(Events.qStlAnomalies(_)),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
     "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
@@ -1922,6 +1926,52 @@ object SparkEntry {
              ELSE ROUND(CAST(COALESCE(dcg_dec, 0) AS DOUBLE)
                / CAST(idcg_dec AS DOUBLE), 9) END AS ndcg
          FROM base LEFT JOIN wnr USING (u) LEFT JOIN dcg USING (u)
+         ORDER BY part""",
+    // q_rec_eval's frames; reciprocal of the first relevant rank as
+    // rounded decimal literals, 0 for a top-k miss
+    "q_rec_mrr" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+             FROM lineitem),
+         days AS (SELECT o_orderkey AS okey,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS d
+           FROM orders),
+         cut AS (SELECT (MIN(d) + MAX(d)) // 2 AS cut FROM days),
+         sides AS (SELECT okey, d < (SELECT cut FROM cut) AS is_train
+           FROM days),
+         trainb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE is_train),
+         testb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE NOT is_train),
+         edges AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS cij
+           FROM trainb a JOIN trainb b
+             ON a.okey = b.okey AND a.pk <> b.pk
+           GROUP BY 1, 2),
+         recs AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u
+             ORDER BY cij DESC, v) AS BIGINT) AS rnk
+           FROM edges WHERE u % 199 = 0),
+         reck AS (SELECT u, v, rnk FROM recs WHERE rnk <= 5),
+         withu AS (SELECT DISTINCT okey, pk AS u FROM testb
+           WHERE pk % 199 = 0),
+         relrec AS (SELECT DISTINCT r.u, r.v, r.rnk
+           FROM reck r JOIN withu w ON r.u = w.u
+           WHERE EXISTS (SELECT 1 FROM testb t
+             WHERE t.okey = w.okey AND t.pk = r.v)),
+         fst AS (SELECT u, MIN(rnk) AS first_rel_rank,
+             CAST(COUNT(*) AS BIGINT) AS n_rel_in_k
+           FROM relrec GROUP BY 1),
+         base AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_recs
+           FROM reck GROUP BY 1)
+         SELECT base.u AS part, n_recs,
+           COALESCE(n_rel_in_k, 0) AS n_rel_in_k, first_rel_rank,
+           CAST(COALESCE(CASE first_rel_rank
+             WHEN 1 THEN CAST('1.000000000' AS DECIMAL(12,9))
+             WHEN 2 THEN CAST('0.500000000' AS DECIMAL(12,9))
+             WHEN 3 THEN CAST('0.333333333' AS DECIMAL(12,9))
+             WHEN 4 THEN CAST('0.250000000' AS DECIMAL(12,9))
+             WHEN 5 THEN CAST('0.200000000' AS DECIMAL(12,9)) END,
+             CAST('0' AS DECIMAL(12,9))) AS DOUBLE) AS rr
+         FROM base LEFT JOIN fst USING (u)
          ORDER BY part""",
     // cohort month = integer 12y+m-1 keys; exact cent cumsums per cohort
     "q_ltv_curve" ->
@@ -3835,6 +3885,46 @@ FROM terms GROUP BY source ORDER BY source""",
            FROM ser)
          SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
            st[1] + 7 * st[2] AS forecast_7
+         FROM f ORDER BY event_type""",
+    // Holt–Winters: same sequential-fold pinning, state = [L, B, 7-day
+    // seasonal ring]; zero-filled day spine keeps the ring in phase
+    "q_holt_winters" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+           FROM daily GROUP BY 1),
+         spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+           FROM b),
+         filled AS (SELECT s.event_type, s.day, COALESCE(d.y, 0.0) AS y
+           FROM spine s LEFT JOIN daily d USING (event_type, day)),
+         ser AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(y ORDER BY day) AS ys FROM filled GROUP BY 1
+           HAVING COUNT(*) >= 14),
+         seed AS (SELECT event_type, n_days, ys,
+             (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7.0 AS l0,
+             ((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])
+               - (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])) / 49.0 AS b0
+           FROM ser),
+         f AS (SELECT event_type, n_days,
+             list_reduce(
+               list_prepend(
+                 list_concat([l0, b0],
+                   list_transform(ys[1:7], y -> y - l0)),
+                 list_transform(ys[8:], y -> [CAST(y AS DOUBLE),
+                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+               (acc, x) -> list_concat(list_concat(
+                 [0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+                  0.1 * ((0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
+                    - acc[1]) + 0.9 * acc[2]],
+                 acc[4:9]),
+                 [0.2 * (x[1] - (0.3 * (x[1] - acc[3])
+                   + 0.7 * (acc[1] + acc[2]))) + 0.8 * acc[3]])) AS st
+           FROM seed)
+         SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+           st[3] AS seasonal_next,
+           st[1] + 1.0 * st[2] + st[3] AS forecast_1,
+           st[1] + 7.0 * st[2] + st[9] AS forecast_7
          FROM f ORDER BY event_type""",
     // temperature mixing: same token-count CASE, sqrt weight rounded to
     // decimal, integer product-div allocation over scaled units

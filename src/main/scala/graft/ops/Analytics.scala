@@ -1538,4 +1538,42 @@ object Analytics {
             col("idcg_dec").cast("double"), 9)).as("ndcg"))
       .orderBy("part")
   }
+
+  /** Reciprocal rank of the FIRST relevant recommendation per probe —
+    * the ranking metric that only credits the top of the list (a search
+    * / retrieval staple next to [[qRecEval]]'s hit rate and
+    * [[qRecNdcg]]'s graded discounts). Relevance is the same binary
+    * test-basket co-occurrence; a probe whose top-k holds no relevant
+    * item scores 0 (the MRR miss convention), with a NULL rank making
+    * the miss distinguishable from rank-never-computed. Reciprocals are
+    * ROUNDED decimal literals (1, 1/2, …, 1/5 at 9 digits), so any
+    * downstream mean over probes is exact decimal arithmetic — same
+    * trick as the nDCG discounts.
+    *
+    * Scale: third consumer of the session-cached train/test frames; the
+    * per-probe work is one groupBy over the k-bounded relevant set.
+    */
+  def qRecMrr(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    require(k == 5, "reciprocal literals are specialized to k = 5")
+    val RecFrames(recs, testB, withU) = recFrames(t, probeMod, k)
+    val rr = Seq("1.000000000", "0.500000000", "0.333333333",
+      "0.250000000", "0.200000000")
+    val rrArr = array(rr.map(x => lit(x).cast("decimal(12,9)")): _*)
+    val relRec = recs.select("u", "v", "rnk")
+      .join(withU, "u")
+      .join(testB.select(col("okey"), col("pk").as("v")),
+        Seq("okey", "v"), "left_semi")
+      .select("u", "v", "rnk").distinct()
+    val first = relRec.groupBy("u").agg(
+      min("rnk").as("first_rel_rank"),
+      count(lit(1)).as("n_rel_in_k"))
+    recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
+      .join(first, Seq("u"), "left")
+      .na.fill(0L, Seq("n_rel_in_k"))
+      .select(col("u").as("part"), col("n_recs"), col("n_rel_in_k"),
+        col("first_rel_rank"),
+        coalesce(element_at(rrArr, col("first_rel_rank").cast("int")),
+          lit("0").cast("decimal(12,9)")).cast("double").as("rr"))
+      .orderBy("part")
+  }
 }

@@ -847,6 +847,74 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Holt–Winters additive triple-exponential smoothing (level + trend +
+    * weekly seasonality, α=0.3 β=0.1 γ=0.2, m=7) over each event type's
+    * ZERO-FILLED daily count series — the seasonal upgrade of
+    * [[qHoltSmoothing]]. Seeds are the textbook two-season init: L₀ =
+    * mean of week 1, B₀ = (mean of week 2 − mean of week 1)/7, Sᵢ =
+    * yᵢ − L₀ for the first week; the recurrence then folds y₇..yₙ₋₁
+    * carrying state [L, B, S-ring of 7] as ONE sequential `aggregate`
+    * HOF — a pinned IEEE evaluation order, so results are bit-identical
+    * across partitionings and engines (DuckDB `list_reduce` replays the
+    * same ops; the jackknife rule). Types with under two seasons of data
+    * are excluded (seeds undefined). Zero-fill matters: a gap day would
+    * rotate the seasonal ring out of phase with the calendar.
+    *
+    * Scale: like qHoltSmoothing — the heavy work is the two-key daily
+    * hash aggregate; series collect per TYPE, bounded by the time domain
+    * (days), never by event volume.
+    */
+  def qHoltWinters(t: Tables): DataFrame = {
+    val dayNs = 86400000000000L
+    val daily = t.events
+      .select(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).cast("double").as("y"))
+    val spine = daily.groupBy("event_type")
+      .agg(min("day").as("lo"), max("day").as("hi"))
+      .select(col("event_type"),
+        explode(sequence(col("lo"), col("hi"))).as("day"))
+    val ser = spine
+      .join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("y"), lit(0.0)).as("y"))
+      .groupBy("event_type")
+      .agg(array_sort(collect_list(struct(col("day"), col("y")))).as("s"))
+      .select(col("event_type"),
+        size(col("s")).cast("long").as("n_days"),
+        expr("transform(s, p -> p.y)").as("ys"))
+      .filter(col("n_days") >= 14)
+      // seed scalars once as columns; referenced from inside the HOF
+      // lambdas below (outer-column references are legal in both engines)
+      .withColumn("l0",
+        expr("(ys[0]+ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]) / 7.0"))
+      .withColumn("b0",
+        expr("""((ys[7]+ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13])
+                 - (ys[0]+ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6])) / 49.0"""))
+    // state vector: [L, B, s0..s6] (s0 = the seasonal the NEXT step
+    // consumes). Each step drops s0 and appends the re-estimated one —
+    // a ring rotation. L' is spelled out 3× (HOF lambdas have no let);
+    // the repeated expression is op-for-op identical so IEEE agrees.
+    ser.select(col("event_type"), col("n_days"),
+        expr("""aggregate(
+            slice(ys, 8, size(ys) - 7),
+            concat(array(l0, b0), transform(slice(ys, 1, 7), y -> y - l0)),
+            (acc, y) -> concat(
+              array(
+                0.3 * (y - acc[2]) + 0.7 * (acc[0] + acc[1]),
+                0.1 * ((0.3 * (y - acc[2]) + 0.7 * (acc[0] + acc[1]))
+                  - acc[0]) + 0.9 * acc[1]),
+              slice(acc, 4, 6),
+              array(0.2 * (y - (0.3 * (y - acc[2])
+                + 0.7 * (acc[0] + acc[1]))) + 0.8 * acc[2])))""").as("st"))
+      .select(col("event_type"), col("n_days"),
+        expr("st[0]").as("level"), expr("st[1]").as("trend"),
+        expr("st[2]").as("seasonal_next"),
+        expr("st[0] + 1.0 * st[1] + st[2]").as("forecast_1"),
+        expr("st[0] + 7.0 * st[1] + st[8]").as("forecast_7"))
+      .orderBy("event_type")
+  }
+
   /** Lagged cross-correlation between the hourly 'click' and 'view' count
     * series: Pearson r of (click_t, view_{t+lag}) for lags -3..3 hours —
     * the lead/lag diagnostic behind "does one stream drive the other".

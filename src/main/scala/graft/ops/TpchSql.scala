@@ -488,6 +488,36 @@ object TpchSql {
            CAST(SUM(c) AS BIGINT) AS key_sum FROM eb)
        ORDER BY op"""
 
+  /** Named WINDOW clause through the frontend: two shared window
+    * definitions (the per-customer order sequence, and the same order
+    * with an explicit cumulative frame) referenced by four window
+    * functions — the reuse feature that keeps real reporting SQL
+    * readable, and a parser surface distinct from inline OVER specs.
+    * Dual-dialect: both engines accept standard `WINDOW name AS (...)`
+    * after FROM/WHERE. The epilogue keeps each customer's LAST order row
+    * (rank == partition count) so the cumulative sum is hash-visible as
+    * lifetime cents, then takes a tie-broken top 10.
+    */
+  val namedWindow: String =
+    """WITH seq AS (SELECT o_custkey AS c,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER w AS rn,
+         LAG(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w
+           AS prev_cents,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) OVER wcum
+           AS BIGINT) AS run_cents,
+         COUNT(*) OVER (PARTITION BY o_custkey) AS n
+       FROM orders
+       WINDOW w AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey),
+         wcum AS (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+       SELECT c, CAST(n AS BIGINT) AS n_orders, run_cents AS life_cents,
+         cents AS last_cents, COALESCE(prev_cents, 0) AS prev_cents
+       FROM seq WHERE rn = n
+       ORDER BY life_cents DESC, c LIMIT 10"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,
@@ -496,5 +526,5 @@ object TpchSql {
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
     "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
     "q_sql_q21" -> q21, "q_sql_recursive" -> recursive,
-    "q_sql_setops" -> setops)
+    "q_sql_setops" -> setops, "q_sql_named_window" -> namedWindow)
 }

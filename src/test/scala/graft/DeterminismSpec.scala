@@ -142,7 +142,9 @@ class DeterminismSpec extends SparkSuite {
     "q_vocab_chao1",      // exact type counts, one IEEE division
     "q_propensity_match", // integer lexicographic nearest match
     "q_qini_curve",       // ceiling-rank deciles, exact cumulative cents
-    "q_var_cvar")         // type-1 rank pick, exact cents, one division
+    "q_var_cvar",         // type-1 rank pick, exact cents, one division
+    "q_holt_winters",     // sequential HOF fold, pinned IEEE order
+    "q_rec_mrr")          // integer first-rank pick, decimal reciprocals
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

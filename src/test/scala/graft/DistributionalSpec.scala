@@ -321,6 +321,29 @@ class DistributionalSpec extends SparkSuite {
     }
   }
 
+  test("rec mrr: reciprocal of first relevant rank; consistent with ndcg") {
+    val mrr = graft.ops.Analytics.qRecMrr(tables).collect()
+    assert(mrr.nonEmpty)
+    val rrOf = Map(1L -> "1.000000000", 2L -> "0.500000000",
+      3L -> "0.333333333", 4L -> "0.250000000", 5L -> "0.200000000")
+    mrr.foreach { r =>
+      assert(r.getLong(0) % 199 == 0)
+      val nRelK = r.getLong(2)
+      if (nRelK == 0) {
+        assert(r.isNullAt(3) && r.getDouble(4) == 0.0)
+      } else {
+        val first = r.getLong(3)
+        assert(first >= 1 && first <= 5 && nRelK <= r.getLong(1))
+        assert(r.getDouble(4) == BigDecimal(rrOf(first)).toDouble)
+      }
+    }
+    // a probe has rr > 0 exactly when ndcg says it has dcg > 0 (both are
+    // "some relevant rec in top-k" indicators over the same frames)
+    val dcgPos = graft.ops.Analytics.qRecNdcg(tables).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) > 0)).toMap
+    mrr.foreach(r => assert((r.getDouble(4) > 0) == dcgPos(r.getLong(0))))
+  }
+
   test("ab power: MDE identities hold and match the pinned recompute") {
     val r = graft.ops.Events.qAbPower(tables).collect()(0)
     val (nTot, nMin) = (r.getLong(0), r.getLong(1))

@@ -241,4 +241,41 @@ class KeywordGraphSpec extends SparkSuite {
       .as[(String, Long, Double, Double, Double)].collect().toSeq
     assert(got == expected)
   }
+
+  test("holt-winters replays the textbook additive recurrence bit-exactly") {
+    val daily = tables.events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).cast("double").as("y"))
+      .as[(String, Long, Double)].collect()
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (et, rows) =>
+      val byDay = rows.map(r => r._2 -> r._3).toMap
+      val (lo, hi) = (rows.map(_._2).min, rows.map(_._2).max)
+      val ys = (lo to hi).map(d => byDay.getOrElse(d, 0.0)).toArray
+      if (ys.length < 14) None
+      else {
+        val l0 = (ys(0) + ys(1) + ys(2) + ys(3) + ys(4) + ys(5) + ys(6)) / 7.0
+        val b0 = ((ys(7) + ys(8) + ys(9) + ys(10) + ys(11) + ys(12) + ys(13))
+          - (ys(0) + ys(1) + ys(2) + ys(3) + ys(4) + ys(5) + ys(6))) / 49.0
+        var l = l0; var b = b0
+        val ring = scala.collection.mutable.Queue(
+          ys.take(7).map(_ - l0).toIndexedSeq: _*)
+        ys.drop(7).foreach { y =>
+          val s0 = ring.dequeue()
+          val nl = 0.3 * (y - s0) + 0.7 * (l + b)
+          val nb = 0.1 * ((0.3 * (y - s0) + 0.7 * (l + b)) - l) + 0.9 * b
+          ring.enqueue(0.2 * (y - (0.3 * (y - s0) + 0.7 * (l + b))) + 0.8 * s0)
+          l = nl; b = nb
+        }
+        val ringSeq = ring.toIndexedSeq
+        Some((et, ys.length.toLong, l, b, ringSeq.head,
+          l + 1.0 * b + ringSeq.head, l + 7.0 * b + ringSeq.last))
+      }
+    }.sortBy(_._1)
+    val got = graft.ops.Events.qHoltWinters(tables)
+      .as[(String, Long, Double, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expected)
+    // the forecast decomposes into its three components exactly
+    got.foreach { g => assert(g._6 == g._3 + 1.0 * g._4 + g._5) }
+  }
 }
