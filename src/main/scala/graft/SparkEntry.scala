@@ -132,6 +132,8 @@ object SparkEntry {
     "q_permutation_test" -> q(Stats.qPermutationTest(_)),
     "q_qq_drift" -> q(Stats.qQqDrift),
     "q_anova" -> q(Stats.qAnova),
+    "q_tukey_hsd" -> q(Stats.qTukeyHsd),
+    "q_cronbach_alpha" -> q(Stats.qCronbachAlpha),
     "q_cohens_kappa" -> q(Stats.qCohensKappa),
     "q_k_anonymity" -> q(Sampling.qKAnonymity(_)),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
@@ -179,6 +181,7 @@ object SparkEntry {
     "q_ltv_curve" -> q(Analytics.qLtvCurve),
     "q_rec_ndcg" -> q(Analytics.qRecNdcg(_)),
     "q_rec_mrr" -> q(Analytics.qRecMrr(_)),
+    "q_rec_map" -> q(Analytics.qRecMap(_)),
     "q_embed_drift" -> q(Similarity.qEmbedDrift(_)),
     "q_clustering_coeff" -> q(Graph.qClusteringCoeff(_)),
     "q_assortativity" -> q(Graph.qAssortativity),
@@ -1972,6 +1975,55 @@ object SparkEntry {
              WHEN 5 THEN CAST('0.200000000' AS DECIMAL(12,9)) END,
              CAST('0' AS DECIMAL(12,9))) AS DOUBLE) AS rr
          FROM base LEFT JOIN fst USING (u)
+         ORDER BY part""",
+    // q_rec_eval's frames; AP's rational sum cleared to integers with
+    // lcm(1..5)=60, one IEEE division at the end
+    "q_rec_map" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS pk
+             FROM lineitem),
+         days AS (SELECT o_orderkey AS okey,
+             CAST(datediff('day', DATE '1992-01-01', o_orderdate)
+               AS BIGINT) AS d
+           FROM orders),
+         cut AS (SELECT (MIN(d) + MAX(d)) // 2 AS cut FROM days),
+         sides AS (SELECT okey, d < (SELECT cut FROM cut) AS is_train
+           FROM days),
+         trainb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE is_train),
+         testb AS (SELECT li.okey, pk FROM li JOIN sides USING (okey)
+           WHERE NOT is_train),
+         edges AS (SELECT a.pk AS u, b.pk AS v, COUNT(*) AS cij
+           FROM trainb a JOIN trainb b
+             ON a.okey = b.okey AND a.pk <> b.pk
+           GROUP BY 1, 2),
+         recs AS (SELECT u, v, CAST(row_number() OVER (PARTITION BY u
+             ORDER BY cij DESC, v) AS BIGINT) AS rnk
+           FROM edges WHERE u % 199 = 0),
+         reck AS (SELECT u, v, rnk FROM recs WHERE rnk <= 5),
+         withu AS (SELECT DISTINCT okey, pk AS u FROM testb
+           WHERE pk % 199 = 0),
+         relrec AS (SELECT DISTINCT r.u, r.v, r.rnk
+           FROM reck r JOIN withu w ON r.u = w.u
+           WHERE EXISTS (SELECT 1 FROM testb t
+             WHERE t.okey = w.okey AND t.pk = r.v)),
+         jr AS (SELECT u, rnk, CAST(row_number() OVER (PARTITION BY u
+             ORDER BY rnk) AS BIGINT) AS j
+           FROM relrec),
+         apn AS (SELECT u, CAST(SUM(j * (60 // rnk)) AS BIGINT) AS ap_num,
+             CAST(COUNT(*) AS BIGINT) AS n_rel_in_k
+           FROM jr GROUP BY 1),
+         nrel AS (SELECT w.u, CAST(COUNT(DISTINCT t.pk) AS BIGINT)
+             AS n_rel
+           FROM withu w JOIN testb t ON w.okey = t.okey
+           WHERE t.pk <> w.u GROUP BY 1),
+         base AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS n_recs
+           FROM reck GROUP BY 1)
+         SELECT base.u AS part, n_recs, COALESCE(n_rel, 0) AS n_rel,
+           COALESCE(n_rel_in_k, 0) AS n_rel_in_k,
+           CASE WHEN COALESCE(n_rel, 0) = 0 THEN NULL
+             ELSE CAST(COALESCE(ap_num, 0) AS DOUBLE)
+               / CAST(60 * LEAST(n_rel, 5) AS DOUBLE) END AS ap
+         FROM base LEFT JOIN nrel USING (u) LEFT JOIN apn USING (u)
          ORDER BY part""",
     // cohort month = integer 12y+m-1 keys; exact cent cumsums per cohort
     "q_ltv_curve" ->
@@ -5052,6 +5104,59 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
              AS f_stat,
            ROUND(ss_between / (ss_between + ss_within), 6) AS eta_sq
          FROM s""",
+    // q_anova's decimal moment frames; studentized-range q per pair,
+    // composite float chains rounded at 6
+    "q_tukey_hsd" ->
+      """WITH g AS (SELECT o_orderpriority AS grp,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(o_totalprice / 1000.0 AS DECIMAL(18,6))) AS sx,
+             SUM(CAST((o_totalprice / 1000.0) * (o_totalprice / 1000.0)
+               AS DECIMAL(24,6))) AS sxx
+           FROM orders GROUP BY 1),
+         g2 AS (SELECT grp, n, sx, sxx,
+             CAST(ROUND(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+               / CAST(n AS DOUBLE), 4) AS DECIMAL(24,4)) AS term FROM g),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             ROUND(CAST(SUM(sxx) AS DOUBLE) - CAST(SUM(term) AS DOUBLE), 4)
+               AS ss_within
+           FROM g2)
+         SELECT a.grp AS grp1, b.grp AS grp2, a.n AS n1, b.n AS n2,
+           ROUND(CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE), 6)
+             AS mean_diff_k,
+           ROUND((CAST(a.sx AS DOUBLE) / CAST(a.n AS DOUBLE)
+             - CAST(b.sx AS DOUBLE) / CAST(b.n AS DOUBLE))
+             / sqrt(ss_within / CAST(n_total - k AS DOUBLE) / 2.0
+               * (1.0 / CAST(a.n AS DOUBLE) + 1.0 / CAST(b.n AS DOUBLE))),
+             6) AS q_stat
+         FROM g a JOIN g b ON a.grp < b.grp CROSS JOIN tot
+         ORDER BY grp1, grp2""",
+    // integer-cancelled variance ratio: alpha is one IEEE division of
+    // exact count moments
+    "q_cronbach_alpha" ->
+      """WITH cells AS (SELECT user_id, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+           FROM events GROUP BY 1, 2),
+         nu AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n
+           FROM cells),
+         items AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS sx,
+             CAST(SUM(c * c) AS BIGINT) AS sxx
+           FROM cells GROUP BY 1),
+         inum AS (SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(nu.n * sxx - sx * sx) AS BIGINT) AS num
+           FROM items, nu GROUP BY nu.n),
+         tu AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS t
+           FROM cells GROUP BY 1),
+         den AS (SELECT CAST(nu.n * SUM(t * t) - SUM(t) * SUM(t)
+             AS BIGINT) AS den
+           FROM tu, nu GROUP BY nu.n)
+         SELECT nu.n AS n_users, k AS k_items, num AS item_var_num,
+           den AS total_var_num,
+           ROUND(CAST(k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+             * (1.0 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 9)
+             AS alpha
+         FROM inum, den, nu""",
     // two unrolled HITS rounds in integer micro-units, L-inf normalized
     // by floor division each round (the q_pagerank exactness convention)
     "q_hits" ->

@@ -1576,4 +1576,47 @@ object Analytics {
           lit("0").cast("decimal(12,9)")).cast("double").as("rr"))
       .orderBy("part")
   }
+
+  /** Mean-average-precision@k of the held-out recommendation run — the
+    * area-under-the-precision-curve companion to [[qRecMrr]] (MRR only
+    * credits the first hit; AP credits every relevant position by the
+    * precision at that depth). AP = (Σⱼ j/rⱼ) / min(pool, k) over the
+    * relevant ranks rⱼ. The rational sum is kept EXACT in integers by
+    * clearing denominators with lcm(1..5)=60: each relevant position
+    * contributes j·(60 div r), and AP is one IEEE division of the
+    * integer sum by 60·min(pool, k) — no float accumulates.
+    *
+    * Scale: fourth consumer of the session-cached train/test frames;
+    * per-probe work is a k-bounded window rank + one aggregate.
+    */
+  def qRecMap(t: Tables, probeMod: Int = 199, k: Int = 5): DataFrame = {
+    require(k == 5, "the lcm(1..k) denominator clearing is built for k = 5")
+    val RecFrames(recs, testB, withU) = recFrames(t, probeMod, k)
+    val relRec = recs.select("u", "v", "rnk")
+      .join(withU, "u")
+      .join(testB.select(col("okey"), col("pk").as("v")),
+        Seq("okey", "v"), "left_semi")
+      .select("u", "v", "rnk").distinct()
+    val byRank = Window.partitionBy("u").orderBy("rnk")
+    val apNum = relRec
+      .withColumn("j", row_number().over(byRank).cast("long"))
+      .groupBy("u").agg(
+        sum(expr("j * (60 div rnk)")).as("ap_num"),
+        count(lit(1)).as("n_rel_in_k"))
+    val nRel = withU
+      .join(testB.select(col("okey"), col("pk").as("v")), "okey")
+      .filter(col("v") =!= col("u"))
+      .groupBy("u").agg(count_distinct(col("v")).as("n_rel"))
+    recs.groupBy("u").agg(count(lit(1)).as("n_recs"))
+      .join(nRel, Seq("u"), "left")
+      .join(apNum, Seq("u"), "left")
+      .na.fill(0L, Seq("n_rel", "n_rel_in_k", "ap_num"))
+      .select(col("u").as("part"), col("n_recs"), col("n_rel"),
+        col("n_rel_in_k"),
+        when(col("n_rel") === 0L, lit(null)).otherwise(
+          col("ap_num").cast("double") /
+            (lit(60L) * least(col("n_rel"), lit(5L))).cast("double"))
+          .as("ap"))
+      .orderBy("part")
+  }
 }

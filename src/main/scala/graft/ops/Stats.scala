@@ -1973,6 +1973,91 @@ object Stats {
     * the rank runs on that calendar-sized frame (bounded by days, not
     * data).
     */
+  /** Tukey HSD pairwise comparisons over the order-priority groups — the
+    * post-hoc companion to [[qAnova]]: which pairs of group means differ,
+    * via the studentized-range statistic q = (mᵢ−mⱼ) /
+    * √(MSW/2·(1/nᵢ+1/nⱼ)). Same kilo-dollar metric and decimal moment
+    * sums as qAnova (scaled decimals stay under 2^53, so the
+    * decimal→double casts are exact on both engines); the composite
+    * float chains (mean diff, q) round at 6, far above ulp.
+    *
+    * Scale: one hash aggregate collapses the fact to a k-row group
+    * frame; the pair join is k², with k the group-domain size.
+    */
+  def qTukeyHsd(t: Tables): DataFrame = {
+    val xk = col("o_totalprice") / lit(1000.0)
+    val g = t.orders
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xk.cast(DecimalType(18, 6))).as("sx"),
+        sum((xk * xk).cast(DecimalType(24, 6))).as("sxx"))
+      .withColumn("term",
+        round(col("sx").cast("double") * col("sx").cast("double") /
+          col("n").cast("double"), 4).cast(DecimalType(24, 4)))
+    val tot = g.agg(
+        sum("n").as("n_total"), count(lit(1)).as("k"),
+        sum("sxx").as("sxx_all"), sum("term").as("term_all"))
+      .select(col("n_total"), col("k"),
+        round(col("sxx_all").cast("double") -
+          col("term_all").cast("double"), 4).as("ss_within"))
+    val a = g.select(col("grp").as("grp1"), col("n").as("n1"),
+      col("sx").as("sx1"))
+    val b = g.select(col("grp").as("grp2"), col("n").as("n2"),
+      col("sx").as("sx2"))
+    val meanDiff = col("sx1").cast("double") / col("n1").cast("double") -
+      col("sx2").cast("double") / col("n2").cast("double")
+    a.join(b, col("grp1") < col("grp2"))
+      .crossJoin(broadcast(tot))
+      .select(col("grp1"), col("grp2"), col("n1"), col("n2"),
+        round(meanDiff, 6).as("mean_diff_k"),
+        round(meanDiff /
+          sqrt(col("ss_within") /
+            (col("n_total") - col("k")).cast("double") / lit(2.0) *
+            (lit(1.0) / col("n1").cast("double") +
+              lit(1.0) / col("n2").cast("double"))), 6).as("q_stat"))
+      .orderBy("grp1", "grp2")
+  }
+
+  /** Cronbach's alpha over the event-type "items": each user is a
+    * subject, each event type an item, the score the user's event count
+    * of that type — the internal-consistency check a metrics platform
+    * runs before averaging component signals into one index. The
+    * variance ratio cancels its n(n−1) denominators, so α = k/(k−1) ·
+    * (1 − Σᵢ(n·Σx² − (Σx)²) / (n·Σt² − (Σt)²)) is ONE IEEE division of
+    * exact integer sums (counts are integers; absent user×item cells
+    * are zeros and contribute nothing to either sum).
+    *
+    * Scale: two hash aggregates over the fact (user×item, then user),
+    * reduced to item-domain and single-row frames.
+    */
+  def qCronbachAlpha(t: Tables): DataFrame = {
+    val cells = t.events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val items = cells.groupBy("event_type")
+      .agg(sum("c").as("sx"),
+        sum((col("c") * col("c")).cast(DecimalType(28, 0))).as("sxx"))
+    val nUsers = cells.select("user_id").distinct().count()
+    val kItems = items.count()
+    val itemNum = items
+      .agg(sum(lit(nUsers) * col("sxx") -
+        (col("sx") * col("sx")).cast(DecimalType(28, 0))).as("num"))
+    val totals = cells.groupBy("user_id").agg(sum("c").as("tu"))
+      .agg(sum("tu").as("st"),
+        sum((col("tu") * col("tu")).cast(DecimalType(28, 0))).as("stt"))
+      .select((lit(nUsers) * col("stt") -
+        (col("st") * col("st")).cast(DecimalType(28, 0))).as("den"))
+    itemNum.crossJoin(totals)
+      .select(
+        lit(nUsers).as("n_users"), lit(kItems).as("k_items"),
+        col("num").cast("long").as("item_var_num"),
+        col("den").cast("long").as("total_var_num"),
+        round(lit(kItems.toDouble) / lit((kItems - 1).toDouble) *
+          (lit(1.0) - col("num").cast("double") /
+            col("den").cast("double")), 9).as("alpha"))
+  }
+
   def qVarCvar(t: Tables, levels: Seq[Int] = Seq(95, 99)): DataFrame = {
     val byRev = Window.orderBy(col("cents"), col("day"))
     val all = Window.partitionBy()

@@ -144,7 +144,10 @@ class DeterminismSpec extends SparkSuite {
     "q_qini_curve",       // ceiling-rank deciles, exact cumulative cents
     "q_var_cvar",         // type-1 rank pick, exact cents, one division
     "q_holt_winters",     // sequential HOF fold, pinned IEEE order
-    "q_rec_mrr")          // integer first-rank pick, decimal reciprocals
+    "q_rec_mrr",          // integer first-rank pick, decimal reciprocals
+    "q_rec_map",          // lcm-cleared integer AP numerators
+    "q_tukey_hsd",        // decimal moments, composite floats rounded
+    "q_cronbach_alpha")   // integer count moments, one division
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -238,6 +238,74 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
 
+  test("tukey hsd: pair grid is complete and consistent with anova's MSW") {
+    val pairs = Stats.qTukeyHsd(tables).collect()
+    val anova = Stats.qAnova(tables).collect().head
+    val (k, nTot, ssw) = (anova.getLong(0), anova.getLong(1), anova.getDouble(3))
+    assert(pairs.length == k * (k - 1) / 2)
+    val msw = ssw / (nTot - k).toDouble
+    // replay each pair's q from the group means the engine must have used
+    val g = tables.orders.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(o_totalprice / 1000.0 AS DECIMAL(18,6))")).as("sx"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).doubleValue())).toMap
+    pairs.foreach { r =>
+      val (g1, g2) = (r.getString(0), r.getString(1))
+      assert(g1 < g2)
+      val ((n1, s1), (n2, s2)) = (g(g1), g(g2))
+      assert(r.getLong(2) == n1 && r.getLong(3) == n2)
+      val diff = s1 / n1.toDouble - s2 / n2.toDouble
+      assert(r.getDouble(4) == roundHalfUp(diff, 6))
+      assert(r.getDouble(5) == roundHalfUp(
+        diff / math.sqrt(msw / 2.0 * (1.0 / n1 + 1.0 / n2)), 6))
+    }
+  }
+
+  test("cronbach alpha: integer moments match a driver-side recompute") {
+    val r = Stats.qCronbachAlpha(tables).collect().head
+    val cells = tables.events.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("c")).collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+    val n = cells.map(_._1).distinct.length.toLong
+    val k = cells.map(_._2).distinct.length.toLong
+    assert((r.getLong(0), r.getLong(1)) == ((n, k)))
+    val num = cells.groupBy(_._2).values.map { is =>
+      val sx = is.map(_._3).sum
+      n * is.map(c => c._3 * c._3).sum - sx * sx
+    }.sum
+    val tu = cells.groupBy(_._1).values.map(_.map(_._3).sum).toSeq
+    val den = n * tu.map(t => t * t).sum - tu.sum * tu.sum
+    assert((r.getLong(2), r.getLong(3)) == ((num, den)))
+    assert(r.getDouble(4) == roundHalfUp(
+      k.toDouble / (k - 1).toDouble * (1.0 - num.toDouble / den.toDouble), 9))
+    // items measure one construct only weakly here, but alpha is bounded
+    assert(r.getDouble(4) <= 1.0)
+  }
+
+  test("rec map: bounded, zero iff mrr misses, single-hit case closed-form") {
+    val map = graft.ops.Analytics.qRecMap(tables).collect()
+    val mrr = graft.ops.Analytics.qRecMrr(tables).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(map.nonEmpty)
+    map.foreach { r =>
+      val (part, nRel, nRelK) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      val m = mrr(part)
+      assert(nRelK == m.getLong(2), "relevant-in-top-k counts agree")
+      if (nRel == 0) assert(r.isNullAt(4))
+      else {
+        val ap = r.getDouble(4)
+        assert(ap >= 0.0 && ap <= 1.0)
+        assert((ap > 0) == (m.getDouble(4) > 0), "hit indicators agree")
+        if (nRelK == 1) {
+          // single relevant at rank f: AP = (1/f) / min(nRel, 5) exactly
+          val f = m.getLong(3)
+          assert(ap == (60L / f).toDouble / (60L * math.min(nRel, 5L)).toDouble)
+        }
+      }
+    }
+  }
+
   test("var/cvar: rank pick and tail mean from a brute-force daily replay") {
     val daily = tables.orders
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
