@@ -348,6 +348,8 @@ object SparkEntry {
     "q_var_cvar" -> q(Stats.qVarCvar(_)),
     "q_stream_brier" -> ((spark, dir) =>
       graft.streaming.Streams.drainBrier(spark, dir, "documents.parquet")),
+    "q_stream_holt" -> ((spark, dir) =>
+      graft.streaming.Streams.drainHoltWinters(spark, dir, "events.parquet")),
     "q_stream_mmd" -> ((spark, dir) =>
       graft.streaming.Streams.drainMmdDrift(spark, dir, "documents.parquet")),
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
@@ -705,6 +707,46 @@ object SparkEntry {
        FROM j
        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
        ORDER BY id_new, id_old"""
+
+  // shared by q_holt_winters and its streaming drain q_stream_holt
+  private val holtWintersOracle: String =
+    """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
+         b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+           FROM daily GROUP BY 1),
+         spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
+           FROM b),
+         filled AS (SELECT s.event_type, s.day, COALESCE(d.y, 0.0) AS y
+           FROM spine s LEFT JOIN daily d USING (event_type, day)),
+         ser AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             list(y ORDER BY day) AS ys FROM filled GROUP BY 1
+           HAVING COUNT(*) >= 14),
+         seed AS (SELECT event_type, n_days, ys,
+             (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7.0 AS l0,
+             ((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])
+               - (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])) / 49.0 AS b0
+           FROM ser),
+         f AS (SELECT event_type, n_days,
+             list_reduce(
+               list_prepend(
+                 list_concat([l0, b0],
+                   list_transform(ys[1:7], y -> y - l0)),
+                 list_transform(ys[8:], y -> [CAST(y AS DOUBLE),
+                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
+               (acc, x) -> list_concat(list_concat(
+                 [0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
+                  0.1 * ((0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
+                    - acc[1]) + 0.9 * acc[2]],
+                 acc[4:9]),
+                 [0.2 * (x[1] - (0.3 * (x[1] - acc[3])
+                   + 0.7 * (acc[1] + acc[2]))) + 0.8 * acc[3]])) AS st
+           FROM seed)
+         SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
+           st[3] AS seasonal_next,
+           st[1] + 1.0 * st[2] + st[3] AS forecast_1,
+           st[1] + 7.0 * st[2] + st[9] AS forecast_7
+         FROM f ORDER BY event_type"""
 
   private val brierOracle: String =
     """WITH d AS (SELECT
@@ -3940,44 +3982,8 @@ FROM terms GROUP BY source ORDER BY source""",
          FROM f ORDER BY event_type""",
     // Holt–Winters: same sequential-fold pinning, state = [L, B, 7-day
     // seasonal ring]; zero-filled day spine keeps the ring in phase
-    "q_holt_winters" ->
-      """WITH daily AS (SELECT event_type,
-             epoch_us(ts) // 86400000000 AS day,
-             CAST(COUNT(*) AS DOUBLE) AS y FROM events GROUP BY 1, 2),
-         b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
-           FROM daily GROUP BY 1),
-         spine AS (SELECT event_type, unnest(range(lo, hi + 1)) AS day
-           FROM b),
-         filled AS (SELECT s.event_type, s.day, COALESCE(d.y, 0.0) AS y
-           FROM spine s LEFT JOIN daily d USING (event_type, day)),
-         ser AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
-             list(y ORDER BY day) AS ys FROM filled GROUP BY 1
-           HAVING COUNT(*) >= 14),
-         seed AS (SELECT event_type, n_days, ys,
-             (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7]) / 7.0 AS l0,
-             ((ys[8]+ys[9]+ys[10]+ys[11]+ys[12]+ys[13]+ys[14])
-               - (ys[1]+ys[2]+ys[3]+ys[4]+ys[5]+ys[6]+ys[7])) / 49.0 AS b0
-           FROM ser),
-         f AS (SELECT event_type, n_days,
-             list_reduce(
-               list_prepend(
-                 list_concat([l0, b0],
-                   list_transform(ys[1:7], y -> y - l0)),
-                 list_transform(ys[8:], y -> [CAST(y AS DOUBLE),
-                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0])),
-               (acc, x) -> list_concat(list_concat(
-                 [0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]),
-                  0.1 * ((0.3 * (x[1] - acc[3]) + 0.7 * (acc[1] + acc[2]))
-                    - acc[1]) + 0.9 * acc[2]],
-                 acc[4:9]),
-                 [0.2 * (x[1] - (0.3 * (x[1] - acc[3])
-                   + 0.7 * (acc[1] + acc[2]))) + 0.8 * acc[3]])) AS st
-           FROM seed)
-         SELECT event_type, n_days, st[1] AS level, st[2] AS trend,
-           st[3] AS seasonal_next,
-           st[1] + 1.0 * st[2] + st[3] AS forecast_1,
-           st[1] + 7.0 * st[2] + st[9] AS forecast_7
-         FROM f ORDER BY event_type""",
+    "q_holt_winters" -> holtWintersOracle,
+    "q_stream_holt" -> holtWintersOracle,
     // temperature mixing: same token-count CASE, sqrt weight rounded to
     // decimal, integer product-div allocation over scaled units
     "q_mix_temperature" ->

@@ -864,12 +864,25 @@ object Events {
     * hash aggregate; series collect per TYPE, bounded by the time domain
     * (days), never by event volume.
     */
-  def qHoltWinters(t: Tables): DataFrame = {
-    val dayNs = 86400000000000L
-    val daily = t.events
-      .select(col("event_type"), expr(s"ts_ns div $dayNs").as("day"))
+  def qHoltWinters(t: Tables): DataFrame =
+    hwEpilogue(hwDaily(t.events))
+
+  /** The stateful-aggregable stage of [[qHoltWinters]]: per
+    * (event_type, day) counts. Count cells merge exactly across
+    * micro-batches and the state domain is types × days, so this same
+    * frame runs as a Structured Streaming aggregation
+    * ([[graft.streaming.Streams.drainHoltWinters]]). */
+  def hwDaily(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))
       .groupBy("event_type", "day")
-      .agg(count(lit(1)).cast("double").as("y"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Batch epilogue of [[qHoltWinters]] over the day-count frame:
+    * zero-fill, two-season seeds, and the sequential HOF fold. */
+  def hwEpilogue(dailyCounts: DataFrame): DataFrame = {
+    val daily = dailyCounts
+      .select(col("event_type"), col("day"), col("n").cast("double").as("y"))
     val spine = daily.groupBy("event_type")
       .agg(min("day").as("lo"), max("day").as("hi"))
       .select(col("event_type"),

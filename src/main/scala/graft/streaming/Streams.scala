@@ -676,6 +676,20 @@ object Streams {
         graft.ext.Similarity.dimSums(
           embeddingsStream(spark, dir, globFilter))))
 
+  /** Streaming drain of the Holt–Winters forecaster — the ingest-time
+    * twin of [[graft.ops.Events.qHoltWinters]], sharing its oracle: state
+    * is the (event_type × day) count frame (count cells merge exactly in
+    * any microbatch order; the domain is types × days, not stream
+    * length), and the zero-fill + seeds + sequential fold run as a batch
+    * epilogue over the drained frame. The seasonal forecast an ops
+    * dashboard keeps current as events land.
+    */
+  def drainHoltWinters(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Events.hwEpilogue(
+      drain(spark,
+        graft.ops.Events.hwDaily(eventsStream(spark, dir, globFilter))))
+
   /** Streaming drain of the Brier/Murphy forecast audit — the ingest-time
     * twin of [[graft.ext.Classifier.qBrierDecomp]], sharing its oracle:
     * state is the ≤10-row forecast-bin frame (integer micro-unit moments

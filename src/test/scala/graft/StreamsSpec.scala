@@ -512,6 +512,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming holt-winters drain equals the batch seasonal forecast") {
+    val streamed = Streams.drainHoltWinters(spark, sfDir, "events.parquet")
+      .collect().toSeq
+    val batch = ops.Events.qHoltWinters(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming benford drain: digit counts match a batch recompute") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainBenford(spark, sfDir, "events.parquet")
