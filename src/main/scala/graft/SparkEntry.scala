@@ -110,6 +110,8 @@ object SparkEntry {
     "q_sql_q20" -> ((spark, dir) => TpchSql.run(spark, Tables(spark, dir), TpchSql.q20)),
     "q_sql_named_window" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.namedWindow)),
+    "q_sql_grouping" -> ((spark, dir) =>
+      TpchSql.run(spark, Tables(spark, dir), TpchSql.groupingSets)),
     "q_sql_setops" -> ((spark, dir) =>
       TpchSql.run(spark, Tables(spark, dir), TpchSql.setops)),
     "q_sql_recursive" -> ((spark, dir) =>
@@ -263,6 +265,8 @@ object SparkEntry {
     "q_forecast_backtest" -> q(Events.qForecastBacktest),
     "q_holt_smoothing" -> q(Events.qHoltSmoothing),
     "q_holt_winters" -> q(Events.qHoltWinters),
+    "q_growth_accounting" -> q(Events.qGrowthAccounting),
+    "q_textrank" -> q(TextAnalysis.qTextrank(_)),
     "q_stl_anomalies" -> q(Events.qStlAnomalies(_)),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
     "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
@@ -3984,6 +3988,72 @@ FROM terms GROUP BY source ORDER BY source""",
     // seasonal ring]; zero-filled day spine keeps the ring in phase
     "q_holt_winters" -> holtWintersOracle,
     "q_stream_holt" -> holtWintersOracle,
+    // growth ledger: user-partitioned lag/lead classification, exact
+    // integer cells; churn flagged before the day+1 regroup
+    "q_growth_accounting" ->
+      """WITH grid AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day FROM events),
+         w AS (SELECT user_id, day,
+             MIN(day) OVER (PARTITION BY user_id) AS first_day,
+             LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS prev_day,
+             LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
+               AS next_day
+           FROM grid),
+         h AS (SELECT MAX(day) AS max_day FROM grid),
+         d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(COUNT(*) FILTER (WHERE day = first_day) AS BIGINT)
+               AS n_new,
+             CAST(COUNT(*) FILTER (WHERE prev_day = day - 1) AS BIGINT)
+               AS n_retained,
+             CAST(COUNT(*) FILTER (WHERE day <> first_day
+               AND (prev_day IS NULL OR prev_day < day - 1)) AS BIGINT)
+               AS n_resurrected
+           FROM w GROUP BY 1),
+         cb AS (SELECT day + 1 AS churn_day,
+             CASE WHEN next_day IS NULL OR next_day > day + 1
+               THEN 1 ELSE 0 END AS is_churn
+           FROM w, h WHERE day < max_day),
+         c AS (SELECT churn_day AS day,
+             CAST(SUM(is_churn) AS BIGINT) AS n_churned
+           FROM cb GROUP BY 1)
+         SELECT d.day, n_active, n_new, n_retained, n_resurrected,
+           COALESCE(n_churned, 0) AS n_churned
+         FROM d LEFT JOIN c USING (day) ORDER BY day""",
+    // weighted PageRank in integer micro-units over the word-adjacency
+    // graph, two rounds unrolled (the q_pagerank exactness convention)
+    "q_textrank" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w
+           FROM documents),
+         tok AS (SELECT doc_id, i - 1 AS pos, w[i] AS word
+           FROM d, unnest(range(1, len(w) + 1)) AS u(i)
+           WHERE w[i] <> '' AND w[i] NOT IN ('the', 'a')),
+         sq AS (SELECT doc_id, pos, word,
+             LAG(word) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+           FROM tok),
+         adj AS (SELECT prev, word FROM sq
+           WHERE prev IS NOT NULL AND prev <> word),
+         e AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w FROM (
+             SELECT prev AS src, word AS dst FROM adj
+             UNION ALL SELECT word AS src, prev AS dst FROM adj)
+           GROUP BY 1, 2),
+         dg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+           FROM e GROUP BY 1),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dg),
+         r0 AS (SELECT src AS node, 1000000000 // n AS r FROM dg, nn),
+         r1 AS (SELECT e.dst AS node,
+             CAST(SUM((r.r * 85 * e.w) // (100 * dg.wdeg))
+               + 150000000 // nn.n AS BIGINT) AS r
+           FROM e JOIN dg USING (src) JOIN r0 r ON e.src = r.node
+           CROSS JOIN nn GROUP BY e.dst, nn.n),
+         r2 AS (SELECT e.dst AS node,
+             CAST(SUM((r.r * 85 * e.w) // (100 * dg.wdeg))
+               + 150000000 // nn.n AS BIGINT) AS r
+           FROM e JOIN dg USING (src) JOIN r1 r ON e.src = r.node
+           CROSS JOIN nn GROUP BY e.dst, nn.n)
+         SELECT node AS word, r AS rank_u, nn.n AS n_vocab
+         FROM r2, nn ORDER BY rank_u DESC, word LIMIT 20""",
     // temperature mixing: same token-count CASE, sqrt weight rounded to
     // decimal, integer product-div allocation over scaled units
     "q_mix_temperature" ->

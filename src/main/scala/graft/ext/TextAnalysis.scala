@@ -1757,4 +1757,56 @@ object TextAnalysis {
           (col("n1") * (col("n1") - 1)).cast("double") /
           ((col("n2") + 1) * 2).cast("double")).as("chao1"))
       .orderBy("lang")
+
+  /** TextRank keyword scoring: weighted PageRank over the word
+    * co-occurrence graph (consecutive non-stopword pairs, symmetric,
+    * weight = pair count) — the graph-centrality complement to
+    * [[qRakeKeywords]]' degree/frequency scores. Rounds run in exact
+    * integer micro-units with floor division (the
+    * [[graft.ops.Graph.qPagerank]] convention, extended to weighted
+    * edges: each neighbor contributes (r·85·w) div (100·wdeg)), so
+    * every round is order-free and engine-portable; the damping base
+    * (1−d)·1e9/N floors once.
+    *
+    * Scale: tokens shuffle once on the word key to build the pair
+    * frame; the graph itself is vocabulary²-bounded (a dimension, not
+    * the corpus), so the rank rounds run on frames independent of
+    * corpus size. The unrolled round count is the semantics, matching
+    * the oracle's chained CTEs.
+    */
+  def qTextrank(t: Tables, iters: Int = 2, topK: Int = 20): DataFrame = {
+    val stop = Seq("the", "a")
+    val toks = graft.Engine.spread(t.documents)
+      .select(col("doc_id"),
+        posexplode(Dedup.words(col("text"))).as(Seq("pos", "word")))
+      .filter(length(col("word")) > 0 && !col("word").isin(stop: _*))
+    val wDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val adj = toks
+      .withColumn("prev", lag("word", 1).over(wDoc))
+      .filter(col("prev").isNotNull && col("prev") =!= col("word"))
+    val edges = graft.Engine.loopCheckpoint(
+      adj.select(col("prev").as("src"), col("word").as("dst"))
+        .union(adj.select(col("word").as("src"), col("prev").as("dst")))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w")))
+    val wdeg = edges.groupBy("src").agg(sum("w").as("wdeg"))
+    val nNodes = wdeg.count()
+    val base = 150000000L / nNodes
+    val edgesD = edges.join(broadcast(wdeg), "src")
+    var ranks = wdeg.select(col("src").as("node"))
+      .withColumn("r", lit(1000000000L / nNodes))
+    for (_ <- 1 to iters) {
+      ranks = edgesD
+        .join(broadcast(ranks), col("src") === col("node"))
+        .select(col("dst"), expr("(r * 85 * w) div (100 * wdeg)").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg((sum("c") + lit(base)).as("r"))
+    }
+    val out = ranks
+      .select(col("node").as("word"), col("r").as("rank_u"),
+        lit(nNodes).as("n_vocab"))
+      .orderBy(col("rank_u").desc, col("word")).limit(topK)
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(edges)
+    out
+  }
 }

@@ -1817,4 +1817,55 @@ object Events {
           .as("share_a_first"))
       .orderBy("type_a", "type_b")
   }
+
+  /** Daily growth accounting: every active user-day classified as NEW
+    * (first day ever), RETAINED (also active the previous calendar day)
+    * or RESURRECTED (active before, but not yesterday), plus CHURNED —
+    * users active on day d−1 whose next active day is not d. The
+    * product-analytics ledger behind "where did today's actives come
+    * from"; the conservation law active = new + retained + resurrected
+    * holds row by row, and churned(d) = active(d−1) − retained(d). All
+    * cells are exact integer counts.
+    *
+    * Scale: one distinct over (user, day), then user-partitioned lag/
+    * lead windows — everything shuffles once on the user key; the
+    * day-level rollup is calendar-sized. Churn needs the NEXT active
+    * day, so it reads the same windowed frame shifted by one day — no
+    * second scan of the fact.
+    */
+  def qGrowthAccounting(t: Tables): DataFrame = {
+    val dayNs = 86400L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("day")
+    val grid = t.events
+      .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
+      .distinct()
+      .withColumn("first_day", min("day").over(
+        Window.partitionBy("user_id")))
+      .withColumn("prev_day", lag("day", 1).over(byUser))
+      .withColumn("next_day", lead("day", 1).over(byUser))
+    val horizon = grid.agg(max("day").as("max_day"))
+    val daily = grid.groupBy("day").agg(
+      count(lit(1)).as("n_active"),
+      count(when(col("day") === col("first_day"), 1)).as("n_new"),
+      count(when(col("prev_day") === col("day") - 1, 1)).as("n_retained"),
+      count(when(col("day") =!= col("first_day") &&
+        (col("prev_day").isNull || col("prev_day") < col("day") - 1), 1))
+        .as("n_resurrected"))
+    // churn attributed to day d: active on d-1, next active day != d
+    // (bounded to the observed horizon so the last day isn't truncated-
+    // churned by the end of data)
+    val churn = grid
+      .crossJoin(broadcast(horizon))
+      .filter(col("day") < col("max_day"))
+      // flag BEFORE the day+1 regroup: inside the agg, an unqualified
+      // `day` could bind to the shifted grouping alias instead of the
+      // source column and silently test next_day > day+2
+      .withColumn("is_churn", (col("next_day").isNull ||
+        col("next_day") > col("day") + 1).cast("long"))
+      .groupBy((col("day") + 1).as("day"))
+      .agg(sum("is_churn").as("n_churned"))
+    daily.join(churn, Seq("day"), "left")
+      .na.fill(0L, Seq("n_churned"))
+      .orderBy("day")
+  }
 }

@@ -518,6 +518,28 @@ object TpchSql {
        FROM seq WHERE rn = n
        ORDER BY life_cents DESC, c LIMIT 10"""
 
+  /** GROUPING SETS + GROUPING() through the frontend: one aggregate
+    * producing the (priority × status) cells, both one-dimension rollups
+    * and the grand total, with the GROUPING bitmask making each row's
+    * grain explicit — the reporting-cube surface that would otherwise be
+    * four UNION'd scans. Dual-dialect: standard syntax in both engines;
+    * GROUPING() return types differ (Spark tinyint, DuckDB bigint) so
+    * the mask is CAST. NULL group keys are COALESCE'd to 'ALL' to keep
+    * the ORDER BY total across engines' NULL-ordering defaults.
+    */
+  val groupingSets: String =
+    """WITH o AS (SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+       FROM orders)
+       SELECT COALESCE(pri, 'ALL') AS pri, COALESCE(st, 'ALL') AS st,
+         CAST(GROUPING(pri) AS BIGINT) * 2 + CAST(GROUPING(st) AS BIGINT)
+           AS gid,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(cents) AS BIGINT) AS cents
+       FROM o
+       GROUP BY GROUPING SETS ((pri, st), (pri), (st), ())
+       ORDER BY gid, pri, st"""
+
   /** name -> text, for registration loops and the SQL-parity suite. */
   val all: Map[String, String] = Map(
     "q_sql_q1" -> q1, "q_sql_q2" -> q2, "q_sql_q3" -> q3, "q_sql_q4" -> q4,
@@ -526,5 +548,6 @@ object TpchSql {
     "q_sql_q12" -> q12, "q_sql_q13" -> q13, "q_sql_q15" -> q15,
     "q_sql_q16" -> q16, "q_sql_q17" -> q17, "q_sql_q20" -> q20,
     "q_sql_q21" -> q21, "q_sql_recursive" -> recursive,
-    "q_sql_setops" -> setops, "q_sql_named_window" -> namedWindow)
+    "q_sql_setops" -> setops, "q_sql_named_window" -> namedWindow,
+    "q_sql_grouping" -> groupingSets)
 }

@@ -147,7 +147,9 @@ class DeterminismSpec extends SparkSuite {
     "q_rec_mrr",          // integer first-rank pick, decimal reciprocals
     "q_rec_map",          // lcm-cleared integer AP numerators
     "q_tukey_hsd",        // decimal moments, composite floats rounded
-    "q_cronbach_alpha")   // integer count moments, one division
+    "q_cronbach_alpha",   // integer count moments, one division
+    "q_growth_accounting", // lag/lead classification, integer cells
+    "q_textrank")         // integer micro-unit weighted PageRank
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -242,6 +242,34 @@ class KeywordGraphSpec extends SparkSuite {
     assert(got == expected)
   }
 
+  test("textrank replays the integer weighted-pagerank rounds exactly") {
+    val stop = Set("the", "a")
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val adj = docs.flatMap { case (_, text) =>
+      val ws = text.trim.toLowerCase.split(" +").toSeq
+        .filter(w => w.nonEmpty && !stop(w))
+      ws.zip(ws.drop(1)).filter { case (a, b) => a != b }
+    }
+    val edges = (adj ++ adj.map(_.swap)).groupBy(identity)
+      .map { case ((s, d), xs) => (s, d, xs.size.toLong) }.toSeq
+    val wdeg = edges.groupBy(_._1).map { case (s, es) =>
+      s -> es.map(_._3).sum }
+    val n = wdeg.size.toLong
+    var r: Map[String, Long] = wdeg.keys.map(_ -> 1000000000L / n).toMap
+    for (_ <- 1 to 2) {
+      r = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> (es.map { case (s, _, w) =>
+          r(s) * 85L * w / (100L * wdeg(s)) }.sum + 150000000L / n)
+      }
+    }
+    val expected = r.toSeq.map { case (w, rk) => (w, rk, n) }
+      .sortBy { case (w, rk, _) => (-rk, w) }.take(20)
+    val got = graft.ext.TextAnalysis.qTextrank(tables)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("holt-winters replays the textbook additive recurrence bit-exactly") {
     val daily = tables.events
       .select(col("event_type"), expr("ts_ns div 86400000000000").as("day"))

@@ -238,6 +238,48 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
 
+  test("growth accounting: conservation and churn ledger close exactly") {
+    val rows = graft.ops.Events.qGrowthAccounting(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val active = rows.map(r => r._1 -> r._2).toMap
+    rows.foreach { case (day, nAct, nNew, nRet, nRes, nChurn) =>
+      assert(nAct == nNew + nRet + nRes, s"day $day conservation")
+      // churned(d) = active(d-1) - retained(d) whenever d-1 is observed
+      active.get(day - 1).foreach { prev =>
+        assert(nChurn == prev - nRet, s"day $day churn ledger")
+      }
+    }
+    // first day: everyone is new, nobody churned into it
+    val first = rows.minBy(_._1)
+    assert(first._2 == first._3 && first._6 == 0L)
+    // total new across all days = distinct users ever active
+    val nUsers = tables.events.select("user_id").distinct().count()
+    assert(rows.map(_._3).sum == nUsers)
+  }
+
+  test("sql grouping sets: rollup cells reconcile against the base grain") {
+    val got = graft.ops.TpchSql.run(spark, tables,
+      graft.ops.TpchSql.groupingSets).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val base = got.filter(_._3 == 0L)
+    val total = got.filter(_._3 == 3L)
+    assert(total.length == 1 && total.head._1 == "ALL" && total.head._2 == "ALL")
+    assert(base.map(_._4).sum == total.head._4)
+    assert(base.map(_._5).sum == total.head._5)
+    // each one-dimension rollup row equals the sum of its base cells
+    got.filter(_._3 == 1L).foreach { case (pri, _, _, n, c) =>
+      val cells = base.filter(_._1 == pri)
+      assert((cells.map(_._4).sum, cells.map(_._5).sum) == ((n, c)))
+    }
+    got.filter(_._3 == 2L).foreach { case (_, st, _, n, c) =>
+      val cells = base.filter(_._2 == st)
+      assert((cells.map(_._4).sum, cells.map(_._5).sum) == ((n, c)))
+    }
+  }
+
   test("tukey hsd: pair grid is complete and consistent with anova's MSW") {
     val pairs = Stats.qTukeyHsd(tables).collect()
     val anova = Stats.qAnova(tables).collect().head
