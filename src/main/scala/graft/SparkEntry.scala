@@ -354,6 +354,8 @@ object SparkEntry {
       graft.streaming.Streams.drainBrier(spark, dir, "documents.parquet")),
     "q_stream_holt" -> ((spark, dir) =>
       graft.streaming.Streams.drainHoltWinters(spark, dir, "events.parquet")),
+    "q_stream_var_cvar" -> ((spark, dir) =>
+      graft.streaming.Streams.drainVarCvar(spark, dir, "orders.parquet")),
     "q_stream_mmd" -> ((spark, dir) =>
       graft.streaming.Streams.drainMmdDrift(spark, dir, "documents.parquet")),
     "q_nb_confusion" -> q(Classifier.qNbConfusion),
@@ -712,6 +714,28 @@ object SparkEntry {
        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
        ORDER BY id_new, id_old"""
 
+  // shared by q_var_cvar and its streaming drain q_stream_var_cvar
+  private val varCvarOracle: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+               AS BIGINT) AS cents
+           FROM orders GROUP BY 1),
+         r AS (SELECT day, cents,
+             ROW_NUMBER() OVER (ORDER BY cents, day) AS i,
+             COUNT(*) OVER () AS n,
+             CAST(SUM(cents) OVER (ORDER BY cents, day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum
+           FROM d),
+         x AS (SELECT r.*, lv.level,
+             ((100 - lv.level) * r.n + 99) // 100 AS k
+           FROM r CROSS JOIN (VALUES (95), (99)) lv(level))
+         SELECT CAST(level AS BIGINT) AS level,
+           CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail_days,
+           cents AS var_cents,
+           CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS cvar_cents
+         FROM x WHERE i = k ORDER BY level"""
+
   // shared by q_holt_winters and its streaming drain q_stream_holt
   private val holtWintersOracle: String =
     """WITH daily AS (SELECT event_type,
@@ -973,26 +997,8 @@ object SparkEntry {
          FROM c ORDER BY decile""",
     // daily-revenue VaR/CVaR: type-1 order-statistic pick by integer
     // rank on the day frame; CVaR = one IEEE division of exact sums
-    "q_var_cvar" ->
-      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
-               AS BIGINT) AS cents
-           FROM orders GROUP BY 1),
-         r AS (SELECT day, cents,
-             ROW_NUMBER() OVER (ORDER BY cents, day) AS i,
-             COUNT(*) OVER () AS n,
-             CAST(SUM(cents) OVER (ORDER BY cents, day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS BIGINT) AS cum
-           FROM d),
-         x AS (SELECT r.*, lv.level,
-             ((100 - lv.level) * r.n + 99) // 100 AS k
-           FROM r CROSS JOIN (VALUES (95), (99)) lv(level))
-         SELECT CAST(level AS BIGINT) AS level,
-           CAST(n AS BIGINT) AS n_days, CAST(k AS BIGINT) AS n_tail_days,
-           cents AS var_cents,
-           CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS cvar_cents
-         FROM x WHERE i = k ORDER BY level""",
+    "q_var_cvar" -> varCvarOracle,
+    "q_stream_var_cvar" -> varCvarOracle,
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->
@@ -3994,7 +4000,6 @@ FROM terms GROUP BY source ORDER BY source""",
       """WITH grid AS (SELECT DISTINCT user_id,
              epoch_us(ts) // 86400000000 AS day FROM events),
          w AS (SELECT user_id, day,
-             MIN(day) OVER (PARTITION BY user_id) AS first_day,
              LAG(day) OVER (PARTITION BY user_id ORDER BY day)
                AS prev_day,
              LEAD(day) OVER (PARTITION BY user_id ORDER BY day)
@@ -4002,12 +4007,11 @@ FROM terms GROUP BY source ORDER BY source""",
            FROM grid),
          h AS (SELECT MAX(day) AS max_day FROM grid),
          d AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active,
-             CAST(COUNT(*) FILTER (WHERE day = first_day) AS BIGINT)
+             CAST(COUNT(*) FILTER (WHERE prev_day IS NULL) AS BIGINT)
                AS n_new,
              CAST(COUNT(*) FILTER (WHERE prev_day = day - 1) AS BIGINT)
                AS n_retained,
-             CAST(COUNT(*) FILTER (WHERE day <> first_day
-               AND (prev_day IS NULL OR prev_day < day - 1)) AS BIGINT)
+             CAST(COUNT(*) FILTER (WHERE prev_day < day - 1) AS BIGINT)
                AS n_resurrected
            FROM w GROUP BY 1),
          cb AS (SELECT day + 1 AS churn_day,

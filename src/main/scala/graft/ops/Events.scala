@@ -1833,23 +1833,33 @@ object Events {
     * day, so it reads the same windowed frame shifted by one day — no
     * second scan of the fact.
     */
-  def qGrowthAccounting(t: Tables): DataFrame = {
+  /** The lazy user-day grid behind [[qGrowthAccounting]]: distinct
+    * active days with prev/next from ONE ordered window — "first day
+    * ever" ⟺ no previous active day, so a separate partition-min window
+    * for first_day would be a second exchange for no information.
+    * Package-private so the plan audit can assert that shape on the
+    * unmaterialized frame (the public query checkpoints it). */
+  private[graft] def growthGrid(t: Tables): DataFrame = {
     val dayNs = 86400L * 1000000000L
     val byUser = Window.partitionBy("user_id").orderBy("day")
-    val grid = t.events
+    t.events
       .select(col("user_id"), expr(s"ts_ns div $dayNs").as("day"))
       .distinct()
-      .withColumn("first_day", min("day").over(
-        Window.partitionBy("user_id")))
       .withColumn("prev_day", lag("day", 1).over(byUser))
       .withColumn("next_day", lead("day", 1).over(byUser))
+  }
+
+  def qGrowthAccounting(t: Tables): DataFrame = {
+    // The windowed grid is materialized: its three consumers (actives
+    // rollup, churn rollup, horizon scalar) would otherwise each re-scan
+    // the event fact and re-run the distinct + window chain
+    val grid = graft.Engine.loopCheckpoint(growthGrid(t))
     val horizon = grid.agg(max("day").as("max_day"))
     val daily = grid.groupBy("day").agg(
       count(lit(1)).as("n_active"),
-      count(when(col("day") === col("first_day"), 1)).as("n_new"),
+      count(when(col("prev_day").isNull, 1)).as("n_new"),
       count(when(col("prev_day") === col("day") - 1, 1)).as("n_retained"),
-      count(when(col("day") =!= col("first_day") &&
-        (col("prev_day").isNull || col("prev_day") < col("day") - 1), 1))
+      count(when(col("prev_day") < col("day") - 1, 1))
         .as("n_resurrected"))
     // churn attributed to day d: active on d-1, next active day != d
     // (bounded to the observed horizon so the last day isn't truncated-
@@ -1864,8 +1874,11 @@ object Events {
         col("next_day") > col("day") + 1).cast("long"))
       .groupBy((col("day") + 1).as("day"))
       .agg(sum("is_churn").as("n_churned"))
-    daily.join(churn, Seq("day"), "left")
+    val out = daily.join(churn, Seq("day"), "left")
       .na.fill(0L, Seq("n_churned"))
       .orderBy("day")
+      .localCheckpoint() // calendar-sized ledger; lets the grid cache go
+    graft.Engine.freeCheckpoint(grid)
+    out
   }
 }

@@ -1986,7 +1986,10 @@ object Stats {
     */
   def qTukeyHsd(t: Tables): DataFrame = {
     val xk = col("o_totalprice") / lit(1000.0)
-    val g = t.orders
+    // materialize the k-row group frame: its three consumers (pair left/
+    // right sides + the MSW scalar) would otherwise each re-aggregate the
+    // fact — three full scans of orders at 100 TB instead of one
+    val g = graft.Engine.loopCheckpoint(t.orders
       .groupBy(col("o_orderpriority").as("grp"))
       .agg(
         count(lit(1)).as("n"),
@@ -1994,7 +1997,7 @@ object Stats {
         sum((xk * xk).cast(DecimalType(24, 6))).as("sxx"))
       .withColumn("term",
         round(col("sx").cast("double") * col("sx").cast("double") /
-          col("n").cast("double"), 4).cast(DecimalType(24, 4)))
+          col("n").cast("double"), 4).cast(DecimalType(24, 4))))
     val tot = g.agg(
         sum("n").as("n_total"), count(lit(1)).as("k"),
         sum("sxx").as("sxx_all"), sum("term").as("term_all"))
@@ -2007,7 +2010,7 @@ object Stats {
       col("sx").as("sx2"))
     val meanDiff = col("sx1").cast("double") / col("n1").cast("double") -
       col("sx2").cast("double") / col("n2").cast("double")
-    a.join(b, col("grp1") < col("grp2"))
+    val out = a.join(b, col("grp1") < col("grp2"))
       .crossJoin(broadcast(tot))
       .select(col("grp1"), col("grp2"), col("n1"), col("n2"),
         round(meanDiff, 6).as("mean_diff_k"),
@@ -2017,6 +2020,9 @@ object Stats {
             (lit(1.0) / col("n1").cast("double") +
               lit(1.0) / col("n2").cast("double"))), 6).as("q_stat"))
       .orderBy("grp1", "grp2")
+      .localCheckpoint() // k²-row result; lets the group-frame cache go
+    graft.Engine.freeCheckpoint(g)
+    out
   }
 
   /** Cronbach's alpha over the event-type "items": each user is a
@@ -2058,12 +2064,25 @@ object Stats {
             col("den").cast("double")), 9).as("alpha"))
   }
 
-  def qVarCvar(t: Tables, levels: Seq[Int] = Seq(95, 99)): DataFrame = {
-    val byRev = Window.orderBy(col("cents"), col("day"))
-    val all = Window.partitionBy()
-    val daily = t.orders
+  def qVarCvar(t: Tables, levels: Seq[Int] = Seq(95, 99)): DataFrame =
+    varCvarEpilogue(varCvarDaily(t.orders), levels)
+
+  /** The stateful-aggregable stage of [[qVarCvar]]: per-day revenue in
+    * exact cents. Long cent sums merge exactly across micro-batches and
+    * state is calendar-sized, so the same frame runs as a Structured
+    * Streaming aggregation ([[graft.streaming.Streams.drainVarCvar]]). */
+  def varCvarDaily(orders: DataFrame): DataFrame =
+    orders
       .groupBy(expr("CAST(o_orderdate AS DATE)").as("day"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
+
+  /** Batch epilogue of [[qVarCvar]]: rank pick + exact tail mean over
+    * the day frame (bounded by the calendar, never by order volume). */
+  def varCvarEpilogue(
+      dailyCents: DataFrame, levels: Seq[Int] = Seq(95, 99)): DataFrame = {
+    val byRev = Window.orderBy(col("cents"), col("day"))
+    val all = Window.partitionBy()
+    val daily = dailyCents
       .withColumn("i", row_number().over(byRev).cast("long"))
       .withColumn("n", count(lit(1)).over(all))
       .withColumn("cum", sum("cents").over(

@@ -676,6 +676,18 @@ object Streams {
         graft.ext.Similarity.dimSums(
           embeddingsStream(spark, dir, globFilter))))
 
+  /** Streaming drain of the tail-risk summary — the ingest-time twin of
+    * [[graft.ops.Stats.qVarCvar]], sharing its oracle: state is the
+    * per-day cent sum (exact longs merge in any micro-batch order; the
+    * domain is the calendar), and the order-statistic pick + exact tail
+    * mean run as a batch epilogue. VaR/CVaR kept current as orders land.
+    */
+  def drainVarCvar(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame =
+    graft.ops.Stats.varCvarEpilogue(
+      drain(spark,
+        graft.ops.Stats.varCvarDaily(ordersStream(spark, dir, globFilter))))
+
   /** Streaming drain of the Holt–Winters forecaster — the ingest-time
     * twin of [[graft.ops.Events.qHoltWinters]], sharing its oracle: state
     * is the (event_type × day) count frame (count cells merge exactly in

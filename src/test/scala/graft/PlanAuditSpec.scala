@@ -560,4 +560,26 @@ class PlanAuditSpec extends SparkSuite {
     // join on the shuffled key, no sort of the bigram-type frame
     assert(!p.contains("SortMergeJoin"), s"vocab SMJ:\n$p")
   }
+
+  test("tukey hsd: group frame materialized once, fact never re-scanned") {
+    // the pair grid and the MSW scalar must read the checkpointed k-row
+    // group frame — a parquet scan in the final plan means one of the
+    // three consumers re-aggregated orders
+    val p = formatted("q_tukey_hsd")
+    assert(!p.contains("Scan parquet"), s"fact re-scanned:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"k-row pair grid SMJ:\n$p")
+  }
+
+  test("growth accounting grid: one scan, one ordered user window") {
+    // the grid is the fact-sized stage (the rollups run over its k-day
+    // checkpoint); lag/lead must come from a single (user, day-ordered)
+    // window — a partition-min for first_day would add a Window + shuffle
+    val p = graft.ops.Events.growthGrid(Tables(spark, sfDir))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert("[:+]- Scan parquet".r.findAllIn(p).length <= 1,
+      s"fact scanned more than once:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length <= 1,
+      s"extra window spec:\n$p")
+    assert(shuffleCount(p) <= 3, s"grid exchanges grew:\n$p")
+  }
 }

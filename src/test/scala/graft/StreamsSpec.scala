@@ -512,6 +512,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming var/cvar drain equals the batch tail-risk summary") {
+    val streamed = Streams.drainVarCvar(spark, sfDir, "orders.parquet")
+      .collect().toSeq
+    val batch = ops.Stats.qVarCvar(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming holt-winters drain equals the batch seasonal forecast") {
     val streamed = Streams.drainHoltWinters(spark, sfDir, "events.parquet")
       .collect().toSeq
