@@ -286,6 +286,7 @@ object SparkEntry {
     "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
     "q_approx_distinct" -> q(Stats.qApproxDistinct),
+    "q_kmv_distinct" -> q(Stats.qKmvDistinct(_)),
     "q_approx_quantile" -> q(Stats.qApproxQuantile),
     "q_mad" -> q(Stats.qMad),
     "q_corr_matrix" -> q(Stats.qCorrMatrix),
@@ -999,6 +1000,29 @@ object SparkEntry {
     // rank on the day frame; CVaR = one IEEE division of exact sums
     "q_var_cvar" -> varCvarOracle,
     "q_stream_var_cvar" -> varCvarOracle,
+    // KMV sketch: identical 60-bit md5 hashes both engines, estimator =
+    // two IEEE ops on the exact k-th order statistic
+    "q_kmv_distinct" ->
+      """WITH dh AS (SELECT DISTINCT l_returnflag AS flag,
+             list_sum(list_transform(range(1, 16),
+               i -> CAST(strpos('0123456789abcdef',
+                   substr(md5(CAST(l_partkey AS VARCHAR)),
+                     CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+                 * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER))))
+               AS h
+           FROM lineitem),
+         rk AS (SELECT flag, h,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS r,
+             COUNT(*) OVER (PARTITION BY flag) AS n FROM dh),
+         kth AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN r = 64 THEN h END) AS kth_hash
+           FROM rk GROUP BY 1)
+         SELECT flag, n_exact,
+           CASE WHEN n_exact < 64 THEN NULL ELSE kth_hash END AS kth_hash,
+           CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+             ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
+             END AS est
+         FROM kth ORDER BY flag""",
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->

@@ -179,6 +179,40 @@ object Stats {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** K-minimum-values distinct sketch, the hash-verifiable companion to
+    * [[qApproxDistinct]]'s HLL (whose registers are engine-specific and
+    * can only be error-bound-tested): hash every part key to a 60-bit
+    * md5 value — the one hash both engines evaluate identically — keep
+    * the k smallest distinct hashes per group, and estimate
+    * D ≈ (k−1)·2⁶⁰/h₍ₖ₎. The estimate is two IEEE ops on exact integers,
+    * so the sketch output hash-matches DuckDB exactly, estimator and
+    * all. Groups with fewer than k distinct hashes report the exact
+    * count (sketch saturation).
+    *
+    * Scale: the dedup shuffle carries only (group, hash) pairs; the
+    * sketch itself is the bounded_topk partial aggregate — k values per
+    * group per map task cross the exchange, never the distinct stream.
+    */
+  def qKmvDistinct(t: Tables, k: Int = 64): DataFrame = {
+    val h = expr(
+      "conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)")
+      .cast("long")
+    val kth = element_at(col("top"), k).getField("id")
+    t.lineitem
+      .select(col("l_returnflag").as("flag"), h.as("h")).distinct()
+      .groupBy("flag")
+      .agg(
+        count(lit(1)).as("n_exact"),
+        call_function("bounded_topk",
+          struct(lit(0.0), col("h")), lit(k), lit(true)).as("top"))
+      .select(col("flag"), col("n_exact"),
+        when(col("n_exact") < k, lit(null)).otherwise(kth).as("kth_hash"),
+        when(col("n_exact") < k, col("n_exact").cast("double"))
+          .otherwise(lit((k - 1).toDouble) *
+            (lit(1152921504606846976.0) / kth.cast("double"))).as("est"))
+      .orderBy("flag")
+  }
+
   /** Robust dispersion: median absolute deviation per group — the
     * outlier-resistant spread measure a profiling pass pairs with
     * variance (which a single bad row can dominate). Two exact-percentile

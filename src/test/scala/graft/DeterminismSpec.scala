@@ -149,7 +149,8 @@ class DeterminismSpec extends SparkSuite {
     "q_tukey_hsd",        // decimal moments, composite floats rounded
     "q_cronbach_alpha",   // integer count moments, one division
     "q_growth_accounting", // lag/lead classification, integer cells
-    "q_textrank")         // integer micro-unit weighted PageRank
+    "q_textrank",         // integer micro-unit weighted PageRank
+    "q_kmv_distinct")     // md5 order statistics, two IEEE estimator ops
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -37,6 +37,32 @@ class SkewSourcesSpec extends SparkSuite {
     }
   }
 
+  test("kmv sketch: kth hash is the true order statistic; estimate in bounds") {
+    import org.apache.spark.sql.functions._
+    val rows = Stats.qKmvDistinct(tables).collect()
+    assert(rows.nonEmpty)
+    // brute-force the distinct 60-bit hashes per flag
+    val hs = tables.lineitem
+      .select(col("l_returnflag"),
+        expr("conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)")
+          .cast("long").as("h"))
+      .distinct().collect()
+      .groupBy(_.getString(0)).map { case (f, rs) =>
+        f -> rs.map(_.getLong(1)).sorted.toVector }
+    rows.foreach { r =>
+      val sortedH = hs(r.getString(0))
+      assert(r.getLong(1) == sortedH.size)
+      if (sortedH.size >= 64) {
+        assert(r.getLong(2) == sortedH(63), "kth hash is the 64th smallest")
+        val est = r.getDouble(3)
+        assert(est == 63.0 * (1.152921504606846976e18 / sortedH(63).toDouble))
+        // KMV std error ~ 1/sqrt(k-2) ≈ 13%; allow 4 sigma
+        assert(math.abs(est - sortedH.size) / sortedH.size < 0.52,
+          s"est=$est exact=${sortedH.size}")
+      } else assert(r.isNullAt(2) && r.getDouble(3) == sortedH.size.toDouble)
+    }
+  }
+
   test("approx_percentile lands within a few percent of the exact quantile") {
     Stats.qApproxQuantile(tables).collect().foreach { r =>
       Seq((1, 2), (3, 4)).foreach { case (ai, ei) =>
