@@ -338,6 +338,8 @@ object SparkEntry {
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
+    "q_hosmer_lemeshow" -> q(Classifier.qHosmerLemeshow(_)),
+    "q_mcnemar" -> q(Stats.qMcnemar),
     "q_isotonic_calibration" -> q(Classifier.qIsotonicCalibration(_)),
     "q_importance_weights" -> q(TextAnalysis.qImportanceWeights(_)),
     "q_kneser_ney" -> q(TextAnalysis.qKneserNey(_)),
@@ -714,6 +716,76 @@ object SparkEntry {
        FROM j
        WHERE CAST(inter AS DOUBLE) / (n_new + n_old - inter) >= 0.5
        ORDER BY id_new, id_old"""
+
+  // the trained-LR per-doc score stream (feature build, 3 unrolled
+  // GD rounds, per-doc micro-unit sigmoid): shared prefix of the
+  // q_lr_calibration and q_hosmer_lemeshow oracles
+  private val lrScoreCte: String =
+    """WITH f AS (SELECT
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             1000000 AS x0,
+             CAST(round(least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
+                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
+                 / 100.0, 1.0) * 1000000, 0) AS BIGINT) AS x1,
+             CAST(round(CAST(len(list_distinct(string_split_regex(trim(text),
+                 ' +'))) AS DOUBLE) / len(string_split_regex(trim(text), ' +'))
+                 * 1000000, 0) AS BIGINT) AS x2,
+             CAST(round(least((CAST(len(trim(text))
+                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
+                 / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0)
+                 * 1000000, 0) AS BIGINT) AS x3,
+             CAST(round(least(CAST(len(list_filter(string_split_regex(
+                 trim(text), ' +'), t -> t IN ('the', 'data', 'query')))
+                 AS DOUBLE) * 10.0
+                 / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE),
+                 1.0) * 1000000, 0) AS BIGINT) AS x4
+           FROM documents),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) AS DOUBLE) * 1000000.0 * 1000000.0 AS den FROM f),
+         g1 AS (SELECT f.*, CAST(round((y - 0.5) * 1000000, 0) AS BIGINT)
+             AS g FROM f),
+         w1 AS (SELECT
+             0.0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             0.0 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             0.0 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             0.0 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             0.0 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g1, nn GROUP BY den),
+         g2 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w1.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w1.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w1.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w1.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w1.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w1),
+         w2 AS (SELECT
+             w1.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w1.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w1.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w1.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w1.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g2, nn, w1 GROUP BY den, w1.w0, w1.w1, w1.w2, w1.w3, w1.w4),
+         g3 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
+             w2.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w2.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w2.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w2.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w2.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
+             AS BIGINT) AS g FROM f, w2),
+         w3 AS (SELECT
+             w2.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
+             w2.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
+             w2.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
+             w2.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
+             w2.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
+           FROM g3, nn, w2 GROUP BY den, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4),
+         s AS (SELECT f.y, CAST(round(1000000.0 / (1.0 + exp(-(
+             w3.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
+             + w3.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
+             + w3.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
+             + w3.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
+             + w3.w4 * (CAST(x4 AS DOUBLE) / 1000000.0)))), 0) AS BIGINT)
+             AS su FROM f, w3)"""
 
   // shared by q_var_cvar and its streaming drain q_stream_var_cvar
   private val varCvarOracle: String =
@@ -6120,72 +6192,7 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
          FROM fz GROUP BY w0, w1, w2, w3, w4""",
     // same unrolled weights, then decile reliability bins on the
     // micro-rounded predicted probability
-    "q_lr_calibration" ->
-      """WITH f AS (SELECT
-             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             1000000 AS x0,
-             CAST(round(least(CAST(CASE WHEN len(trim(text)) = 0 THEN 0
-                 ELSE len(string_split_regex(trim(text), ' +')) END AS DOUBLE)
-                 / 100.0, 1.0) * 1000000, 0) AS BIGINT) AS x1,
-             CAST(round(CAST(len(list_distinct(string_split_regex(trim(text),
-                 ' +'))) AS DOUBLE) / len(string_split_regex(trim(text), ' +'))
-                 * 1000000, 0) AS BIGINT) AS x2,
-             CAST(round(least((CAST(len(trim(text))
-                 - (len(string_split_regex(trim(text), ' +')) - 1) AS DOUBLE)
-                 / len(string_split_regex(trim(text), ' +'))) / 10.0, 1.0)
-                 * 1000000, 0) AS BIGINT) AS x3,
-             CAST(round(least(CAST(len(list_filter(string_split_regex(
-                 trim(text), ' +'), t -> t IN ('the', 'data', 'query')))
-                 AS DOUBLE) * 10.0
-                 / CAST(len(string_split_regex(trim(text), ' +')) AS DOUBLE),
-                 1.0) * 1000000, 0) AS BIGINT) AS x4
-           FROM documents),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(COUNT(*) AS DOUBLE) * 1000000.0 * 1000000.0 AS den FROM f),
-         g1 AS (SELECT f.*, CAST(round((y - 0.5) * 1000000, 0) AS BIGINT)
-             AS g FROM f),
-         w1 AS (SELECT
-             0.0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
-             0.0 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
-             0.0 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
-             0.0 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
-             0.0 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
-           FROM g1, nn GROUP BY den),
-         g2 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
-             w1.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
-             + w1.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
-             + w1.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
-             + w1.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
-             + w1.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
-             AS BIGINT) AS g FROM f, w1),
-         w2 AS (SELECT
-             w1.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
-             w1.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
-             w1.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
-             w1.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
-             w1.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
-           FROM g2, nn, w1 GROUP BY den, w1.w0, w1.w1, w1.w2, w1.w3, w1.w4),
-         g3 AS (SELECT f.*, CAST(round((y - 1.0 / (1.0 + exp(-(
-             w2.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
-             + w2.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
-             + w2.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
-             + w2.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
-             + w2.w4 * (CAST(x4 AS DOUBLE) / 1000000.0))))) * 1000000, 0)
-             AS BIGINT) AS g FROM f, w2),
-         w3 AS (SELECT
-             w2.w0 + 6.0 * CAST(SUM(g * x0) AS DOUBLE) / den AS w0,
-             w2.w1 + 6.0 * CAST(SUM(g * x1) AS DOUBLE) / den AS w1,
-             w2.w2 + 6.0 * CAST(SUM(g * x2) AS DOUBLE) / den AS w2,
-             w2.w3 + 6.0 * CAST(SUM(g * x3) AS DOUBLE) / den AS w3,
-             w2.w4 + 6.0 * CAST(SUM(g * x4) AS DOUBLE) / den AS w4
-           FROM g3, nn, w2 GROUP BY den, w2.w0, w2.w1, w2.w2, w2.w3, w2.w4),
-         s AS (SELECT f.y, CAST(round(1000000.0 / (1.0 + exp(-(
-             w3.w0 * (CAST(x0 AS DOUBLE) / 1000000.0)
-             + w3.w1 * (CAST(x1 AS DOUBLE) / 1000000.0)
-             + w3.w2 * (CAST(x2 AS DOUBLE) / 1000000.0)
-             + w3.w3 * (CAST(x3 AS DOUBLE) / 1000000.0)
-             + w3.w4 * (CAST(x4 AS DOUBLE) / 1000000.0)))), 0) AS BIGINT)
-             AS su FROM f, w3)
+    "q_lr_calibration" -> (lrScoreCte + """
          SELECT least(su * 10 // 1000000, 9) AS bin,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(y) AS BIGINT) AS n_pos,
@@ -6193,7 +6200,60 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
              AS observed_rate,
            CAST(SUM(su) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)
              AS mean_predicted
-         FROM s GROUP BY 1 ORDER BY 1""",
+         FROM s GROUP BY 1 ORDER BY 1"""),
+    // same trained-LR score stream; per-bin HL terms pinned to decimal
+    // at 1e-9 before the exact 10-term sum
+    "q_hosmer_lemeshow" -> (lrScoreCte + """
+         , qs AS (SELECT quantile_cont(su,
+             [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qb FROM s),
+         binned AS (SELECT y, su,
+             list_sum(list_transform(qs.qb,
+               q -> CASE WHEN su > q THEN 1 ELSE 0 END)) AS bin
+           FROM s, qs),
+         b AS (SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS o,
+             CAST(SUM(su) AS BIGINT) AS su_sum
+           FROM binned GROUP BY 1),
+         t AS (SELECT bin, n, CAST(o AS DOUBLE) AS o,
+             CAST(su_sum AS DOUBLE) / 1000000.0 AS e FROM b),
+         terms AS (SELECT CAST(ROUND((o - e) * (o - e)
+             / (e * (1.0 - e / CAST(n AS DOUBLE))), 9) AS DECIMAL(24,9))
+             AS term FROM t)
+         SELECT CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(COUNT(*) - 2 AS BIGINT) AS df,
+           CAST(SUM(term) AS DOUBLE) AS hl_stat
+         FROM terms"""),
+    // paired binary era outcomes; discordant-cell chi2, one division of
+    // exact integer counts
+    "q_mcnemar" ->
+      """WITH flags AS (SELECT o_custkey AS ck,
+             MAX(CASE WHEN o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+               THEN 1 ELSE 0 END) AS early,
+             MAX(CASE WHEN o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+               THEN 1 ELSE 0 END) AS late
+           FROM orders GROUP BY 1),
+         j AS (SELECT COALESCE(early, 0) AS early, COALESCE(late, 0) AS late
+           FROM customer LEFT JOIN flags ON c_custkey = ck),
+         cells AS (SELECT
+             CAST(COUNT(*) FILTER (WHERE early = 1 AND late = 1) AS BIGINT)
+               AS n_both,
+             CAST(COUNT(*) FILTER (WHERE early = 1 AND late = 0) AS BIGINT)
+               AS n_early_only,
+             CAST(COUNT(*) FILTER (WHERE early = 0 AND late = 1) AS BIGINT)
+               AS n_late_only,
+             CAST(COUNT(*) FILTER (WHERE early = 0 AND late = 0) AS BIGINT)
+               AS n_neither
+           FROM j)
+         SELECT n_both, n_early_only, n_late_only, n_neither,
+           ROUND(CAST((n_early_only - n_late_only)
+               * (n_early_only - n_late_only) AS DOUBLE)
+             / CAST(n_early_only + n_late_only AS DOUBLE), 9)
+             AS mcnemar_chi2,
+           ROUND(CAST((abs(n_early_only - n_late_only) - 1)
+               * (abs(n_early_only - n_late_only) - 1) AS DOUBLE)
+             / CAST(n_early_only + n_late_only AS DOUBLE), 9)
+             AS mcnemar_corrected
+         FROM cells""",
     // four Bellman-Ford relaxation rounds unrolled as chained CTEs;
     // integer edge weights make loop and unroll value-identical
     "q_sssp" ->

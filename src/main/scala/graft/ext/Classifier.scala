@@ -232,6 +232,55 @@ object Classifier {
     out
   }
 
+  /** Hosmer–Lemeshow goodness-of-fit over the same trained model and
+    * score deciles as [[qLrCalibration]]: χ² = Σ (O−E)²/(E(1−E/n)) per
+    * bin, where O is the observed positive count and E the sum of
+    * predicted probabilities — the single-number answer to "is this
+    * calibration table acceptable". Per-bin terms round to DECIMAL at
+    * 1e-9 before the sum, so the 10-term reduction is exact decimal
+    * arithmetic (summation-order-free) and the scaled integer stays far
+    * under 2⁵³ (both engines' decimal→double casts are then exact).
+    */
+  def qHosmerLemeshow(
+      t: Tables, rounds: Int = 3, eta: Double = 6.0): DataFrame = {
+    val feat = features(t).localCheckpoint()
+    val n = feat.count()
+    var w: Seq[Double] = Seq(0.0, 0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to rounds) w = roundGd(w, feat, n, eta)
+    val sigu = round(lit(Scale.toDouble) /
+      (lit(1.0) + exp(-sigmaZ(w))), 0).cast("long")
+    val scored = feat.withColumn("su", sigu)
+    // equal-FREQUENCY deciles (the textbook HL grouping — fixed-width
+    // value bins degenerate when scores cluster): boundaries from one
+    // exact-percentile aggregate, broadcast back as a 1-row frame. A
+    // global ntile window would be the single-partition trap; the
+    // boundary comparison is embarrassingly parallel.
+    val bounds = scored.agg(expr(
+      "percentile(su, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("qb"))
+    val e = col("su_sum").cast("double") / lit(Scale.toDouble)
+    val o = col("o").cast("double")
+    val out = scored
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin", expr(
+        "aggregate(qb, 0L, (acc, q) -> acc + (CASE WHEN su > q THEN 1L ELSE 0L END))"))
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("y").as("o"),
+        sum("su").as("su_sum"))
+      .select(round((o - e) * (o - e) /
+          (e * (lit(1.0) - e / col("n").cast("double"))), 9)
+        .cast(DecimalType(24, 9)).as("term"))
+      .agg(
+        count(lit(1)).as("n_bins"),
+        (count(lit(1)) - 2).as("df"),
+        sum("term").cast("double").as("hl_stat"))
+      .localCheckpoint()
+    graft.Engine.freeCheckpoint(feat)
+    out
+  }
+
   /** Isotonic (monotone) calibration of the heuristic quality score
     * against the is-English label — the standard recalibration step when a
     * ranking score must become a probability: fit the least-squares

@@ -1742,6 +1742,47 @@ object Stats {
     * aggregation collects both eras in a single pass — no self-join), then
     * a scalar aggregate over the customer-sized pair frame.
     */
+  /** McNemar's test on paired binary outcomes: did each customer place
+    * an order in the early era, the late era, both, or neither — the
+    * categorical companion to [[qPairedTtest]] (same within-subject era
+    * split, but for yes/no outcomes where a t-test is meaningless). The
+    * statistic uses only the discordant cells: χ² = (b−c)²/(b+c), plus
+    * the Edwards continuity-corrected form. All four cells are exact
+    * integer counts; each statistic is one division of exact integers,
+    * rounded far above ulp.
+    *
+    * Scale: one conditional aggregation over orders + a broadcast-scale
+    * left join from the customer dimension (for the "neither" cell);
+    * the contingency table is a single row.
+    */
+  def qMcnemar(t: Tables): DataFrame = {
+    val cut = "TIMESTAMP '1998-07-01 00:00:00'"
+    val isEarly = expr(s"o_orderdate < $cut")
+    val flags = t.orders
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(
+        max(when(isEarly, 1L).otherwise(0L)).as("early"),
+        max(when(!isEarly, 1L).otherwise(0L)).as("late"))
+    t.customer.select(col("c_custkey").as("ck"))
+      .join(flags, Seq("ck"), "left")
+      .na.fill(0L, Seq("early", "late"))
+      .agg(
+        count(when(col("early") === 1L && col("late") === 1L, 1)).as("n_both"),
+        count(when(col("early") === 1L && col("late") === 0L, 1)).as("n_early_only"),
+        count(when(col("early") === 0L && col("late") === 1L, 1)).as("n_late_only"),
+        count(when(col("early") === 0L && col("late") === 0L, 1)).as("n_neither"))
+      .select(col("n_both"), col("n_early_only"), col("n_late_only"),
+        col("n_neither"),
+        round(((col("n_early_only") - col("n_late_only")) *
+          (col("n_early_only") - col("n_late_only"))).cast("double") /
+          (col("n_early_only") + col("n_late_only")).cast("double"), 9)
+          .as("mcnemar_chi2"),
+        round(((abs(col("n_early_only") - col("n_late_only")) - 1) *
+          (abs(col("n_early_only") - col("n_late_only")) - 1)).cast("double") /
+          (col("n_early_only") + col("n_late_only")).cast("double"), 9)
+          .as("mcnemar_corrected"))
+  }
+
   def qPairedTtest(t: Tables): DataFrame = {
     val cut = "TIMESTAMP '1998-07-01 00:00:00'"
     val cents = expr("CAST(round(o_totalprice * 100) AS BIGINT)")

@@ -150,7 +150,9 @@ class DeterminismSpec extends SparkSuite {
     "q_cronbach_alpha",   // integer count moments, one division
     "q_growth_accounting", // lag/lead classification, integer cells
     "q_textrank",         // integer micro-unit weighted PageRank
-    "q_kmv_distinct")     // md5 order statistics, two IEEE estimator ops
+    "q_kmv_distinct",     // md5 order statistics, two IEEE estimator ops
+    "q_mcnemar",          // integer contingency cells, one division
+    "q_hosmer_lemeshow")  // decimal-pinned HL terms, exact 10-term sum
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -238,6 +238,40 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
 
+  test("mcnemar: contingency cells from a driver-side era replay") {
+    val r = Stats.qMcnemar(tables).collect().head
+    val eras = tables.orders
+      .select(col("o_custkey"),
+        (col("o_orderdate") < expr("TIMESTAMP '1998-07-01 00:00:00'"))
+          .as("early")).collect()
+      .map(x => (x.getLong(0), x.getBoolean(1)))
+    val byC = eras.groupBy(_._1)
+    val custs = tables.customer.select("c_custkey").collect()
+      .map(_.getLong(0))
+    def cell(e: Boolean, l: Boolean) = custs.count { c =>
+      val os = byC.getOrElse(c, Array.empty[(Long, Boolean)])
+      os.exists(_._2) == e && os.exists(!_._2) == l
+    }.toLong
+    val (a, b, c2, d) =
+      (cell(true, true), cell(true, false), cell(false, true),
+        cell(false, false))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((a, b, c2, d)))
+    assert(a + b + c2 + d == custs.length.toLong)
+    assert(r.getDouble(4) == roundHalfUp(
+      ((b - c2) * (b - c2)).toDouble / (b + c2).toDouble, 9))
+    assert(r.getDouble(5) == roundHalfUp(
+      ((math.abs(b - c2) - 1) * (math.abs(b - c2) - 1)).toDouble /
+        (b + c2).toDouble, 9))
+  }
+
+  test("hosmer-lemeshow: ten equal-frequency bins, nonnegative statistic") {
+    val r = Classifier.qHosmerLemeshow(tables).collect().head
+    assert(r.getLong(0) == 10L, "quantile binning must fill all deciles")
+    assert(r.getLong(1) == r.getLong(0) - 2)
+    assert(r.getDouble(2) >= 0.0 && !r.getDouble(2).isNaN)
+  }
+
   test("growth accounting: conservation and churn ledger close exactly") {
     val rows = graft.ops.Events.qGrowthAccounting(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
