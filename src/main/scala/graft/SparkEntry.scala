@@ -340,6 +340,8 @@ object SparkEntry {
     "q_lr_calibration" -> q(Classifier.qLrCalibration(_)),
     "q_hosmer_lemeshow" -> q(Classifier.qHosmerLemeshow(_)),
     "q_mcnemar" -> q(Stats.qMcnemar),
+    "q_cohens_d" -> q(Stats.qCohensD),
+    "q_page_hinkley" -> q(Events.qPageHinkley),
     "q_isotonic_calibration" -> q(Classifier.qIsotonicCalibration(_)),
     "q_importance_weights" -> q(TextAnalysis.qImportanceWeights(_)),
     "q_kneser_ney" -> q(TextAnalysis.qKneserNey(_)),
@@ -6223,6 +6225,78 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
            CAST(COUNT(*) - 2 AS BIGINT) AS df,
            CAST(SUM(term) AS DOUBLE) AS hl_stat
          FROM terms"""),
+    // per-arm decimal moments in kilo-dollars; the pooled-SD chain is
+    // the only float algebra, rounded at 6
+    "q_cohens_d" ->
+      """WITH pc AS (SELECT o_custkey AS ck,
+             SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+           FROM orders GROUP BY 1),
+         arms AS (SELECT ck % 2 AS arm, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(cents AS DOUBLE) / 100000.0
+               AS DECIMAL(18,6))) AS sx,
+             SUM(CAST((CAST(cents AS DOUBLE) / 100000.0)
+               * (CAST(cents AS DOUBLE) / 100000.0)
+               AS DECIMAL(24,6))) AS sxx
+           FROM pc GROUP BY 1),
+         a AS (SELECT n AS n1, sx AS sx1, sxx AS sxx1 FROM arms
+           WHERE arm = 1),
+         b AS (SELECT n AS n0, sx AS sx0, sxx AS sxx0 FROM arms
+           WHERE arm = 0),
+         x AS (SELECT n1, n0,
+             CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS md,
+             (CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+               - CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+             / sqrt((CAST(n1 - 1 AS DOUBLE)
+                 * ((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+                     * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                   / CAST(n1 - 1 AS DOUBLE))
+               + CAST(n0 - 1 AS DOUBLE)
+                 * ((CAST(sxx0 AS DOUBLE) - CAST(sx0 AS DOUBLE)
+                     * CAST(sx0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                   / CAST(n0 - 1 AS DOUBLE)))
+               / CAST(n1 + n0 - 2 AS DOUBLE)) AS d
+           FROM a, b)
+         SELECT n1, n0, ROUND(md, 6) AS mean_diff_k,
+           ROUND(d, 6) AS cohens_d,
+           ROUND(d * (1.0 - 3.0
+             / (CAST(n1 + n0 AS DOUBLE) * 4.0 - 9.0)), 6) AS hedges_g
+         FROM x""",
+    // PH via decimal-pinned window algebra: deviation terms rounded to
+    // 1e-9 before every running sum; ties at the max break to first day
+    "q_page_hinkley" ->
+      """WITH daily AS (SELECT event_type,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(COUNT(*) AS DOUBLE) AS x FROM events GROUP BY 1, 2),
+         w AS (SELECT event_type, day, x,
+             CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY day) AS BIGINT) AS t,
+             SUM(CAST(x AS DECIMAL(20,1))) OVER (PARTITION BY event_type
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_x
+           FROM daily),
+         tm AS (SELECT event_type, t,
+             CAST(ROUND(x - CAST(cum_x AS DOUBLE) / CAST(t AS DOUBLE), 9)
+               AS DECIMAL(24,9)) AS term
+           FROM w),
+         mm AS (SELECT event_type, t,
+             SUM(term) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+           FROM tm),
+         p1 AS (SELECT event_type, t, m,
+             MIN(m) OVER (PARTITION BY event_type ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS min_m
+           FROM mm),
+         p2 AS (SELECT event_type, t, m - min_m AS ph,
+             MAX(m - min_m) OVER (PARTITION BY event_type) AS max_ph,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS nd
+           FROM p1)
+         SELECT event_type, MAX(nd) AS n_days,
+           CAST(MAX(CASE WHEN t = nd THEN ph END) AS DOUBLE) AS ph_final,
+           CAST(MAX(ph) AS DOUBLE) AS ph_max,
+           CAST(MIN(CASE WHEN ph = max_ph THEN t END) AS BIGINT)
+             AS ph_argmax_t
+         FROM p2 GROUP BY 1 ORDER BY 1""",
     // paired binary era outcomes; discordant-cell chi2, one division of
     // exact integer counts
     "q_mcnemar" ->

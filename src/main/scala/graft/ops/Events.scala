@@ -928,6 +928,45 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** Page–Hinkley drift detector over each event type's daily count
+    * series: the classic sequential change monitor PHₜ = mₜ − min mᵢ
+    * with mₜ = Σ(xᵢ − x̄ᵢ) (running mean, δ=0) — where the cumulative
+    * drift peaks is where the series broke from its own history. The
+    * recurrence unrolls into window algebra: the per-day deviation
+    * term xₜ − cum(x)/t rounds into DECIMAL at 1e-9 (the Kaplan–Meier
+    * pinning rule — a raw-double running sum would be summation-tree-
+    * dependent), so mₜ, its running min and PH are exact decimal
+    * arithmetic; argmax ties break to the EARLIEST day.
+    *
+    * Scale: the heavy work is the two-key daily hash aggregate; every
+    * window is partitioned by type over calendar-bounded series.
+    */
+  def qPageHinkley(t: Tables): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val cumW = byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val typeW = Window.partitionBy("event_type")
+    hwDaily(t.events)
+      .select(col("event_type"), col("day"), col("n").cast("double").as("x"))
+      .withColumn("t", row_number().over(byDay).cast("long"))
+      .withColumn("cum_x", sum(col("x").cast(DecimalType(20, 1))).over(cumW))
+      .withColumn("term",
+        round(col("x") - col("cum_x").cast("double") / col("t").cast("double"),
+          9).cast(DecimalType(24, 9)))
+      .withColumn("m", sum("term").over(cumW))
+      .withColumn("min_m", min("m").over(cumW))
+      .withColumn("ph", col("m") - col("min_m"))
+      .withColumn("max_ph", max("ph").over(typeW))
+      .withColumn("nd", count(lit(1)).over(typeW))
+      .groupBy("event_type")
+      .agg(
+        max("nd").as("n_days"),
+        max(when(col("t") === col("nd"), col("ph"))).cast("double")
+          .as("ph_final"),
+        max("ph").cast("double").as("ph_max"),
+        min(when(col("ph") === col("max_ph"), col("t"))).as("ph_argmax_t"))
+      .orderBy("event_type")
+  }
+
   /** Lagged cross-correlation between the hourly 'click' and 'view' count
     * series: Pearson r of (click_t, view_{t+lag}) for lags -3..3 hours —
     * the lead/lag diagnostic behind "does one stream drive the other".

@@ -1742,6 +1742,52 @@ object Stats {
     * aggregation collects both eras in a single pass — no self-join), then
     * a scalar aggregate over the customer-sized pair frame.
     */
+  /** Cohen's d (and Hedges' g) for the customer-parity A/B split over
+    * per-customer revenue — the standardized effect size an experiment
+    * readout reports next to [[qWelchTtest]]'s p-value ("significant,
+    * but how big?"). Per-arm moments are exact decimal cent sums (the
+    * qAnova recipe in kilo-dollar units); the pooled-SD chain is the
+    * only float algebra, rounded at 6, far above ulp.
+    *
+    * Scale: one customer-key aggregate then one 2-row arm aggregate —
+    * nothing after the first exchange exceeds the arm domain.
+    */
+  def qCohensD(t: Tables): DataFrame = {
+    val xk = col("cents").cast("double") / lit(100000.0) // kilo-dollars
+    val perCust = t.orders
+      .groupBy(col("o_custkey").as("ck"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+        .as("cents"))
+    val arms = perCust
+      .groupBy(pmod(col("ck"), lit(2)).cast("long").as("arm"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xk.cast(DecimalType(18, 6))).as("sx"),
+        sum((xk * xk).cast(DecimalType(24, 6))).as("sxx"))
+    val a = arms.filter(col("arm") === 1)
+      .select(col("n").as("n1"), col("sx").as("sx1"), col("sxx").as("sxx1"))
+    val b = arms.filter(col("arm") === 0)
+      .select(col("n").as("n0"), col("sx").as("sx0"), col("sxx").as("sxx0"))
+    def m(sx: String, n: String) =
+      col(sx).cast("double") / col(n).cast("double")
+    // sample variance from exact sums: (sxx - sx²/n) / (n - 1)
+    def v(sxx: String, sx: String, n: String) =
+      (col(sxx).cast("double") -
+        col(sx).cast("double") * col(sx).cast("double") /
+          col(n).cast("double")) / (col(n) - 1).cast("double")
+    val pooled = sqrt(((col("n1") - 1).cast("double") * v("sxx1", "sx1", "n1") +
+      (col("n0") - 1).cast("double") * v("sxx0", "sx0", "n0")) /
+      (col("n1") + col("n0") - 2).cast("double"))
+    val d = (m("sx1", "n1") - m("sx0", "n0")) / pooled
+    a.crossJoin(b)
+      .select(col("n1"), col("n0"),
+        round(m("sx1", "n1") - m("sx0", "n0"), 6).as("mean_diff_k"),
+        round(d, 6).as("cohens_d"),
+        round(d * (lit(1.0) - lit(3.0) /
+          ((col("n1") + col("n0")).cast("double") * 4.0 - 9.0)), 6)
+          .as("hedges_g"))
+  }
+
   /** McNemar's test on paired binary outcomes: did each customer place
     * an order in the early era, the late era, both, or neither — the
     * categorical companion to [[qPairedTtest]] (same within-subject era

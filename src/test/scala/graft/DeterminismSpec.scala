@@ -152,7 +152,9 @@ class DeterminismSpec extends SparkSuite {
     "q_textrank",         // integer micro-unit weighted PageRank
     "q_kmv_distinct",     // md5 order statistics, two IEEE estimator ops
     "q_mcnemar",          // integer contingency cells, one division
-    "q_hosmer_lemeshow")  // decimal-pinned HL terms, exact 10-term sum
+    "q_hosmer_lemeshow",  // decimal-pinned HL terms, exact 10-term sum
+    "q_cohens_d",         // decimal arm moments, rounded effect chain
+    "q_page_hinkley")     // decimal-pinned running sums, earliest-tie argmax
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

@@ -238,6 +238,69 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
 
+  test("cohens d: effect size from a driver-side per-customer replay") {
+    val r = Stats.qCohensD(tables).collect().head
+    val cents = tables.orders.groupBy("o_custkey")
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("c"))
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    def arm(p: Long) = cents.filter(_._1 % 2 == p).map { c =>
+      // the engine's decimal cast: exact at 6 dp (cents/1e5 has 5)
+      BigDecimal(c._2.toDouble / 100000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble }
+    val (a1, a0) = (arm(1), arm(0))
+    def stats(xs: Array[Double]) = {
+      val n = xs.length
+      val sx = BigDecimal(xs.map(BigDecimal(_)).sum.toString).toDouble
+      val sxx = xs.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+      (n.toLong, sx, sxx)
+    }
+    val ((n1, sx1, sxx1), (n0, sx0, sxx0)) = (stats(a1), stats(a0))
+    assert((r.getLong(0), r.getLong(1)) == ((n1, n0)))
+    val (m1, m0) = (sx1 / n1, sx0 / n0)
+    def v(sxx: Double, sx: Double, n: Long) =
+      (sxx - sx * sx / n.toDouble) / (n - 1).toDouble
+    val pooled = math.sqrt(((n1 - 1) * v(sxx1, sx1, n1) +
+      (n0 - 1) * v(sxx0, sx0, n0)) / (n1 + n0 - 2).toDouble)
+    val d = (m1 - m0) / pooled
+    assert(r.getDouble(2) == roundHalfUp(m1 - m0, 6))
+    assert(r.getDouble(3) == roundHalfUp(d, 6))
+    assert(r.getDouble(4) ==
+      roundHalfUp(d * (1.0 - 3.0 / ((n1 + n0).toDouble * 4.0 - 9.0)), 6))
+  }
+
+  test("page-hinkley: decimal-pinned recurrence replayed driver-side") {
+    val rows = graft.ops.Events.qPageHinkley(tables).collect()
+    val daily = tables.events
+      .select(col("event_type"), expr("ts_ns div 86400000000000").as("d"))
+      .groupBy("event_type", "d").agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (et, rs) =>
+      val xs = rs.sortBy(_._2).map(_._3.toDouble)
+      var cum = BigDecimal(0); var m = BigDecimal(0)
+      var minM = BigDecimal(0); var maxPh = BigDecimal(0)
+      var argmax = 0L; var ph = BigDecimal(0)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        val t = i + 1
+        cum += BigDecimal(x).setScale(1)
+        val term = BigDecimal(x - cum.toDouble / t.toDouble)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        m += term
+        minM = if (t == 1) m else minM.min(m)
+        ph = m - minM
+        // first attainment of the running max == engine's MIN-t tiebreak
+        if (t == 1 || ph > maxPh) { maxPh = ph; argmax = t }
+      }
+      et -> (xs.length.toLong, ph.toDouble, maxPh.toDouble, argmax)
+    }
+    rows.foreach { r =>
+      val (nd, phf, phm, am) = expected(r.getString(0))
+      assert(r.getLong(1) == nd)
+      assert(r.getDouble(2) == phf, s"${r.getString(0)} ph_final")
+      assert(r.getDouble(3) == phm, s"${r.getString(0)} ph_max")
+      assert(r.getLong(4) == am, s"${r.getString(0)} argmax")
+    }
+  }
+
   test("mcnemar: contingency cells from a driver-side era replay") {
     val r = Stats.qMcnemar(tables).collect().head
     val eras = tables.orders
