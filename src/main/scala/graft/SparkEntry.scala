@@ -342,6 +342,7 @@ object SparkEntry {
     "q_mcnemar" -> q(Stats.qMcnemar),
     "q_cohens_d" -> q(Stats.qCohensD),
     "q_page_hinkley" -> q(Events.qPageHinkley),
+    "q_dow_hour_heatmap" -> q(Events.qDowHourHeatmap),
     "q_isotonic_calibration" -> q(Classifier.qIsotonicCalibration(_)),
     "q_importance_weights" -> q(TextAnalysis.qImportanceWeights(_)),
     "q_kneser_ney" -> q(TextAnalysis.qKneserNey(_)),
@@ -6262,6 +6263,18 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
            ROUND(d * (1.0 - 3.0
              / (CAST(n1 + n0 AS DOUBLE) * 4.0 - 9.0)), 6) AS hedges_g
          FROM x""",
+    // 168-cell epoch-integer heatmap; share/lift each one division of
+    // exact counts
+    "q_dow_hour_heatmap" ->
+      """WITH c AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow,
+             (epoch_us(ts) // 3600000000) % 24 AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+         SELECT dow, hod, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+           CAST(n AS DOUBLE) * 168.0 / CAST(total AS DOUBLE) AS lift
+         FROM c, t ORDER BY dow, hod""",
     // PH via decimal-pinned window algebra: deviation terms rounded to
     // 1e-9 before every running sum; ties at the max break to first day
     "q_page_hinkley" ->

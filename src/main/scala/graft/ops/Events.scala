@@ -479,6 +479,33 @@ object Events {
       .orderBy("event_type", "hod")
   }
 
+  /** Day-of-week × hour-of-day traffic heatmap: the 168-cell seasonality
+    * matrix behind capacity planning and anomaly baselines — each cell's
+    * exact count, corpus share, and lift against the uniform expectation
+    * (n·168/total, one multiply and one division of exact integers).
+    * `dow` is epoch-day mod 7 (0 = Thursday, the 1970-01-01 anchor) —
+    * pure integer arithmetic on the raw nanosecond longs, no calendar
+    * library in the hot path.
+    *
+    * Scale: one two-key hash aggregate collapses the fact; the share
+    * window runs on the fixed 168-row frame.
+    */
+  def qDowHourHeatmap(t: Tables): DataFrame = {
+    val all = Window.partitionBy()
+    t.events
+      .groupBy(
+        expr("(ts_ns div 86400000000000) % 7").as("dow"),
+        expr("(ts_ns div 3600000000000) % 24").as("hod"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("total", sum("n").over(all))
+      .select(col("dow"), col("hod"), col("n"),
+        (col("n").cast("double") / col("total").cast("double"))
+          .as("share"),
+        (col("n").cast("double") * lit(168.0) /
+          col("total").cast("double")).as("lift"))
+      .orderBy("dow", "hod")
+  }
+
   /** Last-touch attribution: each purchase credits the most recent prior
     * click/view in the same user's timeline (an as-of lookup expressed as
     * one IGNORE-NULLS window — no self-join, no second shuffle). Purchases

@@ -154,7 +154,8 @@ class DeterminismSpec extends SparkSuite {
     "q_mcnemar",          // integer contingency cells, one division
     "q_hosmer_lemeshow",  // decimal-pinned HL terms, exact 10-term sum
     "q_cohens_d",         // decimal arm moments, rounded effect chain
-    "q_page_hinkley")     // decimal-pinned running sums, earliest-tie argmax
+    "q_page_hinkley",     // decimal-pinned running sums, earliest-tie argmax
+    "q_dow_hour_heatmap") // epoch-integer cells, one division each
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

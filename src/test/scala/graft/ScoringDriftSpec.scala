@@ -238,6 +238,21 @@ class ScoringDriftSpec extends SparkSuite {
       exceptRows.map { case (c, n) => c * n }.sum)))
   }
 
+  test("dow-hour heatmap: cells conserve the corpus; lift normalizes") {
+    val rows = graft.ops.Events.qDowHourHeatmap(tables).collect()
+    val total = tables.events.count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.foreach { r =>
+      assert(r.getLong(0) >= 0 && r.getLong(0) <= 6)
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 23)
+      assert(r.getDouble(3) == r.getLong(2).toDouble / total.toDouble)
+      assert(r.getDouble(4) ==
+        r.getLong(2).toDouble * 168.0 / total.toDouble)
+    }
+    // shares sum to 1 up to fp accumulation
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+  }
+
   test("cohens d: effect size from a driver-side per-customer replay") {
     val r = Stats.qCohensD(tables).collect().head
     val cents = tables.orders.groupBy("o_custkey")
