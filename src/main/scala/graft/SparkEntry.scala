@@ -812,6 +812,39 @@ object SparkEntry {
            CAST(cum AS DOUBLE) / CAST(k AS DOUBLE) AS cvar_cents
          FROM x WHERE i = k ORDER BY level"""
 
+  /** KMV oracle, built on the least version-sensitive SQL surface
+    * available: the 60-bit md5 decode is 15 explicit
+    * `ascii(substr(..))`/CASE terms on exact BIGINT weights — no
+    * lambdas (whose `i ->` arrow collides with the JSON arrow operator
+    * in newer DuckDB), no `strpos`, no bit shifts, no `range()`
+    * bound conventions. Byte-identical to the Spark side's
+    * `conv(substring(md5(..),1,15),16,10)` on every DuckDB tested.
+    */
+  private val kmvOracle: String = {
+    val decode = (1 to 15).map { i =>
+      val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
+      s"""(CASE WHEN substr(m,$i,1) >= 'a'
+           THEN ascii(substr(m,$i,1)) - 87
+           ELSE ascii(substr(m,$i,1)) - 48 END) * CAST($w AS BIGINT)"""
+    }.mkString("\n             + ")
+    s"""WITH dh AS (SELECT DISTINCT flag,
+             $decode AS h
+           FROM (SELECT l_returnflag AS flag,
+                   md5(CAST(l_partkey AS VARCHAR)) AS m FROM lineitem)),
+         rk AS (SELECT flag, h,
+             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS r,
+             COUNT(*) OVER (PARTITION BY flag) AS n FROM dh),
+         kth AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n_exact,
+             MAX(CASE WHEN r = 64 THEN h END) AS kth_hash
+           FROM rk GROUP BY 1)
+         SELECT flag, n_exact,
+           CASE WHEN n_exact < 64 THEN NULL ELSE kth_hash END AS kth_hash,
+           CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
+             ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
+             END AS est
+         FROM kth ORDER BY flag"""
+  }
+
   // shared by q_holt_winters and its streaming drain q_stream_holt
   private val holtWintersOracle: String =
     """WITH daily AS (SELECT event_type,
@@ -1076,28 +1109,9 @@ object SparkEntry {
     "q_var_cvar" -> varCvarOracle,
     "q_stream_var_cvar" -> varCvarOracle,
     // KMV sketch: identical 60-bit md5 hashes both engines, estimator =
-    // two IEEE ops on the exact k-th order statistic
-    "q_kmv_distinct" ->
-      """WITH dh AS (SELECT DISTINCT l_returnflag AS flag,
-             list_sum(list_transform(range(1, 16),
-               i -> CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(l_partkey AS VARCHAR)),
-                     CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
-                 * (CAST(1 AS BIGINT) << CAST(4 * (15 - i) AS INTEGER))))
-               AS h
-           FROM lineitem),
-         rk AS (SELECT flag, h,
-             ROW_NUMBER() OVER (PARTITION BY flag ORDER BY h) AS r,
-             COUNT(*) OVER (PARTITION BY flag) AS n FROM dh),
-         kth AS (SELECT flag, CAST(MAX(n) AS BIGINT) AS n_exact,
-             MAX(CASE WHEN r = 64 THEN h END) AS kth_hash
-           FROM rk GROUP BY 1)
-         SELECT flag, n_exact,
-           CASE WHEN n_exact < 64 THEN NULL ELSE kth_hash END AS kth_hash,
-           CASE WHEN n_exact < 64 THEN CAST(n_exact AS DOUBLE)
-             ELSE 63.0 * (1152921504606846976.0 / CAST(kth_hash AS DOUBLE))
-             END AS est
-         FROM kth ORDER BY flag""",
+    // two IEEE ops on the exact k-th order statistic; decode is
+    // lambda-free arithmetic (see kmvOracle) for DuckDB portability
+    "q_kmv_distinct" -> kmvOracle,
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->

@@ -63,6 +63,34 @@ class SkewSourcesSpec extends SparkSuite {
     }
   }
 
+  test("kmv oracle replay: arithmetic hex decode matches Spark's conv, " +
+    "and the SQL avoids every version-sensitive DuckDB surface") {
+    // emulate the oracle's 15-term ascii/CASE decode in pure JVM md5
+    def oracleDecode(key: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      hex.foldLeft(0L) { (acc, c) =>
+        acc * 16 + (if (c >= 'a') c - 87 else c - 48) }
+    }
+    val sparkSide = tables.lineitem
+      .select(col("l_partkey").cast("string").as("k"),
+        expr("conv(substring(md5(CAST(l_partkey AS STRING)), 1, 15), 16, 10)")
+          .cast("long").as("h"))
+      .distinct().limit(500).collect()
+    assert(sparkSide.nonEmpty)
+    sparkSide.foreach { r =>
+      assert(r.getLong(1) == oracleDecode(r.getString(0)),
+        s"decode mismatch for key ${r.getString(0)}")
+    }
+    // the r5 driver hash-fail was DuckDB version drift in the decode:
+    // lambdas (`i ->` collides with the JSON arrow in newer DuckDB),
+    // strpos, bit shifts, list_transform, range() bounds. Pin their absence.
+    val sql = SparkEntry.oracleSql("q_kmv_distinct")
+    Seq("->", "strpos", "<<", "list_transform", "range(", "lambda")
+      .foreach(bad => assert(!sql.contains(bad), s"oracle contains '$bad'"))
+  }
+
   test("approx_percentile lands within a few percent of the exact quantile") {
     Stats.qApproxQuantile(tables).collect().foreach { r =>
       Seq((1, 2), (3, 4)).foreach { case (ai, ei) =>
