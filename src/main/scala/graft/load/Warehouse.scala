@@ -89,7 +89,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
       // an ignored failure here would fall into the missing-table branch
       // below and silently reload only the new batch
       throw new java.io.IOException(s"upsert: could not recover $old to $dst")
-    if (Try(table(tableName).schema).isFailure) { load(df, tableName); return }
+    // probe existence on the FILESYSTEM, not by reading the table: a
+    // read of a missing path throws FileNotFoundException, and when this
+    // runs inside a foreachBatch stream thread Spark prints that stack
+    // trace to stderr (the r5 bench-tail noise) even though Try absorbs it
+    if (!fs.exists(dst)) { load(df, tableName); return }
     val existing = table(tableName)
     val incoming = df.select(keys.map(col): _*).dropDuplicates(keys)
     val cond = keys.map(k => existing(k) <=> incoming(k)).reduce(_ && _)
@@ -117,9 +121,11 @@ final case class Warehouse(spark: SparkSession, root: String) {
       .filter(col("__rn") === 1).drop("__rn")
     val upserts = latest.filter(col("op") =!= "D").drop("op", "seq")
     val touched = latest.select(keys.map(col): _*).dropDuplicates(keys)
-    if (Try(table(tableName).schema).isFailure) { load(upserts, tableName); return }
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // filesystem-probe, not read-probe: see upsert
+    if (!fs.exists(new org.apache.hadoop.fs.Path(path(tableName)))) {
+      load(upserts, tableName); return }
     val existing = table(tableName)
     val cond = keys.map(k => existing(k) <=> touched(k)).reduce(_ && _)
     val kept = existing.join(touched, cond, "left_anti")
@@ -183,9 +189,16 @@ final case class Warehouse(spark: SparkSession, root: String) {
   }
 
   /** Missing table -> 0, like the reference's bare-except readback
-    * (etl_pipeline.py:238-242).
+    * (etl_pipeline.py:238-242). Existence is a filesystem probe (a
+    * read-probe of a missing path makes Spark print the
+    * FileNotFoundException trace to stderr before Try absorbs it); the
+    * Try still guards corrupt/half-written directories.
     */
-  def tableCount(name: String): Long = Try(table(name).count()).getOrElse(0L)
+  def tableCount(name: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path(name))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L else Try(table(name).count()).getOrElse(0L)
+  }
 
   // --- Versioned tables (time travel) -----------------------------------
   // Minimal lakehouse-style snapshot layout:

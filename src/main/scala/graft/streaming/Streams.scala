@@ -186,12 +186,21 @@ object Streams {
     try {
       require(
         query.awaitTermination(600000L), "AvailableNow drain did not terminate")
+      // awaitTermination returns true for FAILED termination too — surface
+      // the stream's own exception instead of returning a silently-partial
+      // sink table
+      query.exception.foreach(e => throw e)
       val rows =
         if (spark.catalog.tableExists(name)) spark.table(name).collect().toSeq
         else Seq.empty[org.apache.spark.sql.Row]
       spark.createDataFrame(rows.asJava, streamed.schema)
     } finally {
-      query.stop()
+      // stop() only if still active: the termination latch fires slightly
+      // before the stream thread finishes its cleanup, and stop() on an
+      // already-terminated query interrupts that thread mid-cleanup —
+      // Spark ERROR-logs the InterruptedException with a full stack trace
+      // (the r5 bench-tail noise) even though the drain succeeded
+      if (query.isActive) query.stop()
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
       scala.util.Try(spark.catalog.dropTempView(name))
     }
@@ -251,9 +260,11 @@ object Streams {
       require(
         query.awaitTermination(600000L),
         "AvailableNow warehouse drain did not terminate")
+      query.exception.foreach(e => throw e)
       wh.table("hourly_counts")
     } finally {
-      query.stop()
+      // see drain(): stop() on a terminated query interrupts its cleanup
+      if (query.isActive) query.stop()
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
     }
   }

