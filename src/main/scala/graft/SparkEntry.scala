@@ -500,14 +500,17 @@ object SparkEntry {
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
     * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
-    * q_knn_ivf / q_knn_lsh / q_approx_quantile (approximate by
+    * q_knn_lsh / q_approx_quantile (approximate by
     * construction; sketch internals engine-specific),
     * pipeline_health (generator-sourced). Each engine-specific signature
     * family carries a fully-oracled portable companion that hash-checks
     * the same plan shape: q_dedup_minhash_verify (rare-gram buckets +
     * exact-jaccard verify), q_simhash_portable (md5-vote fingerprint +
     * hamming verify), q_knn_lsh_portable (md5 sign matrix + integer
-    * micro-unit band codes + exact-cosine top-k).
+    * micro-unit band codes + exact-cosine top-k). q_knn_ivf itself IS
+    * fully oracled: its Lloyd's index runs in exact integer micro-units,
+    * so the trained centroids are bit-deterministic and the oracle
+    * unrolls the rounds as CTEs (knnIvfOracle).
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
@@ -655,6 +658,107 @@ object SparkEntry {
            CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
          FROM sims)
        SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+
+  /** IVF kNN oracle: the exact-integer-micro-unit Lloyd's loop
+    * (ext/Similarity.scala lloydCentroidsExact) unrolled as three CTE
+    * rounds — the qPagerank unroll pattern. Every index-side quantity is
+    * an exact integer (micro-unit vectors ~1e6, centroids floor(sum/n)),
+    * so assignment argmaxes and probe rankings are bit-identical across
+    * engines; the final ranking similarity replays Spark's sequential
+    * cosine fold with list_sum, the same parity contract
+    * knnLshPortableOracle is graded on. A Spark early-stopped round is
+    * reproduced as identity by the extra unrolled round (stable
+    * assignments => identical floor means).
+    */
+  private val knnIvfOracle: String = {
+    // one Lloyd round: argmax-cosine assignment against `prev`, then
+    // per-cell floor means with COALESCE fallback for emptied cells
+    def round(prev: String, tag: String): String = s"""
+ a$tag AS (
+   SELECT vec_id, cell FROM (
+     SELECT s.vec_id, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         ORDER BY s.dot / (sqrt(s.nv) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT t.vec_id, c.cell,
+         SUM(t.m[c.i] * c.v) AS dot,
+         MAX(t.nv) AS nv,
+         SUM(c.v * c.v) AS nc
+       FROM tr t, $prev c
+       GROUP BY t.vec_id, c.cell) s)
+   WHERE rn = 1),
+ s$tag AS (
+   SELECT a.cell, d.i,
+     floor(CAST(SUM(t.m[d.i]) AS DOUBLE) / COUNT(*)) AS v
+   FROM tr t JOIN a$tag a USING (vec_id), dims d
+   GROUP BY a.cell, d.i),
+ c$tag AS (
+   SELECT p.cell, p.i, COALESCE(s.v, p.v) AS v
+   FROM $prev p LEFT JOIN s$tag s ON p.cell = s.cell AND p.i = s.i)"""
+    s"""WITH mu AS (
+   SELECT vec_id, label,
+     list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000)) AS m
+   FROM embeddings),
+ dims AS (SELECT CAST(i AS INTEGER) AS i FROM range(1, 65) t(i)),
+ tr AS (
+   SELECT vec_id, label, m,
+     list_sum(list_transform(m, x -> x * x)) AS nv
+   FROM mu WHERE vec_id % 2 = 0),
+ lab AS (
+   SELECT label, CAST(ROW_NUMBER() OVER (ORDER BY label) - 1 AS INTEGER) AS cell
+   FROM (SELECT DISTINCT label FROM tr)),
+ c0 AS (
+   SELECT l.cell, d.i,
+     floor(CAST(SUM(t.m[d.i]) AS DOUBLE) / COUNT(*)) AS v
+   FROM tr t JOIN lab l USING (label), dims d
+   GROUP BY l.cell, d.i),${round("c0", "1")},${round("c1", "2")},${round("c2", "3")},
+ cent AS (SELECT cell, i, v FROM c3),
+ cn AS (SELECT cell, SUM(v * v) AS nc FROM cent GROUP BY cell),
+ q AS (
+   SELECT vec_id AS qid, m AS qm,
+     list_sum(list_transform(m, x -> x * x)) AS nq
+   FROM mu WHERE vec_id % 200 = 0),
+ probe AS (
+   SELECT qid, cell FROM (
+     SELECT s.qid, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.qid
+         ORDER BY s.dot / (sqrt(s.nq) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT q.qid, c.cell, SUM(q.qm[c.i] * c.v) AS dot,
+         MAX(q.nq) AS nq, MAX(cn.nc) AS nc
+       FROM q, cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY q.qid, c.cell) s)
+   WHERE rn <= 2),
+ corpus AS (
+   SELECT vec_id AS nid, cell FROM (
+     SELECT s.vec_id, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         ORDER BY s.dot / (sqrt(s.nv) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT u.vec_id, c.cell,
+         SUM(u.m[c.i] * c.v) AS dot,
+         MAX(u.nv) AS nv, MAX(cn.nc) AS nc
+       FROM (SELECT vec_id, m,
+               list_sum(list_transform(m, x -> x * x)) AS nv FROM mu) u,
+         cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY u.vec_id, c.cell) s) t(vec_id, cell, rn)
+   WHERE rn = 1),
+ e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ sims AS (
+   SELECT p.qid, c.nid,
+     list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) /
+       (sqrt(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * a.v[i]))) *
+        sqrt(list_sum(list_transform(range(1, len(b.v) + 1), i -> b.v[i] * b.v[i])))) AS sim
+   FROM probe p JOIN corpus c USING (cell)
+   JOIN e a ON a.vec_id = p.qid JOIN e b ON b.vec_id = c.nid
+   WHERE p.qid <> c.nid),
+ ranked AS (
+   SELECT qid, nid, sim,
+     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT)
+       AS rnk
+   FROM sims)
+ SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
+  }
 
   /** k-anonymity / l-diversity audit over the (nation, segment) QI;
     * shared by the batch audit and its streaming-drain twin.
@@ -4770,6 +4874,10 @@ FROM terms GROUP BY source ORDER BY source""",
     // micro-unit projections (exact BIGINT sums -> bit-identical band
     // codes), then the same exact-cosine fold + top-5 as q_knn_brute
     "q_knn_lsh_portable" -> knnLshPortableOracle,
+    // IVF with the exact micro-unit Lloyd's index: three unrolled CTE
+    // rounds reproduce the trained centroids bit-for-bit, then probes +
+    // cell-pruned exact-cosine top-5
+    "q_knn_ivf" -> knnIvfOracle,
     // the streaming drain reproduces the same candidates/cosines/ranking
     // through a per-microbatch broadcast probe + bounded_topk state
     "q_stream_knn" -> knnLshPortableOracle,

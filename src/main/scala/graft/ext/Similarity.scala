@@ -186,6 +186,32 @@ object Similarity {
       }
       .toMap
 
+  /** [[cellMeans]] in the EXACT integer micro-unit domain: inputs are
+    * floor(x*1e6) values (integer-valued doubles), so every partial sum
+    * vector_sum produces is an exact integer below 2^53 — the aggregate
+    * is order-independent and bit-identical under any partitioning, task
+    * schedule, or cluster topology. Centroid element = floor(sum / n),
+    * kept in micro-units: the next round's argmax runs integer-exact dot
+    * products, so the whole Lloyd's loop is reproducible — and replayable
+    * by a DuckDB oracle as unrolled CTE rounds (float vector means are
+    * summation-tree-dependent and never are).
+    */
+  private def cellFloorMeans(assigned: DataFrame): Map[Int, Array[Double]] =
+    assigned
+      .groupBy("cell")
+      .agg(
+        call_function("vector_sum", col("mu")).as("s"),
+        count(when(col("mu").isNotNull && size(col("mu")) > 0, lit(1)))
+          .as("n"))
+      .collect()
+      .iterator
+      .filter(r => !r.isNullAt(1) && r.getLong(2) > 0L)
+      .map { r =>
+        val n = r.getLong(2).toDouble
+        r.getInt(0) -> r.getSeq[Double](1).map(s => math.floor(s / n)).toArray
+      }
+      .toMap
+
   /** K-means coarse centroids by Lloyd's iterations over a deterministic
     * training sample (every `trainMod`-th vector — index builds train on a
     * sample at scale, then assign the full corpus once). Initialization is
@@ -196,25 +222,45 @@ object Similarity {
     * materialized rows instead of re-running the scan + cast lineage.
     */
   def lloydCentroids(
+      emb: DataFrame, iters: Int = 3, trainMod: Int = 2): Seq[Array[Double]] =
+    lloydCentroidsExact(
+      emb.withColumn("mu",
+        transform(col("vec"), x => floor(x * lit(1000000.0)).cast("double"))),
+      iters, trainMod)
+      .map(_.map(_ / 1e6))
+
+  /** The Lloyd's loop itself, in EXACT integer micro-units: `emb` carries
+    * `mu` (floor(vec*1e6), integer-valued doubles) and the returned
+    * centroids stay in micro-units. Every cross-row sum is an exact
+    * integer (see [[cellFloorMeans]]) and every per-row argmax folds
+    * exact-integer products, so the trained index is bit-deterministic
+    * under any partitioning or cluster topology — reproducible index
+    * builds at 100 TB, and a query plan a DuckDB oracle can replay
+    * round-for-round. Convergence is exact integer equality of
+    * consecutive centroid sets (no epsilon needed in an exact domain).
+    */
+  def lloydCentroidsExact(
       emb: DataFrame, iters: Int = 3, trainMod: Int = 2): Seq[Array[Double]] = {
     val train = emb.filter(pmod(col("vec_id"), lit(trainMod)) === 0)
-      .select(col("label").cast("int").as("init_cell"), col("vec"))
+      .select(col("label").cast("int").as("init_cell"), col("mu"))
       .localCheckpoint()
     try {
-      val init = cellMeans(train.select(col("init_cell").as("cell"), col("vec")))
+      val init =
+        cellFloorMeans(train.select(col("init_cell").as("cell"), col("mu")))
       var cents: Seq[Array[Double]] = init.toSeq.sortBy(_._1).map(_._2)
       var moved = true
       var i = 0
       while (moved && i < iters) {
         val assigned = train.select(
-          nearestCell(col("vec"), cents).as("cell"), col("vec"))
-        val means = cellMeans(assigned)
+          nearestCell(col("mu"), cents).as("cell"), col("mu"))
+        val means = cellFloorMeans(assigned)
         // a cell that lost all members keeps its previous centroid
-        val next = cents.indices.map(i => means.getOrElse(i, cents(i)))
-        // early stop once assignments are stable (centroids stop moving) —
-        // saves whole corpus passes when the init is already good
+        val next = cents.indices.map(j => means.getOrElse(j, cents(j)))
+        // early stop once assignments are stable — exact equality, so a
+        // stable round is a provable no-op (the unrolled oracle rounds
+        // reproduce it as identity)
         moved = cents.zip(next).exists { case (a, b) =>
-          a.zip(b).exists { case (x, y) => math.abs(x - y) > 1e-12 }
+          !java.util.Arrays.equals(a, b)
         }
         cents = next
         i += 1
@@ -231,23 +277,36 @@ object Similarity {
     * probed query set broadcasts into the equi-join, so the corpus is
     * never shuffled; corpus cells are disjoint, so multi-probe never
     * duplicates a candidate. Output: per query, top-k within the probed
-    * cells. Approximate by construction — verified as rows-only by the
-    * harness and against recall in unit tests.
+    * cells. Approximate by construction.
+    *
+    * The index side (training, probe ranking, corpus assignment) runs in
+    * EXACT integer micro-units ([[lloydCentroidsExact]]): probe and
+    * assignment similarities fold exact-integer products (micro-unit
+    * vectors and centroids are both ~1e6 magnitude, so dots and norms
+    * stay far below 2^53), making the whole cell structure
+    * bit-deterministic and replayable by the DuckDB oracle as unrolled
+    * Lloyd CTE rounds. Only the FINAL ranking similarity uses the raw
+    * double vectors — a per-pair sequential fold the oracle replays with
+    * list_sum, the same parity contract [[qKnnLshPortable]] is graded on.
     */
   def qKnnIvf(t: Tables, k: Int = 5, nProbe: Int = 2): DataFrame = {
     val emb = t.embeddings.select(
-      col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"))
-    val cents = lloydCentroids(emb)
+      col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"),
+      microUnits(col("embedding")).cast("array<double>").as("mu"))
+    val cents = lloydCentroidsExact(emb)
 
     // per-query top-nProbe cells by centroid similarity (query side is
-    // tiny, so the explode + ranking window cost nothing at corpus scale)
+    // tiny, so the explode + ranking window cost nothing at corpus scale);
+    // micro-domain cosine — scale-invariant, so cell choice matches the
+    // raw-vector geometry to quantization precision, and exact
     val probes = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("qvec"), typedLit(c)).as("csim"), lit(i).as("cell"))
+      struct(cosine(col("qmu"), typedLit(c.toSeq)).as("csim"), lit(i).as("cell"))
     }: _*)
     val wProbe = Window.partitionBy("qid").orderBy(col("csim").desc, col("cell"))
     val queries = emb
       .filter(pmod(col("vec_id"), lit(200)) === 0)
-      .select(col("vec_id").as("qid"), col("vec").as("qvec"))
+      .select(col("vec_id").as("qid"), col("vec").as("qvec"),
+        col("mu").as("qmu"))
       .withColumn("pr", explode(probes))
       .select(col("qid"), col("qvec"), col("pr.csim").as("csim"),
         col("pr.cell").as("cell"))
@@ -261,7 +320,7 @@ object Similarity {
     // task) cross the exchange instead of every candidate similarity
     emb
       .select(col("vec_id").as("nid"), col("vec"),
-        nearestCell(col("vec"), cents).as("cell"))
+        nearestCell(col("mu"), cents).as("cell"))
       .join(broadcast(queries), "cell")
       .filter(col("qid") =!= col("nid"))
       .withColumn("sim", cosine(col("qvec"), col("vec")))
