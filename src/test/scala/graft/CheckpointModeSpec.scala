@@ -44,4 +44,30 @@ class CheckpointModeSpec extends SparkSuite {
     // reliable mode actually wrote checkpoint files
     assert(spark.sparkContext.getCheckpointDir.nonEmpty)
   }
+
+  // every remaining driver-orchestrated loop operator, exercised in BOTH
+  // modes — the 100 TB lineage-truncation posture is tested per operator,
+  // not asserted once. Results must be identical: the toggle changes
+  // where intermediate frames persist, never what they contain.
+  private def bothModes(name: String)(run: => Seq[org.apache.spark.sql.Row])
+      : Unit =
+    test(s"$name agrees across checkpoint modes") {
+      val local = run
+      val reliable = withReliable(run)
+      assert(local == reliable, s"$name diverged between checkpoint modes")
+      assert(local.nonEmpty)
+    }
+
+  bothModes("SSSP")(ops.Graph.qSssp(tables).collect().toSeq)
+  bothModes("HITS")(ops.Graph.qHits(tables).collect().toSeq)
+  bothModes("label propagation")(ops.Graph.qLabelProp(tables).collect().toSeq)
+  bothModes("k-core")(ops.Graph.qKcore(tables).collect().toSeq)
+  bothModes("personalized pagerank")(ops.Graph.qPpr(tables).collect().toSeq)
+  bothModes("modularity")(ops.Graph.qModularity(tables).collect().toSeq)
+  bothModes("hierarchy flatten")(
+    ops.Graph.qHierarchyFlatten(tables).collect().toSeq)
+  bothModes("Lloyd's IVF index")(ext.Similarity.qKnnIvf(tables).collect().toSeq)
+  bothModes("BPE merges")(ext.TextAnalysis.qBpeMerges(tables).collect().toSeq)
+  bothModes("dedup funnel connected components")(
+    ext.Dedup.qDedupPipeline(tables).collect().toSeq)
 }
