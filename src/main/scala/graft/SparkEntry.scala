@@ -329,6 +329,8 @@ object SparkEntry {
     "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
     "q_jaro_names" -> q(Dedup.qJaroNames(_)),
     "q_cross_source_overlap" -> q(Dedup.qCrossSourceOverlap),
+    "q_source_overlap" -> q(Dedup.qSourceOverlap(_)),
+    "q_boilerplate" -> q(TextAnalysis.qBoilerplate(_)),
     "q_dedup_savings" -> q(Dedup.qDedupSavings),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
@@ -377,6 +379,7 @@ object SparkEntry {
     "q_knn_lsh_portable" -> q(Similarity.qKnnLshPortable(_)),
     "q_ann_recall" -> q(Similarity.qAnnRecall(_)),
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
+    "q_pq_codes" -> q(Similarity.qPqCodes(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
@@ -760,6 +763,119 @@ object SparkEntry {
  SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
   }
 
+  /** Product-quantization oracle: two unrolled exact-integer Lloyd rounds
+    * per subspace (the knnIvfOracle pattern, L2 instead of cosine —
+    * every squared distance and floor-mean is an exact integer, so sums
+    * are order-independent and codes/errors hash-match bit-for-bit).
+    */
+  private val pqCodesOracle: String = {
+    def round(prev: String, tag: String): String = s"""
+ a$tag AS (
+   SELECT vec_id, s, cell, dist FROM (
+     SELECT t.vec_id, t.s, c.cell,
+       SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS dist,
+       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+         ORDER BY SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) ASC, c.cell ASC)
+         AS rn
+     FROM sub t JOIN $prev c ON c.s = t.s
+     GROUP BY t.vec_id, t.s, c.cell)
+   WHERE rn = 1),
+ s$tag AS (
+   SELECT t.s, a.cell, d.d,
+     floor(CAST(SUM(t.sub[d.d]) AS DOUBLE) / COUNT(*)) AS v
+   FROM sub t JOIN a$tag a ON a.vec_id = t.vec_id AND a.s = t.s, sd d
+   GROUP BY t.s, a.cell, d.d),
+ c$tag AS (
+   SELECT p.s, p.cell, p.d, COALESCE(n.v, p.v) AS v
+   FROM $prev p LEFT JOIN s$tag n
+     ON n.s = p.s AND n.cell = p.cell AND n.d = p.d)"""
+    s"""WITH mu AS (
+   SELECT vec_id, label,
+     list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000)) AS m
+   FROM embeddings),
+ sub AS (
+   SELECT vec_id, label, CAST(t.s AS INTEGER) AS s,
+     m[(t.s * 8 + 1):(t.s * 8 + 8)] AS sub
+   FROM mu, range(0, 8) t(s)),
+ sd AS (SELECT CAST(d AS INTEGER) AS d FROM range(1, 9) t(d)),
+ c0 AS (
+   SELECT t.s, CAST(t.label % 4 AS INTEGER) AS cell, d.d,
+     floor(CAST(SUM(t.sub[d.d]) AS DOUBLE) / COUNT(*)) AS v
+   FROM sub t, sd d
+   GROUP BY t.s, cell, d.d),${round("c0", "1")},${round("c1", "2")},
+ af AS (
+   SELECT vec_id, s, cell, dist FROM (
+     SELECT t.vec_id, t.s, c.cell,
+       SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS dist,
+       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+         ORDER BY SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) ASC, c.cell ASC)
+         AS rn
+     FROM sub t JOIN c2 c ON c.s = t.s
+     GROUP BY t.vec_id, t.s, c.cell)
+   WHERE rn = 1)
+ SELECT vec_id,
+   string_agg(CAST(cell AS VARCHAR), '' ORDER BY s) AS pq_code,
+   CAST(SUM(dist) AS BIGINT) AS recon_err
+ FROM af GROUP BY vec_id ORDER BY vec_id"""
+  }
+
+  /** KMV union-Jaccard between sources: portable md5-60 shingle hashes,
+    * per-source k-smallest signatures, then the union-k membership count
+    * — exact integers plus one IEEE division.
+    */
+  private val sourceOverlapOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+     string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+ g AS (SELECT source,
+     unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+       i -> array_to_string(w[i:i+2], ' '))) AS gram
+   FROM d),
+ dh AS (SELECT DISTINCT source, ${hexDecode60("md5(gram)")} AS h FROM g),
+ sig AS (SELECT source, h FROM (
+     SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+     FROM dh) WHERE rn <= 128),
+ pairs AS (SELECT a.source AS sa, b.source AS sb
+   FROM (SELECT DISTINCT source FROM sig) a, (SELECT DISTINCT source FROM sig) b
+   WHERE a.source < b.source),
+ m AS (SELECT p.sa, p.sb, s.h,
+     MAX(CASE WHEN s.source = p.sa THEN 1 ELSE 0 END) AS ia,
+     MAX(CASE WHEN s.source = p.sb THEN 1 ELSE 0 END) AS ib
+   FROM pairs p JOIN sig s ON s.source = p.sa OR s.source = p.sb
+   GROUP BY p.sa, p.sb, s.h),
+ r AS (SELECT sa, sb, ia, ib,
+     ROW_NUMBER() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM m)
+ SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_union_k,
+   CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+   CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+     / COUNT(*) AS jaccard_est
+ FROM r WHERE rn <= 128 GROUP BY sa, sb ORDER BY sa, sb"""
+
+  /** Cross-document boilerplate coverage: positions keep multiplicity,
+    * the df frame dedups (doc, hash) first, thresholds are integer
+    * cross-multiplies and coverage a single exact-integer division.
+    */
+  private val boilerplateOracle: String =
+    s"""WITH d AS (SELECT doc_id, source,
+     string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+ g AS (SELECT doc_id, source,
+     unnest(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+       i -> array_to_string(w[i:i+2], ' '))) AS gram
+   FROM d),
+ gh AS (SELECT doc_id, source, ${hexDecode60("md5(gram)")} AS h FROM g),
+ df AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS df
+   FROM (SELECT DISTINCT doc_id, h FROM gh) GROUP BY h),
+ pd AS (SELECT gh.doc_id, gh.source,
+     CAST(COUNT(*) AS BIGINT) AS n_pos,
+     CAST(SUM(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+   FROM gh JOIN df USING (h) GROUP BY gh.doc_id, gh.source)
+ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+   CAST(SUM(n_pos) AS BIGINT) AS n_positions,
+   CAST(SUM(n_boiler) AS BIGINT) AS n_boiler_positions,
+   CAST(SUM(CASE WHEN n_boiler * 10 > n_pos THEN 1 ELSE 0 END) AS BIGINT)
+     AS n_flagged_docs,
+   CAST(SUM(n_boiler) AS DOUBLE) / CAST(SUM(n_pos) AS DOUBLE) AS coverage
+ FROM pd GROUP BY source ORDER BY source"""
+
   /** k-anonymity / l-diversity audit over the (nation, segment) QI;
     * shared by the batch audit and its streaming-drain twin.
     */
@@ -924,13 +1040,22 @@ object SparkEntry {
     * bound conventions. Byte-identical to the Spark side's
     * `conv(substring(md5(..),1,15),16,10)` on every DuckDB tested.
     */
-  private val kmvOracle: String = {
-    val decode = (1 to 15).map { i =>
+  /** The 15-term arithmetic decode of an md5 hex prefix into the 60-bit
+    * BIGINT Spark computes as `conv(substring(md5(x),1,15),16,10)` —
+    * built from ascii()/CASE/multiplication only (no lambdas, strpos,
+    * shifts, or range() bounds, the DuckDB surfaces that drift across
+    * versions). `m` names a column holding the md5 hex string.
+    */
+  private def hexDecode60(m: String): String =
+    (1 to 15).map { i =>
       val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
-      s"""(CASE WHEN substr(m,$i,1) >= 'a'
-           THEN ascii(substr(m,$i,1)) - 87
-           ELSE ascii(substr(m,$i,1)) - 48 END) * CAST($w AS BIGINT)"""
+      s"""(CASE WHEN substr($m,$i,1) >= 'a'
+           THEN ascii(substr($m,$i,1)) - 87
+           ELSE ascii(substr($m,$i,1)) - 48 END) * CAST($w AS BIGINT)"""
     }.mkString("\n             + ")
+
+  private val kmvOracle: String = {
+    val decode = hexDecode60("m")
     s"""WITH dh AS (SELECT DISTINCT flag,
              $decode AS h
            FROM (SELECT l_returnflag AS flag,
@@ -4878,6 +5003,13 @@ FROM terms GROUP BY source ORDER BY source""",
     // rounds reproduce the trained centroids bit-for-bit, then probes +
     // cell-pruned exact-cosine top-5
     "q_knn_ivf" -> knnIvfOracle,
+    // product quantization: per-subspace exact-integer Lloyd rounds (L2),
+    // codes and reconstruction errors replayed digit-for-digit
+    "q_pq_codes" -> pqCodesOracle,
+    // KMV union-Jaccard content overlap between source pairs
+    "q_source_overlap" -> sourceOverlapOracle,
+    // cross-document repeated-gram coverage per source
+    "q_boilerplate" -> boilerplateOracle,
     // the streaming drain reproduces the same candidates/cosines/ranking
     // through a per-microbatch broadcast probe + bounded_topk state
     "q_stream_knn" -> knnLshPortableOracle,

@@ -839,6 +839,64 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Estimated CONTENT overlap between source pairs — the sketch
+    * companion to [[qCrossSourceOverlap]]'s exact whole-document
+    * fingerprint counts: two sources can share zero identical documents
+    * yet heavy shingle-level overlap (templated text, partial scrapes),
+    * which is what drives cross-source dedup and mixture decisions.
+    *
+    * Per source, a k-minimum-values signature over 60-bit md5 3-gram
+    * hashes (the portable hash, as in the KMV distinct sketch); per
+    * source pair, the union-KMV Jaccard estimator: among the k smallest
+    * hashes of the union of both signatures, the fraction present in
+    * both. Exact integers + one IEEE division, so the estimates
+    * hash-match the oracle.
+    *
+    * Scale: the corpus is scanned ONCE into (source, hash) rows with
+    * map-side distinct; the bounded_topk partial aggregate puts k rows
+    * per source per map task on the exchange, and everything after is
+    * source-dimension-sized (pairs, signatures, estimates) — the corpus
+    * never shuffles and never self-joins, which is the whole point of a
+    * sketch at 100 TB.
+    */
+  def qSourceOverlap(t: Tables, k: Int = 128): DataFrame = {
+    val h = expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long")
+    val sigs = t.documents
+      .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
+      .select(col("source"), h.as("h"))
+      .distinct()
+      .groupBy("source")
+      .agg(call_function("bounded_topk",
+        struct(lit(0.0), col("h")), lit(k), lit(true)).as("top"))
+      .select(col("source"),
+        transform(col("top"), x => x.getField("id")).as("sig"))
+    val e = sigs.select(col("source"), explode(col("sig")).as("h"))
+    val srcs = sigs.select("source")
+    val pairs = srcs.toDF("sa")
+      .crossJoin(srcs.toDF("sb"))
+      .filter(col("sa") < col("sb"))
+    val left = e.toDF("sa", "h").join(broadcast(pairs), "sa")
+      .select(col("sa"), col("sb"), col("h"),
+        lit(1).as("ia"), lit(0).as("ib"))
+    val right = e.toDF("sb", "h").join(broadcast(pairs), "sb")
+      .select(col("sa"), col("sb"), col("h"),
+        lit(0).as("ia"), lit(1).as("ib"))
+    val wPair = Window.partitionBy("sa", "sb").orderBy("h")
+    left.union(right)
+      .groupBy("sa", "sb", "h")
+      .agg(max("ia").as("ia"), max("ib").as("ib"))
+      .withColumn("rn", row_number().over(wPair))
+      .filter(col("rn") <= k)
+      .groupBy("sa", "sb")
+      .agg(
+        count(lit(1)).as("n_union_k"),
+        sum(when(col("ia") === 1 && col("ib") === 1, lit(1L)).otherwise(lit(0L)))
+          .as("n_both"))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("n_union_k").cast("double"))
+      .orderBy("sa", "sb")
+  }
+
   /** Blocked candidate pairs over part names — the shared front end of
     * the fuzzy-matching family ([[qFuzzyNames]], [[qJaroNames]],
     * [[qEntityResolution]]). Two defenses keep the in-block quadratic

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.Engine.LoopCheckpointOps
 import graft.Tables
 
 import org.apache.spark.sql.{Column, DataFrame}
@@ -953,5 +954,107 @@ object Similarity {
         (sum(round(col("b"), 6).cast(DecimalType(24, 8))).cast("double") /
           count(lit(1))).as("mean_dist_other"))
       .orderBy("label")
+  }
+
+  /** Product quantization (PQ): the vector-compression half of an IVF-PQ
+    * index. The embedding splits into `subspaces` blocks of `subDim`
+    * dims; each subspace trains its own `k`-cell codebook by Lloyd's
+    * rounds and every vector compresses to one code digit per subspace —
+    * 64 floats become 8 2-bit digits. Training runs in the same EXACT
+    * integer micro-unit domain as [[lloydCentroidsExact]] (L2 distances
+    * here, since PQ minimizes reconstruction error, not angle): sums,
+    * distances, and floor-mean centroids are all exact integers, so the
+    * codebooks, codes, and reconstruction errors are bit-deterministic
+    * and fully hash-oracled as unrolled CTE rounds.
+    *
+    * Scale shape: codebooks train on whatever sample the caller passes
+    * (full corpus here; at 100 TB a hash-mod sample, like lloyd's) — the
+    * subspace explode multiplies TRAINING rows by `subspaces` only, never
+    * the corpus at assignment time more than the same factor, and each
+    * Lloyd round is one broadcast join + window argmin + one k*subspaces
+    * row aggregate; the corpus never shuffles on anything wider than
+    * (vec_id, subspace). Init is label mod k — deterministic, like the
+    * IVF label init. Empty cells keep their previous centroid.
+    *
+    * Output: per vector, the packed code string (subspace-ordered cell
+    * digits) and the exact micro-unit squared reconstruction error.
+    */
+  def qPqCodes(
+      t: Tables, subspaces: Int = 8, subDim: Int = 8, k: Int = 4,
+      rounds: Int = 2): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    val rows = t.embeddings
+      .select(col("vec_id"), col("label"),
+        microUnits(col("embedding")).cast("array<double>").as("mu"))
+      .select(col("vec_id"), col("label"),
+        explode(array((0 until subspaces).map(s =>
+          struct(lit(s).as("s"),
+            slice(col("mu"), s * subDim + 1, subDim).as("sub"))): _*)).as("e"))
+      .select(col("vec_id"), col("label"),
+        col("e.s").as("s"), col("e.sub").as("sub"))
+      .loopCheckpoint()
+
+    // exact floor-mean codebook update: one vector_sum aggregate, k *
+    // subspaces rows to the driver (codebooks are index metadata)
+    def floorMeans(assigned: DataFrame): Map[(Int, Int), Array[Double]] =
+      assigned
+        .groupBy("s", "cell")
+        .agg(
+          call_function("vector_sum", col("sub")).as("sum"),
+          count(when(col("sub").isNotNull && size(col("sub")) > 0, lit(1)))
+            .as("n"))
+        .collect()
+        .iterator
+        .filter(r => !r.isNullAt(2) && r.getLong(3) > 0L)
+        .map { r =>
+          val n = r.getLong(3).toDouble
+          (r.getInt(0), r.getInt(1)) ->
+            r.getSeq[Double](2).map(v => math.floor(v / n)).toArray
+        }
+        .toMap
+
+    def centsDf(cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+      import spark.implicits._
+      cents.toSeq
+        .map { case ((s, c), v) => (s, c, v.toSeq) }
+        .toDF("s", "cell", "cvec")
+    }
+
+    // argmin-L2 assignment: broadcast the tiny codebook onto the subspace
+    // rows, exact integer squared distance, window argmin with ties to
+    // the lowest cell
+    val wCell = Window.partitionBy("vec_id", "s")
+      .orderBy(col("dist").asc, col("cell").asc)
+    def assign(cents: Map[(Int, Int), Array[Double]]): DataFrame =
+      rows
+        .join(broadcast(centsDf(cents)), "s")
+        .withColumn("dist",
+          aggregate(zip_with(col("sub"), col("cvec"),
+              (a, b) => (a - b) * (a - b)),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("rn", row_number().over(wCell))
+        .filter(col("rn") === 1)
+
+    var cents = floorMeans(
+      rows.withColumn("cell", pmod(col("label"), lit(k)).cast("int")))
+    (1 to rounds).foreach { _ =>
+      val means = floorMeans(
+        assign(cents).select(col("s"), col("cell"), col("sub")))
+      // a cell that lost all members keeps its previous centroid
+      cents = cents.map { case (key, prev) => key -> means.getOrElse(key, prev) }
+    }
+
+    val out = assign(cents)
+      .groupBy("vec_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("s"), col("cell")))),
+            x => x.getField("cell").cast("string")),
+          "").as("pq_code"),
+        sum(col("dist")).cast("long").as("recon_err"))
+      .orderBy("vec_id")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(rows)
+    out
   }
 }

@@ -217,6 +217,53 @@ object TextAnalysis {
         col("max_gram").cast("double") / col("n_grams").cast("double"))
       .orderBy("doc_id")
 
+  /** Cross-document boilerplate audit — the corpus-level companion to
+    * [[qRepetition]]'s intra-document repeats: n-gram positions whose
+    * gram appears in at least `minDf` DISTINCT documents are boilerplate
+    * (templated headers, navigation chrome, licence blurbs — the text a
+    * CCNet-style pipeline strips before training). Per source: the
+    * position-level boilerplate coverage (exact integer ratio of sums,
+    * not a mean of per-doc floats) and how many documents are
+    * boilerplate-heavy — over 10% covered, by integer cross-multiply,
+    * no float threshold.
+    *
+    * Scale: grams stream as 60-bit md5 hashes (positions keep
+    * multiplicity; the df frame dedups (doc, hash) first), ONE hash
+    * shuffle joins positions against their gram's df, and everything
+    * after is (doc) then (source) sized. No gram strings cross an
+    * exchange and nothing self-joins.
+    */
+  def qBoilerplate(t: Tables, minDf: Int = 5, n: Int = 3): DataFrame = {
+    val h = expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long")
+    val gh = t.documents
+      .select(col("doc_id"), col("source"),
+        explode(Dedup.shingles(col("text"), n)).as("g"))
+      .select(col("doc_id"), col("source"), h.as("h"))
+    val df_ = gh.select("doc_id", "h").distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+    val perDoc = gh
+      .join(df_, "h")
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_pos"),
+        sum(when(col("df") >= minDf, lit(1L)).otherwise(lit(0L)))
+          .as("n_boiler"))
+    perDoc
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_pos").as("n_positions"),
+        sum("n_boiler").as("n_boiler_positions"),
+        sum(when(col("n_boiler") * 10 > col("n_pos"), lit(1L))
+          .otherwise(lit(0L))).as("n_flagged_docs"))
+      .withColumn("coverage",
+        col("n_boiler_positions").cast("double") /
+          col("n_positions").cast("double"))
+      .select("source", "n_docs", "n_positions", "n_boiler_positions",
+        "n_flagged_docs", "coverage")
+      .orderBy("source")
+  }
+
   /** PII/identifier scrubbing: digits masked out of free-text identifier
     * columns with redaction accounting (rows touched, digits removed) —
     * the pattern a training-data pipeline applies to emails/phones/ids

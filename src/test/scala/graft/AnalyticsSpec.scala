@@ -197,6 +197,38 @@ class AnalyticsSpec extends SparkSuite {
     }
   }
 
+  test("KMV source overlap: all pairs covered, estimates well-formed") {
+    val rows = Dedup.qSourceOverlap(tables).collect()
+    val nSrc = tables.documents.select("source").distinct().count()
+    assert(rows.length == nSrc * (nSrc - 1) / 2, s"${rows.length} pairs")
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val (unionK, both, est) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(unionK > 0 && unionK <= 128)
+      assert(both >= 0 && both <= unionK)
+      assert(est == both.toDouble / unionK.toDouble)
+    }
+    // the test corpus shares vocabulary across sources, so SOME pair
+    // must register shingle-level overlap
+    assert(rows.exists(_.getLong(3) > 0), "no overlap detected anywhere")
+  }
+
+  test("boilerplate audit: exact count arithmetic and a flagged tail") {
+    val rows = TextAnalysis.qBoilerplate(tables).collect()
+    assert(rows.nonEmpty)
+    var totalDocs = 0L
+    rows.foreach { r =>
+      val (nDocs, nPos, nBoiler, nFlagged, cov) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))
+      totalDocs += nDocs
+      assert(nBoiler >= 0 && nBoiler <= nPos)
+      assert(nFlagged >= 0 && nFlagged <= nDocs)
+      assert(cov == nBoiler.toDouble / nPos.toDouble)
+    }
+    assert(totalDocs == tables.documents.count())
+  }
+
   test("SCD2 intervals are contiguous with exactly one open row per entity") {
     val rows = Analytics.qScd2Intervals(tables).collect()
     assert(rows.nonEmpty)

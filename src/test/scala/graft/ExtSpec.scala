@@ -88,6 +88,30 @@ class ExtSpec extends SparkSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("PQ codes: one digit per subspace, errors exact, training helps") {
+    val rows = Similarity.qPqCodes(tables).collect()
+    val emb = tables.embeddings.count()
+    assert(rows.length == emb)
+    rows.foreach { r =>
+      val code = r.getString(1)
+      assert(code.length == 8, s"code $code")
+      assert(code.forall(c => c >= '0' && c <= '3'), s"digit range: $code")
+      assert(r.getLong(2) >= 0L)
+    }
+    // codebooks must actually discriminate (not everything in one cell)
+    assert(rows.map(_.getString(1)).distinct.length > rows.length / 4)
+    // Lloyd training reduces reconstruction error vs the label-init
+    // codebooks (zero rounds = quantize against the raw label means)
+    val trained = rows.map(_.getLong(2)).sum / rows.length.toDouble
+    val untrained = Similarity.qPqCodes(tables, rounds = 0)
+      .collect().map(_.getLong(2)).sum / rows.length.toDouble
+    info(s"mean recon err: trained=$trained init=$untrained")
+    assert(trained <= untrained, s"$trained > $untrained")
+    // bit-deterministic: a re-run reproduces every code and error
+    val again = Similarity.qPqCodes(tables).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("Lloyd's iterations sharpen mixed label-mean centroids onto the true clusters") {
     // two exact clusters on orthogonal axes; labels only 60/40-correlated
     // with the clusters, so the init (label means) is a blurred mix of both
