@@ -380,6 +380,7 @@ object SparkEntry {
     "q_ann_recall" -> q(Similarity.qAnnRecall(_)),
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
     "q_pq_codes" -> q(Similarity.qPqCodes(_)),
+    "q_pq_search" -> q(Similarity.qPqSearch(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
@@ -763,13 +764,10 @@ object SparkEntry {
  SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
   }
 
-  /** Product-quantization oracle: two unrolled exact-integer Lloyd rounds
-    * per subspace (the knnIvfOracle pattern, L2 instead of cosine —
-    * every squared distance and floor-mean is an exact integer, so sums
-    * are order-independent and codes/errors hash-match bit-for-bit).
+  /** One unrolled PQ Lloyd round (assignment argmin -> floor means ->
+    * COALESCE fallback), shared by the two PQ oracles.
     */
-  private val pqCodesOracle: String = {
-    def round(prev: String, tag: String): String = s"""
+  private def pqOracleRound(prev: String, tag: String): String = s"""
  a$tag AS (
    SELECT vec_id, s, cell, dist FROM (
      SELECT t.vec_id, t.s, c.cell,
@@ -789,20 +787,34 @@ object SparkEntry {
    SELECT p.s, p.cell, p.d, COALESCE(n.v, p.v) AS v
    FROM $prev p LEFT JOIN s$tag n
      ON n.s = p.s AND n.cell = p.cell AND n.d = p.d)"""
+
+  /** Shared PQ-oracle prefix: micro-unit sub-vectors, `initExpr`-mod
+    * init, two unrolled Lloyd rounds ending at codebook `c2`.
+    */
+  private def pqOraclePrefix(
+      subspaces: Int, subDim: Int, initExpr: String): String =
     s"""WITH mu AS (
    SELECT vec_id, label,
      list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000)) AS m
    FROM embeddings),
  sub AS (
    SELECT vec_id, label, CAST(t.s AS INTEGER) AS s,
-     m[(t.s * 8 + 1):(t.s * 8 + 8)] AS sub
-   FROM mu, range(0, 8) t(s)),
- sd AS (SELECT CAST(d AS INTEGER) AS d FROM range(1, 9) t(d)),
+     m[(t.s * $subDim + 1):(t.s * $subDim + $subDim)] AS sub
+   FROM mu, range(0, $subspaces) t(s)),
+ sd AS (SELECT CAST(d AS INTEGER) AS d FROM range(1, ${subDim + 1}) t(d)),
  c0 AS (
-   SELECT t.s, CAST(t.label % 4 AS INTEGER) AS cell, d.d,
+   SELECT t.s, CAST($initExpr AS INTEGER) AS cell, d.d,
      floor(CAST(SUM(t.sub[d.d]) AS DOUBLE) / COUNT(*)) AS v
    FROM sub t, sd d
-   GROUP BY t.s, cell, d.d),${round("c0", "1")},${round("c1", "2")},
+   GROUP BY t.s, cell, d.d),${pqOracleRound("c0", "1")},${pqOracleRound("c1", "2")}"""
+
+  /** Product-quantization oracle: two unrolled exact-integer Lloyd rounds
+    * per subspace (the knnIvfOracle pattern, L2 instead of cosine —
+    * every squared distance and floor-mean is an exact integer, so sums
+    * are order-independent and codes/errors hash-match bit-for-bit).
+    */
+  private val pqCodesOracle: String =
+    s"""${pqOraclePrefix(8, 8, "t.label % 4")},
  af AS (
    SELECT vec_id, s, cell, dist FROM (
      SELECT t.vec_id, t.s, c.cell,
@@ -817,7 +829,42 @@ object SparkEntry {
    string_agg(CAST(cell AS VARCHAR), '' ORDER BY s) AS pq_code,
    CAST(SUM(dist) AS BIGINT) AS recon_err
  FROM af GROUP BY vec_id ORDER BY vec_id"""
-  }
+
+  /** ADC search oracle: the c2 codebook from the shared prefix encodes
+    * the corpus and builds per-query distance tables; the ADC sum is
+    * exact-integer, ranked ascending with ties to the lower id. A finer
+    * codebook than the codes demo (16 subspaces x 32 cells, vec_id-mod
+    * init so every cell seeds) — recall@5 vs exact L2 is the spec's bar.
+    */
+  private val pqSearchOracle: String =
+    s"""${pqOraclePrefix(16, 4, "t.vec_id % 32")},
+ codes AS (
+   SELECT vec_id AS nid, s, cell FROM (
+     SELECT t.vec_id, t.s, c.cell,
+       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+         ORDER BY SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) ASC, c.cell ASC)
+         AS rn
+     FROM sub t JOIN c2 c ON c.s = t.s
+     GROUP BY t.vec_id, t.s, c.cell)
+   WHERE rn = 1),
+ qt AS (
+   SELECT t.vec_id AS qid, t.s, c.cell,
+     SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS tdist
+   FROM sub t JOIN c2 c ON c.s = t.s
+   WHERE t.vec_id % 50 = 0
+   GROUP BY t.vec_id, t.s, c.cell),
+ adc AS (
+   SELECT q.qid, n.nid, SUM(q.tdist) AS adc
+   FROM codes n JOIN qt q ON q.s = n.s AND q.cell = n.cell
+   WHERE q.qid <> n.nid
+   GROUP BY q.qid, n.nid),
+ ranked AS (
+   SELECT qid, nid, CAST(adc AS BIGINT) AS adc_dist,
+     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC)
+       AS BIGINT) AS rnk
+   FROM adc)
+ SELECT qid, nid, adc_dist, rnk FROM ranked WHERE rnk <= 5
+ ORDER BY qid, rnk"""
 
   /** KMV union-Jaccard between sources: portable md5-60 shingle hashes,
     * per-source k-smallest signatures, then the union-k membership count
@@ -1046,7 +1093,7 @@ object SparkEntry {
     * shifts, or range() bounds, the DuckDB surfaces that drift across
     * versions). `m` names a column holding the md5 hex string.
     */
-  private def hexDecode60(m: String): String =
+  private[graft] def hexDecode60(m: String): String =
     (1 to 15).map { i =>
       val w = java.math.BigInteger.valueOf(16L).pow(15 - i)
       s"""(CASE WHEN substr($m,$i,1) >= 'a'
@@ -5006,6 +5053,8 @@ FROM terms GROUP BY source ORDER BY source""",
     // product quantization: per-subspace exact-integer Lloyd rounds (L2),
     // codes and reconstruction errors replayed digit-for-digit
     "q_pq_codes" -> pqCodesOracle,
+    // ADC search over the PQ codes: table lookups summed in exact ints
+    "q_pq_search" -> pqSearchOracle,
     // KMV union-Jaccard content overlap between source pairs
     "q_source_overlap" -> sourceOverlapOracle,
     // cross-document repeated-gram coverage per source

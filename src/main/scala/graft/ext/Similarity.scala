@@ -982,8 +982,27 @@ object Similarity {
   def qPqCodes(
       t: Tables, subspaces: Int = 8, subDim: Int = 8, k: Int = 4,
       rounds: Int = 2): DataFrame = {
-    val spark = t.embeddings.sparkSession
-    val rows = t.embeddings
+    val rows = pqSubRows(t, subspaces, subDim)
+    val cents = pqTrain(rows, k, rounds)
+    val out = pqAssign(rows, cents)
+      .groupBy("vec_id")
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("s"), col("cell")))),
+            x => x.getField("cell").cast("string")),
+          "").as("pq_code"),
+        sum(col("dist")).cast("long").as("recon_err"))
+      .orderBy("vec_id")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(rows)
+    out
+  }
+
+  /** Per-(vector, subspace) micro-unit sub-vector rows — the training and
+    * assignment input for the PQ family. Checkpointed; callers free it.
+    */
+  private def pqSubRows(t: Tables, subspaces: Int, subDim: Int): DataFrame =
+    t.embeddings
       .select(col("vec_id"), col("label"),
         microUnits(col("embedding")).cast("array<double>").as("mu"))
       .select(col("vec_id"), col("label"),
@@ -994,65 +1013,119 @@ object Similarity {
         col("e.s").as("s"), col("e.sub").as("sub"))
       .loopCheckpoint()
 
-    // exact floor-mean codebook update: one vector_sum aggregate, k *
-    // subspaces rows to the driver (codebooks are index metadata)
-    def floorMeans(assigned: DataFrame): Map[(Int, Int), Array[Double]] =
-      assigned
-        .groupBy("s", "cell")
-        .agg(
-          call_function("vector_sum", col("sub")).as("sum"),
-          count(when(col("sub").isNotNull && size(col("sub")) > 0, lit(1)))
-            .as("n"))
-        .collect()
-        .iterator
-        .filter(r => !r.isNullAt(2) && r.getLong(3) > 0L)
-        .map { r =>
-          val n = r.getLong(3).toDouble
-          (r.getInt(0), r.getInt(1)) ->
-            r.getSeq[Double](2).map(v => math.floor(v / n)).toArray
-        }
-        .toMap
+  /** Exact floor-mean codebook update: one vector_sum aggregate, k *
+    * subspaces rows to the driver (codebooks are index metadata).
+    */
+  private def pqFloorMeans(assigned: DataFrame): Map[(Int, Int), Array[Double]] =
+    assigned
+      .groupBy("s", "cell")
+      .agg(
+        call_function("vector_sum", col("sub")).as("sum"),
+        count(when(col("sub").isNotNull && size(col("sub")) > 0, lit(1)))
+          .as("n"))
+      .collect()
+      .iterator
+      .filter(r => !r.isNullAt(2) && r.getLong(3) > 0L)
+      .map { r =>
+        val n = r.getLong(3).toDouble
+        (r.getInt(0), r.getInt(1)) ->
+          r.getSeq[Double](2).map(v => math.floor(v / n)).toArray
+      }
+      .toMap
 
-    def centsDf(cents: Map[(Int, Int), Array[Double]]): DataFrame = {
-      import spark.implicits._
-      cents.toSeq
-        .map { case ((s, c), v) => (s, c, v.toSeq) }
-        .toDF("s", "cell", "cvec")
-    }
+  private def pqCentsDf(
+      spark: org.apache.spark.sql.SparkSession,
+      cents: Map[(Int, Int), Array[Double]]): DataFrame = {
+    import spark.implicits._
+    cents.toSeq
+      .map { case ((s, c), v) => (s, c, v.toSeq) }
+      .toDF("s", "cell", "cvec")
+  }
 
-    // argmin-L2 assignment: broadcast the tiny codebook onto the subspace
-    // rows, exact integer squared distance, window argmin with ties to
-    // the lowest cell
+  /** Exact integer squared L2 of each sub-vector against every cell of
+    * its subspace's codebook (broadcast).
+    */
+  private def pqDists(rows: DataFrame, cents: Map[(Int, Int), Array[Double]])
+      : DataFrame =
+    rows
+      .join(broadcast(pqCentsDf(rows.sparkSession, cents)), "s")
+      .withColumn("dist",
+        aggregate(zip_with(col("sub"), col("cvec"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+
+  /** Argmin-L2 assignment: window argmin over [[pqDists]] with ties to
+    * the lowest cell.
+    */
+  private def pqAssign(rows: DataFrame, cents: Map[(Int, Int), Array[Double]])
+      : DataFrame = {
     val wCell = Window.partitionBy("vec_id", "s")
       .orderBy(col("dist").asc, col("cell").asc)
-    def assign(cents: Map[(Int, Int), Array[Double]]): DataFrame =
-      rows
-        .join(broadcast(centsDf(cents)), "s")
-        .withColumn("dist",
-          aggregate(zip_with(col("sub"), col("cvec"),
-              (a, b) => (a - b) * (a - b)),
-            lit(0.0), (acc, x) => acc + x))
-        .withColumn("rn", row_number().over(wCell))
-        .filter(col("rn") === 1)
+    pqDists(rows, cents)
+      .withColumn("rn", row_number().over(wCell))
+      .filter(col("rn") === 1)
+  }
 
-    var cents = floorMeans(
-      rows.withColumn("cell", pmod(col("label"), lit(k)).cast("int")))
+  /** The Lloyd rounds over [[pqSubRows]]: `initCol`-mod-k init (label by
+    * default; vec_id when every one of k > #labels cells must seed),
+    * floor-mean updates, empty cells keep their previous centroid.
+    */
+  private def pqTrain(rows: DataFrame, k: Int, rounds: Int,
+      initCol: String = "label"): Map[(Int, Int), Array[Double]] = {
+    var cents = pqFloorMeans(
+      rows.withColumn("cell", pmod(col(initCol), lit(k)).cast("int")))
     (1 to rounds).foreach { _ =>
-      val means = floorMeans(
-        assign(cents).select(col("s"), col("cell"), col("sub")))
-      // a cell that lost all members keeps its previous centroid
+      val means = pqFloorMeans(
+        pqAssign(rows, cents).select(col("s"), col("cell"), col("sub")))
       cents = cents.map { case (key, prev) => key -> means.getOrElse(key, prev) }
     }
+    cents
+  }
 
-    val out = assign(cents)
-      .groupBy("vec_id")
-      .agg(
-        array_join(
-          transform(array_sort(collect_list(struct(col("s"), col("cell")))),
-            x => x.getField("cell").cast("string")),
-          "").as("pq_code"),
-        sum(col("dist")).cast("long").as("recon_err"))
-      .orderBy("vec_id")
+  /** PQ search by asymmetric distance computation (ADC) — the query half
+    * of IVF-PQ: each query precomputes a tiny distance TABLE (squared L2
+    * from its sub-vector to every codebook cell, subspaces x k entries),
+    * and a corpus vector's approximate distance is the sum of one table
+    * lookup per subspace selected by its stored code digits. The corpus
+    * side therefore moves only CODES (one 5-bit digit per subspace, never
+    * the 64 floats) — the memory/IO compression that lets PQ search
+    * corpora whose raw vectors don't fit anywhere. Every table entry and
+    * every ADC sum is an exact micro-unit integer, so the ranking is
+    * bit-deterministic and fully hash-oracled.
+    *
+    * Plan shape: corpus code rows equi-join the BROADCAST query tables on
+    * (subspace, cell) — the corpus never shuffles — and bounded_topk
+    * keeps k candidates per query per map task (score = negated distance,
+    * ties to the lower id). A production IVF-PQ would first prune
+    * candidates to the probed IVF cells ([[qKnnIvf]]); this is the flat
+    * exhaustive-ADC variant, the recall ceiling of that index.
+    */
+  def qPqSearch(
+      t: Tables, topK: Int = 5, subspaces: Int = 16, subDim: Int = 4,
+      k: Int = 32, rounds: Int = 2, queryMod: Int = 50): DataFrame = {
+    val rows = pqSubRows(t, subspaces, subDim)
+    val cents = pqTrain(rows, k, rounds, initCol = "vec_id")
+    val codes = pqAssign(rows, cents)
+      .select(col("vec_id").as("nid"), col("s"), col("cell"))
+    val queryTables = pqDists(
+        rows.filter(pmod(col("vec_id"), lit(queryMod)) === 0), cents)
+      .select(col("vec_id").as("qid"), col("s"), col("cell"),
+        col("dist").as("tdist"))
+    val out = codes
+      .join(broadcast(queryTables), Seq("s", "cell"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("tdist")).as("adc"))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(negate(col("adc")), col("nid")), lit(topK), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        negate(col("item.score")).cast("long").as("adc_dist"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
       .loopCheckpoint()
     graft.Engine.freeCheckpoint(rows)
     out

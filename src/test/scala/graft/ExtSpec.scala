@@ -112,6 +112,39 @@ class ExtSpec extends SparkSuite {
     assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("PQ ADC search: k ranked rows per query, recall consistent with compression") {
+    val rows = Similarity.qPqSearch(tables).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.forall(_.getLong(1) != qid))
+      val dists = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"ADC distances not ascending for $qid")
+      assert(dists.forall(_ >= 0L))
+    }
+    // the right baseline is exact L2 (ADC approximates L2, not cosine):
+    // 5-bit-per-subspace codes are a lossy ~25x compression, so the bar
+    // guards the mechanism — far above random top-5 overlap (~1%)
+    val vecs = tables.embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    val exact = byQ.keys.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.iterator.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          val d = qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum
+          (nid, d)
+        }
+        .toSeq.sortBy { case (nid, d) => (d, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val adc = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & adc).size.toDouble / exact.size
+    info(s"PQ-ADC recall vs exact L2 = $recall")
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
   test("Lloyd's iterations sharpen mixed label-mean centroids onto the true clusters") {
     // two exact clusters on orthogonal axes; labels only 60/40-correlated
     // with the clusters, so the init (label means) is a blurred mix of both

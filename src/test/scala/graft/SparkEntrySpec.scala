@@ -28,7 +28,7 @@ class SparkEntrySpec extends SparkSuite {
       "pipeline_health",
       "q_approx_distinct", "q_approx_quantile",
       "q_dedup_minhash", "q_dedup_simhash",
-      "q_knn_ivf", "q_knn_lsh")
+      "q_knn_lsh")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
       s"undocumented rows-only queries: ${unoracled -- rowsOnly}; " +

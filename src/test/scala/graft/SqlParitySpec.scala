@@ -343,4 +343,22 @@ class SqlParitySpec extends SparkSuite {
       .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
     assert(lat == win)
   }
+
+  test("KMV oracle hex decode replays engine-independently (ascii/CASE arithmetic == conv)") {
+    // the q_kmv_distinct oracle decodes a 15-char md5 prefix with pure
+    // ascii()/substr()/CASE arithmetic — the least version-sensitive SQL
+    // surface available. That arithmetic is ANSI enough to also run in
+    // Spark SQL, so replay it here as a third engine (beyond Spark's
+    // conv() and dev DuckDB) and demand bit-identity with
+    // conv(substring(md5(x),1,15),16,10) on every lineitem partkey.
+    val decode = SparkEntry.hexDecode60("m")
+    val diverging = spark.sql(
+      s"""SELECT m, $decode AS arith,
+            CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT) AS via_conv
+          FROM (SELECT md5(CAST(l_partkey AS STRING)) AS m FROM lineitem)
+          WHERE ($decode) <> CAST(conv(substring(m, 1, 15), 16, 10) AS BIGINT)""")
+      .collect()
+    assert(diverging.isEmpty,
+      s"arithmetic decode diverges from conv on: ${diverging.take(3).mkString(", ")}")
+  }
 }
