@@ -381,6 +381,8 @@ object SparkEntry {
     "q_embed_quantize" -> q(Similarity.qEmbedQuantize),
     "q_pq_codes" -> q(Similarity.qPqCodes(_)),
     "q_pq_search" -> q(Similarity.qPqSearch(_)),
+    "q_semdedup" -> q(Similarity.qSemDedup(_)),
+    "q_knn_ivfpq" -> q(Similarity.qKnnIvfPq(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
@@ -674,7 +676,14 @@ object SparkEntry {
     * reproduced as identity by the extra unrolled round (stable
     * assignments => identical floor means).
     */
-  private val knnIvfOracle: String = {
+  /** The IVF training CTE chain (no WITH keyword — callers prepend WITH
+    * or WITH RECURSIVE): micro-unit vectors, label-rank init on the
+    * vec_id%2 sample, three unrolled cosine Lloyd rounds ending at
+    * `cent` (cell, i, v) with per-cell norms in `cn`. Shared by the IVF
+    * search oracle and the semantic-dedup oracle, which reuse the SAME
+    * trained index the Spark side builds via lloydCentroidsExact.
+    */
+  private val ivfTrainCtes: String = {
     // one Lloyd round: argmax-cosine assignment against `prev`, then
     // per-cell floor means with COALESCE fallback for emptied cells
     def round(prev: String, tag: String): String = s"""
@@ -699,7 +708,7 @@ object SparkEntry {
  c$tag AS (
    SELECT p.cell, p.i, COALESCE(s.v, p.v) AS v
    FROM $prev p LEFT JOIN s$tag s ON p.cell = s.cell AND p.i = s.i)"""
-    s"""WITH mu AS (
+    s"""mu AS (
    SELECT vec_id, label,
      list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1000000)) AS m
    FROM embeddings),
@@ -717,7 +726,11 @@ object SparkEntry {
    FROM tr t JOIN lab l USING (label), dims d
    GROUP BY l.cell, d.i),${round("c0", "1")},${round("c1", "2")},${round("c2", "3")},
  cent AS (SELECT cell, i, v FROM c3),
- cn AS (SELECT cell, SUM(v * v) AS nc FROM cent GROUP BY cell),
+ cn AS (SELECT cell, SUM(v * v) AS nc FROM cent GROUP BY cell)"""
+  }
+
+  private val knnIvfOracle: String = {
+    s"""WITH $ivfTrainCtes,
  q AS (
    SELECT vec_id AS qid, m AS qm,
      list_sum(list_transform(m, x -> x * x)) AS nq
@@ -763,6 +776,143 @@ object SparkEntry {
    FROM sims)
  SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
   }
+
+  /** Semantic-dedup oracle: the shared IVF training chain, full-corpus
+    * argmax assignment (with the exact-integer dot/norms kept for the
+    * centroid similarity), within-cell pairs at cosine >= 0.35 in the
+    * micro-unit domain, recursive-CTE reachability for the duplicate
+    * groups, and the keep rule (lowest centroid similarity, ties to the
+    * lower id) as a ranking window.
+    */
+  private val semDedupOracle: String =
+    s"""WITH RECURSIVE $ivfTrainCtes,
+ asgn AS (
+   SELECT vec_id, cell, dot, nv, nc FROM (
+     SELECT s.vec_id, s.cell, s.dot, s.nv, s.nc,
+       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         ORDER BY s.dot / (sqrt(s.nv) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT u.vec_id, c.cell,
+         SUM(u.m[c.i] * c.v) AS dot,
+         MAX(u.nv) AS nv, MAX(cn.nc) AS nc
+       FROM (SELECT vec_id, m,
+               list_sum(list_transform(m, x -> x * x)) AS nv FROM mu) u,
+         cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY u.vec_id, c.cell) s)
+   WHERE rn = 1),
+ pr AS (
+   SELECT a.vec_id AS id1, b.vec_id AS id2
+   FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+   JOIN mu ma ON ma.vec_id = a.vec_id
+   JOIN mu mb ON mb.vec_id = b.vec_id
+   WHERE list_sum(list_transform(range(1, 65), i -> ma.m[i] * mb.m[i]))
+     / (sqrt(a.nv) * sqrt(b.nv)) >= 0.35),
+ sym AS (SELECT id1 AS src, id2 AS dst FROM pr
+   UNION ALL SELECT id2, id1 FROM pr),
+ reach(id, r) AS (
+   SELECT src, src FROM sym
+   UNION
+   SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+ comp AS (SELECT id, MIN(r) AS grp FROM reach GROUP BY id),
+ lab2 AS (
+   SELECT a.vec_id, a.cell, COALESCE(c.grp, a.vec_id) AS grp,
+     a.dot / (sqrt(a.nv) * sqrt(a.nc)) AS cent_sim
+   FROM asgn a LEFT JOIN comp c ON c.id = a.vec_id)
+ SELECT vec_id, CAST(cell AS BIGINT) AS cell, grp, cent_sim,
+   CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp
+       ORDER BY cent_sim ASC, vec_id ASC) = 1 THEN 1 ELSE 0 END AS BIGINT)
+     AS keep
+ FROM lab2 ORDER BY vec_id"""
+
+  /** IVF-PQ oracle: the shared IVF training chain, full-corpus argmax
+    * assignment, exact-integer RESIDUALS against the per-cell centroid
+    * list, a vec_id-seeded PQ codebook trained on those residuals (two
+    * unrolled Lloyd rounds, tags p1/p2 to avoid colliding with the IVF
+    * rounds), per-query probe of the top-2 cells, and the ADC sum over
+    * codes restricted to the probed cells — every stage exact-integer,
+    * ranked ascending with ties to the lower id.
+    */
+  private val knnIvfPqOracle: String =
+    s"""WITH $ivfTrainCtes,
+ asgn AS (
+   SELECT vec_id, cell FROM (
+     SELECT s.vec_id, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         ORDER BY s.dot / (sqrt(s.nv) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT u.vec_id, c.cell,
+         SUM(u.m[c.i] * c.v) AS dot,
+         MAX(u.nv) AS nv, MAX(cn.nc) AS nc
+       FROM (SELECT vec_id, m,
+               list_sum(list_transform(m, x -> x * x)) AS nv FROM mu) u,
+         cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY u.vec_id, c.cell) s)
+   WHERE rn = 1),
+ cl AS (SELECT cell, list(v ORDER BY i) AS cv FROM cent GROUP BY cell),
+ res AS (
+   SELECT a.vec_id, a.cell AS ivf_cell,
+     list_transform(range(1, 65), i -> u.m[i] - cl.cv[i]) AS rm
+   FROM asgn a JOIN mu u USING (vec_id) JOIN cl ON cl.cell = a.cell),
+ sub AS (
+   SELECT vec_id, ivf_cell, CAST(t.s AS INTEGER) AS s,
+     rm[(t.s * 4 + 1):(t.s * 4 + 4)] AS sub
+   FROM res, range(0, 16) t(s)),
+ sd AS (SELECT CAST(d AS INTEGER) AS d FROM range(1, 5) t(d)),
+ cp0 AS (
+   SELECT t.s, CAST(t.vec_id % 32 AS INTEGER) AS cell, d.d,
+     floor(CAST(SUM(t.sub[d.d]) AS DOUBLE) / COUNT(*)) AS v
+   FROM sub t, sd d
+   GROUP BY t.s, cell, d.d),${pqOracleRound("cp0", "p1")},${pqOracleRound("cp1", "p2")},
+ codes AS (
+   SELECT nid, ivf_cell, s, cell FROM (
+     SELECT t.vec_id AS nid, t.ivf_cell, t.s, c.cell,
+       ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s
+         ORDER BY SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) ASC, c.cell ASC)
+         AS rn
+     FROM sub t JOIN cp2 c ON c.s = t.s
+     GROUP BY t.vec_id, t.ivf_cell, t.s, c.cell)
+   WHERE rn = 1),
+ q AS (
+   SELECT vec_id AS qid, m AS qm,
+     list_sum(list_transform(m, x -> x * x)) AS nq
+   FROM mu WHERE vec_id % 50 = 0),
+ probe AS (
+   SELECT qid, cell AS ivf_cell FROM (
+     SELECT s.qid, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.qid
+         ORDER BY s.dot / (sqrt(s.nq) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT q.qid, c.cell, SUM(q.qm[c.i] * c.v) AS dot,
+         MAX(q.nq) AS nq, MAX(cn.nc) AS nc
+       FROM q, cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY q.qid, c.cell) s)
+   WHERE rn <= 2),
+ qres AS (
+   SELECT p.qid, p.ivf_cell,
+     list_transform(range(1, 65), i -> q.qm[i] - cl.cv[i]) AS rm
+   FROM probe p JOIN q ON q.qid = p.qid JOIN cl ON cl.cell = p.ivf_cell),
+ qsub AS (
+   SELECT qid, ivf_cell, CAST(t.s AS INTEGER) AS s,
+     rm[(t.s * 4 + 1):(t.s * 4 + 4)] AS sub
+   FROM qres, range(0, 16) t(s)),
+ qt AS (
+   SELECT t.qid, t.ivf_cell, t.s, c.cell,
+     SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS tdist
+   FROM qsub t JOIN cp2 c ON c.s = t.s
+   GROUP BY t.qid, t.ivf_cell, t.s, c.cell),
+ adc AS (
+   SELECT q.qid, n.nid, SUM(q.tdist) AS adc
+   FROM codes n JOIN qt q
+     ON q.ivf_cell = n.ivf_cell AND q.s = n.s AND q.cell = n.cell
+   WHERE q.qid <> n.nid
+   GROUP BY q.qid, n.nid),
+ ranked AS (
+   SELECT qid, nid, CAST(adc AS BIGINT) AS adc_dist,
+     CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC)
+       AS BIGINT) AS rnk
+   FROM adc)
+ SELECT qid, nid, adc_dist, rnk FROM ranked WHERE rnk <= 5
+ ORDER BY qid, rnk"""
 
   /** One unrolled PQ Lloyd round (assignment argmin -> floor means ->
     * COALESCE fallback), shared by the two PQ oracles.
@@ -5055,6 +5205,10 @@ FROM terms GROUP BY source ORDER BY source""",
     "q_pq_codes" -> pqCodesOracle,
     // ADC search over the PQ codes: table lookups summed in exact ints
     "q_pq_search" -> pqSearchOracle,
+    // SemDeDup: IVF-clustered keep/prune decisions, recursive-CTE groups
+    "q_semdedup" -> semDedupOracle,
+    // IVF-PQ: probed-cell ADC over residual codes, exact ints throughout
+    "q_knn_ivfpq" -> knnIvfPqOracle,
     // KMV union-Jaccard content overlap between source pairs
     "q_source_overlap" -> sourceOverlapOracle,
     // cross-document repeated-gram coverage per source

@@ -421,6 +421,166 @@ object Similarity {
     smallPairs.unionAll(bigPairs)
   }
 
+  /** IVF-PQ search — the full production ANN composition: the IVF coarse
+    * quantizer ([[lloydCentroidsExact]], the index [[qKnnIvf]] and
+    * [[qSemDedup]] share) prunes each query to its `nProbe` nearest
+    * cells, and within those cells candidates are ranked by PQ
+    * asymmetric-distance ([[qPqSearch]]'s ADC) over RESIDUAL vectors
+    * (member minus its cell centroid — the standard IVF-PQ encoding:
+    * residuals are far smaller than raw vectors, so the same code budget
+    * quantizes them more finely). Micro-unit vectors and floor-mean
+    * centroids are both integer-valued, so residuals, PQ training,
+    * distance tables, and every ADC sum stay exact integers — the whole
+    * two-level index is bit-deterministic and fully hash-oracled.
+    *
+    * Scale shape: corpus rows compute their cell id map-side, encode once,
+    * and thereafter move only (ivf_cell, subspace, code) — neither raw
+    * vectors nor residuals ever cross a shuffle; the per-(query, probed
+    * cell) distance tables broadcast into the code join, and
+    * bounded_topk keeps k candidates per query per map task.
+    */
+  def qKnnIvfPq(
+      t: Tables, topK: Int = 5, nProbe: Int = 2, subspaces: Int = 16,
+      subDim: Int = 4, pqK: Int = 32, rounds: Int = 2,
+      queryMod: Int = 50, checkpoint: Boolean = true): DataFrame = {
+    val emb = t.embeddings.select(
+      col("vec_id"), col("label"),
+      microUnits(col("embedding")).cast("array<double>").as("mu"))
+    val cents = lloydCentroidsExact(emb)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    def subSlices(rm: Column): Column =
+      explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"),
+          slice(rm, s * subDim + 1, subDim).as("sub"))): _*))
+    // corpus: assign, take the residual, slice into PQ sub-vectors
+    val rows = emb
+      .select(col("vec_id"), nearestCell(col("mu"), cents).as("ivf_cell"),
+        col("mu"))
+      .withColumn("rm",
+        zip_with(col("mu"), element_at(centsLit, col("ivf_cell") + 1),
+          (a, b) => a - b))
+      .select(col("vec_id"), col("ivf_cell"), subSlices(col("rm")).as("e"))
+      .select(col("vec_id"), col("ivf_cell"),
+        col("e.s").as("s"), col("e.sub").as("sub"))
+      .loopCheckpoint()
+    val pqCents = pqTrain(rows, pqK, rounds, initCol = "vec_id")
+    val codes = pqAssign(rows, pqCents)
+      .select(col("vec_id").as("nid"), col("ivf_cell"), col("s"), col("cell"))
+    // queries: top-nProbe cells by centroid cosine (micro-domain, exact),
+    // then one residual + distance table per probed cell
+    val probes = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("mu"), typedLit(c.toSeq)).as("csim"),
+        lit(i).as("ivf_cell"))
+    }: _*)
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("ivf_cell"))
+    val qRows = emb
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"), col("mu"), explode(probes).as("pr"))
+      .select(col("qid"), col("mu"), col("pr.csim").as("csim"),
+        col("pr.ivf_cell").as("ivf_cell"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("ivf_cell"),
+        zip_with(col("mu"), element_at(centsLit, col("ivf_cell") + 1),
+          (a, b) => a - b).as("rm"))
+      .select(col("qid"), col("ivf_cell"), subSlices(col("rm")).as("e"))
+      .select(col("qid").as("vec_id"), col("ivf_cell"),
+        col("e.s").as("s"), col("e.sub").as("sub"))
+    val qTables = pqDists(qRows, pqCents)
+      .select(col("vec_id").as("qid"), col("ivf_cell"), col("s"),
+        col("cell"), col("dist").as("tdist"))
+    val out = codes
+      .join(broadcast(qTables), Seq("ivf_cell", "s", "cell"))
+      .filter(col("qid") =!= col("nid"))
+      .groupBy("qid", "nid")
+      .agg(sum(col("tdist")).as("adc"))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(negate(col("adc")), col("nid")), lit(topK), lit(true)).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("i", "item")))
+      .select(
+        col("qid"),
+        col("item.id").as("nid"),
+        negate(col("item.score")).cast("long").as("adc_dist"),
+        (col("i") + 1).cast("long").as("rnk"))
+      .orderBy("qid", "rnk")
+    // checkpoint=false exposes the search plan to the shape audit
+    val res = if (checkpoint) {
+      val c = out.loopCheckpoint()
+      graft.Engine.freeCheckpoint(rows)
+      c
+    } else out
+    res
+  }
+
+  /** Semantic dedup (the SemDeDup recipe): cluster the corpus with the
+    * SAME exact-integer Lloyd index [[qKnnIvf]] trains, find near-dup
+    * pairs only WITHIN a cluster, group them into connected components,
+    * and keep per group the member FARTHEST from its cluster centroid —
+    * pruning the redundant core of a semantic neighborhood while
+    * retaining its most informative (least typical) example, which is
+    * the policy that distinguishes semantic dedup from near-dup removal
+    * ([[qDedupEmbed]] keeps pairs; this makes keep/prune decisions).
+    *
+    * Scale shape: cluster assignment is a map-side projection against the
+    * literal centroid set (no shuffle); the pairwise stage shuffles once
+    * on the cell key and compares only within a cell ([[embedDupPairs]] —
+    * over-cap cells fall back to banded-LSH sub-blocking, so no cell ever
+    * goes quadratic); components run on the pair EDGE list
+    * ([[Dedup.connectedComponents]] min-label propagation with pointer
+    * jumping). Everything before the final keep-ranking is exact integer
+    * micro-unit arithmetic, so the full decision — clusters, pairs,
+    * groups, centroid similarities — is bit-deterministic and replayed by
+    * the DuckDB oracle (unrolled Lloyd rounds + recursive-CTE
+    * reachability).
+    */
+  def qSemDedup(
+      t: Tables, threshold: Double = 0.35, maxCell: Int = 2048,
+      checkpoint: Boolean = true): DataFrame = {
+    val emb = t.embeddings.select(
+      col("vec_id"), col("label"),
+      microUnits(col("embedding")).cast("array<double>").as("mu"))
+    val cents = lloydCentroidsExact(emb)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    // assignment + per-member centroid cosine: micro-domain cosine is
+    // scale-invariant (matches raw geometry to quantization precision) and
+    // its dot/norms are exact integers — one IEEE division at the end
+    val assigned = emb
+      .select(col("vec_id"), nearestCell(col("mu"), cents).as("cell"),
+        col("mu"))
+      .withColumn("cent_sim",
+        cosine(col("mu"), element_at(centsLit, col("cell") + 1)))
+      .loopCheckpoint()
+    val pairs = embedDupPairs(
+      assigned.select(col("cell").as("label"), col("vec_id"),
+        col("mu").as("v")),
+      threshold, maxCell)
+      .select("id1", "id2")
+      .loopCheckpoint()
+    val comps = Dedup.connectedComponents(pairs)
+      .select(col("id").as("vec_id"), col("comp"))
+    val wKeep = Window.partitionBy("grp")
+      .orderBy(col("cent_sim").asc, col("vec_id").asc)
+    val out = assigned
+      .join(comps, Seq("vec_id"), "left")
+      .withColumn("grp", coalesce(col("comp"), col("vec_id")))
+      .withColumn("keep",
+        (row_number().over(wKeep) === 1).cast("long"))
+      .select(col("vec_id"), col("cell").cast("long").as("cell"), col("grp"),
+        col("cent_sim"), col("keep"))
+      .orderBy("vec_id")
+    // checkpoint=false exposes the decision plan to the shape audit;
+    // assigned/pairs stay checkpointed (the CC loop needs them hot)
+    val res = if (checkpoint) {
+      val c = out.loopCheckpoint()
+      graft.Engine.freeCheckpoint(assigned)
+      graft.Engine.freeCheckpoint(pairs)
+      c
+    } else out
+    res
+  }
+
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
     * by the same sequential fold as the oracle's list arithmetic — raw
     * doubles, no aggregation, so the compare is bit-exact.

@@ -145,6 +145,61 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("IVF-PQ search: probed-cell ADC ranking, recall above the flat-scan floor") {
+    val rows = Similarity.qKnnIvfPq(tables).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 5)
+      assert(rs.forall(_.getLong(1) != qid))
+      val dists = rs.sortBy(_.getLong(3)).map(_.getLong(2))
+      assert(dists.zip(dists.tail).forall { case (a, b) => a <= b },
+        s"ADC distances not ascending for $qid")
+      assert(dists.forall(_ >= 0L))
+    }
+    // recall vs exact L2 top-5: bounded above by the nProbe=2 cell
+    // ceiling and below by quantization — the bar guards the two-level
+    // mechanism (residual coding must beat random by >20x)
+    val vecs = tables.embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .as[(Long, Seq[Double])].collect().toMap
+    val exact = byQ.keys.flatMap { qid =>
+      val qv = vecs(qid)
+      vecs.iterator.filter(_._1 != qid)
+        .map { case (nid, nv) =>
+          (nid, qv.zip(nv).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }
+        .toSeq.sortBy { case (nid, d) => (d, nid) }.take(5)
+        .map { case (nid, _) => (qid, nid) }
+    }.toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    info(s"IVF-PQ recall vs exact L2 = $recall")
+    assert(recall >= 0.25, s"recall=$recall")
+  }
+
+  test("SemDeDup: one keeper per group, keeper is farthest from centroid, singletons self-keep") {
+    val rows = Similarity.qSemDedup(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.length == 500) // a decision per corpus vector
+    val byGrp = rows.groupBy(_._3)
+    byGrp.foreach { case (grp, mem) =>
+      assert(mem.count(_._5 == 1L) == 1, s"group $grp keeper count != 1")
+      // keep rule: lowest centroid similarity, ties to the lower vec_id
+      val keeper = mem.minBy(m => (m._4, m._1))
+      assert(keeper._5 == 1L, s"group $grp kept the wrong member")
+      // group id is the min member id and every member shares one cell
+      assert(mem.map(_._1).min == grp)
+      assert(mem.map(_._2).distinct.length == 1,
+        s"group $grp spans cells ${mem.map(_._2).distinct.toSeq}")
+    }
+    val pruned = rows.count(_._5 == 0L)
+    info(s"groups=${byGrp.size} pruned=$pruned of ${rows.length}")
+    // the corpus has semantic neighborhoods but no exact dups: pruning
+    // should bite (mechanism works) without collapsing the corpus
+    assert(pruned > 20 && pruned < 250, s"pruned=$pruned")
+  }
+
   test("Lloyd's iterations sharpen mixed label-mean centroids onto the true clusters") {
     // two exact clusters on orthogonal axes; labels only 60/40-correlated
     // with the clusters, so the init (label means) is a blurred mix of both

@@ -582,4 +582,31 @@ class PlanAuditSpec extends SparkSuite {
       s"extra window spec:\n$p")
     assert(shuffleCount(p) <= 3, s"grid exchanges grew:\n$p")
   }
+
+  test("IVF-PQ search: query tables broadcast onto codes, corpus codes never cartesian") {
+    // the corpus side carries only (ivf_cell, subspace, code digit) into
+    // the ADC join — per-query distance tables must broadcast, and the
+    // only shuffles after encoding are the code argmin window, the
+    // (qid,nid) ADC sum, the per-query top-k, and the output sort
+    val p = graft.ext.Similarity.qKnnIvfPq(tables, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"query tables not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"ADC join went cartesian:\n$p")
+    val n = shuffleCount(p)
+    assert(n <= 5, s"expected <=5 shuffle exchanges, got $n:\n$p")
+    assert(p.contains("partial_bounded_topk") || p.contains("partial_boundedtopk"),
+      "no map-side partial for the per-query top-k")
+  }
+
+  test("SemDeDup: keep decision reads checkpointed frames, no fact rescan or cartesian") {
+    // assignment and pairs are checkpointed inputs; the decision epilogue
+    // is a left join + one keep-ranking window — a parquet scan here
+    // means a stage re-derived the corpus
+    val p = graft.ext.Similarity.qSemDedup(tables, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("Scan parquet"), s"corpus re-scanned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"decision join went cartesian:\n$p")
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length <= 1,
+      s"extra window spec:\n$p")
+  }
 }
