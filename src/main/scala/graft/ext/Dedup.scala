@@ -523,13 +523,31 @@ object Dedup {
     * corpus size; `maxIter` caps adversarial chains. Labels persist per
     * round and the previous round unpersists once the next is materialized.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 15): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    // Adaptive small-graph path — the same size-based plan switch AQE
+    // makes for broadcast joins: an edge list under the cutoff (default
+    // 32768 edges, ~0.5 MB — duplicate-pair graphs are SPARSE relative to
+    // their corpus, so even large corpora often land here) is index
+    // metadata, not data; collecting it and running driver union-find
+    // replaces ~7 distributed rounds (each a join + agg + checkpoint +
+    // witness job) with two jobs. Over the cutoff, the distributed
+    // min-label loop below runs unchanged — same labels either way
+    // (min-id components are unique), property-tested against each other.
+    val cutoff = edges.sparkSession.conf
+      .getOption("spark.graft.cc.localCutoff").map(_.toLong).getOrElse(32768L)
+    // edges arrive checkpointed per the contract below, so the count is a
+    // cached-block scan, not a recompute
+    if (cutoff > 0 && edges.count() <= cutoff) return localComponents(edges)
     // NOTE: convergence is detected by a round whose labels don't change,
     // so the usable budget is maxIter - 1 rounds (the last confirms).
-    // With the pointer jump below each round covers ~2x the chain depth
-    // of plain propagation, so 15 rounds handle component diameters in
-    // the thousands — far beyond any duplicate graph — at one cheap
-    // join+agg per unused round only when chains actually run deep.
+    // The pointer jump below roughly doubles the chain depth covered per
+    // round on path-like graphs, but on chain-of-cluster structures the
+    // measured growth is slower (the sf0.1 SemDeDup similarity graph, a
+    // 103-node component of chained neighborhoods, needs 20 rounds), so
+    // the budget is generous: unused rounds cost nothing because the
+    // sum-witness breaks the loop at convergence, and a too-small budget
+    // is a hard failure by design (labels still merging would silently
+    // disagree with the exact oracle).
     // localCheckpoint (not persist) per round: iterative plans otherwise
     // grow lineage every round and each round pays fresh codegen for an
     // ever-bigger tree. On a cluster with fault-tolerance needs this
@@ -599,6 +617,37 @@ object Dedup {
       s"connectedComponents did not converge in $maxIter rounds " +
         "(component diameter exceeds maxIter; raise maxIter)")
     labels
+  }
+
+  /** Driver union-find over a collected (bounded, see cutoff above) edge
+    * list: path-compressed, larger root always attached beneath the
+    * smaller, so every root IS its component's min id — identical output
+    * to the distributed min-label loop.
+    */
+  private def localComponents(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.select(col("id1").cast("long"), col("id2").cast("long"))
+      .collect()
+      .foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+    parent.keys.toSeq.sorted
+      .map(k => (k, find(k)))
+      .toDF("id", "comp")
   }
 
   /** Near-dup clusters over the (oracle-checked) jaccard pair graph:

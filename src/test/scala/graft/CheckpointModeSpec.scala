@@ -20,13 +20,18 @@ class CheckpointModeSpec extends SparkSuite {
     import spark.implicits._
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
       .toDF("id1", "id2")
+    // force the DISTRIBUTED loop (the checkpoint-mode subject) — the
+    // adaptive union-find path would otherwise swallow this tiny graph
+    spark.conf.set("spark.graft.cc.localCutoff", "0")
     def run(): Map[Long, Long] =
       ext.Dedup.connectedComponents(edges).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val local = run()
-    val reliable = withReliable(run())
-    assert(local == reliable)
-    assert(reliable(3L) == 1L && reliable(22L) == 20L)
+    try {
+      val local = run()
+      val reliable = withReliable(run())
+      assert(local == reliable)
+      assert(reliable(3L) == 1L && reliable(22L) == 20L)
+    } finally spark.conf.unset("spark.graft.cc.localCutoff")
   }
 
   test("BFS hops and pagerank agree across checkpoint modes") {

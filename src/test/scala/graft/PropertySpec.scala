@@ -116,8 +116,17 @@ class PropertySpec extends SparkSuite {
       } yield (math.min(a, b), math.max(a, b) + (if (a == b) 1 else 0)))
     for (seed <- 1L to 3L) {
       val edges = sample(edgeGen, seed).filter(e => e._1 != e._2).distinct
+      // local (adaptive union-find) path — under the default cutoff
       val got = Dedup.connectedComponents(edges.toDF("id1", "id2"))
         .as[(Long, Long)].collect().toMap
+      // distributed min-label loop, forced by zeroing the cutoff —
+      // both paths must produce identical labels
+      spark.conf.set("spark.graft.cc.localCutoff", "0")
+      val gotDist =
+        try Dedup.connectedComponents(edges.toDF("id1", "id2"))
+          .as[(Long, Long)].collect().toMap
+        finally spark.conf.unset("spark.graft.cc.localCutoff")
+      assert(got == gotDist, s"seed=$seed: local vs distributed diverge")
 
       // reference union-find with path compression, min-id roots
       val parent = scala.collection.mutable.Map[Long, Long]()
