@@ -1237,16 +1237,27 @@ object Similarity {
             (a, b) => (a - b) * (a - b)),
           lit(0.0), (acc, x) => acc + x))
 
-  /** Argmin-L2 assignment: window argmin over [[pqDists]] with ties to
-    * the lowest cell.
+  /** Argmin-L2 assignment via the native [[graft.functions.NearestCellL2]]
+    * — a map-side projection against the boxed per-subspace codebook
+    * literal (ids sorted ascending, so equal exact-integer distances
+    * break to the lowest cell — identical to the broadcast-join + ranking
+    * window formulation it replaces, without the per-pass shuffle).
     */
   private def pqAssign(rows: DataFrame, cents: Map[(Int, Int), Array[Double]])
       : DataFrame = {
-    val wCell = Window.partitionBy("vec_id", "s")
-      .orderBy(col("dist").asc, col("cell").asc)
-    pqDists(rows, cents)
-      .withColumn("rn", row_number().over(wCell))
-      .filter(col("rn") === 1)
+    val nSub = cents.keysIterator.map(_._1).max + 1
+    val byS = (0 until nSub).map { s =>
+      cents.iterator
+        .collect { case ((s2, c), v) if s2 == s => (c, v.toSeq) }
+        .toSeq.sortBy(_._1)
+    }
+    rows
+      .withColumn("a", call_function("nearest_cell_l2",
+        col("sub"), col("s"),
+        typedLit(byS.map(_.map(_._1))), typedLit(byS.map(_.map(_._2)))))
+      .withColumn("cell", col("a.cell"))
+      .withColumn("dist", col("a.dist"))
+      .drop("a")
   }
 
   /** The Lloyd rounds over [[pqSubRows]]: `initCol`-mod-k init (label by

@@ -400,6 +400,93 @@ case class NearestCentroid(vec: Expression, cents: Expression)
     copy(vec = newLeft, cents = newRight)
 }
 
+/** Argmin squared-L2 cell assignment against a PER-SUBSPACE codebook:
+  * `nearest_cell_l2(sub, s, ids, vecs)` returns struct(cell, dist) — the
+  * id of the closest codebook cell for subspace `s` and its exact squared
+  * distance. `ids`/`vecs` are one foldable literal each (array-of-arrays
+  * indexed by subspace, cells pre-sorted ascending by the caller), so the
+  * whole PQ assignment is a map-side projection: no codebook broadcast
+  * join and no per-(vector, subspace) ranking window — the shapes the
+  * HOF + window formulation it replaces paid on every Lloyd round.
+  *
+  * Ties: cells are visited in ascending id order with a strict `<`, so
+  * the LOWEST cell id wins on equal distance — identical to the
+  * `ROW_NUMBER() OVER (ORDER BY dist ASC, cell ASC)` argmin it replaces
+  * (distances are exact integers in the micro-unit domain, so equality
+  * is meaningful and engine-independent).
+  */
+case class NearestCellL2(
+    vec: Expression, sIdx: Expression, ids: Expression, vecs: Expression)
+    extends Expression with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(vec, sIdx, ids, vecs)
+  override def nullable: Boolean = true
+  override def dataType: DataType = StructType(Seq(
+    StructField("cell", IntegerType, nullable = false),
+    StructField("dist", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (vec.dataType, sIdx.dataType, ids.dataType, vecs.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType,
+          ArrayType(ArrayType(IntegerType, _), _),
+          ArrayType(ArrayType(ArrayType(DoubleType, _), _), _))
+          if ids.foldable && vecs.foldable =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "nearest_cell_l2 expects (array<double>, int, foldable " +
+            "array<array<int>>, foldable array<array<array<double>>>), " +
+            s"got $other")
+    }
+
+  @transient private lazy val cellIds: Array[Array[Int]] = {
+    val ad = ids.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(i => ad.getArray(i).toIntArray())
+  }
+  @transient private lazy val cellVecs: Array[Array[Array[Double]]] = {
+    val ad = vecs.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { i =>
+      val inner = ad.getArray(i)
+      Array.tabulate(inner.numElements())(j => inner.getArray(j).toDoubleArray())
+    }
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = vec.eval(input)
+    val s = sIdx.eval(input)
+    if (v == null || s == null) return null
+    val x = v.asInstanceOf[ArrayData]
+    val si = s.asInstanceOf[Int]
+    if (si < 0 || si >= cellIds.length || cellIds(si).isEmpty) return null
+    val idsS = cellIds(si)
+    val vecsS = cellVecs(si)
+    val nx = x.numElements()
+    var best = Double.PositiveInfinity
+    var bestId = idsS(0)
+    var c = 0
+    while (c < idsS.length) {
+      val cent = vecsS(c)
+      val n = math.min(nx, cent.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = x.getDouble(i) - cent(i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < best) { best = d; bestId = idsS(c) }
+      c += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestId, best)
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(vec = newChildren(0), sIdx = newChildren(1),
+      ids = newChildren(2), vecs = newChildren(3))
+}
+
 /** 64-bit SimHash over a string array (words): one hash per word, then the
   * sign of per-bit vote counts. Replaces the 64-aggregate-passes
   * formulation (64 hashes per word) with a single pass.

@@ -64,6 +64,8 @@ object GraftFunctions {
     ("morton_code", args => MortonCode(args(0), args(1))),
     ("vector_sum", args => VectorSum(args.head)),
     ("nearest_centroid", args => NearestCentroid(args(0), args(1))),
+    ("nearest_cell_l2",
+      args => NearestCellL2(args(0), args(1), args(2), args(3))),
     // Spark's built-in runtime-filtering expressions, surfaced as SQL
     // functions: bloom_filter_agg(xxhash64(key)[, estItems[, numBits]])
     // builds the filter as a binary aggregate; might_contain(bloom, hash)
