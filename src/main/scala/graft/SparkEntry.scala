@@ -383,6 +383,7 @@ object SparkEntry {
     "q_pq_search" -> q(Similarity.qPqSearch(_)),
     "q_semdedup" -> q(Similarity.qSemDedup(_)),
     "q_knn_ivfpq" -> q(Similarity.qKnnIvfPq(_)),
+    "q_ivfpq_recall" -> q(Similarity.qIvfPqRecall(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
@@ -832,9 +833,13 @@ object SparkEntry {
     * codes restricted to the probed cells — every stage exact-integer,
     * ranked ascending with ties to the lower id.
     */
-  private val knnIvfPqOracle: String =
-    s"""WITH $ivfTrainCtes,
- asgn AS (
+  /** The IVF-PQ corpus-encoding CTE chain (follows `ivfTrainCtes`):
+    * full-corpus argmax assignment, residuals, residual PQ codebook
+    * (rounds p1/p2), and the per-vector codes. Shared by the search
+    * oracle and the recall-curve oracle.
+    */
+  private val ivfPqCodeCtes: String =
+    s""" asgn AS (
    SELECT vec_id, cell FROM (
      SELECT s.vec_id, s.cell,
        ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -875,7 +880,10 @@ object SparkEntry {
  q AS (
    SELECT vec_id AS qid, m AS qm,
      list_sum(list_transform(m, x -> x * x)) AS nq
-   FROM mu WHERE vec_id % 50 = 0),
+   FROM mu WHERE vec_id % 50 = 0)"""
+
+  private val knnIvfPqOracle: String =
+    s"""WITH $ivfTrainCtes,$ivfPqCodeCtes,
  probe AS (
    SELECT qid, cell AS ivf_cell FROM (
      SELECT s.qid, s.cell,
@@ -913,6 +921,68 @@ object SparkEntry {
    FROM adc)
  SELECT qid, nid, adc_dist, rnk FROM ranked WHERE rnk <= 5
  ORDER BY qid, rnk"""
+
+  /** IVF-PQ recall-curve oracle: one candidate pass at maxProbe=3 with
+    * each candidate's probe rank, per-nProbe top-k as window slices,
+    * exact micro-unit-L2 brute baseline, and hit counts per setting —
+    * every rank and count exact-integer.
+    */
+  private val ivfPqRecallOracle: String =
+    s"""WITH $ivfTrainCtes,$ivfPqCodeCtes,
+ probe AS (
+   SELECT qid, cell AS ivf_cell, CAST(rn AS INTEGER) AS prank FROM (
+     SELECT s.qid, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.qid
+         ORDER BY s.dot / (sqrt(s.nq) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT q.qid, c.cell, SUM(q.qm[c.i] * c.v) AS dot,
+         MAX(q.nq) AS nq, MAX(cn.nc) AS nc
+       FROM q, cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY q.qid, c.cell) s)
+   WHERE rn <= 3),
+ qres AS (
+   SELECT p.qid, p.ivf_cell, p.prank,
+     list_transform(range(1, 65), i -> q.qm[i] - cl.cv[i]) AS rm
+   FROM probe p JOIN q ON q.qid = p.qid JOIN cl ON cl.cell = p.ivf_cell),
+ qsub AS (
+   SELECT qid, ivf_cell, prank, CAST(t.s AS INTEGER) AS s,
+     rm[(t.s * 4 + 1):(t.s * 4 + 4)] AS sub
+   FROM qres, range(0, 16) t(s)),
+ qt AS (
+   SELECT t.qid, t.ivf_cell, t.prank, t.s, c.cell,
+     SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS tdist
+   FROM qsub t JOIN cp2 c ON c.s = t.s
+   GROUP BY t.qid, t.ivf_cell, t.prank, t.s, c.cell),
+ adc AS (
+   SELECT q.qid, n.nid, SUM(q.tdist) AS adc, MIN(q.prank) AS prank
+   FROM codes n JOIN qt q
+     ON q.ivf_cell = n.ivf_cell AND q.s = n.s AND q.cell = n.cell
+   WHERE q.qid <> n.nid
+   GROUP BY q.qid, n.nid),
+ st AS (SELECT CAST(np AS BIGINT) AS nprobe FROM (VALUES (1),(2),(3)) v(np)),
+ got AS (
+   SELECT nprobe, qid, nid FROM (
+     SELECT s.nprobe, a.qid, a.nid,
+       ROW_NUMBER() OVER (PARTITION BY s.nprobe, a.qid
+         ORDER BY a.adc ASC, a.nid ASC) AS rnk
+     FROM adc a JOIN st s ON a.prank <= s.nprobe)
+   WHERE rnk <= 5),
+ ex AS (
+   SELECT qid, nid FROM (
+     SELECT q.qid, u.vec_id AS nid,
+       ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+         list_sum(list_transform(range(1, 65),
+           i -> (q.qm[i] - u.m[i]) * (q.qm[i] - u.m[i]))) ASC,
+         u.vec_id ASC) AS rnk
+     FROM q, mu u WHERE u.vec_id <> q.qid)
+   WHERE rnk <= 5),
+ nqc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM q)
+ SELECT g.nprobe, nqc.nq AS n_queries,
+   CAST(SUM(CASE WHEN e.qid IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS hits,
+   CAST(SUM(CASE WHEN e.qid IS NULL THEN 0 ELSE 1 END) AS DOUBLE)
+     / CAST(5 * nqc.nq AS DOUBLE) AS recall
+ FROM got g LEFT JOIN ex e ON e.qid = g.qid AND e.nid = g.nid, nqc
+ GROUP BY g.nprobe, nqc.nq ORDER BY g.nprobe"""
 
   /** One unrolled PQ Lloyd round (assignment argmin -> floor means ->
     * COALESCE fallback), shared by the two PQ oracles.
@@ -5209,6 +5279,8 @@ FROM terms GROUP BY source ORDER BY source""",
     "q_semdedup" -> semDedupOracle,
     // IVF-PQ: probed-cell ADC over residual codes, exact ints throughout
     "q_knn_ivfpq" -> knnIvfPqOracle,
+    // IVF-PQ recall curve vs exact L2 as nProbe grows, exact hit counts
+    "q_ivfpq_recall" -> ivfPqRecallOracle,
     // KMV union-Jaccard content overlap between source pairs
     "q_source_overlap" -> sourceOverlapOracle,
     // cross-document repeated-gram coverage per source

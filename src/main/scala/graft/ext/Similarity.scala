@@ -462,10 +462,16 @@ object Similarity {
     * cell) distance tables broadcast into the code join, and
     * bounded_topk keeps k candidates per query per map task.
     */
-  def qKnnIvfPq(
-      t: Tables, topK: Int = 5, nProbe: Int = 2, subspaces: Int = 16,
-      subDim: Int = 4, pqK: Int = 32, rounds: Int = 2,
-      queryMod: Int = 50, checkpoint: Boolean = true): DataFrame = {
+  /** The IVF-PQ candidate stream: per (query, candidate-in-a-probed-cell),
+    * the exact-integer ADC distance and the PROBE RANK of the candidate's
+    * cell in the query's probe order (cells are disjoint, so each
+    * candidate matches exactly one rank). [[qKnnIvfPq]] ranks it at a
+    * fixed nProbe; [[qIvfPqRecall]] slices it per nProbe for the recall
+    * curve. Caller frees the returned checkpointed `rows` via the pair.
+    */
+  private def ivfPqCandidates(
+      t: Tables, maxProbe: Int, subspaces: Int, subDim: Int, pqK: Int,
+      rounds: Int, queryMod: Int): (DataFrame, DataFrame) = {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"),
       microUnits(col("embedding")).cast("array<double>").as("mu"))
@@ -489,8 +495,8 @@ object Similarity {
     val pqCents = pqTrain(rows, pqK, rounds, initCol = "vec_id")
     val codes = pqAssign(rows, pqCents)
       .select(col("vec_id").as("nid"), col("ivf_cell"), col("s"), col("cell"))
-    // queries: top-nProbe cells by centroid cosine (micro-domain, exact),
-    // then one residual + distance table per probed cell
+    // queries: top-maxProbe cells by centroid cosine (micro-domain,
+    // exact), then one residual + distance table per probed cell
     val probes = array(cents.zipWithIndex.map { case (c, i) =>
       struct(cosine(col("mu"), typedLit(c.toSeq)).as("csim"),
         lit(i).as("ivf_cell"))
@@ -503,21 +509,63 @@ object Similarity {
       .select(col("qid"), col("mu"), col("pr.csim").as("csim"),
         col("pr.ivf_cell").as("ivf_cell"))
       .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("ivf_cell"),
+      .filter(col("prank") <= maxProbe)
+      .select(col("qid"), col("ivf_cell"), col("prank"),
         zip_with(col("mu"), element_at(centsLit, col("ivf_cell") + 1),
           (a, b) => a - b).as("rm"))
-      .select(col("qid"), col("ivf_cell"), subSlices(col("rm")).as("e"))
-      .select(col("qid").as("vec_id"), col("ivf_cell"),
+      .select(col("qid"), col("ivf_cell"), col("prank"),
+        subSlices(col("rm")).as("e"))
+      .select(col("qid").as("vec_id"), col("ivf_cell"), col("prank"),
         col("e.s").as("s"), col("e.sub").as("sub"))
     val qTables = pqDists(qRows, pqCents)
-      .select(col("vec_id").as("qid"), col("ivf_cell"), col("s"),
-        col("cell"), col("dist").as("tdist"))
-    val out = codes
+      .select(col("vec_id").as("qid"), col("ivf_cell"), col("prank"),
+        col("s"), col("cell"), col("dist").as("tdist"))
+    val cands = codes
       .join(broadcast(qTables), Seq("ivf_cell", "s", "cell"))
       .filter(col("qid") =!= col("nid"))
       .groupBy("qid", "nid")
-      .agg(sum(col("tdist")).as("adc"))
+      .agg(sum(col("tdist")).as("adc"), min(col("prank")).as("prank"))
+    (cands, rows)
+  }
+
+  private var cachedPqCandsDir: String = null
+  private var cachedPqCands: DataFrame = null
+
+  /** The session's shared IVF-PQ candidate frame at the DEFAULT index
+    * configuration and maxProbe=3, checkpointed and memoized per dataset
+    * dir — the encode-once/query-many shape of a served ANN index: both
+    * the fixed-nProbe search ([[qKnnIvfPq]], a prank<=2 slice) and the
+    * recall curve ([[qIvfPqRecall]]) read it. Cache-owned; callers must
+    * not free. Slicing prank<=n from the maxProbe=3 frame is identical
+    * to computing candidates at maxProbe=n (cells are disjoint and prank
+    * is the probe order).
+    */
+  private def ivfPqCandsCached(t: Tables): DataFrame = synchronized {
+    if (cachedPqCandsDir != t.dir || cachedPqCands == null ||
+        cachedPqCands.sparkSession != t.spark) {
+      if (cachedPqCands != null) graft.Engine.freeCheckpoint(cachedPqCands)
+      val (cands, rows) = ivfPqCandidates(t, 3, 16, 4, 32, 2, 50)
+      cachedPqCands = cands.loopCheckpoint()
+      graft.Engine.freeCheckpoint(rows)
+      cachedPqCandsDir = t.dir
+    }
+    cachedPqCands
+  }
+
+  def qKnnIvfPq(
+      t: Tables, topK: Int = 5, nProbe: Int = 2, subspaces: Int = 16,
+      subDim: Int = 4, pqK: Int = 32, rounds: Int = 2,
+      queryMod: Int = 50, checkpoint: Boolean = true): DataFrame = {
+    // the cache serves the default index config; the plan audit
+    // (checkpoint=false) and non-default configs encode fresh
+    val useCache = checkpoint && nProbe <= 3 && subspaces == 16 &&
+      subDim == 4 && pqK == 32 && rounds == 2 && queryMod == 50
+    val (cands, rows) =
+      if (useCache)
+        (ivfPqCandsCached(t).filter(col("prank") <= nProbe), null)
+      else ivfPqCandidates(
+        t, nProbe, subspaces, subDim, pqK, rounds, queryMod)
+    val out = cands
       .groupBy("qid")
       .agg(call_function("bounded_topk",
         struct(negate(col("adc")), col("nid")), lit(topK), lit(true)).as("top"))
@@ -531,10 +579,85 @@ object Similarity {
     // checkpoint=false exposes the search plan to the shape audit
     val res = if (checkpoint) {
       val c = out.loopCheckpoint()
-      graft.Engine.freeCheckpoint(rows)
+      if (rows != null) graft.Engine.freeCheckpoint(rows)
       c
     } else out
     res
+  }
+
+  /** The IVF-PQ recall curve — recall@k vs exact L2 as a function of
+    * nProbe, the operating lever every IVF deployment tunes (probe more
+    * cells → higher recall, more candidates scanned). One candidate pass
+    * at the maximum nProbe serves every curve point: a candidate's probe
+    * rank decides which nProbe settings would have seen it, so the
+    * per-setting rankings are window slices of one frame, not re-runs.
+    * The exact baseline is brute-force integer-micro-unit L2 over the
+    * (broadcast) query set — every distance, rank, and hit count is an
+    * exact integer, so the whole curve is hash-oracled. Companion to
+    * [[qAnnRecall]] (the LSH acceptance gate).
+    */
+  def qIvfPqRecall(
+      t: Tables, topK: Int = 5, maxProbe: Int = 3, subspaces: Int = 16,
+      subDim: Int = 4, pqK: Int = 32, rounds: Int = 2,
+      queryMod: Int = 50): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    val useCache = maxProbe == 3 && subspaces == 16 && subDim == 4 &&
+      pqK == 32 && rounds == 2 && queryMod == 50
+    val candsM =
+      if (useCache) ivfPqCandsCached(t)
+      else {
+        val (cands, rows) = ivfPqCandidates(
+          t, maxProbe, subspaces, subDim, pqK, rounds, queryMod)
+        val m = cands.loopCheckpoint()
+        graft.Engine.freeCheckpoint(rows)
+        m
+      }
+    // exact top-k by micro-unit L2 (integer distances, ties to lower id)
+    val corpus = t.embeddings.select(col("vec_id").as("nid"),
+      microUnits(col("embedding")).cast("array<double>").as("nmu"))
+    val queries = t.embeddings
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0)
+      .select(col("vec_id").as("qid"),
+        microUnits(col("embedding")).cast("array<double>").as("qmu"))
+    val exact = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("d",
+        aggregate(zip_with(col("qmu"), col("nmu"),
+            (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x))
+      .groupBy("qid")
+      .agg(call_function("bounded_topk",
+        struct(negate(col("d")), col("nid")), lit(topK), lit(true)).as("top"))
+      .select(col("qid"), explode(col("top")).as("item"))
+      .select(col("qid"), col("item.id").as("nid"))
+    import spark.implicits._
+    val settings = broadcast(
+      (1 to maxProbe).map(_.toLong).toDF("nprobe"))
+    val wRank = Window.partitionBy("nprobe", "qid")
+      .orderBy(col("adc").asc, col("nid").asc)
+    val got = candsM
+      .join(settings, col("prank") <= col("nprobe"))
+      .withColumn("rnk", row_number().over(wRank))
+      .filter(col("rnk") <= topK)
+      .select("nprobe", "qid", "nid")
+    val nq = queries.count()
+    // left join + flag sum: a curve point with zero hits must still emit
+    // its row (got always carries topK rows per query per setting)
+    val out = got
+      .join(exact.withColumn("hit", lit(1L)), Seq("qid", "nid"), "left")
+      .groupBy("nprobe")
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("hits"))
+      .select(
+        col("nprobe"),
+        lit(nq).as("n_queries"),
+        col("hits"),
+        (col("hits").cast("double") / lit(topK * nq).cast("double"))
+          .as("recall"))
+      .orderBy("nprobe")
+      .loopCheckpoint()
+    if (!useCache) graft.Engine.freeCheckpoint(candsM)
+    out
   }
 
   /** Semantic dedup (the SemDeDup recipe): cluster the corpus with the

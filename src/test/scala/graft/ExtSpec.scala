@@ -177,6 +177,24 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.25, s"recall=$recall")
   }
 
+  test("IVF-PQ recall curve: monotone non-decreasing in nProbe, sane bounds") {
+    val rows = Similarity.qIvfPqRecall(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    rows.foreach { case (np, nq, hits, recall) =>
+      assert(nq == 10L) // 500 vectors, every 50th queries
+      assert(hits >= 0L && hits <= 5L * nq)
+      assert(math.abs(recall - hits.toDouble / (5.0 * nq)) < 1e-12)
+    }
+    // probing more cells can only add candidates: recall is monotone
+    val recalls = rows.map(_._4)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall not monotone in nProbe: ${recalls.toSeq}")
+    // the nProbe=2 point is exactly qKnnIvfPq's operating point (0.36)
+    assert(math.abs(recalls(1) - 0.36) < 1e-12)
+  }
+
   test("SemDeDup: one keeper per group, keeper is farthest from centroid, singletons self-keep") {
     val rows = Similarity.qSemDedup(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
