@@ -138,6 +138,7 @@ object SparkEntry {
     "q_cronbach_alpha" -> q(Stats.qCronbachAlpha),
     "q_cohens_kappa" -> q(Stats.qCohensKappa),
     "q_k_anonymity" -> q(Sampling.qKAnonymity(_)),
+    "q_dp_release" -> q(Sampling.qDpRelease(_)),
     "q_jackknife_ci" -> q(Stats.qJackknifeCi),
     "q_mannwhitney" -> q(Stats.qMannWhitney),
     "q_ks_test" -> q(Stats.qKsTest),
@@ -6066,6 +6067,27 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
     // the streaming drain builds the same class frame through a real
     // stateful aggregation (collect_set for l-diversity) — same oracle
     "q_stream_kanonymity" -> kAnonymityOracle,
+    // DP count release: md5-seeded 60-bit uniform (exact /2^60), Laplace
+    // inverse CDF, released values rounded at 1e-9 above the ln() ulp
+    "q_dp_release" -> s"""
+ WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+     FROM events GROUP BY 1),
+ e AS (SELECT CAST(v AS BIGINT) AS tag, CAST(v AS DOUBLE) / 10.0 AS eps
+   FROM (VALUES (5), (10), (20)) t(v)),
+ m AS (SELECT c.event_type, c.n, e.eps,
+     md5('dp:' || c.event_type || ':' || CAST(e.tag AS VARCHAR)) AS m
+   FROM c, e),
+ u AS (SELECT event_type, n, eps,
+     CAST(${hexDecode60("m")} AS DOUBLE) / 1152921504606846976.0 AS u
+   FROM m),
+ x AS (SELECT event_type, n, eps,
+     -(1.0 / eps) * sign(u - 0.5) *
+       ln(greatest(1.0 - 2.0 * abs(u - 0.5), 1e-18)) AS noise
+   FROM u)
+ SELECT event_type, eps, n,
+   round(CAST(n AS DOUBLE) + noise, 9) AS noisy_n,
+   round(abs(noise), 9) AS abs_err
+ FROM x ORDER BY event_type, eps""",
     // Cohen's kappa in the integer form (n*agree - sumprod) /
     // (n^2 - sumprod): one exact division, no float marginal chain
     "q_cohens_kappa" ->

@@ -320,6 +320,48 @@ object Sampling {
         "risk_pct", "min_class", "min_l")
       .orderBy("k")
 
+  /** Differentially-private count release audit: per-event-type counts
+    * with seeded Laplace noise at a sweep of epsilon budgets — the
+    * release step a pipeline runs before publishing corpus statistics
+    * externally, with the true count kept alongside so the auditor sees
+    * the calibration (|noise| vs 1/eps). Sensitivity is 1 (counts; one
+    * user-event changes a count by one).
+    *
+    * The noise is DETERMINISTIC — the uniform draw is an md5-seeded
+    * 60-bit integer over (release key, epsilon tag) divided by 2^60 (a
+    * power of two, so the division is exact), then the standard inverse
+    * CDF -b*sign(u-1/2)*ln(1-2|u-1/2|). Seeded noise makes releases
+    * reproducible across reruns AND lets the DuckDB oracle replay the
+    * draw bit-for-bit; `ln` may differ by an ulp across libm
+    * implementations, so the released value is rounded at 1e-9 (far
+    * above the ulp, far below the noise scale). One hash aggregate over
+    * the base table; the epsilon sweep explodes the event-type-sized
+    * frame map-side.
+    */
+  def qDpRelease(t: Tables, epsTags: Seq[Int] = Seq(5, 10, 20)): DataFrame =
+    t.events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        explode(typedLit(epsTags.map(_.toLong))).as("tag"))
+      .withColumn("eps", col("tag").cast("double") / lit(10.0))
+      .withColumn("u",
+        expr("CAST(conv(substring(md5(concat('dp:', event_type, ':', " +
+          "CAST(tag AS STRING))), 1, 15), 16, 10) AS DOUBLE)")
+          / lit(1152921504606846976.0))
+      .withColumn("c", col("u") - lit(0.5))
+      // greatest() guards the measure-zero u in {0,1} edge from -inf
+      .withColumn("noise",
+        negate(lit(1.0) / col("eps")) * signum(col("c")) *
+          log(greatest(lit(1.0) - lit(2.0) * abs(col("c")), lit(1e-18))))
+      .select(
+        col("event_type"),
+        col("eps"),
+        col("n"),
+        round(col("n") + col("noise"), 9).as("noisy_n"),
+        round(abs(col("noise")), 9).as("abs_err"))
+      .orderBy("event_type", "eps")
+
   /** Small-file compaction plan: pack each language's documents into
     * ~`targetBytes` output files by a start-offset greedy cumsum
     * (bin = floor(bytes-before / target) — deterministic, no driver

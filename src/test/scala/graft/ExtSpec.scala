@@ -177,6 +177,31 @@ class ExtSpec extends SparkSuite {
     assert(recall >= 0.25, s"recall=$recall")
   }
 
+  test("DP release: seeded Laplace noise, calibrated to 1/eps, reproducible") {
+    val out = ext.Sampling.qDpRelease(tables).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.nonEmpty && out.length % 3 == 0) // 3 eps per event type
+    out.foreach { case (et, eps, n, noisy, err) =>
+      assert(Seq(0.5, 1.0, 2.0).contains(eps))
+      // |noise| is bounded by (1/eps) * ln(2^60) ~ 41.6/eps + rounding
+      assert(err <= 41.6 / eps + 1e-6, s"$et eps=$eps err=$err")
+      // noisy_n and abs_err are rounded independently at 1e-9, so the
+      // magnitudes agree only to that precision
+      assert(math.abs(math.abs(noisy - n) - err) < 2e-9,
+        s"$et: |noisy-n|=${math.abs(noisy - n)} vs abs_err=$err")
+    }
+    // seeded draw: a rerun releases the identical values
+    val again = ext.Sampling.qDpRelease(tables).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(3)))
+    assert(again.toSeq == out.map(x => (x._1, x._2, x._4)).toSeq)
+    // calibration: total |noise| at eps=0.5 exceeds total at eps=2 (4x
+    // scale; with >=5 event types the seeded draws can't all invert it)
+    val byEps = out.groupBy(_._2).map { case (e, rs) => e -> rs.map(_._5).sum }
+    assert(byEps(0.5) > byEps(2.0),
+      s"noise not calibrated: ${byEps.toSeq.sorted}")
+  }
+
   test("IVF-PQ recall curve: monotone non-decreasing in nProbe, sane bounds") {
     val rows = Similarity.qIvfPqRecall(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
