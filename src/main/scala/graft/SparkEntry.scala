@@ -473,6 +473,8 @@ object SparkEntry {
         .drainSimhashGroups(spark, dir, "documents.parquet")),
     "q_stream_knn" -> ((spark, dir) =>
       graft.streaming.Streams.drainKnn(spark, dir, "embeddings.parquet")),
+    "q_stream_semdedup" -> ((spark, dir) =>
+      graft.streaming.Streams.drainSemDedup(spark, dir, "embeddings.parquet")),
     "q_stream_kanonymity" -> ((spark, dir) =>
       graft.streaming.Streams.drainKAnonymity(spark, dir, "customer.parquet")),
     "q_stream_emd" -> ((spark, dir) =>
@@ -779,16 +781,16 @@ object SparkEntry {
  SELECT qid, nid, sim, rnk FROM ranked WHERE rnk <= 5 ORDER BY qid, rnk"""
   }
 
-  /** Semantic-dedup oracle: the shared IVF training chain, full-corpus
-    * argmax assignment (with the exact-integer dot/norms kept for the
-    * centroid similarity), within-cell pairs at cosine >= 0.35 in the
-    * micro-unit domain, recursive-CTE reachability for the duplicate
-    * groups, and the keep rule (lowest centroid similarity, ties to the
-    * lower id) as a ranking window.
+  /** The semantic-dedup CTE core (follows `ivfTrainCtes`): full-corpus
+    * argmax assignment `asgn` (exact-integer dot/norms kept for the
+    * centroid similarity), the member set restricted by `memberWhere`,
+    * within-cell pairs at cosine >= 0.35 in the micro-unit domain,
+    * recursive-CTE reachability, and `lab2` (member, cell, group,
+    * centroid similarity). The batch oracle keeps every vector; the
+    * streaming serving oracle restricts members to the even half.
     */
-  private val semDedupOracle: String =
-    s"""WITH RECURSIVE $ivfTrainCtes,
- asgn AS (
+  private def semDedupCoreCtes(memberWhere: String): String =
+    s""" asgn AS (
    SELECT vec_id, cell, dot, nv, nc FROM (
      SELECT s.vec_id, s.cell, s.dot, s.nv, s.nc,
        ROW_NUMBER() OVER (PARTITION BY s.vec_id
@@ -802,9 +804,10 @@ object SparkEntry {
          cent c JOIN cn ON cn.cell = c.cell
        GROUP BY u.vec_id, c.cell) s)
    WHERE rn = 1),
+ mem AS (SELECT * FROM asgn WHERE $memberWhere),
  pr AS (
    SELECT a.vec_id AS id1, b.vec_id AS id2
-   FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id
+   FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
    JOIN mu ma ON ma.vec_id = a.vec_id
    JOIN mu mb ON mb.vec_id = b.vec_id
    WHERE list_sum(list_transform(range(1, 65), i -> ma.m[i] * mb.m[i]))
@@ -819,12 +822,48 @@ object SparkEntry {
  lab2 AS (
    SELECT a.vec_id, a.cell, COALESCE(c.grp, a.vec_id) AS grp,
      a.dot / (sqrt(a.nv) * sqrt(a.nc)) AS cent_sim
-   FROM asgn a LEFT JOIN comp c ON c.id = a.vec_id)
+   FROM mem a LEFT JOIN comp c ON c.id = a.vec_id)"""
+
+  /** Semantic-dedup oracle: the shared IVF training chain, the core
+    * above over the full corpus, and the keep rule (lowest centroid
+    * similarity, ties to the lower id) as a ranking window.
+    */
+  private val semDedupOracle: String =
+    s"""WITH RECURSIVE $ivfTrainCtes,${semDedupCoreCtes("TRUE")}
  SELECT vec_id, CAST(cell AS BIGINT) AS cell, grp, cent_sim,
    CAST(CASE WHEN ROW_NUMBER() OVER (PARTITION BY grp
        ORDER BY cent_sim ASC, vec_id ASC) = 1 THEN 1 ELSE 0 END AS BIGINT)
      AS keep
  FROM lab2 ORDER BY vec_id"""
+
+  /** Serving-time semantic-dedup oracle: keepers from the even-half
+    * decision pipeline, arrivals = the odd half assigned by the same
+    * argmax, each marked a duplicate of its lowest-id in-threshold
+    * keeper within its cell (or kept when none matches).
+    */
+  private val streamSemDedupOracle: String =
+    s"""WITH RECURSIVE $ivfTrainCtes,${semDedupCoreCtes("vec_id % 2 = 0")},
+ keepers AS (
+   SELECT vec_id AS kid, cell FROM (
+     SELECT vec_id, cell,
+       ROW_NUMBER() OVER (PARTITION BY grp
+         ORDER BY cent_sim ASC, vec_id ASC) AS rn
+     FROM lab2)
+   WHERE rn = 1),
+ arr AS (SELECT vec_id, cell, nv FROM asgn WHERE vec_id % 2 = 1),
+ mt AS (
+   SELECT a.vec_id, MIN(k.kid) AS dup_of
+   FROM arr a JOIN keepers k ON k.cell = a.cell
+   JOIN asgn kv ON kv.vec_id = k.kid
+   JOIN mu ma ON ma.vec_id = a.vec_id
+   JOIN mu mk ON mk.vec_id = k.kid
+   WHERE list_sum(list_transform(range(1, 65), i -> ma.m[i] * mk.m[i]))
+     / (sqrt(a.nv) * sqrt(kv.nv)) >= 0.35
+   GROUP BY a.vec_id)
+ SELECT a.vec_id, CAST(a.cell AS BIGINT) AS cell, mt.dup_of,
+   CAST(CASE WHEN mt.dup_of IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+ FROM arr a LEFT JOIN mt ON mt.vec_id = a.vec_id
+ ORDER BY a.vec_id"""
 
   /** IVF-PQ oracle: the shared IVF training chain, full-corpus argmax
     * assignment, exact-integer RESIDUALS against the per-cell centroid
@@ -5278,6 +5317,8 @@ FROM terms GROUP BY source ORDER BY source""",
     "q_pq_search" -> pqSearchOracle,
     // SemDeDup: IVF-clustered keep/prune decisions, recursive-CTE groups
     "q_semdedup" -> semDedupOracle,
+    // serving-time semantic dedup: even-half keeper index, odd arrivals
+    "q_stream_semdedup" -> streamSemDedupOracle,
     // IVF-PQ: probed-cell ADC over residual codes, exact ints throughout
     "q_knn_ivfpq" -> knnIvfPqOracle,
     // IVF-PQ recall curve vs exact L2 as nProbe grows, exact hit counts

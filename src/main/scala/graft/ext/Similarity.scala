@@ -281,7 +281,7 @@ object Similarity {
     * version and fans out. Centroids are k x dim doubles (index
     * metadata), so the cache holds no Spark state to free.
     */
-  private def ivfCentroidsCached(t: Tables): Seq[Array[Double]] =
+  private[graft] def ivfCentroidsCached(t: Tables): Seq[Array[Double]] =
     synchronized {
       if (cachedIvfDir != t.dir || cachedIvfCents == null) {
         val emb = t.embeddings.select(
@@ -687,7 +687,17 @@ object Similarity {
     val emb = t.embeddings.select(
       col("vec_id"), col("label"),
       microUnits(col("embedding")).cast("array<double>").as("mu"))
-    val cents = ivfCentroidsCached(t)
+    semDedupDecisions(emb, ivfCentroidsCached(t), threshold, maxCell,
+      checkpoint)
+  }
+
+  /** [[qSemDedup]]'s pipeline over an arbitrary (vec_id, mu) frame and a
+    * given coarse index — also the offline KEEPER builder for the
+    * serving-time streaming filter ([[graft.streaming.Streams]]).
+    */
+  private[graft] def semDedupDecisions(
+      emb: DataFrame, cents: Seq[Array[Double]], threshold: Double,
+      maxCell: Int, checkpoint: Boolean): DataFrame = {
     val centsLit = typedLit(cents.map(_.toSeq))
     // assignment + per-member centroid cosine: micro-domain cosine is
     // scale-invariant (matches raw geometry to quantization precision) and
@@ -726,6 +736,54 @@ object Similarity {
     } else out
     res
   }
+
+  /** Offline keeper index for serving-time semantic dedup: run the full
+    * [[qSemDedup]] decision pipeline over the vec_id-even half of the
+    * corpus (the "yesterday's corpus" the index was built from) and pack
+    * the keepers into one id-sorted (id, vector) list per coarse cell —
+    * the broadcast lookup table an ingest filter probes. Cell-count rows,
+    * index metadata.
+    */
+  def semDedupKeeperIndex(
+      t: Tables, threshold: Double = 0.35, maxCell: Int = 2048): DataFrame = {
+    val embA = t.embeddings
+      .filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id"), col("label"),
+        microUnits(col("embedding")).cast("array<double>").as("mu"))
+    val dec = semDedupDecisions(embA, ivfCentroidsCached(t), threshold,
+      maxCell, checkpoint = true)
+    dec.filter(col("keep") === 1)
+      .join(embA.select(col("vec_id"), col("mu")), "vec_id")
+      .groupBy("cell")
+      .agg(array_sort(
+        collect_list(struct(col("vec_id").as("id"), col("mu").as("v"))))
+        .as("ks"))
+  }
+
+  /** Serving-time semantic-dedup verdicts: each arrival (vec_id, mu —
+    * batch or STREAMING frame) assigns its coarse cell map-side against
+    * the literal centroid set, probes the broadcast keeper index with a
+    * higher-order filter over the cell's id-sorted keeper list, and is
+    * marked a duplicate of the LOWEST-id keeper within the cosine
+    * threshold. Stateless — cell id is a projection, the index join is
+    * stream-static with the keeper side broadcast — so verdicts are
+    * arrival-order-free and the streaming drain is bit-identical to the
+    * batch formulation (one shared oracle).
+    */
+  def semDedupServe(
+      arrivals: DataFrame, keepers: DataFrame, cents: Seq[Array[Double]],
+      threshold: Double = 0.35): DataFrame =
+    arrivals
+      .withColumn("cell", nearestCell(col("mu"), cents).cast("long"))
+      .join(broadcast(keepers), Seq("cell"), "left_outer")
+      .withColumn("m",
+        filter(col("ks"),
+          k => cosine(k.getField("v"), col("mu")) >= lit(threshold)))
+      .select(
+        col("vec_id"),
+        col("cell"),
+        get(col("m"), lit(0)).getField("id").as("dup_of"))
+      .withColumn("is_dup", col("dup_of").isNotNull.cast("long"))
 
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
     * by the same sequential fold as the oracle's list arithmetic — raw

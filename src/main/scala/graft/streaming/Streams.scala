@@ -953,6 +953,37 @@ object Streams {
       .orderBy("qid", "rnk")
   }
 
+  /** Streaming SEMANTIC dedup at ingest — the serving-time half of
+    * [[graft.ext.Similarity.qSemDedup]]: the keeper index is built
+    * OFFLINE from the vec_id-even half of the corpus (the full
+    * cluster→pairs→components→keep-farthest pipeline) and broadcast as a
+    * per-cell id-sorted lookup list; arriving vectors (the odd half, the
+    * stream) assign their coarse cell map-side and are marked duplicates
+    * of the lowest-id keeper within the cosine threshold. Entirely
+    * stateless on the stream side (projection + stream-static broadcast
+    * join), so verdicts are arrival-order-free — the drain is
+    * bit-identical to the batch formulation and shares one oracle.
+    * `q_stream_semdedup`.
+    */
+  def drainSemDedup(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    import graft.ext.Similarity
+    val t = graft.Tables(spark, dir)
+    val keepers = graft.Engine.loopCheckpoint(Similarity.semDedupKeeperIndex(t))
+    val cents = Similarity.ivfCentroidsCached(t)
+    val arrivals = embeddingsStream(spark, dir, globFilter)
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"),
+        Similarity.microUnits(col("embedding").cast("array<double>"))
+          .cast("array<double>").as("mu"))
+    val out = drain(spark,
+      Similarity.semDedupServe(arrivals, keepers, cents),
+      OutputMode.Append())
+      .orderBy("vec_id")
+    graft.Engine.freeCheckpoint(keepers)
+    out
+  }
+
   /** Streaming incremental-ingest dedup — the stateful-streaming twin of
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the

@@ -424,6 +424,30 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming semantic-dedup drain equals the batch serving filter") {
+    import org.apache.spark.sql.functions._
+    val streamed = Streams.drainSemDedup(spark, sfDir, "embeddings.parquet")
+      .collect().toSeq
+    // batch formulation: same keeper index, same serve function, the odd
+    // half as a plain batch frame — verdicts must match row-for-row
+    val keepers = ext.Similarity.semDedupKeeperIndex(tables)
+    val arrivals = tables.embeddings
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>)," +
+          " x -> cast(floor(x * 1000000.0) as double))").as("mu"))
+    val batch = ext.Similarity
+      .semDedupServe(arrivals, keepers,
+        ext.Similarity.ivfCentroidsCached(tables))
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // verdicts are decisions, not pairs: some arrivals must be pruned
+    // and some kept at this threshold
+    val dups = streamed.count(_.getLong(3) == 1L)
+    assert(dups > 0 && dups < streamed.size, s"dups=$dups")
+  }
+
   test("streaming EMD drift drain equals the batch Wasserstein audit") {
     val streamed = Streams.drainEmdDrift(spark, sfDir, "documents.parquet")
       .collect().toSeq
