@@ -148,11 +148,17 @@ object Engine {
   /** Unpersist the materialized RDD behind a `localCheckpoint()`ed frame.
     * Iterative loops (connected components, Lloyd's iterations) checkpoint
     * every round; without this the superseded rounds' blocks sit in
-    * executor storage until GC. No-op on non-checkpointed frames.
+    * executor storage until GC. No-op on non-checkpointed frames. Safe on
+    * frames from a STOPPED session (a dir-keyed cache replacing a frame
+    * built by a previous test session frees a frame whose SparkContext is
+    * gone — `unpersist` throws there, and the blocks died with the
+    * context anyway, so the free is a no-op by definition).
     */
   def freeCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        try lr.rdd.unpersist(false)
+        catch { case _: IllegalStateException | _: org.apache.spark.SparkException => () }
       case _ => ()
     }
 

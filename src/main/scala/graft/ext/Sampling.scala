@@ -320,20 +320,28 @@ object Sampling {
         "risk_pct", "min_class", "min_l")
       .orderBy("k")
 
-  /** Differentially-private count release audit: per-event-type counts
-    * with seeded Laplace noise at a sweep of epsilon budgets — the
-    * release step a pipeline runs before publishing corpus statistics
-    * externally, with the true count kept alongside so the auditor sees
-    * the calibration (|noise| vs 1/eps). Sensitivity is 1 (counts; one
-    * user-event changes a count by one).
+  /** Laplace-noise CALIBRATION AUDIT for a planned DP count release:
+    * per-event-type counts with deterministic Laplace draws at a sweep of
+    * epsilon budgets, true count alongside, so an analyst can inspect the
+    * error/budget trade-off (|noise| vs 1/eps) BEFORE committing to a
+    * release. Sensitivity is 1 (counts; one user-event changes a count by
+    * one).
     *
-    * The noise is DETERMINISTIC — the uniform draw is an md5-seeded
-    * 60-bit integer over (release key, epsilon tag) divided by 2^60 (a
-    * power of two, so the division is exact), then the standard inverse
-    * CDF -b*sign(u-1/2)*ln(1-2|u-1/2|). Seeded noise makes releases
-    * reproducible across reruns AND lets the DuckDB oracle replay the
-    * draw bit-for-bit; `ln` may differ by an ulp across libm
-    * implementations, so the released value is rounded at 1e-9 (far
+    * This frame is NOT a differentially-private release and must never be
+    * published: the noise seed is the public key (event_type, tag), so any
+    * consumer can replay the draw and subtract it — and the exact count
+    * `n` is emitted in the same row by design (the audit needs it). A real
+    * release would (a) seed from a secret salt held outside the pipeline,
+    * (b) drop `n` and `abs_err`, and (c) release `noisy_n` only. This
+    * operator exists to validate the MECHANISM (inverse-CDF arithmetic,
+    * scale b = 1/eps) reproducibly, which requires the public seed.
+    *
+    * The determinism that disqualifies it as a release is what makes it
+    * testable: the uniform draw is an md5-derived 60-bit integer over
+    * (key, epsilon tag) divided by 2^60 (a power of two, so the division
+    * is exact), then the standard inverse CDF -b*sign(u-1/2)*ln(1-2|u-1/2|).
+    * The DuckDB oracle replays the draw bit-for-bit; `ln` may differ by an
+    * ulp across libm implementations, so values are rounded at 1e-9 (far
     * above the ulp, far below the noise scale). One hash aggregate over
     * the base table; the epsilon sweep explodes the event-type-sized
     * frame map-side.

@@ -528,26 +528,33 @@ object Similarity {
     (cands, rows)
   }
 
-  private var cachedPqCandsDir: String = null
+  private var cachedPqCandsKey: (org.apache.spark.sql.SparkSession, String) = null
   private var cachedPqCands: DataFrame = null
 
   /** The session's shared IVF-PQ candidate frame at the DEFAULT index
-    * configuration and maxProbe=3, checkpointed and memoized per dataset
-    * dir — the encode-once/query-many shape of a served ANN index: both
-    * the fixed-nProbe search ([[qKnnIvfPq]], a prank<=2 slice) and the
-    * recall curve ([[qIvfPqRecall]]) read it. Cache-owned; callers must
-    * not free. Slicing prank<=n from the maxProbe=3 frame is identical
-    * to computing candidates at maxProbe=n (cells are disjoint and prank
-    * is the probe order).
+    * configuration and maxProbe=3, checkpointed and memoized per
+    * (session, dataset dir) — the encode-once/query-many shape of a
+    * served ANN index: both the fixed-nProbe search ([[qKnnIvfPq]], a
+    * prank<=2 slice) and the recall curve ([[qIvfPqRecall]]) read it.
+    * Cache-owned; callers must not free. Slicing prank<=n from the
+    * maxProbe=3 frame is identical to computing candidates at
+    * maxProbe=n (cells are disjoint and prank is the probe order).
+    *
+    * Not [[graft.Engine.DirCache]]: the build must free the encode-side
+    * `rows` intermediate strictly AFTER the candidate frame's eager
+    * checkpoint materializes (freeing a localCheckpoint's blocks is
+    * unrecoverable — lineage is already truncated), and DirCache owns
+    * its checkpoint call so the builder has no after-materialize hook.
+    * The stale-session free is safe: [[graft.Engine.freeCheckpoint]]
+    * no-ops on a stopped SparkContext.
     */
   private def ivfPqCandsCached(t: Tables): DataFrame = synchronized {
-    if (cachedPqCandsDir != t.dir || cachedPqCands == null ||
-        cachedPqCands.sparkSession != t.spark) {
+    if (cachedPqCands == null || cachedPqCandsKey != ((t.spark, t.dir))) {
       if (cachedPqCands != null) graft.Engine.freeCheckpoint(cachedPqCands)
       val (cands, rows) = ivfPqCandidates(t, 3, 16, 4, 32, 2, 50)
       cachedPqCands = cands.loopCheckpoint()
       graft.Engine.freeCheckpoint(rows)
-      cachedPqCandsDir = t.dir
+      cachedPqCandsKey = (t.spark, t.dir)
     }
     cachedPqCands
   }
@@ -576,12 +583,19 @@ object Similarity {
         negate(col("item.score")).cast("long").as("adc_dist"),
         (col("i") + 1).cast("long").as("rnk"))
       .orderBy("qid", "rnk")
-    // checkpoint=false exposes the search plan to the shape audit
+    // checkpoint=false exposes the search plan to the shape audit; the
+    // audit only reads the explain string, so the encode-side `rows`
+    // checkpoint is freed on BOTH paths (a checkpoint=false frame is
+    // plan-audit-only by contract — freeing keeps the plan shape, not
+    // executability)
     val res = if (checkpoint) {
       val c = out.loopCheckpoint()
       if (rows != null) graft.Engine.freeCheckpoint(rows)
       c
-    } else out
+    } else {
+      if (rows != null) graft.Engine.freeCheckpoint(rows)
+      out
+    }
     res
   }
 
@@ -726,14 +740,22 @@ object Similarity {
       .select(col("vec_id"), col("cell").cast("long").as("cell"), col("grp"),
         col("cent_sim"), col("keep"))
       .orderBy("vec_id")
-    // checkpoint=false exposes the decision plan to the shape audit;
-    // assigned/pairs stay checkpointed (the CC loop needs them hot)
+    // checkpoint=false exposes the decision plan to the shape audit; the
+    // CC loop above already consumed assigned/pairs hot, and the audit
+    // only reads the explain string, so BOTH paths free the round
+    // intermediates here — the plan shape survives freeing; executing a
+    // checkpoint=false frame would not, which is the documented contract
+    // (plan-audit-only)
     val res = if (checkpoint) {
       val c = out.loopCheckpoint()
       graft.Engine.freeCheckpoint(assigned)
       graft.Engine.freeCheckpoint(pairs)
       c
-    } else out
+    } else {
+      graft.Engine.freeCheckpoint(assigned)
+      graft.Engine.freeCheckpoint(pairs)
+      out
+    }
     res
   }
 
@@ -752,12 +774,18 @@ object Similarity {
         microUnits(col("embedding")).cast("array<double>").as("mu"))
     val dec = semDedupDecisions(embA, ivfCentroidsCached(t), threshold,
       maxCell, checkpoint = true)
-    dec.filter(col("keep") === 1)
+    // checkpoint the (cell-count-row) keeper frame, then free the decision
+    // checkpoint — otherwise every index build (each drain / spec run)
+    // leaks the full decision frame's storage blocks for the session
+    val out = dec.filter(col("keep") === 1)
       .join(embA.select(col("vec_id"), col("mu")), "vec_id")
       .groupBy("cell")
       .agg(array_sort(
         collect_list(struct(col("vec_id").as("id"), col("mu").as("v"))))
         .as("ks"))
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(dec)
+    out
   }
 
   /** Serving-time semantic-dedup verdicts: each arrival (vec_id, mu —

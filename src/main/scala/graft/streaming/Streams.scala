@@ -969,7 +969,9 @@ object Streams {
       spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
     import graft.ext.Similarity
     val t = graft.Tables(spark, dir)
-    val keepers = graft.Engine.loopCheckpoint(Similarity.semDedupKeeperIndex(t))
+    // already checkpointed by the builder (which frees its own decision
+    // intermediates); freed below once the drain has consumed it
+    val keepers = Similarity.semDedupKeeperIndex(t)
     val cents = Similarity.ivfCentroidsCached(t)
     val arrivals = embeddingsStream(spark, dir, globFilter)
       .filter(pmod(col("vec_id"), lit(2)) === 1)

@@ -440,6 +440,7 @@ class StreamsSpec extends SparkSuite {
       .semDedupServe(arrivals, keepers,
         ext.Similarity.ivfCentroidsCached(tables))
       .orderBy("vec_id").collect().toSeq
+    graft.Engine.freeCheckpoint(keepers)
     assert(streamed == batch)
     assert(streamed.nonEmpty)
     // verdicts are decisions, not pairs: some arrivals must be pruned
