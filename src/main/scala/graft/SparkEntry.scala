@@ -324,7 +324,12 @@ object SparkEntry {
     "q_simhash_portable" -> q(Dedup.qSimhashPortable(_)),
     "q_dedup_pipeline" -> q(Dedup.qDedupPipeline(_)),
     "q_dedup_agreement" -> q(Dedup.qDedupAgreement),
-    "q_dedup_clusters" -> q(Dedup.qDedupClusters),
+    "q_dedup_clusters" -> q(Dedup.qDedupClusters(_)),
+    // same pipeline with the DISTRIBUTED min-label/pointer-jump loop
+    // pinned on (cutoff bypassed): the 100 TB code path gets its own
+    // green hash-oracle row at every scale factor, not just in unit tests
+    "q_dedup_clusters_dist" ->
+      q(Dedup.qDedupClusters(_, forceDistributed = true)),
     "q_contamination" -> q(Dedup.qContamination(_)),
     "q_dedup_keep_best" -> q(Dedup.qDedupKeepBest),
     "q_fuzzy_names" -> q(Dedup.qFuzzyNames(_)),
@@ -509,7 +514,7 @@ object SparkEntry {
       Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
-    * q_dedup_minhash / q_dedup_simhash (xxhash64-derived signatures),
+    * q_dedup_simhash (xxhash64-derived signatures),
     * q_knn_lsh / q_approx_quantile (approximate by
     * construction; sketch internals engine-specific),
     * pipeline_health (generator-sourced). Each engine-specific signature
@@ -521,6 +526,22 @@ object SparkEntry {
     * fully oracled: its Lloyd's index runs in exact integer micro-units,
     * so the trained centroids are bit-deterministic and the oracle
     * unrolls the rounds as CTEs (knnIvfOracle).
+    *
+    * q_dedup_minhash graduated from rows-only in round 7: its oracle is
+    * the GROUND-TRUTH jaccard >= 0.7 pair set, generated by prefix
+    * filtering (rarest-first canonical gram order; a pair at threshold t
+    * must share a gram within each member's (n - ceil(t*n) + 1)-prefix —
+    * the ppjoin lemma) and verified by exact gram-set jaccard. The hash
+    * match therefore asserts the banded pipeline achieves FULL RECALL at
+    * the 0.7 threshold on this corpus (verified empirically at sf0.001 /
+    * 0.01 / 0.1 against a no-filter brute force) on top of the exact
+    * verify arithmetic — if a signature or banding change drops recall,
+    * this row goes red even though signatures themselves are
+    * engine-specific. 8x4 banding misses a true pair with probability
+    * (1-j^4)^8 <= 11% at j = 0.7 exactly, but the corpus' near-dup pairs
+    * sit well above threshold where the miss bound is negligible; a
+    * regenerated corpus dense at exactly 0.7 would legitimately re-open
+    * the rows-only status.
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
@@ -5252,6 +5273,39 @@ FROM terms GROUP BY source ORDER BY source""",
     // 3-gram construction as q_contamination, df band [2, 8] = bucket +
     // cap, exact gram-set jaccard rounded at 1e-6 like the engine's
     // hashed-set verify
+    // ground-truth jaccard>=0.7 pair set via prefix filtering (see the
+    // oracleSql scaladoc): candidates must share a gram inside each
+    // member's rarest-first (n - ceil(0.7n) + 1)-prefix, then exact
+    // gram-set jaccard verifies — a different candidate ALGORITHM than
+    // the engine's banding, same verified output
+    "q_dedup_minhash" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d),
+         sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         df AS (SELECT gram, COUNT(*) AS df FROM dg GROUP BY 1),
+         ranked AS (SELECT dg.doc_id, dg.gram,
+             row_number() OVER (PARTITION BY dg.doc_id
+               ORDER BY df.df, dg.gram) AS rk, sz.ng
+           FROM dg JOIN df USING (gram) JOIN sz ON dg.doc_id = sz.doc_id),
+         pref AS (SELECT doc_id, gram FROM ranked
+           WHERE rk <= ng - CAST(ceil(0.7 * ng) AS BIGINT) + 1),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM pref a JOIN pref b USING (gram) WHERE a.doc_id < b.doc_id),
+         j AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM cand c
+           JOIN dg x ON x.doc_id = c.id1
+           JOIN dg y ON y.doc_id = c.id2 AND y.gram = x.gram
+           GROUP BY 1, 2),
+         scored AS (SELECT j.id1, j.id2,
+             round(CAST(inter AS DOUBLE) / (s1.ng + s2.ng - inter), 6)
+               AS jaccard
+           FROM j JOIN sz s1 ON j.id1 = s1.doc_id
+                  JOIN sz s2 ON j.id2 = s2.doc_id)
+         SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
+         ORDER BY id1, id2""",
     "q_dedup_minhash_verify" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
@@ -5720,6 +5774,41 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
              / CAST(SUM(mj) + SUM(mc) - SUM(mj * mc) AS DOUBLE) AS overlap
          FROM u""",
     "q_dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+           SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w
+           FROM documents WHERE doc_id % 20 = 0),
+         dw0 AS (SELECT doc_id, lang, unnest(w) AS word FROM docs),
+         nd AS (SELECT lang, COUNT(*) AS n_docs FROM docs GROUP BY 1),
+         hot AS (SELECT d.lang, d.word
+           FROM (SELECT lang, word, COUNT(*) AS df FROM dw0 GROUP BY 1, 2) d
+           JOIN nd ON d.lang = nd.lang WHERE d.df > nd.n_docs * 0.5),
+         dw AS (SELECT * FROM dw0 WHERE NOT EXISTS (
+           SELECT 1 FROM hot WHERE hot.lang = dw0.lang AND hot.word = dw0.word)),
+         sized AS (SELECT doc_id, lang, CAST(COUNT(*) AS DOUBLE) AS nw
+           FROM dw GROUP BY 1, 2),
+         dwn AS (SELECT dw.doc_id, dw.lang, dw.word, sized.nw
+           FROM dw JOIN sized ON dw.doc_id = sized.doc_id AND dw.lang = sized.lang),
+         j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.nw AS n1, b.nw AS n2,
+             COUNT(*) AS inter
+           FROM dwn a JOIN dwn b ON a.lang = b.lang AND a.word = b.word
+           WHERE a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4),
+         pairs AS (SELECT id1, id2 FROM j
+           WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.3),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM pairs
+           UNION ALL SELECT id2, id1 FROM pairs),
+         reach(id, r) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id)
+         SELECT comp AS keep_id, COUNT(*) AS n_members,
+           array_to_string(list_transform(list_sort(list(id)),
+             x -> CAST(x AS VARCHAR)), ',') AS members
+         FROM comp GROUP BY comp ORDER BY keep_id""",
+    // identical semantics, distributed-loop execution — one oracle text,
+    // two engine code paths (see qDedupClusters forceDistributed)
+    "q_dedup_clusters_dist" ->
       """WITH RECURSIVE docs AS (
            SELECT doc_id, lang,
              list_distinct(string_split_regex(trim(lower(text)), ' +')) AS w

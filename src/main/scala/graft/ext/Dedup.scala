@@ -523,7 +523,9 @@ object Dedup {
     * corpus size; `maxIter` caps adversarial chains. Labels persist per
     * round and the previous round unpersists once the next is materialized.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 40): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame, maxIter: Int = 40,
+      forceDistributed: Boolean = false): DataFrame = {
     // Adaptive small-graph path — the same size-based plan switch AQE
     // makes for broadcast joins: an edge list under the cutoff (default
     // 32768 edges, ~0.5 MB — duplicate-pair graphs are SPARSE relative to
@@ -533,11 +535,16 @@ object Dedup {
     // witness job) with two jobs. Over the cutoff, the distributed
     // min-label loop below runs unchanged — same labels either way
     // (min-id components are unique), property-tested against each other.
+    // `forceDistributed` pins the 100 TB code path regardless of the
+    // cutoff — [[qDedupClustersDist]] grades that path with a full hash
+    // oracle at every scale factor (a cutoff-sized test corpus would
+    // otherwise only ever exercise the driver branch in the graded run).
     val cutoff = edges.sparkSession.conf
       .getOption("spark.graft.cc.localCutoff").map(_.toLong).getOrElse(32768L)
     // edges arrive checkpointed per the contract below, so the count is a
     // cached-block scan, not a recompute
-    if (cutoff > 0 && edges.count() <= cutoff) return localComponents(edges)
+    if (!forceDistributed && cutoff > 0 && edges.count() <= cutoff)
+      return localComponents(edges)
     // NOTE: convergence is detected by a round whose labels don't change,
     // so the usable budget is maxIter - 1 rounds (the last confirms).
     // The pointer jump below roughly doubles the chain depth covered per
@@ -654,14 +661,15 @@ object Dedup {
     * one row per duplicate group — keep id (min member), member count,
     * and the sorted member list.
     */
-  def qDedupClusters(t: Tables): DataFrame = {
+  def qDedupClusters(
+      t: Tables, forceDistributed: Boolean = false): DataFrame = {
     // the pair frame arrives already checkpointed from the session cache
     // (shared with the jaccard report / agreement / threshold curve), so
     // the explode-join-jaccard pipeline never sits under the label
     // propagation rounds below — each round re-reads materialized edge
     // rows. The cache owns the checkpoint; do NOT free it here.
     val edges = ngramJaccardPairs(t).select("id1", "id2")
-    val labels = connectedComponents(edges)
+    val labels = connectedComponents(edges, forceDistributed = forceDistributed)
     val out = labels
       .groupBy("comp")
       .agg(

@@ -800,10 +800,24 @@ object Similarity {
     */
   def semDedupServe(
       arrivals: DataFrame, keepers: DataFrame, cents: Seq[Array[Double]],
-      threshold: Double = 0.35): DataFrame =
+      threshold: Double = 0.35): DataFrame = {
+    // Broadcast is the right plan while the keeper index fits an executor
+    // (cell-count rows, but each row CARRIES its cell's keeper vectors —
+    // at 100 TB corpus scale the packed lists outgrow a broadcast long
+    // before the row count does). `spark.graft.semdedup.broadcastIndex=
+    // false` switches to a SHUFFLED stream-static equi-join on the cell
+    // key: the keeper side partitions by cell instead of replicating to
+    // every task, arrivals shuffle once on their (map-side projected)
+    // cell id, and the per-row verdict logic is untouched — identical
+    // output, plan-audited in both shapes (PlanAuditSpec). The hint pins
+    // the shuffled shape even when size stats would allow an automatic
+    // broadcast, so the audited plan is the plan a 100 TB index gets.
+    val bcast = arrivals.sparkSession.conf
+      .getOption("spark.graft.semdedup.broadcastIndex").forall(_.toBoolean)
+    val idx = if (bcast) broadcast(keepers) else keepers.hint("shuffle_hash")
     arrivals
       .withColumn("cell", nearestCell(col("mu"), cents).cast("long"))
-      .join(broadcast(keepers), Seq("cell"), "left_outer")
+      .join(idx, Seq("cell"), "left_outer")
       .withColumn("m",
         filter(col("ks"),
           k => cosine(k.getField("v"), col("mu")) >= lit(threshold)))
@@ -812,6 +826,7 @@ object Similarity {
         col("cell"),
         get(col("m"), lit(0)).getField("id").as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull.cast("long"))
+  }
 
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed
     * by the same sequential fold as the oracle's list arithmetic — raw

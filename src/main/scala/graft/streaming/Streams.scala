@@ -196,9 +196,11 @@ object Streams {
     // not accumulate catalog entries each pinning a result set. An empty
     // backlog never registers the sink table -> empty frame, right schema.
     import scala.jdk.CollectionConverters.SeqHasAsJava
+    var terminated = false
     try {
       require(
         query.awaitTermination(600000L), "AvailableNow drain did not terminate")
+      terminated = true
       // awaitTermination returns true for FAILED termination too — surface
       // the stream's own exception instead of returning a silently-partial
       // sink table
@@ -208,12 +210,13 @@ object Streams {
         else Seq.empty[org.apache.spark.sql.Row]
       spark.createDataFrame(rows.asJava, streamed.schema)
     } finally {
-      // stop() only if still active: the termination latch fires slightly
-      // before the stream thread finishes its cleanup, and stop() on an
-      // already-terminated query interrupts that thread mid-cleanup —
-      // Spark ERROR-logs the InterruptedException with a full stack trace
-      // (the r5 bench-tail noise) even though the drain succeeded
-      if (query.isActive) query.stop()
+      // awaitTermination returning true means the query IS terminated
+      // (success or failure) — calling stop() then interrupts the stream
+      // thread mid-cleanup, which Spark ERROR-logs with a stack trace (the
+      // r5 bench-tail noise). An isActive guard is check-then-act racy, so
+      // skip stop() by the termination FACT, not a liveness probe; stop()
+      // remains for the timeout path, where interrupting is the point.
+      if (!terminated) scala.util.Try(query.stop())
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
       scala.util.Try(spark.catalog.dropTempView(name))
     }
@@ -269,15 +272,18 @@ object Streams {
           spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
           throw e
       }
+    var terminated = false
     try {
       require(
         query.awaitTermination(600000L),
         "AvailableNow warehouse drain did not terminate")
+      terminated = true
       query.exception.foreach(e => throw e)
       wh.table("hourly_counts")
     } finally {
-      // see drain(): stop() on a terminated query interrupts its cleanup
-      if (query.isActive) query.stop()
+      // see drain(): stop() after a true awaitTermination interrupts the
+      // stream thread's cleanup; gate on the termination fact, not isActive
+      if (!terminated) scala.util.Try(query.stop())
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
     }
   }

@@ -598,6 +598,35 @@ class PlanAuditSpec extends SparkSuite {
       "no map-side partial for the per-query top-k")
   }
 
+  test("semDedup serve: keeper index broadcast by default, conf-switched shuffled join, same verdicts") {
+    import org.apache.spark.sql.functions._
+    val keepers = graft.ext.Similarity.semDedupKeeperIndex(tables)
+    val arrivals = tables.embeddings
+      .filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id"),
+        expr("transform(cast(embedding as array<double>)," +
+          " x -> cast(floor(x * 1000000.0) as double))").as("mu"))
+    val cents = graft.ext.Similarity.ivfCentroidsCached(tables)
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // default: keeper lists fit an executor -> broadcast probe
+    val bcast = graft.ext.Similarity.semDedupServe(arrivals, keepers, cents)
+    assert(plan(bcast).contains("BroadcastHashJoin"),
+      s"keeper probe not broadcast:\n${plan(bcast)}")
+    // index-scale mode: keepers partition by cell, nothing replicates —
+    // the plan a 100 TB keeper index needs, with verdicts unchanged
+    spark.conf.set("spark.graft.semdedup.broadcastIndex", "false")
+    try {
+      val shuffled = graft.ext.Similarity.semDedupServe(arrivals, keepers, cents)
+      val p = plan(shuffled)
+      assert(!p.contains("BroadcastHashJoin"), s"index still broadcast:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+      assert(shuffled.orderBy("vec_id").collect().toSeq ==
+        bcast.orderBy("vec_id").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.semdedup.broadcastIndex")
+    graft.Engine.freeCheckpoint(keepers)
+  }
+
   test("SemDeDup: keep decision reads checkpointed frames, no fact rescan or cartesian") {
     // assignment and pairs are checkpointed inputs; the decision epilogue
     // is a left join + one keep-ranking window — a parquet scan here

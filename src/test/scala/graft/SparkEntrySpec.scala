@@ -12,6 +12,21 @@ class SparkEntrySpec extends SparkSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("README registry counts match the code") {
+    // the README's "N queries + M DuckDB oracles" line went stale two
+    // rounds running; pin it to the registry so drift fails the build
+    val readme = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("README.md")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val m = """(\d+) queries \+ (\d+) DuckDB oracles""".r
+      .findFirstMatchIn(readme)
+    assert(m.isDefined, "README.md lost its registry-count line")
+    assert(m.get.group(1).toInt == SparkEntry.queries.size,
+      s"README says ${m.get.group(1)} queries; code has ${SparkEntry.queries.size}")
+    assert(m.get.group(2).toInt == SparkEntry.oracleSql.size,
+      s"README says ${m.get.group(2)} oracles; code has ${SparkEntry.oracleSql.size}")
+  }
+
   test("oracle SQL strings have balanced quotes (JSON-dump safety)") {
     SparkEntry.oracleSql.foreach { case (k, sql) =>
       assert(sql.count(_ == '\'') % 2 == 0, s"$k has unbalanced quotes")
@@ -27,7 +42,7 @@ class SparkEntrySpec extends SparkSuite {
     val rowsOnly = Set(
       "pipeline_health",
       "q_approx_distinct", "q_approx_quantile",
-      "q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_simhash",
       "q_knn_lsh")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
