@@ -273,6 +273,8 @@ object SparkEntry {
     "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
     "q_fulfillment_latency" -> q(Analytics.qFulfillmentLatency),
     "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
+    "q_vocab_growth" -> q(TextAnalysis.qVocabGrowth),
+    "q_heaps_law" -> q(TextAnalysis.qHeapsLaw),
     "q_charset_stats" -> q(TextAnalysis.qCharsetStats),
     "q_incr_agg" -> q(Analytics.qIncrAgg),
     "q_debounce" -> q(Events.qDebounce(_)),
@@ -338,6 +340,7 @@ object SparkEntry {
     "q_source_overlap" -> q(Dedup.qSourceOverlap(_)),
     "q_boilerplate" -> q(TextAnalysis.qBoilerplate(_)),
     "q_dedup_savings" -> q(Dedup.qDedupSavings),
+    "q_dup_evidence" -> q(Dedup.qDupEvidence(_)),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -388,6 +391,7 @@ object SparkEntry {
     "q_pq_codes" -> q(Similarity.qPqCodes(_)),
     "q_pq_search" -> q(Similarity.qPqSearch(_)),
     "q_semdedup" -> q(Similarity.qSemDedup(_)),
+    "q_ivf_ingest" -> q(Similarity.qIvfIngest),
     "q_knn_ivfpq" -> q(Similarity.qKnnIvfPq(_)),
     "q_ivfpq_recall" -> q(Similarity.qIvfPqRecall(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
@@ -844,6 +848,46 @@ object SparkEntry {
    SELECT a.vec_id, a.cell, COALESCE(c.grp, a.vec_id) AS grp,
      a.dot / (sqrt(a.nv) * sqrt(a.nc)) AS cent_sim
    FROM mem a LEFT JOIN comp c ON c.id = a.vec_id)"""
+
+  /** IVF ingest-maintenance oracle: the shared training chain, full
+    * argmax assignment, per-row rounded-decimal centroid cosines, and
+    * the per-cell incumbent/arrival split (vec_id parity).
+    */
+  private val ivfIngestOracle: String =
+    s"""WITH $ivfTrainCtes,
+ asgn AS (
+   SELECT vec_id, cell, dot, nv, nc FROM (
+     SELECT s.vec_id, s.cell, s.dot, s.nv, s.nc,
+       ROW_NUMBER() OVER (PARTITION BY s.vec_id
+         ORDER BY s.dot / (sqrt(s.nv) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT u.vec_id, c.cell,
+         SUM(u.m[c.i] * c.v) AS dot,
+         MAX(u.nv) AS nv, MAX(cn.nc) AS nc
+       FROM (SELECT vec_id, m,
+               list_sum(list_transform(m, x -> x * x)) AS nv FROM mu) u,
+         cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY u.vec_id, c.cell) s)
+   WHERE rn = 1),
+ csr AS (SELECT vec_id, cell,
+     CAST(round(dot / (sqrt(nv) * sqrt(nc)), 9) AS DECIMAL(12,10)) AS cs,
+     CAST(vec_id % 2 AS BIGINT) AS arrival FROM asgn),
+ gb AS (SELECT cell,
+     CAST(SUM(1 - arrival) AS BIGINT) AS n_incumbent,
+     CAST(SUM(arrival) AS BIGINT) AS n_arrivals,
+     SUM(CASE WHEN arrival = 0 THEN cs END) AS si,
+     SUM(CASE WHEN arrival = 1 THEN cs END) AS sa
+   FROM csr GROUP BY cell)
+ SELECT CAST(cell AS BIGINT) AS cell, n_incumbent, n_arrivals,
+   round(CAST(n_arrivals AS DOUBLE)
+     / CAST(n_incumbent + n_arrivals AS DOUBLE), 9) AS arrival_share,
+   round(CAST(si AS DOUBLE) / CAST(n_incumbent AS DOUBLE), 9)
+     AS mean_sim_incumbent,
+   round(CAST(sa AS DOUBLE) / CAST(n_arrivals AS DOUBLE), 9)
+     AS mean_sim_arrival,
+   round(CAST(sa AS DOUBLE) / CAST(n_arrivals AS DOUBLE)
+     - CAST(si AS DOUBLE) / CAST(n_incumbent AS DOUBLE), 9) AS sim_drift
+ FROM gb ORDER BY cell"""
 
   /** Semantic-dedup oracle: the shared IVF training chain, the core
     * above over the full corpus, and the keep rule (lowest centroid
@@ -4310,6 +4354,61 @@ FROM terms GROUP BY source ORDER BY source""",
            round((CAST(n AS DOUBLE) * sxy - sx * sy)
              / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope
          FROM m""",
+    "q_vocab_growth" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         bounds AS (SELECT CAST(k AS BIGINT) AS decile,
+             CAST(min_id + ((max_id - min_id) * k) // 10 AS BIGINT) AS cutoff_id
+           FROM (SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM d),
+             range(1, 11) t(k)),
+         dw AS (SELECT doc_id, unnest(w) AS word FROM d),
+         fs AS (SELECT word, MIN(doc_id) AS fd FROM dw GROUP BY 1),
+         dt AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), ' +')) END AS ntok FROM d),
+         toks AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS cum_docs,
+             CAST(SUM(dt.ntok) AS BIGINT) AS cum_tokens
+           FROM bounds b JOIN dt ON dt.doc_id <= b.cutoff_id GROUP BY 1),
+         voc AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS cum_vocab
+           FROM bounds b JOIN fs ON fs.fd <= b.cutoff_id GROUP BY 1)
+         SELECT b.decile, b.cutoff_id, t.cum_docs, t.cum_tokens, v.cum_vocab
+         FROM bounds b JOIN toks t USING (decile) JOIN voc v USING (decile)
+         ORDER BY decile""",
+    // least squares over the ten (ln cum_tokens, ln cum_vocab) points —
+    // the q_zipf_slope decimal/rounding recipe
+    "q_heaps_law" ->
+      """WITH d AS (SELECT doc_id, text,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         bounds AS (SELECT CAST(k AS BIGINT) AS decile,
+             CAST(min_id + ((max_id - min_id) * k) // 10 AS BIGINT) AS cutoff_id
+           FROM (SELECT MIN(doc_id) AS min_id, MAX(doc_id) AS max_id FROM d),
+             range(1, 11) t(k)),
+         dw AS (SELECT doc_id, unnest(w) AS word FROM d),
+         fs AS (SELECT word, MIN(doc_id) AS fd FROM dw GROUP BY 1),
+         dt AS (SELECT doc_id, CASE WHEN len(trim(text)) = 0 THEN 0
+             ELSE len(string_split_regex(trim(text), ' +')) END AS ntok FROM d),
+         toks AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS cum_docs,
+             CAST(SUM(dt.ntok) AS BIGINT) AS cum_tokens
+           FROM bounds b JOIN dt ON dt.doc_id <= b.cutoff_id GROUP BY 1),
+         voc AS (SELECT b.decile, CAST(COUNT(*) AS BIGINT) AS cum_vocab
+           FROM bounds b JOIN fs ON fs.fd <= b.cutoff_id GROUP BY 1),
+         pts AS (SELECT
+             CAST(round(ln(CAST(t.cum_tokens AS DOUBLE)), 9)
+               AS DECIMAL(14,10)) AS x,
+             CAST(round(ln(CAST(v.cum_vocab AS DOUBLE)), 9)
+               AS DECIMAL(14,10)) AS y
+           FROM toks t JOIN voc v USING (decile)),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM pts)
+         SELECT n AS n_points,
+           round((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx), 9) AS heaps_beta,
+           round((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+             / CAST(n AS DOUBLE), 9) AS heaps_logk
+         FROM m""",
     "q_charset_stats" ->
       """SELECT lang,
            COUNT(*) AS n_docs,
@@ -5273,6 +5372,48 @@ FROM terms GROUP BY source ORDER BY source""",
     // 3-gram construction as q_contamination, df band [2, 8] = bucket +
     // cap, exact gram-set jaccard rounded at 1e-6 like the engine's
     // hashed-set verify
+    // rare-gram verified pairs (the q_dedup_minhash_verify chain) plus
+    // per-pair evidence: top-3 rarest shared grams ranked by corpus df
+    "q_dup_evidence" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d),
+         sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         rare AS (SELECT gram FROM dg GROUP BY gram
+           HAVING COUNT(*) BETWEEN 2 AND 8),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT * FROM dg JOIN rare USING (gram)) a
+           JOIN (SELECT * FROM dg JOIN rare USING (gram)) b USING (gram)
+           WHERE a.doc_id < b.doc_id),
+         j AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM cand c
+           JOIN dg x ON x.doc_id = c.id1
+           JOIN dg y ON y.doc_id = c.id2 AND y.gram = x.gram
+           GROUP BY 1, 2),
+         scored AS (SELECT j.id1, j.id2, j.inter,
+             round(CAST(inter AS DOUBLE) / (s1.ng + s2.ng - inter), 6)
+               AS jaccard
+           FROM j JOIN sz s1 ON j.id1 = s1.doc_id
+                  JOIN sz s2 ON j.id2 = s2.doc_id),
+         keep AS (SELECT * FROM scored WHERE jaccard >= 0.7),
+         dfq AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dg GROUP BY 1),
+         sh AS (SELECT k.id1, k.id2, x.gram, f.df,
+             row_number() OVER (PARTITION BY k.id1, k.id2
+               ORDER BY f.df, x.gram) AS rk
+           FROM keep k JOIN dg x ON x.doc_id = k.id1
+           JOIN dg y ON y.doc_id = k.id2 AND y.gram = x.gram
+           JOIN dfq f ON f.gram = x.gram),
+         ev AS (SELECT id1, id2,
+             string_agg(CAST(df AS VARCHAR) || ':' || gram, '|' ORDER BY rk)
+               AS evidence
+           FROM sh WHERE rk <= 3 GROUP BY 1, 2)
+         SELECT k.id1, k.id2, k.jaccard, CAST(k.inter AS BIGINT) AS n_shared,
+           e.evidence
+         FROM keep k JOIN ev e ON e.id1 = k.id1 AND e.id2 = k.id2
+         ORDER BY k.id1, k.id2""",
     // ground-truth jaccard>=0.7 pair set via prefix filtering (see the
     // oracleSql scaladoc): candidates must share a gram inside each
     // member's rarest-first (n - ceil(0.7n) + 1)-prefix, then exact
@@ -5371,6 +5512,7 @@ FROM terms GROUP BY source ORDER BY source""",
     "q_pq_search" -> pqSearchOracle,
     // SemDeDup: IVF-clustered keep/prune decisions, recursive-CTE groups
     "q_semdedup" -> semDedupOracle,
+    "q_ivf_ingest" -> ivfIngestOracle,
     // serving-time semantic dedup: even-half keeper index, odd arrivals
     "q_stream_semdedup" -> streamSemDedupOracle,
     // IVF-PQ: probed-cell ADC over residual codes, exact ints throughout

@@ -277,6 +277,71 @@ object Dedup {
       .orderBy("id1", "id2")
   }
 
+  /** Near-duplicate EVIDENCE for human review: each verified >= `threshold`
+    * pair annotated with its `topK` rarest shared 3-grams (rarity = corpus
+    * document frequency) — the lines a reviewer reads to confirm a merge
+    * before a destructive dedup ships. Works on gram STRINGS, not hashes:
+    * evidence is a human-facing surface, so the text must exist here by
+    * definition (the throughput path, [[qDedupMinhash]], stays hashed).
+    *
+    * Scale: one corpus-wide distinct-gram explode feeds sizes, df, and the
+    * rare-bucket candidate generator (same [2, maxDf] admission as
+    * [[qDedupMinhashVerify]] — buckets stay bounded); the verify +
+    * evidence joins touch only candidate pairs, and the per-pair gram
+    * ranking windows over the pair-shared-gram frame (bounded by pairs x
+    * doc gram count, never corpus-sized).
+    */
+  def qDupEvidence(
+      t: Tables, maxDf: Int = 8, threshold: Double = 0.7,
+      topK: Int = 3): DataFrame = {
+    // four consumers (sizes, df, buckets, evidence) read the exploded
+    // gram frame — materialize it once or each re-runs the shingle split
+    val dg = graft.Engine.spread(t.documents)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .loopCheckpoint()
+    val sz = dg.groupBy("id").agg(count(lit(1)).as("ng"))
+    val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df"))
+    val pairs = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf))
+    // verify: one pair-gram intersection pass over the (bounded) candidate
+    // set, materialized — the evidence stage re-reads these ~pair-count
+    // rows instead of re-running the bucket pipeline per consumer
+    val scored = pairs
+      .join(dg.toDF("id1", "g"), "id1")
+      .join(dg.toDF("id2", "g"), Seq("id2", "g"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+      .join(sz.toDF("id1", "ng1"), "id1")
+      .join(sz.toDF("id2", "ng2"), "id2")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("ng1") + col("ng2") - col("inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .loopCheckpoint()
+    // evidence grams only for the VERIFIED pairs (a small fraction of the
+    // candidates): re-derive their shared grams, rank by corpus df
+    val wRare = Window.partitionBy("id1", "id2")
+      .orderBy(col("df").asc, col("g").asc)
+    val evidence = scored.select("id1", "id2")
+      .join(dg.toDF("id1", "g"), "id1")
+      .join(dg.toDF("id2", "g"), Seq("id2", "g"))
+      .join(dfreq, "g")
+      .withColumn("rk", row_number().over(wRare))
+      .filter(col("rk") <= topK)
+      .groupBy("id1", "id2")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rk"), col("df"), col("g")))),
+        x => concat(x.getField("df").cast("string"), lit(":"),
+          x.getField("g"))), "|").as("evidence"))
+    val out = scored
+      .join(evidence, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("jaccard"),
+        col("inter").cast("long").as("n_shared"), col("evidence"))
+      .orderBy("id1", "id2")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(scored)
+    graft.Engine.freeCheckpoint(dg)
+    out
+  }
+
   def qDedupMinhash(t: Tables): DataFrame =
     // the documents shingle frame comes from the session cache (shared
     // with the rare-gram verify) instead of a per-call rebuild

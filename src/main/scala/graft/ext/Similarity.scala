@@ -279,7 +279,11 @@ object Similarity {
     * consumer — [[qKnnIvf]], [[qSemDedup]], [[qKnnIvfPq]] — exactly the
     * way a production pipeline trains a coarse quantizer once per corpus
     * version and fans out. Centroids are k x dim doubles (index
-    * metadata), so the cache holds no Spark state to free.
+    * metadata), so the cache holds no Spark state to free — and that is
+    * why the key is the dataset dir ALONE, not (session, dir) like the
+    * frame caches: training is bit-deterministic in the data, so plain
+    * numbers computed under a previous session are still exactly right,
+    * and surviving a session restart is a feature, not staleness.
     */
   private[graft] def ivfCentroidsCached(t: Tables): Seq[Array[Double]] =
     synchronized {
@@ -826,6 +830,56 @@ object Similarity {
         col("cell"),
         get(col("m"), lit(0)).getField("id").as("dup_of"))
       .withColumn("is_dup", col("dup_of").isNotNull.cast("long"))
+  }
+
+  /** Incremental IVF index-maintenance report: a new ingest batch (the
+    * vec_id-odd half) assigned map-side against the FROZEN coarse index,
+    * compared per cell against the incumbents (the even half the index
+    * has already served). Per cell: member counts, the batch's share, and
+    * the mean centroid-cosine of arrivals vs incumbents — the two numbers
+    * an index operator watches to decide when to retrain (arrivals
+    * concentrating in few cells = rebalance; arrivals systematically
+    * farther from their centroids = drift, retrain).
+    *
+    * Scale: assignment is the [[nearestCell]] projection (no shuffle);
+    * one hash aggregate on the cell key emits k rows. Per-row cosines are
+    * single IEEE expressions over exact-integer dot/norms (engine-
+    * identical), rounded at 1e-9 into exact decimal sums, so the means
+    * are order-free and the whole report hash-oracles.
+    */
+  def qIvfIngest(t: Tables): DataFrame = {
+    val cents = ivfCentroidsCached(t)
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val assigned = t.embeddings.select(
+        col("vec_id"),
+        microUnits(col("embedding")).cast("array<double>").as("mu"))
+      .withColumn("cell", nearestCell(col("mu"), cents).cast("long"))
+      .withColumn("cs",
+        round(cosine(col("mu"), element_at(centsLit, (col("cell") + 1).cast("int"))), 9)
+          .cast("decimal(12,10)"))
+      .withColumn("arrival", (pmod(col("vec_id"), lit(2)) === 1).cast("long"))
+    assigned.groupBy("cell")
+      .agg(
+        sum(lit(1L) - col("arrival")).cast("long").as("n_incumbent"),
+        sum(col("arrival")).cast("long").as("n_arrivals"),
+        sum(when(col("arrival") === 0, col("cs"))).as("si"),
+        sum(when(col("arrival") === 1, col("cs"))).as("sa"))
+      .select(
+        col("cell"),
+        col("n_incumbent"),
+        col("n_arrivals"),
+        round(col("n_arrivals").cast("double") /
+          (col("n_incumbent") + col("n_arrivals")).cast("double"), 9)
+          .as("arrival_share"),
+        round((col("si").cast("double") / col("n_incumbent").cast("double")), 9)
+          .as("mean_sim_incumbent"),
+        round((col("sa").cast("double") / col("n_arrivals").cast("double")), 9)
+          .as("mean_sim_arrival"),
+        round(
+          col("sa").cast("double") / col("n_arrivals").cast("double") -
+            col("si").cast("double") / col("n_incumbent").cast("double"), 9)
+          .as("sim_drift"))
+      .orderBy("cell")
   }
 
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed

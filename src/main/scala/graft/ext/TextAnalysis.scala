@@ -782,6 +782,83 @@ object TextAnalysis {
           .as("zipf_slope"))
   }
 
+  /** Vocabulary growth across corpus ingest order: cumulative token and
+    * distinct-word counts at ten doc_id-range checkpoints — the curve a
+    * tokenizer team reads before sizing a vocabulary (does the corpus
+    * still surface new words at 100%?). Checkpoints are VALUE-range
+    * slices of the id domain (lo + (hi-lo)*k/10, integer arithmetic),
+    * not rank deciles: a rank needs a global sort/window over the fact
+    * table, while the value cut needs only a min/max aggregate — on a
+    * 100 TB corpus with dense ingest ids the two are equivalent and only
+    * one is shuffle-free. Per-word first-sight is one hash aggregate
+    * (min doc_id per word); each cumulative count is then a broadcast
+    * non-equi join of the 10-row checkpoint frame onto the word-sized
+    * (not corpus-sized) first-sight frame. All counts exact integers.
+    */
+  def qVocabGrowth(t: Tables): DataFrame = {
+    val dw = graft.Engine.spread(t.documents)
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("w"))
+    val firstSeen = dw.groupBy("w").agg(min("doc_id").as("fd"))
+    val docTok = t.documents.select(
+      col("doc_id"), tokenCount(col("text")).as("ntok"))
+    val bounds = t.documents
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .select(explode(sequence(lit(1L), lit(10L))).as("decile"),
+        col("lo"), col("hi"))
+      // integer division (Column./ is IEEE): both engines cut identically
+      .select(col("decile"),
+        expr("CAST(lo + ((hi - lo) * decile) DIV 10 AS BIGINT)")
+          .as("cutoff_id"))
+    val vocab = firstSeen
+      .join(broadcast(bounds), col("fd") <= col("cutoff_id"))
+      .groupBy("decile").agg(count(lit(1)).as("cum_vocab"))
+    val toks = docTok
+      .join(broadcast(bounds), col("doc_id") <= col("cutoff_id"))
+      .groupBy("decile").agg(
+        count(lit(1)).as("cum_docs"),
+        sum(col("ntok")).cast("long").as("cum_tokens"))
+    bounds.join(toks, "decile").join(vocab, "decile")
+      .select(col("decile"), col("cutoff_id"), col("cum_docs"),
+        col("cum_tokens"), col("cum_vocab"))
+      .orderBy("decile")
+  }
+
+  /** Heaps' law fit over the [[qVocabGrowth]] checkpoints: V = k·N^beta,
+    * estimated by least squares on the ten (ln cum_tokens, ln cum_vocab)
+    * points. beta well under 1 means the vocabulary is saturating (more
+    * data mostly repeats known words); near 1 means heavy novel-token
+    * influx — the single number that decides whether a tokenizer's vocab
+    * budget fits the corpus. Logs are rounded at 1e-9 and summed as
+    * exact decimals (the [[qZipfSlope]] parity recipe), so the
+    * regression is engine-portable.
+    */
+  def qHeapsLaw(t: Tables): DataFrame = {
+    val pts = qVocabGrowth(t).select(
+      round(log(col("cum_tokens").cast("double")), 9)
+        .cast("decimal(14,10)").as("x"),
+      round(log(col("cum_vocab").cast("double")), 9)
+        .cast("decimal(14,10)").as("y"))
+    pts
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("beta",
+        (col("nd") * col("sxy") - col("sx") * col("sy")) /
+          (col("nd") * col("sxx") - col("sx") * col("sx")))
+      .select(
+        col("n").as("n_points"),
+        // rounded at 1e-9: scale-20 decimal product sums exceed 2^53
+        // unscaled, so the double conversion can differ by 1 ulp across
+        // engines (the qZipfSlope precedent)
+        round(col("beta"), 9).as("heaps_beta"),
+        round((col("sy") - col("beta") * col("sx")) / col("nd"), 9)
+          .as("heaps_logk"))
+  }
+
   /** Character-set profile per language: how many documents carry
     * non-ASCII content and how heavy it is. Non-ASCII weight is measured
     * as UTF-8 continuation bytes — octet_length(text) − length(text) —

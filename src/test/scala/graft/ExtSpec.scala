@@ -247,6 +247,70 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(recalls(1) - opRecall) < 1e-12)
   }
 
+  test("vocab growth: monotone cumulative curves ending at the corpus totals") {
+    val rows = TextAnalysis.qVocabGrowth(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    Seq[((Long, Long, Long, Long)) => Long](_._2, _._3, _._4).foreach { f =>
+      val xs = rows.map(f)
+      assert(xs.zip(xs.tail).forall { case (a, b) => a <= b },
+        s"cumulative column not monotone: ${xs.toSeq}")
+    }
+    // the last checkpoint covers every doc: totals equal direct counts
+    assert(rows.last._2 == tables.documents.count())
+    val allVocab = tables.documents
+      .select(explode(Dedup.words(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    assert(rows.last._4 == allVocab)
+  }
+
+  test("Heaps law: saturating-vocabulary exponent in [0, 1]") {
+    val r = TextAnalysis.qHeapsLaw(tables).head()
+    assert(r.getLong(0) == 10L)
+    // the synthetic corpus draws from a fixed 31-word template
+    // vocabulary, so V saturates inside the first checkpoint and beta is
+    // exactly 0 — the operator reporting "this corpus adds no new words"
+    // is the correct answer here; natural corpora land around 0.4-0.6
+    val beta = r.getDouble(1)
+    assert(beta >= 0.0 && beta <= 1.0, s"beta=$beta")
+    // logk must then reproduce the saturated vocabulary: V = e^logk
+    val vocab = tables.documents
+      .select(explode(Dedup.words(col("text"))).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    if (beta == 0.0)
+      assert(math.abs(math.exp(r.getDouble(2)) - vocab) < 1e-6 * vocab)
+  }
+
+  test("dup evidence: verified pairs match the rare-gram verify, evidence is rare shared grams") {
+    val ev = Dedup.qDupEvidence(tables).collect()
+    val verifyPairs = Dedup.qDedupMinhashVerify(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ev.map(r => (r.getLong(0), r.getLong(1))).toSet == verifyPairs)
+    ev.foreach { r =>
+      val parts = r.getString(4).split('|')
+      assert(parts.nonEmpty && parts.length <= 3)
+      parts.foreach { p =>
+        val df = p.takeWhile(_ != ':').toLong
+        assert(df >= 2, s"evidence gram not shared: $p") // shared by the pair
+        assert(p.dropWhile(_ != ':').drop(1).nonEmpty)
+      }
+      assert(r.getLong(3) >= parts.length) // n_shared bounds the evidence
+    }
+  }
+
+  test("IVF ingest report: cell populations reconcile, shares in range") {
+    val rows = Similarity.qIvfIngest(tables).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == tables.embeddings.count())
+    rows.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= 0.0 && share <= 1.0)
+      // drift = mean_arrival - mean_incumbent whenever both sides exist
+      if (!r.isNullAt(4) && !r.isNullAt(5))
+        assert(math.abs(r.getDouble(6) - (r.getDouble(5) - r.getDouble(4))) < 2e-9)
+    }
+  }
+
   test("SemDeDup: one keeper per group, keeper is farthest from centroid, singletons self-keep") {
     val rows = Similarity.qSemDedup(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
