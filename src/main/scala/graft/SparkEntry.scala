@@ -171,6 +171,7 @@ object SparkEntry {
     "q_wilcoxon" -> q(Stats.qWilcoxon),
     "q_lorenz" -> q(Stats.qLorenz),
     "q_hash_split" -> q(Sampling.qHashSplit(_)),
+    "q_shard_skew" -> q(Sampling.qShardSkew(_)),
     "q_mutual_info" -> q(TextAnalysis.qMutualInfo),
     "q_dim_stats" -> q(Similarity.qDimStats),
     "q_variant_agg" -> q(Events.qVariantAgg),
@@ -340,6 +341,7 @@ object SparkEntry {
     "q_source_overlap" -> q(Dedup.qSourceOverlap(_)),
     "q_boilerplate" -> q(TextAnalysis.qBoilerplate(_)),
     "q_dedup_savings" -> q(Dedup.qDedupSavings),
+    "q_dedup_cost_model" -> q(Dedup.qDedupCostModel(_)),
     "q_dup_evidence" -> q(Dedup.qDupEvidence(_)),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
@@ -394,6 +396,7 @@ object SparkEntry {
     "q_ivf_ingest" -> q(Similarity.qIvfIngest),
     "q_knn_ivfpq" -> q(Similarity.qKnnIvfPq(_)),
     "q_ivfpq_recall" -> q(Similarity.qIvfPqRecall(_)),
+    "q_ann_cost_curve" -> q(Similarity.qAnnCostCurve(_)),
     "q_embed_outliers" -> q(Similarity.qEmbedOutliers(_)),
     "q_label_centroids" -> q(Similarity.qLabelCentroids),
     "q_power_iteration" -> q(Similarity.qPowerIteration),
@@ -484,6 +487,8 @@ object SparkEntry {
       graft.streaming.Streams.drainKnn(spark, dir, "embeddings.parquet")),
     "q_stream_semdedup" -> ((spark, dir) =>
       graft.streaming.Streams.drainSemDedup(spark, dir, "embeddings.parquet")),
+    "q_stream_ivf_ingest" -> ((spark, dir) =>
+      graft.streaming.Streams.drainIvfIngest(spark, dir, "embeddings.parquet")),
     "q_stream_kanonymity" -> ((spark, dir) =>
       graft.streaming.Streams.drainKAnonymity(spark, dir, "customer.parquet")),
     "q_stream_emd" -> ((spark, dir) =>
@@ -1088,6 +1093,53 @@ object SparkEntry {
      / CAST(5 * nqc.nq AS DOUBLE) AS recall
  FROM got g LEFT JOIN ex e ON e.qid = g.qid AND e.nid = g.nid, nqc
  GROUP BY g.nprobe, nqc.nq ORDER BY g.nprobe"""
+
+  /** ANN cost-curve oracle: the recall oracle's candidate chain, counted
+    * per nProbe slice instead of ranked.
+    */
+  private val annCostCurveOracle: String =
+    s"""WITH $ivfTrainCtes,$ivfPqCodeCtes,
+ probe AS (
+   SELECT qid, cell AS ivf_cell, CAST(rn AS INTEGER) AS prank FROM (
+     SELECT s.qid, s.cell,
+       ROW_NUMBER() OVER (PARTITION BY s.qid
+         ORDER BY s.dot / (sqrt(s.nq) * sqrt(s.nc)) DESC, s.cell) AS rn
+     FROM (
+       SELECT q.qid, c.cell, SUM(q.qm[c.i] * c.v) AS dot,
+         MAX(q.nq) AS nq, MAX(cn.nc) AS nc
+       FROM q, cent c JOIN cn ON cn.cell = c.cell
+       GROUP BY q.qid, c.cell) s)
+   WHERE rn <= 3),
+ qres AS (
+   SELECT p.qid, p.ivf_cell, p.prank,
+     list_transform(range(1, 65), i -> q.qm[i] - cl.cv[i]) AS rm
+   FROM probe p JOIN q ON q.qid = p.qid JOIN cl ON cl.cell = p.ivf_cell),
+ qsub AS (
+   SELECT qid, ivf_cell, prank, CAST(t.s AS INTEGER) AS s,
+     rm[(t.s * 4 + 1):(t.s * 4 + 4)] AS sub
+   FROM qres, range(0, 16) t(s)),
+ qt AS (
+   SELECT t.qid, t.ivf_cell, t.prank, t.s, c.cell,
+     SUM((t.sub[c.d] - c.v) * (t.sub[c.d] - c.v)) AS tdist
+   FROM qsub t JOIN cp2 c ON c.s = t.s
+   GROUP BY t.qid, t.ivf_cell, t.prank, t.s, c.cell),
+ adc AS (
+   SELECT q.qid, n.nid, SUM(q.tdist) AS adc, MIN(q.prank) AS prank
+   FROM codes n JOIN qt q
+     ON q.ivf_cell = n.ivf_cell AND q.s = n.s AND q.cell = n.cell
+   WHERE q.qid <> n.nid
+   GROUP BY q.qid, n.nid),
+ st AS (SELECT CAST(np AS BIGINT) AS nprobe FROM (VALUES (1),(2),(3)) v(np)),
+ nqc AS (SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM q),
+ cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus FROM mu)
+ SELECT s.nprobe, nqc.nq AS n_queries,
+   CAST(COUNT(*) AS BIGINT) AS candidates,
+   round(CAST(COUNT(*) AS DOUBLE) / CAST(nqc.nq AS DOUBLE), 9)
+     AS mean_cands_per_query,
+   round(CAST(COUNT(*) AS DOUBLE)
+     / CAST(nqc.nq * (cc.n_corpus - 1) AS DOUBLE), 9) AS corpus_scan_share
+ FROM adc a JOIN st s ON a.prank <= s.nprobe, nqc, cc
+ GROUP BY s.nprobe, nqc.nq, cc.n_corpus ORDER BY s.nprobe"""
 
   /** One unrolled PQ Lloyd round (assignment argmin -> floor means ->
     * COALESCE fallback), shared by the two PQ oracles.
@@ -2516,6 +2568,28 @@ object SparkEntry {
              CAST(SUM(n_docs) OVER (PARTITION BY source) AS DOUBLE), 9)
              AS source_share
          FROM g ORDER BY split, source""",
+    // 2-hex-digit md5 prefix mod 16 via per-nibble strpos arithmetic (the
+    // engine's conv(substring(md5,1,2),16,10) % 16)
+    "q_shard_skew" ->
+      """WITH d AS (SELECT doc_id, text,
+             md5(text || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         a AS (SELECT CAST(
+               ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(h, 2, 1)) - 1) % 16
+               AS BIGINT) AS shard,
+             strlen(text) AS nb FROM d),
+         g AS (SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(nb) AS BIGINT) AS n_bytes FROM a GROUP BY shard),
+         t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS td,
+             CAST(SUM(n_bytes) AS BIGINT) AS tb FROM g)
+         SELECT shard, n_docs, n_bytes,
+           round(CAST(n_docs AS DOUBLE) / CAST(t.td AS DOUBLE), 9)
+             AS doc_share,
+           round(CAST(n_bytes AS DOUBLE) / CAST(t.tb AS DOUBLE), 9)
+             AS byte_share,
+           round(CAST(n_docs AS DOUBLE) / CAST(t.td AS DOUBLE) - 1.0 / 16, 9)
+             AS dev_from_uniform
+         FROM g, t ORDER BY shard""",
     // same oracle as q_hash_split: the streaming drain must converge to
     // the identical split census after the backlog is processed
     "q_stream_hash_split" ->
@@ -5372,6 +5446,59 @@ FROM terms GROUP BY source ORDER BY source""",
     // 3-gram construction as q_contamination, df band [2, 8] = bucket +
     // cap, exact gram-set jaccard rounded at 1e-6 like the engine's
     // hashed-set verify
+    // stage-count cost model over the rare-gram funnel: exact integer
+    // stage volumes, UNION ALL of scalar aggregates
+    "q_dedup_cost_model" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(w) - 3, 0) + 2),
+               i -> array_to_string(w[i:i+2], ' '))) AS grams FROM d),
+         sz AS (SELECT doc_id, len(grams) AS ng FROM g),
+         dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+         ndocs AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM dg),
+         sizes AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df
+           FROM dg GROUP BY 1),
+         bstats AS (SELECT
+             CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS raw_units,
+             CAST(SUM(df * (df - 1) // 2) AS BIGINT) AS raw_pairs,
+             CAST(SUM(CASE WHEN df BETWEEN 2 AND 8 THEN 1 ELSE 0 END)
+               AS BIGINT) AS adm_units,
+             CAST(SUM(CASE WHEN df BETWEEN 2 AND 8 THEN df * (df - 1) // 2
+               ELSE 0 END) AS BIGINT) AS adm_pairs
+           FROM sizes),
+         rare AS (SELECT gram FROM sizes WHERE df BETWEEN 2 AND 8),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM (SELECT * FROM dg JOIN rare USING (gram)) a
+           JOIN (SELECT * FROM dg JOIN rare USING (gram)) b USING (gram)
+           WHERE a.doc_id < b.doc_id),
+         nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cand),
+         j AS (SELECT c.id1, c.id2, COUNT(*) AS inter FROM cand c
+           JOIN dg x ON x.doc_id = c.id1
+           JOIN dg y ON y.doc_id = c.id2 AND y.gram = x.gram
+           GROUP BY 1, 2),
+         nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM j
+           JOIN sz s1 ON j.id1 = s1.doc_id JOIN sz s2 ON j.id2 = s2.doc_id
+           WHERE round(CAST(inter AS DOUBLE) / (s1.ng + s2.ng - inter), 6)
+             >= 0.7),
+         stages AS (
+           SELECT 1 AS stage_ord, 'naive_all_pairs' AS stage,
+             ndocs.n AS n_units, ndocs.n * (ndocs.n - 1) // 2 AS n_pairs
+           FROM ndocs
+           UNION ALL SELECT 2, 'gram_buckets_raw', raw_units, raw_pairs
+           FROM bstats
+           UNION ALL SELECT 3, 'buckets_admitted', adm_units, adm_pairs
+           FROM bstats
+           UNION ALL SELECT 4, 'candidates_distinct', nc.n, nc.n FROM nc
+           UNION ALL SELECT 5, 'verified_pairs', nv.n, nv.n FROM nv)
+         SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage,
+           CAST(n_units AS BIGINT) AS n_units,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round(CAST(n_pairs AS DOUBLE)
+             / CAST((SELECT n * (n - 1) // 2 FROM ndocs) AS DOUBLE), 9)
+             AS share_vs_naive
+         FROM stages ORDER BY stage_ord""",
     // rare-gram verified pairs (the q_dedup_minhash_verify chain) plus
     // per-pair evidence: top-3 rarest shared grams ranked by corpus df
     "q_dup_evidence" ->
@@ -5515,10 +5642,12 @@ FROM terms GROUP BY source ORDER BY source""",
     "q_ivf_ingest" -> ivfIngestOracle,
     // serving-time semantic dedup: even-half keeper index, odd arrivals
     "q_stream_semdedup" -> streamSemDedupOracle,
+    "q_stream_ivf_ingest" -> ivfIngestOracle,
     // IVF-PQ: probed-cell ADC over residual codes, exact ints throughout
     "q_knn_ivfpq" -> knnIvfPqOracle,
     // IVF-PQ recall curve vs exact L2 as nProbe grows, exact hit counts
     "q_ivfpq_recall" -> ivfPqRecallOracle,
+    "q_ann_cost_curve" -> annCostCurveOracle,
     // KMV union-Jaccard content overlap between source pairs
     "q_source_overlap" -> sourceOverlapOracle,
     // cross-document repeated-gram coverage per source

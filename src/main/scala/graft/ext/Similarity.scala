@@ -678,6 +678,36 @@ object Similarity {
     out
   }
 
+  /** The COST half of the IVF-PQ operating curve ([[qIvfPqRecall]] is the
+    * benefit half): candidates scanned per nProbe setting — total, per
+    * query, and as a share of the full corpus scan a brute-force search
+    * would pay. Together the two frames are the recall-vs-compute table
+    * every ANN deployment tunes nProbe from. One slice-aggregate over the
+    * shared encode-once candidate cache; counts exact, shares one IEEE
+    * division rounded at 1e-9.
+    */
+  def qAnnCostCurve(
+      t: Tables, maxProbe: Int = 3, queryMod: Int = 50): DataFrame = {
+    val spark = t.embeddings.sparkSession
+    import spark.implicits._
+    val cands = ivfPqCandsCached(t)
+    val nq = t.embeddings
+      .filter(pmod(col("vec_id"), lit(queryMod)) === 0).count()
+    val nCorpus = t.embeddings.count()
+    val settings = broadcast((1 to maxProbe).map(_.toLong).toDF("nprobe"))
+    cands.join(settings, col("prank") <= col("nprobe"))
+      .groupBy("nprobe").agg(count(lit(1)).as("candidates"))
+      .select(
+        col("nprobe"),
+        lit(nq).as("n_queries"),
+        col("candidates"),
+        round(col("candidates").cast("double") / lit(nq.toDouble), 9)
+          .as("mean_cands_per_query"),
+        round(col("candidates").cast("double") /
+          lit((nq * (nCorpus - 1)).toDouble), 9).as("corpus_scan_share"))
+      .orderBy("nprobe")
+  }
+
   /** Semantic dedup (the SemDeDup recipe): cluster the corpus with the
     * SAME exact-integer Lloyd index [[qKnnIvf]] trains, find near-dup
     * pairs only WITHIN a cluster, group them into connected components,
@@ -847,12 +877,24 @@ object Similarity {
     * identical), rounded at 1e-9 into exact decimal sums, so the means
     * are order-free and the whole report hash-oracles.
     */
-  def qIvfIngest(t: Tables): DataFrame = {
-    val cents = ivfCentroidsCached(t)
-    val centsLit = typedLit(cents.map(_.toSeq))
-    val assigned = t.embeddings.select(
+  def qIvfIngest(t: Tables): DataFrame =
+    ivfIngestReport(
+      t.embeddings.select(
         col("vec_id"),
-        microUnits(col("embedding")).cast("array<double>").as("mu"))
+        microUnits(col("embedding")).cast("array<double>").as("mu")),
+      ivfCentroidsCached(t))
+      .orderBy("cell")
+
+  /** [[qIvfIngest]]'s per-cell report over an arbitrary (vec_id, mu)
+    * frame — batch or STREAMING (the assignment/cosine stage is a
+    * stateless projection; the one aggregation keys on the k-cell id, so
+    * a complete-mode drain holds k rows of state). Unordered: batch
+    * callers sort; streaming drains sort after the sink.
+    */
+  private[graft] def ivfIngestReport(
+      emb: DataFrame, cents: Seq[Array[Double]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq))
+    val assigned = emb
       .withColumn("cell", nearestCell(col("mu"), cents).cast("long"))
       .withColumn("cs",
         round(cosine(col("mu"), element_at(centsLit, (col("cell") + 1).cast("int"))), 9)
@@ -879,7 +921,6 @@ object Similarity {
           col("sa").cast("double") / col("n_arrivals").cast("double") -
             col("si").cast("double") / col("n_incumbent").cast("double"), 9)
           .as("sim_drift"))
-      .orderBy("cell")
   }
 
   /** Per-row vector diagnostics on a deterministic sample: L2 norm computed

@@ -992,6 +992,28 @@ object Streams {
     out
   }
 
+  /** Streaming IVF ingest maintenance — the 31st graded drain, twin of
+    * [[graft.ext.Similarity.qIvfIngest]] (one shared oracle). The whole
+    * embedding stream assigns its coarse cell map-side against the frozen
+    * (broadcast-literal) centroid set — a stateless projection — and the
+    * single complete-mode aggregation keys on the cell id, so drain state
+    * is k rows regardless of stream length. Verdict frame is
+    * arrival-order-free by construction (exact-decimal sums), so the
+    * drain is bit-identical to the batch report.
+    */
+  def drainIvfIngest(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    import graft.ext.Similarity
+    val t = graft.Tables(spark, dir)
+    val cents = Similarity.ivfCentroidsCached(t)
+    val arrivals = embeddingsStream(spark, dir, globFilter)
+      .select(col("vec_id"),
+        Similarity.microUnits(col("embedding").cast("array<double>"))
+          .cast("array<double>").as("mu"))
+    drain(spark, Similarity.ivfIngestReport(arrivals, cents))
+      .orderBy("cell")
+  }
+
   /** Streaming incremental-ingest dedup — the stateful-streaming twin of
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the

@@ -298,6 +298,49 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("dedup cost model: stage volumes ordered, naive matches doc count") {
+    val rows = Dedup.qDedupCostModel(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    val byStage = rows.map(r => r._2 -> r).toMap
+    val nDocs = byStage("naive_all_pairs")._3
+    assert(byStage("naive_all_pairs")._4 == nDocs * (nDocs - 1) / 2)
+    // distinct candidates never exceed the admitted bucket volume (the
+    // latter counts a pair once per shared bucket); verify only filters
+    assert(byStage("candidates_distinct")._4 <= byStage("buckets_admitted")._4)
+    assert(byStage("verified_pairs")._4 <= byStage("candidates_distinct")._4)
+    assert(byStage("verified_pairs")._4 ==
+      Dedup.qDedupMinhashVerify(tables).count())
+    rows.foreach { r => assert(r._5 >= 0.0) }
+    assert(math.abs(byStage("naive_all_pairs")._5 - 1.0) < 1e-12)
+  }
+
+  test("ANN cost curve: candidates monotone in nProbe, shares consistent") {
+    val rows = Similarity.qAnnCostCurve(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    val cands = rows.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b },
+      s"candidate volume not monotone: ${cands.toSeq}")
+    rows.foreach { case (_, nq, c, mean, share) =>
+      assert(math.abs(mean - c.toDouble / nq) < 1e-6)
+      assert(share > 0.0 && share <= 1.0)
+    }
+  }
+
+  test("shard skew: populations reconcile, shares sum to one") {
+    val rows = graft.ext.Sampling.qShardSkew(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.forall(r => r._1 >= 0 && r._1 < 16))
+    assert(rows.map(_._2).sum == tables.documents.count())
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-6)
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-6)
+    rows.foreach(r => assert(math.abs(r._6 - (r._4 - 1.0 / 16)) < 2e-9))
+  }
+
   test("IVF ingest report: cell populations reconcile, shares in range") {
     val rows = Similarity.qIvfIngest(tables).collect()
     val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum

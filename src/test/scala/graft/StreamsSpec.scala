@@ -424,6 +424,14 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming IVF ingest drain equals the batch maintenance report") {
+    val streamed = Streams.drainIvfIngest(spark, sfDir, "embeddings.parquet")
+      .collect().toSeq
+    val batch = ext.Similarity.qIvfIngest(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming semantic-dedup drain equals the batch serving filter") {
     import org.apache.spark.sql.functions._
     val streamed = Streams.drainSemDedup(spark, sfDir, "embeddings.parquet")
