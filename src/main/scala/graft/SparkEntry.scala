@@ -347,6 +347,7 @@ object SparkEntry {
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
+    "q_mix_doremi" -> q(Sampling.qMixDoremi(_)),
     "q_token_budget" -> q(Sampling.qTokenBudget(_)),
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
@@ -2590,6 +2591,42 @@ object SparkEntry {
            round(CAST(n_docs AS DOUBLE) / CAST(t.td AS DOUBLE) - 1.0 / 16, 9)
              AS dev_from_uniform
          FROM g, t ORDER BY shard""",
+    // statistics-only DoReMi: excess unigram surprisal -> exp weights;
+    // logs rounded at 1e-9 into exact decimals, exp fed the rounded
+    // excess and re-rounded at 1e-6 (above any libm ulp)
+    "q_mix_doremi" ->
+      """WITH dw AS (SELECT source,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+           FROM documents),
+         cw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+           FROM dw GROUP BY 1),
+         tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM cw),
+         swd AS (SELECT word, cw,
+             CAST(round(ln(CAST(tt.t AS DOUBLE)), 9) AS DECIMAL(14,10))
+               - CAST(round(ln(CAST(cw AS DOUBLE)), 9) AS DECIMAL(14,10))
+               AS s
+           FROM cw, tt),
+         corpus AS (SELECT SUM(CAST(cw AS DECIMAL(8,0)) * s) AS sdec_c,
+             CAST(SUM(cw) AS BIGINT) AS t FROM swd),
+         sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM dw GROUP BY 1, 2),
+         per_src AS (SELECT sc.source,
+             CAST(SUM(sc.c) AS BIGINT) AS n_tokens,
+             SUM(CAST(sc.c AS DECIMAL(8,0)) * swd.s) AS sdec
+           FROM sc JOIN swd USING (word) GROUP BY sc.source),
+         m AS (SELECT p.source, p.n_tokens,
+             CAST(p.sdec AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS ms,
+             CAST(c.sdec_c AS DOUBLE) / CAST(c.t AS DOUBLE) AS mc
+           FROM per_src p, corpus c),
+         w AS (SELECT source, n_tokens, ms,
+             round(ms - mc, 9) AS excess,
+             CAST(round(exp(round(ms - mc, 9)), 6) AS DECIMAL(16,6)) AS raw
+           FROM m),
+         tw AS (SELECT SUM(raw) AS sr FROM w)
+         SELECT source, n_tokens, round(ms, 9) AS mean_surprisal,
+           excess AS excess_surprisal,
+           round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight
+         FROM w, tw ORDER BY source""",
     // same oracle as q_hash_split: the streaming drain must converge to
     // the identical split census after the backlog is processed
     "q_stream_hash_split" ->

@@ -1,10 +1,12 @@
 package graft.ext
 
 import graft.Tables
+import graft.Engine.LoopCheckpointOps
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Deterministic sampling operators for training-data pipelines.
   *
@@ -220,6 +222,69 @@ object Sampling {
         expr(s"($budget * cast(weight * 1000000000 as bigint))" +
           " div cast(wsum * 1000000000 as bigint)").as("alloc_docs"))
       .orderBy("source")
+  }
+
+  /** DoReMi-flavored mixture reweighting: per-source excess unigram
+    * surprisal drives an exponential-weights update, producing the
+    * domain mixture a training run would sample at — sources whose
+    * tokens the corpus-level LM finds SURPRISING (rare vocabulary,
+    * distinctive content) get upweighted, boilerplate-heavy sources
+    * damped. The published recipe trains a proxy model; this is the
+    * statistics-only analogue on the unigram LM the engine already
+    * maintains, with eta = 1.
+    *
+    * Exactness: per-word surprisal is a difference of 1e-9-rounded logs
+    * held in exact decimals ([[graft.ext.TextAnalysis.qDocEntropy]]'s
+    * recipe), token-count-weighted sums are exact decimal arithmetic,
+    * and the one transcendental (`exp`) is fed an already-rounded
+    * double and re-rounded at 1e-6 — far above any libm ulp, far below
+    * the weight scale — so the whole frame hash-oracles.
+    *
+    * Scale: one vocab aggregate, one (source, word) aggregate, a
+    * vocab-sized join, then a source-count-sized epilogue (the window
+    * runs over k rows). No fact-sized shuffle beyond the two counts.
+    */
+  def qMixDoremi(t: Tables, checkpoint: Boolean = true): DataFrame = {
+    val all = Window.partitionBy()
+    val dw = graft.Engine.spread(t.documents)
+      .select(col("source"),
+        explode(graft.ext.Dedup.words(col("text"))).as("word"))
+    val cw = dw.groupBy("word").agg(count(lit(1)).as("c"))
+      .loopCheckpoint() // feeds T, the corpus mean, and the word join
+    val totalTokens = cw.agg(sum("c").cast("long")).head().getLong(0)
+    val lnT = round(log(lit(totalTokens.toDouble)), 9)
+      .cast(DecimalType(14, 10))
+    val swd = cw.select(col("word"), col("c").as("cw"),
+      (lnT - round(log(col("c").cast("double")), 9)
+        .cast(DecimalType(14, 10))).as("s"))
+    val corpus = swd
+      .agg(sum(col("cw").cast(DecimalType(8, 0)) * col("s")).as("sdec_c"),
+        sum("cw").cast("long").as("t"))
+    val perSrc = dw.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .join(swd.select("word", "s"), "word")
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n_tokens"),
+        sum(col("c").cast(DecimalType(8, 0)) * col("s")).as("sdec"))
+    val out = perSrc.crossJoin(broadcast(corpus))
+      .withColumn("ms",
+        col("sdec").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("mc",
+        col("sdec_c").cast("double") / col("t").cast("double"))
+      .withColumn("excess", round(col("ms") - col("mc"), 9))
+      .withColumn("raw",
+        round(exp(col("excess")), 6).cast(DecimalType(16, 6)))
+      .select(
+        col("source"), col("n_tokens"),
+        round(col("ms"), 9).as("mean_surprisal"),
+        col("excess").as("excess_surprisal"),
+        round(col("raw").cast("double") /
+          sum(col("raw")).over(all).cast("double"), 9).as("weight"))
+      .orderBy("source")
+    // checkpoint=false exposes the epilogue plan to the shape audit
+    // (plan-audit-only contract: cw is freed on both paths)
+    val res = if (checkpoint) out.loopCheckpoint() else out
+    graft.Engine.freeCheckpoint(cw)
+    res
   }
 
   /** Global contiguous id assignment in content-hash order — the

@@ -330,6 +330,23 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("DoReMi mix: weights positive, sum to one, monotone in excess surprisal") {
+    val rows = graft.ext.Sampling.qMixDoremi(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.length ==
+      tables.documents.select("source").distinct().count())
+    assert(rows.forall(_._5 > 0.0))
+    assert(math.abs(rows.map(_._5).sum - 1.0) < 1e-6)
+    // exp is increasing: sorting by excess must sort by weight
+    val byExcess = rows.sortBy(_._4).map(_._5)
+    assert(byExcess.zip(byExcess.tail).forall { case (a, b) => a <= b })
+    // token-weighted mean of the excesses is ~0 by construction
+    val tok = rows.map(_._2).sum.toDouble
+    val wmean = rows.map(r => r._4 * r._2).sum / tok
+    assert(math.abs(wmean) < 1e-6, s"excess not centered: $wmean")
+  }
+
   test("shard skew: populations reconcile, shares sum to one") {
     val rows = graft.ext.Sampling.qShardSkew(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),

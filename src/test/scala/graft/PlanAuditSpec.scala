@@ -627,6 +627,27 @@ class PlanAuditSpec extends SparkSuite {
     graft.Engine.freeCheckpoint(keepers)
   }
 
+  test("vocab growth: no window or global sort over the fact table, checkpoint joins broadcast") {
+    // the selling point of the value-range checkpoint design is that NO
+    // stage ranks or sorts the corpus: first-sight is a hash aggregate,
+    // each cumulative count joins the 10-row bounds frame via broadcast
+    val p = formatted("q_vocab_growth")
+    assert(!p.contains(" Window"), s"rank window crept in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"bounds frame not broadcast:\n$p")
+  }
+
+  test("DoReMi mix: fact shuffles are the two count aggregates, epilogue is broadcast") {
+    val p = graft.ext.Sampling.qMixDoremi(Tables(spark, sfDir), checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    // vocab-sized epilogue: corpus scalar row broadcast onto the
+    // source-count frame; the k-row share window is allowed
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"corpus frame not broadcast:\n$p")
+  }
+
   test("SemDeDup: keep decision reads checkpointed frames, no fact rescan or cartesian") {
     // assignment and pairs are checkpointed inputs; the decision epilogue
     // is a left join + one keep-ranking window — a parquet scan here
