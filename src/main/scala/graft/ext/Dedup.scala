@@ -291,15 +291,22 @@ object Dedup {
     * ranking windows over the pair-shared-gram frame (bounded by pairs x
     * doc gram count, never corpus-sized).
     */
+  /** The documents table's STRING-gram frame (id, gram) behind a
+    * build-once session cache: the review/audit tier (dup evidence, the
+    * cost model) needs gram text, and its per-query consumers each read
+    * the exploded frame several times — one materialization per dataset
+    * serves them all (the string sibling of [[shingledDocsCache]]).
+    * Cache-owned; callers must not free.
+    */
+  private val gramStringsCache = new graft.Engine.DirCache(t =>
+    graft.Engine.spread(t.documents)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(shingles(col("text"), 3))).as("g")))
+
   def qDupEvidence(
       t: Tables, maxDf: Int = 8, threshold: Double = 0.7,
       topK: Int = 3): DataFrame = {
-    // four consumers (sizes, df, buckets, evidence) read the exploded
-    // gram frame — materialize it once or each re-runs the shingle split
-    val dg = graft.Engine.spread(t.documents)
-      .select(col("doc_id").as("id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("g"))
-      .loopCheckpoint()
+    val dg = gramStringsCache(t) // session cache owns the frame
     val sz = dg.groupBy("id").agg(count(lit(1)).as("ng"))
     val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df"))
     val pairs = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf))
@@ -338,7 +345,6 @@ object Dedup {
       .orderBy("id1", "id2")
       .loopCheckpoint()
     graft.Engine.freeCheckpoint(scored)
-    graft.Engine.freeCheckpoint(dg)
     out
   }
 
@@ -361,10 +367,7 @@ object Dedup {
       t: Tables, maxDf: Int = 8, threshold: Double = 0.7): DataFrame = {
     val spark = t.documents.sparkSession
     import spark.implicits._
-    val dg = graft.Engine.spread(t.documents)
-      .select(col("doc_id").as("id"),
-        explode(array_distinct(shingles(col("text"), 3))).as("g"))
-      .loopCheckpoint()
+    val dg = gramStringsCache(t) // session cache owns the frame
     val nDocs = dg.select("id").distinct().count()
     val b = dg.groupBy("g").agg(count(lit(1)).as("df"))
       .agg(
@@ -376,7 +379,6 @@ object Dedup {
           .otherwise(lit(0L))).cast("long"))
       .head()
     val candCount = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf)).count()
-    graft.Engine.freeCheckpoint(dg)
     val verified = qDedupMinhashVerify(t, maxDf, threshold).count()
     val naivePairs = nDocs * (nDocs - 1) / 2
     Seq(
