@@ -348,6 +348,7 @@ object SparkEntry {
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
     "q_mix_doremi" -> q(Sampling.qMixDoremi(_)),
+    "q_split_leakage" -> q(Sampling.qSplitLeakage),
     "q_token_budget" -> q(Sampling.qTokenBudget(_)),
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
     "q_lr_train" -> q(Classifier.qLrTrain(_)),
@@ -2591,6 +2592,24 @@ object SparkEntry {
            round(CAST(n_docs AS DOUBLE) / CAST(t.td AS DOUBLE) - 1.0 / 16, 9)
              AS dev_from_uniform
          FROM g, t ORDER BY shard""",
+    // cross-split near-dup leakage: fingerprint classes x md5 split
+    "q_split_leakage" ->
+      """WITH f AS (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' ')) AS fp,
+             substr(md5(text || CAST(doc_id AS VARCHAR)), 1, 2) AS h2
+           FROM documents),
+         s AS (SELECT fp,
+             CASE WHEN h2 < 'cd' THEN 'train'
+                  WHEN h2 < 'e7' THEN 'val' ELSE 'test' END AS split
+           FROM f),
+         c AS (SELECT fp, split, CAST(COUNT(*) AS BIGINT) AS c
+           FROM s GROUP BY 1, 2)
+         SELECT a.split AS split_a, b.split AS split_b,
+           CAST(COUNT(*) AS BIGINT) AS n_leaky_groups,
+           CAST(SUM(a.c * b.c) AS BIGINT) AS n_cross_pairs
+         FROM c a JOIN c b ON a.fp = b.fp AND a.split < b.split
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // statistics-only DoReMi: excess unigram surprisal -> exp weights;
     // logs rounded at 1e-9 into exact decimals, exp fed the rounded
     // excess and re-rounded at 1e-6 (above any libm ulp)

@@ -224,6 +224,42 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** Train/val/test LEAKAGE audit through near-duplicate groups — the
+    * classic eval-contamination failure: a random-per-document split
+    * puts two near-identical documents on opposite sides of the
+    * train/test wall, and the eval score silently measures memorization.
+    * Groups are the exact-near-dup fingerprint classes
+    * ([[graft.ext.TextAnalysis.fingerprint]]: order/duplication-invariant
+    * word-set md5); the split is the engine's content-hash assignment
+    * ([[qHashSplit]]). Output per split pair: how many groups span it
+    * and how many cross-wall document pairs they contribute — the number
+    * that decides whether a split must be re-cut GROUP-wise.
+    *
+    * Scale: fingerprint + split are map-side projections; one hash
+    * aggregate to (group, split) counts; the self-join keys on the
+    * fingerprint with at most |splits| rows per key, so expansion is
+    * bounded by 3²/2 per group. All counts exact integers.
+    */
+  def qSplitLeakage(t: Tables): DataFrame = {
+    val counts = graft.Engine.spread(t.documents)
+      .select(
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        substring(hashKey("text", "doc_id"), 1, 2).as("h2"))
+      .withColumn("split",
+        when(col("h2") < "cd", "train")
+          .when(col("h2") < "e7", "val")
+          .otherwise("test"))
+      .groupBy("fp", "split").agg(count(lit(1)).as("c"))
+    counts.toDF("fp", "split_a", "ca")
+      .join(counts.toDF("fp", "split_b", "cb"), Seq("fp"))
+      .filter(col("split_a") < col("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(
+        count(lit(1)).as("n_leaky_groups"),
+        sum(col("ca") * col("cb")).cast("long").as("n_cross_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** DoReMi-flavored mixture reweighting: per-source excess unigram
     * surprisal drives an exponential-weights update, producing the
     * domain mixture a training run would sample at — sources whose

@@ -330,6 +330,36 @@ class ExtSpec extends SparkSuite {
     }
   }
 
+  test("split leakage: agrees with a driver-side first-principles recompute") {
+    val rows = graft.ext.Sampling.qSplitLeakage(tables).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    val docs = tables.documents
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"),
+        expr("substring(md5(concat(text, cast(doc_id as string))), 1, 2)")
+          .as("h2"))
+      .withColumn("split",
+        when(col("h2") < "cd", "train")
+          .when(col("h2") < "e7", "val").otherwise("test"))
+      .select("fp", "split").as[(String, String)].collect()
+    val expected =
+      scala.collection.mutable.Map.empty[(String, String), (Long, Long)]
+        .withDefaultValue((0L, 0L))
+    docs.groupBy(_._1).values.foreach { g =>
+      val cs = g.groupBy(_._2).map { case (s, xs) => s -> xs.length.toLong }
+      val ks = cs.keys.toSeq.sorted
+      for (i <- ks.indices; j <- i + 1 until ks.length) {
+        val key = (ks(i), ks(j))
+        val (ng, np) = expected(key)
+        expected(key) = (ng + 1, np + cs(ks(i)) * cs(ks(j)))
+      }
+    }
+    assert(rows == expected.toMap)
+    // the synthetic corpus has real template duplicates, so a random
+    // per-document split MUST leak — the audit existing is the point
+    assert(rows.values.map(_._2).sum > 0, "no leakage found (suspicious)")
+  }
+
   test("DoReMi mix: weights positive, sum to one, monotone in excess surprisal") {
     val rows = graft.ext.Sampling.qMixDoremi(tables).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
