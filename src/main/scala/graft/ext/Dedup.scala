@@ -502,6 +502,14 @@ object Dedup {
     shingledDocsCache(t); jaccardPairsCache(t); ()
   }
 
+  /** Materialize the string-gram session cache ([[gramStringsCache]])
+    * ahead of its first consumer: the review/audit tier (dup evidence,
+    * the cost model) and the boilerplate report all read this frame, and
+    * without a warmup block its one-time corpus explode lands on
+    * whichever of them a bench run times first.
+    */
+  def warmGramStrings(t: Tables): Unit = { gramStringsCache(t); () }
+
   private val portableFpCache = new graft.Engine.DirCache(t =>
     graft.Engine.spread(
       t.documents.select(col("doc_id").as("id"), col("text")))
