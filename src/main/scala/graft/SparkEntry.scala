@@ -525,18 +525,23 @@ object SparkEntry {
       Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
-    * q_dedup_simhash (xxhash64-derived signatures),
-    * q_knn_lsh / q_approx_quantile (approximate by
-    * construction; sketch internals engine-specific),
-    * pipeline_health (generator-sourced). Each engine-specific signature
-    * family carries a fully-oracled portable companion that hash-checks
-    * the same plan shape: q_dedup_minhash_verify (rare-gram buckets +
-    * exact-jaccard verify), q_simhash_portable (md5-vote fingerprint +
-    * hamming verify), q_knn_lsh_portable (md5 sign matrix + integer
-    * micro-unit band codes + exact-cosine top-k). q_knn_ivf itself IS
-    * fully oracled: its Lloyd's index runs in exact integer micro-units,
-    * so the trained centroids are bit-deterministic and the oracle
-    * unrolls the rounds as CTEs (knnIvfOracle).
+    * q_knn_lsh (xxhash64 band signatures), q_approx_distinct /
+    * q_approx_quantile (approximate by construction; sketch internals
+    * engine-specific). Each engine-specific signature family carries a
+    * fully-oracled portable companion that hash-checks the same plan
+    * shape: q_dedup_minhash_verify (rare-gram buckets + exact-jaccard
+    * verify), q_simhash_portable (md5-vote fingerprint + hamming
+    * verify), q_knn_lsh_portable (md5 sign matrix + integer micro-unit
+    * band codes + exact-cosine top-k). q_knn_ivf itself IS fully
+    * oracled: its Lloyd's index runs in exact integer micro-units, so
+    * the trained centroids are bit-deterministic and the oracle unrolls
+    * the rounds as CTEs (knnIvfOracle).
+    *
+    * Round-8 graduations: q_dedup_simhash now fingerprints with the
+    * portable md5-vote construction (full hash oracle; the xxhash64
+    * fingerprint stays the library's throughput Column function), and
+    * pipeline_health carries a partial oracle over its deterministic
+    * columns (the seed-pinned generator contract as a VALUES replay).
     *
     * q_dedup_minhash graduated from rows-only in round 7: its oracle is
     * the GROUND-TRUTH jaccard >= 0.7 pair set, generated by prefix
@@ -3183,6 +3188,26 @@ object SparkEntry {
                  * CAST(c AS DECIMAL(12,0))) AS DOUBLE)
              / CAST(MAX(n) AS DOUBLE), 9) AS mi_bits
          FROM m""",
+    // pipeline_health PARTIAL oracle: the query already projects only the
+    // run-independent columns (no timestamps/durations), and the six
+    // generator sources are seed-pinned, so the expected table is a
+    // deterministic constant replay: per source, the generator's row
+    // count in and the clean stage's pass-through count out (this
+    // corpus' generated rows carry no full-row dupes and null emails are
+    // FILLED, not dropped — records_out == records_in by construction,
+    // which is exactly what the reference's health table records on a
+    // healthy run). Generators exist only in this engine, so DuckDB
+    // cannot re-run them; it replays the contract instead.
+    "pipeline_health" ->
+      """SELECT * FROM (VALUES
+           ('customer_json', 'dim_customers', 'SUCCESS', 800, 800),
+           ('finance_db', 'fact_finance', 'SUCCESS', 600, 600),
+           ('hr_flat_file', 'dim_employees', 'SUCCESS', 300, 300),
+           ('inventory_excel', 'dim_inventory', 'SUCCESS', 400, 400),
+           ('sales_csv', 'fact_sales', 'SUCCESS', 1000, 1000),
+           ('web_logs', 'fact_web_events', 'SUCCESS', 2000, 2000))
+         t(source_name, table_name, status, records_in, records_out)
+         ORDER BY source_name""",
     "etl_sales_pipeline" ->
       """WITH t AS (
            SELECT DISTINCT * FROM orders
@@ -5655,6 +5680,23 @@ FROM terms GROUP BY source ORDER BY source""",
                   JOIN sz s2 ON j.id2 = s2.doc_id)
          SELECT id1, id2, jaccard FROM scored WHERE jaccard >= 0.7
          ORDER BY id1, id2""",
+    // simhash bucket dedup on the portable md5-vote fingerprint: the
+    // same fp CTE as q_simhash_portable, then one group per fingerprint
+    "q_dedup_simhash" ->
+      """WITH w AS (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS word
+           FROM documents),
+         h AS (SELECT doc_id, md5(word) AS hx FROM w),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM h, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS f
+           FROM v GROUP BY doc_id)
+         SELECT f AS fp, CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(doc_id) AS keep_id
+         FROM fp GROUP BY f ORDER BY fp""",
     // portable simhash: 60-bit md5-vote fingerprint, 4x15-bit band
     // candidates under the [2, 100] admission cap, hamming <= 3 verify —
     // every stage integer-exact, so the whole pipeline hash-matches

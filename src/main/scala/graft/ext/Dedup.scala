@@ -378,8 +378,22 @@ object Dedup {
         sum(when(col("df").between(2, maxDf), expr("df * (df - 1) DIV 2"))
           .otherwise(lit(0L))).cast("long"))
       .head()
-    val candCount = bucketPairs(cappedMembers(dg.groupBy("g"), maxDf)).count()
-    val verified = qDedupMinhashVerify(t, maxDf, threshold).count()
+    // candidate + verified counts come off ONE banding run: the pair set
+    // is generated once from the cached hashed-shingle frame (identical
+    // membership to the string-gram buckets — shd is the injective hash
+    // image of the gram set, so bucket sizes and the [2, maxDf] admission
+    // coincide), persisted, counted, then fed straight into the verify
+    // stage qDedupMinhashVerify grades — previously the bucket pipeline
+    // executed twice (a count, then again inside the verify query),
+    // which made this report the slowest local query in the registry
+    val shingled = shingledDocsCache(t)
+    val pairs = bucketPairs(cappedMembers(
+        shingled.select(col("id"), explode(col("shd")).as("g"))
+          .groupBy("g"), maxDf))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candCount = pairs.count()
+    val verified = verifyJaccard(pairs, shingled, threshold).count()
+    pairs.unpersist(false)
     val naivePairs = nDocs * (nDocs - 1) / 2
     Seq(
       (1L, "naive_all_pairs", nDocs, naivePairs),
@@ -442,9 +456,23 @@ object Dedup {
       lit(0L), (a, x) => a + x)
   }
 
+  /** SimHash fingerprint-bucket dedup report: one row per distinct
+    * fingerprint with its multiplicity and lowest-id keeper. Graded on
+    * the PORTABLE md5-vote fingerprint ([[portableSimhashCol]]) so the
+    * whole report hash-oracles — the fingerprint is bit-deterministic
+    * integer arithmetic both engines reproduce (graduating this query
+    * from rows-only, the same route [[qDedupMinhash]] took in round 7).
+    * The xxhash64-based [[simhash]] stays the library's throughput
+    * fingerprint (one hash pass, no md5) for pipelines that don't need
+    * cross-engine replay; its semantics are covered by ExtSpec and the
+    * portable twin shares every downstream shape.
+    *
+    * Scale: fingerprint is a map-side projection; one hash-aggregate
+    * shuffle on the 60-bit key.
+    */
   def qDedupSimhash(t: Tables): DataFrame =
     t.documents
-      .withColumn("fp", simhash(col("text")))
+      .withColumn("fp", portableSimhashCol(col("text")))
       .groupBy("fp")
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
       .filter(col("n") >= 1)

@@ -287,12 +287,16 @@ object Sampling {
         explode(graft.ext.Dedup.words(col("text"))).as("word"))
     val cw = dw.groupBy("word").agg(count(lit(1)).as("c"))
       .loopCheckpoint() // feeds T, the corpus mean, and the word join
-    val totalTokens = cw.agg(sum("c").cast("long")).head().getLong(0)
-    val lnT = round(log(lit(totalTokens.toDouble)), 9)
+    // token total as a broadcast 1-row frame (house style): the surprisal
+    // projection reads ln(T) from the crossJoined scalar instead of a
+    // driver head(), so the whole report stays one job
+    val tot = cw.agg(sum("c").cast("long").as("tt"))
+    val lnT = round(log(col("tt").cast("double")), 9)
       .cast(DecimalType(14, 10))
-    val swd = cw.select(col("word"), col("c").as("cw"),
-      (lnT - round(log(col("c").cast("double")), 9)
-        .cast(DecimalType(14, 10))).as("s"))
+    val swd = cw.crossJoin(broadcast(tot))
+      .select(col("word"), col("c").as("cw"),
+        (lnT - round(log(col("c").cast("double")), 9)
+          .cast(DecimalType(14, 10))).as("s"))
     val corpus = swd
       .agg(sum(col("cw").cast(DecimalType(8, 0)) * col("s")).as("sdec_c"),
         sum("cw").cast("long").as("t"))

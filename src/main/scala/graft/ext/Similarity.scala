@@ -690,12 +690,24 @@ object Similarity {
       t: Tables, maxProbe: Int = 3, queryMod: Int = 50): DataFrame = {
     val spark = t.embeddings.sparkSession
     import spark.implicits._
-    val cands = ivfPqCandsCached(t)
+    // the shared cache holds the default index run (maxProbe=3 probe
+    // ranks, queryMod=50 query set); a prank slice of it is exact for
+    // any maxProbe <= 3, but a deeper sweep or different query sampling
+    // must encode fresh — the qKnnIvfPq/qIvfPqRecall guard
+    val useCache = maxProbe <= 3 && queryMod == 50
+    val cands =
+      if (useCache) ivfPqCandsCached(t)
+      else {
+        val (c, rows) = ivfPqCandidates(t, maxProbe, 16, 4, 32, 2, queryMod)
+        val m = c.loopCheckpoint()
+        graft.Engine.freeCheckpoint(rows)
+        m
+      }
     val nq = t.embeddings
       .filter(pmod(col("vec_id"), lit(queryMod)) === 0).count()
     val nCorpus = t.embeddings.count()
     val settings = broadcast((1 to maxProbe).map(_.toLong).toDF("nprobe"))
-    cands.join(settings, col("prank") <= col("nprobe"))
+    val out = cands.join(settings, col("prank") <= col("nprobe"))
       .groupBy("nprobe").agg(count(lit(1)).as("candidates"))
       .select(
         col("nprobe"),
@@ -706,6 +718,9 @@ object Similarity {
         round(col("candidates").cast("double") /
           lit((nq * (nCorpus - 1)).toDouble), 9).as("corpus_scan_share"))
       .orderBy("nprobe")
+      .loopCheckpoint()
+    if (!useCache) graft.Engine.freeCheckpoint(cands)
+    out
   }
 
   /** Semantic dedup (the SemDeDup recipe): cluster the corpus with the

@@ -1018,12 +1018,22 @@ object Streams {
     * [[graft.ext.Dedup.qDedupIncremental]], sharing its oracle. The
     * arriving docs are the STREAM; the existing corpus grams are the
     * STATIC side of a stateless per-microbatch stream-static join (the
-    * same never-shuffle-the-corpus posture as the batch twin, transposed:
-    * here each microbatch probes the corpus, so at production scale the
-    * static side would be the broadcast-tier gram index). Candidate-pair
-    * intersections accumulate in a complete-mode aggregation whose state
-    * is the candidate-pair cardinality — bounded by real cross-batch
-    * similarity, not by stream length.
+    * same never-shuffle-the-corpus posture as the batch twin,
+    * transposed: here each microbatch probes the corpus gram index).
+    * Candidate-pair intersections accumulate in a complete-mode
+    * aggregation whose state is the candidate-pair cardinality —
+    * bounded by real cross-batch similarity, not by stream length.
+    *
+    * Index plan, conf-switched like the semdedup keeper index
+    * ([[graft.ext.Similarity.semDedupServe]]): while the corpus gram
+    * index fits an executor, `spark.graft.incdedup.broadcastIndex=true`
+    * (the default) replicates it once and every microbatch probes it
+    * map-side — no per-batch shuffle at all. At 100 TB the gram index
+    * outgrows a broadcast long before anything else; `=false` pins a
+    * SHUFFLED stream-static hash join on the gram key instead: the
+    * index partitions by gram once, each microbatch shuffles only its
+    * own (id, gram) rows, and the verdict arithmetic is untouched —
+    * identical output, both plan shapes asserted in PlanAuditSpec.
     */
   def incrementalDedup(arrivals: DataFrame, corpus: DataFrame,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
@@ -1033,10 +1043,13 @@ object Streams {
       .filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(col("doc_id").as("id_new"), size(col("g")).as("n_new"),
         explode(col("g")).as("gram"))
-    val corp = grams(corpus)
+    val corp0 = grams(corpus)
       .filter(pmod(col("doc_id"), lit(10)) =!= 0)
       .select(col("doc_id").as("id_old"), size(col("g")).as("n_old"),
         explode(col("g")).as("gram"))
+    val bcast = arrivals.sparkSession.conf
+      .getOption("spark.graft.incdedup.broadcastIndex").forall(_.toBoolean)
+    val corp = if (bcast) broadcast(corp0) else corp0.hint("shuffle_hash")
     batch.join(corp, "gram")
       .groupBy("id_new", "id_old", "n_new", "n_old")
       .agg(count(lit(1)).as("inter"))

@@ -123,4 +123,42 @@ class CorpusHealthSpec extends SparkSuite {
     // candidates are genuinely non-adjacent two-hop neighbors
     got.foreach { case (u, v, _, _) => assert(!adj(u).contains(v)) }
   }
+
+  test("banded minhash achieves full recall vs brute-force truth (q_dedup_minhash oracle guard)") {
+    // q_dedup_minhash's hash oracle asserts the banded pipeline recovers
+    // EVERY jaccard >= 0.7 pair (the oracle is the ground-truth pair
+    // set). 8x4 banding misses a pair at jaccard j with probability
+    // (1-j^4)^8 — up to ~11% at exactly 0.7 — so that oracle is only
+    // safe while the corpus' true pairs sit comfortably above threshold.
+    // This test is the guard: it brute-forces the truth driver-side and
+    // fails loudly the moment a REGENERATED corpus breaks either
+    // condition. FALLBACK ON FAILURE: demote q_dedup_minhash to
+    // rows-only (remove its oracleSql entry; re-add it to the
+    // SparkEntrySpec rows-only allowlist) — the engine is not wrong, the
+    // probabilistic recall contract is.
+    val gramSets: Map[Long, Set[String]] = docs.map { case (id, _, _, text) =>
+      val ws = text.trim.toLowerCase.split(" +").toSeq
+      id -> ws.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = gramSets.keys.toSeq.sorted
+    val truth = (for {
+      i <- ids.indices.iterator; j <- (i + 1 until ids.size).iterator
+      a = gramSets(ids(i)); b = gramSets(ids(j))
+      inter = (a & b).size
+      jac = inter.toDouble / (a.size + b.size - inter)
+      if jac >= 0.7
+    } yield (ids(i), ids(j), jac)).toSeq
+    assert(truth.nonEmpty, "corpus lost its near-dup pairs entirely")
+    val got = Dedup.qDedupMinhash(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(p => (p._1, p._2)).toSet ==
+      truth.map(p => (p._1, p._2)).toSet,
+      "banded pipeline recall broke vs brute force — see fallback note above")
+    // margin report: the worst-case banding miss probability on THIS
+    // corpus' weakest true pair (informational; the equality above is
+    // the contract)
+    val minJac = truth.map(_._3).min
+    val missP = math.pow(1.0 - math.pow(minJac, 4), 8)
+    info(f"weakest true pair jaccard=$minJac%.4f, banding miss prob=$missP%.6f")
+  }
 }

@@ -224,9 +224,12 @@ class ExtSpec extends SparkSuite {
     // the nProbe=2 curve point must agree with the OPERATING search
     // (qKnnIvfPq at its default nProbe=2) scored against the same exact
     // micro-unit-L2 top-5 — same mechanism, two formulations, one number
+    // floor(x*1e6) exactly as Similarity.microUnits — a round-half-up
+    // (+0.5) here would differ by 1 unit in ~half the coordinates and
+    // could flip a top-5 set on a regenerated corpus (r7 advice)
     val vecs = tables.embeddings
       .selectExpr("vec_id",
-        "transform(embedding, x -> floor(cast(x as double) * 1e6 + 0.5)) as v")
+        "transform(embedding, x -> floor(cast(x as double) * 1e6)) as v")
       .as[(Long, Seq[Double])].collect().toMap
     val got = Similarity.qKnnIvfPq(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
@@ -327,6 +330,23 @@ class ExtSpec extends SparkSuite {
     rows.foreach { case (_, nq, c, mean, share) =>
       assert(math.abs(mean - c.toDouble / nq) < 1e-6)
       assert(share > 0.0 && share <= 1.0)
+    }
+    // non-default parameters must NOT silently read the default-config
+    // cache (r7 advice): a shallower sweep is the exact prank<=2 slice,
+    // and a different query sampling changes the denominator
+    val shallow = Similarity.qAnnCostCurve(tables, maxProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(shallow.toSeq == rows.take(2).map(r => (r._1, r._3)).toSeq)
+    val resampled =
+      Similarity.qAnnCostCurve(tables, maxProbe = 2, queryMod = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nq100 = tables.embeddings
+      .filter(expr("vec_id % 100 = 0")).count()
+    assert(resampled.forall(_._2 == nq100))
+    // half the query set -> strictly fewer candidates than the full set
+    resampled.foreach { case (np, _, c) =>
+      val full = rows.find(_._1 == np).get._3
+      assert(c < full, s"nprobe=$np: resampled $c !< default $full")
     }
   }
 

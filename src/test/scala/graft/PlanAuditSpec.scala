@@ -627,6 +627,29 @@ class PlanAuditSpec extends SparkSuite {
     graft.Engine.freeCheckpoint(keepers)
   }
 
+  test("incremental dedup: gram index broadcast by default, conf-switched shuffled join, same verdicts") {
+    // batch formulation of the stream-static join (the streaming drain
+    // wraps exactly this frame): default replicates the corpus gram
+    // index once; index-scale mode partitions it by gram instead — the
+    // plan a 100 TB gram index needs — with verdicts unchanged
+    val arrivals = tables.documents
+    val corpus = tables.documents
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val bcast = graft.streaming.Streams.incrementalDedup(arrivals, corpus)
+    assert(plan(bcast).contains("BroadcastHashJoin"),
+      s"gram index not broadcast:\n${plan(bcast)}")
+    spark.conf.set("spark.graft.incdedup.broadcastIndex", "false")
+    try {
+      val shuffled = graft.streaming.Streams.incrementalDedup(arrivals, corpus)
+      val p = plan(shuffled)
+      assert(!p.contains("BroadcastHashJoin"), s"index still broadcast:\n$p")
+      assert(p.contains("ShuffledHashJoin"), s"expected shuffled hash join:\n$p")
+      assert(shuffled.orderBy("id_new", "id_old").collect().toSeq ==
+        bcast.orderBy("id_new", "id_old").collect().toSeq)
+    } finally spark.conf.unset("spark.graft.incdedup.broadcastIndex")
+  }
+
   test("vocab growth: no window or global sort over the fact table, checkpoint joins broadcast") {
     // the selling point of the value-range checkpoint design is that NO
     // stage ranks or sorts the corpus: first-sight is a hash aggregate,

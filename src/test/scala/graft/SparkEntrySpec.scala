@@ -40,9 +40,7 @@ class SparkEntrySpec extends SparkSuite {
     // generators), and each signature family has a fully-oracled portable
     // companion. A new query missing from both maps fails this test.
     val rowsOnly = Set(
-      "pipeline_health",
       "q_approx_distinct", "q_approx_quantile",
-      "q_dedup_simhash",
       "q_knn_lsh")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
