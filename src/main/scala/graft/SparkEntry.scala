@@ -343,6 +343,7 @@ object SparkEntry {
     "q_dedup_savings" -> q(Dedup.qDedupSavings),
     "q_dedup_cost_model" -> q(Dedup.qDedupCostModel(_)),
     "q_dup_evidence" -> q(Dedup.qDupEvidence(_)),
+    "q_span_alignments" -> q(Dedup.qSpanAlignments(_)),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -482,6 +483,9 @@ object SparkEntry {
       graft.streaming.Streams
         .drainIncrementalDedup(spark, dir, "documents.parquet")
         .orderBy("id_new", "id_old")),
+    "q_stream_mix_doremi" -> ((spark, dir) =>
+      graft.streaming.Streams
+        .drainMixDoremi(spark, dir, "documents.parquet")),
     "q_stream_neardedup" -> ((spark, dir) =>
       graft.streaming.Streams
         .drainSimhashGroups(spark, dir, "documents.parquet")),
@@ -678,6 +682,43 @@ object SparkEntry {
          round(4 * CAST(err7 AS DOUBLE) / CAST(tot7 AS DOUBLE), 6)
            AS burn_7d
        FROM w ORDER BY day"""
+
+  // statistics-only DoReMi (shared by the batch query and the streaming
+  // drain): excess unigram surprisal -> exp weights; logs rounded at 1e-9
+  // into exact decimals, exp fed the rounded excess, re-rounded at 1e-6
+  private val mixDoremiOracle: String =
+    """WITH dw AS (SELECT source,
+           unnest(string_split_regex(trim(lower(text)), ' +')) AS word
+         FROM documents),
+       cw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
+         FROM dw GROUP BY 1),
+       tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM cw),
+       swd AS (SELECT word, cw,
+           CAST(round(ln(CAST(tt.t AS DOUBLE)), 9) AS DECIMAL(14,10))
+             - CAST(round(ln(CAST(cw AS DOUBLE)), 9) AS DECIMAL(14,10))
+             AS s
+         FROM cw, tt),
+       corpus AS (SELECT SUM(CAST(cw AS DECIMAL(8,0)) * s) AS sdec_c,
+           CAST(SUM(cw) AS BIGINT) AS t FROM swd),
+       sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+         FROM dw GROUP BY 1, 2),
+       per_src AS (SELECT sc.source,
+           CAST(SUM(sc.c) AS BIGINT) AS n_tokens,
+           SUM(CAST(sc.c AS DECIMAL(8,0)) * swd.s) AS sdec
+         FROM sc JOIN swd USING (word) GROUP BY sc.source),
+       m AS (SELECT p.source, p.n_tokens,
+           CAST(p.sdec AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS ms,
+           CAST(c.sdec_c AS DOUBLE) / CAST(c.t AS DOUBLE) AS mc
+         FROM per_src p, corpus c),
+       w AS (SELECT source, n_tokens, ms,
+           round(ms - mc, 9) AS excess,
+           CAST(round(exp(round(ms - mc, 9)), 6) AS DECIMAL(16,6)) AS raw
+         FROM m),
+       tw AS (SELECT SUM(raw) AS sr FROM w)
+       SELECT source, n_tokens, round(ms, 9) AS mean_surprisal,
+         excess AS excess_surprisal,
+         round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight
+       FROM w, tw ORDER BY source"""
 
   private val knnLshPortableOracle: String =
     """WITH signs AS (SELECT p, i,
@@ -2618,39 +2659,10 @@ object SparkEntry {
     // statistics-only DoReMi: excess unigram surprisal -> exp weights;
     // logs rounded at 1e-9 into exact decimals, exp fed the rounded
     // excess and re-rounded at 1e-6 (above any libm ulp)
-    "q_mix_doremi" ->
-      """WITH dw AS (SELECT source,
-             unnest(string_split_regex(trim(lower(text)), ' +')) AS word
-           FROM documents),
-         cw AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cw
-           FROM dw GROUP BY 1),
-         tt AS (SELECT CAST(SUM(cw) AS BIGINT) AS t FROM cw),
-         swd AS (SELECT word, cw,
-             CAST(round(ln(CAST(tt.t AS DOUBLE)), 9) AS DECIMAL(14,10))
-               - CAST(round(ln(CAST(cw AS DOUBLE)), 9) AS DECIMAL(14,10))
-               AS s
-           FROM cw, tt),
-         corpus AS (SELECT SUM(CAST(cw AS DECIMAL(8,0)) * s) AS sdec_c,
-             CAST(SUM(cw) AS BIGINT) AS t FROM swd),
-         sc AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
-           FROM dw GROUP BY 1, 2),
-         per_src AS (SELECT sc.source,
-             CAST(SUM(sc.c) AS BIGINT) AS n_tokens,
-             SUM(CAST(sc.c AS DECIMAL(8,0)) * swd.s) AS sdec
-           FROM sc JOIN swd USING (word) GROUP BY sc.source),
-         m AS (SELECT p.source, p.n_tokens,
-             CAST(p.sdec AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS ms,
-             CAST(c.sdec_c AS DOUBLE) / CAST(c.t AS DOUBLE) AS mc
-           FROM per_src p, corpus c),
-         w AS (SELECT source, n_tokens, ms,
-             round(ms - mc, 9) AS excess,
-             CAST(round(exp(round(ms - mc, 9)), 6) AS DECIMAL(16,6)) AS raw
-           FROM m),
-         tw AS (SELECT SUM(raw) AS sr FROM w)
-         SELECT source, n_tokens, round(ms, 9) AS mean_surprisal,
-           excess AS excess_surprisal,
-           round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight
-         FROM w, tw ORDER BY source""",
+    "q_mix_doremi" -> mixDoremiOracle,
+    // the streaming drain maintains the (source, word) counts online and
+    // runs the same exact-decimal epilogue -> identical weights
+    "q_stream_mix_doremi" -> mixDoremiOracle,
     // same oracle as q_hash_split: the streaming drain must converge to
     // the identical split census after the backlog is processed
     "q_stream_hash_split" ->
@@ -5582,6 +5594,31 @@ FROM terms GROUP BY source ORDER BY source""",
          FROM stages ORDER BY stage_ord""",
     // rare-gram verified pairs (the q_dedup_minhash_verify chain) plus
     // per-pair evidence: top-3 rarest shared grams ranked by corpus df
+    // pair-level exact alignment runs: positions of shared rare 8-grams
+    // grouped by (pair, diagonal), islands via p1 - row_number; every
+    // stage integer-exact so the alignment table hash-matches
+    "q_span_alignments" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS s,
+             array_to_string(w[i:i+7], ' ') AS gram
+           FROM d, unnest(range(1, greatest(len(w) - 8, -1) + 2)) AS u(i)),
+         adm AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+           GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 8),
+         ga AS (SELECT doc_id, s, gram FROM g JOIN adm USING (gram)),
+         p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+             a.s AS p1, b.s AS p2, a.s - b.s AS diag
+           FROM ga a JOIN ga b USING (gram)
+           WHERE a.doc_id < b.doc_id),
+         r AS (SELECT id1, id2, diag, p1, p2,
+             p1 - ROW_NUMBER() OVER (PARTITION BY id1, id2, diag
+               ORDER BY p1) AS island
+           FROM p),
+         runs AS (SELECT id1, id2, MIN(p1) AS start1, MIN(p2) AS start2,
+             CAST(MAX(p1) - MIN(p1) + 8 AS BIGINT) AS len_words
+           FROM r GROUP BY id1, id2, diag, island)
+         SELECT id1, id2, start1, start2, len_words FROM runs
+         WHERE len_words >= 12 ORDER BY id1, id2, start1, start2""",
     "q_dup_evidence" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(lower(text)), ' +') AS w FROM documents),

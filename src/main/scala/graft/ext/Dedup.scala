@@ -348,6 +348,61 @@ object Dedup {
     out
   }
 
+  /** Pair-level exact ALIGNMENT runs — the suffix-array-style output of
+    * exact-substring dedup (Lee et al. 2022's "train-data dedup" shape):
+    * for each document pair, every maximal run of consecutive shared
+    * word `n`-grams on a common alignment diagonal (p1 − p2 constant),
+    * reported as (start1, start2, run length in words). This is the
+    * PAIR view the per-document coverage report
+    * ([[graft.ext.TextAnalysis.qDupSpans]]) aggregates away — the
+    * surface a span-REWRITE step (cut the repeated range from one side)
+    * consumes, and the alignment evidence a reviewer reads next to
+    * [[qDupEvidence]]'s rare-gram list.
+    *
+    * Scale: gram text never crosses an exchange (60-bit md5 keys);
+    * candidate positions come only from grams with cross-doc df in
+    * [2, `maxDf`] (the [[qDedupMinhashVerify]] admission — bounded
+    * fan-out per gram, boilerplate grams drop out); the run-assembly
+    * window partitions by (pair, diagonal) — groups bounded by matched
+    * positions, never corpus-sized. Islands via the p1 − row_number
+    * trick: one window, no self-join. Deterministic end to end, so the
+    * whole alignment table hash-oracles against a string-gram SQL
+    * replay.
+    */
+  def qSpanAlignments(
+      t: Tables, n: Int = 8, maxDf: Int = 8, minWords: Int = 12): DataFrame = {
+    val h = expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long")
+    val gp = graft.Engine.spread(t.documents)
+      .select(col("doc_id"),
+        posexplode(shingles(col("text"), n)).as(Seq("start", "g")))
+      .select(col("doc_id"), col("start").cast("long").as("start"),
+        h.as("h"))
+    val adm = gp.select(col("doc_id"), col("h")).distinct()
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("h")
+    val gpa = gp.join(adm, "h").loopCheckpoint()
+    val pairs = gpa
+      .select(col("doc_id").as("id1"), col("start").as("p1"), col("h"))
+      .join(gpa.select(col("doc_id").as("id2"), col("start").as("p2"),
+        col("h")), "h")
+      .filter(col("id1") < col("id2"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val wRun = Window.partitionBy("id1", "id2", "diag").orderBy("p1")
+    val out = pairs
+      .withColumn("island", col("p1") - row_number().over(wRun))
+      .groupBy("id1", "id2", "diag", "island")
+      .agg(min("p1").as("start1"), min("p2").as("start2"),
+        (max("p1") - min("p1") + n).cast("long").as("len_words"))
+      .filter(col("len_words") >= minWords)
+      .select(col("id1"), col("id2"), col("start1"), col("start2"),
+        col("len_words"))
+      .orderBy("id1", "id2", "start1", "start2")
+      .loopCheckpoint()
+    graft.Engine.freeCheckpoint(gpa)
+    out
+  }
+
   /** The candidate-generation COST MODEL — why LSH/bucketing instead of
     * all-pairs, as an auditable number per funnel stage: naive n²/2,
     * raw gram-bucket pair volume, the [2, maxDf]-admitted volume, the

@@ -281,11 +281,31 @@ object Sampling {
     * runs over k rows). No fact-sized shuffle beyond the two counts.
     */
   def qMixDoremi(t: Tables, checkpoint: Boolean = true): DataFrame = {
-    val all = Window.partitionBy()
     val dw = graft.Engine.spread(t.documents)
       .select(col("source"),
         explode(graft.ext.Dedup.words(col("text"))).as("word"))
-    val cw = dw.groupBy("word").agg(count(lit(1)).as("c"))
+    doremiEpilogue(
+      dw.groupBy("source", "word").agg(count(lit(1)).as("c")), checkpoint)
+  }
+
+  /** [[qMixDoremi]]'s arithmetic over an already-aggregated
+    * (source, word, c) count frame — shared with the streaming drain
+    * ([[graft.streaming.Streams.drainMixDoremi]]), whose one stateful
+    * aggregation produces exactly this frame. The corpus word counts
+    * derive from it by a vocab-sized re-aggregate (identical exact longs
+    * to counting the fact directly), so batch and stream share one
+    * oracle. The single fact-sized shuffle in the whole report is the
+    * (source, word) count itself.
+    */
+  private[graft] def doremiEpilogue(
+      swc0: DataFrame, checkpoint: Boolean): DataFrame = {
+    val all = Window.partitionBy()
+    // the (source, word) frame feeds both the corpus rollup and the
+    // per-source surprisal join — materialize it once so the fact-sized
+    // count shuffle runs once, not per consumer (checkpoint=false keeps
+    // the full plan visible to the shape audit)
+    val swc = if (checkpoint) swc0.loopCheckpoint() else swc0
+    val cw = swc.groupBy("word").agg(sum("c").cast("long").as("c"))
       .loopCheckpoint() // feeds T, the corpus mean, and the word join
     // token total as a broadcast 1-row frame (house style): the surprisal
     // projection reads ln(T) from the crossJoined scalar instead of a
@@ -300,7 +320,7 @@ object Sampling {
     val corpus = swd
       .agg(sum(col("cw").cast(DecimalType(8, 0)) * col("s")).as("sdec_c"),
         sum("cw").cast("long").as("t"))
-    val perSrc = dw.groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val perSrc = swc
       .join(swd.select("word", "s"), "word")
       .groupBy("source")
       .agg(sum("c").cast("long").as("n_tokens"),
@@ -324,6 +344,7 @@ object Sampling {
     // (plan-audit-only contract: cw is freed on both paths)
     val res = if (checkpoint) out.loopCheckpoint() else out
     graft.Engine.freeCheckpoint(cw)
+    if (checkpoint) graft.Engine.freeCheckpoint(swc)
     res
   }
 

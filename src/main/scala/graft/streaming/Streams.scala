@@ -615,6 +615,28 @@ object Streams {
       graft.ext.TextAnalysis.qualityFunnelFrame(
         docsStream(spark, dir, globFilter)))
 
+  /** Streaming drain of the DoReMi mixture reweighting — the ingest-time
+    * twin of [[graft.ext.Sampling.qMixDoremi]], sharing its oracle: the
+    * stream maintains ONE stateful aggregation, the (source, word) token
+    * counts (state bounded by vocabulary × sources — Heaps-law sublinear
+    * in the backlog, never event-volume-sized), and the drained count
+    * frame feeds the exact-decimal surprisal epilogue unchanged
+    * ([[graft.ext.Sampling.doremiEpilogue]]). Counts are
+    * arrival-order-free exact longs, so the online mixture weights are
+    * bit-identical to the nightly batch recompute — the property that
+    * lets a sampler consume them mid-ingest.
+    */
+  def drainMixDoremi(
+      spark: SparkSession, dir: String,
+      globFilter: String = "*"): DataFrame =
+    graft.ext.Sampling.doremiEpilogue(
+      drain(spark,
+        docsStream(spark, dir, globFilter)
+          .select(col("source"),
+            explode(graft.ext.Dedup.words(col("text"))).as("word"))
+          .groupBy("source", "word").agg(count(lit(1)).as("c"))),
+      checkpoint = true)
+
   /** Streaming drain of the deterministic corpus split — the ingest-time
     * twin of [[graft.ext.Sampling.qHashSplit]], sharing its oracle: the
     * md5-prefix split assignment is a stateless per-row expression, so

@@ -124,6 +124,46 @@ class CorpusHealthSpec extends SparkSuite {
     got.foreach { case (u, v, _, _) => assert(!adj(u).contains(v)) }
   }
 
+  test("span alignments match a driver-side diagonal-run recompute") {
+    // first principles: positions of shared rare 8-grams per pair,
+    // maximal consecutive runs on each alignment diagonal
+    val n = 8; val maxDf = 8; val minWords = 12
+    val gramPos: Map[Long, Seq[(Int, String)]] = docs.map {
+      case (id, _, _, text) =>
+        val ws = text.trim.toLowerCase.split(" +").toSeq
+        id -> ws.sliding(n).zipWithIndex.collect {
+          case (g, i) if g.size == n => (i, g.mkString(" "))
+        }.toSeq
+    }.toMap
+    val df = gramPos.values.flatMap(_.map(_._2).distinct)
+      .groupBy(identity).map { case (g, xs) => g -> xs.size }
+    val adm = df.collect { case (g, d) if d >= 2 && d <= maxDf => g }.toSet
+    val ids = gramPos.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices; j <- i + 1 until ids.size
+      (id1, id2) = (ids(i), ids(j))
+      byGram = gramPos(id2).filter(p => adm(p._2)).groupBy(_._2)
+      hits = gramPos(id1).filter(p => adm(p._2)).flatMap { case (p1, g) =>
+        byGram.getOrElse(g, Nil).map { case (p2, _) => (p1, p2) }
+      }
+      ((_, runPs)) <- hits.groupBy { case (p1, p2) => p1 - p2 }.toSeq
+      sorted = runPs.sortBy(_._1)
+      run <- sorted.foldLeft(Seq.empty[Seq[(Int, Int)]]) { (acc, p) =>
+        if (acc.nonEmpty && acc.last.last._1 + 1 == p._1)
+          acc.init :+ (acc.last :+ p)
+        else acc :+ Seq(p)
+      }
+      len = run.last._1 - run.head._1 + n
+      if len >= minWords
+    } yield (id1, id2, run.head._1.toLong, run.head._2.toLong, len.toLong))
+      .toSet
+    val got = Dedup.qSpanAlignments(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "corpus lost its aligned spans entirely")
+  }
+
   test("banded minhash achieves full recall vs brute-force truth (q_dedup_minhash oracle guard)") {
     // q_dedup_minhash's hash oracle asserts the banded pipeline recovers
     // EVERY jaccard >= 0.7 pair (the oracle is the ground-truth pair

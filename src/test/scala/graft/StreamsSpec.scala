@@ -513,6 +513,17 @@ class StreamsSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming doremi drain equals the batch mixture weights") {
+    val streamed = Streams.drainMixDoremi(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.Sampling.qMixDoremi(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // weights are a normalized distribution
+    val ws = streamed.map(_.getDouble(4))
+    assert(math.abs(ws.sum - 1.0) < 1e-6)
+  }
+
   test("streaming moments drain equals the batch tail-shape profile") {
     val streamed = Streams.drainMoments(spark, sfDir, "orders.parquet")
       .collect().toSeq
