@@ -330,9 +330,11 @@ object Dedup {
     // default config reads the shared session pair cache instead of
     // re-running the bucket pipeline over the string frame
     val pairs = rareGramPairs(t, maxDf)
-    // verify: one pair-gram intersection pass over the (bounded) candidate
-    // set, materialized — the evidence stage re-reads these ~pair-count
-    // rows instead of re-running the bucket pipeline per consumer
+    // verify: one pair-gram intersection pass over the (cached, bounded)
+    // candidate set. NOT materialized as a shared pair-gram frame: the
+    // evidence stage below re-joins only the VERIFIED pairs (a small
+    // fraction of the candidates), which measured cheaper than
+    // checkpointing the full candidate × shared-gram expansion
     val scored = pairs
       .join(dg.toDF("id1", "g"), "id1")
       .join(dg.toDF("id2", "g"), Seq("id2", "g"))
@@ -343,8 +345,8 @@ object Dedup {
         (col("ng1") + col("ng2") - col("inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .loopCheckpoint()
-    // evidence grams only for the VERIFIED pairs (a small fraction of the
-    // candidates): re-derive their shared grams, rank by corpus df
+    // evidence grams only for the VERIFIED pairs: re-derive their shared
+    // grams, rank by corpus df
     val wRare = Window.partitionBy("id1", "id2")
       .orderBy(col("df").asc, col("g").asc)
     val evidence = scored.select("id1", "id2")
