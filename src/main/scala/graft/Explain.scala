@@ -32,6 +32,9 @@ object Explain {
           ext.Dedup.simhashPortablePairs(
             Tables(spark, sfDir).documents, "doc_id", "text",
             maxHamming = 3, maxBucket = 100, checkpoint = false)
+        else if (n == "q_span_alignments_precheckpoint")
+          ext.Dedup.qSpanAlignments(
+            Tables(spark, sfDir), checkpoint = false)
         else SparkEntry.queries(n)(spark, sfDir)
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))

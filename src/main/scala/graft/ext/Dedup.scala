@@ -392,7 +392,8 @@ object Dedup {
     * replay.
     */
   def qSpanAlignments(
-      t: Tables, n: Int = 8, maxDf: Int = 8, minWords: Int = 12): DataFrame = {
+      t: Tables, n: Int = 8, maxDf: Int = 8, minWords: Int = 12,
+      checkpoint: Boolean = true): DataFrame = {
     val h = expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long")
     val gp = graft.Engine.spread(t.documents)
       .select(col("doc_id"),
@@ -403,7 +404,8 @@ object Dedup {
       .groupBy("h").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .select("h")
-    val gpa = gp.join(adm, "h").loopCheckpoint()
+    val gpa0 = gp.join(adm, "h")
+    val gpa = if (checkpoint) gpa0.loopCheckpoint() else gpa0
     val pairs = gpa
       .select(col("doc_id").as("id1"), col("start").as("p1"), col("h"))
       .join(gpa.select(col("doc_id").as("id2"), col("start").as("p2"),
@@ -420,9 +422,12 @@ object Dedup {
       .select(col("id1"), col("id2"), col("start1"), col("start2"),
         col("len_words"))
       .orderBy("id1", "id2", "start1", "start2")
-      .loopCheckpoint()
+    // checkpoint=false exposes the full plan to the shape audit
+    // (plan-audit-only contract: gpa stays cached-owned either way)
+    if (!checkpoint) return out
+    val res = out.loopCheckpoint()
     graft.Engine.freeCheckpoint(gpa)
-    out
+    res
   }
 
   /** The candidate-generation COST MODEL — why LSH/bucketing instead of

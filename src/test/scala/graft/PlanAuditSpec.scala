@@ -627,6 +627,19 @@ class PlanAuditSpec extends SparkSuite {
     graft.Engine.freeCheckpoint(keepers)
   }
 
+  test("span alignments: hashed gram keys, one run window, no cartesian or fact sort") {
+    val p = graft.ext.Dedup.qSpanAlignments(tables, checkpoint = false)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    // the run-assembly window over (pair, diagonal) groups is the ONLY
+    // window; a second one would mean a rank snuck into candidate gen
+    assert("\\(\\d+\\) Window".r.findAllIn(p).length == 1,
+      s"expected exactly one window:\n$p")
+    // gram text must not cross an exchange: the join key is the 60-bit
+    // md5 projection (plan shows conv/substring/md5, not a raw g key)
+    assert(p.contains("md5"), s"gram hashing missing from plan:\n$p")
+  }
+
   test("incremental dedup: gram index broadcast by default, conf-switched shuffled join, same verdicts") {
     // batch formulation of the stream-static join (the streaming drain
     // wraps exactly this frame): default replicates the corpus gram
