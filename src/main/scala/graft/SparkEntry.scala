@@ -209,6 +209,7 @@ object SparkEntry {
     "q_skipping_audit" -> q(Analytics.qSkippingAudit(_)),
     "q_graph_profile" -> q(Graph.qGraphProfile),
     "q_dup_spans" -> q(TextAnalysis.qDupSpans(_)),
+    "q_span_rewrite" -> q(TextAnalysis.qSpanRewrite(_)),
     "q_topic_scores" -> q(TextAnalysis.qTopicScores(_)),
     "q_rake_keywords" -> q(TextAnalysis.qRakeKeywords(_)),
     "q_pmi_pairs" -> q(TextAnalysis.qPmiPairs(_)),
@@ -8462,6 +8463,45 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
            FROM rk WHERE rn <= 8 GROUP BY 1)
          SELECT st.word, st.df, st.tf_total, post.postings
          FROM st JOIN post ON st.word = post.word ORDER BY st.word""",
+    // the span REWRITE: cut every merged duplicated range, fingerprint
+    // the kept words (md5 over a single-space join — engine-identical);
+    // covered positions replayed via a per-doc range join, kept order by
+    // position so the string_agg matches Spark's array order exactly
+    "q_span_rewrite" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+         g AS (SELECT doc_id, i - 1 AS s,
+             array_to_string(w[i:i+7], ' ') AS gram
+           FROM d, unnest(range(1, greatest(len(w) - 8, -1) + 2)) AS u(i)),
+         shared AS (SELECT gram FROM g GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) > 1),
+         ds AS (SELECT g.doc_id, g.s, g.s + 7 AS e FROM g
+           JOIN shared USING (gram)),
+         brk AS (SELECT doc_id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                 ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               -9223372036854775808) + 1 THEN 1 ELSE 0 END AS b
+           FROM ds),
+         isl AS (SELECT doc_id, s, e,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY s) AS island
+           FROM brk),
+         sp AS (SELECT doc_id, island, MIN(s) AS s, MAX(e) AS e
+           FROM isl GROUP BY doc_id, island),
+         wp AS (SELECT doc_id, w[i] AS word, i - 1 AS pos
+           FROM d, unnest(range(1, len(w) + 1)) AS u(i)),
+         cov AS (SELECT DISTINCT wp.doc_id, wp.pos FROM wp
+           JOIN sp ON wp.doc_id = sp.doc_id
+             AND wp.pos BETWEEN sp.s AND sp.e),
+         kept AS (SELECT wp.doc_id, wp.word, wp.pos FROM wp
+           ANTI JOIN cov USING (doc_id, pos)),
+         agg AS (SELECT doc_id,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS rewrite_md5,
+             CAST(COUNT(*) AS BIGINT) AS kept_n
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+           CAST(len(d.w) - COALESCE(agg.kept_n, 0) AS BIGINT) AS n_removed,
+           COALESCE(agg.rewrite_md5, md5('')) AS rewrite_md5
+         FROM d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
     // repeated 8-gram spans: same tokenization/gram construction as the
     // n-gram oracles; islands via the identical running-max window
     "q_dup_spans" ->

@@ -1029,6 +1029,31 @@ object TextAnalysis {
     */
   def qDupSpans(t: Tables, n: Int = 8): DataFrame = {
     val docs = graft.Engine.spread(t.documents)
+    val spans = dupSpanRanges(t, n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s") + 1).as("dup_tokens"))
+    docs.select(col("doc_id"),
+        size(Dedup.words(col("text"))).cast("long").as("total_tokens"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        col("total_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double")).as("dup_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** Merged duplicated-token ranges per document — [[qDupSpans]]'s
+    * islands as (doc_id, s, e) rows, shared with the rewrite step
+    * ([[qSpanRewrite]]). Grams seen in >1 distinct doc mark their `n`
+    * covering positions; overlapping/adjacent marked ranges merge via
+    * ONE window per doc (island starts where the gram start passes the
+    * running max covered end).
+    */
+  private[graft] def dupSpanRanges(t: Tables, n: Int): DataFrame = {
+    val docs = graft.Engine.spread(t.documents)
     val grams = docs.select(col("doc_id"),
       posexplode(Dedup.shingles(col("text"), n)).as(Seq("start", "g")))
     // grams seen in >1 distinct doc; the aggregate is the only place gram
@@ -1040,7 +1065,7 @@ object TextAnalysis {
     val w = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("start")
-    val spans = grams.join(shared, "g")
+    grams.join(shared, "g")
       .select(col("doc_id"), col("start"),
         (col("start") + lit(n - 1)).as("end"))
       .withColumn("island",
@@ -1048,19 +1073,43 @@ object TextAnalysis {
             coalesce(max("end").over(w), lit(Long.MinValue)) + 1, 1L)
           .otherwise(0L)).over(wRun))
       .groupBy("doc_id", "island")
-      .agg((max("end") - min("start") + 1).as("span_len"))
+      .agg(min("start").cast("long").as("s"), max("end").cast("long").as("e"))
+  }
+
+  /** Duplicated-span REWRITE — the step that consumes [[qDupSpans]]'s
+    * coverage map: cut every duplicated range out of each document and
+    * report the rewritten text's md5 fingerprint plus token accounting
+    * (the RefinedWeb/exact-substring-dedup "remove the repeated span,
+    * keep the rest" policy, as opposed to dropping whole near-dup docs).
+    * The fingerprint stands in for the text so the result frame stays
+    * compact AND fully hash-oracled — md5 over the kept words joined by
+    * single spaces is bit-identical in any engine.
+    *
+    * Scale: the range list per doc is island-count-sized, collected per
+    * doc and joined back doc-keyed (one shuffle); the cut itself is a
+    * map-side higher-order filter over the word array — no per-position
+    * join, no explode of the corpus text.
+    */
+  def qSpanRewrite(t: Tables, n: Int = 8): DataFrame = {
+    val ranges = dupSpanRanges(t, n)
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum("span_len").as("dup_tokens"))
-    docs.select(col("doc_id"),
-        size(Dedup.words(col("text"))).cast("long").as("total_tokens"))
-      .join(spans, Seq("doc_id"), "left")
+      .agg(collect_list(struct(col("s"), col("e"))).as("rs"))
+    graft.Engine.spread(t.documents)
+      .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .join(ranges, Seq("doc_id"), "left")
+      .withColumn("kept",
+        when(col("rs").isNull, col("w")).otherwise(
+          transform(
+            filter(transform(col("w"),
+                (wd, i) => struct(wd.as("wd"), i.cast("long").as("i"))),
+              x => !exists(col("rs"),
+                r => x.getField("i").between(
+                  r.getField("s"), r.getField("e")))),
+            x => x.getField("wd"))))
       .select(col("doc_id"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        col("total_tokens"),
-        (coalesce(col("dup_tokens"), lit(0L)).cast("double") /
-          col("total_tokens").cast("double")).as("dup_ratio"))
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("kept"), " ")).as("rewrite_md5"))
       .orderBy("doc_id")
   }
 

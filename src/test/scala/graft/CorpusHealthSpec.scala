@@ -164,6 +164,44 @@ class CorpusHealthSpec extends SparkSuite {
     assert(got.nonEmpty, "corpus lost its aligned spans entirely")
   }
 
+  test("span rewrite matches a driver-side cut-and-fingerprint recompute") {
+    val n = 8
+    val words: Map[Long, Seq[String]] = docs.map { case (id, _, _, text) =>
+      id -> text.trim.toLowerCase.split(" +").toSeq
+    }.toMap
+    val gramDocs = words.toSeq
+      .flatMap { case (id, ws) =>
+        ws.sliding(n).filter(_.size == n).map(g => (g.mkString(" "), id))
+      }.groupBy(_._1).map { case (g, xs) => g -> xs.map(_._2).distinct.size }
+    val sharedG = gramDocs.collect { case (g, d) if d > 1 => g }.toSet
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val expected = words.map { case (id, ws) =>
+      val covered = ws.sliding(n).zipWithIndex.collect {
+        case (g, i) if g.size == n && sharedG(g.mkString(" ")) =>
+          i until (i + n)
+      }.flatten.toSet
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !covered(i) => w
+      }
+      id -> (ws.size.toLong, covered.size.toLong, md5hex(kept.mkString(" ")))
+    }
+    val got = TextAnalysis.qSpanRewrite(tables).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (nTok, nRem, fp) = expected(r.getLong(0))
+      assert(r.getLong(1) == nTok)
+      assert(r.getLong(2) == nRem, s"doc ${r.getLong(0)} removed")
+      assert(r.getString(3) == fp, s"doc ${r.getLong(0)} fingerprint")
+    }
+    // the corpus genuinely exercises the cut: some doc loses tokens and
+    // some doc keeps everything
+    assert(got.exists(_.getLong(2) > 0) && got.exists(_.getLong(2) == 0))
+  }
+
   test("banded minhash achieves full recall vs brute-force truth (q_dedup_minhash oracle guard)") {
     // q_dedup_minhash's hash oracle asserts the banded pipeline recovers
     // EVERY jaccard >= 0.7 pair (the oracle is the ground-truth pair
