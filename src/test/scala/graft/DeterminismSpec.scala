@@ -155,7 +155,10 @@ class DeterminismSpec extends SparkSuite {
     "q_hosmer_lemeshow",  // decimal-pinned HL terms, exact 10-term sum
     "q_cohens_d",         // decimal arm moments, rounded effect chain
     "q_page_hinkley",     // decimal-pinned running sums, earliest-tie argmax
-    "q_dow_hour_heatmap") // epoch-integer cells, one division each
+    "q_dow_hour_heatmap", // epoch-integer cells, one division each
+    "q_span_alignments",  // md5-gram diag islands, integer run lengths
+    "q_span_rewrite",     // HOF range cut, md5 fingerprint of kept words
+    "q_mix_doremi")       // decimal surprisal sums, broadcast ln(T)
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
