@@ -350,6 +350,7 @@ object SparkEntry {
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
     "q_mix_temperature" -> q(Sampling.qMixTemperature(_)),
     "q_mix_doremi" -> q(Sampling.qMixDoremi(_)),
+    "q_mix_schedule" -> q(Sampling.qMixSchedule),
     "q_split_leakage" -> q(Sampling.qSplitLeakage),
     "q_token_budget" -> q(Sampling.qTokenBudget(_)),
     "q_assign_ids" -> q(Sampling.qAssignIds(_)),
@@ -720,6 +721,27 @@ object SparkEntry {
          excess AS excess_surprisal,
          round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight
        FROM w, tw ORDER BY source"""
+
+  // the schedule applying the DoReMi weights: integer raw6*budget DIV
+  // sum(raw6) targets (raw is an exact DECIMAL(16,6), so x1e6 is an
+  // exact BIGINT), then the two display ratios
+  private val mixScheduleOracle: String =
+    mixDoremiOracle.substring(0, mixDoremiOracle.indexOf(
+      "       SELECT source, n_tokens")) +
+    """,
+       r AS (SELECT source, n_tokens,
+           round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight,
+           CAST(raw * 1000000 AS BIGINT) AS r6
+         FROM w, tw),
+       tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
+           CAST(SUM(r6) AS BIGINT) AS sum_r6 FROM r)
+       SELECT source, n_tokens AS available_tokens, weight,
+         CAST(r6 * budget // sum_r6 AS BIGINT) AS target_tokens,
+         round(CAST(r6 * budget // sum_r6 AS DOUBLE) / n_tokens, 9)
+           AS sample_rate,
+         CAST((r6 * budget // sum_r6 + n_tokens - 1) // n_tokens AS BIGINT)
+           AS epochs
+       FROM r, tot ORDER BY source"""
 
   private val knnLshPortableOracle: String =
     """WITH signs AS (SELECT p, i,
@@ -2664,6 +2686,8 @@ object SparkEntry {
     // the streaming drain maintains the (source, word) counts online and
     // runs the same exact-decimal epilogue -> identical weights
     "q_stream_mix_doremi" -> mixDoremiOracle,
+    // the executable sampling plan the weights imply (integer targets)
+    "q_mix_schedule" -> mixScheduleOracle,
     // same oracle as q_hash_split: the streaming drain must converge to
     // the identical split census after the backlog is processed
     "q_stream_hash_split" ->

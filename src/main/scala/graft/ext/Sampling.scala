@@ -280,6 +280,51 @@ object Sampling {
     * vocab-sized join, then a source-count-sized epilogue (the window
     * runs over k rows). No fact-sized shuffle beyond the two counts.
     */
+  /** The SAMPLING SCHEDULE that applies [[qMixDoremi]]'s weights — per
+    * source: the token target under the reweighted mixture at the same
+    * total budget, the sampling rate against what the source actually
+    * has, and the epoch (repeat) factor when the target exceeds the
+    * available tokens. This is the executable artifact a training-data
+    * loader consumes; DoReMi's output is a distribution, this is the
+    * plan (the same weights→plan step [[graft.ext.TextAnalysis
+    * .qSpanRewrite]] performs for the dup-span coverage map).
+    *
+    * Exactness: the weight's exp term is the epilogue's DECIMAL(16,6)
+    * value, so `raw × 1e6` is an exact integer; targets are integer
+    * `raw6·budget DIV Σraw6` (largest-remainder-free floor allocation —
+    * deterministic, engine-identical); the only doubles are the two
+    * final display ratios, each one division rounded at 1e-9.
+    *
+    * Scale: a source-count-sized epilogue over the mixture frame — the
+    * fact-sized work is [[qMixDoremi]]'s one count aggregate.
+    */
+  def qMixSchedule(t: Tables): DataFrame = {
+    val w = qMixDoremi(t)
+    // raw6: the epilogue's DECIMAL(16,6) exp term scaled to an exact
+    // integer (recomputed from the rounded excess exactly as the
+    // epilogue does — same double in, same decimal out)
+    val raw6 = (round(exp(col("excess_surprisal")), 6)
+      .cast(DecimalType(16, 6)) * lit(1000000))
+      .cast("long")
+    val tot = w
+      .select(col("n_tokens"), raw6.as("r6"))
+      .agg(sum("n_tokens").cast("long").as("budget"),
+        sum("r6").cast("long").as("sum_r6"))
+    w.withColumn("r6", raw6)
+      .crossJoin(broadcast(tot))
+      .withColumn("target_tokens", expr("r6 * budget DIV sum_r6"))
+      .select(
+        col("source"),
+        col("n_tokens").as("available_tokens"),
+        col("weight"),
+        col("target_tokens"),
+        round(col("target_tokens").cast("double") /
+          col("n_tokens").cast("double"), 9).as("sample_rate"),
+        expr("(target_tokens + n_tokens - 1) DIV n_tokens")
+          .as("epochs"))
+      .orderBy("source")
+  }
+
   def qMixDoremi(t: Tables, checkpoint: Boolean = true): DataFrame = {
     val dw = graft.Engine.spread(t.documents)
       .select(col("source"),

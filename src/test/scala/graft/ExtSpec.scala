@@ -397,6 +397,31 @@ class ExtSpec extends SparkSuite {
     assert(math.abs(wmean) < 1e-6, s"excess not centered: $wmean")
   }
 
+  test("DoReMi schedule: targets spend the budget, rates/epochs consistent") {
+    val w = graft.ext.Sampling.qMixDoremi(tables).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(4))).toMap
+    val rows = graft.ext.Sampling.qMixSchedule(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4), r.getLong(5)))
+    assert(rows.length == w.size)
+    val budget = w.values.map(_._1).sum
+    rows.foreach { case (src, avail, weight, target, rate, epochs) =>
+      val (nTok, dWeight) = w(src)
+      assert(avail == nTok)
+      assert(weight == dWeight) // the same column, bit-for-bit
+      // integer floor allocation: target within one weight-share of the
+      // exact proportional slice, never negative
+      assert(target >= 0 && target <= budget)
+      assert(math.abs(rate - target.toDouble / avail) < 1e-8)
+      assert(epochs == (target + avail - 1) / avail)
+      // upweighted sources repeat, damped ones subsample
+      if (rate > 1.0) assert(epochs >= 2L) else assert(epochs <= 1L)
+    }
+    // floor allocation can only undershoot, by at most one token per row
+    val spent = rows.map(_._4).sum
+    assert(spent <= budget && spent >= budget - rows.length)
+  }
+
   test("shard skew: populations reconcile, shares sum to one") {
     val rows = graft.ext.Sampling.qShardSkew(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
