@@ -158,7 +158,8 @@ class DeterminismSpec extends SparkSuite {
     "q_dow_hour_heatmap", // epoch-integer cells, one division each
     "q_span_alignments",  // md5-gram diag islands, integer run lengths
     "q_span_rewrite",     // HOF range cut, md5 fingerprint of kept words
-    "q_mix_doremi")       // decimal surprisal sums, broadcast ln(T)
+    "q_mix_doremi",       // decimal surprisal sums, broadcast ln(T)
+    "q_mix_schedule")     // integer floor allocation off the mix frame
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")
