@@ -345,6 +345,7 @@ object SparkEntry {
     "q_dedup_cost_model" -> q(Dedup.qDedupCostModel(_)),
     "q_dup_evidence" -> q(Dedup.qDupEvidence(_)),
     "q_span_alignments" -> q(Dedup.qSpanAlignments(_)),
+    "q_dedup_manifest" -> q(Dedup.qDedupManifest),
     // — deterministic sampling / corpus composition —
     "q_sample_stratified" -> q(Sampling.qSampleStratified(_)),
     "q_mix_sources" -> q(Sampling.qMixSources(_)),
@@ -5868,6 +5869,76 @@ FROM terms GROUP BY source ORDER BY source""",
          FROM tot LEFT JOIN exact_drop USING (source)
            LEFT JOIN near_drop USING (source)
          ORDER BY tot.source""",
+    // the per-document manifest behind the funnel rollup: same exact-
+    // keeper -> portable-fp -> banded-pairs -> recursive-CTE-components
+    // chain, emitted as one verdict row per doc, plus the span-rewrite
+    // token cut (covered-position count per doc)
+    "q_dedup_manifest" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source, text,
+             md5(lower(trim(text))) AS h FROM documents),
+         ek AS (SELECT h, MIN(doc_id) AS keep_id FROM d GROUP BY h),
+         m AS (SELECT d.doc_id, d.source, d.text, ek.keep_id
+           FROM d JOIN ek USING (h)),
+         keepers AS (SELECT doc_id, text FROM m WHERE doc_id = keep_id),
+         w AS (SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), ' +'))) AS word
+           FROM keepers),
+         hh AS (SELECT doc_id, md5(word) AS hx FROM w),
+         v AS (SELECT doc_id, j,
+             SUM(CASE WHEN ((strpos('0123456789abcdef', substr(hx, 15 - j // 4, 1)) - 1)
+                 >> (j % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+           FROM hh, range(60) t(j) GROUP BY doc_id, j),
+         fp AS (SELECT doc_id,
+             CAST(SUM(CASE WHEN vote >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS f
+           FROM v GROUP BY doc_id),
+         bands AS (SELECT doc_id, b, (f >> (15 * b)) & 32767 AS code
+           FROM fp, range(4) t(b)),
+         sizes AS (SELECT b, code FROM bands GROUP BY b, code
+           HAVING COUNT(*) BETWEEN 2 AND 100),
+         cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2
+           FROM bands a JOIN sizes s ON a.b = s.b AND a.code = s.code
+           JOIN bands c ON c.b = s.b AND c.code = s.code AND a.doc_id < c.doc_id),
+         near AS (SELECT id1, id2 FROM cand
+           JOIN fp f1 ON f1.doc_id = id1 JOIN fp f2 ON f2.doc_id = id2
+           WHERE bit_count(xor(f1.f, f2.f)) <= 3),
+         sym AS (SELECT id1 AS src, id2 AS dst FROM near
+           UNION ALL SELECT id2, id1 FROM near),
+         reach(id, r) AS (
+           SELECT src, src FROM sym
+           UNION
+           SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src),
+         comp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY id),
+         verd AS (SELECT m.doc_id, m.source,
+             CASE WHEN m.doc_id <> m.keep_id THEN 'drop_exact'
+               WHEN comp.comp IS NOT NULL AND comp.comp <> m.doc_id
+                 THEN 'drop_near'
+               ELSE 'keep' END AS action,
+             CASE WHEN m.doc_id <> m.keep_id THEN m.keep_id
+               WHEN comp.comp IS NOT NULL AND comp.comp <> m.doc_id
+                 THEN comp.comp
+               ELSE m.doc_id END AS keeper_id
+           FROM m LEFT JOIN comp ON comp.id = m.doc_id),
+         dw AS (SELECT doc_id,
+             string_split_regex(trim(lower(text)), ' +') AS wds FROM documents),
+         g8 AS (SELECT doc_id, i - 1 AS s,
+             array_to_string(wds[i:i+7], ' ') AS gram
+           FROM dw, unnest(range(1, greatest(len(wds) - 8, -1) + 2)) AS u(i)),
+         shared8 AS (SELECT gram FROM g8 GROUP BY gram
+           HAVING COUNT(DISTINCT doc_id) > 1),
+         ds8 AS (SELECT g8.doc_id, g8.s, g8.s + 7 AS e FROM g8
+           JOIN shared8 USING (gram)),
+         wp AS (SELECT doc_id, i - 1 AS pos
+           FROM dw, unnest(range(1, len(wds) + 1)) AS u(i)),
+         cov AS (SELECT DISTINCT wp.doc_id, wp.pos FROM wp
+           JOIN ds8 ON wp.doc_id = ds8.doc_id
+             AND wp.pos BETWEEN ds8.s AND ds8.e),
+         cut AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_cut
+           FROM cov GROUP BY doc_id)
+         SELECT verd.doc_id, verd.source, verd.action, verd.keeper_id,
+           CAST(len(dw.wds) AS BIGINT) AS n_tokens,
+           COALESCE(cut.n_cut, 0) AS n_span_tokens_cut
+         FROM verd JOIN dw USING (doc_id) LEFT JOIN cut USING (doc_id)
+         ORDER BY verd.doc_id""",
     // exact Shapley channel attribution: 16 coalition scenarios through
     // the same micro-unit value iteration; integer 24th-sum credits
     "q_shapley_attribution" ->

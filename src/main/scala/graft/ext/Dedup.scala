@@ -696,52 +696,90 @@ object Dedup {
     * candidate volume instead of inflating it.
     */
   def qDedupPipeline(
+      t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame =
+    dedupVerdicts(t, maxHamming, maxBucket)
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum((col("action") === "drop_exact").cast("long"))
+          .cast("long").as("n_exact_dropped"),
+        sum((col("action") === "drop_near").cast("long"))
+          .cast("long").as("n_near_dropped"),
+        sum((col("action") === "keep").cast("long"))
+          .cast("long").as("n_survivors"))
+      .orderBy("source")
+
+  /** Per-document funnel VERDICTS — the shared core of the graded
+    * end-to-end pipeline: each doc is `drop_exact` (a non-lowest member
+    * of an md5 text class, keeper = the class min), `drop_near` (an
+    * exact survivor whose near-dup component root is another doc,
+    * keeper = the root), or `keep` (keeper = itself). [[qDedupPipeline]]
+    * rolls these up per source; [[qDedupManifest]] emits them per doc.
+    *
+    * Scale: one md5 hash-aggregate, the banded-LSH plan over exact
+    * survivors (fingerprints from the session fp cache — an id-keyed
+    * join, not a second per-word MD5 pass; at 100 TB both sides
+    * hash-shuffle on id once), CC rounds on the pair edge list, then one
+    * doc-keyed left join to attach components. Verdict frame is
+    * materialized once for its consumers.
+    */
+  private[graft] def dedupVerdicts(
       t: Tables, maxHamming: Int = 3, maxBucket: Int = 100): DataFrame = {
     val docs = t.documents.select(col("doc_id"), col("source"), col("text"))
       .withColumn("h", md5(lower(trim(col("text")))))
     val exactKeep = docs.groupBy("h").agg(min("doc_id").as("keep_id"))
-    // (doc_id, source, keep_id) feeds three consumers (keeper ids, the
-    // exact-drop rollup, the near-drop join) — persist so the md5 groupBy
-    // + join runs once, not per consumer. Text is NOT carried: survivor
-    // fingerprints come from the session fp cache below.
+    // (doc_id, source, keep_id) feeds two consumers (keeper ids, the
+    // verdict join) — persist so the md5 groupBy + join runs once. Text
+    // is NOT carried: survivor fingerprints come from the session fp
+    // cache below.
     val marked = docs.join(exactKeep, "h")
       .select(col("doc_id"), col("source"), col("keep_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val keepers = marked.filter(col("doc_id") === col("keep_id"))
-      .select(col("doc_id").as("id"), col("source"))
-    val exactDropped = marked.filter(col("doc_id") =!= col("keep_id"))
-      .groupBy("source").agg(count(lit(1)).as("n_exact_dropped"))
-
-    // the fingerprint is a pure per-row function of the text, so the
-    // exact-survivors' fingerprints are an id-keyed join against the
-    // session fp cache instead of a second per-word MD5 pass (at 100 TB
-    // both sides hash-shuffle on id once — still far cheaper than
-    // re-hashing every word of the surviving corpus)
+      .select(col("doc_id").as("id"))
     val keeperFp = graft.Engine.loopCheckpoint(
-      portableFpCache(t).join(keepers.select("id"), "id"))
+      portableFpCache(t).join(keepers, "id"))
     val pairs =
       simhashPortablePairsFromFp(keeperFp, maxHamming, maxBucket, checkpoint = true)
     val comp = connectedComponents(pairs.select("id1", "id2"))
-    val nearDropped = comp.filter(col("id") =!= col("comp"))
-      .join(keepers, "id")
-      .groupBy("source").agg(count(lit(1)).as("n_near_dropped"))
-
-    val out = t.documents.groupBy("source").agg(count(lit(1)).as("n_docs"))
-      .join(exactDropped, Seq("source"), "left")
-      .join(nearDropped, Seq("source"), "left")
-      .na.fill(0L, Seq("n_exact_dropped", "n_near_dropped"))
-      .withColumn("n_survivors",
-        col("n_docs") - col("n_exact_dropped") - col("n_near_dropped"))
-      .select("source", "n_docs", "n_exact_dropped", "n_near_dropped",
-        "n_survivors")
-      .orderBy("source")
-      .loopCheckpoint() // source-dimension-sized; lets the stage caches go
+    val out = marked
+      .join(comp.toDF("doc_id", "comp"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") =!= col("keep_id"), lit("drop_exact"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"),
+            lit("drop_near"))
+          .otherwise(lit("keep")).as("action"),
+        when(col("doc_id") =!= col("keep_id"), col("keep_id"))
+          .when(col("comp").isNotNull && col("comp") =!= col("doc_id"),
+            col("comp"))
+          .otherwise(col("doc_id")).as("keeper_id"))
+      .loopCheckpoint()
     marked.unpersist(false)
     graft.Engine.freeCheckpoint(keeperFp)
     graft.Engine.freeCheckpoint(comp)
     graft.Engine.freeCheckpoint(pairs)
     out
   }
+
+  /** The dedup MANIFEST — the per-document decision table the whole
+    * funnel exists to produce: action, keeper to merge into, and the
+    * duplicated-span token count a rewrite pass would additionally cut
+    * from the doc ([[graft.ext.TextAnalysis.qSpanRewrite]]'s accounting)
+    * — the executable artifact a corpus-materialization job consumes,
+    * completing the weights→plan pattern of [[graft.ext.Sampling
+    * .qMixSchedule]].
+    *
+    * Scale: the verdict frame plus one doc-keyed join against the
+    * span-rewrite counts — doc-count rows, no new fact-sized stage.
+    */
+  def qDedupManifest(t: Tables): DataFrame =
+    dedupVerdicts(t)
+      .join(graft.ext.TextAnalysis.qSpanRewrite(t)
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_removed").as("n_span_tokens_cut")), "doc_id")
+      .select(col("doc_id"), col("source"), col("action"),
+        col("keeper_id"), col("n_tokens"), col("n_span_tokens_cut"))
+      .orderBy("doc_id")
 
   /** Connected components over an undirected duplicate-pair edge list by
     * min-label propagation — the step that turns pairwise near-dup output
