@@ -688,8 +688,12 @@ object SparkEntry {
 
   // statistics-only DoReMi (shared by the batch query and the streaming
   // drain): excess unigram surprisal -> exp weights; logs rounded at 1e-9
-  // into exact decimals, exp fed the rounded excess, re-rounded at 1e-6
-  private val mixDoremiOracle: String =
+  // into exact decimals, exp fed the rounded excess, re-rounded at 1e-6.
+  // The CTE chain up through `tw` is shared verbatim by the weights
+  // report (q_mix_doremi) and the sampling schedule (q_mix_schedule), so
+  // it lives in its own constant — both oracles concatenate from it
+  // rather than one slicing the other apart.
+  private val mixCtePrefix: String =
     """WITH dw AS (SELECT source,
            unnest(string_split_regex(trim(lower(text)), ' +')) AS word
          FROM documents),
@@ -717,7 +721,10 @@ object SparkEntry {
            round(ms - mc, 9) AS excess,
            CAST(round(exp(round(ms - mc, 9)), 6) AS DECIMAL(16,6)) AS raw
          FROM m),
-       tw AS (SELECT SUM(raw) AS sr FROM w)
+       tw AS (SELECT SUM(raw) AS sr FROM w)"""
+
+  private val mixDoremiOracle: String =
+    mixCtePrefix + """
        SELECT source, n_tokens, round(ms, 9) AS mean_surprisal,
          excess AS excess_surprisal,
          round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight
@@ -725,24 +732,26 @@ object SparkEntry {
 
   // the schedule applying the DoReMi weights: integer raw6*budget DIV
   // sum(raw6) targets (raw is an exact DECIMAL(16,6), so x1e6 is an
-  // exact BIGINT), then the two display ratios
+  // exact BIGINT; the product is widened to 128-bit — HUGEINT here,
+  // DECIMAL(38,0) engine-side — so the allocation stays exact past the
+  // ~3e12-token budget where a bare BIGINT product would wrap), then the
+  // two display ratios
   private val mixScheduleOracle: String =
-    mixDoremiOracle.substring(0, mixDoremiOracle.indexOf(
-      "       SELECT source, n_tokens")) +
-    """,
+    mixCtePrefix + """,
        r AS (SELECT source, n_tokens,
            round(CAST(raw AS DOUBLE) / CAST(tw.sr AS DOUBLE), 9) AS weight,
            CAST(raw * 1000000 AS BIGINT) AS r6
          FROM w, tw),
        tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS budget,
-           CAST(SUM(r6) AS BIGINT) AS sum_r6 FROM r)
+           CAST(SUM(r6) AS BIGINT) AS sum_r6 FROM r),
+       s AS (SELECT source, n_tokens, weight,
+           CAST(CAST(r6 AS HUGEINT) * budget // sum_r6 AS BIGINT) AS tgt
+         FROM r, tot)
        SELECT source, n_tokens AS available_tokens, weight,
-         CAST(r6 * budget // sum_r6 AS BIGINT) AS target_tokens,
-         round(CAST(r6 * budget // sum_r6 AS DOUBLE) / n_tokens, 9)
-           AS sample_rate,
-         CAST((r6 * budget // sum_r6 + n_tokens - 1) // n_tokens AS BIGINT)
-           AS epochs
-       FROM r, tot ORDER BY source"""
+         tgt AS target_tokens,
+         round(CAST(tgt AS DOUBLE) / n_tokens, 9) AS sample_rate,
+         CAST((tgt + n_tokens - 1) // n_tokens AS BIGINT) AS epochs
+       FROM s ORDER BY source"""
 
   private val knnLshPortableOracle: String =
     """WITH signs AS (SELECT p, i,

@@ -24,10 +24,8 @@ import org.apache.spark.sql.functions._
   * `factor`-row frame (map-side fan-out, no shuffle until the write).
   */
 object StressScale {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factor = if (args.length > 1) args(1).toInt else 10
-    val outDir = if (args.length > 2) args(2) else "/tmp/graft_stress10x"
+  /** Diagnostic-session builder shared by the stress mains. */
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,12 +35,15 @@ object StressScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Engine.tune(spark)
-    // force the distributed-CC branch outright: at this corpus size the
-    // near-dup node set can straddle the 32768 default cutoff, and the
-    // point of the stress is the 100 TB code path, not the driver
-    // union-find shortcut
-    spark.conf.set("spark.graft.cc.localCutoff", "64")
+    spark
+  }
 
+  /** Union-multiply sfDir's documents/embeddings into a `factor`× corpus
+    * at outDir (replica design in the object doc). Shared with
+    * [[StressStream]], which re-inflates only when the dir is absent.
+    */
+  private[graft] def inflate(
+      spark: SparkSession, sfDir: String, factor: Int, outDir: String): Unit = {
     val reps = broadcast(
       spark.range(factor).select(col("id").as("rep")))
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -64,6 +65,20 @@ object StressScale {
       .select((col("vec_id") + col("rep") * maxVec).as("vec_id"),
         col("embedding"), col("label"))
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factor = if (args.length > 1) args(1).toInt else 10
+    val outDir = if (args.length > 2) args(2) else "/tmp/graft_stress10x"
+    val spark = session()
+    // force the distributed-CC branch outright: at this corpus size the
+    // near-dup node set can straddle the 32768 default cutoff, and the
+    // point of the stress is the 100 TB code path, not the driver
+    // union-find shortcut
+    spark.conf.set("spark.graft.cc.localCutoff", "64")
+
+    inflate(spark, sfDir, factor, outDir)
 
     val t = Tables(spark, outDir)
     val nDocs = t.documents.count()

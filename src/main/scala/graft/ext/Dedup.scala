@@ -293,6 +293,52 @@ object Dedup {
       shingledDocsCache(t).select(col("id"), explode(col("shd")).as("g"))
         .groupBy("g"), 8)))
 
+  /** FULL-RECALL ground-truth jaccard >= `threshold` pair set via ppjoin
+    * prefix filtering (Xiao et al. 2008) — the Spark twin of the DuckDB
+    * oracle construction that grades `q_dedup_minhash`: order each doc's
+    * grams canonically (global document frequency ascending, gram hash
+    * ascending — rarest first), keep each doc's first
+    * `ng - floor(threshold*ng) + 1` grams (floor, not the lemma's ceil:
+    * one gram longer is recall-safe under float rounding of
+    * `threshold*ng`), bucket-join prefixes, exact-verify. The prefix
+    * lemma guarantees every true >= threshold pair shares a prefix gram,
+    * so recall is 1 BY CONSTRUCTION — this is the reference the stress
+    * harness measures banded-minhash recall against on corpora where
+    * brute-force n²/2 verification is unaffordable.
+    *
+    * Scale: prefixes are the rarest ~(1-threshold) fraction of each
+    * doc's grams, so hot boilerplate grams (huge df) sort LAST and never
+    * enter a prefix unless a doc is nearly all boilerplate — candidate
+    * volume is df-bounded the same way the [2, maxDf] admission bounds
+    * the rare-gram funnel, without a cap that could cost recall.
+    */
+  private[graft] def jaccardGroundTruth(
+      t: Tables, threshold: Double = 0.7): DataFrame =
+    jaccardGroundTruthFromShingled(shingledDocsCache(t), threshold)
+
+  /** [[jaccardGroundTruth]] over an explicit (id, shd) shingle frame —
+    * the seam the spec's brute-force cross-check uses.
+    */
+  private[graft] def jaccardGroundTruthFromShingled(
+      shingled: DataFrame, threshold: Double): DataFrame = {
+    val dg = shingled.select(col("id"), explode(col("shd")).as("g"))
+    // shd is distinct per doc, so COUNT per gram == document frequency
+    val dfreq = dg.groupBy("g").agg(count(lit(1)).as("df"))
+    val wCanon = Window.partitionBy("id").orderBy(col("df"), col("g"))
+    val pref = dg.join(dfreq, "g")
+      .select(col("id"), col("g"),
+        row_number().over(wCanon).as("rk"),
+        count(lit(1)).over(Window.partitionBy("id")).as("ng"))
+      .filter(col("rk") <=
+        col("ng") - floor(lit(threshold) * col("ng")) + 1)
+      .select("id", "g")
+    val cand = pref.select(col("id").as("id1"), col("g"))
+      .join(pref.select(col("id").as("id2"), col("g")), "g")
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+    verifyJaccard(cand, shingled, threshold)
+  }
+
   /** Near-duplicate EVIDENCE for human review: each verified >= `threshold`
     * pair annotated with its `topK` rarest shared 3-grams (rarity = corpus
     * document frequency) — the lines a reviewer reads to confirm a merge

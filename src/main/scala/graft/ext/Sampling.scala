@@ -312,7 +312,12 @@ object Sampling {
         sum("r6").cast("long").as("sum_r6"))
     w.withColumn("r6", raw6)
       .crossJoin(broadcast(tot))
-      .withColumn("target_tokens", expr("r6 * budget DIV sum_r6"))
+      // r6 is ~1e6-scale, so a bare long product r6*budget would wrap
+      // once the corpus budget passes ~3e12 tokens (real at 100 TB).
+      // Widen to DECIMAL(38,0) before multiplying — the integral divide
+      // still lands back in a long (targets are bounded by the budget).
+      .withColumn("target_tokens",
+        expr("cast(r6 as decimal(38,0)) * budget DIV sum_r6"))
       .select(
         col("source"),
         col("n_tokens").as("available_tokens"),
@@ -455,9 +460,6 @@ object Sampling {
       col("doc_id"), col("source"),
       TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
       round(TextAnalysis.qualityExpr(col("text")), 9).as("q"))
-    // budget = half the corpus's tokens (integer div — scale-relative, so
-    // the query is meaningful at every sf); one scalar to the driver
-    val budget = scored.agg(expr("sum(n_tokens) div 2")).head().getLong(0)
     val sorted = scored
       .repartitionByRange(parts, col("q").desc, col("doc_id"))
       .sortWithinPartitions(col("q").desc, col("doc_id"))
@@ -466,6 +468,11 @@ object Sampling {
       .mapPartitionsWithIndex((i, it) => Iterator((i, it.map(_._3).sum)))
       .collect().sortBy(_._1).map(_._2)
     val offsets = subtotals.scanLeft(0L)(_ + _)
+    // budget = half the corpus's tokens (integer div — scale-relative, so
+    // the query is meaningful at every sf). The corpus total is the last
+    // prefix-sum offset the cumsum pass already collected — no separate
+    // aggregate action for the scalar.
+    val budget = offsets.last / 2
     val bc = spark.sparkContext.broadcast(offsets)
     sorted.rdd
       .mapPartitionsWithIndex { (i, it) =>

@@ -1022,10 +1022,10 @@ object TextAnalysis {
     * span count, duplicated-token total, and the duplicated-token ratio —
     * the quantity a span-removal rewrite step would be driven by.
     *
-    * Scale shape: gram strings shuffle once for the cross-doc frequency
-    * count and once (id, start) for the join-back; at 100 TB the gram key
-    * would be `shingle_hashes`' int64 (same plan, 8-byte keys) — kept as
-    * strings here so the DuckDB oracle can reproduce the key exactly.
+    * Scale shape: grams cross both exchanges (cross-doc frequency count,
+    * join-back) as 60-bit md5-conv hashes — 8-byte keys, never the raw
+    * n-word string; the key never surfaces, so the DuckDB oracle keys on
+    * the string and the results agree representation-independently.
     */
   def qDupSpans(t: Tables, n: Int = 8): DataFrame = {
     val docs = graft.Engine.spread(t.documents)
@@ -1054,18 +1054,26 @@ object TextAnalysis {
     */
   private[graft] def dupSpanRanges(t: Tables, n: Int): DataFrame = {
     val docs = graft.Engine.spread(t.documents)
+    // grams cross the exchanges as 60-bit md5-conv hashes (the same
+    // construction as [[Dedup.qSpanAlignments]]) — the raw n=8-word gram
+    // string never leaves the map side, cutting shuffle bytes ~5-10× for
+    // the span family. The hash never surfaces in any output, so the
+    // oracles are key-representation-independent; a 60-bit collision
+    // (negligible at any corpus this join-back survives) could only
+    // over-mark a span, same accepted tradeoff as the alignment query.
     val grams = docs.select(col("doc_id"),
-      posexplode(Dedup.shingles(col("text"), n)).as(Seq("start", "g")))
-    // grams seen in >1 distinct doc; the aggregate is the only place gram
-    // strings cross an exchange keyed by text
-    val shared = grams.groupBy("g")
+        posexplode(Dedup.shingles(col("text"), n)).as(Seq("start", "g")))
+      .select(col("doc_id"), col("start"),
+        conv(substring(md5(col("g")), 1, 15), 16, 10).cast("long").as("gh"))
+    // gram hashes seen in >1 distinct doc
+    val shared = grams.groupBy("gh")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1)
-      .select("g")
+      .select("gh")
     val w = Window.partitionBy("doc_id").orderBy("start")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy("doc_id").orderBy("start")
-    grams.join(shared, "g")
+    grams.join(shared, "gh")
       .select(col("doc_id"), col("start"),
         (col("start") + lit(n - 1)).as("end"))
       .withColumn("island",

@@ -600,9 +600,15 @@ object Graph {
     * Rounds are bounded by the peel depth of the degeneracy ordering —
     * loud failure past `maxIter`, never a silently unconverged core.
     *
-    * No SQL oracle: the peel fixpoint is not expressible in DuckDB's
-    * recursive CTEs (no aggregation in the recursive term) — graded
-    * rows-only, with a brute-force cross-check in ScalaTest.
+    * Oracle: the peel fixpoint is not expressible in DuckDB's recursive
+    * CTEs (no aggregation in the recursive term), so the SQL oracle
+    * unrolls the loop as exactly 4 MATERIALIZED filter rounds per k
+    * (`SparkEntry.oracleSql("q_kcore")`). The unroll is a BOUND: on a
+    * corpus whose peel depth exceeds 4 rounds the engine fails loudly
+    * past `maxIter` while the oracle would silently under-peel — the
+    * spec pins the graded corpus inside the bound by asserting
+    * `qKcore(maxIter = 4)` matches the default run, and a brute-force
+    * cross-check covers crafted graphs.
     */
   /** Single-k peel: the stabilized symmetric edge frame of the k-core of
     * `edges0` (src/dst, both directions). Returns a checkpointed frame the

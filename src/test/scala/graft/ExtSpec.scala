@@ -35,6 +35,48 @@ class ExtSpec extends SparkSuite {
     assert(got == Seq("a b c", "b c d"))
   }
 
+  test("jaccard ground truth: prefix-filter pairs equal driver brute force") {
+    // crafted corpus: clones, threshold-adjacent variants, hot
+    // boilerplate shared by otherwise-unrelated docs, and singletons —
+    // the shapes the adversarial stress leans on
+    val boiler = (0 until 6).map(i => s"bp$i").mkString(" ")
+    val base = (0 until 24).map(i => s"w$i").mkString(" ")
+    val texts = Seq(
+      1L -> base,
+      2L -> base, // exact clone
+      3L -> ((0 until 21).map(i => s"w$i") ++
+        (0 until 3).map(i => s"x$i")).mkString(" "), // j = 19/25 = 0.76
+      4L -> ((0 until 14).map(i => s"w$i") ++
+        (0 until 10).map(i => s"y$i")).mkString(" "), // below threshold
+      5L -> (s"$boiler " + (0 until 18).map(i => s"p$i").mkString(" ")),
+      6L -> (s"$boiler " + (0 until 18).map(i => s"q$i").mkString(" ")),
+      7L -> "one two three")
+    val docs = texts.toDF("id", "text")
+    val shingled = docs
+      .withColumn("shd",
+        call_function("shingle_hashes", Dedup.words(col("text")), lit(3)))
+      .filter(size(col("shd")) > 0)
+      .select("id", "shd")
+    val got = Dedup.jaccardGroundTruthFromShingled(shingled, 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    // driver brute force over 3-gram string sets
+    def grams(s: String): Set[String] =
+      s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val expect = (for {
+      (a, ta) <- texts; (b, tb) <- texts if a < b
+      ga = grams(ta); gb = grams(tb)
+      j = ga.intersect(gb).size.toDouble / ga.union(gb).size
+      if j >= 0.7
+    } yield (a, b) -> BigDecimal(j).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    assert(got == expect, s"got=$got expect=$expect")
+    // the fixture must exercise a non-trivial recall surface: at least
+    // the clone pair and the threshold-adjacent pair
+    assert(expect.contains((1L, 2L)) && expect.contains((1L, 3L)))
+    assert(!expect.contains((1L, 4L)) && !expect.contains((5L, 6L)))
+  }
+
   test("simhash: near-dups are close in hamming distance, unrelated far") {
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     val fps = Seq((1L, nearDupA), (2L, nearDupB), (3L, unrelated))

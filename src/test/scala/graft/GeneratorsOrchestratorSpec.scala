@@ -71,4 +71,28 @@ class GeneratorsOrchestratorSpec extends SparkSuite {
     assert(m.status == PipelineStatus.Failed.name)
     assert(m.errorMessage.exists(_.contains("synthetic failure")))
   }
+
+  test("pipeline_health oracle VALUES rows replay the generator contract") {
+    // the pipeline_health oracle is a deterministic-constant replay of the
+    // generator contract (DuckDB can't run the generators). Pin its VALUES
+    // rows to Generators.registry at defaults, so changing a generator
+    // default or the clean stage's pass-through fails HERE, next to the
+    // cause, instead of as a hash mismatch in the DuckDB harness.
+    val sql = SparkEntry.oracleSql("pipeline_health")
+    val rowRe =
+      raw"\('(\w+)',\s*'(\w+)',\s*'(\w+)',\s*(\d+),\s*(\d+)\)".r
+    val oracleRows = rowRe.findAllMatchIn(sql).map(m =>
+      (m.group(1), m.group(2), m.group(3), m.group(4).toLong,
+        m.group(5).toLong)).toSeq.sortBy(_._1)
+    val expected = Generators.registry.map { case (name, gen, table, _) =>
+      val n = gen(spark).count()
+      // the generated corpus carries no full-row dupes and null emails
+      // are FILLED (not dropped), so records_out == records_in on a
+      // healthy run — exactly what the reference's health table records
+      (name, table, "SUCCESS", n, n)
+    }.sortBy(_._1)
+    assert(oracleRows == expected,
+      s"oracle VALUES drifted from the generator contract:\n" +
+        s"  oracle:    $oracleRows\n  generators: $expected")
+  }
 }

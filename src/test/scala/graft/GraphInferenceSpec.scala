@@ -404,6 +404,17 @@ class GraphInferenceSpec extends SparkSuite {
     }
   }
 
+  test("kcore: peel converges within the oracle's 4-round unroll bound") {
+    // the SQL oracle unrolls exactly 4 filter rounds per k; the engine
+    // fails loudly past maxIter. Running the ladder with maxIter=4 pins
+    // the graded corpus inside the oracle's bound — if the graph ever
+    // deepens past it, this throws here instead of the oracle silently
+    // under-peeling in the DuckDB harness.
+    val bounded = Graph.qKcore(tables, maxIter = 4).collect().toSeq
+    val default = Graph.qKcore(tables).collect().toSeq
+    assert(bounded == default)
+  }
+
   test("hierarchy flatten: depths match a driver-side walk of the forest") {
     val ids = tables.customer.select(col("c_custkey")).as[Long].collect().toSet
     def depth(id: Long): Long = {

@@ -276,14 +276,20 @@ class PlanAuditSpec extends SparkSuite {
     assert(shuffleCount(p) <= 2, s"corpus must not shuffle before the pair agg:\n$p")
   }
 
-  test("dup spans shuffles gram text once; island windows are per-doc") {
+  test("dup spans: grams cross exchanges as 60-bit hashes, never raw text") {
     val p = formatted("q_dup_spans")
     // exchanges: Engine.spread's repartition (small-file fan-out), gram
     // frequency agg, join-back of shared grams, per-doc windows/aggs, the
-    // totals join, final sort — the gram-text exchange count stays bounded
+    // totals join, final sort — the exchange count stays bounded
     assert(shuffleCount(p) <= 7, s"unexpected exchange growth:\n$p")
     assert(p.contains("wordshingles") || p.contains("word_shingles"),
       "grams must come from the native expression")
+    // every gram-keyed exchange partitions on the md5-conv hash (8-byte
+    // long), never the raw n-word string — ~5-10× fewer shuffle bytes
+    assert("hashpartitioning\\(gh#\\d+L".r.findAllIn(p).nonEmpty,
+      s"gram hash key missing from exchanges:\n$p")
+    assert("hashpartitioning\\(g#\\d+[,)]".r.findAllIn(p).isEmpty,
+      s"raw gram string crosses an exchange:\n$p")
   }
 
   test("topic scores meet the dictionary through broadcast joins only") {
