@@ -564,7 +564,13 @@ object SparkEntry {
     * (1-j^4)^8 <= 11% at j = 0.7 exactly, but the corpus' near-dup pairs
     * sit well above threshold where the miss bound is negligible; a
     * regenerated corpus dense at exactly 0.7 would legitimately re-open
-    * the rows-only status.
+    * the rows-only status. Round 9 MEASURED that boundary (SCALE.md,
+    * "10x ADVERSARIAL recall run"): on a 50k-doc corpus planted dense at
+    * j~0.7 with hot boilerplate, recall vs the ppjoin ground truth
+    * ([[graft.ext.Dedup.jaccardGroundTruth]]) is 0.921 in the 0.70-0.75
+    * band (theory: 0.918) and 0.936 in 0.80-0.90 (maxBucket cap cost
+    * under boilerplate) — the quantified evidence base for flipping this
+    * row to rows-only if the graded corpus ever becomes threshold-dense.
     *
     * q_rolling_fingerprint's 64-bit wraparound IS expressible: the oracle
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the

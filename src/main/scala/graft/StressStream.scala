@@ -34,6 +34,16 @@ object StressStream {
     val outDir = if (args.length > 2) args(2) else "/tmp/graft_stress10x"
     val chunks = if (args.length > 3) args(3).toInt else 8
     val spark = StressScale.session()
+    // a 10x multi-microbatch backlog legitimately outruns the graded
+    // drains' 10-minute bound
+    spark.conf.set("spark.graft.drain.timeoutMs", "2400000")
+    // disk-backed state is the at-scale posture this harness measures:
+    // the incdedup candidate state on the 10x tiny-vocab corpus is ~20M
+    // pair rows (~GBs), which the default in-memory HDFSBackedStateStore
+    // cannot hold in a bench-sized heap — exactly the regime where a
+    // real deployment runs RocksDB
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
