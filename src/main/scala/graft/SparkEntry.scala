@@ -486,6 +486,9 @@ object SparkEntry {
       graft.streaming.Streams
         .drainIncrementalDedup(spark, dir, "documents.parquet")
         .orderBy("id_new", "id_old")),
+    "q_stream_contamination" -> ((spark, dir) =>
+      graft.streaming.Streams
+        .drainContamination(spark, dir, "documents.parquet")),
     "q_stream_mix_doremi" -> ((spark, dir) =>
       graft.streaming.Streams
         .drainMixDoremi(spark, dir, "documents.parquet")),
@@ -576,6 +579,21 @@ object SparkEntry {
     * runs the same h = h*31 + byte recurrence in HUGEINT mod 2^64 over the
     * hex-decoded UTF-8 bytes, then re-centers to signed BIGINT.
     */
+  /** Batch/stream-shared oracle for benchmark decontamination
+    * (`q_contamination`, `q_stream_contamination`).
+    */
+  private val contaminationOracle: String =
+    """WITH d AS (SELECT doc_id,
+           string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
+       g AS (SELECT doc_id,
+           list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 2),
+             i -> array_to_string(w[i:i+3], ' '))) AS grams FROM d),
+       b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+       c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
+       SELECT c.doc_id, COUNT(*) AS n_shared
+       FROM c JOIN b USING (gram)
+       GROUP BY c.doc_id ORDER BY c.doc_id"""
+
   /** Batch/stream-shared oracle for the incremental-ingest dedup pair
     * (`q_dedup_incremental`, `q_stream_incdedup`).
     */
@@ -6385,17 +6403,11 @@ FROM v8 WHERE removed <> '__base__' AND st = 'start' ORDER BY channel""",
          FROM w JOIN g ON w.fp = g.fp WHERE w.rn = 1 ORDER BY w.fp""",
     // n-gram semantics mirror Dedup.shingles: a doc shorter than n yields
     // one whole-doc gram (both slices clamp)
-    "q_contamination" ->
-      """WITH d AS (SELECT doc_id,
-             string_split_regex(trim(lower(text)), ' +') AS w FROM documents),
-         g AS (SELECT doc_id,
-             list_distinct(list_transform(range(1, greatest(len(w) - 4, 0) + 2),
-               i -> array_to_string(w[i:i+3], ' '))) AS grams FROM d),
-         b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
-         c AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0)
-         SELECT c.doc_id, COUNT(*) AS n_shared
-         FROM c JOIN b USING (gram)
-         GROUP BY c.doc_id ORDER BY c.doc_id""",
+    "q_contamination" -> contaminationOracle,
+    // the streaming drain probes the same offline-built benchmark gram
+    // set through a broadcast stream-static join + complete-mode per-doc
+    // counter — same semantics, same oracle
+    "q_stream_contamination" -> contaminationOracle,
     // per-word surprisal rounded at 1e-9 (above cross-engine ln jitter)
     // then summed in exact decimal weighted by occurrence count
     // vocabulary = global top-100 words by occurrence (count desc, word asc

@@ -1117,6 +1117,51 @@ object Streams {
   /** Drain-mode execution of [[incrementalDedup]] over the documents
     * landing zone (AvailableNow, memory sink, complete mode).
     */
+  /** Streaming benchmark DECONTAMINATION at ingest — the serving-time
+    * twin of [[graft.ext.Dedup.qContamination]], sharing its oracle: the
+    * benchmark/eval gram set is built OFFLINE from the batch corpus (the
+    * deterministic doc_id % 97 sample) and broadcast; arriving training
+    * docs explode their distinct word 4-grams map-side and probe it, so
+    * the only streaming state is the per-contaminated-doc shared-gram
+    * counter — contamination is rare by construction, so state is
+    * violation-sized, never backlog-sized. The hygiene gate a training
+    * pipeline keeps current while the corpus lands, instead of a nightly
+    * full-corpus re-scan.
+    *
+    * Scale: same posture as the batch twin — the eval gram set is tiny
+    * and broadcasts (at a scale where it doesn't,
+    * [[incrementalDedup]]'s conf-switched shuffled-probe shape is the
+    * documented fallback); the doc stream never shuffles before the
+    * match filter.
+    */
+  def contaminationProbe(
+      arrivals: DataFrame, benchGrams: DataFrame, n: Int = 4): DataFrame =
+    arrivals
+      .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.ext.Dedup.shingles(col("text"), n)))
+          .as("gram"))
+      .join(broadcast(benchGrams), "gram")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+
+  /** Drain-mode execution of [[contaminationProbe]] over the documents
+    * landing zone. Shares `q_contamination`'s oracle.
+    * `q_stream_contamination`.
+    */
+  def drainContamination(
+      spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
+    val benchGrams = graft.Engine.spread(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(explode(
+        array_distinct(graft.ext.Dedup.shingles(col("text"), 4))).as("gram"))
+      .distinct()
+    drain(spark,
+      contaminationProbe(docsStream(spark, dir, globFilter), benchGrams))
+      .orderBy("doc_id")
+  }
+
   def drainIncrementalDedup(
       spark: SparkSession, dir: String, globFilter: String = "*"): DataFrame = {
     val corpus = spark.read.parquet(s"$dir/documents.parquet")

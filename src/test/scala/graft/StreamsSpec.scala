@@ -394,6 +394,15 @@ class StreamsSpec extends SparkSuite {
     assert(spark.table("dedup_out").count() == sample.size)
   }
 
+  test("streaming contamination drain equals the batch twin row-for-row") {
+    val streamed = Streams
+      .drainContamination(spark, sfDir, "documents.parquet")
+      .collect().toSeq
+    val batch = ext.Dedup.qContamination(tables).collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming incremental dedup drain equals the batch twin row-for-row") {
     val streamed = Streams
       .drainIncrementalDedup(spark, sfDir, "documents.parquet")
