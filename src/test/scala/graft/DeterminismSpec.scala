@@ -159,7 +159,9 @@ class DeterminismSpec extends SparkSuite {
     "q_span_alignments",  // md5-gram diag islands, integer run lengths
     "q_span_rewrite",     // HOF range cut, md5 fingerprint of kept words
     "q_mix_doremi",       // decimal surprisal sums, broadcast ln(T)
-    "q_mix_schedule")     // integer floor allocation off the mix frame
+    "q_mix_schedule",     // integer floor allocation off the mix frame
+    "q_dedup_manifest",   // verdict-frame actions, md5 span accounting
+    "q_contamination")    // broadcast eval-gram probe, integer counts
 
   test("graded results are identical under a different shuffle partitioning") {
     val original = spark.conf.get("spark.sql.shuffle.partitions")

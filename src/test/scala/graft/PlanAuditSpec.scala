@@ -669,6 +669,27 @@ class PlanAuditSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.incdedup.broadcastIndex")
   }
 
+  test("contamination probe: eval gram set broadcast, doc stream never shuffles to meet it") {
+    // batch formulation of the stream-static probe (drainContamination
+    // wraps exactly this frame): the eval gram set is tiny and must
+    // broadcast; a sort-merge fallback would shuffle every (doc, gram)
+    // row of the training stream on the gram key
+    val benchGrams = tables.documents
+      .filter(org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lit(97)) === 0)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.array_distinct(
+          graft.ext.Dedup.shingles(
+            org.apache.spark.sql.functions.col("text"), 4))).as("gram"))
+      .distinct()
+    val p = graft.streaming.Streams
+      .contaminationProbe(tables.documents, benchGrams)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), s"eval grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"doc stream shuffled to meet the eval set:\n$p")
+  }
+
   test("vocab growth: no window or global sort over the fact table, checkpoint joins broadcast") {
     // the selling point of the value-range checkpoint design is that NO
     // stage ranks or sorts the corpus: first-sight is a hash aggregate,
