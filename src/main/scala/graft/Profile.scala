@@ -27,11 +27,33 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     Engine.tune(spark)
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    // shuffle-volume meter: task-level write bytes summed per run, so a
+    // plan change's exchange-volume claim can be MEASURED, not argued
+    // from key widths (listener events are async; drained after a sleep)
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
+      shuffleBytes.set(0L)
       val t0 = System.nanoTime()
-      val n = fn(spark, sfDir).count()
-      println(f"[profile] $name run $i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      // toRdd.count(): execute the FULL final plan. A bare df.count()
+      // re-optimizes for the count — pruning every non-key output
+      // expression and even eliminating distinct-keyed left joins — and
+      // measures a plan the user never runs (found via this meter:
+      // q_dup_spans "shuffled" 3 KiB under count vs its real exchanges)
+      val n = fn(spark, sfDir).queryExecution.toRdd.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1000)
+      println(f"[profile] $name run $i: $sec%.2f s ($n rows, " +
+        f"${shuffleBytes.get / 1048576.0}%.3f MiB shuffled)")
     }
     spark.stop()
   }

@@ -1908,11 +1908,12 @@ object SparkEntry {
                / COUNT(*) FILTER (WHERE c % 2 = 1)
              - CAST(SUM(cents) FILTER (WHERE c % 2 = 0) AS DOUBLE)
                / COUNT(*) FILTER (WHERE c % 2 = 0) AS obs_gap FROM pc),
-         pm AS (SELECT b,
+         pm AS (SELECT 32 * g + s + 1 AS b,
              (strpos('0123456789abcdef',
-               substr(md5(CAST(b AS VARCHAR) || ':' || CAST(c AS VARCHAR)),
-                 1, 1)) - 1) % 2 AS arm, cents
-           FROM pc, range(1, 201) t(b)),
+               substr(md5(CAST(g AS VARCHAR) || ':' || CAST(c AS VARCHAR)),
+                 CAST(s + 1 AS INTEGER), 1)) - 1) % 2 AS arm, cents
+           FROM pc, range(0, 7) t(g), range(0, 32) v(s)
+           WHERE 32 * g + s + 1 <= 200),
          gaps AS (SELECT b,
              CAST(SUM(cents) FILTER (WHERE arm = 1) AS DOUBLE)
                / COUNT(*) FILTER (WHERE arm = 1)
@@ -2041,14 +2042,14 @@ object SparkEntry {
     "q_poisson_bootstrap" ->
       """WITH o AS (SELECT o_orderkey,
              CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
-         r AS (SELECT b, cents,
+         r AS (SELECT 4 * g + s + 1 AS b, cents,
              list_sum(list_transform(range(1, 9),
                i -> CAST(strpos('0123456789abcdef',
-                   substr(md5(CAST(b AS VARCHAR) || ':'
+                   substr(md5(CAST(g AS VARCHAR) || ':'
                      || CAST(o_orderkey AS VARCHAR)),
-                     CAST(i AS INTEGER), 1)) - 1 AS BIGINT)
+                     CAST(8 * s + i AS INTEGER), 1)) - 1 AS BIGINT)
                  * (CAST(1 AS BIGINT) << CAST(4 * (8 - i) AS INTEGER)))) AS u
-           FROM o, range(1, 101) t(b)),
+           FROM o, range(0, 25) t(g), range(0, 4) v(s)),
          dw AS (SELECT b, cents,
              CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1
                WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3

@@ -630,19 +630,38 @@ object Sampling {
     * frame (config-sized).
     */
   def qPoissonBootstrap(t: Tables, nBoot: Int = 100): DataFrame = {
+    require(nBoot % 4 == 0, "nBoot must be a multiple of 4: the digest" +
+      " yields four 32-bit uniforms")
     // ⌊2³²·CDF(k)⌋ for Poisson(1), k = 0..7; ≥ last ⇒ 8
     val cdf = Seq(1580030168L, 3160060337L, 3950075421L, 4213413783L,
       4279248373L, 4292415291L, 4294609777L, 4294923276L)
-    val u32 = conv(substring(md5(concat(col("b").cast("string"), lit(":"),
-      col("o_orderkey").cast("string"))), 1, 8), 16, 10).cast("long")
+    // one md5 per (order, 4-replica group): the 128-bit digest is four
+    // independent 32-bit uniforms (hex slices [1,8]/[9,16]/[17,24]/
+    // [25,32]) — replica b = 4g+s+1 reads slice s of digest g. The md5
+    // is the dominant per-row cost of this query (round-9 full-plan
+    // accounting: one-digest-per-replica measured 20.3 s at sf0.1), so
+    // the digest is materialized as a COLUMN below the slice explode —
+    // GenerateExec does no subexpression elimination, so an inlined
+    // md5 inside the array would still hash once per slice, not per
+    // digest (measured: no win until the digest became a column).
+    val bu = array((0 until 4).map(s => struct(
+      (col("g") * 4 + s + 1).cast("long").as("b"),
+      conv(substring(col("h"), 1 + 8 * s, 8), 16, 10).cast("long")
+        .as("u"))): _*)
     val draw = cdf.zipWithIndex.foldRight(lit(8L): org.apache.spark.sql.Column) {
       case ((thr, k), rest) => when(col("u") < thr, lit(k.toLong)).otherwise(rest)
     }
-    val replicas = t.orders
+    // spread BEFORE the replica fan-out: a bench-scale orders file scans
+    // as one task, and the explode multiplies ROWS, not partitions — the
+    // nBoot-fold digest work would otherwise run single-threaded
+    val replicas = graft.Engine.spread(t.orders)
       .select(col("o_orderkey"),
         expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-        explode(sequence(lit(1), lit(nBoot))).as("b"))
-      .withColumn("u", u32)
+        explode(sequence(lit(0), lit(nBoot / 4 - 1))).as("g"))
+      .withColumn("h", md5(concat(col("g").cast("string"), lit(":"),
+        col("o_orderkey").cast("string"))))
+      .select(col("cents"), explode(bu).as("bu"))
+      .select(col("cents"), col("bu.b").as("b"), col("bu.u").as("u"))
       .withColumn("w", draw)
       .groupBy("b")
       // weighted cent sum in DECIMAL: at full fact scale the w·cents

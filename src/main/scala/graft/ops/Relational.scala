@@ -298,7 +298,13 @@ object Relational {
     * quantile_cont; approx_percentile would not hash-match).
     */
   def qPercentiles(t: Tables): DataFrame =
-    t.lineitem
+    // pruned + core-spread: the bench-scale fact file is one parquet row
+    // group (single scan task), and exact percentile buffers are the
+    // per-row-heaviest aggregate here; spread is a stats-guarded no-op
+    // on sources that already scan wide
+    graft.Engine.spread(t.lineitem
+        .select(col("l_returnflag"), col("l_quantity"),
+          col("l_extendedprice")))
       .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_quantity, 0.5D)").as("median_qty"),

@@ -25,10 +25,22 @@ object Stats {
   private def sxy(x: String, y: String) =
     sum((col(x) * col(y)).cast(DecimalType(30, 4))).cast("double")
 
+  /** Column-pruned, core-spread fact projection for per-row-compute-heavy
+    * aggregates (decimal moment sums, exact percentile buffers): a
+    * bench-scale fact table is one unsplittable parquet row group, so
+    * without the fan-out the whole map side runs on ONE task regardless
+    * of maxPartitionBytes (round-9 full-plan accounting measured 3-4 s
+    * single-threaded for the correlation family). At real scale
+    * [[graft.Engine.spread]]'s size guard makes this a no-op — big
+    * sources already scan wide.
+    */
+  private def fanned(df: DataFrame, cols: String*): DataFrame =
+    graft.Engine.spread(df.select(cols.map(col): _*))
+
   /** Grouped variance / stddev / correlation from exact moments. */
   def qStats(t: Tables): DataFrame = {
     val n = count(lit(1)).cast("double")
-    t.lineitem
+    fanned(t.lineitem, "l_linestatus", "l_extendedprice", "l_quantity")
       .groupBy("l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -71,7 +83,7 @@ object Stats {
     val aggs =
       ms.flatMap(m => Seq(s1(m).as(s"s_$m"), s2(m).as(s"ss_$m"))) ++
         pairs.map { case (nm, x, y) => sxy(x, y).as(s"sp_$nm") }
-    val grouped = t.lineitem
+    val grouped = fanned(t.lineitem, "l_returnflag" +: ms: _*)
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("n"), aggs: _*)
       .withColumn("nd", col("n").cast("double"))
@@ -221,11 +233,11 @@ object Stats {
     * both engines produce identical doubles.
     */
   def qMad(t: Tables): DataFrame = {
-    val med = t.lineitem
+    val slim = fanned(t.lineitem, "l_returnflag", "l_extendedprice")
+    val med = slim
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
-    t.lineitem
-      .select(col("l_returnflag"), col("l_extendedprice"))
+    slim
       .join(broadcast(med), "l_returnflag")
       .withColumn("adev", abs(col("l_extendedprice") - col("med_price")))
       .groupBy("l_returnflag")
@@ -242,6 +254,9 @@ object Stats {
     * so the harness rows-check and the unit test can bound sketch error.
     * No oracle — sketch internals are engine-specific.
     */
+  // NOT fanned: the exact-percentile halves are reduce-bound (3 groups
+  // sorting the full value multiset), so the spread's extra 18 MB
+  // exchange measured net-negative here
   def qApproxQuantile(t: Tables): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")
@@ -1325,7 +1340,8 @@ object Stats {
         saa: Column, sbb: Column): Column =
       (nd * sab - sa * sb) /
         sqrt((nd * saa - sa * sa) * (nd * sbb - sb * sb))
-    t.lineitem
+    fanned(t.lineitem, "l_linestatus", "l_extendedprice", "l_quantity",
+        "l_discount")
       .groupBy("l_linestatus")
       .agg(
         count(lit(1)).as("n"),
@@ -1903,12 +1919,24 @@ object Stats {
             col("c0").cast("double") / col("n0").cast("double")).as("gap")): _*)
     val observed = gapOf(perCust, pmod(col("c"), lit(2)), Seq(lit(1).as("one")))
       .select(col("gap").as("obs_gap"))
+    // one md5 per (customer, 32-permutation group): each hex digit of the
+    // digest is an independent arm bit (parity of the digit), so
+    // permutation b = 32g+s+1 reads digit s+1 of digest g — 32x less
+    // digest work than one md5 per (customer, permutation). The digest is
+    // a materialized COLUMN below the digit explode (GenerateExec does no
+    // subexpression elimination; see qPoissonBootstrap).
     val perms = gapOf(
       perCust.select(col("c"), col("cents"),
-        explode(sequence(lit(1), lit(nPerm))).as("b"))
-        .withColumn("arm",
-          conv(substring(md5(concat(col("b").cast("string"), lit(":"),
-            col("c").cast("string"))), 1, 1), 16, 10).cast("long") % 2),
+        explode(sequence(lit(0), lit((nPerm + 31) / 32 - 1))).as("g"))
+        .withColumn("h", md5(concat(col("g").cast("string"), lit(":"),
+          col("c").cast("string"))))
+        .select(col("cents"), col("g"), col("h"),
+          explode(sequence(lit(0), lit(31))).as("s"))
+        .select(col("cents"),
+          (col("g") * 32 + col("s") + 1).as("b"),
+          (expr("CAST(conv(substring(h, CAST(s AS INT) + 1, 1), 16, 10)" +
+            " AS BIGINT)") % 2).as("arm"))
+        .filter(col("b") <= nPerm),
       col("arm"), Seq(col("b")))
     perms.crossJoin(broadcast(observed))
       .agg(

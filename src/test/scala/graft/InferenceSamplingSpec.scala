@@ -74,9 +74,11 @@ class InferenceSamplingSpec extends SparkSuite {
       a1.map(_._2).sum.toDouble / a1.size - a0.map(_._2).sum.toDouble / a0.size
     }
     val obs = gap(c => c % 2 == 1)
+    // permutation b reads hex digit (b-1)%32 of digest md5(((b-1)/32):c)
     val extreme = (1 to 200).count { b =>
       val g = gap(c => (java.lang.Long.parseLong(
-        md5hex(s"$b:$c").take(1), 16) % 2) == 1)
+        md5hex(s"${(b - 1) / 32}:$c").slice((b - 1) % 32, (b - 1) % 32 + 1),
+        16) % 2) == 1)
       math.abs(g) >= math.abs(obs)
     }
     val r = Stats.qPermutationTest(tables).collect().head
@@ -208,8 +210,12 @@ class InferenceSamplingSpec extends SparkSuite {
     val os = orders.map(o => (o._2, o._3 >> 1))
     val means = (1 to 100).map { b =>
       var nw = 0L; var cw = BigInt(0)
+      // replica b reads 32-bit slice (b-1)%4 of digest md5(((b-1)/4):ok)
+      val g = (b - 1) / 4
+      val s = (b - 1) % 4
       os.foreach { case (ok, cents) =>
-        val u = u32(s"$b:$ok")
+        val u = java.lang.Long.parseLong(
+          md5hex(s"$g:$ok").slice(8 * s, 8 * s + 8), 16)
         val w = cdf.indexWhere(u < _) match { case -1 => 8L; case k => k.toLong }
         nw += w; cw += BigInt(w) * cents
       }

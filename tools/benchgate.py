@@ -47,6 +47,14 @@ def main():
                 if ln.strip() and not ln.startswith("#")
             }
 
+    # round 9 changed materialization from df.count() (count-optimized
+    # plans: pruned aggregates, eliminated left joins) to full-plan
+    # toRdd.count(); totals across that boundary measure different plans
+    mc, mp = cur_all.get("mat", "count"), pri_all.get("mat", "count")
+    if mc != mp:
+        sys.exit(f"benchgate: INCOMPARABLE — materialization '{mc}' vs "
+                 f"'{mp}'. Compare runs produced by the same Bench method.")
+
     added = sorted(set(cur) - set(pri))
     removed = sorted(set(pri) - set(cur))
     flagged, allowed = [], []
