@@ -88,7 +88,8 @@ object StressScale {
     def timed(name: String)(f: => DataFrame): DataFrame = {
       val t0 = System.nanoTime()
       val df = f
-      val n = df.count()
+      // full final plan, not a count-optimized rewrite (see Bench)
+      val n = df.queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"""{"stress":"$name","sec":$sec%.2f,"rows":$n}""")
       df
