@@ -31,15 +31,29 @@ object Profile {
     // plan change's exchange-volume claim can be MEASURED, not argued
     // from key widths (listener events are async; drained after a sleep)
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-          val m = e.taskMetrics
-          if (m != null)
-            shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-        }
-      })
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null)
+          shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // listener events are async; a fixed sleep can cut off tail onTaskEnd
+    // events on longer runs (they'd bleed into the NEXT run's counter).
+    // The public API has no waitUntilEmpty, so drain by quiescence: poll
+    // until the counter holds still across consecutive samples.
+    def drainListenerBus(): Unit = {
+      var last = -1L
+      var stable = 0
+      var waited = 0
+      while (stable < 3 && waited < 10000) {
+        Thread.sleep(200); waited += 200
+        val v = shuffleBytes.get
+        if (v == last) stable += 1 else { stable = 0; last = v }
+      }
+    }
     val fn = SparkEntry.queries(name)
     (1 to 3).foreach { i =>
       shuffleBytes.set(0L)
@@ -51,10 +65,11 @@ object Profile {
       // q_dup_spans "shuffled" 3 KiB under count vs its real exchanges)
       val n = fn(spark, sfDir).queryExecution.toRdd.count()
       val sec = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1000)
+      drainListenerBus()
       println(f"[profile] $name run $i: $sec%.2f s ($n rows, " +
         f"${shuffleBytes.get / 1048576.0}%.3f MiB shuffled)")
     }
+    spark.sparkContext.removeSparkListener(listener)
     spark.stop()
   }
 }

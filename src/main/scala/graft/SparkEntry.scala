@@ -192,7 +192,7 @@ object SparkEntry {
     "q_ab_srm" -> q(Events.qAbSrm),
     "q_silhouette" -> q(Similarity.qSilhouette),
     "q_hill_tail" -> q(Stats.qHillTail(_)),
-    "q_did" -> q(Events.qDid),
+    "q_did" -> q(Events.qDid(_)),
     "q_dominant_period" -> q(Events.qDominantPeriod(_)),
     "q_tokenizer_fertility" -> q(TextAnalysis.qTokenizerFertility),
     "q_conversion_window" -> q(Events.qConversionWindow(_)),
@@ -272,7 +272,7 @@ object SparkEntry {
     "q_textrank" -> q(TextAnalysis.qTextrank(_)),
     "q_stl_anomalies" -> q(Events.qStlAnomalies(_)),
     "q_rolling_median" -> q(Analytics.qRollingMedian),
-    "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve),
+    "q_dedup_threshold_curve" -> q(Dedup.qDedupThresholdCurve(_)),
     "q_fulfillment_latency" -> q(Analytics.qFulfillmentLatency),
     "q_zipf_slope" -> q(TextAnalysis.qZipfSlope(_)),
     "q_vocab_growth" -> q(TextAnalysis.qVocabGrowth),
@@ -290,9 +290,9 @@ object SparkEntry {
     "q_union_all" -> q(Stats.qUnionAll),
     "q_supplier_revenue" -> q(Stats.qSupplierRevenue),
     "q_regexp_extract" -> q(Stats.qRegexpExtract),
-    "q_approx_distinct" -> q(Stats.qApproxDistinct),
+    "q_approx_distinct" -> q(Stats.qApproxDistinct(_)),
     "q_kmv_distinct" -> q(Stats.qKmvDistinct(_)),
-    "q_approx_quantile" -> q(Stats.qApproxQuantile),
+    "q_approx_quantile" -> q(Stats.qApproxQuantile(_)),
     "q_mad" -> q(Stats.qMad),
     "q_corr_matrix" -> q(Stats.qCorrMatrix),
     "q_integrity_checks" -> q(Stats.qIntegrityChecks),
@@ -535,9 +535,15 @@ object SparkEntry {
       Multimodal.qMultimodalFrames(spark, Tables(spark, dir))))
 
   /** DuckDB oracle SQL per query (omitted => rows-only check):
-    * q_knn_lsh (xxhash64 band signatures), q_approx_distinct /
-    * q_approx_quantile (approximate by construction; sketch internals
-    * engine-specific). Each engine-specific signature family carries a
+    * q_knn_lsh ONLY (xxhash64 band signatures; its oracled portable
+    * companion q_knn_lsh_portable pins the plan shape). q_approx_distinct
+    * and q_approx_quantile graduated to BOUNDED-ERROR oracles in round
+    * 10: each emits exact values plus tolerance flags computed from the
+    * sketch (see [[graft.ops.Stats.qApproxDistinct]] /
+    * [[graft.ops.Stats.qApproxQuantile]] for the bound derivations), and
+    * the oracle asserts the flags are 1 — a sketch regression hash-fails
+    * the row even though sketch internals never cross the compare.
+    * Each engine-specific signature family carries a
     * fully-oracled portable companion that hash-checks the same plan
     * shape: q_dedup_minhash_verify (rare-gram buckets + exact-jaccard
     * verify), q_simhash_portable (md5-vote fingerprint + hamming
@@ -1870,6 +1876,26 @@ object SparkEntry {
     // two IEEE ops on the exact k-th order statistic; decode is
     // lambda-free arithmetic (see kmvOracle) for DuckDB portability
     "q_kmv_distinct" -> kmvOracle,
+    // bounded-error sketch oracles (round-10 graduation from rows-only):
+    // the Spark side emits exact values + tolerance flags computed FROM
+    // the sketch; the oracle emits the same exact values + literal 1s,
+    // so a sketch drifting out of tolerance flips a flag and hash-fails.
+    // Sketch internals (HLL registers, quantile summaries) never cross
+    // the compare — only the boolean verdict does.
+    "q_approx_distinct" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS exact_parts,
+           CAST(1 AS BIGINT) AS within_tolerance
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // quantile_cont's linear interpolation matches Spark's exact
+    // `percentile` bit-for-bit on doubles (etl_sales_pipeline precedent)
+    "q_approx_quantile" ->
+      """SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.5) AS exact_median,
+           quantile_cont(l_extendedprice, 0.9) AS exact_p90,
+           CAST(1 AS BIGINT) AS median_ok,
+           CAST(1 AS BIGINT) AS p90_ok
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // within-subject paired t: same per-customer era split, per-pair
     // difference pinned at 1e-6 into DECIMAL before the moment sums
     "q_paired_ttest" ->

@@ -1180,8 +1180,8 @@ object Dedup {
     * each threshold row is a conditional aggregate, so the whole curve is
     * a single grouped scan of the pair frame, not one job per threshold.
     */
-  def qDedupThresholdCurve(t: Tables): DataFrame = {
-    val pairs = ngramJaccardPairs(t, maxDfFrac = 0.5)
+  def qDedupThresholdCurve(t: Tables, maxDfFrac: Double = 0.5): DataFrame = {
+    val pairs = ngramJaccardPairs(t, maxDfFrac)
     val steps = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
     pairs
       .select(col("jaccard"), col("id2"),

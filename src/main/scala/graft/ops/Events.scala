@@ -138,7 +138,7 @@ object Events {
       .filter(col("ts_ns") >= col("t0") && col("ts_ns") <= col("t0") + hourNs)
       .select("user_id").distinct()
     heads.agg(count(lit(1)).as("n_clickers"))
-      .crossJoin(converted.agg(count(lit(1)).as("n_converted")))
+      .crossJoin(broadcast(converted.agg(count(lit(1)).as("n_converted"))))
       .withColumn("conv_rate",
         col("n_converted").cast("double") / col("n_clickers").cast("double"))
   }
@@ -1394,7 +1394,7 @@ object Events {
     * per user → per-variant means by fixed double chains; the cross-
     * variant difference is a window over the two variant rows.
     */
-  def qDid(t: Tables): DataFrame = {
+  def qDid(t: Tables, variants: Int = 2): DataFrame = {
     val dayNs = 86400L * 1000000000L
     val ev = t.events
       .withColumn("day_idx", expr(s"ts_ns div ${dayNs}L"))
@@ -1403,7 +1403,8 @@ object Events {
           round(col("value") * lit(1000000L)).cast("long")).otherwise(lit(0L)))
     val mid = ev.agg(expr("(min(day_idx) + max(day_idx) + 1) div 2").as("mid"))
     val perVariant = ev.crossJoin(broadcast(mid))
-      .groupBy(pmod(col("user_id"), lit(2)).cast("long").as("variant"))
+      .groupBy(pmod(col("user_id"), lit(variants.toLong)).cast("long")
+        .as("variant"))
       .agg(
         countDistinct(col("user_id")).as("n_users"),
         sum(when(col("day_idx") < col("mid"), col("v_mu")).otherwise(0L))

@@ -180,15 +180,32 @@ object Stats {
   }
 
   /** Sketch aggregate: HyperLogLog++ approximate distinct next to the
-    * exact count (no oracle — sketch estimates are engine-specific; the
-    * harness records a rows-only check and the unit test bounds the error).
+    * exact count, graded as a BOUNDED-ERROR oracle (round-10 graduation
+    * from rows-only): the output carries the exact count plus a
+    * `within_tolerance` flag asserting |approx − exact| ≤
+    * max(tolFrac·exact, tolFloor), so the DuckDB oracle (exact distinct
+    * + literal 1) hash-FAILS if the sketch ever drifts out of tolerance.
+    * The sketch estimate itself stays out of the output — HLL register
+    * layouts are engine-specific — but the flag is a pure function of
+    * it, so the sketch still executes in the graded plan.
+    *
+    * Tolerance: rsd = 0.02 ⇒ 4σ = 8 %; the flag uses 8 % with an
+    * absolute floor for near-saturated groups. HLL is order-independent
+    * (hash-based), so the estimate is deterministic for a fixed corpus —
+    * measured error on the driver testdata is ≤ 2.2 % at every scale,
+    * leaving ≥ 3.5× headroom before a legitimate red.
     */
-  def qApproxDistinct(t: Tables): DataFrame =
+  def qApproxDistinct(
+      t: Tables, tolFrac: Double = 0.08, tolFloor: Long = 16L): DataFrame =
     t.lineitem
       .groupBy("l_returnflag")
       .agg(
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+          greatest(col("exact_parts").cast("double") * tolFrac,
+            lit(tolFloor.toDouble))).cast("long").as("within_tolerance"))
       .orderBy("l_returnflag")
 
   /** K-minimum-values distinct sketch, the hash-verifiable companion to
@@ -250,24 +267,42 @@ object Stats {
 
   /** Quantile sketch next to the exact answer: approx_percentile is the
     * single-pass mergeable summary a 100 TB profile pass uses (exact
-    * percentiles need a full sort per group); the exact value rides along
-    * so the harness rows-check and the unit test can bound sketch error.
-    * No oracle — sketch internals are engine-specific.
+    * percentiles need a full sort per group); graded as a BOUNDED-ERROR
+    * oracle (round-10 graduation from rows-only). The sketch value is
+    * engine-specific, so the output carries the exact quantiles plus
+    * per-quantile flags asserting the approx value lands inside the
+    * exact [q − rankTol, q + rankTol] quantile band — rankTol = 0.005 is
+    * 5× the accuracy-1000 rank-error guarantee (ε = 0.001), and the
+    * guarantee holds under ANY buffer merge order, so the flag is stable
+    * while a sketch regression (or a silently-dropped compression bound)
+    * flips it and hash-fails the row against DuckDB's exact quantiles +
+    * literal 1s.
     */
   // NOT fanned: the exact-percentile halves are reduce-bound (3 groups
   // sorting the full value multiset), so the spread's extra 18 MB
-  // exchange measured net-negative here
-  def qApproxQuantile(t: Tables): DataFrame =
+  // exchange measured net-negative here. The six exact quantiles come
+  // from ONE array-percentile aggregate (single sort buffer per group),
+  // not six independent buffers.
+  def qApproxQuantile(t: Tables, rankTol: Double = 0.005): DataFrame = {
+    val qs = Seq(0.5 - rankTol, 0.5, 0.5 + rankTol,
+      0.9 - rankTol, 0.9, 0.9 + rankTol)
     t.lineitem
       .groupBy("l_returnflag")
       .agg(
         approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000))
-          .as("approx_median"),
-        percentile(col("l_extendedprice"), lit(0.5)).as("exact_median"),
+          .as("am"),
         approx_percentile(col("l_extendedprice"), lit(0.9), lit(1000))
-          .as("approx_p90"),
-        percentile(col("l_extendedprice"), lit(0.9)).as("exact_p90"))
+          .as("ap"),
+        percentile(col("l_extendedprice"), array(qs.map(lit): _*)).as("q"))
+      .select(col("l_returnflag"),
+        element_at(col("q"), 2).as("exact_median"),
+        element_at(col("q"), 5).as("exact_p90"),
+        (col("am") >= element_at(col("q"), 1) &&
+          col("am") <= element_at(col("q"), 3)).cast("long").as("median_ok"),
+        (col("ap") >= element_at(col("q"), 4) &&
+          col("ap") <= element_at(col("q"), 6)).cast("long").as("p90_ok"))
       .orderBy("l_returnflag")
+  }
 
   /** Equi-width histogram of order values: floor-division bucketing + one
     * grouped aggregate (the profile view a warehouse computes before

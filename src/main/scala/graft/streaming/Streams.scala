@@ -177,6 +177,14 @@ object Streams {
     // never see it.
     val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stateWidth(spark))
+    // `spark.graft.drain.stateStore=rocksdb` switches this drain to the
+    // disk-backed RocksDB state store — the at-scale posture (SCALE.md
+    // finding 3: the default in-memory HDFSBackedStateStore OOMs on the
+    // 10x gram-keyed incdedup state, ~20M rows). The streaming query
+    // clones the session conf at start, so the provider is restored for
+    // batch/other work as soon as the drain returns; StreamsSpec runs
+    // the stateful drains under this switch in CI.
+    val providerRestore = applyStateStoreChoice(spark)
     val query =
       try {
         streamed
@@ -189,6 +197,7 @@ object Streams {
       } catch {
         case e: Throwable =>
           spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+          providerRestore()
           throw e
       }
     // copy the (window-cardinality-sized) sink rows out and drop the temp
@@ -225,7 +234,35 @@ object Streams {
       // remains for the timeout path, where interrupting is the point.
       if (!terminated) scala.util.Try(query.stop())
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+      providerRestore()
       scala.util.Try(spark.catalog.dropTempView(name))
+    }
+  }
+
+  /** Apply the `spark.graft.drain.stateStore` choice to the session's
+    * state-store provider and return a restore thunk. `rocksdb` selects
+    * RocksDBStateStoreProvider (disk-backed, the 100 TB posture);
+    * `memory` forces the Spark default; unset leaves the session as-is
+    * (so an operator-set providerClass — e.g. the stress harness — still
+    * wins).
+    */
+  private def applyStateStoreChoice(spark: SparkSession): () => Unit = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(key)
+    val choice = spark.conf.getOption("spark.graft.drain.stateStore")
+    choice.map(_.toLowerCase) match {
+      case Some("rocksdb") =>
+        spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+          ".state.RocksDBStateStoreProvider")
+      case Some("memory") => spark.conf.unset(key)
+      case Some(other) =>
+        throw new IllegalArgumentException(
+          s"spark.graft.drain.stateStore=$other (expected rocksdb|memory)")
+      case None => ()
+    }
+    () => prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
     }
   }
 
@@ -265,6 +302,7 @@ object Streams {
         col("event_type"), col("n"), col("sum_value"))
     val batchWidth = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", stateWidth(spark))
+    val providerRestore = applyStateStoreChoice(spark)
     val query =
       try {
         streamed.writeStream
@@ -277,6 +315,7 @@ object Streams {
       } catch {
         case e: Throwable =>
           spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+          providerRestore()
           throw e
       }
     var terminated = false
@@ -292,6 +331,7 @@ object Streams {
       // stream thread's cleanup; gate on the termination fact, not isActive
       if (!terminated) scala.util.Try(query.stop())
       spark.conf.set("spark.sql.shuffle.partitions", batchWidth)
+      providerRestore()
     }
   }
 

@@ -30,11 +30,29 @@ class SkewSourcesSpec extends SparkSuite {
   }
 
   test("approx_count_distinct within its error bound of the exact count") {
-    Stats.qApproxDistinct(tables).collect().foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    // the graded frame: every group's tolerance flag must be 1, and the
+    // exact side must equal a brute-force distinct count
+    val rows = Stats.qApproxDistinct(tables).collect()
+    assert(rows.nonEmpty)
+    val brute = tables.lineitem
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == brute(r.getString(0)), "exact side mismatch")
+      assert(r.getLong(2) == 1L,
+        s"sketch out of tolerance for ${r.getString(0)}")
     }
+    // headroom check backing the 8% bound: the raw sketch error on this
+    // corpus stays under half the tolerance (a red flag would mean the
+    // sketch drifted, not that the bound is tight)
+    tables.lineitem.groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+        countDistinct(col("l_partkey")).as("e"))
+      .collect().foreach { r =>
+        val err = math.abs(r.getLong(1) - r.getLong(2)).toDouble / r.getLong(2)
+        assert(err < 0.04, s"approx err $err >= half the 8% tolerance")
+      }
   }
 
   test("kmv sketch: kth hash is the true order statistic; estimate in bounds") {
@@ -92,14 +110,35 @@ class SkewSourcesSpec extends SparkSuite {
   }
 
   test("approx_percentile lands within a few percent of the exact quantile") {
-    Stats.qApproxQuantile(tables).collect().foreach { r =>
-      Seq((1, 2), (3, 4)).foreach { case (ai, ei) =>
-        val approx = r.getDouble(ai)
-        val exact = r.getDouble(ei)
-        assert(math.abs(approx - exact) / exact < 0.05,
-          s"approx=$approx exact=$exact")
-      }
+    // graded frame: both rank-band flags 1 per group, exact quantiles
+    // equal to an independent percentile computation
+    val rows = Stats.qApproxQuantile(tables).collect()
+    assert(rows.nonEmpty)
+    val brute = tables.lineitem.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5D)").as("m"),
+        expr("percentile(l_extendedprice, 0.9D)").as("p"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (m, p) = brute(r.getString(0))
+      assert(r.getDouble(1) == m && r.getDouble(2) == p,
+        "exact quantile mismatch")
+      assert(r.getLong(3) == 1L && r.getLong(4) == 1L,
+        s"approx quantile outside the ±0.005 rank band for ${r.getString(0)}")
     }
+    // headroom: raw value error still inside the old 5% value check
+    tables.lineitem.groupBy("l_returnflag")
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.5D, 1000)").as("am"),
+        expr("percentile(l_extendedprice, 0.5D)").as("em"),
+        expr("approx_percentile(l_extendedprice, 0.9D, 1000)").as("ap"),
+        expr("percentile(l_extendedprice, 0.9D)").as("ep"))
+      .collect().foreach { r =>
+        assert(math.abs(r.getDouble(1) - r.getDouble(2)) / r.getDouble(2)
+          < 0.05)
+        assert(math.abs(r.getDouble(3) - r.getDouble(4)) / r.getDouble(4)
+          < 0.05)
+      }
   }
 
   test("csv and json source formats roundtrip the customer generator") {

@@ -39,9 +39,9 @@ class SparkEntrySpec extends SparkSuite {
     // (engine-specific signatures / approximate sketches / side-effectful
     // generators), and each signature family has a fully-oracled portable
     // companion. A new query missing from both maps fails this test.
-    val rowsOnly = Set(
-      "q_approx_distinct", "q_approx_quantile",
-      "q_knn_lsh")
+    // q_approx_distinct / q_approx_quantile graduated to bounded-error
+    // oracles in round 10 (exact values + tolerance flags; see Stats)
+    val rowsOnly = Set("q_knn_lsh")
     val unoracled = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(unoracled == rowsOnly,
       s"undocumented rows-only queries: ${unoracled -- rowsOnly}; " +

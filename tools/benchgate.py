@@ -14,14 +14,26 @@ The allowlist (one query name per line, '#' comments) records adjudicated
 exceptions — e.g. an intentional algorithm swap — next to the run that
 introduced them.
 
-Exit 0 = clean (or all flagged queries allowlisted), 1 = unexplained
-regression.
+Two failure modes are gated on top of regressions (both would otherwise
+read as "improvements", since a query that throws dies early and records
+a short wall time):
+  - any entry in the bench JSON's "failed" map (Bench.scala records each
+    query whose full-plan materialization threw, with the exception);
+  - an IMPLAUSIBLE SPEEDUP: current < prior/SPEED_RATIO with more than
+    SPEED_FLOOR seconds of absolute drop. A real optimization of that
+    size is adjudicated via the allowlist, next to the commit that
+    earned it.
+
+Exit 0 = clean (or all flagged queries allowlisted), 1 = failure,
+unexplained regression, or unadjudicated implausible speedup.
 """
 import json
 import sys
 
 RATIO = 2.0
 FLOOR = 0.5  # seconds of absolute growth before a ratio matters
+SPEED_RATIO = 4.0  # current faster than prior/4 ...
+SPEED_FLOOR = 1.0  # ... with >1 s absolute drop = implausible
 
 
 def load(path):
@@ -57,12 +69,19 @@ def main():
 
     added = sorted(set(cur) - set(pri))
     removed = sorted(set(pri) - set(cur))
-    flagged, allowed = [], []
+    failed = cur_all.get("failed") or {}
+    flagged, allowed, sped = [], [], []
     for name in sorted(set(cur) & set(pri)):
         c, p = cur[name], pri[name]
         if c > RATIO * p and c - p > FLOOR:
             (allowed if name in allow else flagged).append(
                 (name, p, c, c / p if p else float("inf")))
+        elif (name not in failed and c * SPEED_RATIO < p
+              and p - c > SPEED_FLOOR):
+            # failed queries are already gated below; this catches a
+            # query that silently stopped doing its work
+            (allowed if name in allow else sped).append(
+                (name, p, c, p / c if c else float("inf")))
 
     tc = sum(cur.values())
     tp = sum(pri[q] for q in cur if q in pri)
@@ -76,9 +95,15 @@ def main():
         print(f"  ALLOWED  {name}: {p:.2f}s -> {c:.2f}s ({r:.1f}x)")
     for name, p, c, r in flagged:
         print(f"  REGRESSED {name}: {p:.2f}s -> {c:.2f}s ({r:.1f}x)")
-    if flagged:
-        print(f"benchgate: FAIL ({len(flagged)} unexplained regressions; "
-              f"adjudicate or fix, then rerun)")
+    for name, p, c, r in sped:
+        print(f"  SPEEDUP?  {name}: {p:.2f}s -> {c:.2f}s ({r:.1f}x faster "
+              f"— verify it still computes, then allowlist)")
+    for name, err in sorted(failed.items()):
+        print(f"  FAILED   {name}: {err}")
+    if flagged or sped or failed:
+        print(f"benchgate: FAIL ({len(flagged)} regressions, "
+              f"{len(sped)} unadjudicated speedups, "
+              f"{len(failed)} failed queries)")
         sys.exit(1)
     print("benchgate: OK")
 
