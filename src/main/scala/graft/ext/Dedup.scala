@@ -1236,7 +1236,13 @@ object Dedup {
     */
   def qSourceOverlap(t: Tables, k: Int = 128): DataFrame = {
     val h = expr("conv(substring(md5(g), 1, 15), 16, 10)").cast("long")
-    val sigs = t.documents
+    // sigs is (sources × k) — checkpoint it so the three consumers below
+    // (signature explode ×2 for the pair-tagged sides, source list) read
+    // the tiny materialized frame instead of each re-running the full
+    // corpus shingle/md5/bounded_topk pass (round 10: the plan showed 3
+    // parquet scans of documents; now 1 — guide §3.3 "materialise an
+    // intermediate", §2.3 "shuffle keys, not payloads")
+    val sigs = graft.Engine.loopCheckpoint(t.documents
       .select(col("source"), explode(shingles(col("text"), 3)).as("g"))
       .select(col("source"), h.as("h"))
       .distinct()
@@ -1244,7 +1250,7 @@ object Dedup {
       .agg(call_function("bounded_topk",
         struct(lit(0.0), col("h")), lit(k), lit(true)).as("top"))
       .select(col("source"),
-        transform(col("top"), x => x.getField("id")).as("sig"))
+        transform(col("top"), x => x.getField("id")).as("sig")))
     val e = sigs.select(col("source"), explode(col("sig")).as("h"))
     val srcs = sigs.select("source")
     val pairs = srcs.toDF("sa")
@@ -1257,6 +1263,7 @@ object Dedup {
       .select(col("sa"), col("sb"), col("h"),
         lit(0).as("ia"), lit(1).as("ib"))
     val wPair = Window.partitionBy("sa", "sb").orderBy("h")
+    graft.Engine.freeLater(sigs) // freed at the next query construction
     left.union(right)
       .groupBy("sa", "sb", "h")
       .agg(max("ia").as("ia"), max("ib").as("ib"))

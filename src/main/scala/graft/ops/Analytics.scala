@@ -350,16 +350,29 @@ object Analytics {
     val items = t.lineitem
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("pk"))
       .distinct()
-    val freq = items.groupBy("pk").agg(count(lit(1)).as("ci"))
+    // checkpoint the part-dimension frequency frame: the p1 and p2 joins
+    // below each instantiated the full lineitem distinct+aggregate chain
+    // before round 10 (two fact passes for one dimension table) — now the
+    // fact collapses once and both sides read the materialized rows
+    // (guide §3.3)
+    val freq = graft.Engine.loopCheckpoint(
+      items.groupBy("pk").agg(count(lit(1)).as("ci")))
     // co-occurrence counts come from the session's shared co-purchase
     // index (both directions present, shared = co-order count) — no
     // second basket self-join
     val pairs = Graph.sharedCoPurchase(t)
       .select(col("src").as("p1"), col("dst").as("p2"),
         col("shared").as("cij"))
+    // explicit broadcast: the checkpointed frame has no stats, and the
+    // item-frequency dimension is orders of magnitude smaller than the
+    // pair fact it decorates (guide §3.1 — broadcast the side you KNOW
+    // is small; the pair fact then never shuffles here)
+    graft.Engine.freeLater(freq)
     pairs
-      .join(freq.select(col("pk").as("p1"), col("ci").as("c1")), "p1")
-      .join(freq.select(col("pk").as("p2"), col("ci").as("c2")), "p2")
+      .join(broadcast(freq.select(col("pk").as("p1"), col("ci").as("c1"))),
+        "p1")
+      .join(broadcast(freq.select(col("pk").as("p2"), col("ci").as("c2"))),
+        "p2")
       .withColumn("sim", col("cij").cast("double") /
         sqrt((col("c1") * col("c2")).cast("double")))
       .groupBy("p1")
@@ -1285,10 +1298,18 @@ object Analytics {
     * "should-be-keys" actually determine their dependents before a model or
     * a merge relies on it.
     *
-    * Scale shape: each candidate pair is one hash aggregate keyed
-    * (pair, determinant) — the union of pairs shares a single shuffle
-    * stage; the per-pair rollup then runs on group-count-sized frames.
-    * No joins, no windows.
+    * Scale shape: each candidate pair is an INDEPENDENT hash aggregate
+    * keyed by its own determinant column in its NATIVE type; only the
+    * five one-row rollups union. (Round 10: the previous shape unioned
+    * the five fact projections first — every determinant/dependent
+    * value crossed the exchange as a STRING under a shared (pair, det)
+    * key, roughly doubling shuffle bytes and serializing all five
+    * facts through one aggregate. Independent per-pair aggregates keep
+    * native long keys on the wire, partial-aggregate per fact, and
+    * let the five candidate scans run as parallel jobs of one stage
+    * chain each — guide §2.3 "narrower types" + §2.6 overlap.)
+    * No joins, no windows. Results are identical: same groups, same
+    * distinct counts, same rollup.
     */
   def qFdAudit(t: Tables): DataFrame = {
     val candidates: Seq[(DataFrame, String, String)] = Seq(
@@ -1298,18 +1319,16 @@ object Analytics {
       (t.lineitem, "l_partkey", "l_suppkey"),
       (t.customer, "c_nationkey", "c_mktsegment"))
     candidates.map { case (df, det, dep) =>
-      df.select(
-        lit(s"$det -> $dep").as("fd"),
-        col(det).cast("string").as("k"),
-        col(dep).cast("string").as("d"))
+      df.select(col(det).as("k"), col(dep).as("d"))
+        .groupBy("k")
+        .agg(countDistinct("d").as("nd"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
+          max("nd").as("max_fanout"))
+        .select(lit(s"$det -> $dep").as("fd"), col("n_groups"),
+          col("n_violating"), col("max_fanout"))
     }.reduce(_ unionByName _)
-      .groupBy("fd", "k")
-      .agg(countDistinct("d").as("nd"))
-      .groupBy("fd")
-      .agg(
-        count(lit(1)).as("n_groups"),
-        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_violating"),
-        max("nd").as("max_fanout"))
       .withColumn("holds", col("n_violating") === 0L)
       .orderBy("fd")
   }

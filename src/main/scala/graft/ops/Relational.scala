@@ -308,8 +308,15 @@ object Relational {
       .groupBy("l_returnflag")
       .agg(
         expr("percentile(l_quantity, 0.5D)").as("median_qty"),
-        expr("percentile(l_extendedprice, 0.9D)").as("p90_price"),
-        expr("percentile(l_extendedprice, 0.99D)").as("p99_price"))
+        // ONE price buffer for both price quantiles: the array form
+        // evaluates every requested fraction from the same sorted counts
+        // map (identical per-fraction doubles as two scalar calls), but
+        // accumulates/serializes the 600k-value buffer once instead of
+        // twice (round 10; measured 1.6 -> 1.3 s at sf0.1)
+        expr("percentile(l_extendedprice, array(0.9D, 0.99D))").as("pp"))
+      .select(col("l_returnflag"), col("median_qty"),
+        col("pp").getItem(0).as("p90_price"),
+        col("pp").getItem(1).as("p99_price"))
       .orderBy("l_returnflag")
 
   /** Exact distinct-count per group (shuffle-expand + dedup). */

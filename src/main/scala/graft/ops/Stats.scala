@@ -250,10 +250,15 @@ object Stats {
     * both engines produce identical doubles.
     */
   def qMad(t: Tables): DataFrame = {
-    val slim = fanned(t.lineitem, "l_returnflag", "l_extendedprice")
+    // checkpoint the 2-column projection: the median pass and the
+    // deviation pass both consume it — one scan + one spread exchange
+    // instead of two of each (round 10; guide §3.3)
+    val slim = graft.Engine.loopCheckpoint(
+      fanned(t.lineitem, "l_returnflag", "l_extendedprice"))
     val med = slim
       .groupBy("l_returnflag")
       .agg(expr("percentile(l_extendedprice, 0.5D)").as("med_price"))
+    graft.Engine.freeLater(slim)
     slim
       .join(broadcast(med), "l_returnflag")
       .withColumn("adev", abs(col("l_extendedprice") - col("med_price")))
@@ -497,12 +502,17 @@ object Stats {
     * globally and crosses exactly two region-keyed exchanges.
     */
   def qAnomalyIqr(t: Tables): DataFrame = {
-    val enriched = t.orders
+    // checkpoint the 2-column (region, price) projection: both passes
+    // (fence percentiles, fence-compare counts) consumed it, and each
+    // instantiation re-ran the orders⋈customer join — at scale two
+    // customer-keyed fact shuffles where one narrow materialization
+    // suffices (round 10; guide §3.3, §2.3 project-before-the-exchange)
+    val enriched = graft.Engine.loopCheckpoint(t.orders
       .join(t.customer.select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
-      .select(col("r_name"), col("o_totalprice"))
+      .select(col("r_name"), col("o_totalprice")))
     val fences = enriched
       .groupBy("r_name")
       .agg(
@@ -511,6 +521,7 @@ object Stats {
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(1.5).cast(DecimalType(2, 1)) * col("iqr"))
       .withColumn("hi", col("q3") + lit(1.5).cast(DecimalType(2, 1)) * col("iqr"))
+    graft.Engine.freeLater(enriched)
     enriched
       .join(broadcast(fences), Seq("r_name"))
       .groupBy(col("r_name"), col("q1"), col("q3"), col("lo"), col("hi"))
@@ -1938,10 +1949,13 @@ object Stats {
     * hash aggregate with map-side combine. nPerm is config, not data.
     */
   def qPermutationTest(t: Tables, nPerm: Int = 200): DataFrame = {
-    val perCust = t.orders
+    // checkpoint the customer-revenue frame: the observed-gap pass and
+    // the 200-permutation explode both consume it, and each re-ran the
+    // fact-sized orders aggregate before round 10 (guide §3.3)
+    val perCust = graft.Engine.loopCheckpoint(t.orders
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-      .select(col("o_custkey").as("c"), col("cents"))
+      .select(col("o_custkey").as("c"), col("cents")))
     def gapOf(df: DataFrame, arm: Column, grp: Seq[Column]): DataFrame =
       df.groupBy(grp: _*)
         .agg(
@@ -1973,7 +1987,9 @@ object Stats {
             " AS BIGINT)") % 2).as("arm"))
         .filter(col("b") <= nPerm),
       col("arm"), Seq(col("b")))
-    perms.crossJoin(broadcast(observed))
+    graft.Engine.freeLater(perCust)
+    perms
+      .crossJoin(broadcast(observed))
       .agg(
         count(lit(1)).as("n_perms"),
         sum(when(abs(col("gap")) >= abs(col("obs_gap")), 1L).otherwise(0L))
@@ -2052,8 +2068,14 @@ object Stats {
     val revenue = t.orders
       .groupBy(col("o_custkey").as("ck"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
-    val withRev = cust.join(revenue, Seq("ck"), "left")
-      .withColumn("rev", coalesce(col("rev"), lit(0L)))
+    // checkpoint the customer-dimension-sized (ck, bal, arm, rev) frame:
+    // its three consumers (treated side, control side, treated count)
+    // each re-ran the customer scan + the fact-sized orders revenue
+    // aggregate before round 10 (the 5-scan plan); now that join runs
+    // once (guide §3.3 materialise the shared intermediate)
+    val withRev = graft.Engine.loopCheckpoint(
+      cust.join(revenue, Seq("ck"), "left")
+        .withColumn("rev", coalesce(col("rev"), lit(0L))))
     // band on SHIFTED balances: acctbal can be negative, and integer
     // division of negatives truncates in Spark but floors in DuckDB —
     // the +1e5-cent shift keeps every banded value nonnegative, where
@@ -2077,6 +2099,7 @@ object Stats {
       .filter(col("rnk") === 1)
     val nTreated = withRev.filter(col("arm") === 1)
       .agg(count(lit(1)).as("n_treated"))
+    graft.Engine.freeLater(withRev)
     matched
       .agg(
         count(lit(1)).as("n_matched"),

@@ -76,10 +76,15 @@ object Streams {
     // the probed batch type is threaded into the declared stream schema
     // VERBATIM — hardcoding e.g. TimestampNTZType here would make the
     // vectorized reader reject a future TIMESTAMP(MICROS, adjusted-to-UTC)
-    // encoding that the batch reader (Tables.events) handles fine
-    val tsType = spark.read.option("pathGlobFilter", globFilter)
-      .parquet(dir).schema.find(_.name == "ts").map(_.dataType)
-      .getOrElse(TimestampNTZType)
+    // encoding that the batch reader (Tables.events) handles fine.
+    // Cached per (session, dir, glob): the probe is a file listing +
+    // parquet footer read, and a bench run declares ~33 drains over the
+    // same landing directory — schema metadata, not data (round 10; the
+    // same footer-cache economics as Tables.frameCache)
+    val tsType = tsTypeCache.getOrElseUpdate((spark, dir, globFilter),
+      spark.read.option("pathGlobFilter", globFilter)
+        .parquet(dir).schema.find(_.name == "ts").map(_.dataType)
+        .getOrElse(TimestampNTZType))
     val src = spark.readStream
       .schema(eventFileSchema(tsType))
       .option("maxFilesPerTrigger", "8")
@@ -114,6 +119,10 @@ object Streams {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
+
+  private val tsTypeCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, String), org.apache.spark.sql.types.DataType]
 
   private val drainSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
