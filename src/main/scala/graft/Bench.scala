@@ -140,44 +140,23 @@ object Bench {
         ops.Analytics.bloomPrefilterOnly(spark, t).count()
       },
       // Lloyd's/IVF natives (q_knn_ivf 11.4 s cold in-context vs 1.4 s
-      // isolated); the real shared edge index builds in graph_facts
+      // isolated)
       warmThread("lloyd") {
         ext.Similarity.lloydCentroids(
           t.embeddings.limit(500).select(col("vec_id"), col("label"),
             col("embedding").cast("array<double>").as("vec")), iters = 1)
-      },
-      // shared per-dataset fact caches (edge index ~15 consumers,
-      // fingerprints, triangle census, pair caches, rec frames) — genuine
-      // cross-query infrastructure whose one-time cost is recorded here
-      // instead of on whichever consumer runs first alphabetically. Split
-      // across three threads on cache-dependency lines: the triangle
-      // census consumes the edge index (same thread, in order); the dedup
-      // and recommender caches are independent of both.
-      warmThread("graph_facts") {
-        ops.Graph.warmSharedIndex(t)
-        ops.Graph.warmTriangleCensus(t)
-      },
-      warmThread("dedup_facts") {
-        ext.Dedup.warmFingerprints(t)
-        ext.Dedup.warmPairCaches(t)
-        ext.Dedup.warmGramStrings(t)
-        // shared span-range fact (round 10): three timed consumers
-        // (q_dup_spans, q_span_rewrite, q_dedup_manifest)
-        ext.TextAnalysis.warmSpanRanges(t)
-      },
-      warmThread("rec_facts") {
-        ops.Analytics.warmRecFrames(t)
-      },
-      // BPE learn cache at the graded rounds=3 config (two timed
-      // consumers: q_bpe_merges reads the merge table, q_bpe_tokenize
-      // the segmentation frame). Runs the full learn loop end-to-end,
-      // so it doubles as the BPE-family cold-start soak — no separate
-      // canary (which would EVICT this single-slot cache if it warmed a
-      // different rounds value)
-      warmThread("bpe_facts") {
-        ext.TextAnalysis.warmBpe(t)
       })
       phaseA.foreach(_.join())
+      // NOTE (round 11): the round-10 warmup additionally PRE-BUILT the
+      // shared per-dataset fact caches here (graph edge index, dedup
+      // fingerprints/pairs/grams, span ranges, rec frames, BPE tables).
+      // The round-10 verdict ruled that cost-shifting: intermediates
+      // keyed on the test data, built outside the timed region, consumed
+      // by graded queries. Those hooks are GONE — each shared fact now
+      // builds inside its FIRST timed consumer (the session caches remain
+      // so later consumers amortize honestly, visible to the driver), and
+      // resetDataCaches() below guarantees the canaries' side effects
+      // don't leak data into the timed loop either.
       // canary pass (UNTIMED, recorded): one representative sibling per
       // heavy query family, run in full after the caches are warm. The r6
       // driver run charged ~25-30 s of environment cold-start (C2 queue,
@@ -438,6 +417,14 @@ object Bench {
           mat(ext.Similarity.qEmbedDrift(t, binWidth = 250000L))
         })
       )
+      // Un-game the timed region (round-11 verdict item 1): several canary
+      // siblings necessarily populate the session's shared-fact caches as
+      // a side effect (graph_probe builds the edge index, ann/dedup
+      // siblings the fingerprint and pair caches). Drop ALL per-dataset
+      // data caches now, so every shared fact is built — and timed —
+      // inside its first graded consumer. JIT/codegen warmth is JVM-wide
+      // and survives; only data keyed on the test corpus is discarded.
+      graft.Engine.resetDataCaches()
     }
     val warmupSec = (System.nanoTime() - warmT0) / 1e9
     // ambient host load: r4's graded run was 3-4x a same-commit local run
@@ -508,24 +495,33 @@ object Bench {
         val warm = timeAll()
         s""","warm_total":${warm.map(_._2).sum},"warm":${toJson(warm)}"""
       }
+    // "cpus" is the CONFIGURED parallelism (the local[$cpus] master /
+    // $SPARK_GRAFT_CPUS), not availableProcessors(): the round-10 8-core
+    // artifact printed 32 because of exactly that mix-up, making a
+    // correctly-honored env var look ignored.
     val envJson =
-      s""""load_start":$loadStart,"load_end":${loadAvg()},"cpus":${
-        Runtime.getRuntime.availableProcessors()}"""
+      s""""load_start":$loadStart,"load_end":${loadAvg()},"cpus":$cpus"""
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","mat":"full_plan","failed":$failedJson,$warmupJson,$envJson,"queries":${toJson(results)},"sf":"$sfDir"$warmSection}"""
-    // The full per-query map (218 queries, ~8 KB) overflows the harness's
-    // stdout-tail capture, so it goes ONLY to the file; stdout gets a compact
-    // line (total + slowest queries, bounded size) printed LAST so the tail
-    // always contains one complete parseable JSON object.
+    // Full-precision line (cold + warm maps) goes to the file; stdout gets
+    // the same per-query coverage at BOUNDED precision (ms granularity,
+    // name-sorted — a stable comparable set, ~9 KB for 392 queries),
+    // printed LAST so the tail holds one complete parseable JSON object.
+    // Round 10 printed only the top-20 slowest here, which collapsed the
+    // driver's round-over-round comparison to the 4 queries that happened
+    // to be in both rounds' top-20 (verdict item 2); ms precision is far
+    // below run-to-run noise, so nothing comparable is lost.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(outPath),
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    val slowest = results.sortBy(-_._2).take(20)
+    def toJsonMs(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => s"\"" + k + "\":" + (math.rint(v * 1000) / 1000) }
+        .mkString("{", ",", "}")
     val compact =
-      s"""{"metric":"total","value":$total,"unit":"sec","mat":"full_plan","nqueries":${results.size},"failed":$failedJson,$warmupJson,$envJson,"queries":${toJson(slowest)},"full":"$outPath","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","mat":"full_plan","nqueries":${results.size},"failed":$failedJson,$warmupJson,$envJson,"queries":${toJsonMs(results)},"full":"$outPath","sf":"$sfDir"}"""
     println(compact)
     spark.stop()
   }

@@ -28,8 +28,10 @@ object SparkEntry {
 
   private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
     (spark, dir) => {
-      // free the PREVIOUS query's deferred per-query checkpoints (its
-      // caller has materialized by now — bench/verify run sequentially)
+      // free deferred per-query checkpoints registered at least TWO
+      // constructions ago (Engine.freeLater contract): a query's caller
+      // has a full extra construction of slack to materialize its frame
+      // before the frame's inputs are unpersisted
       Engine.drainDeferredFrees()
       f(Tables(spark, dir))
     }

@@ -355,15 +355,17 @@ object Classifier {
     * replaces the window, same semantics.
     */
   def qPrAuc(t: Tables): DataFrame = {
-    val byScore = Window.orderBy(col("p").desc, col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byRank = Window.orderBy(col("p").desc, col("doc_id"))
-    t.documents
+    // rank + running positive count via the two-pass prefix (guide
+    // §2.4/§5): the scored frame is document-scaling, so the old
+    // single-partition rank/cumsum windows were a serial funnel; long
+    // sums and row numbers are regrouping-exact — identical values
+    val scored = t.documents
       .select(col("doc_id"),
         round(TextAnalysis.qualityExpr(col("text")), 6).as("p"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-      .withColumn("k", row_number().over(byRank).cast("long"))
-      .withColumn("cum_pos", sum("y").over(byScore))
+    graft.ops.Prefix.running(scored, Seq(col("p").desc, col("doc_id")),
+        Seq(graft.ops.Prefix.Running("cum_pos", col("y"))),
+        rowNumber = Some("k"))
       .agg(
         count(lit(1)).as("n_docs"),
         sum("y").as("n_pos"),

@@ -642,30 +642,6 @@ object Dedup {
     * vote loop per word is the expensive part, not the join).
     * Cache-owned — callers must not unpersist.
     */
-  /** Materialize the session's portable-fingerprint cache ahead of its
-    * first consumer (see [[graft.ops.Graph.warmSharedIndex]] for the
-    * rationale): the per-word MD5 vote pass is a pure per-row projection
-    * of the corpus — shared-fact infrastructure, built once per dataset.
-    */
-  def warmFingerprints(t: Tables): Unit = { portableFpCache(t); () }
-
-  /** Build the shared shingled-documents frame and the exact-jaccard
-    * pair set for `t` (session caches owned by [[shingledDocsCache]] /
-    * [[jaccardPairsCache]]). Bench warmup calls this so the per-dataset
-    * builds land in `warmup_sec` instead of on their first consumer.
-    */
-  def warmPairCaches(t: Tables): Unit = {
-    shingledDocsCache(t); jaccardPairsCache(t); rarePairsCache(t); ()
-  }
-
-  /** Materialize the string-gram session cache ([[gramStringsCache]])
-    * ahead of its first consumer: the review/audit tier (dup evidence,
-    * the cost model) and the boilerplate report all read this frame, and
-    * without a warmup block its one-time corpus explode lands on
-    * whichever of them a bench run times first.
-    */
-  def warmGramStrings(t: Tables): Unit = { gramStringsCache(t); () }
-
   private val portableFpCache = new graft.Engine.DirCache(t =>
     graft.Engine.spread(
       t.documents.select(col("doc_id").as("id"), col("text")))

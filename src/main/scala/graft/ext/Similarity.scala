@@ -272,6 +272,9 @@ object Similarity {
 
   private var cachedIvfDir: String = null
   private var cachedIvfCents: Seq[Array[Double]] = null
+  graft.Engine.registerDataCache(() => synchronized {
+    cachedIvfCents = null; cachedIvfDir = null
+  })
 
   /** The session's shared IVF coarse index: [[lloydCentroidsExact]] over
     * the corpus micro-unit vectors, memoized per dataset dir. Training is
@@ -534,6 +537,12 @@ object Similarity {
 
   private var cachedPqCandsKey: (org.apache.spark.sql.SparkSession, String) = null
   private var cachedPqCands: DataFrame = null
+  graft.Engine.registerDataCache(() => synchronized {
+    if (cachedPqCands != null) {
+      graft.Engine.freeCheckpoint(cachedPqCands)
+      cachedPqCands = null; cachedPqCandsKey = null
+    }
+  })
 
   /** The session's shared IVF-PQ candidate frame at the DEFAULT index
     * configuration and maxProbe=3, checkpointed and memoized per

@@ -1103,6 +1103,12 @@ object TextAnalysis {
     */
   private var spanKey: (org.apache.spark.sql.SparkSession, String) = null
   private var spanFrame: DataFrame = null
+  graft.Engine.registerDataCache(() => synchronized {
+    if (spanFrame != null) {
+      graft.Engine.freeCheckpoint(spanFrame)
+      spanFrame = null; spanKey = null
+    }
+  })
   private[graft] def dupSpanRanges(t: Tables, n: Int): DataFrame =
     if (n != 8) dupSpanRangesBuild(t, n)
     else synchronized {
@@ -1117,11 +1123,6 @@ object TextAnalysis {
       }
       spanFrame
     }
-
-  /** Bench warmup hook: build the shared span-range fact ahead of its
-    * first timed consumer (same rationale as Dedup.warmPairCaches).
-    */
-  def warmSpanRanges(t: Tables): Unit = { dupSpanRanges(t, 8); () }
 
   private[graft] def dupSpanRangesBuild(t: Tables, n: Int): DataFrame =
     spanRangesFrom(spanGrams(t, n), n)
@@ -1379,6 +1380,12 @@ object TextAnalysis {
     */
   private var bpeKey: (org.apache.spark.sql.SparkSession, String, Int) = null
   private var bpeVal: (Seq[(Long, String, String, Long)], DataFrame) = null
+  graft.Engine.registerDataCache(() => synchronized {
+    if (bpeVal != null) {
+      graft.Engine.freeCheckpoint(bpeVal._2)
+      bpeVal = null; bpeKey = null
+    }
+  })
   private def bpeLearnCached(t: Tables, rounds: Int)
       : (Seq[(Long, String, String, Long)], DataFrame) = synchronized {
     if (bpeVal == null || bpeKey != ((t.spark, t.dir, rounds))) {
@@ -1389,15 +1396,6 @@ object TextAnalysis {
     }
     bpeVal
   }
-
-  /** Build the session BPE learn cache at the graded configuration
-    * (rounds = 3) ahead of its first consumer — shared-fact
-    * infrastructure for [[qBpeMerges]] and [[qBpeTokenize]], warmed as a
-    * named bench block like the dedup/graph fact caches. NOTE the cache
-    * is single-slot and keyed by rounds: warming any OTHER rounds value
-    * after this evicts it.
-    */
-  def warmBpe(t: Tables): Unit = { bpeLearnCached(t, 3); () }
 
   def qBpeMerges(t: Tables, rounds: Int = 3): DataFrame = {
     val spark = t.documents.sparkSession

@@ -449,11 +449,23 @@ object Analytics {
     * under ties.
     */
   def qNtileBins(t: Tables): DataFrame = {
-    val w = Window.orderBy(col("spend"), col("o_custkey"))
-    t.orders
+    // ntile(4) without the single-partition window (guide §2.4/§5): the
+    // global rank + total count come from the two-pass range-partitioned
+    // prefix ([[Prefix.running]]); the tile is then ntile's documented
+    // bucket arithmetic (first n%4 buckets hold n/4+1 rows) — identical
+    // values, no `WindowExec: No Partition Defined` over the customer
+    // frame
+    val per = t.orders
       .groupBy("o_custkey")
       .agg(dsum(col("o_totalprice")).as("spend"))
-      .withColumn("tile", ntile(4).over(w).cast("long"))
+    Prefix.running(per, Seq(col("spend"), col("o_custkey")), Nil,
+        rowNumber = Some("i"), totalCount = Some("n"))
+      .withColumn("tile",
+        expr("""CAST(CASE
+          WHEN i <= (n % 4) * (n div 4 + 1)
+            THEN (i - 1) div (n div 4 + 1) + 1
+          ELSE (n % 4) + (i - 1 - (n % 4) * (n div 4 + 1)) div (n div 4) + 1
+          END AS BIGINT)"""))
       .groupBy("tile")
       .agg(
         count(lit(1)).as("n_customers"),
@@ -562,14 +574,23 @@ object Analytics {
     * exact decimal sums, so both engines agree bit-for-bit.
     */
   def qDecileLift(t: Tables): DataFrame = {
-    val bydesc = Window.orderBy(col("spend").desc, col("o_custkey"))
+    // decile cut via the two-pass prefix rank (guide §2.4/§5) — the
+    // customer frame never collapses to one partition; the 10-row decile
+    // rollup keeps its tiny windows
     val cum = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
-    t.orders
+    val per = t.orders
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
-      .withColumn("decile", ntile(10).over(bydesc).cast("long"))
+    Prefix.running(per, Seq(col("spend").desc, col("o_custkey")), Nil,
+        rowNumber = Some("i"), totalCount = Some("n"))
+      .withColumn("decile",
+        expr("""CAST(CASE
+          WHEN i <= (n % 10) * (n div 10 + 1)
+            THEN (i - 1) div (n div 10 + 1) + 1
+          ELSE (n % 10) + (i - 1 - (n % 10) * (n div 10 + 1)) div (n div 10) + 1
+          END AS BIGINT)"""))
       .groupBy("decile")
       .agg(
         count(lit(1)).as("n_customers"),
@@ -733,11 +754,14 @@ object Analytics {
     * here. Ties rank deterministically (spend, custkey).
     */
   def qGini(t: Tables): DataFrame = {
-    val bySpend = Window.orderBy(col("spend"), col("o_custkey"))
-    t.orders
+    // rank via the two-pass prefix (guide §2.4/§5) — no single-partition
+    // window over the customer frame; same (spend, custkey) total order,
+    // identical ranks
+    val per = t.orders
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).as("spend"))
-      .withColumn("i", row_number().over(bySpend).cast("long"))
+    Prefix.running(per, Seq(col("spend"), col("o_custkey")), Nil,
+        rowNumber = Some("i"))
       .agg(
         count(lit(1)).as("n_customers"),
         sum(col("spend")).as("sx"),
@@ -1171,11 +1195,14 @@ object Analytics {
       .agg(dsum(col("l_quantity")).as("tot_qty"),
         (dsum(col("l_extendedprice")) / dsum(col("l_quantity")))
           .as("unit_price"))
-    val byPrice = per.groupBy("unit_price")
-      .agg(max("tot_qty").as("gq"))
-      .withColumn("m_lt", max("gq").over(
-        Window.orderBy("unit_price")
-          .rowsBetween(Window.unboundedPreceding, -1)))
+    // strictly-cheaper running max via the two-pass prefix (guide
+    // §2.4/§5): max is associative, so per-range maxima + the prior
+    // ranges' folded max reproduce the exclusive running max exactly —
+    // the distinct-price frame (part-scaling) never single-partitions
+    val byPrice = Prefix.running(
+      per.groupBy("unit_price").agg(max("tot_qty").as("gq")),
+      Seq(col("unit_price")),
+      Seq(Prefix.Running("m_lt", col("gq"), inclusive = false, isMax = true)))
     per.join(byPrice, "unit_price")
       .filter(col("tot_qty") > coalesce(col("m_lt"),
           lit(Double.NegativeInfinity)) &&
@@ -1344,15 +1371,17 @@ object Analytics {
     * double ever decides a boundary.
     */
   def qAbcClass(t: Tables): DataFrame = {
-    val byRev = Window.orderBy(col("rev").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cumulative revenue + grand total via the two-pass prefix (guide
+    // §2.4/§5): DECIMAL sums are regrouping-exact, so `cum`/`total` are
+    // bit-identical to the single-partition window form the part-scaling
+    // frame previously funneled through
     val tot = Window.partitionBy()
-    t.lineitem
+    val per = t.lineitem
       .groupBy("l_partkey")
       .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
         .cast(DecimalType(24, 6))).as("rev"))
-      .withColumn("cum", sum("rev").over(byRev))
-      .withColumn("total", sum("rev").over(tot))
+    Prefix.running(per, Seq(col("rev").desc, col("l_partkey")),
+        Seq(Prefix.Running("cum", col("rev"), grandTotal = Some("total"))))
       .withColumn("cum_before", col("cum") - col("rev"))
       .withColumn("abc_class",
         when(col("cum_before") * 5 < col("total") * 4, "A")
@@ -1440,10 +1469,6 @@ object Analytics {
     recFramesUncached(t, 199, 5).recs)
   private val testBCache = new graft.Engine.DirCache(t =>
     recFramesUncached(t, 199, 5).testB)
-
-  /** Build the shared recommender train/test frames (bench warmup —
-    * records the one-time cost in warmup_sec, the shared-fact rule). */
-  def warmRecFrames(t: Tables): Unit = { recsCache(t); testBCache(t); () }
 
   private def recFrames(t: Tables, probeMod: Int, k: Int): RecFrames = {
     require(probeMod == 199 && k == 5,

@@ -58,6 +58,13 @@ object Graph {
     */
   private var cachedEdgeDir: String = null
   private var cachedEdgeIndex: EdgeIndex = null
+  graft.Engine.registerDataCache(() => synchronized {
+    if (cachedEdgeIndex != null) {
+      graft.Engine.freeCheckpoint(cachedEdgeIndex.edges)
+      graft.Engine.freeCheckpoint(cachedEdgeIndex.deg)
+      cachedEdgeIndex = null; cachedEdgeDir = null
+    }
+  })
 
   /** The shared edge index plus the node-sized statistics every graph
     * query re-derived per call (each a full edge scan + shuffle: degree
@@ -102,23 +109,6 @@ object Graph {
     */
   private[ops] def sharedCoPurchase(t: Tables): DataFrame =
     coPurchaseWeightedCached(t)
-
-  /** Materialize the session's shared co-purchase edge index (edges +
-    * degrees + node stats) ahead of the first graph-family query — the
-    * benchmark warmup calls this so the one-time shared-fact build cost
-    * is recorded as warmup rather than landing on whichever consumer runs
-    * first alphabetically. Production pipelines do the same: the shared
-    * fact builds once per dataset version, before the query fan-out.
-    */
-  def warmSharedIndex(t: Tables): Unit = { edgeIndexCached(t); () }
-
-  /** Build the shared per-node triangle census for `t` (see
-    * [[triPerNodeCache]] below — one wedge pass serving the whole
-    * triangle family). Bench warmup calls this so the one-time
-    * per-dataset build lands in `warmup_sec`, not on whichever census
-    * consumer happens to run first alphabetically.
-    */
-  def warmTriangleCensus(t: Tables): Unit = { triPerNodeCache(t); () }
 
   /** PageRank (damping 0.85, fixed `iters` rounds) over the co-purchase
     * graph, in exact integer micro-units. Nodes are parts with at least one
@@ -288,6 +278,12 @@ object Graph {
     */
   private var cachedLabelsKey: (String, Int) = null
   private var cachedLabelsFrame: DataFrame = null
+  graft.Engine.registerDataCache(() => synchronized {
+    if (cachedLabelsFrame != null) {
+      graft.Engine.freeCheckpoint(cachedLabelsFrame)
+      cachedLabelsFrame = null; cachedLabelsKey = null
+    }
+  })
 
   /** [[propagateLabels]] behind the same build-once session cache as the
     * edge index: the community partition is consumed by both qLabelProp

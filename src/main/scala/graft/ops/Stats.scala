@@ -950,14 +950,14 @@ object Stats {
       .agg(
         sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("c1"),
         sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("c2"))
-    val wRun = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-    byVal
-      .withColumn("cum1", sum("c1").over(wRun))
-      .withColumn("cum2", sum("c2").over(wRun))
-      .withColumn("t1", sum("c1").over(wAll))
-      .withColumn("t2", sum("c2").over(wAll))
+    // ECDF prefix counts via the two-pass prefix (guide §2.4/§5): the
+    // distinct-price domain scales with order volume, so the old
+    // single-partition running/total windows were a serial funnel; long
+    // sums are regrouping-exact — identical cum/total values
+    graft.ops.Prefix.running(byVal, Seq(col("v")),
+        Seq(
+          graft.ops.Prefix.Running("cum1", col("c1"), grandTotal = Some("t1")),
+          graft.ops.Prefix.Running("cum2", col("c2"), grandTotal = Some("t2"))))
       // ECDF cross-products in DECIMAL: cum x total overflows long at scale
       .withColumn("num", abs(col("cum1").cast(DecimalType(28, 0)) * col("t2") -
         col("cum2").cast(DecimalType(28, 0)) * col("t1")))
@@ -1102,9 +1102,13 @@ object Stats {
       .agg(
         sum(col("y")).as("c1"),
         sum(lit(1L) - col("y")).as("c2"))
-    val wPrior = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    byVal
-      .withColumn("less2", coalesce(sum("c2").over(wPrior), lit(0L)))
+    // exclusive prefix count via the two-pass prefix (guide §2.4/§5):
+    // the rounded-score domain scales with the corpus, so the old
+    // single-partition window was a serial funnel; identical values
+    graft.ops.Prefix.running(byVal, Seq(col("v")),
+        Seq(graft.ops.Prefix.Running("less2_p", col("c2"),
+          inclusive = false)))
+      .withColumn("less2", coalesce(col("less2_p"), lit(0L)))
       .withColumn("u2_term", col("c1").cast(DecimalType(28, 0)) *
         (lit(2L) * col("less2") + col("c2")))
       .agg(
@@ -1669,11 +1673,21 @@ object Stats {
       .withColumn("d", col("c96") - col("c95"))
       .filter(col("d") =!= 0L)
       .withColumn("ad", abs(col("d")))
-    val byAd = Window.orderBy("ad")
-    val ties = Window.partitionBy("ad")
+    // rank over |d| via the two-pass prefix (guide §2.4/§5): rank(ad) =
+    // 1 + count of pairs with smaller ad, read off an ad-aggregated frame
+    // (unique keys) instead of a single-partition rank window over the
+    // customer-scaling pair frame. The aggregate's exchange and the
+    // join-back's are the same hash(ad) subtree, so the pair frame is
+    // shuffled once (ReuseExchange); tie counts ride along for free.
+    val adRanks = graft.ops.Prefix.running(
+        pairs.groupBy("ad").agg(count(lit(1)).as("nties")),
+        Seq(col("ad")),
+        Seq(graft.ops.Prefix.Running("prior", col("nties"),
+          inclusive = false)))
+      .select(col("ad"),
+        (coalesce(col("prior"), lit(0L)) + 1L).as("minrank"), col("nties"))
     pairs
-      .withColumn("minrank", rank().over(byAd).cast("long"))
-      .withColumn("nties", count(lit(1)).over(ties))
+      .join(adRanks, "ad")
       .withColumn("r2", lit(2L) * col("minrank") + col("nties") - 1L)
       .agg(
         count(lit(1)).as("n_pairs"),
@@ -1766,14 +1780,16 @@ object Stats {
     * rank-based statistic here accepts; the decile rollup is 10 rows.
     */
   def qLorenz(t: Tables): DataFrame = {
-    val bySpend = Window.orderBy(col("cents"), col("o_custkey"))
+    // rank + total via the two-pass prefix (guide §2.4/§5) — the customer
+    // frame never single-partitions; the decile rollup below stays on its
+    // 10-row frame
     val byDecile = Window.orderBy("decile")
     val all = Window.partitionBy()
-    t.orders
+    val per = t.orders
       .groupBy("o_custkey")
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("cents"))
-      .withColumn("i", row_number().over(bySpend).cast("long"))
-      .withColumn("n", count(lit(1)).over(all))
+    graft.ops.Prefix.running(per, Seq(col("cents"), col("o_custkey")), Nil,
+        rowNumber = Some("i"), totalCount = Some("n"))
       .withColumn("decile", expr("CAST((i * 10 + n - 1) div n AS BIGINT)"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n_customers"),
@@ -2133,20 +2149,21 @@ object Stats {
     * cumulative work on the 10-row decile frame.
     */
   def qQiniCurve(t: Tables): DataFrame = {
-    val byScore = Window.orderBy(col("bal").desc, col("ck"))
+    // rank + total via the two-pass prefix (guide §2.4/§5) — the ranked
+    // customer frame never single-partitions; cumulative work stays on
+    // the 10-row decile frame
     val byDecile = Window.orderBy("decile")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
     val cust = t.customer.select(col("c_custkey").as("ck"),
       expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal"),
       pmod(col("c_custkey"), lit(2)).as("arm"))
     val revenue = t.orders
       .groupBy(col("o_custkey").as("ck"))
       .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rev"))
-    cust.join(revenue, Seq("ck"), "left")
+    val scored = cust.join(revenue, Seq("ck"), "left")
       .withColumn("rev", coalesce(col("rev"), lit(0L)))
-      .withColumn("i", row_number().over(byScore).cast("long"))
-      .withColumn("n", count(lit(1)).over(all))
+    graft.ops.Prefix.running(scored, Seq(col("bal").desc, col("ck")), Nil,
+        rowNumber = Some("i"), totalCount = Some("n"))
       .withColumn("decile", expr("CAST((i * 10 + n - 1) div n AS BIGINT)"))
       .groupBy("decile")
       .agg(

@@ -13,6 +13,26 @@ class PlanAuditSpec extends SparkSuite {
     SparkEntry.queries(name)(spark, sfDir)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Full-tree audit for queries whose shared intermediates loopCheckpoint
+    * (round-10 advice): with checkpoints live, the heavy subtree appears
+    * as `Scan ExistingRDD` and scale assertions pass vacuously — and
+    * constructing the query in a test eagerly executes the build.
+    * `noCheckpoint` makes checkpoints pass-throughs (no execution, full
+    * operator tree). Data caches are reset before (so a frame another
+    * suite already materialized doesn't truncate the tree) and after (so
+    * an UNMATERIALIZED frame stored by a cache built under noCheckpoint
+    * never leaks into later suites' real executions).
+    */
+  private def fullPlan(name: String): String = {
+    Engine.resetDataCaches()
+    spark.conf.set("spark.graft.explain.noCheckpoint", "true")
+    try formatted(name)
+    finally {
+      spark.conf.unset("spark.graft.explain.noCheckpoint")
+      Engine.resetDataCaches()
+    }
+  }
+
   private def shuffleCount(plan: String): Int =
     "(?<![A-Za-z])Exchange ".r.findAllIn(
       plan.linesIterator.filterNot(_.contains("BroadcastExchange")).mkString("\n")
@@ -201,7 +221,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("bigram surprisal aggregates to vocab frames: no sorts, no cache scan") {
-    val p = formatted("q_bigram_surprisal")
+    val p = fullPlan("q_bigram_surprisal")
     assert(!p.contains("InMemoryTableScan"), "rewrite should not persist")
     // the vocab-join shape replaced the windowed one: the corpus LM must
     // come from hash aggregates (windows would show Sort + Window nodes
@@ -229,7 +249,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("anomaly IQR broadcasts the fence frame; fact side never sorts globally") {
-    val p = formatted("q_anomaly_iqr")
+    val p = fullPlan("q_anomaly_iqr")
     assert(p.contains("BroadcastHashJoin"), "fences must broadcast back")
     // global sort allowed only for the 5-row presentation ORDER BY: every
     // Sort node must sit above the final aggregate, not on the fact stream
@@ -302,7 +322,7 @@ class PlanAuditSpec extends SparkSuite {
     // the corpus tf stream must never shuffle on the word key to reach
     // the (dimension-sized) topic dictionary — a sort-merge fallback
     // would reshuffle every (doc, word) pair
-    val p = formatted("q_topic_scores")
+    val p = fullPlan("q_topic_scores")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
       "dictionary/hot-word guards not broadcast")
     assert(!p.contains("SortMergeJoin"), s"corpus shuffled to meet a dim:\n$p")
@@ -312,7 +332,7 @@ class PlanAuditSpec extends SparkSuite {
     // the term filter runs post-explode (a posting probe at index time),
     // so the scale claims are: df/stats meet tf through broadcasts and
     // nothing falls back to a corpus-wide sort-merge join
-    val p = formatted("q_bm25_search")
+    val p = fullPlan("q_bm25_search")
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 1,
       "df dimension not broadcast")
     assert(!p.contains("SortMergeJoin"), s"query-term join fell back to SMJ:\n$p")
@@ -355,14 +375,23 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("mann-whitney/ks reduce to the distinct-value domain before any window") {
-    for (name <- Seq("q_mannwhitney", "q_ks_test")) {
+    // the corpus must collapse through a partial hash aggregate before
+    // any window touches it. q_mannwhitney's domain is bounded (50
+    // l_quantity values) so it keeps the single-partition domain window
+    // (<=3 exchanges); q_ks_test's domain scales with order volume, so
+    // round 11 moved its ECDF to the two-pass prefix — the extra
+    // exchanges are all DOMAIN-sized (range partition, per-partition
+    // totals, offset fold), never the fact, and no unpartitioned window
+    // over the domain remains
+    for ((name, bound) <- Seq("q_mannwhitney" -> 3, "q_ks_test" -> 8)) {
       val p = formatted(name)
-      // the corpus must collapse through a partial hash aggregate before
-      // the single-partition domain window
       assert(p.contains("HashAggregate"), s"$name: no hash aggregate:\n$p")
       val n = shuffleCount(p)
-      assert(n <= 3, s"$name: expected <=3 shuffle exchanges, got $n")
+      assert(n <= bound, s"$name: expected <=$bound shuffle exchanges, got $n")
     }
+    val ks = formatted("q_ks_test")
+    assert(!"windowspecdefinition\\(v#".r.findFirstIn(ks).isDefined,
+      s"ks ECDF still windows over the raw value domain:\n$ks")
   }
 
   test("token budget: two-pass cumsum — no event-volume window, no global sort in the final plan") {
@@ -556,7 +585,7 @@ class PlanAuditSpec extends SparkSuite {
     // the nPerm-way sequence explode must sit ABOVE the customer-key
     // aggregate: exactly one fact-sized Exchange (custkey), then the
     // permutation stream aggregates by b
-    val p = formatted("q_permutation_test")
+    val p = fullPlan("q_permutation_test")
     assert(p.contains("Generate") && p.contains("explode("),
       s"no explode in plan:\n$p")
     // count tree nodes only (formatted repeats each scan in the detail
@@ -566,7 +595,7 @@ class PlanAuditSpec extends SparkSuite {
   }
 
   test("kneser-ney: probe contexts and type total broadcast") {
-    val p = formatted("q_kneser_ney")
+    val p = fullPlan("q_kneser_ney")
     assert(p.contains("BroadcastHashJoin"), s"probes not broadcast:\n$p")
     // the continuation-count join is vocab×vocab on the gram key: hash
     // join on the shuffled key, no sort of the bigram-type frame
